@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with configuration tuned for the graft engine.
+  *
+  * Scale notes (designed for a 1000-executor cluster over ~100 TB, tested on
+  * `local[32]`):
+  *  - AQE on: runtime partition coalescing, skew-join splitting and dynamic
+  *    join-strategy selection replace hand-tuned partition counts.
+  *  - Runtime bloom filters on: probe-side pre-filtering for selective joins —
+  *    the Spark analogue of the reference's bloom-filter pushdown
+  *    (reference: cpp/src/arrow/acero/hash_join_node.cc:498-532).
+  *  - Parquet TIMESTAMP(NANOS) columns (unsupported by Spark's reader) are
+  *    read as raw nanos via `spark.sql.legacy.parquet.nanosAsLong` and
+  *    normalized to microsecond timestamps by [[Tables.events]].
+  *  - Session timezone pinned to UTC so temporal results are reproducible
+  *    across engines.
+  */
+object GraftSession {
+
+  /** Confs that are safe to set on an already-running session. */
+  val runtimeConf: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+  )
+
+  /** Apply [[runtimeConf]] to an externally created session (e.g. the
+    * driver's). Unknown/static confs are skipped silently. */
+  def tune(spark: SparkSession): SparkSession = {
+    runtimeConf.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: Throwable => () }
+    }
+    spark
+  }
+
+  /** Local session for tests / bench. `shufflePartitions` should match the
+    * local core count, not the 200 default (which only makes sense on a
+    * cluster — and there AQE coalescing manages it anyway). */
+  def local(
+      cores: Int = 32,
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+    runtimeConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the test-data star schema (TESTDATA.md).
+  *
+  * Each loader is a plain parquet scan, so Catalyst predicate pushdown,
+  * column pruning and partition pruning all apply downstream — the Spark
+  * analogue of the reference's dataset-scan pushdown
+  * (reference: cpp/src/arrow/dataset/scanner.h:59-78).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = raw(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = raw(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = raw(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = raw(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = raw(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = raw(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = raw(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = raw(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = raw(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    * We read it as a raw nanosecond long and truncate to microseconds
+    * (integer division — `ts` is far above 2^53 so double math would lose
+    * precision). DuckDB applies the same ns→µs truncation when casting
+    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical values. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Events with a pushdown-friendly event-time filter: the predicate is
+    * applied to the *raw nanosecond long* before the µs conversion, so it
+    * reaches the parquet scan as a long-range filter (row-group pruning
+    * works). At 100 TB this is the difference between scanning a day and
+    * scanning the full history. */
+  def eventsBetween(
+      s: SparkSession,
+      d: String,
+      fromMicros: Long,
+      untilMicros: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw(s, d, "events")
+      .filter(col("ts") >= fromMicros * 1000L && col("ts") < untilMicros * 1000L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def load(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case n        => raw(s, d, n)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * pipelines. All pure `functions._` compositions — codegen'd, no UDFs.
+  */
+object TextOps {
+
+  /** Whitespace tokens (documents are single-space word soup). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, the unit of near-dup detection.
+    * Guarded: Spark's `sequence(1, k)` is descending for k < 1, so short
+    * documents yield an empty shingle set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = words(text)
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      array_distinct(
+        transform(sequence(lit(1), count), i =>
+          concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable polynomial fingerprint: fold (acc*31 + codepoint) mod 1e9+7
+    * over the characters of the lower-cased text. Engine-portable (the
+    * DuckDB oracle reproduces it with list_reduce); the fast production
+    * path is `xxhash64(text)`, asserted separately in tests. */
+  def polyFingerprint(text: Column): Column = {
+    val t = lower(text)
+    aggregate(
+      sequence(lit(1), length(t)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(t.substr(i, lit(1)))) % 1000000007L)
+  }
+
+  /** Stopword count among whitespace tokens. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(stopwords)))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector primitives over `array<float>` embedding
+  * columns. Computation folds in double (float inputs upcast per element)
+  * so results are engine-deterministic; all pure `functions._`
+  * compositions — codegen'd, no UDFs, no driver-side collect.
+  */
+object VectorOps {
+
+  /** Dot product of two equal-length numeric arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Sign bit of the projection of `v` onto a deterministic pseudo-random
+    * hyperplane (`planeId`). The plane's components are derived per
+    * dimension from xxhash64 — reproducible across runs and executors with
+    * no RNG state to ship. Used by LSH bucketing. */
+  def hyperplaneBit(v: Column, planeId: Int): Column = {
+    val proj = aggregate(
+      zip_with(
+        v,
+        sequence(lit(0), size(v) - 1),
+        (x, i) => {
+          // hash -> [-0.5, 0.5) pseudo-uniform component
+          val h = xxhash64(lit(planeId), i)
+          x.cast("double") * ((h % 10007L).cast("double") / 10007.0)
+        }),
+      lit(0.0),
+      (acc, x) => acc + x)
+    (proj >= 0).cast("int")
+  }
+
+  /** LSH bucket id from `nPlanes` hyperplane sign bits. */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(p => hyperplaneBit(v, p) * lit(1L << p))
+      .reduce(_ + _)
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (inexact temporal) join — the one reference operator with no direct
+  * Spark counterpart (reference: cpp/src/arrow/acero/asof_join_node.cc;
+  * semantics at cpp/src/arrow/acero/options.h:692-738: for each left row,
+  * match right rows with `right.on - left.on ∈ [min(0,tol), max(0,tol)]` and
+  * equal `by` keys, picking the closest).
+  *
+  * Spark-first formulation: an equi-join on the `by` keys with a range
+  * predicate on the `on` column, then a per-left-row window dedup keeping
+  * the closest right match. Catalyst plans the equi+range join as a shuffled
+  * hash / sort-merge join on the `by` keys with the range as a residual
+  * filter, so it scales horizontally by key cardinality; AQE's skew-join
+  * splitting handles hot keys. For a small right side, `broadcast(right)`
+  * turns it into a map-side join with no shuffle at all.
+  */
+object AsOfJoin {
+
+  /** Backward as-of left join: for each left row, the latest right row with
+    * `right(onRight) <= left(onLeft)` within `tolerance`, matching on the
+    * `by` key columns (same names both sides).
+    *
+    * @param leftId    column uniquely identifying left rows (used for the
+    *                  dedup window — supplying it beats synthesizing a
+    *                  nondeterministic row id)
+    * @param tieBreak  right-side column ordering ties on equal `on` values
+    *                  (latest wins), keeping the result deterministic
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      onLeft: Column,
+      onRight: Column,
+      by: Seq[(Column, Column)],
+      tolerance: Column,
+      leftId: Column,
+      tieBreak: Column): DataFrame = {
+    val byCond = by
+      .map { case (l, r) => l === r }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val cond = byCond && onRight <= onLeft && onRight >= onLeft - tolerance
+    val joined = left.join(right, cond, "left")
+    val w = Window.partitionBy(leftId).orderBy(onRight.desc_nulls_last, tieBreak.desc_nulls_last)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.{Capability, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pipelines over `documents`: token counting, quality
+  * scoring, heuristic language ID, content fingerprinting. All pure
+  * column expressions (codegen'd — no UDFs in the hot path), so they
+  * distribute as narrow transformations: no shuffle at any scale.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Token counting: whitespace tokens + a regex token class (the BPE-ish
+    * approximation: alpha runs). */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextOps.words(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_tokens"),
+      length(col("text")).as("len"),
+      col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+      |  length(text) AS len,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/stopword/uniqueness ratios combined into a
+    * single [0,1] score. */
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nTok = size(ws).cast("double")
+    val stopRatio = TextOps.stopwordCount(col("text"), stopwords).cast("double") / nTok
+    val uniqRatio = size(array_distinct(ws)).cast("double") / nTok
+    val lenScore = least(lit(1.0), nTok / 50.0)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      size(ws).as("n_tok"),
+      round(length(col("text")).cast("double") / nTok, 6).as("avg_tok_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(uniqRatio, 6).as("uniq_ratio"),
+      round(lenScore * (lit(1.0) - stopRatio) * uniqRatio, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql = {
+    val nTok = "len(string_split(text, ' '))::DOUBLE"
+    val stopR = s"len(list_filter(string_split(text, ' '), " +
+      s"w -> w IN ('the','a','and','of','to','in')))::DOUBLE / $nTok"
+    val uniqR = s"len(list_distinct(string_split(text, ' ')))::DOUBLE / $nTok"
+    s"""SELECT doc_id,
+       |  length(text) AS len,
+       |  len(string_split(text, ' ')) AS n_tok,
+       |  round(length(text)::DOUBLE / $nTok, 6) AS avg_tok_len,
+       |  round($stopR, 6) AS stop_ratio,
+       |  round($uniqR, 6) AS uniq_ratio,
+       |  round(least(1.0::DOUBLE, $nTok / 50.0) * (1.0::DOUBLE - $stopR) * ($uniqR), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heuristic language ID: marker-word counts per language with a
+    * deterministic alphabetical tie-break. (The synthetic corpus is
+    * English-ish word soup, so predictions skew 'en' — the capability under
+    * test is the deterministic scoring pipeline, not model quality.) */
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    def markers(wordsList: Seq[String]): Column =
+      TextOps.stopwordCount(col("text"), wordsList)
+    val nDe = markers(Seq("der", "die", "das", "und", "ist"))
+    val nEn = markers(Seq("the", "a", "and", "of", "to"))
+    val nEs = markers(Seq("el", "la", "los", "que", "y"))
+    val nFr = markers(Seq("le", "les", "et", "un", "est"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      nDe.as("n_de"), nEn.as("n_en"), nEs.as("n_es"), nFr.as("n_fr"),
+      when(nDe >= greatest(nEn, nEs, nFr), "de")
+        .when(nEn >= greatest(nEs, nFr), "en")
+        .when(nEs >= nFr, "es")
+        .otherwise("fr").as("pred_lang"))
+      .withColumn("hit", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langidSql = {
+    def cnt(ws: String) =
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($ws)))"
+    val nDe = cnt("'der','die','das','und','ist'")
+    val nEn = cnt("'the','a','and','of','to'")
+    val nEs = cnt("'el','la','los','que','y'")
+    val nFr = cnt("'le','les','et','un','est'")
+    s"""SELECT doc_id, lang, n_de, n_en, n_es, n_fr, pred_lang,
+       |  CAST(pred_lang = lang AS INT) AS hit
+       |FROM (
+       |  SELECT doc_id, lang, text,
+       |    $nDe AS n_de, $nEn AS n_en, $nEs AS n_es, $nFr AS n_fr,
+       |    CASE WHEN $nDe >= greatest($nEn, $nEs, $nFr) THEN 'de'
+       |         WHEN $nEn >= greatest($nEs, $nFr) THEN 'en'
+       |         WHEN $nEs >= $nFr THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprinting: portable polynomial rolling hash (oracle twin
+    * in DuckDB via list_reduce). The fast path for production is
+    * xxhash64 — same pipeline shape, asserted in TextSpec. */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.polyFingerprint(col("text")).as("fp"),
+      length(col("text")).as("len"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(range(1, length(lower(text)) + 1),
+      |        i -> ascii(lower(text)[i:i])::BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+      |  length(text) AS len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
+    Capability("text_quality", "length/stopword/uniqueness quality score", quality, Some(qualitySql)),
+    Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
+    Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
+      Some(fingerprintSql)),
+  )
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.{Capability, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function-surface capabilities Q14–Q18 (SURVEY.md §2.2): string,
+  * temporal, math/rounding, conditional/null, and cast kernels. All map to
+  * codegen'd `org.apache.spark.sql.functions._` builtins — the Spark
+  * analogue of the reference's ~300-kernel compute registry
+  * (reference: docs/source/cpp/compute.rst; kernels in
+  * cpp/src/arrow/compute/kernels/).
+  *
+  * Oracle-parity notes baked into the queries:
+  *  - DuckDB `dayofweek` is 0-based (Sunday=0); Spark is 1-based → oracle
+  *    adds 1.
+  *  - DuckDB `CAST(double AS INT)` rounds; Spark truncates → oracle uses
+  *    TRUNC before the cast.
+  *  - libm results (ln/exp/log10) can differ in the last ulp across
+  *    engines → rounded to 6 decimals on both sides.
+  */
+object FunctionQueries {
+
+  /** Q14: string kernel battery over `part`. */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lower(col("p_type")).as("lo"),
+      upper(col("p_name")).as("up"),
+      initcap(col("p_name")).as("cap"),
+      substring(col("p_name"), 1, 6).as("sub"),
+      length(col("p_name")).as("len"),
+      element_at(split(col("p_name"), " "), 1).as("tok1"),
+      element_at(split(col("p_name"), " "), -1).as("tok_last"),
+      lpad(col("p_brand"), 12, "*").as("pad"),
+      rtrim(rpad(col("p_brand"), 12, " ")).as("trimmed"),
+      reverse(col("p_type")).as("rev"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("repl"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("firstword"),
+      col("p_type").like("%ECO%").as("is_eco"),
+      col("p_name").startsWith("small").as("sw"),
+      col("p_name").endsWith("bolt").as("ew"),
+      col("p_name").contains("widget").as("has_widget"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+      repeat(col("p_brand"), 2).as("rep2"))
+      .orderBy(col("p_partkey"))
+
+  // DuckDB 1.0 has no initcap; the oracle reproduces it with a per-word
+  // list transform.
+  private val q14Sql =
+    """SELECT p_partkey,
+      |  lower(p_type) AS lo,
+      |  upper(p_name) AS up,
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |      w -> concat(upper(w[1:1]), lower(w[2:]))), ' ') AS cap,
+      |  substring(p_name, 1, 6) AS sub,
+      |  length(p_name) AS len,
+      |  split_part(p_name, ' ', 1) AS tok1,
+      |  list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS tok_last,
+      |  lpad(p_brand, 12, '*') AS pad,
+      |  rtrim(rpad(p_brand, 12, ' ')) AS trimmed,
+      |  reverse(p_type) AS rev,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS repl,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS firstword,
+      |  p_type LIKE '%ECO%' AS is_eco,
+      |  starts_with(p_name, 'small') AS sw,
+      |  p_name LIKE '%bolt' AS ew,
+      |  contains(p_name, 'widget') AS has_widget,
+      |  concat_ws('|', p_brand, p_type) AS joined,
+      |  repeat(p_brand, 2) AS rep2
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Q15: temporal extraction + arithmetic over `orders` dates. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val od = to_date(col("o_orderdate"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      od.as("od"),
+      year(od).as("y"),
+      quarter(od).as("q"),
+      month(od).as("m"),
+      dayofmonth(od).as("dom"),
+      dayofweek(od).as("dow"),
+      dayofyear(od).as("doy"),
+      weekofyear(od).as("wk"),
+      datediff(od, lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since"),
+      add_months(od, 2).as("plus2m"),
+      date_add(od, 7).as("plus7d"),
+      trunc(od, "MM").as("month_start"),
+      last_day(od).as("month_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q15Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS od,
+      |  year(o_orderdate) AS y,
+      |  quarter(o_orderdate) AS q,
+      |  month(o_orderdate) AS m,
+      |  day(o_orderdate) AS dom,
+      |  dayofweek(o_orderdate) + 1 AS dow,
+      |  dayofyear(o_orderdate) AS doy,
+      |  weekofyear(o_orderdate) AS wk,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |  CAST(o_orderdate AS DATE) + 7 AS plus7d,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Q15b: time-of-day extraction over the microsecond-normalized `events.ts`
+    * (ns→µs truncation matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast). */
+  private def q15b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("ts"),
+      hour(col("ts")).as("h"),
+      minute(col("ts")).as("mi"),
+      second(col("ts")).as("sec"),
+      to_date(col("ts")).as("dt"),
+      date_trunc("hour", col("ts")).as("ts_hour"),
+      unix_timestamp(col("ts")).as("epoch_s"))
+      .orderBy(col("event_id"))
+
+  private val q15bSql =
+    """SELECT event_id,
+      |  CAST(ts AS TIMESTAMP) AS ts,
+      |  hour(ts) AS h,
+      |  minute(ts) AS mi,
+      |  CAST(FLOOR(second(ts)) AS INT) AS sec,
+      |  CAST(ts AS DATE) AS dt,
+      |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      abs(col("l_discount") - lit(0.05)).as("a_abs"),
+      // rounded at 6 dp: the product has exactly 4 decimal digits, so no
+      // rounding ties — a 2 dp round would hit x.xx50 values where Spark
+      // (half-up on the decimal rendering) and DuckDB (binary) disagree
+      round(col("l_extendedprice") * col("l_discount"), 6).as("r2"),
+      floor(col("l_extendedprice")).as("fl"),
+      ceil(col("l_extendedprice")).as("ce"),
+      pow(col("l_quantity"), 2).as("p2"),
+      sqrt(col("l_extendedprice")).as("sq"),
+      round(log(col("l_extendedprice")), 6).as("lg"),
+      round(exp(col("l_discount")), 6).as("ex"),
+      round(log10(col("l_extendedprice")), 6).as("l10"),
+      signum(col("l_discount") - lit(0.05)).cast("int").as("sg"),
+      (col("l_orderkey") % 7).as("mod7"),
+      shiftleft(col("l_linenumber"), 2).as("shl"),
+      (col("l_linenumber").bitwiseAND(lit(3))).as("band"),
+      (col("l_linenumber").bitwiseXOR(lit(5))).as("bxor"),
+      greatest(col("l_quantity"), lit(25.0)).as("gr"),
+      least(col("l_quantity"), lit(25.0)).as("le"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q16Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_discount - 0.05::DOUBLE) AS a_abs,
+      |  round(l_extendedprice * l_discount, 6) AS r2,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
+      |  pow(l_quantity, 2) AS p2,
+      |  sqrt(l_extendedprice) AS sq,
+      |  round(ln(l_extendedprice), 6) AS lg,
+      |  round(exp(l_discount), 6) AS ex,
+      |  round(log10(l_extendedprice), 6) AS l10,
+      |  CAST(SIGN(l_discount - 0.05::DOUBLE) AS INT) AS sg,
+      |  l_orderkey % 7 AS mod7,
+      |  l_linenumber << 2 AS shl,
+      |  l_linenumber & 3 AS band,
+      |  xor(l_linenumber, 5) AS bxor,
+      |  greatest(l_quantity, 25.0::DOUBLE) AS gr,
+      |  least(l_quantity, 25.0::DOUBLE) AS le
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q17: conditional / null-handling kernels (case_when, if_else,
+    * coalesce, nullif, is_null) over `orders`. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "F", "done")
+        .when(col("o_orderstatus") === "O", "open")
+        .otherwise("other").as("st"),
+      coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")), lit("DEFAULT")).as("pr"),
+      nullif(col("o_orderpriority"), lit("3-MEDIUM")).isNull.as("was_medium"),
+      when(col("o_totalprice") > 100000.0, col("o_totalprice")).as("big_price"),
+      coalesce(
+        when(col("o_totalprice") > 100000.0, col("o_totalprice")),
+        lit(-1.0)).as("big_or_default"))
+      .orderBy(col("o_orderkey"))
+
+  private val q17Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'done'
+      |       WHEN o_orderstatus = 'O' THEN 'open'
+      |       ELSE 'other' END AS st,
+      |  COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'DEFAULT') AS pr,
+      |  NULLIF(o_orderpriority, '3-MEDIUM') IS NULL AS was_medium,
+      |  CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice END AS big_price,
+      |  COALESCE(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice END,
+      |           -1.0::DOUBLE) AS big_or_default
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Q18: cast matrix — double↔int↔string↔decimal↔date round-trips.
+    * Spark truncates double→int; oracle mirrors with TRUNC. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_quantity").cast("int").as("qty_int"),
+      col("l_quantity").cast("string").as("qty_str"),
+      col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price_d2"),
+      col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price_str"),
+      col("l_orderkey").cast("string").as("key_str"),
+      col("l_orderkey").cast("string").cast("long").as("key_rt"),
+      col("l_linenumber").cast("double").as("ln_d"),
+      to_date(col("l_shipdate")).cast("string").as("ship_str"),
+      to_date(col("l_shipdate")).cast("string").cast("date").as("ship_rt"),
+      (col("l_quantity") > 25.0).cast("string").as("big_str"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q18Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(TRUNC(l_quantity) AS INT) AS qty_int,
+      |  CAST(l_quantity AS VARCHAR) AS qty_str,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_d2,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+      |  CAST(l_orderkey AS VARCHAR) AS key_str,
+      |  CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+      |  CAST(l_linenumber AS DOUBLE) AS ln_d,
+      |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+      |  CAST(CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS DATE) AS ship_rt,
+      |  CAST(l_quantity > 25.0::DOUBLE AS VARCHAR) AS big_str
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("q14_strings", "string kernel battery", q14, Some(q14Sql)),
+    Capability("q15_temporal_date", "date extraction + arithmetic", q15, Some(q15Sql)),
+    Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
+    Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
+    Capability("q17_conditional", "case_when/coalesce/nullif/is_null", q17, Some(q17Sql)),
+    Capability("q18_casts", "cast matrix round-trips", q18, Some(q18Sql)),
+  )
+}

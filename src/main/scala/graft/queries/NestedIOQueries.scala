@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{Capability, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nested-data and source/sink capabilities Q24–Q27 (SURVEY.md §2.4, §2.2):
+  * array kernels, explode, partitioned parquet write→read with pruning,
+  * CSV/JSON round-trips, exact + approximate quantiles.
+  */
+object NestedIOQueries {
+
+  /** Q24a: array kernels over the 64-dim float embedding column
+    * (size / element_at / slice / per-row fold — reference list_* kernels,
+    * cpp/src/arrow/compute/kernels/scalar_nested.cc). The per-row sum folds
+    * in double to keep it engine-deterministic. */
+  private def q24a(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first_val"),
+      element_at(col("embedding"), -1).cast("double").as("last_val"),
+      round(aggregate(
+        col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
+      array_max(col("embedding")).cast("double").as("vmax"),
+      array_min(col("embedding")).cast("double").as("vmin"),
+      slice(col("embedding"), 1, 3).as("head3"))
+      .orderBy(col("vec_id"))
+
+  private val q24aSql =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_val,
+      |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+      |  embedding[1:3] AS head3
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Q24b: posexplode (reference list_flatten + list_parent_indices). */
+  private def q24b(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("vec_id"), col("pos"), col("val").cast("double").as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  private val q24bSql =
+    """SELECT vec_id,
+      |  generate_subscripts(embedding, 1) - 1 AS pos,
+      |  CAST(unnest(embedding) AS DOUBLE) AS val
+      |FROM embeddings WHERE vec_id < 50
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** Q25: hive-partitioned parquet write → re-read → aggregate, proving the
+    * partition layout survives a round trip (reference partitioned dataset
+    * write, cpp/src/arrow/dataset/file_base.h:389-443). A filtered re-read
+    * only touches the matching partition directory (partition pruning). */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q25_roundtrip"
+    Tables.lineitem(s, d)
+      .write.mode("overwrite")
+      .partitionBy("l_returnflag")
+      .option("maxRecordsPerFile", 1000000)
+      .parquet(out)
+    val back = s.read.parquet(out)
+    back.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q25Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q26a: CSV round-trip with explicit schema (reference CSV
+    * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
+    * writes shortest round-trippable representations. */
+  private def q26a(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_csv"
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date", DateType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q26Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Q26b: line-delimited JSON round-trip (reference JSON reader,
+    * cpp/src/arrow/json/). */
+  private def q26b(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_json"
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date", DateType)))
+    s.read.schema(schema).json(out).orderBy(col("o_orderkey"))
+  }
+
+  /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
+    * the approx-aggregate family (both engines interpolate quantiles at
+    * rank (n-1)*q; rounded to absorb last-ulp interpolation differences). */
+  private def q27a(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+      round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+      round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+      round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+
+  private val q27aSql =
+    """SELECT
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+      |  COUNT(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem""".stripMargin
+
+  /** Q27b: sketch-based approximate aggregates (HLL++ distinct count,
+    * KLL-ish percentile sketch — reference tdigest/approximate_median,
+    * cpp/src/arrow/compute/kernels/aggregate_tdigest.cc). Sketches are
+    * engine-specific, so this entry has no SQL oracle; accuracy vs the
+    * exact values is asserted in ApproxAggSpec. */
+  private def q27b(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+
+  val caps: Seq[Capability] = Seq(
+    Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
+    Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
+    Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
+    Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
+    Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
+    Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
+    Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
+  )
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.{Capability, Det, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered-stream capabilities Q19–Q23 (SURVEY.md §2.3): ranking,
+  * cumulative aggregation, pairwise diff, forward fill, as-of join,
+  * event-time windowed aggregation, grouped collect and pivot.
+  *
+  * The reference exposes these as whole-column vector kernels
+  * (rank, cumulative_sum, pairwise_diff, fill_null_forward — kernels in
+  * cpp/src/arrow/compute/kernels/vector_rank.cc, vector_cumulative_ops.cc,
+  * vector_pairwise.cc, vector_replace.cc) plus the asof_join node;
+  * Spark's Window API covers all of them declaratively, partitioned by key
+  * so computation distributes (no whole-column single-node step).
+  */
+object WindowQueries {
+
+  /** Q19: ranking functions per partition. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1995)
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"),
+        lag(col("l_extendedprice"), 1).over(w).as("lagp"),
+        lead(col("l_extendedprice"), 1).over(w).as("leadp"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  private val q19Sql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  row_number() OVER w AS rn,
+      |  ntile(4) OVER w AS quartile,
+      |  cume_dist() OVER w AS cd,
+      |  lag(l_extendedprice, 1) OVER w AS lagp,
+      |  lead(l_extendedprice, 1) OVER w AS leadp
+      |FROM lineitem
+      |WHERE year(l_shipdate) = 1995
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |ORDER BY l_returnflag, rn""".stripMargin
+
+  /** Q20: cumulative sum, pairwise diff, forward fill per user ordered by
+    * event time. Forward fill = `last(ignoreNulls)` over an unbounded-
+    * preceding row frame; nulls synthesized from 'error' events. */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRows = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val masked = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(sum(col("value")).over(wRows), 4).as("running_sum"),
+        (col("value") - lag(col("value"), 1).over(wOrd)).as("diff"),
+        last(masked, ignoreNulls = true).over(wRows).as("ffill"),
+        row_number().over(wOrd).as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val q20Sql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |  round(SUM(value) OVER wrows, 4) AS running_sum,
+      |  value - lag(value, 1) OVER word AS diff,
+      |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+      |             IGNORE NULLS) OVER wrows AS ffill,
+      |  row_number() OVER word AS rn
+      |FROM events
+      |WINDOW word AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** Q21: as-of join — for each purchase event, the latest click by the
+    * same user at or before the purchase, within a 1-hour tolerance. */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsOfJoin.backward(
+      left = purchases,
+      right = clicks,
+      onLeft = purchases("ts"),
+      onRight = clicks("click_ts"),
+      by = Seq(purchases("user_id") -> clicks("c_user_id")),
+      tolerance = expr("INTERVAL 1 HOUR"),
+      leftId = purchases("event_id"),
+      tieBreak = clicks("click_id"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q21Sql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |       click_id, CAST(click_ts AS TIMESTAMP) AS click_ts, click_value
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value,
+      |         c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** Q22: event-time tumbling-window aggregation (reference segment-keys ≈
+    * `groupBy(window(...))`; same code works on a stream with a watermark). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  private val q22Sql =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+       |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
+       |  event_type, COUNT(*) AS n,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2, 3
+       |ORDER BY ws, event_type""".stripMargin
+
+  /** Q23a: grouped collect_list/collect_set (reference hash_list /
+    * hash_distinct), sorted for determinism. */
+  private def q23a(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q23aSql =
+    """SELECT o_orderpriority,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q23b: pivot wider (reference hash_pivot_wider) with an explicit value
+    * list — no extra distinct-values pass, same as at scale. */
+  private def q23b(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Det.dsum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+
+  private val q23bSql =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+       |      THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS F,
+       |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+       |      THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS O
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("q19_ranking", "rank/dense_rank/percent_rank/row_number/ntile/lag/lead", q19, Some(q19Sql)),
+    Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
+    Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
+    Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
+    Capability("q23a_collect", "grouped collect_set (sorted)", q23a, Some(q23aSql)),
+    Capability("q23b_pivot", "pivot wider with explicit values", q23b, Some(q23bSql)),
+  )
+}
