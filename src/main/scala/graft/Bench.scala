@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs every declared capability query on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query and total
+  * wall seconds.
+  *
+  * Methodology: each query is fully materialized through the `noop` sink
+  * (a `count()` would let Catalyst drop sorts/projections and
+  * under-measure); one flagship warmup run first pays the JVM/codegen
+  * startup cost so per-query numbers reflect steady state.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    GraftSession.runtimeConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try Registry.byName(name).run(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup: flagship query pays codegen/classload once
+    runOnce("q03_group_agg")
+
+    val results = Registry.all.map(c => c.name -> runOnce(c.name))
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val headline = Registry.all.filter(_.bench).map(_.name).toSet
+    val headlineTotal = ok.collect { case (n, t) if headline(n) => t }.sum
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalS = f"$total%.3f"
+    val headS = f"$headlineTotal%.3f"
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,9 +52,19 @@ object VectorOps {
     (proj >= 0).cast("int")
   }
 
-  /** LSH bucket id from `nPlanes` hyperplane sign bits. */
-  def lshBucket(v: Column, nPlanes: Int): Column =
+  /** LSH bucket id from `nPlanes` hyperplane sign bits, with a
+    * `tableId`-seeded plane family so multiple independent hash tables can
+    * be built (multi-table LSH is what lifts recall on near-orthogonal
+    * high-dimensional data — one table's recall decays as cos^planes). */
+  def lshBucket(v: Column, nPlanes: Int, tableId: Int = 0): Column =
     (0 until nPlanes)
-      .map(p => hyperplaneBit(v, p) * lit(1L << p))
+      .map(p => hyperplaneBit(v, tableId * 1024 + p) * lit(1L << p))
       .reduce(_ + _)
+
+  /** All `nTables` bucket assignments as an array of (table, bucket)
+    * structs — explode + equi-join on both fields gives the multi-table
+    * candidate set. */
+  def lshBuckets(v: Column, nPlanes: Int, nTables: Int): Column =
+    array((0 until nTables).map(t =>
+      struct(lit(t).as("table"), lshBucket(v, nPlanes, t).as("bucket"))): _*)
 }

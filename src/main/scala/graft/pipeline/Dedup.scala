@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-parametric deduplication library. Each function takes any
+  * input frame plus column names, so the ops compose with arbitrary
+  * pipelines (the declared queries in [[DedupQueries]] are thin bindings to
+  * the test tables).
+  *
+  * Scale notes: all variants key their shuffles on content-derived values
+  * (hash / shingle / band signature) — no O(n²) stage anywhere except the
+  * explicitly-brute [[embeddingTopPairs]], whose scale twin is the LSH path
+  * in [[SimilarityQueries]].
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per distinct content. One hash
+    * aggregate; equivalent to grouping by the text itself (sha256 collision
+    * probability is negligible) but shuffles 32-byte keys, not documents. */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact pairwise word-n-gram Jaccard for pairs sharing ≥1 shingle,
+    * via an inverted shingle index (shuffle on shingle, then on pair). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** MinHash+LSH candidate pairs: `nHashes`-long signature of seeded
+    * xxhash64 minima, banded `rowsPerBand` rows per band; a pair is a
+    * candidate iff some band signature matches. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val inv = df
+      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    val sig = inv
+      .select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(nHashes - 1)), i =>
+          struct(i.as("pos"), xxhash64(col("shingle"), i).as("h")))).as("ph"))
+      .groupBy(col("doc_id"), col("ph.pos").as("pos"))
+      .agg(min(col("ph.h")).as("mh"))
+    val bands = sig
+      .withColumn("band", floor(col("pos") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("pos"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("band_sig"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection: LSH candidates verified with exact
+    * Jaccard at `threshold`. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame =
+    jaccardPairs(df, idCol, textCol, n)
+      .join(minhashCandidates(df, idCol, textCol, n, nHashes, rowsPerBand),
+        Seq("da", "db"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+
+  /** 64-bit shingle-level SimHash signature per document. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bitStructs = (0 until 64).map { bit =>
+      struct(
+        lit(bit).as("bit"),
+        lit(1L << bit).as("weight"),
+        when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) =!= 0, 1)
+          .otherwise(-1).as("contrib"))
+    }
+    df.select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), explode(array(bitStructs: _*)).as("bc"))
+      .groupBy(col("doc_id"), col("bc.bit").as("bit"))
+      .agg(sum(col("bc.contrib")).as("score"), max(col("bc.weight")).as("weight"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("score") > 0, col("weight")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates
+    * (pigeonhole-complete for Hamming < 4), popcount verifies
+    * `hamming <= maxHamming`. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, n: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol, n)
+    val bandStructs = (0 until 4).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bd"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bd.k") === col("b.bd.k") &&
+          col("a.bd.bv") === col("b.bd.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** Brute top-k closest pairs by cosine (rounded cosine + ids give an
+    * engine-deterministic cut). Quadratic — small inputs / oracle twin. */
+  def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
+    val b = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+      .limit(k)
+  }
+}

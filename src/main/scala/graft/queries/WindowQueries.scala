@@ -126,14 +126,10 @@ object WindowQueries {
       |ORDER BY event_id""".stripMargin
 
   /** Q22: event-time tumbling-window aggregation (reference segment-keys ≈
-    * `groupBy(window(...))`; same code works on a stream with a watermark). */
+    * `groupBy(window(...))`; the exact same transformation runs on a
+    * stream with a watermark — StreamingSpec asserts batch/stream parity). */
   private def q22(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .select(
-        col("window.start").as("ws"), col("window.end").as("we"),
-        col("event_type"), col("n"), col("sum_value"))
+    graft.streaming.StreamingOps.hourlyTypeAgg(Tables.events(s, d))
       .orderBy(col("ws"), col("event_type"))
 
   private val q22Sql =

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming extensions (SURVEY.md §2.3): the reference streams
+  * ordered batches with segmented aggregation but has no watermarks or
+  * event-time windows; here the same transformations run unchanged on
+  * batch DataFrames and on streams (tested both ways in StreamingSpec).
+  */
+object StreamingOps {
+
+  /** Raw schema of the events table as stored (ts = nanosecond epoch long,
+    * required when reading the TIMESTAMP(NANOS) parquet as a stream). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Nanosecond-long `ts` → microsecond timestamp (same truncation as
+    * Tables.events). */
+  def withEventTime(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly tumbling-window aggregate per event type. Works identically on
+    * batch and streaming inputs; on a stream, pair with
+    * [[withWatermarkedEventTime]] so state for closed windows is evicted. */
+  def hourlyTypeAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time + watermark for streaming inputs: late data beyond the
+    * delay is dropped and window state is bounded — the knob the
+    * reference's backpressure/ordering machinery has no analogue for. */
+  def withWatermarkedEventTime(raw: DataFrame, delay: String = "1 hour"): DataFrame =
+    withEventTime(raw).withWatermark("ts", delay)
+}

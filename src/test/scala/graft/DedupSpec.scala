@@ -1,0 +1,62 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("exact dedup collapses planted duplicates and keeps the lowest id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactKeepFirst(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("minhash output equals exact jaccard pairs at 0.8 on real documents") {
+    val viaLsh = Registry.byName("dedup_minhash_lsh").run(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh == exact)
+  }
+
+  test("simhash pairs overlap strongly with high-jaccard pairs") {
+    val sim = Registry.byName("dedup_simhash").run(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (jac.nonEmpty) {
+      val recall = jac.intersect(sim).size.toDouble / jac.size
+      assert(recall >= 0.5, s"simhash recall $recall over ${jac.size} jaccard pairs")
+    }
+    // precision side: simhash pairs should mostly be genuinely similar
+    sim.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("embedding top-pairs are ordered by cosine descending") {
+    val rows = Registry.byName("dedup_embedding").run(spark, sf)
+      .select("cos").collect().map(_.getDouble(0))
+    assert(rows.length == 50)
+    assert(rows.zip(rows.tail).forall { case (a, b) => a >= b })
+  }
+}

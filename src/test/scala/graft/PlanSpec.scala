@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the "would this survive 100×" checks.
+  * A query that silently loses its pushdown, broadcast, or top-k shape
+  * still returns correct rows at test SF but falls over at scale; these
+  * tests pin the plan properties, not just the results.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def executedPlan(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val plan = executedPlan("q01_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), "shipdate predicate should reach the scan")
+    // projection pruning: the scan must not read all 11 lineitem columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax"), s"unexpected column in scan: $readSchema")
+  }
+
+  test("q05: dimension joins broadcast (no shuffle of nation/region)") {
+    val plan = executedPlan("q05_star_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q10_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q03: aggregation is partial (map-side combine) before the exchange") {
+    val plan = executedPlan("q03_group_agg")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // partial + final pairs: at least two HashAggregate operators
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("q01: whole-stage codegen covers the scan→filter→project pipeline") {
+    val df = Registry.byName("q01_filter_project").run(spark, sf)
+    df.collect()
+    // codegen stages print as "*(n)" in the plan tree
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("eventsBetween pushes the raw-nanos range predicate into the scan") {
+    val lo = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val hi = 1704153600000000L
+    val df = Tables.eventsBetween(spark, sf, lo, hi)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
+  }
+}

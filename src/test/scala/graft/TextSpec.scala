@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("shingles produce size-n word windows, deduplicated") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x x x x").toDF("text")
+    val out = df.select(TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("a b c", "b c d"))
+    assert(out(1) == Nil) // shorter than n → empty, not a descending-sequence crash
+    assert(out(2) == List("x x x")) // duplicates collapsed
+  }
+
+  test("polynomial fingerprint: equal text ⇒ equal fp, case-insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other")).toDF("id", "t")
+    val fps = df.select(TextOps.polyFingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("xxhash64 is the fast fingerprint path with the same collision contract") {
+    val n = Tables.documents(spark, sf)
+      .select(xxhash64(col("text")).as("fp")).distinct().count()
+    assert(n == Tables.documents(spark, sf).count()) // no collisions on corpus
+  }
+
+  test("quality scores are in [0,1] and langid predicts a known language") {
+    val q = Registry.byName("text_quality").run(spark, sf).collect()
+    q.foreach { r =>
+      val s = r.getAs[Double]("quality")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    val langs = Registry.byName("text_langid").run(spark, sf)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr")))
+  }
+}
