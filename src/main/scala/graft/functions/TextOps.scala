@@ -28,7 +28,12 @@ object TextOps {
     * over the characters of the lower-cased text. Engine-portable (the
     * DuckDB oracle reproduces it with list_reduce); the fast production
     * path is `xxhash64(text)`, asserted separately in tests. */
-  def polyFingerprint(text: Column): Column = {
+  def polyFingerprint(text: Column): Column =
+    graft.functions.expr.PolyFingerprint(lower(text))
+
+  /** The same fingerprint as a pure-builtin higher-order-function fold —
+    * the reference twin for [[polyFingerprint]] (bit-equal on BMP text). */
+  def polyFingerprintHof(text: Column): Column = {
     val t = lower(text)
     aggregate(
       sequence(lit(1), length(t)),

@@ -24,45 +24,77 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Exact pairwise word-n-gram Jaccard for pairs sharing ≥1 shingle,
-    * via an inverted shingle index (shuffle on shingle, then on pair). */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** (doc_id, shingle-hash) inverted index. Shingles are xxhash64'd so the
+    * self-join shuffles 8-byte keys instead of ~20-byte strings; a 64-bit
+    * collision merging two shingles corpus-wide has probability ~1e-10 and
+    * would shift one intersection count by 1 — negligible vs the exact
+    * string-keyed oracle. */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val docs = df.select(col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
+    (inv, sizes)
+  }
+
+  private def attachJaccard(inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
       .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select(col("da"), col("db"), col("jaccard"))
+
+  /** Exact pairwise word-n-gram Jaccard for pairs sharing ≥1 shingle,
+    * via an inverted shingle index (shuffle on shingle, then on pair). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val (inv, sizes) = shingleIndex(df, idCol, textCol, n)
+    val inter = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    attachJaccard(inter, sizes)
+  }
+
+  /** Exact Jaccard restricted to a given (da, db) pair set — shared
+    * shingles are counted only for those pairs, so verification cost scales
+    * with the candidate count, not the corpus pair count. */
+  def jaccardForPairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val (inv, sizes) = shingleIndex(df, idCol, textCol, n)
+    val inter = pairs.select(col("da"), col("db"))
+      .join(inv.select(col("doc_id").as("da"), col("shingle")), "da")
+      .join(inv.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    attachJaccard(inter, sizes)
   }
 
   /** MinHash+LSH candidate pairs: `nHashes`-long signature of seeded
     * xxhash64 minima, banded `rowsPerBand` rows per band; a pair is a
-    * candidate iff some band signature matches. */
+    * candidate iff some band signature matches.
+    *
+    * The signature is one hash aggregate with `nHashes` min() columns over
+    * the inverted index — no per-seed row explosion (a 64× blowup at
+    * corpus scale), and the per-doc groupBy distributes on doc_id. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val inv = df
-      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
-    val sig = inv
-      .select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(nHashes - 1)), i =>
-          struct(i.as("pos"), xxhash64(col("shingle"), i).as("h")))).as("ph"))
-      .groupBy(col("doc_id"), col("ph.pos").as("pos"))
-      .agg(min(col("ph.h")).as("mh"))
+    val (inv, _) = shingleIndex(df, idCol, textCol, n)
+    val minCols = (0 until nHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val sig = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val nBands = nHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val rows = (b * rowsPerBand) until ((b + 1) * rowsPerBand)
+      struct(
+        lit(b).as("band"),
+        concat_ws(",", rows.map(i => col(s"mh$i").cast("string")): _*).as("sig"))
+    }
     val bands = sig
-      .withColumn("band", floor(col("pos") / rowsPerBand))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("pos"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("band_sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.sig").as("band_sig"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -73,31 +105,32 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup detection: LSH candidates verified with exact
-    * Jaccard at `threshold`. */
+    * Jaccard at `threshold`. Verification runs only on the candidate
+    * pairs — the whole point of LSH at scale: the all-pairs index is never
+    * materialized. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame =
-    jaccardPairs(df, idCol, textCol, n)
-      .join(minhashCandidates(df, idCol, textCol, n, nHashes, rowsPerBand),
-        Seq("da", "db"), "left_semi")
+    jaccardForPairs(df, idCol, textCol,
+      minhashCandidates(df, idCol, textCol, n, nHashes, rowsPerBand), n)
       .filter(col("jaccard") >= threshold)
 
-  /** 64-bit shingle-level SimHash signature per document. */
+  /** 64-bit shingle-level SimHash signature per document: one hash
+    * aggregate with 64 signed-bit-count columns (no 64× row explosion);
+    * the signature long is reassembled from the 64 sums. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val bitStructs = (0 until 64).map { bit =>
-      struct(
-        lit(bit).as("bit"),
-        lit(1L << bit).as("weight"),
-        when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) =!= 0, 1)
-          .otherwise(-1).as("contrib"))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) =!= 0, 1)
+        .otherwise(-1)).as(s"s$bit")
     }
+    val reassemble = (0 until 64)
+      .map(bit => when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(0L))
+      .reduce(_ + _)
     df.select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      .select(col("doc_id"), explode(array(bitStructs: _*)).as("bc"))
-      .groupBy(col("doc_id"), col("bc.bit").as("bit"))
-      .agg(sum(col("bc.contrib")).as("score"), max(col("bc.weight")).as("weight"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("score") > 0, col("weight")).otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), reassemble.as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates

@@ -15,6 +15,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(200)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val diffs = a.join(b, col("va") < col("vb"))
+      .select(
+        VectorOps.cosine(col("ea"), col("eb")).as("native"),
+        VectorOps.cosineHof(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("dot product matches manual computation") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")

@@ -27,6 +27,16 @@ class TextSpec extends AnyFunSuite {
     assert(fps.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("native fingerprint expression equals the HOF formulation on the corpus") {
+    val diffs = Tables.documents(spark, sf)
+      .select(
+        TextOps.polyFingerprint(col("text")).as("native"),
+        TextOps.polyFingerprintHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("xxhash64 is the fast fingerprint path with the same collision contract") {
     val n = Tables.documents(spark, sf)
       .select(xxhash64(col("text")).as("fp")).distinct().count()
