@@ -31,12 +31,14 @@ object GraftSession {
   )
 
   /** Apply [[runtimeConf]] to an externally created session (e.g. the
-    * driver's). Unknown/static confs are skipped silently. */
+    * driver's) and register the graft_* SQL functions. Unknown/static
+    * confs are skipped silently. */
   def tune(spark: SparkSession): SparkSession = {
     runtimeConf.foreach { case (k, v) =>
       try spark.conf.set(k, v)
       catch { case _: Throwable => () }
     }
+    GraftFunctions.register(spark)
     spark
   }
 
@@ -51,11 +53,13 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
     runtimeConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
     spark
   }
 }

@@ -118,6 +118,32 @@ object NestedIOQueries {
     s.read.schema(schema).json(out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26c: ORC round-trip (reference ORC adapter,
+    * cpp/src/arrow/adapters/orc/). */
+  private def q26c(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_orc"
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy(col("o_orderkey"))
+  }
+
+  /** Q26d: Arrow IPC (Feather v2) round-trip via the bundled arrow-java
+    * (reference: cpp/src/arrow/ipc/ — the format Spark lacks natively;
+    * graft.sources.ArrowIpc adds it, one file per partition). */
+  private def q26d(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc"
+    graft.sources.ArrowIpc.write(
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date")),
+      out)
+    graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
+  }
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences). */
@@ -155,6 +181,8 @@ object NestedIOQueries {
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
+    Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
+    Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
   )
