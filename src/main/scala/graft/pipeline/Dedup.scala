@@ -75,22 +75,23 @@ object Dedup {
     * xxhash64 minima, banded `rowsPerBand` rows per band; a pair is a
     * candidate iff some band signature matches.
     *
-    * The signature is one hash aggregate with `nHashes` min() columns over
-    * the inverted index — no per-seed row explosion (a 64× blowup at
-    * corpus scale), and the per-doc groupBy distributes on doc_id. */
+    * The signature is a single-pass [[graft.functions.expr.MinHashSketch]]
+    * aggregate (TypedImperativeAggregate with a long-array buffer) — no
+    * per-seed row explosion, exact partial merge, one fixed-size sketch
+    * per doc crosses the shuffle. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
     val (inv, _) = shingleIndex(df, idCol, textCol, n)
-    val minCols = (0 until nHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
-    val sig = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val sig = inv.groupBy(col("doc_id"))
+      .agg(graft.functions.expr.MinHashSketch(col("shingle"), nHashes).as("sig"))
     val nBands = nHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
-      val rows = (b * rowsPerBand) until ((b + 1) * rowsPerBand)
       struct(
         lit(b).as("band"),
-        concat_ws(",", rows.map(i => col(s"mh$i").cast("string")): _*).as("sig"))
+        array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")), ",").as("sig"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))

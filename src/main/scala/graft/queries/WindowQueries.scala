@@ -68,6 +68,9 @@ object WindowQueries {
         round(sum(col("value")).over(wRows), 4).as("running_sum"),
         (col("value") - lag(col("value"), 1).over(wOrd)).as("diff"),
         last(masked, ignoreNulls = true).over(wRows).as("ffill"),
+        first(masked, ignoreNulls = true)
+          .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("bfill"),
         row_number().over(wOrd).as("rn"))
       .orderBy(col("user_id"), col("rn"))
   }
@@ -78,11 +81,15 @@ object WindowQueries {
       |  value - lag(value, 1) OVER word AS diff,
       |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
       |             IGNORE NULLS) OVER wrows AS ffill,
+      |  first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+      |             IGNORE NULLS) OVER wfoll AS bfill,
       |  row_number() OVER word AS rn
       |FROM events
       |WINDOW word AS (PARTITION BY user_id ORDER BY ts, event_id),
       |       wrows AS (PARTITION BY user_id ORDER BY ts, event_id
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       wfoll AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |ORDER BY user_id, rn""".stripMargin
 
   /** Q21: as-of join — for each purchase event, the latest click by the

@@ -20,7 +20,11 @@ object Bridge {
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(id)) {
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }
