@@ -112,11 +112,128 @@ object ExtendedQueries {
       |  (SELECT round(covar_pop(l_extendedprice, l_quantity), 4) FROM lineitem) AS cov_p
       |FROM moments""".stripMargin
 
+  /** Q32: deterministic mode (reference `mode` kernel,
+    * cpp/src/arrow/compute/kernels/aggregate_mode.cc). Spark's builtin
+    * `mode()` breaks ties arbitrarily, so this uses the portable count +
+    * rank formulation: highest count wins, smallest value breaks ties —
+    * identical in both engines. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q32Sql =
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity
+      |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Q33: winsorized mean (reference `winsorize` kernel). Cutoffs are
+    * interpolated quantiles rounded to 2 dp before clamping so both
+    * engines clamp against identical values. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val cuts = Tables.lineitem(s, d).agg(
+      round(percentile(col("l_extendedprice"), lit(0.05)), 2).as("lo"),
+      round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("hi"))
+    val clamped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+    Tables.lineitem(s, d).crossJoin(cuts)
+      .agg(
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        Det.davg(clamped).as("winsor_mean"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q33Sql = {
+    val clamped = "least(greatest(l_extendedprice, c.lo), c.hi)"
+    s"""WITH c AS (SELECT round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+       |                  round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+       |           FROM lineitem)
+       |SELECT c.lo AS lo, c.hi AS hi,
+       |  CAST(SUM(CAST($clamped AS DECIMAL(25,6))) AS DOUBLE) / COUNT($clamped) AS winsor_mean,
+       |  COUNT(*) AS n
+       |FROM lineitem, c GROUP BY c.lo, c.hi""".stripMargin
+  }
+
+  /** Q34: index-of-first-match (reference `index` kernel) — first event id
+    * per user where the predicate holds. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("value") > 300.0, col("event_id"))).as("first_big_event"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  private val q34Sql =
+    """SELECT user_id,
+      |  MIN(CASE WHEN value > 300.0::DOUBLE THEN event_id END) AS first_big_event,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q35: gap-based sessionization (30-minute gaps) — the batch twin of the
+    * flatMapGroupsWithState streaming path (graft.streaming.Sessionize;
+    * parity asserted in SessionizeSpec). */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize.sessionsBatch(Tables.events(s, d), 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val q35Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM e)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(tsu) AS session_start, MAX(tsu) AS session_end,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Q36: JSON column parsing (reference json extension type /
+    * cpp/src/arrow/json) over `events.props`: both the path-extraction and
+    * the typed from_json routes. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k2"))
+      .orderBy(col("event_id"))
+
+  private val q36Sql =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS INT) AS k,
+      |  CAST(props->>'$.k' AS INT) AS k2
+      |FROM events ORDER BY event_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q28_rollup", "rollup subtotals with grouping_id", q28, Some(q28Sql)),
     Capability("q29_setops", "intersect / except set operations", q29, Some(q29Sql)),
     Capability("q30_cross_join", "cross join", q30, Some(q30Sql)),
     Capability("q31_product", "custom product aggregate (DeclarativeAggregate)", q31, Some(q31Sql)),
     Capability("q02b_moments", "skewness/kurtosis/corr/covariance", q02b, Some(q02bSql)),
+    Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),
+    Capability("q33_winsorize", "winsorized mean with quantile cutoffs", q33, Some(q33Sql)),
+    Capability("q34_first_match", "index of first matching value per group", q34, Some(q34Sql)),
+    Capability("q35_sessionize", "gap-based sessionization (batch twin of streaming state op)", q35, Some(q35Sql)),
+    Capability("q36_json", "JSON path extraction + typed from_json", q36, Some(q36Sql)),
   )
 }

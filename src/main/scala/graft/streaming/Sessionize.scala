@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization, twice: a declarative batch formulation
+  * (lag → new-session flag → running sum → group), and a stateful
+  * streaming formulation over `flatMapGroupsWithState` (the reference has
+  * no analogue — SURVEY.md §2.3 declares custom streaming state a
+  * Spark-native extension). SessionizeSpec asserts the two agree.
+  */
+object Sessionize {
+
+  /** Batch: sessions split where the gap to the previous event exceeds
+    * `gapMinutes`; session ids are 1-based per user in time order. */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        Det.dsum(col("value")).as("sum_value"))
+  }
+
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  case class Session(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+  case class UserState(nextSessionId: Long, open: Option[Session])
+
+  /** Streaming: per-user state holds the open session; closed sessions are
+    * emitted as soon as a later event proves the gap. The open session per
+    * user stays in state (it would be finalized by an event-time timeout
+    * in production; tests compare closed sessions). */
+  def sessionsStreaming(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Ev], state: GroupState[UserState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(UserState(1L, None))
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            st.open match {
+              case Some(s) if e.ts_us - s.end_us <= gapMicros =>
+                st = st.copy(open = Some(s.copy(
+                  n_events = s.n_events + 1, end_us = e.ts_us)))
+              case Some(s) =>
+                closed += s
+                st = UserState(st.nextSessionId + 1,
+                  Some(Session(userId, st.nextSessionId + 1, 1, e.ts_us, e.ts_us)))
+              case None =>
+                st = UserState(st.nextSessionId,
+                  Some(Session(userId, st.nextSessionId, 1, e.ts_us, e.ts_us)))
+            }
+          }
+          state.update(st)
+          closed.result().iterator
+        })
+  }
+}
