@@ -84,6 +84,9 @@ object FunctionQueries {
       dayofyear(od).as("doy"),
       weekofyear(od).as("wk"),
       datediff(od, lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since"),
+      // full elapsed months; base day is the 1st so Spark's timestampdiff
+      // equals the plain year*12+month difference the oracle computes
+      expr("timestampdiff(MONTH, DATE '1995-01-01', o_orderdate)").as("months_since"),
       add_months(od, 2).as("plus2m"),
       date_add(od, 7).as("plus7d"),
       trunc(od, "MM").as("month_start"),
@@ -102,6 +105,7 @@ object FunctionQueries {
       |  dayofyear(o_orderdate) AS doy,
       |  weekofyear(o_orderdate) AS wk,
       |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  (year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS months_since,
       |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
       |  CAST(o_orderdate AS DATE) + 7 AS plus7d,
       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
@@ -207,6 +211,37 @@ object FunctionQueries {
       |           -1.0::DOUBLE) AS big_or_default
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Q17b: three-valued (Kleene) boolean logic — SQL's AND/OR/NOT over
+    * nullable booleans, the reference's and_kleene/or_kleene defaults
+    * (cpp/src/arrow/compute/kernels/scalar_boolean.cc). */
+  private def q17b(s: SparkSession, d: String): DataFrame = {
+    val a = when(col("o_orderstatus") === "O", lit(true))
+      .when(col("o_orderstatus") === "F", lit(false))
+      .otherwise(lit(null).cast("boolean"))
+    val b = col("o_totalprice") > 100000.0
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      a.as("a"), b.as("b"),
+      (a && b).as("a_and_b"),
+      (a || b).as("a_or_b"),
+      (!a).as("not_a"),
+      (a <=> b).as("a_eq_ns_b"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q17bSql = {
+    val a = "CASE WHEN o_orderstatus = 'O' THEN true " +
+      "WHEN o_orderstatus = 'F' THEN false END"
+    val b = "o_totalprice > 100000.0::DOUBLE"
+    s"""SELECT o_orderkey,
+       |  $a AS a, $b AS b,
+       |  ($a) AND ($b) AS a_and_b,
+       |  ($a) OR ($b) AS a_or_b,
+       |  NOT ($a) AS not_a,
+       |  ($a) IS NOT DISTINCT FROM ($b) AS a_eq_ns_b
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   /** Q18: cast matrix — double↔int↔string↔decimal↔date round-trips.
     * Spark truncates double→int; oracle mirrors with TRUNC. */
   private def q18(s: SparkSession, d: String): DataFrame =
@@ -245,6 +280,7 @@ object FunctionQueries {
     Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
     Capability("q17_conditional", "case_when/coalesce/nullif/is_null", q17, Some(q17Sql)),
+    Capability("q17b_kleene", "three-valued AND/OR/NOT + null-safe equality", q17b, Some(q17bSql)),
     Capability("q18_casts", "cast matrix round-trips", q18, Some(q18Sql)),
   )
 }

@@ -77,6 +77,48 @@ object NestedIOQueries {
       |  COUNT(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q25b: filename/path-encoded partitioning parsed with
+    * input_file_name() (reference FilenamePartitioning,
+    * cpp/src/arrow/dataset/partition.h:353) — the key is recovered from
+    * the file path instead of relying on Spark's hive-partition
+    * discovery (leaf files are globbed directly, bypassing discovery). */
+  private def q25b(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q25_roundtrip" // reuse q25's partitioned layout
+    Tables.lineitem(s, d)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(s"$out/l_returnflag=*/*.parquet")
+      .withColumn("flag",
+        regexp_extract(input_file_name(), "l_returnflag=([^/]+)/", 1))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("flag"))
+  }
+
+  private val q25bSql =
+    """SELECT l_returnflag AS flag, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
+  /** Q25c: schema unification across files (reference DatasetFactory
+    * Inspect/unify, cpp/src/arrow/dataset/discovery.h): two parquet
+    * directories with disjoint value columns merge into one frame with
+    * nulls where a column is absent. */
+  private def q25c(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_io/q25c_merge"
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/a")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$base/b")
+    s.read.option("mergeSchema", "true").parquet(s"$base/a", s"$base/b")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price"),
+        count(col("o_orderstatus")).as("n_status"))
+  }
+
+  private val q25cSql =
+    """SELECT COUNT(*) * 2 AS n_rows, COUNT(*) AS n_price,
+      |  COUNT(*) AS n_status FROM orders""".stripMargin
+
   /** Q26a: CSV round-trip with explicit schema (reference CSV
     * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
     * writes shortest round-trippable representations. */
@@ -179,6 +221,8 @@ object NestedIOQueries {
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
     Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
+    Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
+    Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
