@@ -14,6 +14,7 @@ import org.apache.spark.sql.graft.Bridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -26,11 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  /** Idempotently register the graft_* SQL functions on a live session. */
+  /** Idempotently register the graft_* SQL functions and the as-of-join
+    * planner strategy on a live session (covers driver-created sessions
+    * that didn't go through `withExtensions`). */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_fingerprint",
       exprs => PolyFingerprint(exprs.head))
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 }

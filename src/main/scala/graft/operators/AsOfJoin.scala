@@ -1,8 +1,10 @@
 package graft.operators
 
+import graft.plans.AsOfJoinNode
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** As-of (inexact temporal) join — the one reference operator with no direct
   * Spark counterpart (reference: cpp/src/arrow/acero/asof_join_node.cc;
@@ -50,5 +52,43 @@ object AsOfJoin {
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
       .drop("__asof_rn")
+  }
+
+  /** Backward as-of left join through the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]] — one sort-merge pass per co-partitioned
+    * sorted partition, no row-multiplying range join). Semantics match
+    * [[backward]]; `onLeft`/`onRight` must evaluate to LongType (e.g.
+    * `unix_micros(ts)`). Requires the graft strategy to be registered
+    * (GraftSession does this; or `GraftSession.tune(spark)`). */
+  def backwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      onLeft: Column,
+      onRight: Column,
+      by: Seq[(Column, Column)],
+      tieBreak: Seq[Column],
+      toleranceMicros: Long): DataFrame = {
+    // Materialize the on/by/tie expressions as columns of the children so
+    // the custom node only references resolved attributes (expressions
+    // inside a custom logical node bypass the analyzer).
+    val lByNames = by.indices.map(i => s"__asof_by_l_$i")
+    val rByNames = by.indices.map(i => s"__asof_by_r_$i")
+    val l2 = by.zip(lByNames).foldLeft(left.withColumn("__asof_on_l", onLeft.cast("long"))) {
+      case (df, ((lCol, _), n)) => df.withColumn(n, lCol)
+    }
+    val r2 = by.zip(rByNames).foldLeft(right.withColumn("__asof_on_r", onRight.cast("long"))) {
+      case (df, ((_, rCol), n)) => df.withColumn(n, rCol)
+    }
+    val node = AsOfJoinNode(
+      left = Bridge.logicalPlan(l2),
+      right = Bridge.logicalPlan(r2),
+      leftOn = Bridge.expression(l2("__asof_on_l")),
+      rightOn = Bridge.expression(r2("__asof_on_r")),
+      leftBy = lByNames.map(n => Bridge.expression(l2(n))),
+      rightBy = rByNames.map(n => Bridge.expression(r2(n))),
+      rightTieBreak = tieBreak.map(Bridge.expression),
+      toleranceMicros = toleranceMicros)
+    Bridge.ofRows(left.sparkSession, node)
+      .drop("__asof_on_l" +: "__asof_on_r" +: (lByNames ++ rByNames): _*)
   }
 }

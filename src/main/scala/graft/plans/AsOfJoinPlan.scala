@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator: logical node + planner strategy +
+  * sort-merge physical operator (reference:
+  * cpp/src/arrow/acero/asof_join_node.cc — semantics at
+  * cpp/src/arrow/acero/options.h:692-738). This is the
+  * `LogicalPlan`+`Strategy`+`SparkPlan` path of SURVEY.md §2.3's
+  * preference ladder; the compositional rewrite
+  * (graft.operators.AsOfJoin.backward) stays as its differential twin.
+  *
+  * Physical contract: both sides hash-clustered on the `by` keys (so the
+  * shuffle distributes by key — skew aside, scales with key cardinality)
+  * and sorted by (by, on, tieBreak...). One forward pass per partition:
+  * right rows never re-read, state is a single buffered candidate per
+  * in-flight key. For equal `on` values the last row in sort order wins —
+  * i.e. the max of the tie-break columns, matching the compositional
+  * twin's `ORDER BY on DESC, tieBreak DESC ... rn = 1`.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftOn: Expression,   // LongType (e.g. unix_micros of the event time)
+    rightOn: Expression,  // LongType
+    leftBy: Seq[Expression],
+    rightBy: Seq[Expression],
+    rightTieBreak: Seq[Expression],
+    toleranceMicros: Long) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lOn, rOn, lBy, rBy, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lOn, rOn, lBy, rBy, tie, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftOn: Expression,
+    rightOn: Expression,
+    leftBy: Seq[Expression],
+    rightBy: Seq[Expression],
+    rightTieBreak: Seq[Expression],
+    toleranceMicros: Long) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftBy) :: ClusteredDistribution(rightBy) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftBy :+ leftOn).map(SortOrder(_, Ascending)),
+    (rightBy ++ (rightOn +: rightTieBreak)).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftBy :+ leftOn).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lOnExpr = leftOn
+    val rOnExpr = rightOn
+    val lByExprs = leftBy
+    val rByExprs = rightBy
+    val tol = toleranceMicros
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
+      val lOnProj = UnsafeProjection.create(lOnExpr :: Nil, leftOutput)
+      val rOnProj = UnsafeProjection.create(rOnExpr :: Nil, rightOutput)
+      val lByProj = UnsafeProjection.create(lByExprs, leftOutput)
+      val rByProj = UnsafeProjection.create(rByExprs, rightOutput)
+      val keyOrdering =
+        RowOrdering.createNaturalAscendingOrdering(lByExprs.map(_.dataType))
+      // right side must bind nullable: unmatched lefts pair with a null row
+      val resultProj = UnsafeProjection.create(
+        outAttrs, leftOutput ++ rightOutput.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightOutput.length)
+      val joined = new JoinedRow
+      val rIter = rIter0.buffered
+
+      // per-key state: the latest right row at or before the current left
+      // time (rows are never revisited — both streams move forward only)
+      var candRow: InternalRow = null
+      var candKey: InternalRow = null
+      var candOn: Long = 0L
+
+      lIter.map { lRow =>
+        val lKey = lByProj(lRow)
+        val lOnRow = lOnProj(lRow)
+        if (lOnRow.isNullAt(0)) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lOn = lOnRow.getLong(0)
+          var advancing = true
+          while (advancing && rIter.hasNext) {
+            val rKey = rByProj(rIter.head)
+            val keyCmp = keyOrdering.compare(rKey, lKey)
+            if (keyCmp < 0) {
+              rIter.next() // right key behind every remaining left key pass
+            } else if (keyCmp == 0) {
+              val rOnRow = rOnProj(rIter.head)
+              if (!rOnRow.isNullAt(0) && rOnRow.getLong(0) <= lOn) {
+                val r = rIter.next()
+                candRow = r.copy()
+                candKey = rByProj(candRow).copy()
+                candOn = rOnProj(candRow).getLong(0)
+              } else if (rOnRow.isNullAt(0)) {
+                rIter.next() // null event times never match
+              } else {
+                advancing = false
+              }
+            } else {
+              advancing = false
+            }
+          }
+          val matched = candRow != null &&
+            keyOrdering.compare(candKey, lKey) == 0 &&
+            candOn >= lOn - tol
+          resultProj(joined(lRow, if (matched) candRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -132,6 +132,32 @@ object WindowQueries {
       |) WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Q21b: the same as-of join through the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]]) — one sort-merge pass over
+    * co-partitioned sorted partitions instead of the range join + window
+    * dedup; gated against the identical oracle as q21. */
+  private def q21b(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsOfJoin.backwardExec(
+      left = purchases,
+      right = clicks,
+      onLeft = unix_micros(purchases("ts")),
+      onRight = unix_micros(clicks("click_ts")),
+      by = Seq(purchases("user_id") -> clicks("c_user_id")),
+      tieBreak = Seq(clicks("click_id")),
+      toleranceMicros = 3600L * 1000000L)
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q22: event-time tumbling-window aggregation (reference segment-keys ≈
     * `groupBy(window(...))`; the exact same transformation runs on a
     * stream with a watermark — StreamingSpec asserts batch/stream parity). */
@@ -185,6 +211,7 @@ object WindowQueries {
     Capability("q19_ranking", "rank/dense_rank/percent_rank/row_number/ntile/lag/lead", q19, Some(q19Sql)),
     Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
+    Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
     Capability("q23a_collect", "grouped collect_set (sorted)", q23a, Some(q23aSql)),
     Capability("q23b_pivot", "pivot wider with explicit values", q23b, Some(q23bSql)),
