@@ -23,6 +23,7 @@ object Bench {
     GraftSession.runtimeConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark) // graft_* functions + as-of planner strategy
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.TextOps
+import graft.functions.expr.Product
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential tests — the reference's practice of checking
+  * kernels against a trusted simple implementation on random inputs
+  * (cpp/src/arrow/acero/hash_join_node_test.cc's join reference;
+  * testing/random.h generators).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val scParams = SCTest.Parameters.default.withMinSuccessfulTests(10)
+
+  test("Product aggregate equals an exact fold on random small-int groups") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 9)))
+    val prop = Prop.forAll(gen) { pairs =>
+      pairs.nonEmpty ==> {
+        val df = pairs.map { case (k, v) => (k, v.toDouble) }.toDF("k", "v")
+        val got = Product(col("v")).as("p")
+        val rows = df.groupBy(col("k")).agg(got).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val expected = pairs.groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2.toDouble).product }
+        rows == expected
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("native fingerprint equals a plain Scala fold on random ASCII text") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.asciiPrintableStr.map(_.take(60)))
+    val prop = Prop.forAll(gen) { texts =>
+      texts.nonEmpty ==> {
+        val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+        val got = df.orderBy("id")
+          .select(TextOps.polyFingerprint(col("t"))).collect().map(_.getLong(0)).toSeq
+        val expected = texts.map(_.toLowerCase.foldLeft(0L)(
+          (acc, ch) => (acc * 31 + ch) % 1000000007L))
+        got == expected
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("both as-of implementations equal a brute-force reference on random events") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val lefts = (1L to 120L).map(id =>
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      val rights = (1000L to 1250L).map(id =>
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      val tol = 80L
+
+      // trusted reference: per left row, max-(rt, rid) right within window
+      val expected = lefts.map { case (id, uid, t) =>
+        val cands = rights.filter { case (_, ruid, rt) =>
+          ruid == uid && rt <= t && rt >= t - tol
+        }
+        id -> (if (cands.isEmpty) -1L
+               else cands.maxBy { case (rid, _, rt) => (rt, rid) }._1)
+      }.toMap
+
+      val ldf = lefts.toDF("id", "uid", "t")
+      val rdf = rights.toDF("rid", "ruid", "rt")
+
+      def toMapResult(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.select("id", "rid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+      val viaExec = toMapResult(AsOfJoin.backwardExec(
+        ldf, rdf, ldf("t"), rdf("rt"),
+        Seq(ldf("uid") -> rdf("ruid")), Seq(rdf("rid")), tol))
+      assert(viaExec == expected, s"exec mismatch at seed $seed")
+
+      val viaRewrite = toMapResult(AsOfJoin.backward(
+        ldf, rdf, ldf("t"), rdf("rt"),
+        Seq(ldf("uid") -> rdf("ruid")), lit(tol), ldf("id"), rdf("rid")))
+      assert(viaRewrite == expected, s"rewrite mismatch at seed $seed")
+    }
+  }
+}
