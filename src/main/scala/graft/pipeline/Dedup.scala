@@ -45,14 +45,25 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select(col("da"), col("db"), col("jaccard"))
 
-  /** Exact pairwise word-n-gram Jaccard for pairs sharing ≥1 shingle,
-    * via an inverted shingle index (shuffle on shingle, then on pair). */
+  /** Exact pairwise word-n-gram Jaccard for pairs sharing ≥1 shingle.
+    * Formulated as group-by-shingle → emit ordered doc pairs → count:
+    * one shuffle on the shingle and one on the pair, instead of the
+    * self-join's two shuffles plus join. (A corpus-stopword shingle with
+    * document frequency f emits f²/2 pairs from one group — at true scale
+    * that's the df-cap/LSH territory; this is the exact baseline.) */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val (inv, sizes) = shingleIndex(df, idCol, textCol, n)
-    val inter = inv.as("a")
-      .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val pairsPerShingle = inv
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            y -> struct(x AS da, y AS db))))""".stripMargin)).as("p"))
+      .select(col("p.da"), col("p.db"))
+    val inter = pairsPerShingle
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     attachJaccard(inter, sizes)
   }
