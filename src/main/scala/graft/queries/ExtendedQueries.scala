@@ -142,9 +142,11 @@ object ExtendedQueries {
     * interpolated quantiles rounded to 2 dp before clamping so both
     * engines clamp against identical values. */
   private def q33(s: SparkSession, d: String): DataFrame = {
-    val cuts = Tables.lineitem(s, d).agg(
-      round(percentile(col("l_extendedprice"), lit(0.05)), 2).as("lo"),
-      round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("hi"))
+    val cuts = Tables.lineitem(s, d)
+      .agg(percentile(col("l_extendedprice"), array(lit(0.05), lit(0.95))).as("pp"))
+      .select(
+        round(element_at(col("pp"), 1), 2).as("lo"),
+        round(element_at(col("pp"), 2), 2).as("hi"))
     val clamped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
     Tables.lineitem(s, d).crossJoin(cuts)
       .agg(

@@ -191,11 +191,16 @@ object NestedIOQueries {
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences). */
   private def q27a(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
-      round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-      round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-      round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+      // one percentile buffer for all three price quantiles (each separate
+      // percentile() call would buffer the full column again)
+      percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("pp"),
       round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"),
       countDistinct(col("l_partkey")).as("n_parts"))
+      .select(
+        round(element_at(col("pp"), 1), 4).as("p25"),
+        round(element_at(col("pp"), 2), 4).as("p50"),
+        round(element_at(col("pp"), 3), 4).as("p75"),
+        col("qty_p90"), col("n_parts"))
 
   private val q27aSql =
     """SELECT
