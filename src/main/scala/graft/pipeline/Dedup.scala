@@ -127,23 +127,15 @@ object Dedup {
       minhashCandidates(df, idCol, textCol, n, nHashes, rowsPerBand), n)
       .filter(col("jaccard") >= threshold)
 
-  /** 64-bit shingle-level SimHash signature per document: one hash
-    * aggregate with 64 signed-bit-count columns (no 64× row explosion);
-    * the signature long is reassembled from the 64 sums. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val bitSums = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) =!= 0, 1)
-        .otherwise(-1)).as(s"s$bit")
-    }
-    val reassemble = (0 until 64)
-      .map(bit => when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(0L))
-      .reduce(_ + _)
+  /** 64-bit shingle-level SimHash signature per document, via the
+    * [[graft.functions.expr.SimHashAgg]] TypedImperativeAggregate (one
+    * 64-int buffer per group — no 64× row explosion, no 64 aggregate
+    * columns). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), reassemble.as("simhash"))
-  }
+      .agg(graft.functions.expr.SimHashAgg(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates
     * (pigeonhole-complete for Hamming < 4), popcount verifies
