@@ -66,7 +66,13 @@ object MultimodalQueries {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
     Multimodal.decode(s, media)
       .select(col("doc_id"), col("n_bytes"), col("kind"),
-        col("width"), col("height"), col("feature"))
+        col("width"), col("height"),
+        // feature vector surfaced as scalars — the driver's comparator
+        // sorts rows in pandas, which cannot order array-typed cells
+        // (MultimodalSpec asserts the full vector)
+        element_at(col("feature"), 1).as("f0"),
+        round(aggregate(col("feature"), lit(0.0), (a, x) => a + x), 6)
+          .as("feature_sum"))
       .orderBy(col("doc_id"))
   }
 

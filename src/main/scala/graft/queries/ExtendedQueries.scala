@@ -201,7 +201,9 @@ object ExtendedQueries {
        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
        |                              ROWS UNBOUNDED PRECEDING) AS session_id
        |  FROM e)
-       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |-- session_id is a SUM() over ints → HUGEINT in DuckDB, which lands
+       |-- as float64 in pandas; cast to BIGINT so both engines emit ints
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        |  MIN(tsu) AS session_start, MAX(tsu) AS session_end,
        |  ${Det.sqlSum("value")} AS sum_value
        |FROM sess GROUP BY user_id, session_id

@@ -26,7 +26,11 @@ object NestedIOQueries {
         (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
       array_max(col("embedding")).cast("double").as("vmax"),
       array_min(col("embedding")).cast("double").as("vmin"),
-      slice(col("embedding"), 1, 3).as("head3"))
+      // slice exercised through a scalar fold — the driver's comparator
+      // sorts rows in pandas, which cannot order array-typed cells
+      round(aggregate(
+        slice(col("embedding"), 1, 3), lit(0.0),
+        (acc, x) => acc + x.cast("double")), 4).as("head3_sum"))
       .orderBy(col("vec_id"))
 
   private val q24aSql =
@@ -37,7 +41,7 @@ object NestedIOQueries {
       |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
       |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
       |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
-      |  embedding[1:3] AS head3
+      |  round(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 4) AS head3_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** Q24b: posexplode (reference list_flatten + list_parent_indices). */

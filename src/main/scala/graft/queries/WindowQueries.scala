@@ -175,18 +175,20 @@ object WindowQueries {
        |ORDER BY ws, event_type""".stripMargin
 
   /** Q23a: grouped collect_list/collect_set (reference hash_list /
-    * hash_distinct), sorted for determinism. */
+    * hash_distinct), sorted for determinism. The collected set is joined
+    * to a string for the gate — the driver's comparator sorts rows in
+    * pandas, which cannot order array-typed cells. */
   private def q23a(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
   private val q23aSql =
     """SELECT o_orderpriority,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

@@ -9,10 +9,16 @@ class MultimodalSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
 
   test("decode stub emits the typed feature schema") {
+    // the declared query surfaces scalar projections of the vector (the
+    // gate's comparator can't sort array cells); the full typed vector is
+    // asserted on the decode output directly
     val out = Registry.byName("mm_decode_stub").run(spark, sf)
     assert(out.columns.toSeq ==
-      Seq("doc_id", "n_bytes", "kind", "width", "height", "feature"))
-    val rows = out.collect()
+      Seq("doc_id", "n_bytes", "kind", "width", "height", "f0", "feature_sum"))
+    assert(out.count() == Tables.documents(spark, sf).count())
+    val media = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val rows = Multimodal.decode(spark, media).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.foreach { r =>
       assert(r.getAs[Int]("n_bytes") > 0)

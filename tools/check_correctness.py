@@ -62,6 +62,23 @@ def main():
             res = con.execute(sql)
             ocols_raw = [c[0] for c in res.description]
             orows_raw = res.fetchall()
+            # the driver compares pandas frames, where int-vs-float dtype
+            # KIND differences (e.g. DuckDB HUGEINT -> float64) break the
+            # value hash even when Python-level values compare equal
+            odf = con.execute(sql).df()
+            sdf_files = glob.glob(f"{OUT}/{name}/*.parquet")
+            sdf = pq.read_table(sorted(sdf_files)[0]).to_pandas()
+            for c in sdf.columns:
+                if c in odf.columns:
+                    sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+                    num = {"i": "n", "u": "n", "f": "f"}
+                    if num.get(sk, sk) != num.get(ok, ok) and "O" not in (sk, ok):
+                        print(f"FAIL {name}: dtype kind differs on {c}: "
+                              f"spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
+                        raise SystemExit(f"dtype kind mismatch in {name}.{c}")
+        except SystemExit:
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
