@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, PolyFingerprint}
+import graft.functions.expr.{CosineSimilarity, PolyFingerprint, TDigestAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[PolyFingerprint].getName, "graft_fingerprint"),
       (exprs: Seq[Expression]) => PolyFingerprint(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_tdigest"),
+      new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
+      GraftFunctions.tdigestBuilder))
   }
 }
 
@@ -30,11 +34,28 @@ object GraftFunctions {
   /** Idempotently register the graft_* SQL functions and the as-of-join
     * planner strategy on a live session (covers driver-created sessions
     * that didn't go through `withExtensions`). */
+  /** `graft_tdigest(x, p1, p2, ...)` — quantile percentages must be
+    * foldable literals (same contract as percentile_approx). */
+  val tdigestBuilder: Seq[Expression] => Expression = exprs => {
+    val ps = exprs.tail.map { e =>
+      require(e.foldable, "graft_tdigest percentages must be literals")
+      e.eval() match {
+        case d: Double => d
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => other.toString.toDouble
+      }
+    }
+    TDigestAgg(exprs.head, ps).toAggregateExpression()
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_fingerprint",
       exprs => PolyFingerprint(exprs.head))
+    Bridge.registerFunction(spark, "graft_tdigest", tdigestBuilder)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

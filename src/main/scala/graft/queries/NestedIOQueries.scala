@@ -226,6 +226,22 @@ object NestedIOQueries {
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
 
+  /** Q27c: t-digest quantile sketch (the reference's own sketch for
+    * tdigest/approximate_median — graft.functions.expr.TDigestAgg is a
+    * merging digest with the k1 scale function, built map-side and merged
+    * exactly, so the shuffle carries O(δ) centroids per group). Sketch
+    * estimates are engine- and order-specific → no SQL oracle; accuracy
+    * vs exact quantiles is asserted in ApproxAggSpec. */
+  private def q27c(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(graft.functions.expr.TDigestAgg
+        .quantiles(col("l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.99)).as("qs"))
+      .select(
+        element_at(col("qs"), 1).as("td_p25"),
+        element_at(col("qs"), 2).as("td_p50"),
+        element_at(col("qs"), 3).as("td_p75"),
+        element_at(col("qs"), 4).as("td_p99"))
+
   val caps: Seq[Capability] = Seq(
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
     Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
@@ -238,5 +254,6 @@ object NestedIOQueries {
     Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
+    Capability("q27c_tdigest", "t-digest quantile sketch (custom TypedImperativeAggregate)", q27c, None),
   )
 }

@@ -35,6 +35,12 @@ object Sessionize {
   }
 
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  /** Like [[Ev]] but keeping the watermarked timestamp column — the
+    * event-time-timeout checker requires the EventTimeWatermark attribute
+    * to reach the stateful operator. */
+  case class EvT(
+      event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, ts_us: Long, value: Double)
   case class Session(
       user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
@@ -42,8 +48,9 @@ object Sessionize {
 
   /** Streaming: per-user state holds the open session; closed sessions are
     * emitted as soon as a later event proves the gap. The open session per
-    * user stays in state (it would be finalized by an event-time timeout
-    * in production; tests compare closed sessions). */
+    * user stays in state (no watermark on the input → nothing proves it
+    * finished; [[sessionsStreamingFinalized]] is the production variant
+    * that closes it by event-time timeout). */
   def sessionsStreaming(
       spark: SparkSession, events: DataFrame, gapMinutes: Int): Dataset[Session] = {
     import spark.implicits._
@@ -74,6 +81,67 @@ object Sessionize {
             }
           }
           state.update(st)
+          closed.result().iterator
+        })
+  }
+
+  /** Production streaming sessionization: like [[sessionsStreaming]], but
+    * the input carries a watermark and open sessions are finalized by an
+    * event-time timeout — once the watermark passes `session_end + gap`,
+    * no admissible event can extend the session (anything later starts a
+    * new one), so it is emitted and its state dropped. This is the piece
+    * the reference's ordered-stream model has no analogue for
+    * (SURVEY.md §2.3: no watermarks, no late-data handling). */
+  def sessionsStreamingFinalized(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[EvT], state: GroupState[UserState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(UserState(1L, None))
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            st.open match {
+              case Some(s) if e.ts_us - s.end_us <= gapMicros =>
+                st = st.copy(open = Some(s.copy(
+                  n_events = s.n_events + 1, end_us = e.ts_us)))
+              case Some(s) =>
+                closed += s
+                st = UserState(st.nextSessionId + 1,
+                  Some(Session(userId, st.nextSessionId + 1, 1, e.ts_us, e.ts_us)))
+              case None =>
+                st = UserState(st.nextSessionId,
+                  Some(Session(userId, st.nextSessionId, 1, e.ts_us, e.ts_us)))
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          st.open match {
+            case Some(s) if s.end_us + gapMicros < wmUs =>
+              // watermark proves the gap: finalize the open session;
+              // numbering state stays so a returning user continues it
+              closed += s
+              st = UserState(st.nextSessionId + 1, None)
+              state.update(st)
+            case Some(s) =>
+              state.update(st)
+              val wake = (s.end_us + gapMicros) / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(wake, state.getCurrentWatermarkMs() + 1L))
+            case None =>
+              // nothing open: no timeout needed, new data wakes the key
+              state.update(st)
+          }
           closed.result().iterator
         })
   }

@@ -19,4 +19,28 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05,
       s"approx median $approxMedian vs exact $exactMedian")
   }
+
+  test("t-digest quantiles land within 1% of exact quantiles") {
+    val td = Registry.byName("q27c_tdigest").run(spark, sf).head()
+    val exact = Registry.byName("q27a_quantiles").run(spark, sf).head()
+    for ((tdCol, exCol) <- Seq("td_p25" -> "p25", "td_p50" -> "p50", "td_p75" -> "p75")) {
+      val t = td.getAs[Double](tdCol)
+      val e = exact.getAs[Double](exCol)
+      assert(math.abs(t - e) / e < 0.01, s"$tdCol=$t vs $exCol=$e")
+    }
+    // p99 has no exact twin in q27a; sanity: above p75 and below the max
+    assert(td.getAs[Double]("td_p99") > td.getAs[Double]("td_p75"))
+  }
+
+  test("t-digest merge across many partitions stays accurate (SQL surface)") {
+    import org.apache.spark.sql.functions._
+    // 0..99999 uniformly over 32 partitions → p50 ≈ 50000, p90 ≈ 90000
+    val df = spark.range(0, 100000, 1, 32).select(col("id").cast("double").as("x"))
+    df.createOrReplaceTempView("graft_td_uniform")
+    val r = spark.sql(
+      "SELECT graft_tdigest(x, 0.5D, 0.9D) AS qs FROM graft_td_uniform").head()
+    val qs = r.getSeq[Double](0)
+    assert(math.abs(qs(0) - 50000) / 50000 < 0.01, s"p50=${qs(0)}")
+    assert(math.abs(qs(1) - 90000) / 90000 < 0.01, s"p90=${qs(1)}")
+  }
 }
