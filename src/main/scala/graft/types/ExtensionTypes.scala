@@ -1,0 +1,89 @@
+package graft.types
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Extension types (reference: cpp/src/arrow/extension_type.h:39 and the
+  * canonical instances in cpp/src/arrow/extension/ — uuid, json,
+  * fixed_shape_tensor). Arrow models these as a storage type plus
+  * name/metadata; Spark's analogue is the UserDefinedType: a catalyst
+  * storage type (here binary / struct) plus a class-level tag that
+  * survives parquet round-trips in column metadata.
+  *
+  * Mapping decisions (SURVEY.md §1.2):
+  *  - uuid            → [[UuidType]] over 16-byte binary
+  *  - fixed_shape_tensor → [[TensorType]] over struct<shape, values>
+  *  - json            → Spark native: string + get_json_object/from_json
+  *    (query q36), or VariantType on Spark 4 — no UDT needed
+  *  - bool8/opaque    → plain boolean/binary (layout-only variants)
+  *  - decimal256, time32/64, half-float → documented gaps: p>38 rejected,
+  *    time modeled as µs-since-midnight long, fp16 widened to float
+  */
+@SQLUserDefinedType(udt = classOf[UuidType])
+final case class Uuid(msb: Long, lsb: Long) {
+  override def toString: String = new java.util.UUID(msb, lsb).toString
+}
+
+class UuidType extends UserDefinedType[Uuid] {
+  override def sqlType: DataType = BinaryType
+  override def userClass: Class[Uuid] = classOf[Uuid]
+
+  override def serialize(u: Uuid): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(u.msb); bb.putLong(u.lsb)
+    bb.array()
+  }
+
+  override def deserialize(datum: Any): Uuid = datum match {
+    case bytes: Array[Byte] =>
+      require(bytes.length == 16, s"uuid storage must be 16 bytes, got ${bytes.length}")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Uuid(bb.getLong, bb.getLong)
+  }
+
+  override def typeName: String = "graft_uuid"
+}
+
+case object UuidType extends UuidType
+
+/** Dense fixed-shape tensor: row-major values + shape, the storage layout
+  * of arrow's fixed_shape_tensor (shape in metadata, values as
+  * FixedSizeList). Spark has no fixed-size list, so the shape rides in
+  * each value's struct — constant-folded by parquet's RLE/dictionary
+  * encoding in practice. */
+@SQLUserDefinedType(udt = classOf[TensorType])
+final case class Tensor(shape: Seq[Int], values: Array[Double]) {
+  require(shape.product == values.length,
+    s"shape ${shape.mkString("x")} needs ${shape.product} values, got ${values.length}")
+  def apply(idx: Int*): Double = {
+    require(idx.length == shape.length)
+    var flat = 0
+    var i = 0
+    while (i < idx.length) { flat = flat * shape(i) + idx(i); i += 1 }
+    values(flat)
+  }
+}
+
+class TensorType extends UserDefinedType[Tensor] {
+  override def sqlType: DataType = StructType(Seq(
+    StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def userClass: Class[Tensor] = classOf[Tensor]
+
+  override def serialize(t: Tensor): InternalRow =
+    InternalRow(
+      new GenericArrayData(t.shape.toArray),
+      new GenericArrayData(t.values))
+
+  override def deserialize(datum: Any): Tensor = datum match {
+    case row: InternalRow =>
+      Tensor(
+        row.getArray(0).toIntArray().toSeq,
+        row.getArray(1).toDoubleArray())
+  }
+
+  override def typeName: String = "graft_tensor"
+}
+
+case object TensorType extends TensorType
