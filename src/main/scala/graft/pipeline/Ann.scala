@@ -36,21 +36,29 @@ object Ann {
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 6, nTables: Int = 12): DataFrame = {
+    // native fused bucketing (graft.functions.expr.LshBucketsExpr) —
+    // bit-identical to VectorOps.lshBuckets, one loop instead of
+    // nTables×nPlanes HOF trees per row
     def bucketed(df: DataFrame, id: String, vec: String) = df.select(
       col(idCol).as(id), col(vecCol).as(vec),
-      explode(VectorOps.lshBuckets(col(vecCol), nPlanes, nTables)).as("tb"))
+      explode(graft.functions.expr.LshBucketsExpr(
+        col(vecCol), nPlanes, nTables)).as("tb"))
     val q = bucketed(queries, "query_id", "qe")
     val cand = bucketed(candidates, "neighbor_id", "ne")
+    // score at join time so the bucket-collision dedup shuffles three
+    // scalar columns, not two 64-float vectors per pair (the cosine is
+    // deterministic, so duplicate collisions agree and max() is a no-op
+    // combine — re-scoring a duplicate is cheaper than shuffling vectors)
     val pairs = q.join(cand,
         q("tb.table") === cand("tb.table") && q("tb.bucket") === cand("tb.bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorOps.cosine(col("qe"), col("ne")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

@@ -24,15 +24,30 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** (doc_id, shingle-hash) inverted index. Shingles are xxhash64'd so the
-    * self-join shuffles 8-byte keys instead of ~20-byte strings; a 64-bit
+  /** Per-doc shingle arrays, hashed. Shingles are xxhash64'd so downstream
+    * shuffles move 8-byte keys instead of ~20-byte strings; a 64-bit
     * collision merging two shingles corpus-wide has probability ~1e-10 and
     * would shift one intersection count by 1 — negligible vs the exact
-    * string-keyed oracle. */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int) = {
-    val docs = df.select(col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+    * string-keyed oracle.
+    *
+    * The frame is persisted: every dedup variant derives 2–3 branches from
+    * it (signature aggregate + both sides of the verification join), and
+    * Spark recomputes shared subplans per branch unless they are cached —
+    * without this the regex shingling of the whole corpus runs three
+    * times. One row per document (id + hash array), so the cache is far
+    * smaller than the corpus; at 100 TB the equivalent is a checkpoint of
+    * this frame. */
+  private def shingleDocs(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, shingle-hash) inverted index + per-doc sizes from the cached
+    * shingle frame. */
+  private def shingleIndex(docs: DataFrame) = {
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     (inv, sizes)
   }
@@ -52,7 +67,7 @@ object Dedup {
     * document frequency f emits f²/2 pairs from one group — at true scale
     * that's the df-cap/LSH territory; this is the exact baseline.) */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val (inv, sizes) = shingleIndex(df, idCol, textCol, n)
+    val (inv, sizes) = shingleIndex(shingleDocs(df, idCol, textCol, n))
     val pairsPerShingle = inv
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -72,8 +87,12 @@ object Dedup {
     * shingles are counted only for those pairs, so verification cost scales
     * with the candidate count, not the corpus pair count. */
   def jaccardForPairs(df: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, n: Int = 3): DataFrame = {
-    val (inv, sizes) = shingleIndex(df, idCol, textCol, n)
+      pairs: DataFrame, n: Int = 3): DataFrame =
+    jaccardForIndex(shingleIndex(shingleDocs(df, idCol, textCol, n)), pairs)
+
+  private def jaccardForIndex(
+      invSizes: (DataFrame, DataFrame), pairs: DataFrame): DataFrame = {
+    val (inv, sizes) = invSizes
     val inter = pairs.select(col("da"), col("db"))
       .join(inv.select(col("doc_id").as("da"), col("shingle")), "da")
       .join(inv.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
@@ -92,10 +111,17 @@ object Dedup {
     * per doc crosses the shuffle. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val (inv, _) = shingleIndex(df, idCol, textCol, n)
+      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatesFromInv(
+      shingleIndex(shingleDocs(df, idCol, textCol, n))._1, nHashes, rowsPerBand)
+
+  private def minhashCandidatesFromInv(
+      inv: DataFrame, nHashes: Int, rowsPerBand: Int): DataFrame = {
+    // both sides of the band self-join descend from the signature
+    // aggregate; cache it (one ~0.5 KB sketch per doc) so it runs once
     val sig = inv.groupBy(col("doc_id"))
       .agg(graft.functions.expr.MinHashSketch(col("shingle"), nHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = nHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       struct(
@@ -122,20 +148,23 @@ object Dedup {
     * materialized. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame =
-    jaccardForPairs(df, idCol, textCol,
-      minhashCandidates(df, idCol, textCol, n, nHashes, rowsPerBand), n)
+      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    // one shingling pass feeds both the signature aggregate and the two
+    // verification joins (shingleDocs is cached)
+    val invSizes = shingleIndex(shingleDocs(df, idCol, textCol, n))
+    jaccardForIndex(invSizes,
+      minhashCandidatesFromInv(invSizes._1, nHashes, rowsPerBand))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** 64-bit shingle-level SimHash signature per document, via the
     * [[graft.functions.expr.SimHashAgg]] TypedImperativeAggregate (one
     * 64-int buffer per group — no 64× row explosion, no 64 aggregate
     * columns). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    shingleIndex(shingleDocs(df, idCol, textCol, n))._1
       .groupBy(col("doc_id"))
-      .agg(graft.functions.expr.SimHashAgg(col("h")).as("simhash"))
+      .agg(graft.functions.expr.SimHashAgg(col("shingle")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates
     * (pigeonhole-complete for Hamming < 4), popcount verifies
@@ -143,7 +172,10 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, n: Int = 3): DataFrame = {
+    // both sides of the band self-join read the signatures; cache the
+    // (doc_id, simhash) frame (16 bytes/doc) instead of re-aggregating
     val sigs = simhashSignatures(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("k"),
         shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("bv"))

@@ -48,6 +48,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native LSH bucketing is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(300)
+    val diffs = e.select(
+        graft.functions.expr.LshBucketsExpr(col("embedding"), 6, 12).as("native"),
+        VectorOps.lshBuckets(col("embedding"), 6, 12).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("LSH bucketing is deterministic and results are a valid top-k subset") {
     val a = Registry.byName("ann_lsh").run(spark, sf).collect().toSeq
     val b = Registry.byName("ann_lsh").run(spark, sf).collect().toSeq
