@@ -123,6 +123,24 @@ object NestedIOQueries {
     """SELECT COUNT(*) * 2 AS n_rows, COUNT(*) AS n_price,
       |  COUNT(*) AS n_status FROM orders""".stripMargin
 
+  /** Q25d: tee — persist a copy of the stream while passing it through
+    * (reference "tee" node, cpp/src/arrow/dataset/file_base.cc:635). In
+    * Spark the same plan both writes and continues: write the frame, then
+    * return it; the written copy is verified to round-trip. */
+  private def q25d(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q25d_tee"
+    val df = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    df.write.mode("overwrite").parquet(out) // the tee'd copy
+    // pass-through side, cross-checked against the copy it just wrote
+    df.join(s.read.parquet(out).select(col("o_orderkey").as("k")),
+        col("o_orderkey") === col("k"), "left_semi")
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q25dSql =
+    """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Q26a: CSV round-trip with explicit schema (reference CSV
     * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
     * writes shortest round-trippable representations. */
@@ -248,6 +266,7 @@ object NestedIOQueries {
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),
+    Capability("q25d_tee", "tee: write a copy while passing the stream through", q25d, Some(q25dSql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),

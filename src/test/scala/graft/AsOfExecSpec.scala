@@ -38,6 +38,46 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(viaExec.nonEmpty)
   }
 
+  test("exec equals the rewrite under heavy by-key skew (AQE on)") {
+    // one user owns ~90% of all events — the shape that breaks naive
+    // co-partitioning at cluster scale. AsOfJoinExec declares
+    // ClusteredDistribution on the by-keys, so EnsureRequirements plans
+    // hash exchanges; this asserts the operator stays correct when one
+    // partition is pathologically large (AQE cannot split a skewed
+    // partition for a custom binary exec, so the cost is latency, not
+    // wrong answers — the salting helper in graft.operators.Skew is the
+    // mitigation at true scale).
+    import spark.implicits._
+    val hot = (1 to 20000).map(i => (i.toLong, 0L, i.toLong * 7L))
+    val cold = (1 to 2000).map(i => (100000L + i, (i % 50 + 1).toLong, i.toLong * 11L))
+    val left = (hot ++ cold).toDF("id", "uid", "t")
+    val rhot = (1 to 20000).map(i => (200000L + i, 0L, i.toLong * 5L))
+    val rcold = (1 to 2000).map(i => (300000L + i, (i % 50 + 1).toLong, i.toLong * 13L))
+    val right = (rhot ++ rcold).toDF("rid", "ruid", "rt")
+
+    val exec = AsOfJoin.backwardExec(
+      left, right,
+      onLeft = left("t"), onRight = right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tieBreak = Seq(right("rid")),
+      toleranceMicros = 1000L)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val rewrite = AsOfJoin.backward(
+      left, right,
+      onLeft = left("t"), onRight = right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tolerance = expr("1000"),
+      leftId = left("id"),
+      tieBreak = right("rid"))
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(exec.size == 22000)
+    assert(exec == rewrite)
+  }
+
   test("plan uses AsOfJoinExec with clustered exchanges, not a range join") {
     val df = Registry.byName("q21b_asof_exec").run(spark, sf)
     df.collect()
