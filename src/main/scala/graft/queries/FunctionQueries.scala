@@ -70,6 +70,54 @@ object FunctionQueries {
       |  repeat(p_brand, 2) AS rep2
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Q14b: the rest of the reference's string surface (compute.rst
+    * §961-1286): character-class predicates, center-pad, replace_slice
+    * (overlay), count/find_substring, translate, left/right slices,
+    * ascii/chr codes, zero-fill, substring_index, is_in. Where DuckDB
+    * lacks the builtin (overlay, substring_index) the oracle reproduces
+    * it from primitives — a genuine differential check, not an echo. */
+  private def q14b(s: SparkSession, d: String): DataFrame = {
+    val name = col("p_name")
+    val brand = col("p_brand")
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      name.rlike("^[a-z ]+$").as("is_lower_alpha"),
+      substring(name, 1, 1).rlike("^[aeiou]").as("starts_vowel"),
+      // center to width 20: lpad by half the slack, then rpad to width
+      expr("rpad(lpad(p_brand, cast(length(p_brand) + floor((20 - length(p_brand)) / 2) as int), '.'), 20, '.')")
+        .as("centered"),
+      overlay(brand, lit("XX"), lit(3), lit(2)).as("replaced_slice"),
+      ((length(name) - length(regexp_replace(name, "a", "")))).as("count_a"),
+      locate("al", name).as("find_al"),
+      translate(col("p_type"), "AEIOU", "aeiou").as("transl"),
+      expr("left(p_name, 3)").as("l3"),
+      expr("right(p_name, 3)").as("r3"),
+      ascii(substring(name, 1, 1)).as("first_code"),
+      expr("char(65 + p_partkey % 26)").as("letter"),
+      lpad(col("p_size").cast("string"), 5, "0").as("zero_filled"),
+      substring_index(name, " ", 2).as("first_two_words"),
+      brand.isin("Brand#1", "Brand#13", "Brand#20").as("in_set"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q14bSql =
+    """SELECT p_partkey,
+      |  regexp_full_match(p_name, '[a-z ]+') AS is_lower_alpha,
+      |  regexp_matches(substring(p_name, 1, 1), '^[aeiou]') AS starts_vowel,
+      |  rpad(lpad(p_brand, CAST(length(p_brand) + FLOOR((20 - length(p_brand)) / 2) AS INT), '.'), 20, '.') AS centered,
+      |  substring(p_brand, 1, 2) || 'XX' || substring(p_brand, 5) AS replaced_slice,
+      |  length(p_name) - length(replace(p_name, 'a', '')) AS count_a,
+      |  strpos(p_name, 'al') AS find_al,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS transl,
+      |  left(p_name, 3) AS l3,
+      |  right(p_name, 3) AS r3,
+      |  ascii(substring(p_name, 1, 1)) AS first_code,
+      |  chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
+      |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS zero_filled,
+      |  array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two_words,
+      |  p_brand IN ('Brand#1', 'Brand#13', 'Brand#20') AS in_set
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Q15: temporal extraction + arithmetic over `orders` dates. */
   private def q15(s: SparkSession, d: String): DataFrame = {
     val od = to_date(col("o_orderdate"))
@@ -136,6 +184,38 @@ object FunctionQueries {
       |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
       |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** Q15c: ISO calendar, leap years, days-in-month, strftime/strptime
+    * round-trip, make_date (reference iso_week/iso_year/is_leap_year and
+    * strftime/strptime kernels, compute.rst §1542-1622/§1393-1542).
+    * Spark derives iso_year from "the year of this week's Thursday"
+    * (no builtin), DuckDB uses isoyear() — a real differential check. */
+  private def q15c(s: SparkSession, d: String): DataFrame = {
+    val od = to_date(col("o_orderdate"))
+    val isoDow = weekday(od) + 1 // Monday=1 .. Sunday=7
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      isoDow.as("iso_dow"),
+      year(date_add(od, lit(4) - isoDow)).as("iso_year"),
+      (dayofmonth(last_day(concat_ws("-", year(od), lit("02"), lit("01")).cast("date"))) === 29)
+        .as("is_leap"),
+      dayofmonth(last_day(od)).as("days_in_month"),
+      date_format(od, "yyyy/MM/dd").as("formatted"),
+      to_date(date_format(od, "yyyy/MM/dd"), "yyyy/MM/dd").as("parsed_rt"),
+      make_date(year(od), month(od), lit(1)).as("made"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q15cSql =
+    """SELECT o_orderkey,
+      |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+      |  CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+      |  day(last_day(make_date(CAST(year(o_orderdate) AS INT), 2, 1))) = 29 AS is_leap,
+      |  CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INT) AS days_in_month,
+      |  strftime(o_orderdate, '%Y/%m/%d') AS formatted,
+      |  CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS DATE) AS parsed_rt,
+      |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS made
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`. */
   private def q16(s: SparkSession, d: String): DataFrame =
@@ -276,8 +356,10 @@ object FunctionQueries {
 
   val caps: Seq[Capability] = Seq(
     Capability("q14_strings", "string kernel battery", q14, Some(q14Sql)),
+    Capability("q14b_strings2", "predicates/center/overlay/translate/codes/zero-fill/is_in", q14b, Some(q14bSql)),
     Capability("q15_temporal_date", "date extraction + arithmetic", q15, Some(q15Sql)),
     Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
+    Capability("q15c_temporal_iso", "ISO calendar/leap-year/strftime round-trip", q15c, Some(q15cSql)),
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
     Capability("q17_conditional", "case_when/coalesce/nullif/is_null", q17, Some(q17Sql)),
     Capability("q17b_kleene", "three-valued AND/OR/NOT + null-safe equality", q17b, Some(q17bSql)),
