@@ -83,6 +83,35 @@ object Dedup {
     attachJaccard(inter, sizes)
   }
 
+  /** Jaccard pairs with a document-frequency cap on candidate-generating
+    * shingles. A corpus-stopword shingle with document frequency f emits
+    * f²/2 candidate pairs from one group — the quadratic term that kills
+    * the exact all-pairs index at 100 TB. Shingles in more than `maxDf`
+    * docs are excluded from CANDIDATE GENERATION only; verification still
+    * counts every shared shingle for the surviving pairs, so reported
+    * jaccard values stay exact. The only misses are pairs whose shared
+    * shingles are ALL hotter than the cap — near-duplicates share many
+    * rare shingles, so at a sane cap this is the empty set (asserted
+    * against the uncapped exact pairs in DedupSpec). */
+  def jaccardPairsCapped(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, maxDf: Int = 100): DataFrame = {
+    val invSizes = shingleIndex(shingleDocs(df, idCol, textCol, n))
+    val (inv, _) = invSizes
+    val pairsPerShingle = inv
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            y -> struct(x AS da, y AS db))))""".stripMargin)).as("p"))
+      .select(col("p.da"), col("p.db"))
+      .distinct()
+    jaccardForIndex(invSizes, pairsPerShingle)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact Jaccard restricted to a given (da, db) pair set — shared
     * shingles are counted only for those pairs, so verification cost scales
     * with the candidate count, not the corpus pair count. */

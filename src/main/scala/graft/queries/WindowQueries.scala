@@ -174,6 +174,42 @@ object WindowQueries {
        |GROUP BY 1, 2, 3
        |ORDER BY ws, event_type""".stripMargin
 
+  /** Q22b: native session windows — `session_window(ts, gap)` is Spark's
+    * built-in gap-based sessionization (merges events closer than the gap;
+    * window end = last event + gap). The oracle rebuilds the same
+    * semantics from lag/running-sum SQL, so this gates Spark's native
+    * session assignment against an independent formulation. Runs
+    * identically on a stream with a watermark. */
+  private def q22b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  private val q22bSql =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e)
+       |SELECT user_id,
+       |  MIN(tsu) AS s_start,
+       |  MAX(tsu) + INTERVAL 30 MINUTE AS s_end,
+       |  COUNT(*) AS n_events,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM sess GROUP BY user_id, sid
+       |ORDER BY user_id, s_start""".stripMargin
+
   /** Q23a: grouped collect_list/collect_set (reference hash_list /
     * hash_distinct), sorted for determinism. The collected set is joined
     * to a string for the gate — the driver's comparator sorts rows in
@@ -215,6 +251,7 @@ object WindowQueries {
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
+    Capability("q22b_session_window", "native session_window gap sessionization", q22b, Some(q22bSql)),
     Capability("q23a_collect", "grouped collect_set (sorted)", q23a, Some(q23aSql)),
     Capability("q23b_pivot", "pivot wider with explicit values", q23b, Some(q23bSql)),
   )

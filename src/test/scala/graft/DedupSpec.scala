@@ -39,6 +39,22 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh == exact)
   }
 
+  test("df-capped candidates equal the exact pairs on this corpus") {
+    val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup
+      .jaccardPairsCapped(Tables.documents(spark, sf), "doc_id", "text",
+        threshold = 0.8, maxDf = 100)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical pairs AND identical (exact) jaccard values — the cap only
+    // prunes candidate generation, never the verification counts
+    assert(capped == exact)
+    assert(capped.nonEmpty)
+  }
+
   test("simhash pairs overlap strongly with high-jaccard pairs") {
     val sim = Registry.byName("dedup_simhash").run(spark, sf)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
