@@ -263,6 +263,86 @@ object FunctionQueries {
       |  least(l_quantity, 25.0::DOUBLE) AS le
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Q16b: trig / hyperbolic / extended-log kernels (compute.rst
+    * §697-794: sin..atan2, sinh..tanh, log2/log1p/logb, expm1) plus
+    * positive modulo, hypot and factorial. All rounded to 6 dp — libm
+    * last-ulp differences across engines. `l_discount ∈ [0, 0.1]` keeps
+    * asin/acos in domain. */
+  private def q16b(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_discount")
+    val p = col("l_extendedprice")
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(sin(x), 6).as("s"),
+      round(cos(x), 6).as("c"),
+      round(tan(x), 6).as("t"),
+      round(asin(x), 6).as("asn"),
+      round(acos(x), 6).as("acs"),
+      round(atan(p), 6).as("at"),
+      round(atan2(col("l_quantity"), p), 6).as("at2"),
+      round(sinh(x), 6).as("sh"),
+      round(cosh(x), 6).as("ch"),
+      round(tanh(x), 6).as("th"),
+      round(log2(p), 6).as("l2"),
+      round(log1p(x), 6).as("l1p"),
+      round(log(2.0, p), 6).as("logb2"),
+      round(expm1(x), 6).as("em1"),
+      round(cbrt(p), 6).as("cb"),
+      round(hypot(col("l_quantity"), x), 6).as("hy"),
+      pmod(negate(col("l_orderkey")), lit(7)).as("pm"),
+      factorial(col("l_linenumber")).as("fact"),
+      round(degrees(x), 6).as("deg"),
+      round(radians(col("l_quantity")), 6).as("rad"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q16bSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(sin(l_discount), 6) AS s,
+      |  round(cos(l_discount), 6) AS c,
+      |  round(tan(l_discount), 6) AS t,
+      |  round(asin(l_discount), 6) AS asn,
+      |  round(acos(l_discount), 6) AS acs,
+      |  round(atan(l_extendedprice), 6) AS at,
+      |  round(atan2(l_quantity, l_extendedprice), 6) AS at2,
+      |  round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh,
+      |  round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch,
+      |  round((exp(l_discount) - exp(-l_discount))
+      |        / (exp(l_discount) + exp(-l_discount)), 6) AS th,
+      |  round(log2(l_extendedprice), 6) AS l2,
+      |  round(ln(1 + l_discount), 6) AS l1p,
+      |  round(ln(l_extendedprice) / ln(2.0), 6) AS logb2,
+      |  round(exp(l_discount) - 1, 6) AS em1,
+      |  round(cbrt(l_extendedprice), 6) AS cb,
+      |  round(sqrt(l_quantity * l_quantity + l_discount * l_discount), 6) AS hy,
+      |  ((-l_orderkey % 7) + 7) % 7 AS pm,
+      |  CAST(factorial(l_linenumber) AS BIGINT) AS fact,
+      |  round(degrees(l_discount), 6) AS deg,
+      |  round(radians(l_quantity), 6) AS rad
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q02c: boolean aggregates (reference any/all kernels), count_if,
+    * arg-extrema (max_by/min_by ≈ DuckDB arg_max/arg_min) and exact
+    * median over `orders`. */
+  private def q02c(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+      bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+      count_if(col("o_orderstatus") === "F").as("n_f"),
+      max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
+      min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+      round(median(col("o_totalprice")), 4).as("med"))
+
+  private val q02cSql =
+    """SELECT
+      |  bool_and(o_totalprice > 1000.0::DOUBLE) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000.0::DOUBLE) AS any_over_400k,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+      |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
+      |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+      |  round(median(o_totalprice), 4) AS med
+      |FROM orders""".stripMargin
+
   /** Q17: conditional / null-handling kernels (case_when, if_else,
     * coalesce, nullif, is_null) over `orders`. */
   private def q17(s: SparkSession, d: String): DataFrame =
@@ -361,6 +441,8 @@ object FunctionQueries {
     Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
     Capability("q15c_temporal_iso", "ISO calendar/leap-year/strftime round-trip", q15c, Some(q15cSql)),
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
+    Capability("q16b_trig", "trig/hyperbolic/extended-log/pmod/factorial kernels", q16b, Some(q16bSql)),
+    Capability("q02c_bool_aggs", "any/all/count_if/arg-extrema/median aggregates", q02c, Some(q02cSql)),
     Capability("q17_conditional", "case_when/coalesce/nullif/is_null", q17, Some(q17Sql)),
     Capability("q17b_kleene", "three-valued AND/OR/NOT + null-safe equality", q17b, Some(q17bSql)),
     Capability("q18_casts", "cast matrix round-trips", q18, Some(q18Sql)),
