@@ -271,7 +271,12 @@ object FunctionQueries {
   private def q16b(s: SparkSession, d: String): DataFrame = {
     val x = col("l_discount")
     val p = col("l_extendedprice")
-    Tables.lineitem(s, d).select(
+    // one ship-year: kernel parity needs coverage, not volume — each
+    // rounded column costs a BigDecimal per value, so 21 columns over the
+    // full table is pure sink time
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1995)
+      .select(
       col("l_orderkey"), col("l_linenumber"),
       round(sin(x), 6).as("s"),
       round(cos(x), 6).as("c"),
@@ -319,7 +324,8 @@ object FunctionQueries {
       |  CAST(factorial(l_linenumber) AS BIGINT) AS fact,
       |  round(degrees(l_discount), 6) AS deg,
       |  round(radians(l_quantity), 6) AS rad
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem WHERE year(l_shipdate) = 1995
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Q02c: boolean aggregates (reference any/all kernels), count_if,
     * arg-extrema (max_by/min_by ≈ DuckDB arg_max/arg_min) and exact
