@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed exact quantiles by rank selection (reference `quantile`
+  * kernel, cpp/src/arrow/compute/kernels/aggregate_quantile.cc, linear
+  * interpolation at rank (n-1)·q — the same definition Spark's
+  * `percentile` and DuckDB's `quantile_cont` use).
+  *
+  * Why not `percentile()`: Spark's exact percentile is an aggregate whose
+  * buffer holds EVERY value of the column — partial buffers merge into one
+  * final buffer on a single task, so at 100 TB the final aggregation is a
+  * single-node sort of the whole column. This operator instead:
+  *
+  *   1. range-partitions and sorts the column (Spark's distributed sort —
+  *      spills, scales horizontally),
+  *   2. counts rows per partition (one tiny long per partition to the
+  *      driver),
+  *   3. turns each requested quantile into the two bracketing global ranks
+  *      and fetches JUST those rows by (partition, local offset),
+  *   4. interpolates on the driver.
+  *
+  * Two distributed passes (sort + targeted fetch), driver traffic O(#
+  * partitions + #quantiles). QuantilesSpec asserts bit-parity against
+  * `percentile()` on real data.
+  */
+object Quantiles {
+
+  /** Exact interpolated quantiles of `column`; nulls ignored. Returns one
+    * value per requested q (NaN on an empty column). */
+  def exact(df: DataFrame, column: String, qs: Seq[Double]): Seq[Double] = {
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+    val sorted = df
+      .select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sorted.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      if (n == 0) return qs.map(_ => Double.NaN)
+
+      // global rank -> (partition, local offset)
+      val starts = counts.scanLeft(0L)(_ + _) // starts(i) = first global rank of partition i
+      def locate(rank: Long): (Int, Long) = {
+        var p = 0
+        while (p + 1 < counts.length && starts(p + 1) <= rank) p += 1
+        (p, rank - starts(p))
+      }
+      val wanted: Map[Long, (Int, Long)] = qs.flatMap { q =>
+        val pos = (n - 1) * q
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.distinct.map(r => r -> locate(r)).toMap
+
+      // fetch only the bracketing rows: each partition slices the handful
+      // of local offsets it owns out of its sorted iterator
+      val byPartition = wanted.toSeq
+        .groupBy(_._2._1)
+        .map { case (p, rs) => p -> rs.map { case (rank, (_, off)) => (off, rank) }.sortBy(_._1) }
+      val fetched = sorted.rdd
+        .mapPartitionsWithIndex { (p, it) =>
+          byPartition.get(p) match {
+            case None => Iterator.empty
+            case Some(offsets) =>
+              var cur = 0L
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+              var remaining = offsets
+              while (remaining.nonEmpty && it.hasNext) {
+                val v = it.next().getDouble(0)
+                while (remaining.nonEmpty && remaining.head._1 == cur) {
+                  out += ((remaining.head._2, v))
+                  remaining = remaining.tail
+                }
+                cur += 1L
+              }
+              out.iterator
+          }
+        }
+        .collect().toMap
+
+      qs.map { q =>
+        val pos = (n - 1) * q
+        val lo = fetched(math.floor(pos).toLong)
+        val hi = fetched(math.ceil(pos).toLong)
+        lo + (hi - lo) * (pos - math.floor(pos))
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+}
