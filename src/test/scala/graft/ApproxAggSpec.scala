@@ -32,6 +32,30 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(td.getAs[Double]("td_p99") > td.getAs[Double]("td_p75"))
   }
 
+  test("t-digest stays accurate on a heavy-tailed distribution incl. tails") {
+    import org.apache.spark.sql.functions._
+    // deterministic lognormal-ish: exp of a sum of 8 hash-derived
+    // uniforms (CLT ⇒ ~normal exponent), heavy right tail over 5 orders
+    // of magnitude — the shape the k1 scale function is built for
+    val df = TestSpark.spark.range(0, 200000, 1, 16)
+      .select((0 until 8).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(100000L)).cast("double") / 100000.0))
+        .reduce(_ + _).as("u"))
+      .select(exp((col("u") - 4.0) * 3.0).as("x"))
+    val qs = Seq(0.01, 0.5, 0.99)
+    val td = df.agg(graft.functions.expr.TDigestAgg.quantiles(col("x"), qs).as("t"))
+      .head().getSeq[Double](0)
+    // t-digest's guarantee is RANK-space accuracy (a tiny rank error on an
+    // exponential tail is a large value error, by design): assert the
+    // fraction of values at-or-below each estimate is within 0.5pp of q
+    val n = df.count().toDouble
+    qs.indices.foreach { i =>
+      val rankOfEstimate = df.filter(col("x") <= td(i)).count() / n
+      assert(math.abs(rankOfEstimate - qs(i)) < 0.005,
+        s"q=${qs(i)}: estimate=${td(i)} sits at rank $rankOfEstimate")
+    }
+  }
+
   test("t-digest merge across many partitions stays accurate (SQL surface)") {
     import org.apache.spark.sql.functions._
     // 0..99999 uniformly over 32 partitions → p50 ≈ 50000, p90 ≈ 90000
