@@ -210,6 +210,37 @@ object WindowQueries {
        |FROM sess GROUP BY user_id, sid
        |ORDER BY user_id, s_start""".stripMargin
 
+  /** Q22c: sliding event-time windows (1 h window, 30 min slide) — each
+    * event lands in exactly two overlapping windows. The oracle rebuilds
+    * the assignment as a UNION ALL of the two shifted tumbling group-bys,
+    * so Spark's sliding `window()` is gated against an independent
+    * formulation. Streams identically with a watermark. */
+  private def q22c(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  private val q22cSql =
+    s"""WITH assigned AS (
+       |  -- an event at ts lands in the windows starting at floor30(ts)
+       |  -- and floor30(ts) - 30min (starts in (ts - 1h, ts])
+       |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w0,
+       |         event_type, value FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w0,
+       |         event_type, value FROM events)
+       |SELECT CAST(w0 AS TIMESTAMP) AS ws,
+       |  CAST(w0 + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
+       |  event_type, COUNT(*) AS n,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM assigned
+       |GROUP BY 1, 2, 3
+       |ORDER BY ws, event_type""".stripMargin
+
   /** Q23a: grouped collect_list/collect_set (reference hash_list /
     * hash_distinct), sorted for determinism. The collected set is joined
     * to a string for the gate — the driver's comparator sorts rows in
@@ -252,6 +283,7 @@ object WindowQueries {
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
     Capability("q22b_session_window", "native session_window gap sessionization", q22b, Some(q22bSql)),
+    Capability("q22c_sliding_window", "sliding event-time windows (1h / 30min slide)", q22c, Some(q22cSql)),
     Capability("q23a_collect", "grouped collect_set (sorted)", q23a, Some(q23aSql)),
     Capability("q23b_pivot", "pivot wider with explicit values", q23b, Some(q23bSql)),
   )
