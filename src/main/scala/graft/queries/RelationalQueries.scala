@@ -101,6 +101,30 @@ object RelationalQueries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** Q03b: the flagship shape submitted as SQL TEXT through
+    * `spark.sql(...)` — the front end the reference lacks entirely (no
+    * SQL parser, plans built programmatically or via Substrait; SURVEY.md
+    * §3.3 declares SQL a strict superset of the Substrait consumer).
+    * Catalyst analyzes/optimizes text and DataFrame plans identically, so
+    * this gates the parser path against the same oracle as q03. */
+  private def q03b(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) * (1.0D + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM graft_lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Q04: inner equi-join + aggregation. Orders side is large → shuffle
     * hash/sort-merge join on the key; AQE picks at runtime. */
   private def q04(s: SparkSession, d: String): DataFrame =
@@ -294,6 +318,7 @@ object RelationalQueries {
     Capability("q01_filter_project", "scan + filter + project with pushdown", q01, Some(q01Sql)),
     Capability("q02_scalar_agg", "whole-table scalar aggregates", q02, Some(q02Sql)),
     Capability("q03_group_agg", "grouped aggregation (TPC-H Q1 shape)", q03, Some(q03Sql), bench = true),
+    Capability("q03b_sql_text", "flagship shape via the spark.sql text front end", q03b, Some(q03Sql)),
     Capability("q04_inner_join", "inner equi-join + aggregation", q04, Some(q04Sql), bench = true),
     Capability("q05_star_join", "multi-way star join with broadcast dims", q05, Some(q05Sql), bench = true),
     Capability("q06_outer_joins", "left/right/full outer join null semantics", q06, Some(q06Sql)),
