@@ -54,6 +54,33 @@ object AsOfJoin {
       .drop("__asof_rn")
   }
 
+  /** Forward as-of left join: for each left row, the EARLIEST right row
+    * with `right(onRight) >= left(onLeft)` within `tolerance` — the
+    * reference's positive-tolerance mode (options.h:692-738:
+    * `right.on - left.on ∈ [0, tol]`). Ties on the `on` value break by
+    * `tieBreak` ascending (earliest wins), mirroring [[backward]]. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      onLeft: Column,
+      onRight: Column,
+      by: Seq[(Column, Column)],
+      tolerance: Column,
+      leftId: Column,
+      tieBreak: Column): DataFrame = {
+    val byCond = by
+      .map { case (l, r) => l === r }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val cond = byCond && onRight >= onLeft && onRight <= onLeft + tolerance
+    val joined = left.join(right, cond, "left")
+    val w = Window.partitionBy(leftId).orderBy(onRight.asc_nulls_last, tieBreak.asc_nulls_last)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
   /** Backward as-of left join through the dedicated physical operator
     * ([[graft.plans.AsOfJoinExec]] — one sort-merge pass per co-partitioned
     * sorted partition, no row-multiplying range join). Semantics match

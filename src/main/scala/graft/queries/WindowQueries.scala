@@ -158,6 +158,47 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q21c: FORWARD as-of join — the reference's positive-tolerance mode
+    * (`right.on - left.on ∈ [0, tol]`): for each purchase, the earliest
+    * click by the same user at-or-after it within 1 hour. */
+  private def q21c(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsOfJoin.forward(
+      left = purchases,
+      right = clicks,
+      onLeft = purchases("ts"),
+      onRight = clicks("click_ts"),
+      by = Seq(purchases("user_id") -> clicks("c_user_id")),
+      tolerance = expr("INTERVAL 1 HOUR"),
+      leftId = purchases("event_id"),
+      tieBreak = clicks("click_id"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q21cSql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |       click_id, CAST(click_ts AS TIMESTAMP) AS click_ts, click_value
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value,
+      |         c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   /** Q22: event-time tumbling-window aggregation (reference segment-keys ≈
     * `groupBy(window(...))`; the exact same transformation runs on a
     * stream with a watermark — StreamingSpec asserts batch/stream parity). */
@@ -281,6 +322,7 @@ object WindowQueries {
     Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
+    Capability("q21c_asof_forward", "forward as-of join (positive tolerance)", q21c, Some(q21cSql)),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
     Capability("q22b_session_window", "native session_window gap sessionization", q22b, Some(q22bSql)),
     Capability("q22c_sliding_window", "sliding event-time windows (1h / 30min slide)", q22c, Some(q22cSql)),
