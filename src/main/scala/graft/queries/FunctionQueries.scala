@@ -217,6 +217,27 @@ object FunctionQueries {
       |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS made
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Q15d: timezone kernels (reference assume_timezone / local_timestamp,
+    * compute.rst §1666-1699). Comparison in absolute microseconds so the
+    * check is independent of both engines' session-timezone rendering:
+    * assume = interpret the naive wall time in a zone (DST-sensitive —
+    * the events span a year, so both offsets of each zone occur);
+    * localize = shift a UTC instant to a zone's wall time. */
+  private def q15d(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      unix_micros(to_utc_timestamp(col("ts"), "America/New_York")).as("assume_ny_us"),
+      unix_micros(to_utc_timestamp(col("ts"), "Asia/Tokyo")).as("assume_tokyo_us"),
+      unix_micros(from_utc_timestamp(col("ts"), "America/New_York")).as("local_ny_us"))
+      .orderBy(col("event_id"))
+
+  private val q15dSql =
+    """SELECT event_id,
+      |  epoch_us(timezone('America/New_York', CAST(ts AS TIMESTAMP))) AS assume_ny_us,
+      |  epoch_us(timezone('Asia/Tokyo', CAST(ts AS TIMESTAMP))) AS assume_tokyo_us,
+      |  epoch_us(CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS TIMESTAMP)) AS local_ny_us
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`. */
   private def q16(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(
@@ -446,6 +467,7 @@ object FunctionQueries {
     Capability("q15_temporal_date", "date extraction + arithmetic", q15, Some(q15Sql)),
     Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
     Capability("q15c_temporal_iso", "ISO calendar/leap-year/strftime round-trip", q15c, Some(q15cSql)),
+    Capability("q15d_timezone", "assume_timezone / local_timestamp conversions", q15d, Some(q15dSql)),
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
     Capability("q16b_trig", "trig/hyperbolic/extended-log/pmod/factorial kernels", q16b, Some(q16bSql)),
     Capability("q02c_bool_aggs", "any/all/count_if/arg-extrema/median aggregates", q02c, Some(q02cSql)),
