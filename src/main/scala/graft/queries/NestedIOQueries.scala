@@ -141,6 +141,38 @@ object NestedIOQueries {
   private val q25dSql =
     """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Q25e: bucketed write → co-located join with NO shuffle exchange —
+    * the pre-shuffle layout for repeated big-table joins at 100 TB (both
+    * sides hash-bucketed on the join key, so the join reads co-located
+    * buckets; SURVEY.md "Partitioning & shuffle"). The aggregate result
+    * is oracle-gated; BucketingSpec asserts the no-exchange plan shape. */
+  private def q25e(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS graft_q25e_li")
+    s.sql("DROP TABLE IF EXISTS graft_q25e_ord")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_q25e_li")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_q25e_ord")
+    s.table("graft_q25e_li")
+      .join(s.table("graft_q25e_ord"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q25eSql =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n_items,
+       |  ${graft.Det.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Q26a: CSV round-trip with explicit schema (reference CSV
     * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
     * writes shortest round-trippable representations. */
@@ -267,6 +299,7 @@ object NestedIOQueries {
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),
     Capability("q25d_tee", "tee: write a copy while passing the stream through", q25d, Some(q25dSql)),
+    Capability("q25e_bucketed", "bucketed write → co-located join (no shuffle)", q25e, Some(q25eSql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
