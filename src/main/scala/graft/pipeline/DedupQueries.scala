@@ -49,17 +49,12 @@ object DedupQueries {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("da"), col("db"))
 
-  /** Same threshold-0.5 pairs through the df-capped candidate generator —
-    * the 100 TB path (no f²/2 pair blowup from stopword shingles) gated
-    * against the SAME exact-pairs oracle as `dedup_ngram_jaccard`: the
-    * cap prunes candidate generation only, verification counts are exact,
-    * and no qualifying pair on this corpus relies solely on >cap-hot
-    * shingles. */
-  private def ngramCapped(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairsCapped(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.5, n = 3, maxDf = 100)
-      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("da"), col("db"))
+  // The df-capped candidate generator (Dedup.jaccardPairsCapped) is
+  // asserted equal to the exact pairs in DedupSpec but is NOT a declared
+  // query: its candidate set on this low-df corpus is nearly the full
+  // shared-shingle pair set, so the join-based verification costs more
+  // than the exact count — the cap only pays when stopword shingles
+  // dominate. The production-scale candidate path remains minhash.
 
   /** MinHash+LSH pairs, exact-verified at 0.8. With 16 bands × 4 rows a
     * true 0.8-Jaccard pair is missed with p < 2e-4 (planted ~0.97 dups:
@@ -93,8 +88,6 @@ object DedupQueries {
     Capability("dedup_exact", "exact dedup via content-hash groupBy", exact, Some(exactSql)),
     Capability("dedup_ngram_jaccard", "n-gram Jaccard near-dup pairs (inverted index)", ngram,
       Some(jaccardPairsSql(0.5)), bench = true),
-    Capability("dedup_ngram_capped", "df-capped candidate generation, exact verification", ngramCapped,
-      Some(jaccardPairsSql(0.5))),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
     Capability("dedup_simhash", "SimHash band-bucketed near-dup pairs (Hamming ≤ 8)", simhash),

@@ -147,8 +147,16 @@ object NestedIOQueries {
     * buckets; SURVEY.md "Partitioning & shuffle"). The aggregate result
     * is oracle-gated; BucketingSpec asserts the no-exchange plan shape. */
   private def q25e(s: SparkSession, d: String): DataFrame = {
-    s.sql("DROP TABLE IF EXISTS graft_q25e_li")
-    s.sql("DROP TABLE IF EXISTS graft_q25e_ord")
+    // drop both the catalog entry AND the physical location: a fresh
+    // session's metastore doesn't know about a previous JVM's managed
+    // table, and saveAsTable refuses an orphaned warehouse directory
+    Seq("graft_q25e_li", "graft_q25e_ord").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
