@@ -52,12 +52,28 @@ case class LshBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
 
   override def prettyName: String = "graft_lsh_buckets"
 
+  // fail at analysis, not with garbage buckets: the eval below reads the
+  // element buffer with getFloat/getDouble, so any other element type
+  // (e.g. int arrays) must be rejected or cast by the caller
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got ${other.sql}")
+    }
+
+  private lazy val elementIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val vec = new Array[Double](n)
     var i = 0
-    while (i < n) { vec(i) = v.getFloat(i).toDouble; i += 1 }
+    if (elementIsDouble) { while (i < n) { vec(i) = v.getDouble(i); i += 1 } }
+    else { while (i < n) { vec(i) = v.getFloat(i).toDouble; i += 1 } }
     val out = new Array[Any](nTables)
     var t = 0
     while (t < nTables) {

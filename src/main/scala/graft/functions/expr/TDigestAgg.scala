@@ -151,6 +151,18 @@ case class TDigestAgg(
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_tdigest"
 
+  // reject non-numeric inputs at analysis time — without this a string
+  // column via the SQL surface fails per-row with NumberFormatException
+  // deep inside the aggregate
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a numeric column, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): TDigestBuffer =
     new TDigestBuffer(compression)
 
@@ -165,7 +177,9 @@ case class TDigestAgg(
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case s: Short => s.toDouble
         case b: Byte => b.toDouble
-        case other => other.toString.toDouble
+        // unreachable: checkInputDataTypes restricts child to NumericType
+        case other =>
+          throw new IllegalStateException(s"non-numeric tdigest input: $other")
       }
       buffer.add(x)
     }

@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Frames persisted by the helpers below. They must stay cached until
+    * the caller's terminal action (the functions return lazy frames, so
+    * unpersisting internally would defeat the shared-subplan cache), but a
+    * long-lived session would otherwise accumulate one cache per
+    * invocation until LRU eviction. Every persist registers here;
+    * [[unpersistAll]] releases them, and each pipeline entry point drains
+    * the PREVIOUS invocation's caches on entry, bounding live caches to
+    * one invocation's worth without racing the caller's action. */
+  private val persisted =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(p)
+    p
+  }
+
+  /** Unpersist every frame cached by previous dedup invocations. Safe to
+    * call any time after the consuming action; also called on entry by the
+    * pipeline functions so sessions never hold more than one invocation's
+    * caches. */
+  def unpersistAll(): Unit = {
+    val it = persisted.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   /** Exact dedup: keep the lowest id per distinct content. One hash
     * aggregate; equivalent to grouping by the text itself (sha256 collision
     * probability is negligible) but shuffles 32-byte keys, not documents. */
@@ -38,11 +65,12 @@ object Dedup {
     * smaller than the corpus; at 100 TB the equivalent is a checkpoint of
     * this frame. */
   private def shingleDocs(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    unpersistAll() // release the previous invocation's caches
+    tracked(df.select(
       col(idCol).as("doc_id"),
-      transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
+  }
 
   /** (doc_id, shingle-hash) inverted index + per-doc sizes from the cached
     * shingle frame. */
@@ -148,9 +176,8 @@ object Dedup {
       inv: DataFrame, nHashes: Int, rowsPerBand: Int): DataFrame = {
     // both sides of the band self-join descend from the signature
     // aggregate; cache it (one ~0.5 KB sketch per doc) so it runs once
-    val sig = inv.groupBy(col("doc_id"))
-      .agg(graft.functions.expr.MinHashSketch(col("shingle"), nHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = tracked(inv.groupBy(col("doc_id"))
+      .agg(graft.functions.expr.MinHashSketch(col("shingle"), nHashes).as("sig")))
     val nBands = nHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       struct(
@@ -203,8 +230,7 @@ object Dedup {
       maxHamming: Int = 8, n: Int = 3): DataFrame = {
     // both sides of the band self-join read the signatures; cache the
     // (doc_id, simhash) frame (16 bytes/doc) instead of re-aggregating
-    val sigs = simhashSignatures(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = tracked(simhashSignatures(df, idCol, textCol, n))
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("k"),
         shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("bv"))

@@ -140,20 +140,25 @@ object ExtendedQueries {
 
   /** Q33: winsorized mean (reference `winsorize` kernel). Cutoffs are
     * interpolated quantiles rounded to 2 dp before clamping so both
-    * engines clamp against identical values. */
+    * engines clamp against identical values. The cutoffs come from the
+    * distributed rank-selection operator (graft.operators.Quantiles.exact)
+    * rather than a `percentile()` full-column buffer, and reach the clamp
+    * pass as broadcast literals — one distributed sort + one scan instead
+    * of a single-reducer sort of all of lineitem. PlanSpec asserts no
+    * Percentile aggregate appears in this query's plan. */
   private def q33(s: SparkSession, d: String): DataFrame = {
-    val cuts = Tables.lineitem(s, d)
-      .agg(percentile(col("l_extendedprice"), array(lit(0.05), lit(0.95))).as("pp"))
-      .select(
-        round(element_at(col("pp"), 1), 2).as("lo"),
-        round(element_at(col("pp"), 2), 2).as("hi"))
-    val clamped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
-    Tables.lineitem(s, d).crossJoin(cuts)
-      .agg(
-        first(col("lo")).as("lo"),
-        first(col("hi")).as("hi"),
-        Det.davg(clamped).as("winsor_mean"),
-        count(lit(1)).as("n"))
+    val li = Tables.lineitem(s, d)
+    val Seq(lo0, hi0) =
+      graft.operators.Quantiles.exact(li, "l_extendedprice", Seq(0.05, 0.95))
+    // round the cutoffs with the same Spark `round` semantics as before
+    val lo = round(lit(lo0), 2)
+    val hi = round(lit(hi0), 2)
+    val clamped = least(greatest(col("l_extendedprice"), lo), hi)
+    li.agg(
+      first(lo).as("lo"),
+      first(hi).as("hi"),
+      Det.davg(clamped).as("winsor_mean"),
+      count(lit(1)).as("n"))
   }
 
   private val q33Sql = {

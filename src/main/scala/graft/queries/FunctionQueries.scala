@@ -350,14 +350,19 @@ object FunctionQueries {
 
   /** Q02c: boolean aggregates (reference any/all kernels), count_if,
     * arg-extrema (max_by/min_by ≈ DuckDB arg_max/arg_min) and exact
-    * median over `orders`. */
+    * median over `orders`. The extremum ordinal includes the key as a
+    * tie-break (smallest key wins in both directions) — a duplicated
+    * global max/min price at a larger SF would otherwise let each engine
+    * pick an arbitrary key. */
   private def q02c(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).agg(
       bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
       bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
       count_if(col("o_orderstatus") === "F").as("n_f"),
-      max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
-      min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+      max_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey")))
+        .as("key_of_max"),
+      min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+        .as("key_of_min"),
       round(median(col("o_totalprice")), 4).as("med"))
 
   private val q02cSql =
@@ -365,8 +370,10 @@ object FunctionQueries {
       |  bool_and(o_totalprice > 1000.0::DOUBLE) AS all_over_1k,
       |  bool_or(o_totalprice > 400000.0::DOUBLE) AS any_over_400k,
       |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
-      |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
-      |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+      |  (SELECT MIN(o_orderkey) FROM orders
+      |   WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)) AS key_of_max,
+      |  (SELECT MIN(o_orderkey) FROM orders
+      |   WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM orders)) AS key_of_min,
       |  round(median(o_totalprice), 4) AS med
       |FROM orders""".stripMargin
 

@@ -250,19 +250,26 @@ object NestedIOQueries {
 
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
-    * rank (n-1)*q; rounded to absorb last-ulp interpolation differences). */
-  private def q27a(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
-      // one percentile buffer for all three price quantiles (each separate
-      // percentile() call would buffer the full column again)
-      percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("pp"),
-      round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"),
-      countDistinct(col("l_partkey")).as("n_parts"))
+    * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
+    * Quantiles run through the distributed rank-selection operator
+    * (graft.operators.Quantiles.exact — sort + targeted fetch), NOT
+    * Spark's `percentile()`, whose merge-into-one-buffer final step is a
+    * single-node sort of the whole column at 100 TB. PlanSpec asserts no
+    * Percentile aggregate appears in this query's plan. */
+  private def q27a(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val Seq(p25, p50, p75) =
+      graft.operators.Quantiles.exact(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val Seq(qty90) = graft.operators.Quantiles.exact(li, "l_quantity", Seq(0.9))
+    li.agg(countDistinct(col("l_partkey")).as("n_parts"))
       .select(
-        round(element_at(col("pp"), 1), 4).as("p25"),
-        round(element_at(col("pp"), 2), 4).as("p50"),
-        round(element_at(col("pp"), 3), 4).as("p75"),
-        col("qty_p90"), col("n_parts"))
+        // literal quantiles rounded by the same Spark `round` as before
+        round(lit(p25), 4).as("p25"),
+        round(lit(p50), 4).as("p50"),
+        round(lit(p75), 4).as("p75"),
+        round(lit(qty90), 4).as("qty_p90"),
+        col("n_parts"))
+  }
 
   private val q27aSql =
     """SELECT

@@ -75,8 +75,12 @@ object StreamingAsOf {
     var rights = st.rights ++ incoming.filter(_.side == 1)
 
     val wmUs = state.getCurrentWatermarkMs() * 1000L
-    // flush lefts proven complete by the watermark, oldest first
-    val (ready, pending) = lefts.partition(_.ts_us <= wmUs)
+    // flush lefts proven complete by the watermark, oldest first. Strict
+    // `<`: Spark's late-data filter only drops rows strictly older than
+    // the watermark, so a right row with event time exactly equal to the
+    // watermark may still arrive — a left at that same instant is not yet
+    // complete (mirrors Sessionize.sessionsStreamingFinalized).
+    val (ready, pending) = lefts.partition(_.ts_us < wmUs)
     val out = ready.sortBy(l => (l.ts_us, l.id)).map { l =>
       val m = rights.iterator
         .filter(r => r.ts_us <= l.ts_us && l.ts_us - r.ts_us <= tolUs)
@@ -90,8 +94,9 @@ object StreamingAsOf {
       AsOfMatch(l.id, by, l.ts_us, l.value, m.map(_.id), m.map(_.ts_us), m.map(_.value))
     }
     lefts = pending
-    // rights older than watermark - tolerance can't match any remaining left
-    rights = rights.filter(_.ts_us > wmUs - tolUs)
+    // pending lefts all have ts_us >= wmUs, so a right can still match
+    // only if its ts_us >= wmUs - tolerance
+    rights = rights.filter(_.ts_us >= wmUs - tolUs)
 
     if (lefts.isEmpty && rights.isEmpty) {
       state.remove()

@@ -8,41 +8,90 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("decode stub emits the typed feature schema") {
-    // the declared query surfaces scalar projections of the vector (the
-    // gate's comparator can't sort array cells); the full typed vector is
-    // asserted on the decode output directly
-    val out = Registry.byName("mm_decode_stub").run(spark, sf)
+  test("decode emits the typed feature schema over the full corpus") {
+    val out = Registry.byName("mm_decode").run(spark, sf)
     assert(out.columns.toSeq ==
-      Seq("doc_id", "n_bytes", "kind", "width", "height", "f0", "feature_sum"))
+      Seq("doc_id", "n_bytes", "kind", "width", "height",
+        "n_samples", "sample_rate", "f0", "feature_sum"))
     assert(out.count() == Tables.documents(spark, sf).count())
-    val media = Tables.documents(spark, sf)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-    val rows = Multimodal.decode(spark, media).collect()
-    assert(rows.length == Tables.documents(spark, sf).count())
+  }
+
+  test("PNG payloads decode to their real generated dimensions and stats") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(
+      spark, Tables.documents(spark, sf), "doc_id", "text")
+    val rows = Multimodal.decode(spark, media)
+      .filter(col("doc_id") % 2 === 0).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Int]("n_bytes") > 0)
-      assert(Set("image", "audio")(r.getAs[String]("kind")))
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("kind") == "image")
+      // javax.imageio really parsed the PNG: dimensions are the
+      // generator's, not derived from the bytes by any shortcut
+      assert(r.getAs[Int]("width") == 16 + (id % 32).toInt)
+      assert(r.getAs[Int]("height") == 12 + (id % 24).toInt)
       val f = r.getSeq[Double](r.fieldIndex("feature"))
-      assert(f.length == 8 && f.forall(v => v >= 0.0 && v <= 1.0))
+      assert(f.length == 8)
+      // channel means of RGB noise sit well inside (0,1); lum std > 0
+      assert(f(0) > 0.2 && f(0) < 0.8, s"meanR=${f(0)}")
+      assert(f(4) > 0.0, "luminance std must be positive for noise")
+      assert(math.abs(f(7) - (16 + (id % 32).toInt).toDouble / (12 + (id % 24).toInt)) < 1e-9)
     }
   }
 
-  test("decode is deterministic and n_bytes matches UTF-8 byte length") {
-    val a = Registry.byName("mm_decode_stub").run(spark, sf).collect().toSeq
-    val b = Registry.byName("mm_decode_stub").run(spark, sf).collect().toSeq
+  test("WAV payloads decode to their real frame counts and sine statistics") {
+    val media = Multimodal.synthesize(
+      spark, Tables.documents(spark, sf), "doc_id", "text")
+    val rows = Multimodal.decode(spark, media)
+      .filter(col("doc_id") % 2 === 1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("kind") == "audio")
+      // javax.sound.sampled really parsed the RIFF header
+      assert(r.getAs[Int]("n_samples") == 2000 + (id % 6000).toInt)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      val f = r.getSeq[Double](r.fieldIndex("feature"))
+      // a 12000/32768-amplitude sine has RMS ≈ 0.366 * 0.707 ≈ 0.259
+      assert(f(0) > 0.15 && f(0) < 0.3, s"rms=${f(0)}")
+      assert(f(1) > 0.0, "sine must cross zero")
+      assert(f(2) > 0.3 && f(2) <= 12000.0 / 32768.0 + 1e-6, s"peak=${f(2)}")
+    }
+  }
+
+  test("decode matches an independent single-payload reference") {
+    // one PNG decoded outside Spark with the same JDK codec must agree
+    // with the pipeline's row for the same payload
+    val png = Multimodal.syntheticPng(42L, 20, 10)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 20 && img.getHeight == 10)
+    import spark.implicits._
+    val df = Seq(Multimodal.MediaRow(7L, png)).toDS().toDF()
+    val row = Multimodal.decode(spark, df).collect().head
+    assert(row.getAs[Int]("width") == 20 && row.getAs[Int]("height") == 10)
+    var sum = 0L
+    for (y <- 0 until 10; x <- 0 until 20) sum += (img.getRGB(x, y) >> 16) & 0xFF
+    val meanR = sum.toDouble / 200 / 255.0
+    assert(math.abs(row.getSeq[Double](row.fieldIndex("feature"))(0) - meanR) < 1e-12)
+  }
+
+  test("decode is deterministic and degrades unknown containers to opaque") {
+    val a = Registry.byName("mm_decode").run(spark, sf).collect().toSeq
+    val b = Registry.byName("mm_decode").run(spark, sf).collect().toSeq
     assert(a == b)
-    val joined = Registry.byName("mm_decode_stub").run(spark, sf)
-      .join(Tables.documents(spark, sf), "doc_id")
-      .select(col("n_bytes"), octet_length(encode(col("text"), "UTF-8")).as("ob"))
-      .collect()
-    joined.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4))).toDS().toDF()
+    val row = Multimodal.decode(spark, junk).collect().head
+    assert(row.getAs[String]("kind") == "opaque")
+    assert(row.getAs[Int]("n_bytes") == 4)
   }
 
   test("decodeBatch runs per-partition (batch shape, not per-row driver calls)") {
     import spark.implicits._
-    val df = Seq((1L, "aa".getBytes), (2L, "bb".getBytes)).toDF("doc_id", "media")
+    val df = Seq(
+      (2L, Multimodal.syntheticPng(1L, 8, 8)),
+      (3L, Multimodal.syntheticWav(2L, 1000))).toDF("doc_id", "media")
     val out = Multimodal.decode(spark, df).collect()
-    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("kind")).toSet == Set("image", "audio"))
   }
 }

@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 
+  test("q27a/q33: no single-reducer Percentile buffer in exact-quantile plans") {
+    // exact quantiles must run through Quantiles.exact (distributed sort +
+    // targeted rank fetch); Spark's Percentile aggregate merges every value
+    // into one final buffer — a single-node sort of the column at scale
+    for (name <- Seq("q27a_quantiles", "q33_winsorize")) {
+      val df = Registry.byName(name).run(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("percentile"), s"$name plan still has a percentile buffer")
+    }
+  }
+
   test("eventsBetween pushes the raw-nanos range predicate into the scan") {
     val lo = 1704067200000000L // 2024-01-01T00:00:00Z in micros
     val hi = 1704153600000000L
