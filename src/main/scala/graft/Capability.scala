@@ -24,6 +24,7 @@ object Registry {
       queries.FunctionQueries.caps ++
       queries.WindowQueries.caps ++
       queries.NestedIOQueries.caps ++
+      queries.IngestQueries.caps ++
       queries.ExtendedQueries.caps ++
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Capability, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar function-surface capabilities Q14–Q18 (SURVEY.md §2.2): string,
@@ -238,6 +238,90 @@ object FunctionQueries {
       |  epoch_us(CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS TIMESTAMP)) AS local_ny_us
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Q15e: the temporal kernel tail — US epidemiological week/year and
+    * is_dst (reference us_week/us_year/is_dst,
+    * cpp/src/arrow/compute/kernels/scalar_temporal_unary.cc:482,697,
+    * compute.rst §1542-1622).
+    *
+    * US epi calendar (scalar_temporal_unary.cc:475-479): weeks start
+    * Sunday; epi year y begins on the Sunday that follows the last
+    * Wednesday of December y-1 (so week 1 has ≥4 days in January); the
+    * candidate year is `year(d + 3 days)`, decremented when d precedes
+    * that year's start.
+    *
+    * is_dst (scalar_temporal_unary.cc:697): a zone observes DST at t iff
+    * its UTC offset at t exceeds its standard offset — recovered
+    * engine-portably as offset(t) > min(offset(Jan 1), offset(Jul 1)) of
+    * t's year, which covers both hemispheres (Sydney's DST is in
+    * January). */
+  private def q15e(s: SparkSession, d: String): DataFrame = {
+    // Sunday following the last Wednesday of December of (y-1);
+    // Spark dayofweek: Sunday=1 .. Wednesday=4
+    def usStart(y: Column): Column = {
+      val d31 = make_date(y - 1, lit(12), lit(31))
+      date_add(date_sub(d31, (dayofweek(d31) - lit(4) + lit(7)) % lit(7)), 4)
+    }
+    def offsetUs(zone: String, t: Column): Column =
+      unix_micros(from_utc_timestamp(t, zone)) - unix_micros(t)
+    def isDst(zone: String, t: Column, yr: Column): Column = {
+      val jan = make_date(yr, lit(1), lit(1)).cast("timestamp")
+      val jul = make_date(yr, lit(7), lit(1)).cast("timestamp")
+      offsetUs(zone, t) > least(offsetUs(zone, jan), offsetUs(zone, jul))
+    }
+    val dt = to_date(col("ts"))
+    val ycand = year(date_add(dt, 3))
+    val usYear = when(dt < usStart(ycand), ycand - 1).otherwise(ycand)
+    val usWeek = (floor(datediff(dt, usStart(usYear)) / 7) + 1).cast("int")
+    Tables.events(s, d).select(
+      col("event_id"),
+      usYear.cast("int").as("us_year"),
+      usWeek.as("us_week"),
+      isDst("America/New_York", col("ts"), year(dt)).as("dst_ny"),
+      isDst("Australia/Sydney", col("ts"), year(dt)).as("dst_sydney"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB mirror: 0-based dayofweek (Wednesday=3), date−date = days,
+    * `//` floor division; is_dst via the same two-anchor offset rule with
+    * ICU timezone(). */
+  private val q15eSql =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d, CAST(ts AS TIMESTAMP) AS t,
+      |    year(CAST(ts AS DATE) + 3) AS ycand
+      |  FROM events),
+      |s AS (
+      |  SELECT *,
+      |    make_date(CAST(ycand AS INT) - 1, 12, 31) AS d31c,
+      |    make_date(CAST(ycand AS INT) - 2, 12, 31) AS d31p,
+      |    make_date(CAST(year(d) AS INT), 1, 1) AS jan,
+      |    make_date(CAST(year(d) AS INT), 7, 1) AS jul
+      |  FROM e),
+      |w AS (
+      |  SELECT *,
+      |    d31c - CAST((dayofweek(d31c) - 3 + 7) % 7 AS INT) + 4 AS startc,
+      |    d31p - CAST((dayofweek(d31p) - 3 + 7) % 7 AS INT) + 4 AS startp
+      |  FROM s),
+      |y AS (
+      |  SELECT *,
+      |    CASE WHEN d < startc THEN ycand - 1 ELSE ycand END AS us_year,
+      |    CASE WHEN d < startc THEN startp ELSE startc END AS ystart
+      |  FROM w),
+      |o AS (
+      |  SELECT *,
+      |    epoch_us(CAST(timezone('America/New_York', CAST(t AS TIMESTAMPTZ)) AS TIMESTAMP)) - epoch_us(t) AS off_ny,
+      |    epoch_us(CAST(timezone('America/New_York', CAST(CAST(jan AS TIMESTAMP) AS TIMESTAMPTZ)) AS TIMESTAMP)) - epoch_us(CAST(jan AS TIMESTAMP)) AS off_ny_jan,
+      |    epoch_us(CAST(timezone('America/New_York', CAST(CAST(jul AS TIMESTAMP) AS TIMESTAMPTZ)) AS TIMESTAMP)) - epoch_us(CAST(jul AS TIMESTAMP)) AS off_ny_jul,
+      |    epoch_us(CAST(timezone('Australia/Sydney', CAST(t AS TIMESTAMPTZ)) AS TIMESTAMP)) - epoch_us(t) AS off_sy,
+      |    epoch_us(CAST(timezone('Australia/Sydney', CAST(CAST(jan AS TIMESTAMP) AS TIMESTAMPTZ)) AS TIMESTAMP)) - epoch_us(CAST(jan AS TIMESTAMP)) AS off_sy_jan,
+      |    epoch_us(CAST(timezone('Australia/Sydney', CAST(CAST(jul AS TIMESTAMP) AS TIMESTAMPTZ)) AS TIMESTAMP)) - epoch_us(CAST(jul AS TIMESTAMP)) AS off_sy_jul
+      |  FROM y)
+      |SELECT event_id,
+      |  CAST(us_year AS INT) AS us_year,
+      |  CAST(((d - ystart) // 7) + 1 AS INT) AS us_week,
+      |  off_ny > least(off_ny_jan, off_ny_jul) AS dst_ny,
+      |  off_sy > least(off_sy_jan, off_sy_jul) AS dst_sydney
+      |FROM o ORDER BY event_id""".stripMargin
+
   /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`. */
   private def q16(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(
@@ -261,7 +345,13 @@ object FunctionQueries {
       (col("l_linenumber").bitwiseAND(lit(3))).as("band"),
       (col("l_linenumber").bitwiseXOR(lit(5))).as("bxor"),
       greatest(col("l_quantity"), lit(25.0)).as("gr"),
-      least(col("l_quantity"), lit(25.0)).as("le"))
+      least(col("l_quantity"), lit(25.0)).as("le"),
+      // round_to_multiple / round_binary (scalar_round.cc, compute.rst
+      // §597-697). m = 0.25 and 2^-3 make x/m an EXACT power-of-two
+      // scaling of the 2-decimal prices, so no value can land on a
+      // rounding tie and both engines' tie rules agree vacuously
+      (rint(col("l_extendedprice") / lit(0.25)) * lit(0.25)).as("rmult"),
+      (rint(col("l_extendedprice") * lit(8.0)) / lit(8.0)).as("rbin"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   private val q16Sql =
@@ -281,7 +371,9 @@ object FunctionQueries {
       |  l_linenumber & 3 AS band,
       |  xor(l_linenumber, 5) AS bxor,
       |  greatest(l_quantity, 25.0::DOUBLE) AS gr,
-      |  least(l_quantity, 25.0::DOUBLE) AS le
+      |  least(l_quantity, 25.0::DOUBLE) AS le,
+      |  round(l_extendedprice / 0.25) * 0.25 AS rmult,
+      |  round(l_extendedprice * 8.0) / 8.0 AS rbin
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Q16b: trig / hyperbolic / extended-log kernels (compute.rst
@@ -378,8 +470,16 @@ object FunctionQueries {
       |FROM orders""".stripMargin
 
   /** Q17: conditional / null-handling kernels (case_when, if_else,
-    * coalesce, nullif, is_null) over `orders`. */
-  private def q17(s: SparkSession, d: String): DataFrame =
+    * coalesce, nullif, is_null) plus the validity battery
+    * (is_nan/is_inf/is_finite — reference scalar_validity.cc,
+    * compute.rst §1286-1324) over `orders`, with NaN/±Inf planted by key
+    * so all three special classes occur. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("o_orderkey") % 5 === 0, lit(Double.NaN))
+      .when(col("o_orderkey") % 5 === 1, lit(Double.PositiveInfinity))
+      .when(col("o_orderkey") % 5 === 2, lit(Double.NegativeInfinity))
+      .otherwise(col("o_totalprice"))
+    val isInf = abs(planted) === lit(Double.PositiveInfinity)
     Tables.orders(s, d).select(
       col("o_orderkey"),
       when(col("o_orderstatus") === "F", "done")
@@ -390,8 +490,12 @@ object FunctionQueries {
       when(col("o_totalprice") > 100000.0, col("o_totalprice")).as("big_price"),
       coalesce(
         when(col("o_totalprice") > 100000.0, col("o_totalprice")),
-        lit(-1.0)).as("big_or_default"))
+        lit(-1.0)).as("big_or_default"),
+      isnan(planted).as("v_nan"),
+      isInf.as("v_inf"),
+      (!isnan(planted) && !isInf).as("v_finite"))
       .orderBy(col("o_orderkey"))
+  }
 
   private val q17Sql =
     """SELECT o_orderkey,
@@ -402,8 +506,17 @@ object FunctionQueries {
       |  NULLIF(o_orderpriority, '3-MEDIUM') IS NULL AS was_medium,
       |  CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice END AS big_price,
       |  COALESCE(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice END,
-      |           -1.0::DOUBLE) AS big_or_default
-      |FROM orders ORDER BY o_orderkey""".stripMargin
+      |           -1.0::DOUBLE) AS big_or_default,
+      |  isnan(planted) AS v_nan,
+      |  isinf(planted) AS v_inf,
+      |  isfinite(planted) AS v_finite
+      |FROM (SELECT *,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN 'NaN'::DOUBLE
+      |             WHEN o_orderkey % 5 = 1 THEN 'Infinity'::DOUBLE
+      |             WHEN o_orderkey % 5 = 2 THEN '-Infinity'::DOUBLE
+      |             ELSE o_totalprice END AS planted
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Q17b: three-valued (Kleene) boolean logic — SQL's AND/OR/NOT over
     * nullable booleans, the reference's and_kleene/or_kleene defaults
@@ -475,6 +588,7 @@ object FunctionQueries {
     Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
     Capability("q15c_temporal_iso", "ISO calendar/leap-year/strftime round-trip", q15c, Some(q15cSql)),
     Capability("q15d_timezone", "assume_timezone / local_timestamp conversions", q15d, Some(q15dSql)),
+    Capability("q15e_us_calendar", "us_week/us_year epi calendar + is_dst", q15e, Some(q15eSql)),
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
     Capability("q16b_trig", "trig/hyperbolic/extended-log/pmod/factorial kernels", q16b, Some(q16bSql)),
     Capability("q02c_bool_aggs", "any/all/count_if/arg-extrema/median aggregates", q02c, Some(q02cSql)),

