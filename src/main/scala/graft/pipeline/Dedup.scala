@@ -252,8 +252,12 @@ object Dedup {
   }
 
   /** Brute top-k closest pairs by cosine (rounded cosine + ids give an
-    * engine-deterministic cut). Quadratic — small inputs / oracle twin. */
+    * engine-deterministic cut). Quadratic — small inputs / oracle twin.
+    * Drains prior dedup caches on entry: this query owns no cache, but in
+    * a sequential session it otherwise runs under the memory pressure of
+    * the text-dedup signature caches (the r3 bench regression). */
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    unpersistAll()
     val a = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
     val b = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
     a.join(b, col("va") < col("vb"))

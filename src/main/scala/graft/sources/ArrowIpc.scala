@@ -1,115 +1,100 @@
 package graft.sources
 
-import scala.collection.JavaConverters._
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.channels.{Channels, SeekableByteChannel}
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector._
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
-import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.{VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel, WriteChannel}
+import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.StructType
 
-/** Arrow IPC (Feather v2) file source/sink built on the arrow-java jars
-  * Spark ships (reference surface: cpp/src/arrow/ipc/reader.h:74,
-  * writer.h:143 — the one reference format Spark has no native source for;
-  * SURVEY.md §2.4).
+/** Hadoop `Configuration` is not Java-serializable; standard writable
+  * wrapper so executor tasks see the driver's filesystem configuration. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Arrow IPC (Feather v2) file source/sink (reference surface:
+  * cpp/src/arrow/ipc/reader.h:74, writer.h:143 — the one reference format
+  * Spark has no native source for; SURVEY.md §2.4).
   *
-  * Distribution model: one IPC file per partition on write (executors
-  * write independently — same layout contract as Spark's file sinks), and
-  * one read task per file. Supported Spark types: long/int/double/float/
-  * string/boolean/date/timestamp — the relational core; nested types can
-  * be added vector-by-vector.
+  * Fully vectorized: the write path runs Spark's own InternalRow→Arrow
+  * columnar serializer (the engine behind toPandas/mapInArrow) per
+  * partition and streams record batches into one IPC file per partition;
+  * the read path streams batches back through the inverse converter into
+  * an InternalRow RDD — no per-row `Row.get`/`setSafe`, no whole-file
+  * row materialization, and every Spark type Arrow interop supports
+  * (nested arrays/structs/maps included) comes along for free. All file
+  * IO goes through the Hadoop FileSystem API, so any configured scheme
+  * (file://, hdfs://, s3a://) works, and discovery is an FS glob, not a
+  * driver-local directory listing.
   */
 object ArrowIpc {
 
-  private def toArrowField(f: StructField): Field = {
-    val t = f.dataType match {
-      case LongType      => new ArrowType.Int(64, true)
-      case IntegerType   => new ArrowType.Int(32, true)
-      case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case StringType    => new ArrowType.Utf8()
-      case BooleanType   => new ArrowType.Bool()
-      case DateType      => new ArrowType.Date(DateUnit.DAY)
-      case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
-      case other => throw new IllegalArgumentException(s"ArrowIpc: unsupported type $other")
+  /** Minimal seekable-channel view over a Hadoop input stream (the IPC
+    * footer is read via seeks). */
+  private final class HadoopSeekableChannel(in: FSDataInputStream, length: Long)
+    extends SeekableByteChannel {
+    private var open = true
+    override def read(dst: ByteBuffer): Int = {
+      val buf = new Array[Byte](dst.remaining())
+      val n = in.read(buf, 0, buf.length)
+      if (n > 0) dst.put(buf, 0, n)
+      n
     }
-    new Field(f.name, new FieldType(f.nullable, t, null), java.util.Collections.emptyList())
+    override def write(src: ByteBuffer): Int = throw new UnsupportedOperationException
+    override def position(): Long = in.getPos
+    override def position(newPosition: Long): SeekableByteChannel = { in.seek(newPosition); this }
+    override def size(): Long = length
+    override def truncate(size: Long): SeekableByteChannel = throw new UnsupportedOperationException
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
   }
 
-  private def fromArrowField(f: Field): StructField = {
-    val t = f.getType match {
-      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-      case _: ArrowType.Utf8 => StringType
-      case _: ArrowType.Bool => BooleanType
-      case _: ArrowType.Date => DateType
-      case _: ArrowType.Timestamp => TimestampType
-      case other => throw new IllegalArgumentException(s"ArrowIpc: unsupported arrow type $other")
-    }
-    StructField(f.getName, t, f.isNullable)
-  }
-
-  private def setValue(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
-    case (x: BigIntVector, y: java.lang.Long)            => x.setSafe(i, y)
-    case (x: IntVector, y: java.lang.Integer)            => x.setSafe(i, y)
-    case (x: Float8Vector, y: java.lang.Double)          => x.setSafe(i, y)
-    case (x: Float4Vector, y: java.lang.Float)           => x.setSafe(i, y)
-    case (x: VarCharVector, y: String)                   => x.setSafe(i, y.getBytes("UTF-8"))
-    case (x: BitVector, y: java.lang.Boolean)            => x.setSafe(i, if (y) 1 else 0)
-    case (x: DateDayVector, y: java.sql.Date)            => x.setSafe(i, y.toLocalDate.toEpochDay.toInt)
-    case (x: TimeStampMicroTZVector, y: java.sql.Timestamp) =>
-      x.setSafe(i, y.getTime * 1000L + (y.getNanos % 1000000) / 1000)
-    case _ => throw new IllegalArgumentException(
-      s"ArrowIpc: cannot write ${value.getClass} into ${v.getClass}")
-  }
-
-  private def getValue(v: FieldVector, i: Int): Any = v match {
-    case x: BigIntVector   => x.get(i)
-    case x: IntVector      => x.get(i)
-    case x: Float8Vector   => x.get(i)
-    case x: Float4Vector   => x.get(i)
-    case x: VarCharVector  => new String(x.get(i), "UTF-8")
-    case x: BitVector      => x.get(i) == 1
-    case x: DateDayVector  => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i)))
-    case x: TimeStampMicroTZVector =>
-      val micros = x.get(i)
-      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-      ts
-    case other => throw new IllegalArgumentException(s"ArrowIpc: unsupported vector $other")
-  }
-
-  /** Write `df` as a directory of Arrow IPC files, one per partition. */
+  /** Write `df` as a directory of Arrow IPC files, one per partition.
+    * Per partition: Spark's columnar serializer produces framed record
+    * batches; a VectorLoader moves their buffers into the file writer —
+    * buffer transfers end to end. */
   def write(df: DataFrame, dir: String, batchSize: Int = 4096): Unit = {
     val schema = df.schema
-    new java.io.File(dir).mkdirs()
-    df.rdd.foreachPartition { rows =>
+    val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true) // overwrite semantics
+    fs.mkdirs(dirPath)
+    Bridge.toInternalRdd(df).foreachPartition { rows =>
       if (rows.nonEmpty) {
         val part = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$part%05d.arrow")
+        val pfs = path.getFileSystem(hconf.value)
         val allocator = new RootAllocator(Long.MaxValue)
-        val arrowSchema = new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
-        val root = VectorSchemaRoot.create(arrowSchema, allocator)
-        val out = new java.io.FileOutputStream(s"$dir/part-$part.arrow")
-        val writer = new ArrowFileWriter(root, null, out.getChannel)
+        val root = VectorSchemaRoot.create(Bridge.toArrowSchema(schema), allocator)
+        val loader = new VectorLoader(root)
+        val out = pfs.create(path, true)
+        val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
         try {
           writer.start()
-          rows.grouped(batchSize).foreach { batch =>
-            root.allocateNew()
-            var i = 0
-            batch.foreach { row =>
-              schema.fields.indices.foreach { c =>
-                val vec = root.getVector(c)
-                if (row.isNullAt(c)) vec.setNull(i)
-                else setValue(vec, i, row.get(c))
-              }
-              i += 1
-            }
-            root.setRowCount(i)
+          Bridge.toArrowBatchIterator(rows, schema, batchSize, TaskContext.get()).foreach { bytes =>
+            // framed record-batch payload → ArrowRecordBatch (buffer move)
+            val batch = MessageSerializer.deserializeRecordBatch(
+              new org.apache.arrow.vector.ipc.ReadChannel(
+                Channels.newChannel(new java.io.ByteArrayInputStream(bytes))), allocator)
+            try loader.load(batch) finally batch.close()
             writer.writeBatch()
           }
           writer.end()
@@ -120,38 +105,67 @@ object ArrowIpc {
     }
   }
 
-  /** Read a directory of Arrow IPC files back into a DataFrame; schema is
-    * taken from the first file's footer, one read task per file. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
-    require(files.nonEmpty, s"ArrowIpc.read: no .arrow files in $dir")
-    val schema = {
-      val allocator = new RootAllocator(Long.MaxValue)
-      val in = new java.io.FileInputStream(files.head)
-      val reader = new ArrowFileReader(in.getChannel, allocator)
-      try StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.map(fromArrowField).toSeq)
-      finally { reader.close(); in.close(); allocator.close() }
-    }
-    val rowsRdd = spark.sparkContext
-      .parallelize(files.toSeq, files.length)
-      .flatMap { file =>
-        val allocator = new RootAllocator(Long.MaxValue)
-        val in = new java.io.FileInputStream(file)
-        val reader = new ArrowFileReader(in.getChannel, allocator)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          val root = reader.getVectorSchemaRoot
-          while (reader.loadNextBatch()) {
-            (0 until root.getRowCount).foreach { i =>
-              out += Row.fromSeq(root.getFieldVectors.asScala.map { v =>
-                if (v.isNull(i)) null else getValue(v, i)
-              }.toSeq)
-            }
-          }
-        } finally { reader.close(); in.close(); allocator.close() }
-        out
+  /** Stream one file's record batches as framed payloads (the format
+    * [[Bridge.fromArrowBatchIterator]] consumes). Batch-at-a-time: peak
+    * memory is one batch, not the file. */
+  private def batchBytes(conf: Configuration, file: String): Iterator[Array[Byte]] = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowFileReader(
+      new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator)
+    val unloader = new VectorUnloader(reader.getVectorSchemaRoot)
+    var closed = false
+    def closeAll(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+    new Iterator[Array[Byte]] {
+      private var advanced = false
+      private var hasBatch = false
+      private def advance(): Unit = if (!advanced) {
+        hasBatch = !closed && reader.loadNextBatch()
+        if (!hasBatch) closeAll()
+        advanced = true
       }
-    spark.createDataFrame(rowsRdd, schema)
+      override def hasNext: Boolean = { advance(); hasBatch }
+      override def next(): Array[Byte] = {
+        advance()
+        if (!hasBatch) throw new NoSuchElementException
+        advanced = false
+        val batch = unloader.getRecordBatch
+        val bos = new ByteArrayOutputStream()
+        try MessageSerializer.serialize(new WriteChannel(Channels.newChannel(bos)), batch)
+        finally batch.close()
+        bos.toByteArray
+      }
+    }
+  }
+
+  /** Read a directory of Arrow IPC files back into a DataFrame; schema
+    * from the first file's footer (Spark's own Arrow↔Spark type mapping,
+    * nested types included), one read task per file. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val files = Option(fs.globStatus(new Path(dirPath, "*.arrow")))
+      .getOrElse(Array.empty).map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"ArrowIpc.read: no .arrow files in $dir")
+    val schema: StructType = {
+      val len = fs.getFileStatus(new Path(files.head)).getLen
+      val in = fs.open(new Path(files.head))
+      val allocator = new RootAllocator(Long.MaxValue)
+      val reader = new ArrowFileReader(
+        new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator)
+      try Bridge.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); allocator.close() }
+    }
+    val hconf = new SerializableHadoopConf(conf)
+    val rows = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length)
+      .flatMap(f => batchBytes(hconf.value, f))
+      .mapPartitions(it => Bridge.fromArrowBatchIterator(it, schema, TaskContext.get()))
+    Bridge.internalCreateDataFrame(spark, rows, schema)
   }
 }

@@ -24,6 +24,52 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Physical-row RDD of a DataFrame (`queryExecution.toRdd`) — the
+    * unboxed InternalRow stream the vectorized Arrow writer consumes. */
+  def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Spark's vectorized InternalRow→Arrow-batch serializer (the engine
+    * behind toPandas/mapInArrow); private[sql], hence bridged. Emits
+    * MessageSerializer-framed record-batch payloads. */
+  def toArrowBatchIterator(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      maxRecordsPerBatch: Long,
+      ctx: org.apache.spark.TaskContext): Iterator[Array[Byte]] =
+    org.apache.spark.sql.execution.arrow.ArrowConverters
+      .toBatchIterator(rows, schema, maxRecordsPerBatch, "UTC",
+        errorOnDuplicatedFieldNames = true, largeVarTypes = false, ctx)
+
+  /** Inverse of [[toArrowBatchIterator]]: Arrow-batch payloads →
+    * InternalRows, columnar until the row view. */
+  def fromArrowBatchIterator(
+      batches: Iterator[Array[Byte]],
+      schema: org.apache.spark.sql.types.StructType,
+      ctx: org.apache.spark.TaskContext): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    org.apache.spark.sql.execution.arrow.ArrowConverters
+      .fromBatchIterator(batches, schema, "UTC",
+        errorOnDuplicatedFieldNames = true, largeVarTypes = false, ctx)
+
+  /** Spark schema → Arrow schema with Spark's own type mapping (nested
+    * types included). */
+  def toArrowSchema(schema: org.apache.spark.sql.types.StructType): org.apache.arrow.vector.types.pojo.Schema =
+    org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
+      schema, "UTC", errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+
+  /** Arrow schema → Spark schema (footer-driven schema discovery). */
+  def fromArrowSchema(schema: org.apache.arrow.vector.types.pojo.Schema): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(schema)
+
+  /** DataFrame over an InternalRow RDD without a Row conversion pass
+    * (`internalCreateDataFrame` is private[sql]). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Register a SQL-callable function on an already-running session
     * (`sessionState` is private[sql]); used by GraftSession.tune so
     * driver-created sessions get the graft_* functions without needing

@@ -34,6 +34,35 @@ class IoSpec extends AnyFunSuite {
       orig.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("Arrow IPC round-trips nested types (arrays, structs, maps)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc3").toString
+    val df = Seq(
+      (1L, Seq(1.5f, -2.5f), ("x", 10), Map("a" -> 1L)),
+      (2L, Seq.empty[Float], ("y", 20), Map.empty[String, Long]),
+      (3L, Seq(0.0f), ("z", -1), Map("b" -> 2L, "c" -> 3L))
+    ).toDF("id", "vec", "pair", "m")
+    ArrowIpc.write(df, dir)
+    val back = ArrowIpc.read(spark, dir).orderBy("id")
+    assert(back.schema("vec").dataType.typeName == "array")
+    assert(back.schema("pair").dataType.typeName == "struct")
+    assert(back.schema("m").dataType.typeName == "map")
+    val rows = back.collect()
+    assert(rows(0).getSeq[Float](1) == Seq(1.5f, -2.5f))
+    assert(rows(2).getStruct(2).getInt(1) == -1)
+    assert(rows(2).getMap[String, Long](3) == Map("b" -> 2L, "c" -> 3L))
+  }
+
+  test("Arrow IPC read streams batches (multiple batches per file survive)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc4").toString
+    val df = spark.range(0, 10000, 1, 2).select(col("id"), (col("id") * 2).as("v"))
+    ArrowIpc.write(df, dir, batchSize = 256) // forces ~20 batches per file
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("v"))).head().getLong(0) == 2L * (9999L * 10000L / 2))
+  }
+
   test("graft_* functions are callable from SQL") {
     GraftFunctions.register(spark)
     val c = spark.sql(

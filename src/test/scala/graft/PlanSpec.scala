@@ -62,6 +62,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime Bloom filter is injected on a selective probe join") {
+    // the Spark analogue of the reference's bloom-filter pushdown
+    // (hash_join_node.cc:498-532) is InjectRuntimeFilter; it is enabled in
+    // GraftSession but size-gated, so a silent config regression would
+    // only surface at cluster scale. Lower the size gates and pin the
+    // plan shape here.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
+      val joined = Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") ||
+        plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("eventsBetween pushes the raw-nanos range predicate into the scan") {
     val lo = 1704067200000000L // 2024-01-01T00:00:00Z in micros
     val hi = 1704153600000000L
