@@ -18,12 +18,13 @@ object Dedup {
 
   /** Frames persisted by the helpers below. They must stay cached until
     * the caller's terminal action (the functions return lazy frames, so
-    * unpersisting internally would defeat the shared-subplan cache), but a
-    * long-lived session would otherwise accumulate one cache per
-    * invocation until LRU eviction. Every persist registers here;
-    * [[unpersistAll]] releases them, and each pipeline entry point drains
-    * the PREVIOUS invocation's caches on entry, bounding live caches to
-    * one invocation's worth without racing the caller's action. */
+    * unpersisting internally would defeat the shared-subplan cache), and
+    * they intentionally stay cached ACROSS text-dedup invocations on the
+    * same corpus (identical plans → CacheManager hits; see
+    * [[shingleDocs]]). Every persist registers here; [[unpersistAll]]
+    * releases them — called by [[embeddingTopPairs]] (whose input shares
+    * nothing with the text caches) and available to any long-lived
+    * session working across distinct corpora. */
   private val persisted =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
@@ -65,12 +66,16 @@ object Dedup {
     * smaller than the corpus; at 100 TB the equivalent is a checkpoint of
     * this frame. */
   private def shingleDocs(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    unpersistAll() // release the previous invocation's caches
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // NOT drained on entry: successive dedup variants over the same corpus
+    // produce identical shingle plans, and Spark's CacheManager plan-match
+    // turns the second variant's shingling into a cache hit (ngram pays,
+    // minhash/simhash reuse). Re-persisting an already-cached plan is a
+    // no-op, so same-input invocations do not accumulate storage; distinct
+    // inputs do, which is what [[unpersistAll]] bounds.
     tracked(df.select(
       col(idCol).as("doc_id"),
       transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
-  }
 
   /** (doc_id, shingle-hash) inverted index + per-doc sizes from the cached
     * shingle frame. */

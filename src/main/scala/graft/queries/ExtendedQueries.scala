@@ -233,6 +233,61 @@ object ExtendedQueries {
       |  CAST(props->>'$.k' AS INT) AS k2
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Q36b: semi-structured JSON via Spark 4's VariantType (the SURVEY
+    * §1.2 mapping for the reference's json extension type,
+    * cpp/src/arrow/extension/json.h): parse once with `parse_json`,
+    * then typed path access with `variant_get` / missing-path `null`
+    * semantics with `try_variant_get` — the open-schema route, vs q36's
+    * fixed-schema from_json. */
+  private def q36b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        variant_get(col("v"), "$.k", "string").as("ks"),
+        try_variant_get(col("v"), "$.does_not_exist", "int").as("missing"))
+      .orderBy(col("event_id"))
+
+  private val q36bSql =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS INT) AS k,
+      |  props->>'$.k' AS ks,
+      |  CAST(props->>'$.does_not_exist' AS INT) AS missing
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Q37: union-type encoding (reference SPARSE/DENSE_UNION,
+    * cpp/src/arrow/type.h:1446 — the struct+tag mapping declared in
+    * SURVEY §1.2, built/consumed by [[graft.types.UnionOps]]): a
+    * double-or-string union over orders, with branch extraction and
+    * tag-dispatched case analysis. */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import graft.types.UnionOps
+    val tag = when(col("o_orderkey") % 2 === 0, 0).otherwise(1)
+    val withU = Tables.orders(s, d).withColumn("u",
+      UnionOps.makeUnion(tag,
+        "price" -> col("o_totalprice"),
+        "prio" -> col("o_orderpriority")))
+    withU.select(
+      col("o_orderkey"),
+      UnionOps.unionTag(col("u")).as("tag"),
+      UnionOps.unionExtract(col("u"), 0, "price").as("price_branch"),
+      UnionOps.unionExtract(col("u"), 1, "prio").as("prio_branch"),
+      UnionOps.unionMatch(col("u"),
+        "price" -> (p => floor(p).cast("double")),
+        "prio" -> (p => length(p).cast("double"))).as("matched"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q37Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS tag,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS price_branch,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS prio_branch,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN CAST(FLOOR(o_totalprice) AS DOUBLE)
+      |       ELSE CAST(length(o_orderpriority) AS DOUBLE) END AS matched
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q28_rollup", "rollup subtotals with grouping_id", q28, Some(q28Sql)),
     Capability("q29_setops", "intersect / except set operations", q29, Some(q29Sql)),
@@ -244,5 +299,7 @@ object ExtendedQueries {
     Capability("q34_first_match", "index of first matching value per group", q34, Some(q34Sql)),
     Capability("q35_sessionize", "gap-based sessionization (batch twin of streaming state op)", q35, Some(q35Sql)),
     Capability("q36_json", "JSON path extraction + typed from_json", q36, Some(q36Sql)),
+    Capability("q36b_variant", "VariantType open-schema JSON (parse_json/variant_get)", q36b, Some(q36bSql)),
+    Capability("q37_union", "union type as struct+tag (make/extract/match)", q37, Some(q37Sql)),
   )
 }

@@ -8,12 +8,14 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("decode emits the typed feature schema over the full corpus") {
+  test("decode emits the typed feature schema over the sampled corpus") {
     val out = Registry.byName("mm_decode").run(spark, sf)
     assert(out.columns.toSeq ==
       Seq("doc_id", "n_bytes", "kind", "width", "height",
         "n_samples", "sample_rate", "f0", "feature_sum"))
-    assert(out.count() == Tables.documents(spark, sf).count())
+    val expected = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 < 2).count()
+    assert(out.count() == expected && expected > 0)
   }
 
   test("PNG payloads decode to their real generated dimensions and stats") {
