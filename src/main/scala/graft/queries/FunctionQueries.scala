@@ -493,7 +493,11 @@ object FunctionQueries {
         lit(-1.0)).as("big_or_default"),
       isnan(planted).as("v_nan"),
       isInf.as("v_inf"),
-      (!isnan(planted) && !isInf).as("v_finite"))
+      (!isnan(planted) && !isInf).as("v_finite"),
+      // choose kernel (reference scalar_if_else.cc `choose`): select the
+      // n-th argument by index — Spark elt() is the 1-based equivalent
+      elt((col("o_orderkey") % 3 + 1).cast("int"),
+        lit("one"), lit("two"), lit("three")).as("chosen"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -509,7 +513,8 @@ object FunctionQueries {
       |           -1.0::DOUBLE) AS big_or_default,
       |  isnan(planted) AS v_nan,
       |  isinf(planted) AS v_inf,
-      |  isfinite(planted) AS v_finite
+      |  isfinite(planted) AS v_finite,
+      |  (['one', 'two', 'three'])[CAST(o_orderkey % 3 + 1 AS INT)] AS chosen
       |FROM (SELECT *,
       |        CASE WHEN o_orderkey % 5 = 0 THEN 'NaN'::DOUBLE
       |             WHEN o_orderkey % 5 = 1 THEN 'Infinity'::DOUBLE

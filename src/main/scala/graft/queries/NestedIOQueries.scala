@@ -59,6 +59,37 @@ object NestedIOQueries {
       |FROM embeddings WHERE vec_id < 50
       |ORDER BY vec_id, pos""".stripMargin
 
+  /** Q24c: map kernels (reference MapType type.h:1323 + map_lookup,
+    * scalar_nested.cc): construct → keys/size → lookup → transform_values
+    * → map_concat → map_filter. The maps are built from known columns, so
+    * the oracle states what each lookup must recover — the gate proves
+    * the construction/lookup round-trip, without the comparator ever
+    * sorting a map cell. */
+  private def q24c(s: SparkSession, d: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("status"), lit("prio")),
+      array(col("o_orderstatus"), col("o_orderpriority")))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      size(m).as("m_size"),
+      array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+      element_at(m, "status").as("status_val"),
+      element_at(transform_values(m, (_, v) => upper(v)), "prio").as("prio_upper"),
+      size(map_concat(m, map(lit("extra"), lit("x")))).as("mc_size"),
+      size(map_filter(m, (k, _) => k === "status")).as("mf_size"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q24cSql =
+    """SELECT o_orderkey,
+      |  2 AS m_size,
+      |  'prio,status' AS keys_sorted,
+      |  o_orderstatus AS status_val,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  3 AS mc_size,
+      |  1 AS mf_size
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Q25: hive-partitioned parquet write → re-read → aggregate, proving the
     * partition layout survives a round trip (reference partitioned dataset
     * write, cpp/src/arrow/dataset/file_base.h:389-443). A filtered re-read
@@ -310,6 +341,7 @@ object NestedIOQueries {
   val caps: Seq[Capability] = Seq(
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
     Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
+    Capability("q24c_map_kernels", "map construct/keys/lookup/transform/concat/filter", q24c, Some(q24cSql)),
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),

@@ -90,11 +90,16 @@ object WindowQueries {
   private def q19b(s: SparkSession, d: String): DataFrame = {
     val byStatus = Window.partitionBy(col("o_orderstatus"))
     val ordered = byStatus.orderBy(col("o_totalprice"))
-    val byValue = Window.partitionBy(col("o_orderstatus"), col("o_totalprice"))
+    // freq of the current value = count of ORDER BY peers (RANGE frame
+    // [current row, current row]). Same value as a count over
+    // (status, price), but it keeps every window on the SAME partition
+    // spec — partitioning by (status, price) would insert a second hash
+    // exchange (PlanSpec pins the single-exchange shape).
+    val peers = ordered.rangeBetween(Window.currentRow, Window.currentRow)
     Tables.orders(s, d)
       .select(
         col("o_orderkey"), col("o_orderstatus"),
-        ((rank().over(ordered) - 1 + lit(0.5) * count(lit(1)).over(byValue))
+        ((rank().over(ordered) - 1 + lit(0.5) * count(lit(1)).over(peers))
           / count(lit(1)).over(byStatus)).as("q"))
       .select(
         col("o_orderkey"), col("o_orderstatus"),

@@ -43,4 +43,19 @@ object StreamingOps {
     * reference's backpressure/ordering machinery has no analogue for. */
   def withWatermarkedEventTime(raw: DataFrame, delay: String = "1 hour"): DataFrame =
     withEventTime(raw).withWatermark("ts", delay)
+
+  /** Streaming exact dedup — the unbounded twin of
+    * [[graft.pipeline.Dedup.exactKeepFirst]]: emit the first document seen
+    * per distinct content, where "distinct" is a sha256 content key (the
+    * state store holds 32-byte keys, not documents) and the watermark
+    * bounds how long each key is remembered. At 100 TB/day this is the
+    * correct shape: dedup state scales with the distinct-content rate
+    * inside the horizon, not with stream lifetime. Requires a `ts`
+    * timestamp column on the input. */
+  def dedupExactStream(
+      docs: DataFrame, textCol: String, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

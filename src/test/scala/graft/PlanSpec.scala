@@ -62,6 +62,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q19b: one hash exchange serves all three window aggregates") {
+    // rank over (status → price), freq over (status, price) and count
+    // over (status) all cluster by a prefix of the same keys —
+    // hashpartitioning(status) satisfies every ClusteredDistribution, so
+    // the plan must not re-shuffle between window operators
+    val df = Registry.byName("q19b_rank_normal").run(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints the final AND initial plans —
+    // count exchanges in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val interesting = plan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Window") || l.contains("Sort "))
+      .map(_.take(160)).mkString("\n")
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$interesting")
+  }
+
   test("runtime Bloom filter is injected on a selective probe join") {
     // the Spark analogue of the reference's bloom-filter pushdown
     // (hash_join_node.cc:498-532) is InjectRuntimeFilter; it is enabled in

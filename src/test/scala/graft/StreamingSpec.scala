@@ -35,4 +35,40 @@ class StreamingSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  test("streaming exact dedup keeps one row per distinct content (batch parity)") {
+    import org.apache.spark.sql.types._
+    // documents have no event time — synthesize one (doc_id seconds after
+    // a fixed epoch) and stage as a file stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toFile
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val deduped = graft.streaming.StreamingOps.dedupExactStream(stream, "text")
+
+    val query = deduped.writeStream
+      .format("memory").queryName("graft_dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("graft_dedup_stream")
+      val batchDistinct = Tables.documents(spark, sf)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+      // one survivor per distinct content, and exactly the same content set
+      assert(streamed.count() == batchDistinct.count())
+      assert(streamed.select(col("content_hash")).distinct().count() == batchDistinct.count())
+      assert(streamed.join(batchDistinct, streamed("content_hash") === batchDistinct("h"))
+        .count() == batchDistinct.count())
+    } finally {
+      query.stop()
+    }
+  }
 }
