@@ -28,6 +28,94 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) top-k — the second classic ANN scale path next
+    * to LSH: a coarse quantizer of `nCentroids` centroids partitions the
+    * base vectors into cells (the inverted lists), and each query probes
+    * only its `nProbe` nearest cells, so search work is
+    * ≈ N·nProbe/nCentroids per query instead of N.
+    *
+    * Scale shape: training is Lloyd's iterations over a deterministic
+    * driver-side sample (a sample stays a sample at 100 TB); the learned
+    * centroids are a tiny broadcast table; cell assignment is one
+    * broadcast join + per-row argmin (narrow, no shuffle of the base);
+    * the search is a (cell)-keyed equi-join. Each base vector lives in
+    * exactly one cell, so unlike LSH no collision dedup is needed —
+    * (query, neighbor) pairs are unique by construction. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
+      iterations: Int = 8): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    // ---- train the coarse quantizer on a deterministic sample ----
+    val sample: Array[Array[Float]] = candidates
+      .orderBy(col(idCol))
+      .select(col(vecCol)).limit(sampleSize)
+      .as[Array[Float]].collect()
+    require(sample.nonEmpty, "ivfTopK: empty candidate set")
+    val kC = math.min(nCentroids, sample.length)
+    var centroids: Array[Array[Double]] =
+      sample.take(kC).map(_.map(_.toDouble))
+    def cosine(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(kC)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](kC)
+      sample.foreach { v =>
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < kC) {
+          val cs = cosine(centroids(c), v)
+          if (cs > bestCos) { bestCos = cs; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(kC) { c =>
+        if (counts(c) == 0) centroids(c) // keep an empty cell's centroid
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    val centroidDf = broadcast(
+      centroids.zipWithIndex
+        .map { case (ce, cid) => (cid, ce.map(_.toFloat)) }
+        .toSeq.toDF("cid", "ce"))
+
+    // ---- assign: nearest cell per base vector, nProbe cells per query ----
+    def nearestCells(df: DataFrame, id: String, vec: String, keep: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("cid"))
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(centroidDf)
+        .select(col(id), col(vec), col("cid"),
+          VectorOps.cosine(col(vec), col("ce")).as("ccos"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("ccos", "crn")
+    }
+    val base = nearestCells(candidates, "neighbor_id", "ne", 1)
+    val probes = nearestCells(queries, "query_id", "qe", nProbe)
+
+    // ---- search the probed cells only ----
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(base, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Multi-table LSH top-k: `nTables` independent hyperplane families of
     * `nPlanes` bits each; a candidate is scored if it shares a bucket with
     * the query in ANY table. The 100 TB path — (table, bucket)-keyed

@@ -41,9 +41,16 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def ivf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.ivfTopK(e.filter(col("vec_id") < NQueries), e, "vec_id", "embedding", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("ann_brute", s"exact top-$K cosine neighbors for $NQueries queries", brute,
       Some(bruteSql), bench = true),
     Capability("ann_lsh", s"hyperplane-LSH bucketed top-$K (scale path)", lsh),
+    Capability("ann_ivf", s"IVF coarse-quantizer top-$K (scale path, nProbe cells)", ivf),
   )
 }

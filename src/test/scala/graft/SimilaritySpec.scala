@@ -87,4 +87,33 @@ class SimilaritySpec extends AnyFunSuite {
     // ~0.5 on this corpus (top-5 cosines ≈ 0.35-0.5)
     assert(recall >= 0.25, s"LSH recall $recall")
   }
+
+  test("IVF assigns every base vector to exactly one cell and is deterministic") {
+    val a = Registry.byName("ann_ivf").run(spark, sf).collect().toSeq
+    val b = Registry.byName("ann_ivf").run(spark, sf).collect().toSeq
+    assert(a == b) // sampled training + Lloyd's iterations are deterministic
+    // results are a valid ranked subset: dense per-query ranks, cosine
+    // non-increasing
+    a.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)) == (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("IVF recall vs brute is materially above random") {
+    val brute = Registry.byName("ann_brute").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Registry.byName("ann_ivf").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // probing 4 of 16 cells scans ~25% of the base at random, but near
+    // neighbors concentrate in the query's nearest cells — recall must
+    // beat the scan fraction by a clear margin to prove the quantizer
+    // carries signal
+    assert(recall >= 0.35, s"IVF recall $recall")
+  }
 }
