@@ -90,6 +90,53 @@ object NestedIOQueries {
       |  1 AS mf_size
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Q24d: array set operations and lookup (reference unique /
+    * value_counts vector kernels + is_in/index_in set lookup,
+    * cpp/src/arrow/compute/kernels/vector_hash.cc, scalar_set_lookup.cc,
+    * mapped onto per-row list cells): distinct, union, intersect, except,
+    * position, contains over word arrays. Sizes and sorted joins keep the
+    * output scalar (order of Spark's set ops is first-occurrence, DuckDB's
+    * differs — cardinalities and sorted renderings are
+    * engine-independent). */
+  private def q24d(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val a1 = slice(words, 1, 6)
+    val a2 = slice(words, 4, 6)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(array_distinct(a1)).as("n_distinct"),
+      size(array_union(a1, a2)).as("n_union"),
+      size(array_intersect(a1, a2)).as("n_intersect"),
+      size(array_except(a1, a2)).as("n_except"),
+      // guarded: element_at past the end throws under ANSI, and
+      // array_position rejects a null needle
+      when(size(a2) > 0, array_position(a1, element_at(a2, 1)))
+        .otherwise(lit(0L)).as("pos_first"),
+      array_contains(a1, "the").as("has_the"),
+      array_join(array_sort(array_distinct(a1)), ",").as("sorted_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror: set ops expressed as filter+distinct so the
+    * cardinality semantics are explicit, not library-version-dependent;
+    * list_position yields NULL where Spark yields 0. */
+  private val q24dSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ')[1:6] AS a1,
+      |    string_split(text, ' ')[4:9] AS a2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(list_distinct(a1)) AS n_distinct,
+      |  len(list_distinct(list_concat(a1, a2))) AS n_union,
+      |  len(list_distinct(list_filter(a1, x -> list_contains(a2, x)))) AS n_intersect,
+      |  len(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS n_except,
+      |  CASE WHEN len(a2) > 0 THEN COALESCE(list_position(a1, a2[1]), 0)
+      |       ELSE 0 END AS pos_first,
+      |  list_contains(a1, 'the') AS has_the,
+      |  array_to_string(list_sort(list_distinct(a1)), ',') AS sorted_words
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** Q25: hive-partitioned parquet write → re-read → aggregate, proving the
     * partition layout survives a round trip (reference partitioned dataset
     * write, cpp/src/arrow/dataset/file_base.h:389-443). A filtered re-read
@@ -342,6 +389,7 @@ object NestedIOQueries {
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
     Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
     Capability("q24c_map_kernels", "map construct/keys/lookup/transform/concat/filter", q24c, Some(q24cSql)),
+    Capability("q24d_array_setops", "array distinct/union/intersect/except/position/contains", q24d, Some(q24dSql)),
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),
