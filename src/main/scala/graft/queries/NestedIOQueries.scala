@@ -385,6 +385,25 @@ object NestedIOQueries {
         element_at(col("qs"), 3).as("td_p75"),
         element_at(col("qs"), 4).as("td_p99"))
 
+  /** Q27d: GROUPED t-digest quantiles (reference hash_tdigest /
+    * hash_approximate_median — grouped sketch aggregation): one mergeable
+    * digest per group, built map-side, merged exactly on the shuffle —
+    * the grouped-quantile scale path. (Grouped EXACT percentile buffers
+    * every group's values in one task per group; a sketch per group is
+    * the 100 TB answer, with ApproxAggSpec pinning per-group accuracy
+    * against exact grouped quantiles.) */
+  private def q27d(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.expr.TDigestAgg
+        .quantiles(col("l_extendedprice"), Seq(0.25, 0.5, 0.75)).as("qs"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("qs"), 1).as("td_p25"),
+        element_at(col("qs"), 2).as("td_p50"),
+        element_at(col("qs"), 3).as("td_p75"))
+      .orderBy(col("l_returnflag"))
+
   val caps: Seq[Capability] = Seq(
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
     Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
@@ -402,5 +421,6 @@ object NestedIOQueries {
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
     Capability("q27c_tdigest", "t-digest quantile sketch (custom TypedImperativeAggregate)", q27c, None),
+    Capability("q27d_grouped_tdigest", "per-group t-digest quantiles (hash_tdigest)", q27d, None),
   )
 }

@@ -32,6 +32,23 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(td.getAs[Double]("td_p99") > td.getAs[Double]("td_p75"))
   }
 
+  test("grouped t-digest quantiles land within 1% of exact grouped quantiles") {
+    import org.apache.spark.sql.functions._
+    val td = Registry.byName("q27d_grouped_tdigest").run(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("pp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(td.keySet == exact.keySet && td.size >= 3)
+    for ((flag, row) <- td; (colName, i) <- Seq("td_p25" -> 0, "td_p50" -> 1, "td_p75" -> 2)) {
+      val t = row.getAs[Double](colName)
+      val e = exact(flag)(i)
+      assert(math.abs(t - e) / e < 0.01, s"$flag/$colName=$t vs exact=$e")
+    }
+  }
+
   test("t-digest stays accurate on a heavy-tailed distribution incl. tails") {
     import org.apache.spark.sql.functions._
     // deterministic lognormal-ish: exp of a sum of 8 hash-derived
