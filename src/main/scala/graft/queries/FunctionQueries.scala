@@ -96,7 +96,10 @@ object FunctionQueries {
       expr("char(65 + p_partkey % 26)").as("letter"),
       lpad(col("p_size").cast("string"), 5, "0").as("zero_filled"),
       substring_index(name, " ", 2).as("first_two_words"),
-      brand.isin("Brand#1", "Brand#13", "Brand#20").as("in_set"))
+      brand.isin("Brand#1", "Brand#13", "Brand#20").as("in_set"),
+      // swapcase: native codegen expression (no Spark builtin); the
+      // oracle reproduces it with an ASCII-alphabet translate
+      graft.functions.expr.SwapCase(brand).as("swapped"))
       .orderBy(col("p_partkey"))
   }
 
@@ -115,7 +118,10 @@ object FunctionQueries {
       |  chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
       |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS zero_filled,
       |  array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two_words,
-      |  p_brand IN ('Brand#1', 'Brand#13', 'Brand#20') AS in_set
+      |  p_brand IN ('Brand#1', 'Brand#13', 'Brand#20') AS in_set,
+      |  translate(p_brand,
+      |    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Q15: temporal extraction + arithmetic over `orders` dates. */
@@ -494,6 +500,7 @@ object FunctionQueries {
       isnan(planted).as("v_nan"),
       isInf.as("v_inf"),
       (!isnan(planted) && !isInf).as("v_finite"),
+      nanvl(planted, lit(-1.0)).as("nan_fixed"),
       // choose kernel (reference scalar_if_else.cc `choose`): select the
       // n-th argument by index — Spark elt() is the 1-based equivalent
       elt((col("o_orderkey") % 3 + 1).cast("int"),
@@ -514,6 +521,7 @@ object FunctionQueries {
       |  isnan(planted) AS v_nan,
       |  isinf(planted) AS v_inf,
       |  isfinite(planted) AS v_finite,
+      |  CASE WHEN isnan(planted) THEN -1.0::DOUBLE ELSE planted END AS nan_fixed,
       |  (['one', 'two', 'three'])[CAST(o_orderkey % 3 + 1 AS INT)] AS chosen
       |FROM (SELECT *,
       |        CASE WHEN o_orderkey % 5 = 0 THEN 'NaN'::DOUBLE

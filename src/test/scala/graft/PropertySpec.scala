@@ -36,6 +36,23 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("swapcase expression equals a character-wise reference on random text") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.asciiPrintableStr.map(_.take(40)))
+    val prop = Prop.forAll(gen) { texts =>
+      texts.nonEmpty ==> {
+        val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+        val got = df.orderBy("id")
+          .select(graft.functions.expr.SwapCase(col("t"))).as[String].collect().toSeq
+        val expected = texts.map(_.map(ch =>
+          if (ch.isUpper) ch.toLower else if (ch.isLower) ch.toUpper else ch))
+        got == expected
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("native fingerprint equals a plain Scala fold on random ASCII text") {
     import spark.implicits._
     val gen = Gen.listOfN(8, Gen.asciiPrintableStr.map(_.take(60)))
