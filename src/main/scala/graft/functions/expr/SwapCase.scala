@@ -39,17 +39,19 @@ case class SwapCaseExpr(child: Expression) extends UnaryExpression {
 }
 
 object SwapCase {
-  /** Flip the case of every cased character (Unicode-aware). */
+  /** Flip the case of every cased character, iterating CODE POINTS so
+    * supplementary-plane letters (Deseret, Adlam, …) swap too — per-char
+    * iteration would leave their surrogate halves untouched. */
   def swap(s: String): String = {
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      out.append(
-        if (Character.isUpperCase(ch)) Character.toLowerCase(ch)
-        else if (Character.isLowerCase(ch)) Character.toUpperCase(ch)
-        else ch)
-      i += 1
+      val cp = s.codePointAt(i)
+      out.appendAll(Character.toChars(
+        if (Character.isUpperCase(cp)) Character.toLowerCase(cp)
+        else if (Character.isLowerCase(cp)) Character.toUpperCase(cp)
+        else cp))
+      i += Character.charCount(cp)
     }
     out.toString
   }

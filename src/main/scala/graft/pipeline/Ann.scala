@@ -49,8 +49,11 @@ object Ann {
     import spark.implicits._
 
     // ---- train the coarse quantizer on a deterministic sample ----
+    // ordered by a hash of the id: uniform pseudo-random yet reproducible
+    // (first-N-by-id would train on the corpus HEAD, which is not a
+    // sample when id order correlates with content)
     val sample: Array[Array[Float]] = candidates
-      .orderBy(col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .select(col(vecCol)).limit(sampleSize)
       .as[Array[Float]].collect()
     require(sample.nonEmpty, "ivfTopK: empty candidate set")

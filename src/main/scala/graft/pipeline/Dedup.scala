@@ -35,10 +35,12 @@ object Dedup {
     p
   }
 
-  /** Unpersist every frame cached by previous dedup invocations. Safe to
-    * call any time after the consuming action; also called on entry by the
-    * pipeline functions so sessions never hold more than one invocation's
-    * caches. */
+  /** Unpersist every frame cached by previous dedup invocations. ONLY
+    * safe once every frame derived from those invocations has finished
+    * its terminal action — calling it with a lazy dedup frame outstanding
+    * forces that frame to recompute its shingling/signatures. The
+    * declared query bindings (strictly sequential) call this before the
+    * embedding query, whose input shares nothing with the text caches. */
   def unpersistAll(): Unit = {
     val it = persisted.iterator()
     while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
@@ -258,11 +260,11 @@ object Dedup {
 
   /** Brute top-k closest pairs by cosine (rounded cosine + ids give an
     * engine-deterministic cut). Quadratic — small inputs / oracle twin.
-    * Drains prior dedup caches on entry: this query owns no cache, but in
-    * a sequential session it otherwise runs under the memory pressure of
-    * the text-dedup signature caches (the r3 bench regression). */
+    * Does NOT touch the dedup cache registry: a library function must not
+    * invalidate caches that another still-lazy frame depends on. Callers
+    * with strictly sequential workloads (e.g. the declared query bindings)
+    * call [[unpersistAll]] themselves when the text caches are known dead. */
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    unpersistAll()
     val a = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
     val b = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
     a.join(b, col("va") < col("vb"))

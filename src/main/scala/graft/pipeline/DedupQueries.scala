@@ -71,9 +71,15 @@ object DedupQueries {
       .orderBy(col("da"), col("db"))
 
   /** Embedding near-dup: top-50 closest pairs by cosine (brute at test SF;
-    * LSH-bucketed scale path is `ann_lsh`). */
-  private def embed(s: SparkSession, d: String): DataFrame =
+    * LSH-bucketed scale path is `ann_lsh`). The declared queries run
+    * strictly sequentially, so the text-dedup caches are dead weight by
+    * the time this one builds — drain them here (NOT inside the library,
+    * which cannot know no lazy frame still needs them; r3's bench
+    * regression was this query running under their memory pressure). */
+  private def embed(s: SparkSession, d: String): DataFrame = {
+    Dedup.unpersistAll()
     Dedup.embeddingTopPairs(Tables.embeddings(s, d), "vec_id", "embedding", 50)
+  }
 
   private val embedSql =
     """SELECT a.vec_id AS va, b.vec_id AS vb,

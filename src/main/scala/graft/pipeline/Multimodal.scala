@@ -110,6 +110,7 @@ object Multimodal {
 
   private def decodeImage(r: MediaRow): MediaFeatures = {
     val img = ImageIO.read(new ByteArrayInputStream(r.media))
+    if (img == null) return opaque(r) // matched magic but undecodable
     val w = img.getWidth; val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L; var sLum = 0L; var sLum2 = 0L
     var minLum = 255; var maxLum = 0
@@ -143,9 +144,14 @@ object Multimodal {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
     try {
       val fmt = in.getFormat
+      // the sample loop below reads 16-bit little-endian signed mono PCM;
+      // any other layout would produce silently-wrong statistics, so
+      // degrade it to opaque instead of mis-decoding
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
+        return opaque(r)
       val nFrames = in.getFrameLength.toInt
       val bytes = in.readAllBytes()
-      // 16-bit little-endian mono PCM samples
       val n = bytes.length / 2
       var sum2 = 0.0; var zc = 0; var prevNeg = false
       var peak = 0
@@ -193,12 +199,19 @@ object Multimodal {
 
   /** Real batch decoder: container sniff → javax.imageio (PNG et al) or
     * javax.sound.sampled (WAV) → typed metadata + feature vector. Operates
-    * on a whole partition's iterator. */
+    * on a whole partition's iterator. Corrupt payloads — including ones
+    * whose magic matches but whose body fails to decode — degrade to
+    * `opaque` rather than failing the batch: one bad file must not kill a
+    * 100 TB ingest task. */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      if (isPng(r.media)) decodeImage(r)
-      else if (isWav(r.media)) decodeAudio(r)
-      else opaque(r)
+      try {
+        if (isPng(r.media)) decodeImage(r)
+        else if (isWav(r.media)) decodeAudio(r)
+        else opaque(r)
+      } catch {
+        case scala.util.control.NonFatal(_) => opaque(r)
+      }
     }
 
   /** Binary column + metadata → decoded features, partition-parallel. */
@@ -235,10 +248,11 @@ object MultimodalQueries {
     * decoded dimensions/frames equal the generator's parameters and the
     * statistics match independently computed values. */
   private def features(s: SparkSession, d: String): DataFrame = {
-    // deterministic 1-in-5 sample: decode cost is per-payload codec work
-    // (no plan to optimize away), so the gate needs breadth across both
-    // codecs, not the full corpus volume
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 < 2)
+    // deterministic 1-in-5 sample (ids ≡ 0 mod 5 alternate parity, so
+    // both codecs appear): decode cost is per-payload codec work (no plan
+    // to optimize away), so the gate needs breadth across both codecs,
+    // not the full corpus volume
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
     val media = Multimodal.synthesize(s, docs, "doc_id", "text")
     Multimodal.decode(s, media)
       .select(col("doc_id"), col("n_bytes"), col("kind"),

@@ -32,21 +32,28 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(td.getAs[Double]("td_p99") > td.getAs[Double]("td_p75"))
   }
 
-  test("grouped t-digest quantiles land within 1% of exact grouped quantiles") {
+  test("grouped t-digest estimates sit at the right RANK within each group") {
+    // t-digest accuracy is a rank-space guarantee — assert the estimate's
+    // actual rank per group, not relative value error (unbounded on
+    // heavy tails)
     import org.apache.spark.sql.functions._
     val td = Registry.byName("q27d_grouped_tdigest").run(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"),
-        array(lit(0.25), lit(0.5), lit(0.75))).as("pp"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    assert(td.keySet == exact.keySet && td.size >= 3)
-    for ((flag, row) <- td; (colName, i) <- Seq("td_p25" -> 0, "td_p50" -> 1, "td_p75" -> 2)) {
-      val t = row.getAs[Double](colName)
-      val e = exact(flag)(i)
-      assert(math.abs(t - e) / e < 0.01, s"$flag/$colName=$t vs exact=$e")
-    }
+    assert(td.size >= 3)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .cache()
+    try {
+      val counts = li.groupBy(col("flag")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(td.keySet == counts.keySet)
+      for ((flag, row) <- td; (colName, q) <- Seq("td_p25" -> 0.25, "td_p50" -> 0.5, "td_p75" -> 0.75)) {
+        val est = row.getAs[Double](colName)
+        val below = li.filter(col("flag") === flag && col("v") <= est).count()
+        val rank = below.toDouble / counts(flag)
+        assert(math.abs(rank - q) < 0.02, s"$flag/$colName: est=$est rank=$rank vs q=$q")
+      }
+    } finally li.unpersist()
   }
 
   test("t-digest stays accurate on a heavy-tailed distribution incl. tails") {

@@ -44,10 +44,18 @@ class IngestSpec extends AnyFunSuite {
     assert(byId(1).getDouble(2) == 1234.5) // DECIMAL(12,2) override parsed exactly
   }
 
-  test("PERMISSIVE mode captures corrupt CSV rows in a named column") {
+  /** Shared corrupt-CSV fixture, written by whichever test runs first so
+    * each test also passes in isolation. */
+  private def corruptCsv(): String = {
     val path = "/tmp/graft_io/ingest_corrupt.csv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/graft_io"))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       "1,alpha,2.5\n2,beta,notanumber\n3,gamma,9.0\n".getBytes)
+    path
+  }
+
+  test("PERMISSIVE mode captures corrupt CSV rows in a named column") {
+    val path = corruptCsv()
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("name", StringType),
@@ -90,7 +98,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("FAILFAST mode raises on the first malformed row") {
-    val path = "/tmp/graft_io/ingest_corrupt.csv" // written above
+    val path = corruptCsv()
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("name", StringType),

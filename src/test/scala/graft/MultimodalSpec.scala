@@ -14,8 +14,21 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("doc_id", "n_bytes", "kind", "width", "height",
         "n_samples", "sample_rate", "f0", "feature_sum"))
     val expected = Tables.documents(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 < 2).count()
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0).count()
     assert(out.count() == expected && expected > 0)
+  }
+
+  test("corrupt payloads with valid magic degrade to opaque, not task failure") {
+    import spark.implicits._
+    val goodPng = Multimodal.syntheticPng(9L, 8, 8)
+    val truncatedPng = goodPng.take(30) // PNG magic intact, body gone
+    val goodWav = Multimodal.syntheticWav(9L, 500)
+    val brokenWav = goodWav.take(20) // RIFF/WAVE magic intact, fmt gone
+    val df = Seq((1L, truncatedPng), (2L, brokenWav), (3L, goodPng))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.decode(spark, df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kind")).toMap
+    assert(rows(1L) == "opaque" && rows(2L) == "opaque" && rows(3L) == "image")
   }
 
   test("PNG payloads decode to their real generated dimensions and stats") {
