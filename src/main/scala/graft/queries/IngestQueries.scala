@@ -41,11 +41,11 @@ object IngestQueries {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Q26f: non-default delimiter + headerless + custom null marker +
-    * custom date format, written by this engine and read back by BOTH
-    * engines with the matching options (reference ParseOptions.delimiter,
+    * custom date format round-trip (reference ParseOptions.delimiter,
     * ConvertOptions.null_values, csv/options.h:42-120). The planted nulls
     * (priority '3-MEDIUM' → NULL) must survive the `\N` marker in both
-    * directions. */
+    * directions; any option mis-parse surfaces as a value difference
+    * against the parquet originals. */
   private def q26f(s: SparkSession, d: String): DataFrame = {
     val out = "/tmp/graft_io/q26f_csv"
     Tables.orders(s, d)
@@ -73,16 +73,19 @@ object IngestQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  /** DuckDB reads the very files Spark wrote, with its equivalent
-    * options. */
+  /** Oracle against the parquet table, not the written files: the files'
+    * content is scale-factor-dependent, and a bench run at another SF
+    * between Verify and the oracle pass would clobber them (the
+    * fixture-based q26g keeps the DuckDB-reads-Spark's-files parity
+    * check — its bytes are identical on every run). The round-trip
+    * equality here still proves the delimiter/null-marker/date-format
+    * options: any mis-parse would surface as a value difference. */
   private val q26fSql =
-    """SELECT o_orderkey, prio, o_totalprice, o_date
-      |FROM read_csv('/tmp/graft_io/q26f_csv/*.csv',
-      |  delim = '|', header = false, nullstr = '\N',
-      |  dateformat = '%Y/%m/%d',
-      |  columns = {'o_orderkey': 'BIGINT', 'prio': 'VARCHAR',
-      |             'o_totalprice': 'DOUBLE', 'o_date': 'DATE'})
-      |ORDER BY o_orderkey""".stripMargin
+    """SELECT o_orderkey,
+      |  nullif(o_orderpriority, '3-MEDIUM') AS prio,
+      |  o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** The messy-fixture CSV both engines must agree on: junk comment
     * lines, pipe delimiter, quoted field containing the delimiter,
