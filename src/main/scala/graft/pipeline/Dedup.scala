@@ -258,6 +258,66 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Connected components over an undirected pair graph: assigns every
+    * vertex the minimum vertex id reachable from it. This is the terminal
+    * step of a dedup pipeline — near-dup PAIRS (from minhash / simhash /
+    * embedding candidates) become duplicate CLUSTERS, and "keep one per
+    * cluster" is then `component == id`.
+    *
+    * Algorithm: iterative min-label propagation (Pregel-style, expressed
+    * as DataFrame joins). Each round every vertex takes the min of its own
+    * label and its neighbors' labels; convergence in O(component diameter)
+    * rounds. Near-dup clusters are dense and small-diameter (dozens of
+    * docs, diameter ≤ ~3), so the loop terminates in a handful of rounds;
+    * for adversarial long-chain graphs the same loop structure admits the
+    * large-star/small-star optimization (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") without changing callers.
+    *
+    * Scale: every round is one hash shuffle of (id, label) pairs keyed by
+    * vertex id — never the documents themselves. Each round's labels are
+    * materialized with an eager `localCheckpoint`, which truncates the
+    * growing lineage (round N's plan does not re-analyze rounds 1..N-1);
+    * superseded label RDDs are dropped by the ContextCleaner once
+    * unreferenced. Convergence is detected with a
+    * single scalar aggregate (labels only ever decrease, so an unchanged
+    * sum means a fixed point — summed as decimal so arbitrary vertex-id
+    * magnitudes cannot overflow).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nbr_component"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Brute top-k closest pairs by cosine (rounded cosine + ids give an
     * engine-deterministic cut). Quadratic — small inputs / oracle twin.
     * Does NOT touch the dedup cache registry: a library function must not

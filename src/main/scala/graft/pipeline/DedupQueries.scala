@@ -64,6 +64,44 @@ object DedupQueries {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("da"), col("db"))
 
+  /** Duplicate clusters: connected components over the 0.8-Jaccard pair
+    * graph (pairs from minhash+LSH, exact-verified — same pair set as
+    * `dedup_minhash_lsh`). Output is every clustered doc with the min doc
+    * id of its component; "keep one per cluster" is `component == doc_id`.
+    * The oracle computes the same components with a recursive CTE over the
+    * exact-threshold pair graph. */
+  private def cc(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8),
+      "da", "db")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
+  private val ccSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(*)::DOUBLE /
+      |         (any_value(sa.n_sh) + any_value(sb.n_sh) - COUNT(*)) >= 0.8),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON reach.id = e.src)
+      |SELECT id AS doc_id, MIN(r) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** SimHash pairs — hash-based, no SQL oracle; cross-checked against the
     * Jaccard pairs in DedupSpec. */
   private def simhash(s: SparkSession, d: String): DataFrame =
@@ -96,6 +134,8 @@ object DedupQueries {
       Some(jaccardPairsSql(0.5)), bench = true),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
+    Capability("dedup_cc", "duplicate clusters: connected components over near-dup pairs", cc,
+      Some(ccSql)),
     Capability("dedup_simhash", "SimHash band-bucketed near-dup pairs (Hamming ≤ 8)", simhash),
     Capability("dedup_embedding", "top-50 embedding pairs by cosine", embed, Some(embedSql)),
   )

@@ -55,6 +55,39 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("connected components label a hand-built graph by min reachable id") {
+    import spark.implicits._
+    // two triangles bridged into one component {1..6}, a 3-chain {10,11,12},
+    // and an isolated edge {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("da", "db")
+    val comp = Dedup.connectedComponents(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(comp == expected)
+  }
+
+  test("components cover every near-dup pair endpoint consistently") {
+    val pairs = Dedup.minhashPairs(
+      Tables.documents(spark, sf), "doc_id", "text", threshold = 0.8)
+    val comp = Dedup.connectedComponents(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeList = pairs.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edgeList.nonEmpty)
+    // both endpoints of every pair share a component, and every component
+    // representative is a member of its own cluster
+    edgeList.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    comp.values.foreach(rep => assert(comp(rep) == rep))
+  }
+
   test("simhash pairs overlap strongly with high-jaccard pairs") {
     val sim = Registry.byName("dedup_simhash").run(spark, sf)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
