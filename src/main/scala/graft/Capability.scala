@@ -29,6 +29,7 @@ object Registry {
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++
+      pipeline.ShardingQueries.caps ++
       pipeline.MultimodalQueries.caps
 
   lazy val byName: Map[String, Capability] = all.map(c => c.name -> c).toMap

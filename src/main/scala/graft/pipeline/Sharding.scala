@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharding primitives for training-data pipelines:
+  * content-hash dataset splits and token-budget sequence packing.
+  *
+  * Both key on `md5(id)` rather than `rand()`: the assignment is a pure
+  * function of the record id, so it is reproducible across runs, engines
+  * and cluster layouts (the DuckDB oracles compute the identical md5), and
+  * it never needs a seed to be carried around. At 100 TB both ops are a
+  * single narrow projection (split) or one hash-partitioned window (pack) —
+  * no global coordination.
+  */
+object Sharding {
+
+  /** Two-hex-digit md5 bucket (256 buckets) of the id column — the unit of
+    * split assignment. */
+  private def bucket2(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 2)
+
+  /** Deterministic train/val/test split by md5 bucket. Boundaries are
+    * two-hex-digit strings compared lexicographically ("cc" → 204/256 ≈
+    * 80% train, "e6" → 26/256 ≈ 10% val, rest test); any row set, on any
+    * engine, splits identically. Narrow projection — zero shuffle. */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      trainUpper: String = "cc", valUpper: String = "e6"): DataFrame =
+    df.select(col(idCol), bucket2(col(idCol)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpper, "train")
+          .when(col("bucket") < valUpper, "val")
+          .otherwise("test"))
+
+  /** Greedy offset-based packing of documents into fixed `ctxTokens`
+    * windows, sharded by the first md5 hex digit of the id (16 shards).
+    *
+    * Within a shard, documents are laid out in id order at their running
+    * token offset; `seq_id` is the context window the document STARTS in
+    * (floor(start_offset / ctxTokens)) and `seq_offset` its position
+    * within that window. This is the standard approximate packing for LLM
+    * pre-training batches: one hash-partitioned sort per shard, no global
+    * window (a single unpartitioned ORDER BY would serialize the whole
+    * corpus through one task — the shard key is what makes this a
+    * 100 TB-safe plan; more shards = more parallelism, identical
+    * per-shard layout). */
+  def packSequences(
+      df: DataFrame, idCol: String, tokCol: Column,
+      ctxTokens: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(idCol),
+      substring(md5(col(idCol).cast("string")), 1, 1).as("shard"),
+      tokCol.cast("bigint").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("cum_tok") - col("n_tok"))
+      .withColumn("seq_id", expr(s"start_off div ${ctxTokens.toLong}"))
+      .withColumn("seq_offset", col("start_off") - col("seq_id") * ctxTokens)
+      .drop("start_off")
+  }
+}

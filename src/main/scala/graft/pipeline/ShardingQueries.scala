@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.{Capability, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared sharding capabilities over `documents`: deterministic
+  * train/val/test splits and token-budget sequence packing. Both are pure
+  * functions of the doc id (md5-keyed), so DuckDB computes the identical
+  * assignment — full-row oracle gates, not just count checks.
+  */
+object ShardingQueries {
+
+  private def split(s: SparkSession, d: String): DataFrame =
+    Sharding.assignSplit(Tables.documents(s, d), "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val splitSql =
+    """SELECT doc_id,
+      |  substring(md5(doc_id::VARCHAR), 1, 2) AS bucket,
+      |  CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def pack(s: SparkSession, d: String): DataFrame =
+    Sharding.packSequences(
+      Tables.documents(s, d), "doc_id",
+      size(TextOps.words(col("text"))), ctxTokens = 2048)
+      .orderBy(col("doc_id"))
+
+  private val packSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    substring(md5(doc_id::VARCHAR), 1, 1) AS shard,
+      |    len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tok
+      |  FROM toks)
+      |SELECT doc_id, shard, n_tok, cum_tok,
+      |  (cum_tok - n_tok) // 2048 AS seq_id,
+      |  (cum_tok - n_tok) - ((cum_tok - n_tok) // 2048) * 2048 AS seq_offset
+      |FROM cum ORDER BY doc_id""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
+      Some(splitSql)),
+    Capability("pipeline_pack", "token-budget sequence packing in md5 shards", pack,
+      Some(packSql)),
+  )
+}

@@ -124,6 +124,49 @@ object FunctionQueries {
       |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Unicode fixture shared between the Spark query and the DuckDB oracle
+    * (the same Scala literals are interpolated into both, so the two
+    * engines parse byte-identical strings). */
+  private val normFixture: Seq[(Int, String)] = Seq(
+    1 -> "café", // decomposed e + combining acute
+    2 -> "café", // precomposed é
+    3 -> "ﬁle", // ﬁ ligature (compatibility-only decomposition)
+    4 -> "½ cup", // vulgar fraction (compatibility-only)
+    5 -> "Åb", // A + combining ring — composes to Å
+    6 -> "ＡBC", // full-width A (compatibility-only)
+    7 -> "straße", // ß — no canonical decomposition
+    8 -> "plain ascii",
+    9 -> "ẛ̣", // long-s + dot-above + dot-below (UAX#15 figure 6)
+    10 -> "가", // Hangul syllable GA, precomposed
+    11 -> "가", // Hangul Jamo G + A — NFC composes the syllable
+    12 -> "ȩ́x") // out-of-order marks — NFC must reorder then compose
+
+  /** Q14c: `utf8_normalize` kernel
+    * (cpp/src/arrow/compute/kernels/scalar_string_utf8.cc UTF8NormalizeExec)
+    * — NFC and accent stripping gated against DuckDB
+    * `nfc_normalize`/`strip_accents`. strip = NFC ∘ drop-Mn ∘ NFD, which
+    * is exactly utf8proc's strip_accents including Hangul recomposition;
+    * NFD/NFKC/NFKD have no DuckDB counterpart and are asserted in
+    * NormalizeSpec instead. */
+  private def q14c(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val N = graft.functions.expr.NormalizeExpr
+    normFixture.toDF("id", "s").select(
+      col("id"), col("s"),
+      N(col("s"), "NFC").as("nfc"),
+      N(regexp_replace(N(col("s"), "NFD"), "\\p{Mn}+", ""), "NFC").as("stripped"),
+      length(N(col("s"), "NFC")).as("nfc_len"))
+      .orderBy(col("id"))
+  }
+
+  private val q14cSql = {
+    val values = normFixture.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+    s"""WITH fixture(id, s) AS (VALUES $values)
+       |SELECT id, s, nfc_normalize(s) AS nfc, strip_accents(s) AS stripped,
+       |  length(nfc_normalize(s)) AS nfc_len
+       |FROM fixture ORDER BY id""".stripMargin
+  }
+
   /** Q15: temporal extraction + arithmetic over `orders` dates. */
   private def q15(s: SparkSession, d: String): DataFrame = {
     val od = to_date(col("o_orderdate"))
@@ -631,6 +674,7 @@ object FunctionQueries {
   val caps: Seq[Capability] = Seq(
     Capability("q14_strings", "string kernel battery", q14, Some(q14Sql)),
     Capability("q14b_strings2", "predicates/center/overlay/translate/codes/zero-fill/is_in", q14b, Some(q14bSql)),
+    Capability("q14c_normalize", "utf8_normalize NFC + accent stripping", q14c, Some(q14cSql)),
     Capability("q15_temporal_date", "date extraction + arithmetic", q15, Some(q15Sql)),
     Capability("q15b_temporal_ts", "time-of-day extraction on µs timestamps", q15b, Some(q15bSql)),
     Capability("q15c_temporal_iso", "ISO calendar/leap-year/strftime round-trip", q15c, Some(q15cSql)),

@@ -157,6 +157,42 @@ object WindowQueries {
       |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |ORDER BY user_id, rn""".stripMargin
 
+  /** Q20b: the rest of the cumulative kernel family
+    * (cpp/src/arrow/compute/kernels/vector_cumulative_ops.cc —
+    * cumulative_min / cumulative_max / cumulative_prod). min/max are
+    * arithmetic-free so they gate unrounded; the product uses the custom
+    * [[graft.functions.expr.Product]] DeclarativeAggregate as a window
+    * function over a bounded 4-row frame of small integers (≤ 3⁴ = 81 —
+    * exact in a double on both engines, no overflow at any row count). */
+  private def q20b(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRows = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w4 = wOrd.rowsBetween(-3, Window.currentRow)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        min(col("value")).over(wRows).as("running_min"),
+        max(col("value")).over(wRows).as("running_max"),
+        graft.functions.expr.Product((col("event_id") % 3 + 1).cast("double"))
+          .over(w4).as("prod4"),
+        row_number().over(wOrd).as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val q20bSql =
+    """SELECT event_id, user_id,
+      |  MIN(value) OVER wrows AS running_min,
+      |  MAX(value) OVER wrows AS running_max,
+      |  product((event_id % 3 + 1)::DOUBLE) OVER w4 AS prod4,
+      |  row_number() OVER word AS rn
+      |FROM events
+      |WINDOW word AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, rn""".stripMargin
+
   /** Q21: as-of join — for each purchase event, the latest click by the
     * same user at or before the purchase, within a 1-hour tolerance. */
   private def q21(s: SparkSession, d: String): DataFrame = {
@@ -386,6 +422,7 @@ object WindowQueries {
     Capability("q19_ranking", "rank/dense_rank/percent_rank/row_number/ntile/lag/lead", q19, Some(q19Sql)),
     Capability("q19b_rank_normal", "rank_quantile / rank_normal (mid-rank + normal PPF)", q19b, Some(q19bSql)),
     Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
+    Capability("q20b_cumulative2", "cumulative min/max + windowed product", q20b, Some(q20bSql)),
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
     Capability("q21c_asof_forward", "forward as-of join (positive tolerance)", q21c, Some(q21cSql)),
