@@ -58,4 +58,33 @@ object StreamingOps {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-stream interval join — the streaming analogue of a bounded
+    * range join: every (left, right) pair with equal `key` and the right
+    * event time inside [left.ts − tolerance, left.ts]. Works identically
+    * on batch frames (no watermark needed there), which is what the
+    * parity spec asserts.
+    *
+    * Both sides are watermarked, and the time-range conjuncts are what
+    * make the state BOUNDED: Spark derives each side's state TTL from the
+    * other side's watermark plus the range (a buffered right row is
+    * dropped once the left watermark passes rts + tolerance). Without the
+    * range condition a stream-stream join must buffer both streams
+    * forever — the difference between a demo and a 100 TB/day join.
+    *
+    * Column contract: left carries event time `ts`, right carries `rts`,
+    * and the key columns are `key` (left) / `key + "_r"` (right) so the
+    * joined schema never collides. */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame, key: String,
+      tolerance: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark("ts", watermarkDelay) else left
+    val r0 = right.withColumnRenamed(key, s"${key}_r")
+    val r = if (right.isStreaming) r0.withWatermark("rts", watermarkDelay) else r0
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col("rts") >= col("ts") - expr(s"INTERVAL $tolerance") &&
+        col("rts") <= col("ts"))
+  }
 }

@@ -71,4 +71,44 @@ class StreamingSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+
+    def sides(events: org.apache.spark.sql.DataFrame) = {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ts").as("rts"))
+      (purchases, clicks)
+    }
+
+    val stream = StreamingOps.withEventTime(
+      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(dir.getAbsolutePath))
+    val (sp, sc) = sides(stream)
+    val joined = StreamingOps.intervalJoinStream(sp, sc, "user_id")
+      .select(col("pid"), col("cid"))
+
+    val query = joined.writeStream
+      .format("memory").queryName("graft_ssjoin")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("graft_ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (bp, bc) = sides(
+        StreamingOps.withEventTime(spark.read.parquet(s"$sf/events.parquet")))
+      val batch = StreamingOps.intervalJoinStream(bp, bc, "user_id")
+        .select(col("pid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally {
+      query.stop()
+    }
+  }
 }
