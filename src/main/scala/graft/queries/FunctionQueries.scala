@@ -371,6 +371,36 @@ object FunctionQueries {
       |  off_sy > least(off_sy_jan, off_sy_jul) AS dst_sydney
       |FROM o ORDER BY event_id""".stripMargin
 
+  /** Q15f: temporal rounding kernels
+    * (cpp/src/arrow/compute/kernels/scalar_temporal_unary.cc
+    * floor_temporal / ceil_temporal / round_temporal with multiple=15min)
+    * plus calendar arithmetic with end-of-month clamping. The rounding is
+    * pure epoch-µs integer math — exactly how a scale-out engine should
+    * implement it (codegen'd long ops, no calendar object per row) — and
+    * the DuckDB oracle mirrors the same arithmetic, so both engines are
+    * bit-identical by construction. ceil keeps boundary values in place
+    * (Arrow's default ceil_is_strictly_greater=false); round ties go up. */
+  private def q15f(s: SparkSession, d: String): DataFrame = {
+    val m = 15L * 60 * 1000000 // 15 minutes in µs
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr(s"timestamp_micros((unix_micros(ts) div $m) * $m)").as("floor15"),
+      expr(s"timestamp_micros(((unix_micros(ts) + ${m - 1}) div $m) * $m)").as("ceil15"),
+      expr(s"timestamp_micros(((unix_micros(ts) + ${m / 2}) div $m) * $m)").as("round15"),
+      add_months(to_date(col("ts")), 1).as("next_month"),
+      last_day(to_date(col("ts"))).as("eom"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q15fSql =
+    """SELECT event_id,
+      |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000) AS floor15,
+      |  make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) + 899999999) // 900000000) * 900000000) AS ceil15,
+      |  make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) + 450000000) // 900000000) * 900000000) AS round15,
+      |  CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |  last_day(CAST(ts AS DATE)) AS eom
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`. */
   private def q16(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(
@@ -687,6 +717,7 @@ object FunctionQueries {
     Capability("q15c_temporal_iso", "ISO calendar/leap-year/strftime round-trip", q15c, Some(q15cSql)),
     Capability("q15d_timezone", "assume_timezone / local_timestamp conversions", q15d, Some(q15dSql)),
     Capability("q15e_us_calendar", "us_week/us_year epi calendar + is_dst", q15e, Some(q15eSql)),
+    Capability("q15f_temporal_round", "floor/ceil/round_temporal to 15-min multiples + EOM-clamped month arithmetic", q15f, Some(q15fSql)),
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
     Capability("q16b_trig", "trig/hyperbolic/extended-log/pmod/factorial kernels", q16b, Some(q16bSql)),
     Capability("q02c_bool_aggs", "any/all/count_if/arg-extrema/median aggregates", q02c, Some(q02cSql)),
