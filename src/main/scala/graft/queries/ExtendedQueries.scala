@@ -35,6 +35,46 @@ object ExtendedQueries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Q28b: CUBE — all four grouping combinations (the rollup's missing
+    * (Ø, l_linestatus) slice), same null-ordering pinning as q28. */
+  private def q28b(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q28bSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Q27e: approx_top_k frequent-items sketch (Spark 4 builtin). Gated
+    * exactly: `event_type` has 5 distinct values, far below the sketch's
+    * tracked-item capacity, so the "approximate" counts are provably
+    * exact and the oracle is a plain exact group-by. k covers every
+    * distinct value, so boundary ties cannot flake the gate. */
+  private def q27e(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(event_type, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
+  private val q27eSql =
+    """SELECT event_type AS item, COUNT(*) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, item""".stripMargin
+
   /** Q29: INTERSECT / EXCEPT (set semantics — deduplicated). */
   private def q29(s: SparkSession, d: String): DataFrame = {
     val custNk = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
@@ -290,6 +330,8 @@ object ExtendedQueries {
 
   val caps: Seq[Capability] = Seq(
     Capability("q28_rollup", "rollup subtotals with grouping_id", q28, Some(q28Sql)),
+    Capability("q28b_cube", "cube over both grouping dimensions", q28b, Some(q28bSql)),
+    Capability("q27e_approx_topk", "approx_top_k frequent-items sketch (exact at this cardinality)", q27e, Some(q27eSql)),
     Capability("q29_setops", "intersect / except set operations", q29, Some(q29Sql)),
     Capability("q30_cross_join", "cross join", q30, Some(q30Sql)),
     Capability("q31_product", "custom product aggregate (DeclarativeAggregate)", q31, Some(q31Sql)),

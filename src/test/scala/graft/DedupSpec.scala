@@ -74,6 +74,12 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == expected)
   }
 
+  test("connected components of an empty pair graph is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponents(empty, "da", "db").count() == 0)
+  }
+
   test("components cover every near-dup pair endpoint consistently") {
     val pairs = Dedup.minhashPairs(
       Tables.documents(spark, sf), "doc_id", "text", threshold = 0.8)
