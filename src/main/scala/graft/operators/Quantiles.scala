@@ -27,10 +27,44 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** The reference's five interpolation modes
+    * (QuantileOptions::Interpolation, compute.rst quantile): how to
+    * resolve a quantile landing between the two bracketing order
+    * statistics lo (rank ⌊(n−1)q⌋) and hi (rank ⌈(n−1)q⌉). `nearest`
+    * ties (fraction exactly 0.5) resolve to hi. */
+  val interpolations: Seq[String] =
+    Seq("linear", "lower", "higher", "nearest", "midpoint")
+
+  private def interpolate(
+      lo: Double, hi: Double, frac: Double, interpolation: String): Double =
+    interpolation match {
+      case "linear"   => lo + (hi - lo) * frac
+      case "lower"    => lo
+      case "higher"   => hi
+      case "nearest"  => if (frac < 0.5) lo else hi
+      case "midpoint" => (lo + hi) / 2.0
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown interpolation '$other' (one of ${interpolations.mkString(", ")})")
+    }
+
   /** Exact interpolated quantiles of `column`; nulls ignored. Returns one
     * value per requested q (NaN on an empty column). */
-  def exact(df: DataFrame, column: String, qs: Seq[Double]): Seq[Double] = {
+  def exact(
+      df: DataFrame, column: String, qs: Seq[Double],
+      interpolation: String = "linear"): Seq[Double] =
+    exactMulti(df, column, qs, Seq(interpolation)).map(_(interpolation))
+
+  /** Exact quantiles under several interpolation modes at once — one
+    * distributed sort + one targeted fetch serve every (q, mode) pair,
+    * since all five modes derive from the same two bracketing order
+    * statistics. Returns one mode→value map per requested q. */
+  def exactMulti(
+      df: DataFrame, column: String, qs: Seq[Double],
+      interps: Seq[String]): Seq[Map[String, Double]] = {
     require(qs.forall(q => q >= 0.0 && q <= 1.0), s"quantiles must be in [0,1]: $qs")
+    require(interps.nonEmpty && interps.forall(interpolations.contains),
+      s"unknown interpolation among $interps")
     val sorted = df
       .select(col(column).cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -42,7 +76,7 @@ object Quantiles {
         .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
         .collect().sortBy(_._1).map(_._2)
       val n = counts.sum
-      if (n == 0) return qs.map(_ => Double.NaN)
+      if (n == 0) return qs.map(_ => interps.map(_ -> Double.NaN).toMap)
 
       // global rank -> (partition, local offset)
       val starts = counts.scanLeft(0L)(_ + _) // starts(i) = first global rank of partition i
@@ -86,7 +120,8 @@ object Quantiles {
         val pos = (n - 1) * q
         val lo = fetched(math.floor(pos).toLong)
         val hi = fetched(math.ceil(pos).toLong)
-        lo + (hi - lo) * (pos - math.floor(pos))
+        val frac = pos - math.floor(pos)
+        interps.map(i => i -> interpolate(lo, hi, frac, i)).toMap
       }
     } finally sorted.unpersist(blocking = false)
   }

@@ -382,6 +382,48 @@ object NestedIOQueries {
       |  COUNT(DISTINCT l_partkey) AS n_parts
       |FROM lineitem""".stripMargin
 
+  /** Q27f: the reference quantile kernel's full interpolation surface
+    * (QuantileOptions::Interpolation — linear/lower/higher/nearest/
+    * midpoint, cpp/src/arrow/compute/kernels/aggregate_quantile.cc). One
+    * Quantiles.exactMulti pass serves all five modes; the oracle derives
+    * the same five from the two bracketing order statistics via sorted-
+    * list indexing. Both sides compute rank positions in IEEE double
+    * (the oracle casts q to DOUBLE first) so the bracketing ranks are
+    * bit-identical by construction. */
+  private def q27f(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(0.25, 0.5, 0.9)
+    val modes = graft.operators.Quantiles.interpolations
+    val perQ = graft.operators.Quantiles.exactMulti(
+      Tables.lineitem(s, d), "l_extendedprice", qs, modes)
+    val rows = for ((q, byMode) <- qs.zip(perQ); m <- modes) yield (q, m, byMode(m))
+    rows.toDF("q", "mode", "value")
+      .select(col("q"), col("mode"), round(col("value"), 6).as("value"))
+      .orderBy(col("q"), col("mode"))
+  }
+
+  private val q27fSql =
+    """WITH s AS (
+      |  SELECT list_sort(list(l_extendedprice::DOUBLE)) AS xs, COUNT(*) AS n
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |qv(q) AS (VALUES (0.25), (0.5), (0.9)),
+      |b AS (
+      |  SELECT q,
+      |    xs[CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1] AS lo,
+      |    xs[CAST(ceil(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1] AS hi,
+      |    CAST(q AS DOUBLE) * (n - 1) - floor(CAST(q AS DOUBLE) * (n - 1)) AS frac
+      |  FROM s, qv),
+      |m(mode) AS (VALUES ('linear'), ('lower'), ('higher'), ('nearest'), ('midpoint'))
+      |SELECT q, mode,
+      |  round(CASE mode
+      |    WHEN 'linear' THEN lo + (hi - lo) * frac
+      |    WHEN 'lower' THEN lo
+      |    WHEN 'higher' THEN hi
+      |    WHEN 'nearest' THEN CASE WHEN frac < 0.5 THEN lo ELSE hi END
+      |    ELSE (lo + hi) / 2 END, 6) AS value
+      |FROM b, m
+      |ORDER BY q, mode""".stripMargin
+
   /** Q27b: sketch-based approximate aggregates (HLL++ distinct count,
     * KLL-ish percentile sketch — reference tdigest/approximate_median,
     * cpp/src/arrow/compute/kernels/aggregate_tdigest.cc). Sketches are
@@ -444,6 +486,7 @@ object NestedIOQueries {
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
     Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
+    Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
     Capability("q27c_tdigest", "t-digest quantile sketch (custom TypedImperativeAggregate)", q27c, None),
     Capability("q27d_grouped_tdigest", "per-group t-digest quantiles (hash_tdigest)", q27d, None),

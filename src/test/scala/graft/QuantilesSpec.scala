@@ -12,6 +12,20 @@ class QuantilesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("interpolation modes bracket correctly and coincide on exact ranks") {
+    val li = Tables.lineitem(spark, sf)
+    val modes = Quantiles.interpolations
+    val mid = Quantiles.exactMulti(li, "l_extendedprice", Seq(0.1, 0.5, 0.77), modes)
+    mid.foreach { m =>
+      assert(m("lower") <= m("linear") && m("linear") <= m("higher"))
+      assert(m("lower") <= m("midpoint") && m("midpoint") <= m("higher"))
+      assert(m("nearest") == m("lower") || m("nearest") == m("higher"))
+    }
+    // q = 0 and q = 1 land exactly on an order statistic — every mode agrees
+    val ends = Quantiles.exactMulti(li, "l_extendedprice", Seq(0.0, 1.0), modes)
+    ends.foreach(m => assert(m.values.toSet.size == 1))
+  }
+
   test("rank-selection quantiles equal percentile() on real data") {
     val li = Tables.lineitem(spark, sf)
     val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
