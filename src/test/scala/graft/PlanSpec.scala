@@ -79,6 +79,32 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$interesting")
   }
 
+  test("pipeline_split plans as a pure narrow transform (zero exchanges)") {
+    // the deterministic md5 split's scale claim IS "no shuffle" — losing
+    // that (e.g. to an accidental repartition or aggregate) would still
+    // return correct rows but serialize the corpus at 100 TB. The query
+    // binding's orderBy exists only for the oracle gate, so assert on the
+    // library output, not the gated query.
+    val df = graft.pipeline.Sharding.assignSplit(
+      Tables.documents(spark, sf), "doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("pipeline_pack plans exactly one hash exchange (the shard window)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.pipeline.Sharding.packSequences(
+      Tables.documents(spark, sf), "doc_id",
+      size(graft.functions.TextOps.words(col("text"))))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "packing must not global-sort; per-shard windows only:\n" + plan.take(2000))
+  }
+
   test("runtime Bloom filter is injected on a selective probe join") {
     // the Spark analogue of the reference's bloom-filter pushdown
     // (hash_join_node.cc:498-532) is InjectRuntimeFilter; it is enabled in
