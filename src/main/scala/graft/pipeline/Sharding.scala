@@ -61,4 +61,25 @@ object Sharding {
       .withColumn("seq_offset", col("start_off") - col("seq_id") * ctxTokens)
       .drop("start_off")
   }
+
+  /** Cap each group (e.g. a source domain) at `k` documents, chosen by a
+    * deterministic content-free lottery: rank within the group by
+    * `md5(id)` (ties broken by the id itself) and keep ranks ≤ k. Because
+    * the md5 order is a pure function of the id, the SAME k rows win on
+    * any engine, any run, any partitioning — it is a seedless uniform
+    * sample. This is the standard corpus-curation "domain cap" that stops
+    * a handful of crawl domains from dominating a training mix.
+    *
+    * One hash-partitioned window per group — the shuffle moves (group, id)
+    * pairs only, and no group's rows ever concentrate beyond their own
+    * partition, so it holds at 100 TB as long as single groups fit a
+    * partition (for pathological mega-groups, pre-filter with a cheap
+    * `rand()`-free bucket cut on the same md5 before ranking). */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= k)
+  }
 }

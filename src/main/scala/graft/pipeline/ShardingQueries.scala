@@ -46,10 +46,26 @@ object ShardingQueries {
       |  (cum_tok - n_tok) - ((cum_tok - n_tok) // 2048) * 2048 AS seq_offset
       |FROM cum ORDER BY doc_id""".stripMargin
 
+  private def cap(s: SparkSession, d: String): DataFrame =
+    Sharding.capPerGroup(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 25)
+      .orderBy(col("source"), col("cap_rank"))
+
+  private val capSql =
+    """SELECT doc_id, source, cap_rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS cap_rank
+      |  FROM documents)
+      |WHERE cap_rank <= 25 ORDER BY source, cap_rank""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
     Capability("pipeline_pack", "token-budget sequence packing in md5 shards", pack,
       Some(packSql)),
+    Capability("pipeline_cap", "deterministic md5-lottery per-domain document cap", cap,
+      Some(capSql)),
   )
 }

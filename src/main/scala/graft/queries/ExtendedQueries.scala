@@ -107,6 +107,92 @@ object ExtendedQueries {
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
       |ORDER BY r_name, o_orderpriority""".stripMargin
 
+  /** Q38: banded range join (point-in-interval). Spark plans a pure
+    * inequality join as a nested-loop — [[graft.operators.RangeJoin]]
+    * turns it into an equi-join on a time bin (see its scaladoc for the
+    * exactly-once argument). Points = every order (epoch day); intervals =
+    * a deterministic ~1% slice of orders opening a 1–29-day window at
+    * their date; binWidth 32 ≥ max length bounds the interval fan-out at
+    * 2×. The oracle is DuckDB's native inequality join (IEJoin). */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d)
+    val pts = od.select(
+      col("o_orderkey").as("pt_key"),
+      col("o_totalprice").as("pt_price"),
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("pt_day"))
+    val iv = od
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(
+        col("o_orderkey").as("iv_key"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("iv_start"))
+      .withColumn("iv_end", col("iv_start") + pmod(col("iv_key"), lit(29)) + lit(1))
+    graft.operators.RangeJoin
+      .pointInInterval(pts, "pt_day", iv, "iv_start", "iv_end", binWidth = 32)
+      .groupBy(col("iv_key"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        Det.dsum(col("pt_price")).as("sum_price"))
+      .orderBy(col("iv_key"))
+  }
+
+  private val q38Sql =
+    s"""WITH pts AS (
+       |  SELECT o_orderkey AS pt_key, o_totalprice AS pt_price,
+       |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS pt_day
+       |  FROM orders),
+       |iv AS (
+       |  SELECT o_orderkey AS iv_key,
+       |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS iv_start,
+       |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |      + (o_orderkey % 29) + 1 AS iv_end
+       |  FROM orders WHERE o_orderkey % 97 = 0)
+       |SELECT iv_key, COUNT(*) AS n_pts,
+       |  ${Det.sqlSum("pt_price")} AS sum_price
+       |FROM pts JOIN iv ON pt_day BETWEEN iv_start AND iv_end
+       |GROUP BY iv_key ORDER BY iv_key""".stripMargin
+
+  /** Q38b: banded interval-overlap join — both sides are interval sets
+    * (distinct deterministic slices of orders with 1–13 and 1–29-day
+    * windows); a pair is emitted exactly once, in the bin containing the
+    * overlap start. */
+  private def q38b(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d)
+    def ivs(mod: Int, lenMod: Int, p: String): DataFrame =
+      od.filter(pmod(col("o_orderkey"), lit(mod)) === 0)
+        .select(
+          col("o_orderkey").as(s"${p}_key"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as(s"${p}_s"))
+        .withColumn(s"${p}_e",
+          col(s"${p}_s") + pmod(col(s"${p}_key"), lit(lenMod)) + lit(1))
+    graft.operators.RangeJoin
+      .intervalOverlap(ivs(89, 13, "l"), "l_s", "l_e", ivs(97, 29, "r"), "r_s", "r_e",
+        binWidth = 32)
+      .groupBy(col("l_key"))
+      .agg(
+        count(lit(1)).as("n_overlaps"),
+        min(col("r_key")).as("first_r"),
+        max(col("r_key")).as("last_r"))
+      .orderBy(col("l_key"))
+  }
+
+  private val q38bSql =
+    """WITH l AS (
+      |  SELECT o_orderkey AS l_key,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS l_s,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + (o_orderkey % 13) + 1 AS l_e
+      |  FROM orders WHERE o_orderkey % 89 = 0),
+      |r AS (
+      |  SELECT o_orderkey AS r_key,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS r_s,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + (o_orderkey % 29) + 1 AS r_e
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT l_key, COUNT(*) AS n_overlaps,
+      |  MIN(r_key) AS first_r, MAX(r_key) AS last_r
+      |FROM l JOIN r ON l_s <= r_e AND r_s <= l_e
+      |GROUP BY l_key ORDER BY l_key""".stripMargin
+
   /** Q31: custom `product` aggregate (graft.functions.expr.Product, a
     * DeclarativeAggregate). Per-order products of integer-valued
     * quantities stay < 2^53, so double multiplication is exact and
@@ -334,6 +420,10 @@ object ExtendedQueries {
     Capability("q27e_approx_topk", "approx_top_k frequent-items sketch (exact at this cardinality)", q27e, Some(q27eSql)),
     Capability("q29_setops", "intersect / except set operations", q29, Some(q29Sql)),
     Capability("q30_cross_join", "cross join", q30, Some(q30Sql)),
+    Capability("q38_range_join", "banded point-in-interval range join (no nested-loop)", q38,
+      Some(q38Sql), bench = true),
+    Capability("q38b_interval_overlap", "banded interval-overlap join, exactly-once per pair", q38b,
+      Some(q38bSql)),
     Capability("q31_product", "custom product aggregate (DeclarativeAggregate)", q31, Some(q31Sql)),
     Capability("q02b_moments", "skewness/kurtosis/corr/covariance", q02b, Some(q02bSql)),
     Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),

@@ -44,4 +44,24 @@ class ShardingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("per-group cap keeps at most k, deterministically, layout-independent") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val k = 7
+    def winners(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      Sharding.capPerGroup(df, "source", "doc_id", k).collect()
+        .map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val a = winners(docs)
+    val b = winners(docs.repartition(7, col("doc_id"))) // different layout
+    assert(a == b, "cap winners must not depend on partitioning")
+    a.foreach { case (_, ids) => assert(ids.size <= k) }
+    // groups larger than k are capped exactly at k
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(a(src).size == math.min(n, k.toLong))
+    }
+  }
 }
