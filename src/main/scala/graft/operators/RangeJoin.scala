@@ -48,10 +48,17 @@ object RangeJoin {
   private def binOf(x: Column, w: Long): Column =
     (x - pmod(x, lit(w))).cast("long")
 
-  /** Inner join of `points` to every row of `intervals` whose
+  /** Join of `points` to every row of `intervals` whose
     * `[startCol, endCol]` contains `pointCol`. The two frames must have
     * disjoint column names (rename before the call — the join axis columns
     * are referenced by name on their own side).
+    *
+    * `joinType` may be `"inner"` (default), `"left"`/`"left_outer"` (keep
+    * unmatched points with null interval columns — correct because a point
+    * occupies exactly ONE bin, so the left join sees each point's full
+    * candidate set in a single bin partition), or `"left_semi"`/
+    * `"left_anti"` (points that fall in ≥1 / no interval — the anti case
+    * is the "outside every maintenance window" filter).
     *
     * Intervals with `end < start` are dropped (they can contain nothing,
     * and `sequence` would reject the reversed bounds).
@@ -62,8 +69,13 @@ object RangeJoin {
       intervals: DataFrame,
       startCol: String,
       endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(
+      Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"unsupported joinType '$joinType' (a right/full variant would need " +
+        "interval-side dedup across bins — not provided)")
     val p = points.withColumn("__rj_bin", binOf(col(pointCol), binWidth))
     val iv = intervals
       .filter(col(endCol) >= col(startCol))
@@ -76,7 +88,8 @@ object RangeJoin {
     p.join(
         iv,
         p("__rj_bin") === iv("__rj_bin") &&
-          col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+          col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol),
+        joinType)
       .drop("__rj_bin")
   }
 

@@ -41,6 +41,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(binned.count() == binned.select("pt_key", "iv_key").distinct().count())
   }
 
+  test("left/semi/anti variants agree with the nested-loop reference") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (2L, 40L), (3L, 500L)).toDF("pt_key", "pt_x")
+    val iv = Seq((10L, 0L, 10L), (11L, 3L, 50L)).toDF("iv_key", "iv_s", "iv_e")
+
+    val leftJ = RangeJoin.pointInInterval(pts, "pt_x", iv, "iv_s", "iv_e", 32, "left")
+    // matched pairs + the unmatched point once with nulls
+    val got = leftJ.select(col("pt_key"), col("iv_key")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, -1L)))
+
+    val semi = RangeJoin.pointInInterval(pts, "pt_x", iv, "iv_s", "iv_e", 32, "left_semi")
+      .select("pt_key").collect().map(_.getLong(0)).toSet
+    assert(semi == Set(1L, 2L))
+    val anti = RangeJoin.pointInInterval(pts, "pt_x", iv, "iv_s", "iv_e", 32, "left_anti")
+      .select("pt_key").collect().map(_.getLong(0)).toSet
+    assert(anti == Set(3L))
+  }
+
   test("interval-overlap: binned == nested-loop, exactly once per pair") {
     import spark.implicits._
     val l = Seq(
