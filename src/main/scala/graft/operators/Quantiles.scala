@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed exact quantiles by rank selection (reference `quantile`
@@ -124,5 +125,66 @@ object Quantiles {
         interps.map(i => i -> interpolate(lo, hi, frac, i)).toMap
       }
     } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Exact interpolated quantiles PER GROUP — the scale path for the
+    * reference's `hash_quantile` / `hash_tdigest`-exact surface
+    * (cpp/src/arrow/compute/kernels/hash_aggregate.cc): one row per group
+    * with one double column per requested q, named `q0, q1, …` in request
+    * order (alias downstream). Nulls are ignored; a group whose values are
+    * all null disappears (mirror of a grouped aggregate over no rows).
+    *
+    * Unlike `percentile()` (whose per-group buffer holds every value of
+    * the group, merged on a single task per group), this is a single hash
+    * shuffle on the group key + an in-partition sort: `row_number` and the
+    * group count come from one window pass (WindowExec's spillable
+    * partition buffer — no unbounded aggregation buffer), the ≤2·|qs|
+    * bracketing rows per group survive a filter, and a tiny hash aggregate
+    * interpolates. Group count is bounded only by what one partition's
+    * spill can sort — the same bound as any `groupBy` sort at 100 TB.
+    */
+  def exactGrouped(
+      df: DataFrame, groupCol: String, valCol: String, qs: Seq[Double],
+      interpolation: String = "linear"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    require(interpolations.contains(interpolation),
+      s"unknown interpolation '$interpolation'")
+    val g = col(groupCol)
+    val ranked = df
+      .select(g, col(valCol).cast("double").as("__qv"))
+      .filter(col("__qv").isNotNull)
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(g).orderBy(col("__qv"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(g)))
+
+    // the (n-1)·q rank arithmetic, per row (identical for all rows of a
+    // group — IEEE double, bit-equal to the oracle's own (n-1)·q)
+    def pos(q: Double): Column = (col("__n") - 1) * lit(q)
+    val isBracket = qs
+      .map(q => col("__rn") === (floor(pos(q)) + 1) || col("__rn") === (ceil(pos(q)) + 1))
+      .reduce(_ || _)
+
+    val aggCols = qs.zipWithIndex.flatMap { case (q, i) =>
+      Seq(
+        min(when(col("__rn") === floor(pos(q)) + 1, col("__qv"))).as(s"__lo_$i"),
+        min(when(col("__rn") === ceil(pos(q)) + 1, col("__qv"))).as(s"__hi_$i"),
+        max(pos(q) - floor(pos(q))).as(s"__f_$i"))
+    }
+    val outCols = g +: qs.indices.map { i =>
+      val (lo, hi, f) = (col(s"__lo_$i"), col(s"__hi_$i"), col(s"__f_$i"))
+      val v = interpolation match {
+        case "linear"   => lo + (hi - lo) * f
+        case "lower"    => lo
+        case "higher"   => hi
+        case "nearest"  => when(f < 0.5, lo).otherwise(hi)
+        case "midpoint" => (lo + hi) / 2.0
+      }
+      v.as(s"q$i")
+    }
+    ranked.filter(isBracket)
+      .groupBy(g)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(outCols: _*)
   }
 }

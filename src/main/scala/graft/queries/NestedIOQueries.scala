@@ -424,6 +424,30 @@ object NestedIOQueries {
       |FROM b, m
       |ORDER BY q, mode""".stripMargin
 
+  /** Q27g: exact GROUPED quantiles through the distributed
+    * window-rank-selection path (graft.operators.Quantiles.exactGrouped)
+    * — the exact twin of q27d's grouped t-digest sketch. One hash shuffle
+    * on the group key; no `percentile()` per-group value buffer anywhere
+    * in the plan (reference hash_quantile:
+    * cpp/src/arrow/compute/kernels/hash_aggregate.cc). */
+  private def q27g(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles
+      .exactGrouped(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.9))
+      .select(
+        col("l_returnflag"),
+        round(col("q0"), 4).as("p25"),
+        round(col("q1"), 4).as("p50"),
+        round(col("q2"), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  private val q27gSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Q27b: sketch-based approximate aggregates (HLL++ distinct count,
     * KLL-ish percentile sketch — reference tdigest/approximate_median,
     * cpp/src/arrow/compute/kernels/aggregate_tdigest.cc). Sketches are
@@ -487,6 +511,8 @@ object NestedIOQueries {
     Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
+    Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,
+      Some(q27gSql)),
     Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
     Capability("q27c_tdigest", "t-digest quantile sketch (custom TypedImperativeAggregate)", q27c, None),
     Capability("q27d_grouped_tdigest", "per-group t-digest quantiles (hash_tdigest)", q27d, None),

@@ -55,4 +55,62 @@ class QuantilesSpec extends AnyFunSuite {
     val df = Seq[java.lang.Double](1.0, null, 3.0, null, 2.0).toDF("x")
     assert(Quantiles.exact(df, "x", Seq(0.5)) == Seq(2.0))
   }
+
+  test("grouped quantiles equal grouped percentile() on real data") {
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val viaWindow = Quantiles
+      .exactGrouped(li, "l_returnflag", "l_extendedprice", qs)
+      .collect()
+      .map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    val viaBuffer = li
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), array(qs.map(lit): _*)).as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    assert(viaWindow.keySet == viaBuffer.keySet)
+    viaWindow.foreach { case (g, vs) =>
+      qs.indices.foreach { i =>
+        assert(math.abs(vs(i) - viaBuffer(g)(i)) <= math.ulp(viaBuffer(g)(i)) * 4,
+          s"group=$g q=${qs(i)}: window=${vs(i)} buffer=${viaBuffer(g)(i)}")
+      }
+    }
+  }
+
+  test("grouped quantiles: modes, single-row groups, all-null groups") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 10.0),  // h(0.5)=1 exact → 2.0
+      ("b", 7.0),                           // single row
+      ("c", null), ("c", null)              // all null → group dropped
+    ).toDF("g", "x")
+    def q(mode: String): Map[String, Double] =
+      Quantiles.exactGrouped(df, "g", "x", Seq(0.5), mode)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("linear") == Map("a" -> 2.0, "b" -> 7.0))
+    // a fractional rank: q=0.25 on [1,2,10] → h=0.5 between 1 and 2
+    val frac = Quantiles.exactGrouped(df.filter(col("g") === "a"), "g", "x", Seq(0.25), "linear")
+      .head().getDouble(1)
+    assert(frac == 1.5)
+    assert(Quantiles.exactGrouped(df.filter(col("g") === "a"), "g", "x", Seq(0.25), "lower")
+      .head().getDouble(1) == 1.0)
+    assert(Quantiles.exactGrouped(df.filter(col("g") === "a"), "g", "x", Seq(0.25), "higher")
+      .head().getDouble(1) == 2.0)
+    assert(Quantiles.exactGrouped(df.filter(col("g") === "a"), "g", "x", Seq(0.25), "nearest")
+      .head().getDouble(1) == 2.0) // frac 0.5 ties to hi
+    assert(Quantiles.exactGrouped(df.filter(col("g") === "a"), "g", "x", Seq(0.25), "midpoint")
+      .head().getDouble(1) == 1.5)
+  }
+
+  test("grouped quantile plan has one exchange and no Percentile buffer") {
+    val li = Tables.lineitem(spark, sf)
+    val plan = Quantiles
+      .exactGrouped(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Percentile"), s"percentile buffer leaked into:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single hash shuffle, got $exchanges:\n$plan")
+  }
 }
