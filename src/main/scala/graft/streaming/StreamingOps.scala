@@ -74,17 +74,29 @@ object StreamingOps {
     *
     * Column contract: left carries event time `ts`, right carries `rts`,
     * and the key columns are `key` (left) / `key + "_r"` (right) so the
-    * joined schema never collides. */
+    * joined schema never collides.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer variant emits
+    * a left row with null right columns once the watermark proves no
+    * in-range right row can still arrive — so outer results trail the
+    * watermark by design (a left row younger than the final watermark
+    * stays withheld, which the parity spec accounts for). Both watermarks
+    * plus the range conjuncts are exactly what Spark requires to run an
+    * outer stream-stream join with bounded state. */
   def intervalJoinStream(
       left: DataFrame, right: DataFrame, key: String,
       tolerance: String = "10 minutes",
-      watermarkDelay: String = "30 minutes"): DataFrame = {
+      watermarkDelay: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"unsupported joinType '$joinType'")
     val l = if (left.isStreaming) left.withWatermark("ts", watermarkDelay) else left
     val r0 = right.withColumnRenamed(key, s"${key}_r")
     val r = if (right.isStreaming) r0.withWatermark("rts", watermarkDelay) else r0
     l.join(r,
       col(key) === col(s"${key}_r") &&
         col("rts") >= col("ts") - expr(s"INTERVAL $tolerance") &&
-        col("rts") <= col("ts"))
+        col("rts") <= col("ts"),
+      joinType)
   }
 }

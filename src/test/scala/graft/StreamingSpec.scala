@@ -111,4 +111,79 @@ class StreamingSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  test("left-outer stream-stream interval join: matches ≡ batch, null rows trail the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssloj").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+
+    def sides(events: org.apache.spark.sql.DataFrame) = {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ts").as("rts"))
+      (purchases, clicks)
+    }
+
+    val stream = StreamingOps.withEventTime(
+      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(dir.getAbsolutePath))
+    val (sp, sc) = sides(stream)
+    val joined = StreamingOps
+      .intervalJoinStream(sp, sc, "user_id", joinType = "left_outer")
+      .select(col("pid"), col("cid"), col("ts"))
+    val query = joined.writeStream
+      .format("memory").queryName("graft_ssloj")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val out = spark.table("graft_ssloj").collect()
+      val streamedPairs = out.filter(!_.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamedNullPids = out.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+      val batchEvents = StreamingOps.withEventTime(
+        spark.read.parquet(s"$sf/events.parquet"))
+      val (bp, bc) = sides(batchEvents)
+      val batchOuter = StreamingOps
+        .intervalJoinStream(bp, bc, "user_id", joinType = "left_outer")
+        .select(col("pid"), col("cid"), col("ts")).collect()
+      val batchPairs = batchOuter.filter(!_.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // matched pairs are identical to batch — outer-ness changes nothing
+      assert(streamedPairs == batchPairs)
+
+      // null (unmatched) lefts: the stream emits exactly the batch-unmatched
+      // rows the final watermark has proven complete (wm = max event time −
+      // 30 min delay); rows inside the final watermark window stay withheld
+      // the global watermark is the MIN of the two sides' watermarks, each
+      // tracking its own (filtered) stream's max event time
+      val maxP = bp.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val maxC = bc.agg(max(col("rts"))).head().getTimestamp(0).getTime
+      val wmMs = math.min(maxP, maxC) - 30L * 60 * 1000
+      val tolMs = 10L * 60 * 1000
+      val epsMs = 5000L
+      val batchUnmatched = batchOuter.filter(_.isNullAt(1))
+        .map(r => r.getLong(0) -> r.getTimestamp(2).getTime).toMap
+      assert(streamedNullPids.subsetOf(batchUnmatched.keySet))
+      // Spark evicts left state from the conjunct `ts <= rts + tol`, so an
+      // unmatched left is only proven complete once wm passes ts + tol
+      val provenComplete = batchUnmatched.collect {
+        case (pid, ts) if ts + tolMs < wmMs - epsMs => pid
+      }.toSet
+      assert(provenComplete.subsetOf(streamedNullPids),
+        s"${(provenComplete -- streamedNullPids).size} watermark-complete unmatched lefts were never emitted; " +
+          (provenComplete -- streamedNullPids).take(5)
+            .map(p => s"pid=$p tsMinusWm=${batchUnmatched(p) - wmMs}ms").mkString(", "))
+      val mustWithhold = batchUnmatched.collect {
+        case (pid, ts) if ts > wmMs + epsMs => pid
+      }.toSet
+      assert((streamedNullPids & mustWithhold).isEmpty,
+        "rows inside the watermark window must stay withheld")
+      assert(provenComplete.nonEmpty, "fixture should exercise emitted outer rows")
+    } finally {
+      query.stop()
+    }
+  }
 }
