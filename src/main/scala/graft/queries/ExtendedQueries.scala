@@ -298,6 +298,45 @@ object ExtendedQueries {
        |FROM lineitem, c GROUP BY c.lo, c.hi""".stripMargin
   }
 
+  /** Q33b: GROUPED winsorized mean — per-group cutoffs from the
+    * single-shuffle grouped rank-selection operator
+    * (Quantiles.exactGrouped), broadcast-joined back for the clamp pass.
+    * The composition a real pipeline uses: grouped quantiles → clamp →
+    * grouped aggregate, with no per-group value buffer anywhere. */
+  private def q33b(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cuts = graft.operators.Quantiles
+      .exactGrouped(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+      .select(
+        col("l_returnflag").as("g"),
+        round(col("q0"), 2).as("lo"),
+        round(col("q1"), 2).as("hi"))
+    val clamped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+    li.join(broadcast(cuts), col("l_returnflag") === col("g"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        Det.davg(clamped).as("winsor_mean"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q33bSql = {
+    val clamped = "least(greatest(l_extendedprice, c.lo), c.hi)"
+    s"""WITH c AS (
+       |  SELECT l_returnflag AS g,
+       |    round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+       |    round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, c.lo AS lo, c.hi AS hi,
+       |  CAST(SUM(CAST($clamped AS DECIMAL(25,6))) AS DOUBLE) / COUNT($clamped) AS winsor_mean,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN c ON l_returnflag = c.g
+       |GROUP BY l_returnflag, c.lo, c.hi
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Q34: index-of-first-match (reference `index` kernel) — first event id
     * per user where the predicate holds. */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -428,6 +467,8 @@ object ExtendedQueries {
     Capability("q02b_moments", "skewness/kurtosis/corr/covariance", q02b, Some(q02bSql)),
     Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),
     Capability("q33_winsorize", "winsorized mean with quantile cutoffs", q33, Some(q33Sql)),
+    Capability("q33b_grouped_winsorize", "per-group winsorized mean via grouped rank-selection cutoffs", q33b,
+      Some(q33bSql)),
     Capability("q34_first_match", "index of first matching value per group", q34, Some(q34Sql)),
     Capability("q35_sessionize", "gap-based sessionization (batch twin of streaming state op)", q35, Some(q35Sql)),
     Capability("q36_json", "JSON path extraction + typed from_json", q36, Some(q36Sql)),

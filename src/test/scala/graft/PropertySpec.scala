@@ -107,4 +107,33 @@ class PropertySpec extends AnyFunSuite {
       assert(viaRewrite == expected, s"rewrite mismatch at seed $seed")
     }
   }
+
+  test("banded range join equals the in-memory reference on random intervals") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (0 until 5).foreach { seed =>
+      // random axis values spanning negatives and multiple bins; random
+      // bin width deliberately NOT tuned to the interval lengths
+      val binWidth = Seq(3L, 16L, 50L)(seed % 3)
+      val points = (0 until 60).map(i => (i.toLong, rng.nextLong() % 300))
+      val intervals = (0 until 25).map { i =>
+        val s = rng.nextLong() % 300
+        (1000L + i, s, s + rng.nextInt(80) - 5) // some degenerate (end < start)
+      }
+      val expected = (for {
+        (pid, x) <- points
+        (ivid, s, e) <- intervals
+        if s <= e && x >= s && x <= e
+      } yield (pid, ivid)).toSet
+
+      val pdf = points.toDF("pt_key", "pt_x")
+      val ivdf = intervals.toDF("iv_key", "iv_s", "iv_e")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(pdf, "pt_x", ivdf, "iv_s", "iv_e", binWidth)
+        .select("pt_key", "iv_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == expected, s"pair-set mismatch at seed $seed width $binWidth")
+      assert(got.length == expected.size, s"duplicate pairs at seed $seed width $binWidth")
+    }
+  }
 }
