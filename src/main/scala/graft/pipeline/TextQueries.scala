@@ -129,11 +129,93 @@ object TextQueries {
       |  length(text) AS len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: global word frequencies, top 100 by count (ties
+    * broken by word). The canonical map-side-combine aggregate: partial
+    * counts per partition, one shuffle of (word, partial_count), final
+    * top-k via TakeOrderedAndProject — at 100 TB nothing but the
+    * vocabulary itself ever crosses the network. */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  private val vocabSql =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
+
+  /** Eval-set decontamination: train-split documents sharing any 8-word
+    * shingle with any test-split document (split = the same md5 buckets
+    * as pipeline_split, so the whole check is a pure function of the
+    * corpus). The standard pre-training hygiene pass — a train document
+    * that textually overlaps the benchmark set leaks the eval.
+    *
+    * Scale shape: one shingling pass, shuffle keyed on the shingle
+    * (test-side distinct, then a shingle-keyed semi-ish join), then a
+    * per-doc count. No document bodies move after shingling; the
+    * production variant keys on xxhash64(shingle) to shuffle 8-byte
+    * integers (TextSpec asserts identical output), while the gated
+    * baseline keeps shingle strings so DuckDB reproduces it verbatim. */
+  /** Library form of the decontamination pass: documents whose `isTrain`
+    * rows share ≥1 word n-gram with any `isEval` row, with the shared
+    * count. `hashKeys` switches the join key from the shingle string to
+    * `xxhash64(shingle)` — the production shape (8-byte shuffle keys;
+    * corpus-wide collision odds ~1e-10). */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, isTrain: Column, n: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    val key: Column => Column = if (hashKeys) xxhash64(_) else identity
+    val sh = docs
+      .select(col(idCol), isEval.as("__ev"), isTrain.as("__tr"),
+        explode(TextOps.shingles(col(textCol), n)).as("__sh0"))
+      .select(col(idCol), col("__ev"), col("__tr"), key(col("__sh0")).as("sh"))
+    val evalSh = sh.filter(col("__ev")).select(col("sh")).distinct()
+    sh.filter(col("__tr"))
+      .select(col(idCol), col("sh"))
+      .join(evalSh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  private def decontam(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    decontaminate(
+      Tables.documents(s, d), "doc_id", "text",
+      isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontamSql =
+    """WITH d AS (
+      |  SELECT doc_id, substring(md5(doc_id::VARCHAR), 1, 2) AS bucket,
+      |    string_split(text, ' ') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bucket,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(ws) - 7),
+      |      i -> array_to_string(ws[i:i+7], ' ')))) AS sh
+      |  FROM d WHERE len(ws) >= 8),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE bucket >= 'e6'),
+      |tr AS (SELECT doc_id, sh FROM sh WHERE bucket < 'cc')
+      |SELECT tr.doc_id, COUNT(*) AS n_shared
+      |FROM tr JOIN ev USING (sh)
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
     Capability("text_quality", "length/stopword/uniqueness quality score", quality, Some(qualitySql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),
+    Capability("pipeline_vocab", "corpus vocabulary: top-k global word counts", vocab,
+      Some(vocabSql)),
+    Capability("pipeline_decontam", "train/test decontamination by shared 8-gram shingles", decontam,
+      Some(decontamSql)),
   )
 }

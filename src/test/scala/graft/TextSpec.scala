@@ -43,6 +43,22 @@ class TextSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, sf).count()) // no collisions on corpus
   }
 
+  test("hashed-key decontamination equals the string-keyed baseline") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val docs = Tables.documents(spark, sf)
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    def run(hashed: Boolean): Map[Long, Long] =
+      graft.pipeline.TextQueries.decontaminate(
+        docs, "doc_id", "text",
+        isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8,
+        hashKeys = hashed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byString = run(hashed = false)
+    val byHash = run(hashed = true)
+    assert(byString.nonEmpty, "fixture should contain contaminated train docs")
+    assert(byHash == byString)
+  }
+
   test("quality scores are in [0,1] and langid predicts a known language") {
     val q = Registry.byName("text_quality").run(spark, sf).collect()
     q.foreach { r =>
