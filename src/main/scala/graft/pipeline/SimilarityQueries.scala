@@ -47,10 +47,51 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-label embedding centroids — the grouped element-wise vector mean
+    * behind clustering, IVF coarse training and per-source drift checks.
+    *
+    * Scale shape: `posexplode` turns (vector) rows into (label, pos,
+    * value) triples, so the mean is an ordinary grouped aggregate with
+    * map-side partial sums — the shuffle carries one (label, pos, sum,
+    * count) per partition per key, never the vectors. The array is
+    * reassembled only for the final tiny per-label result (sort_array on
+    * (pos, mean) structs — pos is unique, so the order is total).
+    * Per-element sums go through [[graft.Det]] decimals so the grouped
+    * float mean is order-independent and oracle-exact. */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(graft.Det.Exact)).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => round(x("c"), 6)).as("centroid"),
+        count(lit(1)).as("dim"))
+      .orderBy(col("label"))
+
+  private val centroidsSql =
+    """WITH x AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |    unnest(embedding) AS v
+      |  FROM embeddings),
+      |g1 AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+      |      / COUNT(*) AS c
+      |  FROM x GROUP BY label, pos)
+      |SELECT label, LIST(round(c, 6) ORDER BY pos) AS centroid,
+      |  COUNT(*) AS dim
+      |FROM g1 GROUP BY label ORDER BY label""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("ann_brute", s"exact top-$K cosine neighbors for $NQueries queries", brute,
       Some(bruteSql), bench = true),
     Capability("ann_lsh", s"hyperplane-LSH bucketed top-$K (scale path)", lsh),
     Capability("ann_ivf", s"IVF coarse-quantizer top-$K (scale path, nProbe cells)", ivf),
+    Capability("ann_centroids", "per-label embedding centroids (grouped element-wise mean)", centroids,
+      Some(centroidsSql)),
   )
 }
