@@ -70,11 +70,13 @@ object Sharding {
     * sample. This is the standard corpus-curation "domain cap" that stops
     * a handful of crawl domains from dominating a training mix.
     *
-    * One hash-partitioned window per group — the shuffle moves (group, id)
-    * pairs only, and no group's rows ever concentrate beyond their own
-    * partition, so it holds at 100 TB as long as single groups fit a
-    * partition (for pathological mega-groups, pre-filter with a cheap
-    * `rand()`-free bucket cut on the same md5 before ranking). */
+    * One hash-partitioned window over the caller's frame — the shuffle
+    * carries whatever columns `df` has, so at scale project down to
+    * (group, id) first and join the winners back by id (the gated query
+    * pre-projects exactly so). Holds at 100 TB as long as single groups
+    * fit a partition's spill; for pathological mega-groups, pre-filter
+    * with a cheap `rand()`-free bucket cut on the same md5 before
+    * ranking. */
   def capPerGroup(
       df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))

@@ -149,40 +149,48 @@ object TextQueries {
       |WHERE word <> ''
       |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
 
-  /** Eval-set decontamination: train-split documents sharing any 8-word
-    * shingle with any test-split document (split = the same md5 buckets
-    * as pipeline_split, so the whole check is a pure function of the
-    * corpus). The standard pre-training hygiene pass — a train document
-    * that textually overlaps the benchmark set leaks the eval.
-    *
-    * Scale shape: one shingling pass, shuffle keyed on the shingle
-    * (test-side distinct, then a shingle-keyed semi-ish join), then a
-    * per-doc count. No document bodies move after shingling; the
-    * production variant keys on xxhash64(shingle) to shuffle 8-byte
-    * integers (TextSpec asserts identical output), while the gated
-    * baseline keeps shingle strings so DuckDB reproduces it verbatim. */
   /** Library form of the decontamination pass: documents whose `isTrain`
     * rows share ≥1 word n-gram with any `isEval` row, with the shared
-    * count. `hashKeys` switches the join key from the shingle string to
-    * `xxhash64(shingle)` — the production shape (8-byte shuffle keys;
-    * corpus-wide collision odds ~1e-10). */
+    * count. `hashKeys` switches the shuffle key from the shingle string
+    * to `xxhash64(shingle)` — the production shape (8-byte keys;
+    * corpus-wide collision odds ~1e-10).
+    *
+    * Scale shape — genuinely ONE shingling pass: the corpus is scanned
+    * and shingled once, then a single shingle-keyed grouped aggregate
+    * collects each shingle's train doc ids alongside an any-eval flag
+    * (no self-join, no second scan, document bodies never move past the
+    * shingling projection). Contaminated ids explode out of the flagged
+    * groups and a per-doc count finishes it. A shingle's collected list
+    * is bounded by its train document frequency — the same hot-shingle
+    * bound the equivalent join formulation pays in row multiplicity. */
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, isTrain: Column, n: Int,
       hashKeys: Boolean = false): DataFrame = {
     val key: Column => Column = if (hashKeys) xxhash64(_) else identity
-    val sh = docs
+    docs
       .select(col(idCol), isEval.as("__ev"), isTrain.as("__tr"),
         explode(TextOps.shingles(col(textCol), n)).as("__sh0"))
+      .filter(col("__ev") || col("__tr"))
       .select(col(idCol), col("__ev"), col("__tr"), key(col("__sh0")).as("sh"))
-    val evalSh = sh.filter(col("__ev")).select(col("sh")).distinct()
-    sh.filter(col("__tr"))
-      .select(col(idCol), col("sh"))
-      .join(evalSh, "sh")
+      .groupBy(col("sh"))
+      .agg(
+        max(col("__ev")).as("has_eval"),
+        // collect_list skips nulls: only train ids enter the list
+        collect_list(when(col("__tr"), col(idCol))).as("train_ids"))
+      .filter(col("has_eval") && size(col("train_ids")) > 0)
+      .select(explode(col("train_ids")).as(idCol))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The gated decontamination query: train-split documents sharing any
+    * 8-word shingle with any test-split document (split = the same md5
+    * buckets as pipeline_split, so the whole check is a pure function of
+    * the corpus). The standard pre-training hygiene pass — a train
+    * document that textually overlaps the benchmark set leaks the eval.
+    * Gated on shingle strings so DuckDB reproduces it verbatim; the
+    * xxhash64-keyed production twin is asserted equal in TextSpec. */
   private def decontam(s: SparkSession, d: String): DataFrame = {
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
     decontaminate(

@@ -111,5 +111,17 @@ class RangeJoinSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n$phys")
     assert(phys.contains("HashJoin") || phys.contains("SortMergeJoin"),
       s"expected a hash/sort-merge equi-join on the bin:\n$phys")
+
+    // the overlap join's extra bin-attribution equality references both
+    // sides, so it must stay a residual — only the __rj_bin === __rj_bin
+    // conjunct is the extractable equi-key; pin that it stays extracted
+    val l = (0L until 200L).map(i => (i, i * 3, i * 3 + 20)).toDF("l_key", "l_s", "l_e")
+    val r = (0L until 40L).map(i => (i, i * 11, i * 11 + 30)).toDF("r_key", "r_s", "r_e")
+    val ovPhys = RangeJoin.intervalOverlap(l, "l_s", "l_e", r, "r_s", "r_e", 32)
+      .queryExecution.executedPlan.toString()
+    assert(!ovPhys.contains("BroadcastNestedLoopJoin") && !ovPhys.contains("CartesianProduct"),
+      s"interval-overlap join fell back to a nested loop:\n$ovPhys")
+    assert(ovPhys.contains("HashJoin") || ovPhys.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge equi-join on the bin:\n$ovPhys")
   }
 }
