@@ -99,7 +99,14 @@ object FunctionQueries {
       brand.isin("Brand#1", "Brand#13", "Brand#20").as("in_set"),
       // swapcase: native codegen expression (no Spark builtin); the
       // oracle reproduces it with an ASCII-alphabet translate
-      graft.functions.expr.SwapCase(brand).as("swapped"))
+      graft.functions.expr.SwapCase(brand).as("swapped"),
+      // extract_regex(_span) multi-match surface: all alpha runs, joined
+      // (also exercises binary_join = array_join)
+      array_join(regexp_extract_all(name, lit("[a-z]+"), lit(0)), "|").as("alpha_runs"),
+      // Arrow `capitalize` (first char upper, REST lower — distinct from
+      // initcap/title which capitalize every word)
+      concat(upper(substring(name, 1, 1)), lower(substring(name, 2, 1000000)))
+        .as("capitalized"))
       .orderBy(col("p_partkey"))
   }
 
@@ -121,7 +128,9 @@ object FunctionQueries {
       |  p_brand IN ('Brand#1', 'Brand#13', 'Brand#20') AS in_set,
       |  translate(p_brand,
       |    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
-      |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped
+      |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+      |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS alpha_runs,
+      |  upper(substring(p_name, 1, 1)) || lower(substring(p_name, 2)) AS capitalized
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Unicode fixture shared between the Spark query and the DuckDB oracle
