@@ -105,6 +105,34 @@ class PlanSpec extends AnyFunSuite {
       "packing must not global-sort; per-shard windows only:\n" + plan.take(2000))
   }
 
+  test("pipeline_decontam shingles the corpus in ONE scan") {
+    // the operator's scale claim is a single shingling pass — the old
+    // distinct+join formulation read and shingled documents twice. A
+    // regression to two scans still returns identical rows.
+    val plan = executedPlan("pipeline_decontam")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${finalPlan.take(2000)}")
+  }
+
+  test("pipeline_vocab: partial word counts before the exchange, top-k sink") {
+    val plan = executedPlan("pipeline_vocab")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("partial_count") ||
+      "HashAggregate".r.findAllIn(finalPlan).length >= 2,
+      "word counts must map-side combine before shuffling:\n" + finalPlan.take(2000))
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      "top-100 must not global-sort:\n" + finalPlan.take(2000))
+  }
+
+  test("q38 range join plans as an equi-join on the bin (gated shape)") {
+    val plan = executedPlan("q38_range_join")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      "gated range join fell back to a nested loop:\n" + finalPlan.take(2000))
+  }
+
   test("runtime Bloom filter is injected on a selective probe join") {
     // the Spark analogue of the reference's bloom-filter pushdown
     // (hash_join_node.cc:498-532) is InjectRuntimeFilter; it is enabled in
