@@ -220,6 +220,111 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeBatch).toDF()
   }
 
+  // ---- video (multi-frame) container + resize / frame-sample ----
+
+  /** One decoded, optionally-resized video frame. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_lum: Double)
+
+  /** Deterministic multi-frame container — the "video" stand-in: real
+    * PNG frames, length-prefixed behind a 4-byte magic + frame count.
+    * (No video codec ships with the JDK; the container is ours, the
+    * frames are genuine PNGs, so frame extraction, per-frame decode and
+    * resize all exercise real codec work.) */
+  def syntheticVideo(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GFTV"); dos.writeInt(nFrames)
+    var i = 0
+    while (i < nFrames) {
+      val png = syntheticPng(seed + i, w, h)
+      dos.writeInt(png.length); dos.write(png)
+      i += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  private def isVideo(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 'G' && b(1) == 'F' && b(2) == 'T' && b(3) == 'V'
+
+  /** The container's frames as (index, png bytes) — no decode yet. */
+  def videoFrames(media: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    if (!isVideo(media)) return Iterator.empty
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(media))
+    in.skipBytes(4)
+    val n = in.readInt()
+    (0 until n).iterator.map { i =>
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      (i, buf)
+    }
+  }
+
+  /** Real image resize: decode → `Graphics2D.drawImage` with
+    * nearest-neighbor interpolation (deterministic across runs) →
+    * re-encode PNG. Returns the input unchanged if it isn't a decodable
+    * image — same degrade-don't-fail contract as [[decodeBatch]]. */
+  def resizePng(png: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(png))
+    if (src == null) return png
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Frame-sample + resize + per-frame decode, batch-shaped like
+    * [[decodeBatch]]: every `step`-th frame of each video payload is
+    * resized to `w`×`h` and featurized (mean luminance of the REAL
+    * resized pixels). One input row fans out to its sampled frames — a
+    * narrow flatMap, no shuffle; at 100 TB the fan-out stays inside each
+    * ingest partition. */
+  def frameSampleBatch(
+      rows: Iterator[MediaRow], step: Int, w: Int, h: Int): Iterator[FrameFeatures] =
+    rows.flatMap { r =>
+      videoFrames(r.media)
+        .filter { case (i, _) => i % step == 0 }
+        .map { case (i, png) =>
+          val resized = resizePng(png, w, h)
+          val img = ImageIO.read(new ByteArrayInputStream(resized))
+          var sLum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sLum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          FrameFeatures(r.doc_id, i, img.getWidth, img.getHeight,
+            sLum.toDouble / (img.getWidth * img.getHeight) / 255.0)
+        }
+    }
+
+  /** Binary video column → sampled, resized, featurized frames. */
+  def frameSample(
+      spark: SparkSession, media: DataFrame,
+      step: Int = 2, w: Int = 8, h: Int = 6): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(frameSampleBatch(_, step, w, h)).toDF()
+  }
+
   /** Deterministic media corpus over any (id, text) frame: even ids get a
     * PNG (dims derived from the id, pixels seeded by the text hash), odd
     * ids a WAV (length/frequency likewise). Generation is a narrow
@@ -266,8 +371,38 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic video corpus: one multi-frame container per selected
+    * document (frame count and source dims derived from the id, pixels
+    * from the text hash). */
+  def synthesizeVideos(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), xxhash64(col("text")).as("seed"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) =>
+        Multimodal.MediaRow(id, Multimodal.syntheticVideo(
+          seed, 4 + (id % 5).toInt, 12 + (id % 8).toInt, 10 + (id % 6).toInt))
+      })
+      .toDF()
+  }
+
+  /** Frame-sampling + resize over the synthetic video corpus: every 2nd
+    * frame of each container, resized to 8×6 through a real decode →
+    * Graphics2D → re-encode round-trip, with the mean luminance of the
+    * RESIZED pixels as the per-frame feature. Codec-derived values → no
+    * SQL oracle; MultimodalSpec asserts frame counts/indices against the
+    * generator parameters, the resized dimensions, and determinism. */
+  private def frames(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 7 === 1)
+    Multimodal.frameSample(s, synthesizeVideos(s, docs), step = 2, w = 8, h = 6)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        round(col("mean_lum"), 6).as("mean_lum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("mm_decode", "binary media (real PNG/WAV) → batch-decoded typed features",
       features),
+    Capability("mm_frames", "video frame-sampling + resize (real per-frame PNG decode)",
+      frames),
   )
 }

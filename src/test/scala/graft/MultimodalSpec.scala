@@ -109,4 +109,36 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decode(spark, df).collect()
     assert(out.map(_.getAs[String]("kind")).toSet == Set("image", "audio"))
   }
+
+  test("frame-sampling takes every step-th frame, resized to the target dims") {
+    import spark.implicits._
+    // 7 frames of 20×10 → sampled indices 0,2,4,6; resized to 8×6
+    val video = Multimodal.syntheticVideo(99L, nFrames = 7, w = 20, h = 10)
+    val df = Seq(Multimodal.MediaRow(5L, video)).toDS().toDF()
+    val out = Multimodal.frameSample(spark, df, step = 2, w = 8, h = 6)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4, 6))
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 6)
+      val lum = r.getAs[Double]("mean_lum")
+      assert(lum > 0.0 && lum < 1.0) // real pixels, not a constant fill
+    }
+    // resize really resampled: the resized mean tracks the source frame's
+    // own mean (nearest-neighbor of uniform noise), so frames differ
+    assert(out.map(_.getAs[Double]("mean_lum")).distinct.length == out.length)
+  }
+
+  test("mm_frames query: counts match generator params, deterministic") {
+    val a = Registry.byName("mm_frames").run(spark, sf).collect().toSeq
+    val b = Registry.byName("mm_frames").run(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // per doc: nFrames = 4 + id%5 sampled at step 2 → ceil(nFrames/2)
+    val perDoc = a.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.size).toMap
+    perDoc.foreach { case (id, n) =>
+      val nFrames = 4 + (id % 5).toInt
+      assert(n == (nFrames + 1) / 2, s"doc $id: $n frames for nFrames=$nFrames")
+    }
+    assert(a.forall(r => r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 6))
+  }
 }
