@@ -220,6 +220,19 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeBatch).toDF()
   }
 
+  /** Ingest real media FILES through Spark's `binaryFile` source — the
+    * production entry point the synthetic generators stand in for: each
+    * file becomes one (doc_id, media) row (id parsed from the
+    * `<id>.bin` filename), split-planned and distributed by the source
+    * like any other scan, ready for [[decode]] / [[frameSample]].
+    * `binaryFile` never splits a file across tasks, which is exactly
+    * right for opaque codec payloads. */
+  def readMediaDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+
   // ---- video (multi-frame) container + resize / frame-sample ----
 
   /** One decoded, optionally-resized video frame. */

@@ -44,6 +44,23 @@ object StreamingOps {
   def withWatermarkedEventTime(raw: DataFrame, delay: String = "1 hour"): DataFrame =
     withEventTime(raw).withWatermark("ts", delay)
 
+  /** Stream-static enrichment join: each streaming row joined against a
+    * STATIC dimension frame (profile table, dedup-cluster map, model
+    * registry…). Spark re-plans the static side per micro-batch with no
+    * streaming state at all — and broadcasts it when small, so at
+    * 100 TB/day of stream the dimension never shuffles the stream side.
+    * Unlike stream-stream joins this needs no watermark; inner and
+    * left_outer are supported on the stream side. Works identically when
+    * `stream` is a batch frame, which is what the parity spec asserts. */
+  def enrichWithStatic(
+      stream: DataFrame, static: DataFrame, key: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"unsupported joinType '$joinType' for a stream-side-preserving join")
+    stream.join(static.withColumnRenamed(key, s"${key}_s"),
+      col(key) === col(s"${key}_s"), joinType)
+  }
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.pipeline.Dedup.exactKeepFirst]]: emit the first document seen
     * per distinct content, where "distinct" is a sha256 content key (the

@@ -110,6 +110,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("kind")).toSet == Set("image", "audio"))
   }
 
+  test("binaryFile ingest: real files on disk decode identically to in-memory payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    val payloads = Map(
+      10L -> Multimodal.syntheticPng(3L, 14, 9),
+      11L -> Multimodal.syntheticWav(4L, 1500),
+      12L -> Array[Byte](9, 9, 9)) // opaque
+    payloads.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(dir.resolve(s"$id.bin"), bytes)
+    }
+    val out = Multimodal.decode(spark, Multimodal.readMediaDir(spark, dir.toString))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("kind"), r.getAs[Int]("width"), r.getAs[Int]("n_samples")))
+      .toMap
+    assert(out == Map(
+      10L -> ("image", 14, 0),
+      11L -> ("audio", 0, 1500),
+      12L -> ("opaque", 0, 0)))
+  }
+
   test("frame-sampling takes every step-th frame, resized to the target dims") {
     import spark.implicits._
     // 7 frames of 20×10 → sampled indices 0,2,4,6; resized to 8×6

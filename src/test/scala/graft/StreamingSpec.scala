@@ -112,6 +112,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment join equals the batch join (broadcast dimension)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sstatic").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+
+    // static dimension: each user's first event id + event count (derived
+    // once, from batch — the "profile table" a stream enriches against)
+    val profile = StreamingOps.withEventTime(
+      spark.read.parquet(s"$sf/events.parquet"))
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_events"))
+
+    val stream = StreamingOps.withEventTime(
+      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(dir.getAbsolutePath))
+      .filter(col("event_type") === "purchase")
+    val joined = StreamingOps.enrichWithStatic(stream, profile, "user_id")
+      .select(col("event_id"), col("first_event"), col("n_events"))
+
+    val query = joined.writeStream
+      .format("memory").queryName("graft_sstatic")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("graft_sstatic").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamingOps.enrichWithStatic(
+        StreamingOps.withEventTime(spark.read.parquet(s"$sf/events.parquet"))
+          .filter(col("event_type") === "purchase"),
+        profile, "user_id")
+        .select(col("event_id"), col("first_event"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally {
+      query.stop()
+    }
+  }
+
   test("left-outer stream-stream interval join: matches ≡ batch, null rows trail the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssloj").toFile
     java.nio.file.Files.copy(
