@@ -108,6 +108,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grouped quantiles equal grouped percentile() on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    (0 until 3).foreach { seed =>
+      val rows = (0 until 150).map { _ =>
+        (s"g${rng.nextInt(4)}", math.round(rng.nextDouble() * 1000) / 10.0)
+      }
+      val qs = Seq(0.1, 0.5, 0.9)
+      val df = rows.toDF("g", "x")
+      val viaWindow = graft.operators.Quantiles
+        .exactGrouped(df, "g", "x", qs)
+        .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+      val viaBuffer = df.groupBy(col("g"))
+        .agg(percentile(col("x"), array(qs.map(lit): _*)).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(viaWindow.keySet == viaBuffer.keySet, s"seed $seed")
+      viaWindow.foreach { case (g, vs) =>
+        vs.zip(viaBuffer(g)).foreach { case (w, b) =>
+          assert(math.abs(w - b) <= math.ulp(b) * 4, s"seed $seed group $g: $w vs $b")
+        }
+      }
+    }
+  }
+
+  test("operator misuse fails loudly, not silently") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.pointInInterval(df, "a", df, "a", "b", 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.pointInInterval(df, "a", df, "a", "b", 10, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.exactGrouped(df, "a", "b", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.exactGrouped(df, "a", "b", Seq(0.5), "spline")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.enrichWithStatic(df, df, "a", "full_outer")
+    }
+  }
+
   test("banded range join equals the in-memory reference on random intervals") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
