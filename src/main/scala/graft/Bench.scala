@@ -45,11 +45,15 @@ object Bench {
     val total = ok.map(_._2).sum
     val headline = Registry.all.filter(_.bench).map(_.name).toSet
     val headlineTotal = ok.collect { case (n, t) if headline(n) => t }.sum
+    // locale-pinned formatting: f"" uses the default locale, which on
+    // comma-decimal locales would emit invalid JSON ("13,700")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val totalS = f"$total%.3f"
-    val headS = f"$headlineTotal%.3f"
+    val totalS = num(total)
+    val headS = num(headlineTotal)
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

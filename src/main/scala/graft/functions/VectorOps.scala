@@ -62,10 +62,13 @@ object VectorOps {
     * `tableId`-seeded plane family so multiple independent hash tables can
     * be built (multi-table LSH is what lifts recall on near-orthogonal
     * high-dimensional data — one table's recall decays as cos^planes). */
-  def lshBucket(v: Column, nPlanes: Int, tableId: Int = 0): Column =
+  def lshBucket(v: Column, nPlanes: Int, tableId: Int = 0): Column = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (bucket bits are a Long), got $nPlanes")
     (0 until nPlanes)
       .map(p => hyperplaneBit(v, tableId * 1024 + p) * lit(1L << p))
       .reduce(_ + _)
+  }
 
   /** All `nTables` bucket assignments as an array of (table, bucket)
     * structs — explode + equi-join on both fields gives the multi-table

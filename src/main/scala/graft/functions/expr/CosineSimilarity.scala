@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * ladder per SURVEY.md §2.3: builtin < custom Expression < UDF.
   *
   * Null elements inside the arrays are read as 0 (embeddings are dense);
-  * a null or length-mismatched pair yields SQL NULL via BinaryExpression's
-  * null-intolerant default for null inputs and an explicit min-length guard.
+  * a null input yields SQL NULL via BinaryExpression's null-intolerant
+  * default, and a length-mismatched pair yields SQL NULL via an explicit
+  * equal-length guard (a truncated embedding must not silently score as a
+  * near-duplicate of its prefix).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,12 +32,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // a length-mismatched pair yields NULL even when both inputs are
+  // non-nullable columns
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -61,16 +68,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getFloat($i);
-         |  double $yi = $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getFloat($i);
+         |    double $yi = $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -44,6 +44,13 @@ object LshPlaneCache {
 case class LshBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
   extends UnaryExpression with CodegenFallback {
 
+  // `1L << p` wraps at 64 (Java shift is mod 64) and the plane-id scheme
+  // `t * 1024 + p` aliases planes across tables past 1024 — either would
+  // silently degrade bucket quality rather than error, so bound them here
+  require(nPlanes >= 1 && nPlanes <= 64,
+    s"nPlanes must be in [1, 64] (bucket bits are a Long), got $nPlanes")
+  require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("table", IntegerType, nullable = false),

@@ -37,6 +37,16 @@ case class MinHashSketch(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sketch"
 
+  // update() casts the evaluated child to Long — fail at analysis, not
+  // per-row deep inside the aggregate (same rationale as TDigestAgg)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a BIGINT hash column (e.g. xxhash64), got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(nHashes)(Long.MaxValue)
 

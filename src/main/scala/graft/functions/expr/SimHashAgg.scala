@@ -28,6 +28,16 @@ case class SimHashAgg(
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
+  // update() casts the evaluated child to Long — fail at analysis, not
+  // per-row deep inside the aggregate (same rationale as TDigestAgg)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a BIGINT hash column (e.g. xxhash64), got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {

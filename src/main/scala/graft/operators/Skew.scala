@@ -21,6 +21,7 @@ object Skew {
       probeKey: Column,
       buildKey: Column,
       nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     val saltedProbe = probe.withColumn(
       "__salt",
       pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(nSalts.toLong)))

@@ -320,6 +320,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // unconverged labels are WRONG (one component reported as several) and
+    // would silently leave duplicates in a "keep one per cluster" pipeline
+    // — fail loudly; the caller can raise maxIter for long-chain graphs
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "graph has a component of diameter > maxIter; raise maxIter")
     labels
   }
 

@@ -308,26 +308,38 @@ object Multimodal {
   def frameSampleBatch(
       rows: Iterator[MediaRow], step: Int, w: Int, h: Int): Iterator[FrameFeatures] =
     rows.flatMap { r =>
-      videoFrames(r.media)
-        .filter { case (i, _) => i % step == 0 }
-        .map { case (i, png) =>
-          val resized = resizePng(png, w, h)
-          val img = ImageIO.read(new ByteArrayInputStream(resized))
-          var sLum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sLum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-                (rgb & 0xFF) * 114) / 1000
-              x += 1
-            }
-            y += 1
+      // materialize inside the try: the container iterator reads lazily,
+      // so a truncated payload throws during iteration, not construction.
+      // Degrade contract (same as decodeBatch): a corrupt frame is
+      // skipped, a corrupt container yields no frames — never a dead task.
+      try {
+        videoFrames(r.media)
+          .filter { case (i, _) => i % step == 0 }
+          .flatMap { case (i, png) =>
+            try {
+              val resized = resizePng(png, w, h)
+              val img = ImageIO.read(new ByteArrayInputStream(resized))
+              if (img == null) None
+              else {
+                var sLum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sLum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                      (rgb & 0xFF) * 114) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(FrameFeatures(r.doc_id, i, img.getWidth, img.getHeight,
+                  sLum.toDouble / (img.getWidth * img.getHeight) / 255.0))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
           }
-          FrameFeatures(r.doc_id, i, img.getWidth, img.getHeight,
-            sLum.toDouble / (img.getWidth * img.getHeight) / 255.0)
-        }
+          .toList
+      } catch { case scala.util.control.NonFatal(_) => Nil }
     }
 
   /** Binary video column → sampled, resized, featurized frames. */

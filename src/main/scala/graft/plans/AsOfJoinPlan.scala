@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** As-of join as a first-class operator: logical node + planner strategy +
@@ -63,7 +63,10 @@ case class AsOfJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftBy) :: ClusteredDistribution(rightBy) :: Nil
+    // ClusteredDistribution rejects an empty key list — a no-by-keys
+    // as-of join is a GLOBAL merge, which needs both sides whole
+    if (leftBy.isEmpty) AllTuples :: AllTuples :: Nil
+    else ClusteredDistribution(leftBy) :: ClusteredDistribution(rightBy) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftBy :+ leftOn).map(SortOrder(_, Ascending)),

@@ -78,6 +78,25 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(exec == rewrite)
   }
 
+  test("no-by-keys global as-of join plans (AllTuples) and matches the rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 100L), (2L, 250L), (3L, 40L)).toDF("id", "t")
+    val right = Seq((10L, 90L), (11L, 200L), (12L, 260L)).toDF("rid", "rt")
+    val exec = graft.operators.AsOfJoin.backwardExec(
+      left, right, left("t"), right("rt"),
+      by = Seq.empty, tieBreak = Seq(right("rid")), toleranceMicros = 1000L)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val rewrite = graft.operators.AsOfJoin.backward(
+      left, right, left("t"), right("rt"),
+      by = Seq.empty, tolerance = lit(1000L), leftId = left("id"), tieBreak = right("rid"))
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(exec == Map(1L -> 10L, 2L -> 11L, 3L -> -1L))
+    assert(exec == rewrite)
+  }
+
   test("plan uses AsOfJoinExec with clustered exchanges, not a range join") {
     val df = Registry.byName("q21b_asof_exec").run(spark, sf)
     df.collect()

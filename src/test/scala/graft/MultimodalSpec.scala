@@ -147,6 +147,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Double]("mean_lum")).distinct.length == out.length)
   }
 
+  test("corrupt video containers degrade to no frames, never a dead task") {
+    import spark.implicits._
+    val good = Multimodal.syntheticVideo(1L, nFrames = 3, w = 10, h = 8)
+    val truncated = good.take(good.length / 2)          // EOF mid-frame
+    val badMagic = Array[Byte]('G', 'F', 'T', 'V')      // header only
+    val df = Seq(
+      Multimodal.MediaRow(1L, good),
+      Multimodal.MediaRow(2L, truncated),
+      Multimodal.MediaRow(3L, badMagic),
+      Multimodal.MediaRow(4L, Array[Byte](1, 2, 3))     // not a container
+    ).toDS().toDF()
+    val out = Multimodal.frameSample(spark, df, step = 1, w = 4, h = 4).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    assert(byDoc.getOrElse(1L, 0) == 3, s"good video must fully decode: $byDoc")
+    // truncated container: frames before the cut may decode; no crash
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+  }
+
   test("mm_frames query: counts match generator params, deterministic") {
     val a = Registry.byName("mm_frames").run(spark, sf).collect().toSeq
     val b = Registry.byName("mm_frames").run(spark, sf).collect().toSeq

@@ -28,6 +28,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("length-mismatched vector pairs yield NULL, not a prefix similarity") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    // a truncated embedding must not score as a near-duplicate of its prefix
+    assert(df.select(VectorOps.cosine(col("a"), col("b")).as("c")).head().isNullAt(0))
+    // codegen and interpreted paths agree
+    assert(df.select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .filter(col("c").isNull).count() == 1)
+  }
+
   test("dot product matches manual computation") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
