@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, PolyFingerprint, TDigestAgg}
+import graft.functions.expr.{CosineSimilarity, MinHashSketch, PolyFingerprint, SimHashAgg, TDigestAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tdigest"),
       new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
       GraftFunctions.tdigestBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash"),
+      GraftFunctions.minhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head).toAggregateExpression()))
   }
 }
 
@@ -50,12 +58,23 @@ object GraftFunctions {
     TDigestAgg(exprs.head, ps).toAggregateExpression()
   }
 
+  /** `graft_minhash(hash_col, n)` — n must be a foldable literal. */
+  val minhashBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "graft_minhash takes (hash_col, n_hashes literal)")
+    MinHashSketch(exprs.head, exprs(1).eval().toString.toInt)
+      .toAggregateExpression()
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_fingerprint",
       exprs => PolyFingerprint(exprs.head))
     Bridge.registerFunction(spark, "graft_tdigest", tdigestBuilder)
+    Bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
+    Bridge.registerFunction(spark, "graft_simhash",
+      exprs => SimHashAgg(exprs.head).toAggregateExpression())
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -80,6 +80,35 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash and simhash sketches are callable from SQL text") {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(graft.functions.TextOps.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .createOrReplaceTempView("graft_sh")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash(h, 16) AS sig, graft_simhash(h) AS sim
+        |FROM graft_sh GROUP BY doc_id ORDER BY doc_id LIMIT 5""".stripMargin)
+      .collect()
+    assert(viaSql.length == 5)
+    viaSql.foreach { r =>
+      assert(r.getSeq[Long](1).length == 16) // 16-hash signature
+      r.getLong(2)                            // simhash is a long
+    }
+    // identical input → identical sketches (pure functions of the set)
+    val again = spark.sql(
+      """SELECT doc_id, graft_minhash(h, 16) AS sig, graft_simhash(h) AS sim
+        |FROM graft_sh GROUP BY doc_id ORDER BY doc_id LIMIT 5""".stripMargin)
+      .collect()
+    assert(viaSql.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // analysis-time rejection of a wrong-typed column
+    spark.sql("SELECT 'a' AS s").createOrReplaceTempView("graft_badtype")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(s) FROM graft_badtype").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("t-digest merge across many partitions stays accurate (SQL surface)") {
     import org.apache.spark.sql.functions._
     // 0..99999 uniformly over 32 partitions → p50 ≈ 50000, p90 ≈ 90000
