@@ -463,6 +463,34 @@ object NestedIOQueries {
       |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q39: incremental aggregation via PERSISTED mergeable sketches — the
+    * pattern that makes 100 TB statistics incremental: each shard (here:
+    * source domain) aggregates its Datasketches HLL sketch once, the
+    * binary sketches land in parquet, and any later job merges them
+    * without touching the raw data (`hll_union_agg` over the sketch
+    * column). At lgConfigK = 14 the sketch is still in exact sparse mode
+    * at gate cardinalities, so the estimate is oracle-exact against
+    * COUNT(DISTINCT) — the capability gated is the sketch round-trip and
+    * merge, not an approximation tolerance. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val dir = s"/tmp/graft_io/q39_sketches_$h"
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("doc_id"), lit(14)).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("total_distinct"),
+        count(lit(1)).as("n_shards"))
+  }
+
+  private val q39Sql =
+    """SELECT COUNT(DISTINCT doc_id) AS total_distinct,
+      |  COUNT(DISTINCT source) AS n_shards
+      |FROM documents""".stripMargin
+
   /** Q27b: sketch-based approximate aggregates (HLL++ distinct count,
     * KLL-ish percentile sketch — reference tdigest/approximate_median,
     * cpp/src/arrow/compute/kernels/aggregate_tdigest.cc). Sketches are
@@ -529,6 +557,8 @@ object NestedIOQueries {
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,
       Some(q27gSql)),
     Capability("q27b_approx", "HLL++ / percentile sketch approximations", q27b, None),
+    Capability("q39_incremental_hll", "persisted mergeable HLL sketches: shard → parquet → union", q39,
+      Some(q39Sql)),
     Capability("q27c_tdigest", "t-digest quantile sketch (custom TypedImperativeAggregate)", q27c, None),
     Capability("q27d_grouped_tdigest", "per-group t-digest quantiles (hash_tdigest)", q27d, None),
   )

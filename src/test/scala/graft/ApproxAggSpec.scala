@@ -80,6 +80,24 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted HLL sketches merge to the exact distinct count at gate scale") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("q39_incremental_hll").run(spark, TestSpark.sf).head()
+    val exact = Tables.documents(spark, TestSpark.sf)
+      .agg(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(out.getLong(0) == exact, s"sketch estimate ${out.getLong(0)} != exact $exact " +
+      "(lgConfigK must keep the sketch in exact sparse mode at this cardinality)")
+    // the persisted sketch column is binary — the mergeable state really
+    // round-tripped through parquet
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val persisted = spark.read.parquet(s"/tmp/graft_io/q39_sketches_$h")
+    assert(persisted.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(persisted.count() == Tables.documents(spark, TestSpark.sf)
+      .select(col("source")).distinct().count())
+  }
+
   test("minhash and simhash sketches are callable from SQL text") {
     import org.apache.spark.sql.functions._
     Tables.documents(spark, TestSpark.sf)
