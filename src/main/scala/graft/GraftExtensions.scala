@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      (exprs: Seq[Expression]) => SimHashAgg(exprs.head).toAggregateExpression()))
+      GraftFunctions.simhashBuilder))
   }
 }
 
@@ -62,8 +62,15 @@ object GraftFunctions {
   val minhashBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 2 && exprs(1).foldable,
       "graft_minhash takes (hash_col, n_hashes literal)")
-    MinHashSketch(exprs.head, exprs(1).eval().toString.toInt)
-      .toAggregateExpression()
+    val n = exprs(1).eval().toString.toInt
+    require(n >= 1, s"graft_minhash n_hashes must be >= 1, got $n")
+    MinHashSketch(exprs.head, n).toAggregateExpression()
+  }
+
+  /** `graft_simhash(hash_col)` — exactly one argument. */
+  val simhashBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, "graft_simhash takes exactly one hash column")
+    SimHashAgg(exprs.head).toAggregateExpression()
   }
 
   def register(spark: SparkSession): Unit = {
@@ -73,8 +80,7 @@ object GraftFunctions {
       exprs => PolyFingerprint(exprs.head))
     Bridge.registerFunction(spark, "graft_tdigest", tdigestBuilder)
     Bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
-    Bridge.registerFunction(spark, "graft_simhash",
-      exprs => SimHashAgg(exprs.head).toAggregateExpression())
+    Bridge.registerFunction(spark, "graft_simhash", GraftFunctions.simhashBuilder)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

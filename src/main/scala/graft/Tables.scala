@@ -55,6 +55,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stable scratch-directory key for a scale-factor dir: the path plus
+    * the lineitem file's (mtime, size), so regenerating the dataset at
+    * the same path invalidates any cached fixture layout derived from it.
+    * Shared by every query that persists a reusable /tmp fixture. */
+  def scratchKey(d: String): String = {
+    val f = new java.io.File(s"$d/lineitem.parquet")
+    val sig = s"$d|${f.lastModified}|${f.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+  }
+
   def load(s: SparkSession, d: String, name: String): DataFrame = name match {
     case "events" => events(s, d)
     case n        => raw(s, d, n)

@@ -232,6 +232,10 @@ object Multimodal {
       .select(
         regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
         col("content").as("media"))
+      // degrade, don't fail: a stray non-media file (README, tmp file, id
+      // out of Long range) yields a null id, which would kill the job at
+      // the non-nullable MediaRow encoder — drop it here instead
+      .filter(col("doc_id").isNotNull)
 
   // ---- video (multi-frame) container + resize / frame-sample ----
 
@@ -265,17 +269,34 @@ object Multimodal {
   private def isVideo(b: Array[Byte]): Boolean =
     b.length > 8 && b(0) == 'G' && b(1) == 'F' && b(2) == 'T' && b(3) == 'V'
 
-  /** The container's frames as (index, png bytes) — no decode yet. */
-  def videoFrames(media: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+  /** The container's frames as (index, png bytes) — no decode yet.
+    * `keep` skips the payload COPY of unwanted frames (skipBytes, no
+    * allocation), so sampling every k-th frame reads headers only for the
+    * rest. Length prefixes are untrusted: a corrupt length (negative, or
+    * larger than the payload itself) ends iteration instead of attempting
+    * an unbounded allocation — OutOfMemoryError is fatal and would escape
+    * any NonFatal degrade catch downstream. */
+  def videoFrames(
+      media: Array[Byte],
+      keep: Int => Boolean = _ => true): Iterator[(Int, Array[Byte])] = {
     if (!isVideo(media)) return Iterator.empty
     val in = new java.io.DataInputStream(new ByteArrayInputStream(media))
     in.skipBytes(4)
     val n = in.readInt()
-    (0 until n).iterator.map { i =>
+    if (n < 0) return Iterator.empty
+    (0 until n).iterator.flatMap { i =>
       val len = in.readInt()
-      val buf = new Array[Byte](len)
-      in.readFully(buf)
-      (i, buf)
+      if (len < 0 || len > media.length) throw new java.io.EOFException(
+        s"frame $i declares $len bytes in a ${media.length}-byte container")
+      if (keep(i)) {
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        Some((i, buf))
+      } else {
+        var toSkip = len
+        while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+        None
+      }
     }
   }
 
@@ -306,15 +327,18 @@ object Multimodal {
     * narrow flatMap, no shuffle; at 100 TB the fan-out stays inside each
     * ingest partition. */
   def frameSampleBatch(
-      rows: Iterator[MediaRow], step: Int, w: Int, h: Int): Iterator[FrameFeatures] =
+      rows: Iterator[MediaRow], step: Int, w: Int, h: Int): Iterator[FrameFeatures] = {
+    // caller misuse must fail loudly — the per-row degrade catches below
+    // would otherwise convert it into silently empty output
+    require(step >= 1, s"step must be >= 1, got $step")
+    require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
     rows.flatMap { r =>
       // materialize inside the try: the container iterator reads lazily,
       // so a truncated payload throws during iteration, not construction.
       // Degrade contract (same as decodeBatch): a corrupt frame is
       // skipped, a corrupt container yields no frames — never a dead task.
       try {
-        videoFrames(r.media)
-          .filter { case (i, _) => i % step == 0 }
+        videoFrames(r.media, keep = _ % step == 0)
           .flatMap { case (i, png) =>
             try {
               val resized = resizePng(png, w, h)
@@ -341,6 +365,7 @@ object Multimodal {
           .toList
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
+  }
 
   /** Binary video column → sampled, resized, featurized frames. */
   def frameSample(

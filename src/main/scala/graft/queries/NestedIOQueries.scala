@@ -144,11 +144,8 @@ object NestedIOQueries {
     * run at different scale factors, and the skip keeps the heaviest
     * table from being written twice per run even though query execution
     * order is not guaranteed. */
-  private def q25Layout(d: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"/tmp/graft_io/q25_roundtrip_$h"
-  }
+  private def q25Layout(d: String): String =
+    s"/tmp/graft_io/q25_roundtrip_${Tables.scratchKey(d)}"
 
   /** Q25: hive-partitioned parquet write → re-read → aggregate, proving the
     * partition layout survives a round trip (reference partitioned dataset
@@ -473,9 +470,7 @@ object NestedIOQueries {
     * COUNT(DISTINCT) — the capability gated is the sketch round-trip and
     * merge, not an approximation tolerance. */
   private def q39(s: SparkSession, d: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val dir = s"/tmp/graft_io/q39_sketches_$h"
+    val dir = s"/tmp/graft_io/q39_sketches_${Tables.scratchKey(d)}"
     Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(hll_sketch_agg(col("doc_id"), lit(14)).as("sk"))

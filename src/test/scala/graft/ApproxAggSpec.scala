@@ -89,9 +89,8 @@ class ApproxAggSpec extends AnyFunSuite {
       "(lgConfigK must keep the sketch in exact sparse mode at this cardinality)")
     // the persisted sketch column is binary — the mergeable state really
     // round-tripped through parquet
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val persisted = spark.read.parquet(s"/tmp/graft_io/q39_sketches_$h")
+    val persisted = spark.read.parquet(
+      s"/tmp/graft_io/q39_sketches_${Tables.scratchKey(TestSpark.sf)}")
     assert(persisted.schema("sk").dataType ==
       org.apache.spark.sql.types.BinaryType)
     assert(persisted.count() == Tables.documents(spark, TestSpark.sf)
