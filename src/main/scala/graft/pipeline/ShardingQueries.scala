@@ -60,9 +60,30 @@ object ShardingQueries {
       |  FROM documents)
       |WHERE cap_rank <= 25 ORDER BY source, cap_rank""".stripMargin
 
+  /** Small-file compaction as a gated capability: a deliberately
+    * fragmented copy of `documents` (64 splinter files — a micro-batch
+    * sink's typical residue) is compacted to size-targeted files via
+    * [[Compact]] (coalesce — no shuffle — plus a two-rename swap), then
+    * read back in full. The oracle proves content preservation
+    * row-for-row; CompactionSpec asserts the file-count mechanics. */
+  private def compactQ(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_io/compact_${graft.Tables.scratchKey(d)}"
+    Compact.fragment(Tables.documents(s, d), dir, nFiles = 64)
+    Compact.compact(s, dir, targetBytes = 64L * 1024 * 1024)
+    s.read.parquet(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val compactSql =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
+    Capability("pipeline_compact", "small-file compaction preserves content, swap-safe", compactQ,
+      Some(compactSql)),
     Capability("pipeline_pack", "token-budget sequence packing in md5 shards", pack,
       Some(packSql)),
     Capability("pipeline_cap", "deterministic md5-lottery per-domain document cap", cap,
