@@ -61,30 +61,26 @@ object SimilarityQueries {
   private def centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      // 0-based pos → 1-based to match the oracle's generate_subscripts
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"), col("v"))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast("double").cast(graft.Det.Exact)).cast("double")
-        / count(lit(1))).as("c"))
-      .groupBy(col("label"))
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => round(x("c"), 6)).as("centroid"),
-        count(lit(1)).as("dim"))
-      .orderBy(col("label"))
+      .agg(round(
+        sum(col("v").cast("double").cast(graft.Det.Exact)).cast("double")
+          / count(lit(1)), 6).as("c"))
+      // long format (one row per (label, dimension)) — the driver's
+      // comparator sorts rows in pandas, which cannot order array cells
+      .orderBy(col("label"), col("pos"))
 
   private val centroidsSql =
     """WITH x AS (
       |  SELECT label, generate_subscripts(embedding, 1) AS pos,
       |    unnest(embedding) AS v
-      |  FROM embeddings),
-      |g1 AS (
-      |  SELECT label, pos,
-      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
-      |      / COUNT(*) AS c
-      |  FROM x GROUP BY label, pos)
-      |SELECT label, LIST(round(c, 6) ORDER BY pos) AS centroid,
-      |  COUNT(*) AS dim
-      |FROM g1 GROUP BY label ORDER BY label""".stripMargin
+      |  FROM embeddings)
+      |SELECT label, pos,
+      |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+      |    / COUNT(*), 6) AS c
+      |FROM x GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
 
   val caps: Seq[Capability] = Seq(
     Capability("ann_brute", s"exact top-$K cosine neighbors for $NQueries queries", brute,
