@@ -62,7 +62,15 @@ object GraftFunctions {
   val minhashBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 2 && exprs(1).foldable,
       "graft_minhash takes (hash_col, n_hashes literal)")
-    val n = exprs(1).eval().toString.toInt
+    val n = exprs(1).eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash n_hashes must be an integral literal, got $other" +
+          (if (other == null) "" else s" (${other.getClass.getSimpleName})"))
+    }
     require(n >= 1, s"graft_minhash n_hashes must be >= 1, got $n")
     MinHashSketch(exprs.head, n).toAggregateExpression()
   }

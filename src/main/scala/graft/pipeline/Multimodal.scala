@@ -273,9 +273,15 @@ object Multimodal {
     * `keep` skips the payload COPY of unwanted frames (skipBytes, no
     * allocation), so sampling every k-th frame reads headers only for the
     * rest. Length prefixes are untrusted: a corrupt length (negative, or
-    * larger than the payload itself) ends iteration instead of attempting
-    * an unbounded allocation — OutOfMemoryError is fatal and would escape
-    * any NonFatal degrade catch downstream. */
+    * running past the remaining payload) raises `EOFException` mid-
+    * iteration instead of attempting an unbounded allocation or an
+    * unbounded skip loop — OutOfMemoryError is fatal and a skipBytes
+    * spin at EOF is a permanent task wedge, and neither would reach the
+    * NonFatal degrade catch downstream. Direct callers must expect
+    * `EOFException` from a corrupt container; [[frameSampleBatch]] maps
+    * it to zero frames for that row (already-yielded frames of the same
+    * container are discarded with it — a corrupt container contributes
+    * nothing, by contract). */
   def videoFrames(
       media: Array[Byte],
       keep: Int => Boolean = _ => true): Iterator[(Int, Array[Byte])] = {
@@ -286,15 +292,27 @@ object Multimodal {
     if (n < 0) return Iterator.empty
     (0 until n).iterator.flatMap { i =>
       val len = in.readInt()
-      if (len < 0 || len > media.length) throw new java.io.EOFException(
-        s"frame $i declares $len bytes in a ${media.length}-byte container")
+      // `available` is exact on ByteArrayInputStream: a declared length
+      // past the remaining payload is a truncated/corrupt container, and
+      // catching it here keeps both branches below from running off the
+      // end (readFully would throw anyway; skipBytes would return 0
+      // forever and spin).
+      if (len < 0 || len > in.available()) throw new java.io.EOFException(
+        s"frame $i declares $len bytes with ${in.available()} remaining " +
+          s"in a ${media.length}-byte container")
       if (keep(i)) {
         val buf = new Array[Byte](len)
         in.readFully(buf)
         Some((i, buf))
       } else {
         var toSkip = len
-        while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+        while (toSkip > 0) {
+          val s = in.skipBytes(toSkip)
+          // a short skip means EOF on this stream — bail, never spin
+          if (s <= 0) throw new java.io.EOFException(
+            s"frame $i truncated: ${toSkip} of $len skip bytes missing")
+          toSkip -= s
+        }
         None
       }
     }

@@ -165,6 +165,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!byDoc.contains(3L) && !byDoc.contains(4L))
   }
 
+  test("truncated payload under a SKIPPED frame terminates (no skipBytes spin)") {
+    import spark.implicits._
+    // Hand-built container: frame 0 intact, frame 1 declares 1000 bytes
+    // but the payload is cut 10 bytes in. With step=2 frame 1 takes the
+    // skipBytes path — before the EOF guard this spun forever (skipBytes
+    // returns 0 at EOF); now it must raise EOFException and degrade the
+    // row to zero frames.
+    val f0 = Multimodal.syntheticPng(7L, 10, 8)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GFTV"); dos.writeInt(2)
+    dos.writeInt(f0.length); dos.write(f0)
+    dos.writeInt(1000); dos.write(Array.fill[Byte](10)(1))
+    dos.flush()
+    val truncatedSkip = out.toByteArray
+    val df = Seq(
+      Multimodal.MediaRow(1L, truncatedSkip),
+      Multimodal.MediaRow(2L, Multimodal.syntheticVideo(2L, nFrames = 3, w = 10, h = 8))
+    ).toDS().toDF()
+    val rows = Multimodal.frameSample(spark, df, step = 2, w = 4, h = 4).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    // corrupt container contributes nothing — even its intact frame 0
+    assert(!byDoc.contains(1L), s"corrupt container must yield no frames: $byDoc")
+    assert(byDoc.getOrElse(2L, 0) == 2, s"good video sampled 0,2: $byDoc")
+    // direct library callers see the documented EOFException
+    intercept[java.io.EOFException] {
+      Multimodal.videoFrames(truncatedSkip, keep = _ % 2 == 0).toList
+    }
+  }
+
   test("mm_frames query: counts match generator params, deterministic") {
     val a = Registry.byName("mm_frames").run(spark, sf).collect().toSeq
     val b = Registry.byName("mm_frames").run(spark, sf).collect().toSeq
