@@ -10,12 +10,22 @@ import org.apache.spark.sql.SparkSession
   * (a `count()` would let Catalyst drop sorts/projections and
   * under-measure); one flagship warmup run first pays the JVM/codegen
   * startup cost so per-query numbers reflect steady state.
+  *
+  * Robustness against host contention (the round-4 artifact recorded
+  * 10-123× spikes on a shared hypervisor): the whole registry is run
+  * `SPARK_GRAFT_BENCH_REPS` times (default 3) as INTERLEAVED full passes
+  * — pass 1 of every query, then pass 2, … — so a contention burst hits
+  * different queries in different passes instead of poisoning one query's
+  * every sample. The canonical per-query number (and the headline/total)
+  * is the per-query MEDIAN across passes; per-query minima are also
+  * emitted (`queries_min`) as the contention-free floor.
   */
 object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,8 +50,28 @@ object Bench {
     // warmup: flagship query pays codegen/classload once
     runOnce("q03_group_agg")
 
-    val results = Registry.all.map(c => c.name -> runOnce(c.name))
-    val ok = results.filter(_._2 >= 0)
+    val names = Registry.all.map(_.name)
+    // interleaved passes: samples(q) accumulates one time per pass
+    val samples: Map[String, Array[Double]] =
+      names.map(_ -> Array.fill(reps)(-1.0)).toMap
+    var pass = 0
+    while (pass < reps) {
+      names.foreach { n => samples(n)(pass) = runOnce(n) }
+      pass += 1
+    }
+
+    def median(xs: Array[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.length % 2 == 1) ok(ok.length / 2)
+      else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val mins = names.map { n =>
+      val ok = samples(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val ok = med.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val headline = Registry.all.filter(_.bench).map(_.name).toSet
     val headlineTotal = ok.collect { case (n, t) if headline(n) => t }.sum
@@ -49,12 +79,12 @@ object Bench {
     // comma-decimal locales would emit invalid JSON ("13,700")
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results
+    def obj(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val totalS = num(total)
     val headS = num(headlineTotal)
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.AsOfJoinNode
+import graft.plans.{AsOfJoinNode, MultiAsOfJoinNode}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -117,5 +117,58 @@ object AsOfJoin {
       toleranceMicros = toleranceMicros)
     Bridge.ofRows(left.sparkSession, node)
       .drop("__asof_on_l" +: "__asof_on_r" +: (lByNames ++ rByNames): _*)
+  }
+
+  /** One right input of [[backwardExecMulti]]: its event-time column
+    * (LongType after cast), the `by` key columns matching the left's
+    * `leftBy` positionally, and tie-break columns (max wins on equal
+    * `on`). */
+  final case class AsOfRight(
+      df: DataFrame, on: Column, by: Seq[Column], tieBreak: Seq[Column])
+
+  /** Backward as-of left join against N right tables in ONE pass — the
+    * reference's multi-input mode (acero/asof_join_node.cc:1106 takes one
+    * left and any number of sorted rights; each right is matched
+    * independently against the same left `on`/`by` keys). Output is
+    * left ++ right_1 ++ … ++ right_n columns, unmatched rights null.
+    *
+    * Physically each child is hash-clustered on its `by` keys once and the
+    * rights merge in a chain of narrow per-partition passes inside a
+    * single stage — adding a right adds one clustered exchange of that
+    * right, never a re-shuffle of the accumulated left. */
+  def backwardExecMulti(
+      left: DataFrame,
+      onLeft: Column,
+      leftBy: Seq[Column],
+      rights: Seq[AsOfRight],
+      toleranceMicros: Long): DataFrame = {
+    require(rights.nonEmpty, "backwardExecMulti: at least one right table")
+    require(rights.forall(_.by.length == leftBy.length),
+      "backwardExecMulti: every right needs one by-column per left by-column")
+    val lByNames = leftBy.indices.map(i => s"__asof_by_l_$i")
+    val l2 = leftBy.zip(lByNames).foldLeft(
+      left.withColumn("__asof_on_l", onLeft.cast("long"))) {
+      case (df, (c, n)) => df.withColumn(n, c)
+    }
+    val rByNames = leftBy.indices.map(i => s"__asof_by_r_$i")
+    val r2s = rights.map { r =>
+      r.by.zip(rByNames).foldLeft(
+        r.df.withColumn("__asof_on_r", r.on.cast("long"))) {
+        case (df, (c, n)) => df.withColumn(n, c)
+      }
+    }
+    val node = MultiAsOfJoinNode(
+      left = Bridge.logicalPlan(l2),
+      rights = r2s.map(Bridge.logicalPlan),
+      leftOn = Bridge.expression(l2("__asof_on_l")),
+      rightOns = r2s.map(r => Bridge.expression(r("__asof_on_r"))),
+      leftBy = lByNames.map(n => Bridge.expression(l2(n))),
+      rightBys = r2s.map(r => rByNames.map(n => Bridge.expression(r(n)))),
+      rightTieBreaks = rights.map(_.tieBreak.map(Bridge.expression)),
+      toleranceMicros = toleranceMicros)
+    Bridge.ofRows(left.sparkSession, node)
+      .drop("__asof_on_l" +: lByNames: _*)
+      .drop("__asof_on_r")       // duplicate name across rights: drop all
+      .drop(rByNames: _*)
   }
 }

@@ -130,8 +130,10 @@ object DedupQueries {
 
   val caps: Seq[Capability] = Seq(
     Capability("dedup_exact", "exact dedup via content-hash groupBy", exact, Some(exactSql)),
+    // the exact-pairs baseline is quadratic in hot-shingle df — a
+    // correctness gate, not a headline number; minhash is the scale twin
     Capability("dedup_ngram_jaccard", "n-gram Jaccard near-dup pairs (inverted index)", ngram,
-      Some(jaccardPairsSql(0.5)), bench = true),
+      Some(jaccardPairsSql(0.5))),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
     Capability("dedup_cc", "duplicate clusters: connected components over near-dup pairs", cc,

@@ -160,28 +160,55 @@ object TextQueries {
     * collects each shingle's train doc ids alongside an any-eval flag
     * (no self-join, no second scan, document bodies never move past the
     * shingling projection). Contaminated ids explode out of the flagged
-    * groups and a per-doc count finishes it. A shingle's collected list
-    * is bounded by its train document frequency — the same hot-shingle
-    * bound the equivalent join formulation pays in row multiplicity. */
+    * groups and a per-doc count finishes it.
+    *
+    * `maxTrainDf` bounds the hot-shingle group: without it, a boilerplate
+    * 8-gram (license header, templated page) with train document
+    * frequency in the millions buffers every one of those ids in a single
+    * `collect_list` buffer — the 100 TB OOM. With `Some(cap)` the
+    * formulation switches to two bounded aggregates (per-shingle COUNTS,
+    * never lists, with map-side combine) plus a shingle-keyed semi-join,
+    * and shingles in more than `cap` train docs are dropped entirely —
+    * for contamination hygiene that is the desired semantics (corpus-wide
+    * boilerplate is not eval leakage), and TextSpec asserts capped ≡
+    * exact whenever no shingle exceeds the cap. */
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, isTrain: Column, n: Int,
-      hashKeys: Boolean = false): DataFrame = {
+      hashKeys: Boolean = false,
+      maxTrainDf: Option[Int] = None): DataFrame = {
     val key: Column => Column = if (hashKeys) xxhash64(_) else identity
-    docs
+    val shingled = docs
       .select(col(idCol), isEval.as("__ev"), isTrain.as("__tr"),
         explode(TextOps.shingles(col(textCol), n)).as("__sh0"))
       .filter(col("__ev") || col("__tr"))
       .select(col(idCol), col("__ev"), col("__tr"), key(col("__sh0")).as("sh"))
-      .groupBy(col("sh"))
-      .agg(
-        max(col("__ev")).as("has_eval"),
-        // collect_list skips nulls: only train ids enter the list
-        collect_list(when(col("__tr"), col(idCol))).as("train_ids"))
-      .filter(col("has_eval") && size(col("train_ids")) > 0)
-      .select(explode(col("train_ids")).as(idCol))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"))
+    maxTrainDf match {
+      case None =>
+        shingled
+          .groupBy(col("sh"))
+          .agg(
+            max(col("__ev")).as("has_eval"),
+            // collect_list skips nulls: only train ids enter the list
+            collect_list(when(col("__tr"), col(idCol))).as("train_ids"))
+          .filter(col("has_eval") && size(col("train_ids")) > 0)
+          .select(explode(col("train_ids")).as(idCol))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared"))
+      case Some(cap) =>
+        // per-shingle scalar stats only — constant-size agg buffers
+        val flagged = shingled
+          .groupBy(col("sh"))
+          .agg(
+            max(col("__ev")).as("has_eval"),
+            sum(when(col("__tr"), 1L).otherwise(0L)).as("train_df"))
+          .filter(col("has_eval") && col("train_df") > 0 && col("train_df") <= cap)
+          .select(col("sh"))
+        shingled.filter(col("__tr"))
+          .join(flagged, Seq("sh"), "left_semi")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared"))
+    }
   }
 
   /** The gated decontamination query: train-split documents sharing any

@@ -41,11 +41,119 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** 1 left + N rights matched in one stage (reference:
+  * acero/asof_join_node.cc:1106 — the asof node takes one left and any
+  * number of sorted right inputs, all matched against the same left `on`
+  * value; options at acero/options.h:692-738). Every child is
+  * hash-clustered on its `by` keys and sorted by (by, on, tie), and the
+  * matching is a chain of narrow per-partition merges — no shuffle between
+  * rights, each input read exactly once, so the cost is the N+1 clustered
+  * exchanges and one streaming pass. */
+case class MultiAsOfJoinNode(
+    left: LogicalPlan,
+    rights: Seq[LogicalPlan],
+    leftOn: Expression,
+    rightOns: Seq[Expression],
+    leftBy: Seq[Expression],
+    rightBys: Seq[Seq[Expression]],
+    rightTieBreaks: Seq[Seq[Expression]],
+    toleranceMicros: Long) extends LogicalPlan {
+
+  require(rights.nonEmpty && rights.length == rightOns.length &&
+    rights.length == rightBys.length && rights.length == rightTieBreaks.length,
+    "MultiAsOfJoinNode: rights/rightOns/rightBys/rightTieBreaks must align")
+
+  override def children: Seq[LogicalPlan] = left +: rights
+
+  override def output: Seq[Attribute] =
+    left.output ++ rights.flatMap(_.output.map(_.withNullability(true)))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): MultiAsOfJoinNode =
+    copy(left = newChildren.head, rights = newChildren.tail)
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lOn, rOn, lBy, rBy, tie, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lOn, rOn, lBy, rBy, tie, tol) :: Nil
+    case MultiAsOfJoinNode(l, rs, lOn, rOns, lBy, rBys, ties, tol) =>
+      MultiAsOfJoinExec(planLater(l), rs.map(planLater), lOn, rOns, lBy, rBys, ties, tol) :: Nil
     case _ => Nil
+  }
+}
+
+/** The shared per-partition forward merge: for each left row, buffer the
+  * latest right row (by (on, tieBreak) sort order) with the same `by` key
+  * at or before the left `on`; emit left ++ (match | nulls). Inputs must
+  * be sorted by (by, on[, tie]) ascending; output preserves the left
+  * stream's order, so merges compose without re-sorting. */
+private[plans] object AsOfMerge {
+
+  def merge(
+      lIter: Iterator[InternalRow],
+      rIter0: Iterator[InternalRow],
+      leftOutput: Seq[Attribute],
+      rightOutput: Seq[Attribute],
+      lOnExpr: Expression,
+      rOnExpr: Expression,
+      lByExprs: Seq[Expression],
+      rByExprs: Seq[Expression],
+      tol: Long): Iterator[InternalRow] = {
+    val lOnProj = UnsafeProjection.create(lOnExpr :: Nil, leftOutput)
+    val rOnProj = UnsafeProjection.create(rOnExpr :: Nil, rightOutput)
+    val lByProj = UnsafeProjection.create(lByExprs, leftOutput)
+    val rByProj = UnsafeProjection.create(rByExprs, rightOutput)
+    val keyOrdering =
+      RowOrdering.createNaturalAscendingOrdering(lByExprs.map(_.dataType))
+    // right side must bind nullable: unmatched lefts pair with a null row
+    val outAttrs = leftOutput ++ rightOutput.map(_.withNullability(true))
+    val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+    val nullRight = new GenericInternalRow(rightOutput.length)
+    val joined = new JoinedRow
+    val rIter = rIter0.buffered
+
+    // per-key state: the latest right row at or before the current left
+    // time (rows are never revisited — both streams move forward only)
+    var candRow: InternalRow = null
+    var candKey: InternalRow = null
+    var candOn: Long = 0L
+
+    lIter.map { lRow =>
+      val lKey = lByProj(lRow)
+      val lOnRow = lOnProj(lRow)
+      if (lOnRow.isNullAt(0)) {
+        resultProj(joined(lRow, nullRight))
+      } else {
+        val lOn = lOnRow.getLong(0)
+        var advancing = true
+        while (advancing && rIter.hasNext) {
+          val rKey = rByProj(rIter.head)
+          val keyCmp = keyOrdering.compare(rKey, lKey)
+          if (keyCmp < 0) {
+            rIter.next() // right key behind every remaining left key pass
+          } else if (keyCmp == 0) {
+            val rOnRow = rOnProj(rIter.head)
+            if (!rOnRow.isNullAt(0) && rOnRow.getLong(0) <= lOn) {
+              val r = rIter.next()
+              candRow = r.copy()
+              candKey = rByProj(candRow).copy()
+              candOn = rOnProj(candRow).getLong(0)
+            } else if (rOnRow.isNullAt(0)) {
+              rIter.next() // null event times never match
+            } else {
+              advancing = false
+            }
+          } else {
+            advancing = false
+          }
+        }
+        val matched = candRow != null &&
+          keyOrdering.compare(candKey, lKey) == 0 &&
+          candOn >= lOn - tol
+        resultProj(joined(lRow, if (matched) candRow else nullRight))
+      }
+    }
   }
 }
 
@@ -83,66 +191,70 @@ case class AsOfJoinExec(
     val lByExprs = leftBy
     val rByExprs = rightBy
     val tol = toleranceMicros
-    val outAttrs = output
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
-      val lOnProj = UnsafeProjection.create(lOnExpr :: Nil, leftOutput)
-      val rOnProj = UnsafeProjection.create(rOnExpr :: Nil, rightOutput)
-      val lByProj = UnsafeProjection.create(lByExprs, leftOutput)
-      val rByProj = UnsafeProjection.create(rByExprs, rightOutput)
-      val keyOrdering =
-        RowOrdering.createNaturalAscendingOrdering(lByExprs.map(_.dataType))
-      // right side must bind nullable: unmatched lefts pair with a null row
-      val resultProj = UnsafeProjection.create(
-        outAttrs, leftOutput ++ rightOutput.map(_.withNullability(true)))
-      val nullRight = new GenericInternalRow(rightOutput.length)
-      val joined = new JoinedRow
-      val rIter = rIter0.buffered
-
-      // per-key state: the latest right row at or before the current left
-      // time (rows are never revisited — both streams move forward only)
-      var candRow: InternalRow = null
-      var candKey: InternalRow = null
-      var candOn: Long = 0L
-
-      lIter.map { lRow =>
-        val lKey = lByProj(lRow)
-        val lOnRow = lOnProj(lRow)
-        if (lOnRow.isNullAt(0)) {
-          resultProj(joined(lRow, nullRight))
-        } else {
-          val lOn = lOnRow.getLong(0)
-          var advancing = true
-          while (advancing && rIter.hasNext) {
-            val rKey = rByProj(rIter.head)
-            val keyCmp = keyOrdering.compare(rKey, lKey)
-            if (keyCmp < 0) {
-              rIter.next() // right key behind every remaining left key pass
-            } else if (keyCmp == 0) {
-              val rOnRow = rOnProj(rIter.head)
-              if (!rOnRow.isNullAt(0) && rOnRow.getLong(0) <= lOn) {
-                val r = rIter.next()
-                candRow = r.copy()
-                candKey = rByProj(candRow).copy()
-                candOn = rOnProj(candRow).getLong(0)
-              } else if (rOnRow.isNullAt(0)) {
-                rIter.next() // null event times never match
-              } else {
-                advancing = false
-              }
-            } else {
-              advancing = false
-            }
-          }
-          val matched = candRow != null &&
-            keyOrdering.compare(candKey, lKey) == 0 &&
-            candOn >= lOn - tol
-          resultProj(joined(lRow, if (matched) candRow else nullRight))
-        }
-      }
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      AsOfMerge.merge(
+        lIter, rIter, leftOutput, rightOutput,
+        lOnExpr, rOnExpr, lByExprs, rByExprs, tol)
     }
   }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Physical N-right as-of join: all children co-clustered on their `by`
+  * keys, then a chain of narrow per-partition merges — left × right1,
+  * (that) × right2, … All merges run inside one task per partition
+  * (zipPartitions is narrow), so rights never wait on each other and no
+  * intermediate result ever hits a shuffle. */
+case class MultiAsOfJoinExec(
+    left: SparkPlan,
+    rights: Seq[SparkPlan],
+    leftOn: Expression,
+    rightOns: Seq[Expression],
+    leftBy: Seq[Expression],
+    rightBys: Seq[Seq[Expression]],
+    rightTieBreaks: Seq[Seq[Expression]],
+    toleranceMicros: Long) extends SparkPlan {
+
+  override def children: Seq[SparkPlan] = left +: rights
+
+  override def output: Seq[Attribute] =
+    left.output ++ rights.flatMap(_.output.map(_.withNullability(true)))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (leftBy.isEmpty) children.map(_ => AllTuples)
+    else ClusteredDistribution(leftBy) +: rightBys.map(ClusteredDistribution(_))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (leftBy :+ leftOn).map(SortOrder(_, Ascending)) +:
+      rights.indices.map(i =>
+        (rightBys(i) ++ (rightOns(i) +: rightTieBreaks(i))).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftBy :+ leftOn).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val tol = toleranceMicros
+    var acc: RDD[InternalRow] = left.execute()
+    var accOutput: Seq[Attribute] = left.output
+    rights.indices.foreach { i =>
+      val lOut = accOutput
+      val rOut = rights(i).output
+      val lOn = leftOn
+      val rOn = rightOns(i)
+      val lBy = leftBy
+      val rBy = rightBys(i)
+      acc = acc.zipPartitions(rights(i).execute()) { (lIter, rIter) =>
+        AsOfMerge.merge(lIter, rIter, lOut, rOut, lOn, rOn, lBy, rBy, tol)
+      }
+      accOutput = accOutput ++ rOut.map(_.withNullability(true))
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): MultiAsOfJoinExec =
+    copy(left = newChildren.head, rights = newChildren.tail)
 }

@@ -137,15 +137,38 @@ object NestedIOQueries {
       |  array_to_string(list_sort(list_distinct(a1)), ',') AS sorted_words
       |FROM w ORDER BY doc_id""".stripMargin
 
-  /** Scale-factor-keyed shared partitioned layout: q25's write (the gated
-    * capability) always refreshes it; q25b (whose capability is the
-    * filename-parsing READ, the write being mere fixture setup) reuses it
-    * when present. The per-`d` key makes reuse safe when verify and bench
-    * run at different scale factors, and the skip keeps the heaviest
-    * table from being written twice per run even though query execution
-    * order is not guaranteed. */
+  /** Scale-factor-keyed partitioned layout owned by q25 alone: q25's
+    * write (the gated capability) always refreshes it, and nothing else
+    * reads it — sharing it with q25b raced q25's `mode("overwrite")`
+    * delete-then-write against q25b's glob read. */
   private def q25Layout(d: String): String =
     s"/tmp/graft_io/q25_roundtrip_${Tables.scratchKey(d)}"
+
+  /** Build-once immutable fixture: if `dir` is absent, write `df`
+    * partitioned by `key` into a process-unique temp dir and atomically
+    * rename it into place. The layout is never overwritten after that, so
+    * readers can never observe a half-deleted directory; a concurrent
+    * loser of the rename race just deletes its temp copy and reads the
+    * winner's. */
+  private def immutablePartitionedFixture(
+      df: DataFrame, dir: String, key: String): Unit = {
+    val target = new java.io.File(dir)
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    val tmp = new java.io.File(
+      target.getParentFile,
+      s"${target.getName}.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    df.write.mode("overwrite").partitionBy(key).parquet(tmp.getPath)
+    if (!tmp.renameTo(target)) {
+      // another writer installed the fixture first — use theirs
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(tmp)
+      require(new java.io.File(target, "_SUCCESS").exists(),
+        s"fixture install failed and no winner present at $dir")
+    }
+  }
 
   /** Q25: hive-partitioned parquet write → re-read → aggregate, proving the
     * partition layout survives a round trip (reference partitioned dataset
@@ -175,11 +198,11 @@ object NestedIOQueries {
     * the file path instead of relying on Spark's hive-partition
     * discovery (leaf files are globbed directly, bypassing discovery). */
   private def q25b(s: SparkSession, d: String): DataFrame = {
-    val out = q25Layout(d)
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
-      Tables.lineitem(s, d)
-        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    }
+    // q25b owns its layout (built once, then immutable) — reusing q25's
+    // raced its overwrite; an extra lineitem write per fresh /tmp is
+    // cheaper than a FileNotFound flake
+    val out = s"/tmp/graft_io/q25b_filename_${Tables.scratchKey(d)}"
+    immutablePartitionedFixture(Tables.lineitem(s, d), out, "l_returnflag")
     s.read.parquet(s"$out/l_returnflag=*/*.parquet")
       .withColumn("flag",
         regexp_extract(input_file_name(), "l_returnflag=([^/]+)/", 1))
@@ -197,7 +220,7 @@ object NestedIOQueries {
     * directories with disjoint value columns merge into one frame with
     * nulls where a column is absent. */
   private def q25c(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_io/q25c_merge"
+    val base = s"/tmp/graft_io/q25c_merge_${Tables.scratchKey(d)}"
     Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
       .write.mode("overwrite").parquet(s"$base/a")
     Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
@@ -218,7 +241,7 @@ object NestedIOQueries {
     * Spark the same plan both writes and continues: write the frame, then
     * return it; the written copy is verified to round-trip. */
   private def q25d(s: SparkSession, d: String): DataFrame = {
-    val out = s"/tmp/graft_io/q25d_tee"
+    val out = s"/tmp/graft_io/q25d_tee_${Tables.scratchKey(d)}"
     val df = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"))
     df.write.mode("overwrite").parquet(out) // the tee'd copy

@@ -300,6 +300,69 @@ object WindowQueries {
       |) WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Q21d: MULTI-RIGHT as-of join — the reference's flagship asof shape
+    * (acero/asof_join_node.cc:1106: 1 left + N sorted rights in one pass):
+    * for each purchase, the latest click AND the latest view by the same
+    * user at-or-before it, each within a 1-hour tolerance, matched in a
+    * single [[graft.plans.MultiAsOfJoinExec]] stage (each input shuffled
+    * once on user_id, rights chained through narrow per-partition merges). */
+  private def q21d(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    AsOfJoin.backwardExecMulti(
+      left = purchases,
+      onLeft = unix_micros(purchases("ts")),
+      leftBy = Seq(purchases("user_id")),
+      rights = Seq(
+        AsOfJoin.AsOfRight(clicks, unix_micros(clicks("click_ts")),
+          Seq(clicks("c_user_id")), Seq(clicks("click_id"))),
+        AsOfJoin.AsOfRight(views, unix_micros(views("view_ts")),
+          Seq(views("v_user_id")), Seq(views("view_id")))),
+      toleranceMicros = 3600L * 1000000L)
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"), col("click_value"),
+        col("view_id"), col("view_ts"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q21dSql =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |cw AS (
+      |  SELECT p.event_id, c.event_id AS click_id, c.ts AS click_ts,
+      |         c.value AS click_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM p LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR),
+      |vw AS (
+      |  SELECT p.event_id, v.event_id AS view_id, v.ts AS view_ts,
+      |         v.value AS view_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      |  FROM p LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |    ON p.user_id = v.user_id
+      |   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+      |       cw.click_id, CAST(cw.click_ts AS TIMESTAMP) AS click_ts,
+      |       cw.click_value,
+      |       vw.view_id, CAST(vw.view_ts AS TIMESTAMP) AS view_ts,
+      |       vw.view_value
+      |FROM p
+      |JOIN (SELECT * FROM cw WHERE rn = 1) cw ON p.event_id = cw.event_id
+      |JOIN (SELECT * FROM vw WHERE rn = 1) vw ON p.event_id = vw.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   /** Q22: event-time tumbling-window aggregation (reference segment-keys ≈
     * `groupBy(window(...))`; the exact same transformation runs on a
     * stream with a watermark — StreamingSpec asserts batch/stream parity). */
@@ -426,6 +489,7 @@ object WindowQueries {
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
     Capability("q21c_asof_forward", "forward as-of join (positive tolerance)", q21c, Some(q21cSql)),
+    Capability("q21d_asof_multi", "multi-right as-of join (1 left + 2 rights, one pass)", q21d, Some(q21dSql)),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
     Capability("q22b_session_window", "native session_window gap sessionization", q22b, Some(q22bSql)),
     Capability("q22c_sliding_window", "sliding event-time windows (1h / 30min slide)", q22c, Some(q22cSql)),

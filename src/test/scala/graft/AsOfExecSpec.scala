@@ -97,6 +97,70 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(exec == rewrite)
   }
 
+  test("multi-right exec (2 rights) equals two composed binary rewrites") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 10L, 300L)
+    ).toDF("id", "uid", "t")
+    val r1 = Seq(
+      (101L, 10L, 95L), (102L, 10L, 180L), (103L, 10L, 199L),
+      (104L, 30L, 100L), (105L, 10L, 180L)
+    ).toDF("rid1", "ruid1", "rt1")
+    val r2 = Seq(
+      (201L, 10L, 60L), (202L, 20L, 149L), (203L, 10L, 290L), (204L, 20L, 40L)
+    ).toDF("rid2", "ruid2", "rt2")
+
+    val multi = AsOfJoin.backwardExecMulti(
+      left, onLeft = left("t"), leftBy = Seq(left("uid")),
+      rights = Seq(
+        AsOfJoin.AsOfRight(r1, r1("rt1"), Seq(r1("ruid1")), Seq(r1("rid1"))),
+        AsOfJoin.AsOfRight(r2, r2("rt2"), Seq(r2("ruid2")), Seq(r2("rid2")))),
+      toleranceMicros = 50L)
+      .select("id", "rid1", "rid2").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+         (if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    // r1 matches mirror the binary case; r2: id=1 t=100 ← 201@60 (tol 50
+    // → 100-60=40 ok), id=2 t=200 ← nothing within 50 (201@60 too old),
+    // id=3 t=150 ← 202@149, id=4 t=300 ← 203@290
+    assert(multi == Map(
+      1L -> (101L, 201L), 2L -> (103L, -1L), 3L -> (-1L, 202L), 4L -> (-1L, 203L)))
+
+    // and the exec output matches folding the compositional rewrite
+    val step1 = AsOfJoin.backward(
+      left, r1, left("t"), r1("rt1"),
+      by = Seq(left("uid") -> r1("ruid1")), tolerance = lit(50L),
+      leftId = left("id"), tieBreak = r1("rid1"))
+    val step2 = AsOfJoin.backward(
+      step1, r2, step1("t"), r2("rt2"),
+      by = Seq(step1("uid") -> r2("ruid2")), tolerance = lit(50L),
+      leftId = step1("id"), tieBreak = r2("rid2"))
+      .select("id", "rid1", "rid2").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+         (if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(multi == step2)
+  }
+
+  test("multi-right exec on real events equals composed binary execs (q21d shape)") {
+    val out = Registry.byName("q21d_asof_multi").run(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the click columns must agree exactly with the single-right q21 gate
+    val viaSingle = Registry.byName("q21_asof_join").run(spark, sf)
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val clicksOfMulti = rows
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(clicksOfMulti == viaSingle)
+    // plan: ONE MultiAsOfJoin stage, no row-multiplying join anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MultiAsOfJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("plan uses AsOfJoinExec with clustered exchanges, not a range join") {
     val df = Registry.byName("q21b_asof_exec").run(spark, sf)
     df.collect()

@@ -59,6 +59,50 @@ class TextSpec extends AnyFunSuite {
     assert(byHash == byString)
   }
 
+  test("df-capped decontamination equals exact when no shingle is hot") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val docs = Tables.documents(spark, sf)
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    def run(cap: Option[Int]): Map[Long, Long] =
+      graft.pipeline.TextQueries.decontaminate(
+        docs, "doc_id", "text",
+        isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8,
+        maxTrainDf = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = run(None)
+    // fixture 8-gram shingles are essentially unique per doc — a cap far
+    // above any real train-df must reproduce the exact result bit-for-bit
+    assert(exact.nonEmpty)
+    assert(run(Some(1000000)) == exact)
+  }
+
+  test("df cap actually drops a planted hot shingle (bounded-buffer path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 30 train docs all share the same 3-gram boilerplate; two of them
+    // also share a RARE 3-gram with the eval doc. eval contains both.
+    val boiler = "x1 x2 x3"
+    val rare = "r1 r2 r3"
+    val docs = (
+      (1 to 30).map(i => (i.toLong, s"$boiler pad$i")) ++     // train, hot only
+        Seq((31L, s"lead31 $rare"), (32L, s"lead32 $rare")) ++ // train, rare too
+        Seq((100L, s"$boiler $rare"))                          // eval
+      ).toDF("doc_id", "text")
+    def run(cap: Option[Int]): Map[Long, Long] =
+      graft.pipeline.TextQueries.decontaminate(
+        docs, "doc_id", "text",
+        isEval = col("doc_id") >= 100L, isTrain = col("doc_id") < 100L, n = 3,
+        maxTrainDf = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = run(None)
+    // uncapped: every train doc flagged via the boilerplate shingle
+    assert(exact.keySet.size == 32)
+    // cap=10: the 30-doc boilerplate shingle is dropped; only the two
+    // rare-shingle docs remain contaminated
+    val capped = run(Some(10))
+    assert(capped == Map(31L -> 1L, 32L -> 1L))
+  }
+
   test("quality scores are in [0,1] and langid predicts a known language") {
     val q = Registry.byName("text_quality").run(spark, sf).collect()
     q.foreach { r =>
