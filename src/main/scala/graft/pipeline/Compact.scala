@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Small-file compaction — the table-maintenance pass every long-lived
@@ -12,41 +12,88 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (Hadoop FS listing — object-store safe), then rewrite with `coalesce`
   * when shrinking (a NARROW repartitioning: no shuffle, each output task
   * concatenates input splits) and `repartition` only when the directory
-  * must grow (rare; requires a shuffle by definition). The rewrite lands
-  * in a sibling temp directory and swaps in with two renames, so a
-  * failed compaction never destroys the source.
+  * must grow (rare; requires a shuffle by definition). A hive-partitioned
+  * table is compacted PER PARTITION LEAF — each `key=value` directory is
+  * rewritten in place, so the partition layout (and partition pruning on
+  * later reads) survives, and `targetBytes` sizes files within each
+  * partition.
+  *
+  * Swap protocol, per rewritten directory: the rewrite lands in a HIDDEN
+  * sibling (`.<name>.compact_tmp` — dot-prefixed paths are invisible to
+  * Spark/Hadoop listings, so a crashed rewrite can never be mistaken for
+  * a partition), then installs via rename(src → .old), rename(tmp → src),
+  * delete(.old). A failed rename rolls the source back. CRASH WINDOW: if
+  * the process dies between the two renames, the directory is absent and
+  * its data sits intact in `.<name>.compact_old` — [[recover]] repairs
+  * exactly that state (and cleans stray tmp/old dirs); nothing is ever
+  * deleted before its replacement is installed. On object stores without
+  * atomic directory rename, run compaction from a single maintenance
+  * process and rely on [[recover]] — the window cannot be closed by
+  * ordering alone.
   */
 object Compact {
 
-  /** Number of parquet data files currently in `dir`. */
+  /** Path segments that Spark/Hadoop listings ignore (and so do we). */
+  private def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  private def parquetFilesUnder(fs: FileSystem, dir: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (isHidden(st.getPath.getName)) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+      }
+    walk(dir)
+    out.result()
+  }
+
+  /** Number of parquet data files currently under `dir` (recursive —
+    * partition subdirectories count; hidden/temp paths do not). */
   def dataFileCount(spark: SparkSession, dir: String): Int = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).count { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }
+    parquetFilesUnder(fs, p).size
   }
 
-  /** Rewrite the parquet directory at `dir` into files of roughly
-    * `targetBytes` (compressed) each. Returns the resulting file count. */
+  /** Directories under `root` that directly contain parquet data files —
+    * `root` itself for a flat table, the partition leaves for a
+    * hive-partitioned one. */
+  private def leafDirs(fs: FileSystem, root: Path): Seq[Path] =
+    parquetFilesUnder(fs, root).map(_.getParent).distinct
+
+  /** Rewrite the parquet table at `dir` into files of roughly
+    * `targetBytes` (compressed) each, preserving any hive partition
+    * layout. Returns the resulting data-file count. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val src = new Path(dir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = leafDirs(fs, src)
+    require(leaves.nonEmpty,
+      s"compact: no parquet data files under $dir (nothing to rewrite)")
+    leaves.foreach(leaf => compactLeaf(spark, fs, leaf, targetBytes))
+    dataFileCount(spark, dir)
+  }
+
+  /** Flat-directory rewrite + two-rename swap (see swap protocol above). */
+  private def compactLeaf(
+      spark: SparkSession, fs: FileSystem, src: Path, targetBytes: Long): Unit = {
     val totalBytes = fs.listStatus(src)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(src.toString)
     val current = df.rdd.getNumPartitions
     val sized =
       if (nFiles <= current) df.coalesce(nFiles) // narrow — no shuffle
       else df.repartition(nFiles)
-    val tmp = new Path(src.getParent, src.getName + ".compact_tmp")
+    val tmp = new Path(src.getParent, s".${src.getName}.compact_tmp")
     sized.write.mode("overwrite").parquet(tmp.toString)
 
-    val old = new Path(src.getParent, src.getName + ".compact_old")
+    val old = new Path(src.getParent, s".${src.getName}.compact_old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(src, old))
       throw new java.io.IOException(s"compaction swap failed moving $src aside")
@@ -55,7 +102,41 @@ object Compact {
       throw new java.io.IOException(s"compaction swap failed installing $tmp")
     }
     fs.delete(old, true)
-    dataFileCount(spark, dir)
+  }
+
+  /** Repair after a compaction crash: for every `.<name>.compact_old`
+    * under `dir` whose target is missing, rename the old data back into
+    * place (the crash-between-renames state); delete olds whose target
+    * was installed, and delete stray `.compact_tmp` dirs. Idempotent.
+    * Returns the number of directories restored. */
+  def recover(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var restored = 0
+    // the flat-table swap happens at `dir` itself, so its old/tmp
+    // siblings live in the PARENT — repair that level first
+    val rootOld = new Path(root.getParent, s".${root.getName}.compact_old")
+    val rootTmp = new Path(root.getParent, s".${root.getName}.compact_tmp")
+    if (!fs.exists(root) && fs.exists(rootOld)) { fs.rename(rootOld, root); restored += 1 }
+    else if (fs.exists(rootOld)) fs.delete(rootOld, true)
+    if (fs.exists(rootTmp)) fs.delete(rootTmp, true)
+    def walk(p: Path): Unit = {
+      if (!fs.exists(p)) return
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(".") && name.endsWith(".compact_old")) {
+          val target = new Path(p, name.stripPrefix(".").stripSuffix(".compact_old"))
+          if (!fs.exists(target)) { fs.rename(st.getPath, target); restored += 1 }
+          else fs.delete(st.getPath, true)
+        } else if (st.isDirectory && name.startsWith(".") && name.endsWith(".compact_tmp")) {
+          fs.delete(st.getPath, true) // incomplete rewrite — never installed
+        } else if (st.isDirectory && !isHidden(name)) {
+          walk(st.getPath)
+        }
+      }
+    }
+    walk(root)
+    restored
   }
 
   /** Copy a source parquet table into a deliberately fragmented layout —

@@ -330,6 +330,103 @@ object Dedup {
     labels
   }
 
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same output contract as [[connectedComponents]] ((id, component =
+    * min reachable id)) but O(log n) rounds instead of O(diameter): the
+    * long-chain / adversarial-graph path, where min-label propagation
+    * would need one round per hop.
+    *
+    * Per round, on the canonical edge set (lo < hi):
+    *  - large-star: every node u links each STRICTLY LARGER neighbor to
+    *    m(u) = min(Γ(u) ∪ u) — tall trees flatten toward small ids;
+    *  - small-star: every node u links each smaller-or-equal neighbor
+    *    (and itself) to m(u) = min of those — stars contract.
+    * The edge set converges to disjoint stars rooted at component minima;
+    * a fingerprint (edge count + hash sum) detects the fixed point. Each
+    * round is two grouped aggregates + joins keyed by vertex id, nothing
+    * heavier than (id, id) pairs ever shuffles, and `localCheckpoint`
+    * truncates lineage exactly as the propagation variant does.
+    *
+    * Correctness guard: after convergence one min-propagation round is
+    * run over the ORIGINAL edges; if any label would still decrease, the
+    * star decomposition was not a fixed point and this throws instead of
+    * returning split components. */
+  def connectedComponentsStars(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rawEdges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(lvl)
+    val vertices = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+
+    var edges = rawEdges.localCheckpoint(true)
+    var prev = fingerprint(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // ---- large-star ----
+      val dir = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mL = dir.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = dir.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v: canonical
+        .distinct()
+      // ---- small-star (directed hi → lo on the canonical edges) ----
+      val mS = afterLarge.groupBy(col("hi").as("u"))
+        .agg(min(col("lo")).as("m")) // all lo < u, so min(Γ⁻ ∪ u) = min(lo)
+      val smallOut = afterLarge
+        .join(mS, afterLarge("hi") === mS("u"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi")) // m ≤ lo: canonical
+      val selfOut = mS.select(col("m").as("lo"), col("u").as("hi"))
+      val next = smallOut.union(selfOut)
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = fingerprint(next)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      edges = next
+      iter += 1
+    }
+    // star edges → labels: non-roots point at their root; roots label themselves
+    val nonRoot = edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("c"))
+    val labels = vertices
+      .join(nonRoot, Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+      .localCheckpoint(true)
+    // one verification propagation round over the ORIGINAL edges
+    val dirAll = rawEdges.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(rawEdges.select(col("hi").as("src"), col("lo").as("dst")))
+    val improved = dirAll
+      .join(labels.select(col("id").as("src"), col("component").as("cs")), "src")
+      .join(labels.select(col("id").as("dst"), col("component").as("cd")), "dst")
+      .filter(col("cs") < col("cd"))
+      .limit(1).count()
+    rawEdges.unpersist(blocking = false)
+    if (!converged || improved > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not reach a star fixed point in " +
+          s"$maxIter rounds (converged=$converged, improvable=$improved)")
+    labels
+  }
+
   /** Brute top-k closest pairs by cosine (rounded cosine + ids give an
     * engine-deterministic cut). Quadratic — small inputs / oracle twin.
     * Does NOT touch the dedup cache registry: a library function must not

@@ -47,6 +47,32 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** recall@K of an ANN scale path against the in-Spark exact baseline,
+    * emitted as a THRESHOLDED deterministic scalar so the driver's DuckDB
+    * gate (constant oracle) — not just ScalaTest — covers the ANN paths:
+    * seeds, sampling and tie-breaks are all fixed, so the hit count is a
+    * pure function of the corpus and `recall_ok` is 1 on any healthy
+    * build. Thresholds carry a wide margin under the measured recalls
+    * (LSH ≈ 0.5, IVF ≈ 0.6 on this corpus; SimilaritySpec asserts the
+    * tighter moving bounds). */
+  private def recallGate(
+      approx: (SparkSession, String) => DataFrame, threshold: Double)(
+      s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val exact = Ann.bruteTopK(e.filter(col("vec_id") < NQueries), e,
+      "vec_id", "embedding", K).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx(s, d).select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .select(
+        lit(NQueries).as("n_queries"),
+        lit(K).as("k"),
+        (col("__hits") >= lit((threshold * NQueries * K).toInt)).cast("int")
+          .as("recall_ok"))
+  }
+
+  private val recallGateSql = s"SELECT $NQueries AS n_queries, $K AS k, 1 AS recall_ok"
+
   /** Per-label embedding centroids — the grouped element-wise vector mean
     * behind clustering, IVF coarse training and per-source drift checks.
     *
@@ -93,5 +119,9 @@ object SimilarityQueries {
       bench = true),
     Capability("ann_centroids", "per-label embedding centroids (grouped element-wise mean)", centroids,
       Some(centroidsSql)),
+    Capability("ann_lsh_recall", "LSH recall@k gate vs the exact baseline (constant oracle)",
+      recallGate(lsh, 0.25), Some(recallGateSql)),
+    Capability("ann_ivf_recall", "IVF recall@k gate vs the exact baseline (constant oracle)",
+      recallGate(ivf, 0.35), Some(recallGateSql)),
   )
 }

@@ -238,6 +238,50 @@ object ExtendedQueries {
       |  (SELECT round(covar_pop(l_extendedprice, l_quantity), 4) FROM lineitem) AS cov_p
       |FROM moments""".stripMargin
 
+  /** Q02d: the reference's aggregate OPTION surfaces
+    * (`ScalarAggregateOptions(skip_nulls, min_count)`,
+    * cpp/src/arrow/compute/api_aggregate.h:36-44, and
+    * `VarianceOptions(ddof)`, api_aggregate.h:84) via
+    * [[graft.functions.AggOps]]: population vs sample variance/stddev,
+    * a satisfied and an unsatisfiable min_count (the latter must yield
+    * NULL), and skip_nulls=false over a column with and without nulls.
+    * The nullable column is nullif(l_discount, 0) — deterministic and
+    * identical in both engines. */
+  private def q02d(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AggOps
+    val li = Tables.lineitem(s, d)
+      .withColumn("disc_n", nullif(col("l_discount"), lit(java.math.BigDecimal.ZERO)))
+    li.agg(
+      round(AggOps.varianceDdof(col("l_quantity"), 0), 6).as("var_ddof0"),
+      round(AggOps.varianceDdof(col("l_quantity"), 1), 6).as("var_ddof1"),
+      round(AggOps.varianceDdof(col("l_quantity"), 2), 6).as("var_ddof2"),
+      round(AggOps.stddevDdof(col("l_quantity"), 0), 6).as("sd_ddof0"),
+      round(AggOps.stddevDdof(col("l_quantity"), 1), 6).as("sd_ddof1"),
+      count(col("disc_n")).as("n_nonnull"),
+      AggOps.withMinCount(sum(col("disc_n")), col("disc_n"), 3).as("sum_min3"),
+      AggOps.withMinCount(sum(col("disc_n")), col("disc_n"), 2000000000).as("sum_min_2b"),
+      AggOps.noSkipNulls(sum(col("disc_n")), col("disc_n")).as("sum_strict_nulls"),
+      AggOps.noSkipNulls(sum(col("l_quantity")), col("l_quantity")).as("sum_strict_clean"))
+  }
+
+  private val q02dSql =
+    """WITH li AS (SELECT l_quantity, nullif(l_discount, 0) AS disc_n FROM lineitem)
+      |SELECT
+      |  round(var_pop(l_quantity), 6) AS var_ddof0,
+      |  round(var_samp(l_quantity), 6) AS var_ddof1,
+      |  round(var_pop(l_quantity) * count(l_quantity)
+      |        / (count(l_quantity) - 2), 6) AS var_ddof2,
+      |  round(stddev_pop(l_quantity), 6) AS sd_ddof0,
+      |  round(stddev_samp(l_quantity), 6) AS sd_ddof1,
+      |  count(disc_n) AS n_nonnull,
+      |  CASE WHEN count(disc_n) >= 3 THEN sum(disc_n) END AS sum_min3,
+      |  CASE WHEN count(disc_n) >= 2000000000 THEN sum(disc_n) END AS sum_min_2b,
+      |  CASE WHEN count(CASE WHEN disc_n IS NULL THEN 1 END) = 0
+      |       THEN sum(disc_n) END AS sum_strict_nulls,
+      |  CASE WHEN count(CASE WHEN l_quantity IS NULL THEN 1 END) = 0
+      |       THEN sum(l_quantity) END AS sum_strict_clean
+      |FROM li""".stripMargin
+
   /** Q32: deterministic mode (reference `mode` kernel,
     * cpp/src/arrow/compute/kernels/aggregate_mode.cc). Spark's builtin
     * `mode()` breaks ties arbitrarily, so this uses the portable count +
@@ -465,6 +509,8 @@ object ExtendedQueries {
       Some(q38bSql)),
     Capability("q31_product", "custom product aggregate (DeclarativeAggregate)", q31, Some(q31Sql)),
     Capability("q02b_moments", "skewness/kurtosis/corr/covariance", q02b, Some(q02bSql)),
+    Capability("q02d_agg_options", "aggregate options: ddof, skip_nulls, min_count", q02d,
+      Some(q02dSql)),
     Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),
     Capability("q33_winsorize", "winsorized mean with quantile cutoffs", q33, Some(q33Sql)),
     Capability("q33b_grouped_winsorize", "per-group winsorized mean via grouped rank-selection cutoffs", q33b,

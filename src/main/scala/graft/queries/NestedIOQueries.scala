@@ -385,6 +385,21 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26i: Arrow IPC STREAM-format round-trip (reference
+    * RecordBatchStreamReader/Writer, cpp/src/arrow/ipc/reader.h:74,
+    * writer.h:143) — the footerless pipe/socket framing, same oracle as
+    * the file format. */
+  private def q26i(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_stream_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.writeStream(
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date")),
+      out)
+    graft.sources.ArrowIpc.readStream(s, out).orderBy(col("o_orderkey"))
+  }
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
@@ -570,6 +585,7 @@ object NestedIOQueries {
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
     Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
+    Capability("q26i_ipc_stream", "Arrow IPC STREAM-format round-trip (footerless framing)", q26i, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,

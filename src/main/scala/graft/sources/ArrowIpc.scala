@@ -6,7 +6,7 @@ import java.nio.channels.{Channels, SeekableByteChannel}
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{VectorLoader, VectorSchemaRoot, VectorUnloader}
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel, WriteChannel}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter, ArrowWriter, SeekableReadChannel, WriteChannel}
 import org.apache.arrow.vector.ipc.message.MessageSerializer
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataInputStream, Path}
@@ -29,9 +29,12 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   }
 }
 
-/** Arrow IPC (Feather v2) file source/sink (reference surface:
-  * cpp/src/arrow/ipc/reader.h:74, writer.h:143 — the one reference format
-  * Spark has no native source for; SURVEY.md §2.4).
+/** Arrow IPC source/sink in BOTH reference formats: the random-access
+  * file format (Feather v2 — reference `RecordBatchFileReader`,
+  * cpp/src/arrow/ipc/reader.h:109, writer.h:167) and the streaming
+  * format (`RecordBatchStreamReader`, reader.h:74, writer.h:143 — the
+  * pipe/socket interchange framing: schema message, record batches, end
+  * marker, no footer and no seeks). SURVEY.md §2.4.
   *
   * Fully vectorized: the write path runs Spark's own InternalRow→Arrow
   * columnar serializer (the engine behind toPandas/mapInArrow) per
@@ -70,7 +73,19 @@ object ArrowIpc {
     * Per partition: Spark's columnar serializer produces framed record
     * batches; a VectorLoader moves their buffers into the file writer —
     * buffer transfers end to end. */
-  def write(df: DataFrame, dir: String, batchSize: Int = 4096): Unit = {
+  def write(df: DataFrame, dir: String, batchSize: Int = 4096): Unit =
+    writeWith(df, dir, batchSize, "arrow",
+      (root, ch) => new ArrowFileWriter(root, null, ch))
+
+  /** Write `df` in the IPC STREAM format (`.arrows`), one stream per
+    * partition — byte-for-byte what a socket peer would send. */
+  def writeStream(df: DataFrame, dir: String, batchSize: Int = 4096): Unit =
+    writeWith(df, dir, batchSize, "arrows",
+      (root, ch) => new ArrowStreamWriter(root, null, ch))
+
+  private def writeWith(
+      df: DataFrame, dir: String, batchSize: Int, ext: String,
+      mkWriter: (VectorSchemaRoot, java.nio.channels.WritableByteChannel) => ArrowWriter): Unit = {
     val schema = df.schema
     val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     val dirPath = new Path(dir)
@@ -80,13 +95,13 @@ object ArrowIpc {
     Bridge.toInternalRdd(df).foreachPartition { rows =>
       if (rows.nonEmpty) {
         val part = TaskContext.getPartitionId()
-        val path = new Path(dir, f"part-$part%05d.arrow")
+        val path = new Path(dir, f"part-$part%05d.$ext")
         val pfs = path.getFileSystem(hconf.value)
         val allocator = new RootAllocator(Long.MaxValue)
         val root = VectorSchemaRoot.create(Bridge.toArrowSchema(schema), allocator)
         val loader = new VectorLoader(root)
         val out = pfs.create(path, true)
-        val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+        val writer = mkWriter(root, Channels.newChannel(out))
         try {
           writer.start()
           Bridge.toArrowBatchIterator(rows, schema, batchSize, TaskContext.get()).foreach { bytes =>
@@ -108,14 +123,24 @@ object ArrowIpc {
   /** Stream one file's record batches as framed payloads (the format
     * [[Bridge.fromArrowBatchIterator]] consumes). Batch-at-a-time: peak
     * memory is one batch, not the file. */
-  private def batchBytes(conf: Configuration, file: String): Iterator[Array[Byte]] = {
+  private def openReader(
+      conf: Configuration, file: String, stream: Boolean,
+      allocator: RootAllocator): ArrowReader = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
-    val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
+    if (stream) new ArrowStreamReader(in, allocator)
+    else {
+      val len = fs.getFileStatus(path).getLen
+      new ArrowFileReader(
+        new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator)
+    }
+  }
+
+  private def batchBytes(
+      conf: Configuration, file: String, stream: Boolean): Iterator[Array[Byte]] = {
     val allocator = new RootAllocator(Long.MaxValue)
-    val reader = new ArrowFileReader(
-      new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator)
+    val reader = openReader(conf, file, stream, allocator)
     val unloader = new VectorUnloader(reader.getVectorSchemaRoot)
     var closed = false
     def closeAll(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
@@ -145,26 +170,33 @@ object ArrowIpc {
   /** Read a directory of Arrow IPC files back into a DataFrame; schema
     * from the first file's footer (Spark's own Arrow↔Spark type mapping,
     * nested types included), one read task per file. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readWith(spark, dir, "*.arrow", stream = false)
+
+  /** Read a directory of IPC STREAM files (`.arrows`) — sequential
+    * schema-then-batches framing, no footer, no seeks (a pure forward
+    * read, exactly what a pipe would deliver). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    readWith(spark, dir, "*.arrows", stream = true)
+
+  private def readWith(
+      spark: SparkSession, dir: String, glob: String, stream: Boolean): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    val files = Option(fs.globStatus(new Path(dirPath, "*.arrow")))
+    val files = Option(fs.globStatus(new Path(dirPath, glob)))
       .getOrElse(Array.empty).map(_.getPath.toString).sorted
-    require(files.nonEmpty, s"ArrowIpc.read: no .arrow files in $dir")
+    require(files.nonEmpty, s"ArrowIpc.read: no $glob files in $dir")
     val schema: StructType = {
-      val len = fs.getFileStatus(new Path(files.head)).getLen
-      val in = fs.open(new Path(files.head))
       val allocator = new RootAllocator(Long.MaxValue)
-      val reader = new ArrowFileReader(
-        new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator)
+      val reader = openReader(conf, files.head, stream, allocator)
       try Bridge.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
       finally { reader.close(); allocator.close() }
     }
     val hconf = new SerializableHadoopConf(conf)
     val rows = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
-      .flatMap(f => batchBytes(hconf.value, f))
+      .flatMap(f => batchBytes(hconf.value, f, stream))
       .mapPartitions(it => Bridge.fromArrowBatchIterator(it, schema, TaskContext.get()))
     Bridge.internalCreateDataFrame(spark, rows, schema)
   }

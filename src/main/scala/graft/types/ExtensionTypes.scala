@@ -14,9 +14,13 @@ import org.apache.spark.sql.types._
   * Mapping decisions (SURVEY.md §1.2):
   *  - uuid            → [[UuidType]] over 16-byte binary
   *  - fixed_shape_tensor → [[TensorType]] over struct<shape, values>
-  *  - json            → Spark native: string + get_json_object/from_json
-  *    (query q36), or VariantType on Spark 4 — no UDT needed
-  *  - bool8/opaque    → plain boolean/binary (layout-only variants)
+  *  - json            → [[JsonType]] over utf8 storage (the tagged
+  *    arrow.json instance, extension/json_extension_type.h); PLAIN
+  *    string + get_json_object/from_json (q36) or VariantType (q36b)
+  *    remain the native query paths
+  *  - bool8           → [[Bool8Type]] over int8 storage (extension/bool8.h:
+  *    0 = false, nonzero = true — the zero-copy boolean layout)
+  *  - opaque          → plain binary (layout-only variant)
   *  - decimal256, time32/64, half-float → documented gaps: p>38 rejected,
   *    time modeled as µs-since-midnight long, fp16 widened to float
   */
@@ -87,3 +91,54 @@ class TensorType extends UserDefinedType[Tensor] {
 }
 
 case object TensorType extends TensorType
+
+/** arrow.json: a string tagged as JSON (reference
+  * cpp/src/arrow/extension/json_extension_type.h — utf8 storage, no
+  * per-element validation; the tag is the contract). */
+@SQLUserDefinedType(udt = classOf[JsonType])
+final case class Json(value: String) {
+  override def toString: String = value
+}
+
+class JsonType extends UserDefinedType[Json] {
+  override def sqlType: DataType = StringType
+  override def userClass: Class[Json] = classOf[Json]
+
+  override def serialize(j: Json): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(j.value)
+
+  override def deserialize(datum: Any): Json = datum match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Json(s.toString)
+    case s: String => Json(s)
+  }
+
+  override def typeName: String = "graft_json"
+}
+
+case object JsonType extends JsonType
+
+/** arrow.bool8: one boolean per BYTE (reference
+  * cpp/src/arrow/extension/bool8.h — int8 storage, 0 = false, anything
+  * else = true; the zero-copy alternative to Arrow's bit-packed
+  * booleans). The byte value is preserved, not canonicalized, matching
+  * the reference's storage semantics. */
+@SQLUserDefinedType(udt = classOf[Bool8Type])
+final case class Bool8(raw: Byte) {
+  def toBoolean: Boolean = raw != 0
+}
+
+class Bool8Type extends UserDefinedType[Bool8] {
+  override def sqlType: DataType = ByteType
+  override def userClass: Class[Bool8] = classOf[Bool8]
+
+  override def serialize(b: Bool8): Byte = b.raw
+
+  override def deserialize(datum: Any): Bool8 = datum match {
+    case b: Byte => Bool8(b)
+    case i: Int => Bool8(i.toByte)
+  }
+
+  override def typeName: String = "graft_bool8"
+}
+
+case object Bool8Type extends Bool8Type

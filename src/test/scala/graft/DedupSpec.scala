@@ -74,6 +74,43 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == expected)
   }
 
+  test("large-star/small-star matches propagation on mixed clusters") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("da", "db")
+    val prop = Dedup.connectedComponents(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = Dedup.connectedComponentsStars(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == prop)
+  }
+
+  test("stars variant converges on a chain with diameter > 25 in O(log n) rounds") {
+    import spark.implicits._
+    // a 200-hop path (diameter 200): min-label propagation needs ~200
+    // rounds and fails loudly at the default maxIter, while the
+    // alternating star rounds collapse it in O(log n)
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "da", "db") // maxIter=25 < diameter
+    }
+    val comp = Dedup.connectedComponentsStars(chain, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200)
+    assert(comp.values.forall(_ == 1L))
+    // shuffled-id chain: the min sits mid-chain, ids are non-contiguous
+    val perm = new scala.util.Random(42).shuffle((0L until 120L).toVector)
+    val chain2 = (0 until 119).map(i => (perm(i) * 7 + 3, perm(i + 1) * 7 + 3)).toDF("da", "db")
+    val comp2 = Dedup.connectedComponentsStars(chain2, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp2.size == 120)
+    assert(comp2.values.toSet == Set(3L)) // min id = 0*7+3
+  }
+
   test("connected components of an empty pair graph is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("da", "db")

@@ -63,6 +63,30 @@ class IoSpec extends AnyFunSuite {
     assert(back.agg(sum(col("v"))).head().getLong(0) == 2L * (9999L * 10000L / 2))
   }
 
+  test("IPC stream format round-trips multi-batch files and equals the file format") {
+    import spark.implicits._
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ipc5s").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ipc5f").toString
+    val df = spark.range(0, 10000, 1, 2)
+      .select(col("id"), (col("id") * 3).as("v"),
+        concat(lit("s"), col("id")).as("s"))
+    ArrowIpc.writeStream(df, dirS, batchSize = 256) // ~20 batches per stream
+    ArrowIpc.write(df, dirF, batchSize = 256)
+    val backS = ArrowIpc.readStream(spark, dirS)
+    assert(backS.count() == 10000)
+    assert(backS.schema == df.schema)
+    // stream and file formats carry identical data
+    val s = backS.orderBy("id").collect().toSeq
+    val f = ArrowIpc.read(spark, dirF).orderBy("id").collect().toSeq
+    assert(s == f)
+    // the stream files really use the footerless framing: first bytes are
+    // a message header, not the file format's "ARROW1" magic
+    val first = java.nio.file.Files.list(java.nio.file.Paths.get(dirS))
+      .filter(_.toString.endsWith(".arrows")).findFirst().get()
+    val head = java.nio.file.Files.readAllBytes(first).take(6)
+    assert(!(new String(head, "US-ASCII")).startsWith("ARROW1"))
+  }
+
   test("graft_* functions are callable from SQL") {
     GraftFunctions.register(spark)
     val c = spark.sql(
