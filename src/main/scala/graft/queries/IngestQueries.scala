@@ -173,6 +173,57 @@ object IngestQueries {
       |  CAST(o_orderdate AS DATE) AS o_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Q26j: CSV WRITE options (reference `WriteOptions` —
+    * csv/options.h:191: quoting style, null string, header, delimiter).
+    * A deterministic literal frame stressing every quoting edge (embedded
+    * delimiter, embedded quote, embedded newline, preserved whitespace,
+    * null marker) is written by SPARK with quoteAll + doubled-quote
+    * escaping + a custom null string, and the oracle is DuckDB reading
+    * SPARK'S OWN OUTPUT FILES — true write-side parity, not a
+    * self-round-trip (the Spark result is its read-back of the same
+    * files, so all three views must agree). */
+  private def q26j(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = "/tmp/graft_io/q26j_csv_write"
+    val rows = Seq(
+      (1L, Some("plain"), Some(1.5)),
+      (2L, Some("comma, inside"), Some(-2.25)),
+      (3L, Some("quote \" inside"), Some(0.0)),
+      (4L, None, Some(3.75)),
+      (5L, Some("line\nbreak"), None),
+      (6L, Some("  spaces  "), Some(-0.5)))
+    rows.toDF("id", "note", "val")
+      .coalesce(1) // one part file: byte-stable output for the oracle glob
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("quoteAll", "true")
+      .option("nullValue", "__NULL__")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("note", StringType),
+      StructField("val", DoubleType)))
+    s.read
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "__NULL__")
+      .option("multiLine", "true") // the quoted embedded newline
+      .schema(schema)
+      .csv(out)
+      .orderBy(col("id"))
+  }
+
+  private val q26jSql =
+    """SELECT id, note, val
+      |FROM read_csv('/tmp/graft_io/q26j_csv_write/*.csv',
+      |  header = true, quote = '"', escape = '"', nullstr = '__NULL__',
+      |  types = {'id': 'BIGINT', 'note': 'VARCHAR', 'val': 'DOUBLE'})
+      |ORDER BY id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q26e_csv_infer", "CSV schema inference round-trip", q26e, Some(q26eSql)),
     Capability("q26f_csv_options", "CSV delimiter/null-marker/date-format parity on shared files",
@@ -180,5 +231,7 @@ object IngestQueries {
     Capability("q26g_csv_messy", "messy CSV: comments, quotes, per-column overrides",
       q26g, Some(q26gSql)),
     Capability("q26h_json_infer", "JSON schema inference round-trip", q26h, Some(q26hSql)),
+    Capability("q26j_csv_write_options", "CSV write options: quoteAll/escape/null string (DuckDB reads Spark's files)",
+      q26j, Some(q26jSql)),
   )
 }

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   *    remain the native query paths
   *  - bool8           → [[Bool8Type]] over int8 storage (extension/bool8.h:
   *    0 = false, nonzero = true — the zero-copy boolean layout)
-  *  - opaque          → plain binary (layout-only variant)
+  *  - opaque          → [[OpaqueType]]: payload bytes + the producing
+  *    system's type/vendor tags (extension/opaque.h — a passthrough for
+  *    data Spark cannot interpret, preserved losslessly)
   *  - decimal256, time32/64, half-float → documented gaps: p>38 rejected,
   *    time modeled as µs-since-midnight long, fp16 widened to float
   */
@@ -142,3 +144,42 @@ class Bool8Type extends UserDefinedType[Bool8] {
 }
 
 case object Bool8Type extends Bool8Type
+
+/** arrow.opaque: bytes from a system whose type Spark cannot represent,
+  * carried losslessly with the producer's type/vendor names (reference
+  * cpp/src/arrow/extension/opaque.h — metadata `type_name`,
+  * `vendor_name`). Round-trips through parquet untouched; never
+  * interpreted. */
+@SQLUserDefinedType(udt = classOf[OpaqueType])
+final case class Opaque(typeName: String, vendorName: String, payload: Array[Byte]) {
+  override def equals(o: Any): Boolean = o match {
+    case Opaque(t, v, p) =>
+      t == typeName && v == vendorName && java.util.Arrays.equals(p, payload)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (typeName, vendorName, java.util.Arrays.hashCode(payload)).hashCode
+}
+
+class OpaqueType extends UserDefinedType[Opaque] {
+  override def sqlType: DataType = StructType(Seq(
+    StructField("type_name", StringType, nullable = false),
+    StructField("vendor_name", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+  override def userClass: Class[Opaque] = classOf[Opaque]
+
+  override def serialize(o: Opaque): InternalRow =
+    InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(o.typeName),
+      org.apache.spark.unsafe.types.UTF8String.fromString(o.vendorName),
+      o.payload)
+
+  override def deserialize(datum: Any): Opaque = datum match {
+    case row: InternalRow =>
+      Opaque(row.getString(0), row.getString(1), row.getBinary(2))
+  }
+
+  override def typeName: String = "graft_opaque"
+}
+
+case object OpaqueType extends OpaqueType

@@ -13,6 +13,7 @@ case class UuidRec(id: Long, uid: Uuid)
 case class TensorRec(id: Long, t: Tensor)
 case class JsonRec(id: Long, doc: Json)
 case class Bool8Rec(id: Long, flag: Bool8)
+case class OpaqueRec(id: Long, blob: graft.types.Opaque)
 
 class ExtensionTypesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -83,6 +84,19 @@ class ExtensionTypesSpec extends AnyFunSuite {
     val n = spark.read.parquet(out).as[Bool8Rec]
       .filter(_.flag.toBoolean).count()
     assert(n == 2)
+  }
+
+  test("opaque UDT carries foreign payloads losslessly with type/vendor tags") {
+    import spark.implicits._
+    val rows = Seq(
+      OpaqueRec(1L, graft.types.Opaque("geometry", "postgis", Array[Byte](1, 2, 3, -1))),
+      OpaqueRec(2L, graft.types.Opaque("hll", "redis", Array.emptyByteArray)))
+    val out = "/tmp/graft_io/opaque_udt"
+    rows.toDS().write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[OpaqueRec].collect().sortBy(_.id)
+    assert(back.map(_.blob).toSeq == rows.map(_.blob))
+    assert(back.head.blob.typeName == "geometry")
+    assert(back.head.blob.vendorName == "postgis")
   }
 
   test("tensor shape mismatch is rejected at construction") {
