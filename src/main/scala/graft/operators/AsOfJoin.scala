@@ -94,7 +94,34 @@ object AsOfJoin {
       onRight: Column,
       by: Seq[(Column, Column)],
       tieBreak: Seq[Column],
-      toleranceMicros: Long): DataFrame = {
+      toleranceMicros: Long): DataFrame =
+    execImpl(left, right, onLeft, onRight, by, tieBreak, toleranceMicros,
+      forward = false)
+
+  /** FORWARD as-of join through the physical operator — the reference's
+    * positive-tolerance mode in the same one-pass merge (earliest right
+    * at-or-after each left within `toleranceMicros`; ties by smallest
+    * tieBreak). Semantics match [[forward]], the compositional twin. */
+  def forwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      onLeft: Column,
+      onRight: Column,
+      by: Seq[(Column, Column)],
+      tieBreak: Seq[Column],
+      toleranceMicros: Long): DataFrame =
+    execImpl(left, right, onLeft, onRight, by, tieBreak, toleranceMicros,
+      forward = true)
+
+  private def execImpl(
+      left: DataFrame,
+      right: DataFrame,
+      onLeft: Column,
+      onRight: Column,
+      by: Seq[(Column, Column)],
+      tieBreak: Seq[Column],
+      toleranceMicros: Long,
+      forward: Boolean): DataFrame = {
     // Materialize the on/by/tie expressions as columns of the children so
     // the custom node only references resolved attributes (expressions
     // inside a custom logical node bypass the analyzer).
@@ -114,7 +141,8 @@ object AsOfJoin {
       leftBy = lByNames.map(n => Bridge.expression(l2(n))),
       rightBy = rByNames.map(n => Bridge.expression(r2(n))),
       rightTieBreak = tieBreak.map(Bridge.expression),
-      toleranceMicros = toleranceMicros)
+      toleranceMicros = toleranceMicros,
+      forward = forward)
     Bridge.ofRows(left.sparkSession, node)
       .drop("__asof_on_l" +: "__asof_on_r" +: (lByNames ++ rByNames): _*)
   }

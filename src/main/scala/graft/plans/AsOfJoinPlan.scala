@@ -31,7 +31,8 @@ case class AsOfJoinNode(
     leftBy: Seq[Expression],
     rightBy: Seq[Expression],
     rightTieBreak: Seq[Expression],
-    toleranceMicros: Long) extends BinaryNode {
+    toleranceMicros: Long,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,7 +58,8 @@ case class MultiAsOfJoinNode(
     leftBy: Seq[Expression],
     rightBys: Seq[Seq[Expression]],
     rightTieBreaks: Seq[Seq[Expression]],
-    toleranceMicros: Long) extends LogicalPlan {
+    toleranceMicros: Long,
+    forward: Boolean = false) extends LogicalPlan {
 
   require(rights.nonEmpty && rights.length == rightOns.length &&
     rights.length == rightBys.length && rights.length == rightTieBreaks.length,
@@ -75,10 +77,10 @@ case class MultiAsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lOn, rOn, lBy, rBy, tie, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lOn, rOn, lBy, rBy, tie, tol) :: Nil
-    case MultiAsOfJoinNode(l, rs, lOn, rOns, lBy, rBys, ties, tol) =>
-      MultiAsOfJoinExec(planLater(l), rs.map(planLater), lOn, rOns, lBy, rBys, ties, tol) :: Nil
+    case AsOfJoinNode(l, r, lOn, rOn, lBy, rBy, tie, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lOn, rOn, lBy, rBy, tie, tol, fwd) :: Nil
+    case MultiAsOfJoinNode(l, rs, lOn, rOns, lBy, rBys, ties, tol, fwd) =>
+      MultiAsOfJoinExec(planLater(l), rs.map(planLater), lOn, rOns, lBy, rBys, ties, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -155,6 +157,66 @@ private[plans] object AsOfMerge {
       }
     }
   }
+
+  /** FORWARD merge (reference positive-tolerance mode: match the EARLIEST
+    * right with `right.on ∈ [left.on, left.on + tol]`). One pass, no
+    * buffering at all: rights strictly before the current left time are
+    * dead for every later left too (lefts only move forward), so they are
+    * consumed; the earliest still-live right is the stream head, which is
+    * peeked — never consumed — because one right may match many lefts.
+    * Equal-`on` ties resolve to the smallest (on, tieBreak) in sort order,
+    * matching the compositional twin's `ORDER BY on ASC, tie ASC rn=1`. */
+  def mergeForward(
+      lIter: Iterator[InternalRow],
+      rIter0: Iterator[InternalRow],
+      leftOutput: Seq[Attribute],
+      rightOutput: Seq[Attribute],
+      lOnExpr: Expression,
+      rOnExpr: Expression,
+      lByExprs: Seq[Expression],
+      rByExprs: Seq[Expression],
+      tol: Long): Iterator[InternalRow] = {
+    val lOnProj = UnsafeProjection.create(lOnExpr :: Nil, leftOutput)
+    val rOnProj = UnsafeProjection.create(rOnExpr :: Nil, rightOutput)
+    val lByProj = UnsafeProjection.create(lByExprs, leftOutput)
+    val rByProj = UnsafeProjection.create(rByExprs, rightOutput)
+    val keyOrdering =
+      RowOrdering.createNaturalAscendingOrdering(lByExprs.map(_.dataType))
+    val outAttrs = leftOutput ++ rightOutput.map(_.withNullability(true))
+    val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+    val nullRight = new GenericInternalRow(rightOutput.length)
+    val joined = new JoinedRow
+    val rIter = rIter0.buffered
+
+    lIter.map { lRow =>
+      val lKey = lByProj(lRow)
+      val lOnRow = lOnProj(lRow)
+      if (lOnRow.isNullAt(0)) {
+        resultProj(joined(lRow, nullRight))
+      } else {
+        val lOn = lOnRow.getLong(0)
+        var advancing = true
+        while (advancing && rIter.hasNext) {
+          val rKey = rByProj(rIter.head)
+          val keyCmp = keyOrdering.compare(rKey, lKey)
+          if (keyCmp < 0) {
+            rIter.next() // right key behind every remaining left
+          } else if (keyCmp == 0) {
+            val rOnRow = rOnProj(rIter.head)
+            if (rOnRow.isNullAt(0)) rIter.next() // nulls sort first, never match
+            else if (rOnRow.getLong(0) < lOn) rIter.next() // dead for all later lefts
+            else advancing = false
+          } else {
+            advancing = false
+          }
+        }
+        val matched = rIter.hasNext &&
+          keyOrdering.compare(rByProj(rIter.head), lKey) == 0 &&
+          rOnProj(rIter.head).getLong(0) <= lOn + tol
+        resultProj(joined(lRow, if (matched) rIter.head else nullRight))
+      }
+    }
+  }
 }
 
 case class AsOfJoinExec(
@@ -165,7 +227,8 @@ case class AsOfJoinExec(
     leftBy: Seq[Expression],
     rightBy: Seq[Expression],
     rightTieBreak: Seq[Expression],
-    toleranceMicros: Long) extends BinaryExecNode {
+    toleranceMicros: Long,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -191,10 +254,16 @@ case class AsOfJoinExec(
     val lByExprs = leftBy
     val rByExprs = rightBy
     val tol = toleranceMicros
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      AsOfMerge.merge(
-        lIter, rIter, leftOutput, rightOutput,
-        lOnExpr, rOnExpr, lByExprs, rByExprs, tol)
+      if (fwd)
+        AsOfMerge.mergeForward(
+          lIter, rIter, leftOutput, rightOutput,
+          lOnExpr, rOnExpr, lByExprs, rByExprs, tol)
+      else
+        AsOfMerge.merge(
+          lIter, rIter, leftOutput, rightOutput,
+          lOnExpr, rOnExpr, lByExprs, rByExprs, tol)
     }
   }
 
@@ -216,7 +285,8 @@ case class MultiAsOfJoinExec(
     leftBy: Seq[Expression],
     rightBys: Seq[Seq[Expression]],
     rightTieBreaks: Seq[Seq[Expression]],
-    toleranceMicros: Long) extends SparkPlan {
+    toleranceMicros: Long,
+    forward: Boolean = false) extends SparkPlan {
 
   override def children: Seq[SparkPlan] = left +: rights
 
@@ -246,8 +316,10 @@ case class MultiAsOfJoinExec(
       val rOn = rightOns(i)
       val lBy = leftBy
       val rBy = rightBys(i)
+      val fwd = forward
       acc = acc.zipPartitions(rights(i).execute()) { (lIter, rIter) =>
-        AsOfMerge.merge(lIter, rIter, lOut, rOut, lOn, rOn, lBy, rBy, tol)
+        if (fwd) AsOfMerge.mergeForward(lIter, rIter, lOut, rOut, lOn, rOn, lBy, rBy, tol)
+        else AsOfMerge.merge(lIter, rIter, lOut, rOut, lOn, rOn, lBy, rBy, tol)
       }
       accOutput = accOutput ++ rOut.map(_.withNullability(true))
     }

@@ -300,6 +300,33 @@ object WindowQueries {
       |) WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Q21e: the FORWARD as-of join through the physical operator — same
+    * semantics and oracle as q21c, but one sort-merge pass
+    * (AsOfJoinExec(forward=true)) instead of the range join + window
+    * dedup. Gating both proves the exec covers both tolerance signs of
+    * the reference node (acero/options.h:692-738). */
+  private def q21e(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsOfJoin.forwardExec(
+      left = purchases,
+      right = clicks,
+      onLeft = unix_micros(purchases("ts")),
+      onRight = unix_micros(clicks("click_ts")),
+      by = Seq(purchases("user_id") -> clicks("c_user_id")),
+      tieBreak = Seq(clicks("click_id")),
+      toleranceMicros = 3600L * 1000000L)
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q21d: MULTI-RIGHT as-of join — the reference's flagship asof shape
     * (acero/asof_join_node.cc:1106: 1 left + N sorted rights in one pass):
     * for each purchase, the latest click AND the latest view by the same
@@ -490,6 +517,7 @@ object WindowQueries {
     Capability("q21b_asof_exec", "as-of join via the custom physical operator", q21b, Some(q21Sql), bench = true),
     Capability("q21c_asof_forward", "forward as-of join (positive tolerance)", q21c, Some(q21cSql)),
     Capability("q21d_asof_multi", "multi-right as-of join (1 left + 2 rights, one pass)", q21d, Some(q21dSql)),
+    Capability("q21e_asof_forward_exec", "forward as-of via the physical operator (positive tolerance)", q21e, Some(q21cSql)),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
     Capability("q22b_session_window", "native session_window gap sessionization", q22b, Some(q22bSql)),
     Capability("q22c_sliding_window", "sliding event-time windows (1h / 30min slide)", q22c, Some(q22cSql)),

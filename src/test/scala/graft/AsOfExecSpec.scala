@@ -155,10 +155,48 @@ class AsOfExecSpec extends AnyFunSuite {
     val clicksOfMulti = rows
       .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
     assert(clicksOfMulti == viaSingle)
-    // plan: ONE MultiAsOfJoin stage, no row-multiplying join anywhere
+    // plan: ONE MultiAsOfJoin stage, no row-multiplying join anywhere,
+    // and exactly one clustered exchange PER CHILD (left + 2 rights) —
+    // adding a right must never re-shuffle the accumulated left
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("MultiAsOfJoin"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // AQE's toString prints Final AND Initial plans — count the final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashExchanges == 3, s"expected 3 clustered exchanges, got $hashExchanges:\n${finalPlan.take(2000)}")
+  }
+
+  test("forward exec semantics on hand-built data (peek, shared match, tie, miss)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 110L), (3L, 10L, 300L), (4L, 20L, 50L)
+    ).toDF("id", "uid", "t")
+    val right = Seq(
+      (101L, 10L, 120L), (102L, 10L, 120L), // tie at 120: smallest rid wins
+      (103L, 10L, 290L),                    // behind left 3 — dead, never matches
+      (104L, 30L, 60L)
+    ).toDF("rid", "ruid", "rt")
+    val out = AsOfJoin.forwardExec(
+      left, right,
+      onLeft = left("t"), onRight = right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tieBreak = Seq(right("rid")),
+      toleranceMicros = 30L)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // left 1 (t=100) and left 2 (t=110) SHARE right 101@120 (peek, not
+    // consume); left 3 (t=300) has no right at-or-after within 30;
+    // left 4 has no key match
+    assert(out == Map(1L -> 101L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("forward exec equals the forward rewrite on real events (q21e shape)") {
+    val viaExec = Registry.byName("q21e_asof_forward_exec").run(spark, sf).collect().toSeq
+    val viaRewrite = Registry.byName("q21c_asof_forward").run(spark, sf).collect().toSeq
+    assert(viaExec.nonEmpty)
+    assert(viaExec == viaRewrite)
   }
 
   test("plan uses AsOfJoinExec with clustered exchanges, not a range join") {
