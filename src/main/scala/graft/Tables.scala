@@ -70,4 +70,35 @@ object Tables {
     case "events" => events(s, d)
     case n        => raw(s, d, n)
   }
+
+  /** Build-once immutable fixture directory: if `dir` lacks a `_SUCCESS`
+    * marker, run `write` against a process-unique temp sibling and
+    * atomically rename it into place; once present the directory is never
+    * rewritten, so readers can never observe a half-deleted state (the
+    * delete-then-write race of `mode("overwrite")` on a shared path).
+    * Rename losers delete their temp copy and use the winner's. Stale
+    * temp siblings from crashed runs (>1 h old) are swept before
+    * building, so repeated crashes cannot accumulate copies. */
+  def immutableFixture(dir: String)(write: String => Unit): Unit = {
+    val target = new java.io.File(dir)
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val parent = target.getParentFile
+    Option(parent.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(s"${target.getName}.tmp_") &&
+        f.lastModified < System.currentTimeMillis() - 3600 * 1000L) rm(f)
+    })
+    val tmp = new java.io.File(
+      parent,
+      s"${target.getName}.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    write(tmp.getPath)
+    if (!tmp.renameTo(target)) {
+      rm(tmp) // another writer installed the fixture first — use theirs
+      require(new java.io.File(target, "_SUCCESS").exists(),
+        s"fixture install failed and no winner present at $dir")
+    }
+  }
 }

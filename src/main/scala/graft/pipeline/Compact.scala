@@ -117,7 +117,14 @@ object Compact {
     // siblings live in the PARENT — repair that level first
     val rootOld = new Path(root.getParent, s".${root.getName}.compact_old")
     val rootTmp = new Path(root.getParent, s".${root.getName}.compact_tmp")
-    if (!fs.exists(root) && fs.exists(rootOld)) { fs.rename(rootOld, root); restored += 1 }
+    def restore(old: Path, target: Path): Unit = {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"recover failed restoring $old to $target — table data is still " +
+            "in the .compact_old directory; repair manually before reading")
+      restored += 1
+    }
+    if (!fs.exists(root) && fs.exists(rootOld)) restore(rootOld, root)
     else if (fs.exists(rootOld)) fs.delete(rootOld, true)
     if (fs.exists(rootTmp)) fs.delete(rootTmp, true)
     def walk(p: Path): Unit = {
@@ -126,7 +133,7 @@ object Compact {
         val name = st.getPath.getName
         if (st.isDirectory && name.startsWith(".") && name.endsWith(".compact_old")) {
           val target = new Path(p, name.stripPrefix(".").stripSuffix(".compact_old"))
-          if (!fs.exists(target)) { fs.rename(st.getPath, target); restored += 1 }
+          if (!fs.exists(target)) restore(st.getPath, target)
           else fs.delete(st.getPath, true)
         } else if (st.isDirectory && name.startsWith(".") && name.endsWith(".compact_tmp")) {
           fs.delete(st.getPath, true) // incomplete rewrite — never installed

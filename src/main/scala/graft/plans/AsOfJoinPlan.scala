@@ -85,23 +85,24 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** The shared per-partition forward merge: for each left row, buffer the
-  * latest right row (by (on, tieBreak) sort order) with the same `by` key
-  * at or before the left `on`; emit left ++ (match | nulls). Inputs must
-  * be sorted by (by, on[, tie]) ascending; output preserves the left
-  * stream's order, so merges compose without re-sorting. */
+/** The shared per-partition merges. Inputs must be sorted by
+  * (by, on[, tie]) ascending; output preserves the left stream's order,
+  * so merges compose without re-sorting.
+  *
+  * NULL semantics match the compositional twins (and SQL equality): a
+  * null in ANY by-key column never matches — `l === r` is null-rejecting,
+  * so a null-keyed left always emits the null right row and a null-keyed
+  * right is dead weight (consumed, never buffered). Null `on` values
+  * likewise never match. Both streams sort nulls first (ascending
+  * nulls-first), so null-keyed rows cluster at the partition head and
+  * consuming them is always safe. */
 private[plans] object AsOfMerge {
 
-  def merge(
-      lIter: Iterator[InternalRow],
-      rIter0: Iterator[InternalRow],
-      leftOutput: Seq[Attribute],
-      rightOutput: Seq[Attribute],
-      lOnExpr: Expression,
-      rOnExpr: Expression,
-      lByExprs: Seq[Expression],
-      rByExprs: Seq[Expression],
-      tol: Long): Iterator[InternalRow] = {
+  /** Projections/orderings shared by both merge directions. */
+  private final class Ctx(
+      leftOutput: Seq[Attribute], rightOutput: Seq[Attribute],
+      lOnExpr: Expression, rOnExpr: Expression,
+      lByExprs: Seq[Expression], rByExprs: Seq[Expression]) {
     val lOnProj = UnsafeProjection.create(lOnExpr :: Nil, leftOutput)
     val rOnProj = UnsafeProjection.create(rOnExpr :: Nil, rightOutput)
     val lByProj = UnsafeProjection.create(lByExprs, leftOutput)
@@ -113,34 +114,55 @@ private[plans] object AsOfMerge {
     val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
     val nullRight = new GenericInternalRow(rightOutput.length)
     val joined = new JoinedRow
+  }
+
+  /** BACKWARD merge: for each left row, buffer the latest right row (by
+    * (on, tieBreak) sort order) with the same non-null `by` key at or
+    * before the left `on`; emit left ++ (match | nulls). Rows are never
+    * revisited — both streams move forward only. */
+  def merge(
+      lIter: Iterator[InternalRow],
+      rIter0: Iterator[InternalRow],
+      leftOutput: Seq[Attribute],
+      rightOutput: Seq[Attribute],
+      lOnExpr: Expression,
+      rOnExpr: Expression,
+      lByExprs: Seq[Expression],
+      rByExprs: Seq[Expression],
+      tol: Long): Iterator[InternalRow] = {
+    val c = new Ctx(leftOutput, rightOutput, lOnExpr, rOnExpr, lByExprs, rByExprs)
     val rIter = rIter0.buffered
 
-    // per-key state: the latest right row at or before the current left
-    // time (rows are never revisited — both streams move forward only)
+    // per-key state: the latest right row at or before the current left time
     var candRow: InternalRow = null
     var candKey: InternalRow = null
     var candOn: Long = 0L
 
     lIter.map { lRow =>
-      val lKey = lByProj(lRow)
-      val lOnRow = lOnProj(lRow)
-      if (lOnRow.isNullAt(0)) {
-        resultProj(joined(lRow, nullRight))
+      val lKey = c.lByProj(lRow)
+      val lOnRow = c.lOnProj(lRow)
+      if (lOnRow.isNullAt(0) || lKey.anyNull) {
+        // null event time or null by-key: SQL equality never matches. The
+        // right stream is NOT advanced for a null-keyed left (null keys
+        // sort first, so nothing is lost for later lefts).
+        c.resultProj(c.joined(lRow, c.nullRight))
       } else {
         val lOn = lOnRow.getLong(0)
         var advancing = true
         while (advancing && rIter.hasNext) {
-          val rKey = rByProj(rIter.head)
-          val keyCmp = keyOrdering.compare(rKey, lKey)
+          val rKey = c.rByProj(rIter.head)
+          val keyCmp = c.keyOrdering.compare(rKey, lKey)
           if (keyCmp < 0) {
             rIter.next() // right key behind every remaining left key pass
           } else if (keyCmp == 0) {
-            val rOnRow = rOnProj(rIter.head)
-            if (!rOnRow.isNullAt(0) && rOnRow.getLong(0) <= lOn) {
+            val rOnRow = c.rOnProj(rIter.head)
+            if (rKey.anyNull) {
+              rIter.next() // null by-key compares equal only to nulls — dead
+            } else if (!rOnRow.isNullAt(0) && rOnRow.getLong(0) <= lOn) {
               val r = rIter.next()
               candRow = r.copy()
-              candKey = rByProj(candRow).copy()
-              candOn = rOnProj(candRow).getLong(0)
+              candKey = c.rByProj(candRow).copy()
+              candOn = c.rOnProj(candRow).getLong(0)
             } else if (rOnRow.isNullAt(0)) {
               rIter.next() // null event times never match
             } else {
@@ -151,9 +173,9 @@ private[plans] object AsOfMerge {
           }
         }
         val matched = candRow != null &&
-          keyOrdering.compare(candKey, lKey) == 0 &&
+          c.keyOrdering.compare(candKey, lKey) == 0 &&
           candOn >= lOn - tol
-        resultProj(joined(lRow, if (matched) candRow else nullRight))
+        c.resultProj(c.joined(lRow, if (matched) candRow else c.nullRight))
       }
     }
   }
@@ -176,34 +198,26 @@ private[plans] object AsOfMerge {
       lByExprs: Seq[Expression],
       rByExprs: Seq[Expression],
       tol: Long): Iterator[InternalRow] = {
-    val lOnProj = UnsafeProjection.create(lOnExpr :: Nil, leftOutput)
-    val rOnProj = UnsafeProjection.create(rOnExpr :: Nil, rightOutput)
-    val lByProj = UnsafeProjection.create(lByExprs, leftOutput)
-    val rByProj = UnsafeProjection.create(rByExprs, rightOutput)
-    val keyOrdering =
-      RowOrdering.createNaturalAscendingOrdering(lByExprs.map(_.dataType))
-    val outAttrs = leftOutput ++ rightOutput.map(_.withNullability(true))
-    val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-    val nullRight = new GenericInternalRow(rightOutput.length)
-    val joined = new JoinedRow
+    val c = new Ctx(leftOutput, rightOutput, lOnExpr, rOnExpr, lByExprs, rByExprs)
     val rIter = rIter0.buffered
 
     lIter.map { lRow =>
-      val lKey = lByProj(lRow)
-      val lOnRow = lOnProj(lRow)
-      if (lOnRow.isNullAt(0)) {
-        resultProj(joined(lRow, nullRight))
+      val lKey = c.lByProj(lRow)
+      val lOnRow = c.lOnProj(lRow)
+      if (lOnRow.isNullAt(0) || lKey.anyNull) {
+        c.resultProj(c.joined(lRow, c.nullRight)) // see null semantics above
       } else {
         val lOn = lOnRow.getLong(0)
         var advancing = true
         while (advancing && rIter.hasNext) {
-          val rKey = rByProj(rIter.head)
-          val keyCmp = keyOrdering.compare(rKey, lKey)
+          val rKey = c.rByProj(rIter.head)
+          val keyCmp = c.keyOrdering.compare(rKey, lKey)
           if (keyCmp < 0) {
             rIter.next() // right key behind every remaining left
           } else if (keyCmp == 0) {
-            val rOnRow = rOnProj(rIter.head)
-            if (rOnRow.isNullAt(0)) rIter.next() // nulls sort first, never match
+            val rOnRow = c.rOnProj(rIter.head)
+            if (rKey.anyNull) rIter.next() // null-keyed: dead for everyone
+            else if (rOnRow.isNullAt(0)) rIter.next() // nulls sort first, never match
             else if (rOnRow.getLong(0) < lOn) rIter.next() // dead for all later lefts
             else advancing = false
           } else {
@@ -211,9 +225,9 @@ private[plans] object AsOfMerge {
           }
         }
         val matched = rIter.hasNext &&
-          keyOrdering.compare(rByProj(rIter.head), lKey) == 0 &&
-          rOnProj(rIter.head).getLong(0) <= lOn + tol
-        resultProj(joined(lRow, if (matched) rIter.head else nullRight))
+          c.keyOrdering.compare(c.rByProj(rIter.head), lKey) == 0 &&
+          c.rOnProj(rIter.head).getLong(0) <= lOn + tol
+        c.resultProj(c.joined(lRow, if (matched) rIter.head else c.nullRight))
       }
     }
   }

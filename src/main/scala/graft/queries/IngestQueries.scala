@@ -192,17 +192,22 @@ object IngestQueries {
       (4L, None, Some(3.75)),
       (5L, Some("line\nbreak"), None),
       (6L, Some("  spaces  "), Some(-0.5)))
-    rows.toDF("id", "note", "val")
-      .coalesce(1) // one part file: byte-stable output for the oracle glob
-      .sortWithinPartitions("id")
-      .write.mode("overwrite")
-      .option("header", "true")
-      .option("quote", "\"").option("escape", "\"")
-      .option("quoteAll", "true")
-      .option("nullValue", "__NULL__")
-      .option("ignoreLeadingWhiteSpace", "false")
-      .option("ignoreTrailingWhiteSpace", "false")
-      .csv(out)
+    // the frame is a constant literal, so the written bytes are identical
+    // on every run — build-once + atomic rename means a concurrent
+    // verify/bench process can never glob a half-deleted directory
+    Tables.immutableFixture(out) { tmp =>
+      rows.toDF("id", "note", "val")
+        .coalesce(1) // one part file: byte-stable output for the oracle glob
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .option("quoteAll", "true")
+        .option("nullValue", "__NULL__")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp)
+    }
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("note", StringType),

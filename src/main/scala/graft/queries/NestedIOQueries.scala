@@ -144,31 +144,13 @@ object NestedIOQueries {
   private def q25Layout(d: String): String =
     s"/tmp/graft_io/q25_roundtrip_${Tables.scratchKey(d)}"
 
-  /** Build-once immutable fixture: if `dir` is absent, write `df`
-    * partitioned by `key` into a process-unique temp dir and atomically
-    * rename it into place. The layout is never overwritten after that, so
-    * readers can never observe a half-deleted directory; a concurrent
-    * loser of the rename race just deletes its temp copy and reads the
-    * winner's. */
+  /** Build-once immutable partitioned fixture (see
+    * [[graft.Tables.immutableFixture]] for the swap protocol). */
   private def immutablePartitionedFixture(
-      df: DataFrame, dir: String, key: String): Unit = {
-    val target = new java.io.File(dir)
-    if (new java.io.File(target, "_SUCCESS").exists()) return
-    val tmp = new java.io.File(
-      target.getParentFile,
-      s"${target.getName}.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-    df.write.mode("overwrite").partitionBy(key).parquet(tmp.getPath)
-    if (!tmp.renameTo(target)) {
-      // another writer installed the fixture first — use theirs
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(tmp)
-      require(new java.io.File(target, "_SUCCESS").exists(),
-        s"fixture install failed and no winner present at $dir")
+      df: DataFrame, dir: String, key: String): Unit =
+    Tables.immutableFixture(dir) { tmp =>
+      df.write.mode("overwrite").partitionBy(key).parquet(tmp)
     }
-  }
 
   /** Q25: hive-partitioned parquet write → re-read → aggregate, proving the
     * partition layout survives a round trip (reference partitioned dataset

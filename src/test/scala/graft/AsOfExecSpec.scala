@@ -199,6 +199,43 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(viaExec == viaRewrite)
   }
 
+  test("null by-keys never match (SQL === semantics), both directions, exec == rewrite") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), 100L), (2L, None, 100L), (3L, Some(20L), 100L)
+    ).toDF("id", "uid", "t")
+    val right = Seq(
+      (101L, Some(10L), 95L), (102L, None, 95L), (103L, None, 105L),
+      (104L, Some(20L), 105L)
+    ).toDF("rid", "ruid", "rt")
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val back = toMap(AsOfJoin.backwardExec(
+      left, right, left("t"), right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tieBreak = Seq(right("rid")), toleranceMicros = 50L))
+    val backRw = toMap(AsOfJoin.backward(
+      left, right, left("t"), right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tolerance = lit(50L), leftId = left("id"), tieBreak = right("rid")))
+    // null-keyed left 2 matches nothing; null-keyed rights 102/103 match no one
+    assert(back == Map(1L -> 101L, 2L -> -1L, 3L -> -1L))
+    assert(back == backRw)
+
+    val fwd = toMap(AsOfJoin.forwardExec(
+      left, right, left("t"), right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tieBreak = Seq(right("rid")), toleranceMicros = 50L))
+    val fwdRw = toMap(AsOfJoin.forward(
+      left, right, left("t"), right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tolerance = lit(50L), leftId = left("id"), tieBreak = right("rid")))
+    assert(fwd == Map(1L -> -1L, 2L -> -1L, 3L -> 104L))
+    assert(fwd == fwdRw)
+  }
+
   test("plan uses AsOfJoinExec with clustered exchanges, not a range join") {
     val df = Registry.byName("q21b_asof_exec").run(spark, sf)
     df.collect()
