@@ -169,10 +169,30 @@ object AsOfJoin {
       onLeft: Column,
       leftBy: Seq[Column],
       rights: Seq[AsOfRight],
-      toleranceMicros: Long): DataFrame = {
-    require(rights.nonEmpty, "backwardExecMulti: at least one right table")
+      toleranceMicros: Long): DataFrame =
+    execMulti(left, onLeft, leftBy, rights, toleranceMicros, forward = false)
+
+  /** FORWARD N-right as-of (positive tolerance): each right contributes
+    * its EARLIEST row at-or-after the left `on` within tolerance, all in
+    * the same one-pass chained merge as [[backwardExecMulti]]. */
+  def forwardExecMulti(
+      left: DataFrame,
+      onLeft: Column,
+      leftBy: Seq[Column],
+      rights: Seq[AsOfRight],
+      toleranceMicros: Long): DataFrame =
+    execMulti(left, onLeft, leftBy, rights, toleranceMicros, forward = true)
+
+  private def execMulti(
+      left: DataFrame,
+      onLeft: Column,
+      leftBy: Seq[Column],
+      rights: Seq[AsOfRight],
+      toleranceMicros: Long,
+      forward: Boolean): DataFrame = {
+    require(rights.nonEmpty, "execMulti: at least one right table")
     require(rights.forall(_.by.length == leftBy.length),
-      "backwardExecMulti: every right needs one by-column per left by-column")
+      "execMulti: every right needs one by-column per left by-column")
     val lByNames = leftBy.indices.map(i => s"__asof_by_l_$i")
     val l2 = leftBy.zip(lByNames).foldLeft(
       left.withColumn("__asof_on_l", onLeft.cast("long"))) {
@@ -193,7 +213,8 @@ object AsOfJoin {
       leftBy = lByNames.map(n => Bridge.expression(l2(n))),
       rightBys = r2s.map(r => rByNames.map(n => Bridge.expression(r(n)))),
       rightTieBreaks = rights.map(_.tieBreak.map(Bridge.expression)),
-      toleranceMicros = toleranceMicros)
+      toleranceMicros = toleranceMicros,
+      forward = forward)
     Bridge.ofRows(left.sparkSession, node)
       .drop("__asof_on_l" +: lByNames: _*)
       .drop("__asof_on_r")       // duplicate name across rights: drop all

@@ -199,6 +199,49 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(viaExec == viaRewrite)
   }
 
+  test("multi-right FORWARD exec equals two composed forward rewrites") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 110L), (3L, 20L, 50L)
+    ).toDF("id", "uid", "t")
+    val r1 = Seq(
+      (101L, 10L, 120L), (102L, 10L, 200L), (103L, 30L, 60L)
+    ).toDF("rid1", "ruid1", "rt1")
+    val r2 = Seq(
+      (201L, 20L, 70L), (202L, 10L, 130L)
+    ).toDF("rid2", "ruid2", "rt2")
+    val multi = AsOfJoin.forwardExecMulti(
+      left, onLeft = left("t"), leftBy = Seq(left("uid")),
+      rights = Seq(
+        AsOfJoin.AsOfRight(r1, r1("rt1"), Seq(r1("ruid1")), Seq(r1("rid1"))),
+        AsOfJoin.AsOfRight(r2, r2("rt2"), Seq(r2("ruid2")), Seq(r2("rid2")))),
+      toleranceMicros = 30L)
+      .select("id", "rid1", "rid2").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+         (if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    // id=1 t=100: r1 ← 101@120 (within 30), r2 ← 202@130 at exactly +30;
+    // id=2 t=110: r1 ← 101@120 (shared), r2 ← 202@130; id=3 t=50: r2 ← 201@70
+    assert(multi == Map(
+      1L -> (101L, 202L), 2L -> (101L, 202L), 3L -> (-1L, 201L)))
+
+    val step1 = AsOfJoin.forward(
+      left, r1, left("t"), r1("rt1"),
+      by = Seq(left("uid") -> r1("ruid1")), tolerance = lit(30L),
+      leftId = left("id"), tieBreak = r1("rid1"))
+    val step2 = AsOfJoin.forward(
+      step1, r2, step1("t"), r2("rt2"),
+      by = Seq(step1("uid") -> r2("ruid2")), tolerance = lit(30L),
+      leftId = step1("id"), tieBreak = r2("rid2"))
+      .select("id", "rid1", "rid2").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+         (if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(multi == step2)
+  }
+
   test("null by-keys never match (SQL === semantics), both directions, exec == rewrite") {
     import spark.implicits._
     val left = Seq(
