@@ -14,6 +14,8 @@ import org.apache.spark.sql.types._
   * Mapping decisions (SURVEY.md §1.2):
   *  - uuid            → [[UuidType]] over 16-byte binary
   *  - fixed_shape_tensor → [[TensorType]] over struct<shape, values>
+  *  - variable_shape_tensor → [[VarTensorType]]: same storage, per-ROW
+  *    shape contract (ragged rank/extents within one column)
   *  - json            → [[JsonType]] over utf8 storage (the tagged
   *    arrow.json instance, extension/json_extension_type.h); PLAIN
   *    string + get_json_object/from_json (q36) or VariantType (q36b)
@@ -93,6 +95,55 @@ class TensorType extends UserDefinedType[Tensor] {
 }
 
 case object TensorType extends TensorType
+
+/** Variable-shape tensor: every ROW carries its own shape (reference
+  * cpp/src/arrow/extension/variable_shape_tensor.h — storage
+  * struct<shape: list<int32>, data: list<T>> per value, unlike
+  * fixed_shape_tensor whose single shape lives in column metadata).
+  * [[Tensor]] models the fixed-shape contract (uniform shape per column,
+  * by caller convention); VarTensor is the ragged column — images of
+  * different sizes, variable-length patch grids — where per-row ndim and
+  * extent may all differ. */
+@SQLUserDefinedType(udt = classOf[VarTensorType])
+final case class VarTensor(shape: Seq[Int], values: Array[Double]) {
+  require(shape.forall(_ >= 0),
+    s"negative extent in shape ${shape.mkString("x")}")
+  require(shape.product == values.length,
+    s"shape ${shape.mkString("x")} needs ${shape.product} values, got ${values.length}")
+  def ndim: Int = shape.length
+  def numElements: Int = values.length
+  def apply(idx: Int*): Double = {
+    require(idx.length == shape.length,
+      s"rank-${shape.length} tensor indexed with ${idx.length} coordinates")
+    var flat = 0
+    var i = 0
+    while (i < idx.length) { flat = flat * shape(i) + idx(i); i += 1 }
+    values(flat)
+  }
+}
+
+class VarTensorType extends UserDefinedType[VarTensor] {
+  override def sqlType: DataType = StructType(Seq(
+    StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def userClass: Class[VarTensor] = classOf[VarTensor]
+
+  override def serialize(t: VarTensor): InternalRow =
+    InternalRow(
+      new GenericArrayData(t.shape.toArray),
+      new GenericArrayData(t.values))
+
+  override def deserialize(datum: Any): VarTensor = datum match {
+    case row: InternalRow =>
+      VarTensor(
+        row.getArray(0).toIntArray().toSeq,
+        row.getArray(1).toDoubleArray())
+  }
+
+  override def typeName: String = "graft_vtensor"
+}
+
+case object VarTensorType extends VarTensorType
 
 /** arrow.json: a string tagged as JSON (reference
   * cpp/src/arrow/extension/json_extension_type.h — utf8 storage, no

@@ -14,6 +14,7 @@ case class TensorRec(id: Long, t: Tensor)
 case class JsonRec(id: Long, doc: Json)
 case class Bool8Rec(id: Long, flag: Bool8)
 case class OpaqueRec(id: Long, blob: graft.types.Opaque)
+case class VarTensorRec(id: Long, t: graft.types.VarTensor)
 
 class ExtensionTypesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -84,6 +85,30 @@ class ExtensionTypesSpec extends AnyFunSuite {
     val n = spark.read.parquet(out).as[Bool8Rec]
       .filter(_.flag.toBoolean).count()
     assert(n == 2)
+  }
+
+  test("variable-shape tensor UDT: ragged ranks and extents in ONE column") {
+    import graft.types.VarTensor
+    import spark.implicits._
+    val rows = Seq(
+      VarTensorRec(1L, VarTensor(Seq(2, 2), Array(1.0, 2.0, 3.0, 4.0))),
+      VarTensorRec(2L, VarTensor(Seq(3), Array(5.0, 6.0, 7.0))),      // rank 1
+      VarTensorRec(3L, VarTensor(Seq(1, 2, 2), Array(8.0, 9.0, 10.0, 11.0))),
+      VarTensorRec(4L, VarTensor(Seq(0), Array.emptyDoubleArray)))    // empty
+    val out = "/tmp/graft_io/vtensor_udt"
+    rows.toDS().write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[VarTensorRec].collect().sortBy(_.id)
+    assert(back.map(r => (r.id, r.t.shape, r.t.values.toSeq)).toSeq ==
+      rows.map(r => (r.id, r.t.shape, r.t.values.toSeq)))
+    assert(back.map(_.t.ndim).toSeq == Seq(2, 1, 3, 1))
+    assert(back(0).t(1, 0) == 3.0)
+    assert(back(2).t(0, 1, 1) == 11.0)
+    // typed aggregation over ragged sizes distributes
+    val total = spark.read.parquet(out).as[VarTensorRec]
+      .map(_.t.numElements).collect().sum
+    assert(total == 11)
+    intercept[IllegalArgumentException] { VarTensor(Seq(-1), Array.emptyDoubleArray) }
+    intercept[IllegalArgumentException] { back(1).t(0, 0) } // rank mismatch
   }
 
   test("opaque UDT carries foreign payloads losslessly with type/vendor tags") {

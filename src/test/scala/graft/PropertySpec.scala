@@ -108,6 +108,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("forward and multi-right as-of execs equal a brute-force reference on random events") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // dense key/time space → plenty of duplicate timestamps and ties
+      val lefts = (1L to 120L).map(id =>
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong))
+      val r1 = (1000L to 1200L).map(id =>
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong))
+      val r2 = (2000L to 2150L).map(id =>
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong))
+      val tol = 60L
+
+      // forward reference: min-(rt, rid) right in [t, t+tol] per key
+      def fwdRef(rights: Seq[(Long, Long, Long)]): Map[Long, Long] =
+        lefts.map { case (id, uid, t) =>
+          val cands = rights.filter { case (_, ruid, rt) =>
+            ruid == uid && rt >= t && rt <= t + tol
+          }
+          id -> (if (cands.isEmpty) -1L
+                 else cands.minBy { case (rid, _, rt) => (rt, rid) }._1)
+        }.toMap
+      // backward reference for the multi check
+      def backRef(rights: Seq[(Long, Long, Long)]): Map[Long, Long] =
+        lefts.map { case (id, uid, t) =>
+          val cands = rights.filter { case (_, ruid, rt) =>
+            ruid == uid && rt <= t && rt >= t - tol
+          }
+          id -> (if (cands.isEmpty) -1L
+                 else cands.maxBy { case (rid, _, rt) => (rt, rid) }._1)
+        }.toMap
+
+      val ldf = lefts.toDF("id", "uid", "t")
+      val r1df = r1.toDF("rid1", "ruid1", "rt1")
+      val r2df = r2.toDF("rid2", "ruid2", "rt2")
+      def get(df: org.apache.spark.sql.DataFrame, c: String): Map[Long, Long] =
+        df.select("id", c).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+      val fwd = AsOfJoin.forwardExec(
+        ldf, r1df, ldf("t"), r1df("rt1"),
+        Seq(ldf("uid") -> r1df("ruid1")), Seq(r1df("rid1")), tol)
+      assert(get(fwd, "rid1") == fwdRef(r1), s"forward exec mismatch at seed $seed")
+
+      val rightsSpec = Seq(
+        AsOfJoin.AsOfRight(r1df, r1df("rt1"), Seq(r1df("ruid1")), Seq(r1df("rid1"))),
+        AsOfJoin.AsOfRight(r2df, r2df("rt2"), Seq(r2df("ruid2")), Seq(r2df("rid2"))))
+      val multiB = AsOfJoin.backwardExecMulti(
+        ldf, ldf("t"), Seq(ldf("uid")), rightsSpec, tol)
+      assert(get(multiB, "rid1") == backRef(r1), s"multi backward r1 mismatch at seed $seed")
+      assert(get(multiB, "rid2") == backRef(r2), s"multi backward r2 mismatch at seed $seed")
+
+      val multiF = AsOfJoin.forwardExecMulti(
+        ldf, ldf("t"), Seq(ldf("uid")), rightsSpec, tol)
+      assert(get(multiF, "rid1") == fwdRef(r1), s"multi forward r1 mismatch at seed $seed")
+      assert(get(multiF, "rid2") == fwdRef(r2), s"multi forward r2 mismatch at seed $seed")
+    }
+  }
+
   test("grouped quantiles equal grouped percentile() on random data") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
