@@ -77,6 +77,17 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
+  /** Same clusters through the ALTERNATING LARGE-STAR/SMALL-STAR variant
+    * (O(log n) rounds — the long-chain scale path): gated against the
+    * identical recursive-CTE oracle, so the driver — not just DedupSpec —
+    * proves both CC algorithms agree with the transitive closure. */
+  private def ccStars(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponentsStars(
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8),
+      "da", "db")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
   private val ccSql =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -137,6 +148,8 @@ object DedupQueries {
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
     Capability("dedup_cc", "duplicate clusters: connected components over near-dup pairs", cc,
+      Some(ccSql)),
+    Capability("dedup_cc_stars", "duplicate clusters via large-star/small-star (O(log n) rounds)", ccStars,
       Some(ccSql)),
     Capability("dedup_simhash", "SimHash band-bucketed near-dup pairs (Hamming ≤ 8)", simhash),
     Capability("dedup_embedding", "top-50 embedding pairs by cosine", embed, Some(embedSql)),
