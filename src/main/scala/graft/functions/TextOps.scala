@@ -11,10 +11,19 @@ object TextOps {
   /** Whitespace tokens (documents are single-space word soup). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles, the unit of near-dup detection.
-    * Guarded: Spark's `sequence(1, k)` is descending for k < 1, so short
-    * documents yield an empty shingle set. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles, the unit of near-dup detection —
+    * the native single-scan expression
+    * ([[graft.functions.expr.ShinglesExpr]]: every shingle is a zero-copy
+    * byte slice of the input). Bit-equal to [[shinglesHof]], the
+    * composable twin (asserted in TextSpec). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expr.ShinglesExpr(text, n)
+
+  /** The same shingling as a pure-builtin HOF pipeline — the reference
+    * twin for [[shingles]]. Guarded: Spark's `sequence(1, k)` is
+    * descending for k < 1, so short documents yield an empty shingle
+    * set (and a NULL text falls to the empty branch too). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = words(text)
     val count = size(toks) - (n - 1)
     when(count >= 1,

@@ -43,6 +43,39 @@ class TextSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, sf).count()) // no collisions on corpus
   }
 
+  test("native shingles are bit-equal to the HOF twin (corpus + adversarial + random)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextOps
+
+    def parity(df: org.apache.spark.sql.DataFrame, textCol: String, n: Int): Unit = {
+      val both = df.select(
+        TextOps.shingles(col(textCol), n).as("native"),
+        TextOps.shinglesHof(col(textCol), n).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+    }
+    // real corpus at several n
+    for (n <- Seq(1, 3, 8)) parity(Tables.documents(spark, sf), "text", n)
+    // adversarial whitespace: empties, runs of spaces, unicode, dups
+    val nasty = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a b ", "a b a b a b",
+      "  leading", "trailing  ", "tab\tis one token", "ünï çødé ünï çødé",
+      null.asInstanceOf[String], "x " * 50 + "x"
+    ).toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) parity(nasty, "t", n)
+    // randomized word soup with planted repeats and empty tokens
+    val rnd = new scala.util.Random(7)
+    val soup = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ =>
+        if (rnd.nextInt(8) == 0) "" else s"w${rnd.nextInt(6)}").mkString(" ")
+    }.toDF("t")
+    for (n <- Seq(2, 3)) parity(soup, "t", n)
+  }
+
   test("hashed-key decontamination equals the string-keyed baseline") {
     import org.apache.spark.sql.functions.{col, md5, substring}
     val docs = Tables.documents(spark, sf)
