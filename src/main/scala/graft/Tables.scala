@@ -96,9 +96,25 @@ object Tables {
       s"${target.getName}.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     write(tmp.getPath)
     if (!tmp.renameTo(target)) {
-      rm(tmp) // another writer installed the fixture first — use theirs
-      require(new java.io.File(target, "_SUCCESS").exists(),
-        s"fixture install failed and no winner present at $dir")
+      // renameTo fails both when another writer won the race AND when
+      // tmp/target straddle filesystems (cross-device /tmp mount) — only
+      // the first case leaves a winner to reuse. For the second, fall back
+      // to Hadoop's rename, whose local implementation degrades to a copy
+      // across devices instead of silently returning false.
+      if (new java.io.File(target, "_SUCCESS").exists()) {
+        rm(tmp) // another writer installed the fixture first — use theirs
+      } else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(target.getPath).getFileSystem(conf)
+        val moved = fs.rename(
+          new org.apache.hadoop.fs.Path(tmp.getPath),
+          new org.apache.hadoop.fs.Path(target.getPath))
+        if (!moved) rm(tmp)
+        require(new java.io.File(target, "_SUCCESS").exists(),
+          s"fixture install failed at $dir: File.renameTo and Hadoop " +
+            s"rename from ${tmp.getPath} both failed and no concurrent " +
+            "writer installed the fixture")
+      }
     }
   }
 }

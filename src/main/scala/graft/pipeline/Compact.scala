@@ -108,10 +108,23 @@ object Compact {
     * under `dir` whose target is missing, rename the old data back into
     * place (the crash-between-renames state); delete olds whose target
     * was installed, and delete stray `.compact_tmp` dirs. Idempotent.
-    * Returns the number of directories restored. */
-  def recover(spark: SparkSession, dir: String): Int = {
+    * Returns the number of directories restored.
+    *
+    * SINGLE-MAINTENANCE-PROCESS REQUIRED (same contract as [[compact]]):
+    * recover cannot distinguish a crashed rewrite from one that is
+    * mid-flight in another process, so running it concurrently with an
+    * active compaction of the same table would repair state that is not
+    * broken. As a belt-and-braces guard it only deletes `.compact_tmp`
+    * dirs older than `minTmpAgeMs` (default 1 h) — an in-flight rewrite's
+    * tmp is younger than that, a crashed run's is not; `.compact_old`
+    * handling is age-independent because restoring a missing target is
+    * always the safe direction. */
+  def recover(spark: SparkSession, dir: String,
+              minTmpAgeMs: Long = 3600 * 1000L): Int = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tmpStale(p: Path): Boolean =
+      System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > minTmpAgeMs
     var restored = 0
     // the flat-table swap happens at `dir` itself, so its old/tmp
     // siblings live in the PARENT — repair that level first
@@ -126,7 +139,7 @@ object Compact {
     }
     if (!fs.exists(root) && fs.exists(rootOld)) restore(rootOld, root)
     else if (fs.exists(rootOld)) fs.delete(rootOld, true)
-    if (fs.exists(rootTmp)) fs.delete(rootTmp, true)
+    if (fs.exists(rootTmp) && tmpStale(rootTmp)) fs.delete(rootTmp, true)
     def walk(p: Path): Unit = {
       if (!fs.exists(p)) return
       fs.listStatus(p).foreach { st =>
@@ -136,7 +149,9 @@ object Compact {
           if (!fs.exists(target)) restore(st.getPath, target)
           else fs.delete(st.getPath, true)
         } else if (st.isDirectory && name.startsWith(".") && name.endsWith(".compact_tmp")) {
-          fs.delete(st.getPath, true) // incomplete rewrite — never installed
+          // incomplete rewrite — never installed; age-guarded so a rewrite
+          // that is mid-flight in another process is not destroyed
+          if (tmpStale(st.getPath)) fs.delete(st.getPath, true)
         } else if (st.isDirectory && !isHidden(name)) {
           walk(st.getPath)
         }

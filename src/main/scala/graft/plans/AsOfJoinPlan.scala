@@ -98,6 +98,18 @@ object AsOfJoinStrategy extends SparkStrategy {
   * consuming them is always safe. */
 private[plans] object AsOfMerge {
 
+  /** Saturating `a - b` / `a + b`: a sentinel tolerance near Long.MaxValue
+    * ("unbounded") must clamp to the domain edge, not wrap around and
+    * silently reject every match. */
+  private def satSub(a: Long, b: Long): Long = {
+    val s = a - b
+    if (((a ^ b) & (a ^ s)) < 0) { if (a >= 0) Long.MaxValue else Long.MinValue } else s
+  }
+  private def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0) { if (a >= 0) Long.MaxValue else Long.MinValue } else s
+  }
+
   /** Projections/orderings shared by both merge directions. */
   private final class Ctx(
       leftOutput: Seq[Attribute], rightOutput: Seq[Attribute],
@@ -174,7 +186,7 @@ private[plans] object AsOfMerge {
         }
         val matched = candRow != null &&
           c.keyOrdering.compare(candKey, lKey) == 0 &&
-          candOn >= lOn - tol
+          candOn >= satSub(lOn, tol)
         c.resultProj(c.joined(lRow, if (matched) candRow else c.nullRight))
       }
     }
@@ -226,7 +238,7 @@ private[plans] object AsOfMerge {
         }
         val matched = rIter.hasNext &&
           c.keyOrdering.compare(c.rByProj(rIter.head), lKey) == 0 &&
-          c.rOnProj(rIter.head).getLong(0) <= lOn + tol
+          c.rOnProj(rIter.head).getLong(0) <= satAdd(lOn, tol)
         c.resultProj(c.joined(lRow, if (matched) rIter.head else c.nullRight))
       }
     }

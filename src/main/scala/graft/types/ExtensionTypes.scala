@@ -68,7 +68,11 @@ final case class Tensor(shape: Seq[Int], values: Array[Double]) {
     require(idx.length == shape.length)
     var flat = 0
     var i = 0
-    while (i < idx.length) { flat = flat * shape(i) + idx(i); i += 1 }
+    while (i < idx.length) {
+      require(idx(i) >= 0 && idx(i) < shape(i),
+        s"index ${idx(i)} out of bounds for dimension $i of extent ${shape(i)}")
+      flat = flat * shape(i) + idx(i); i += 1
+    }
     values(flat)
   }
 }
@@ -117,7 +121,11 @@ final case class VarTensor(shape: Seq[Int], values: Array[Double]) {
       s"rank-${shape.length} tensor indexed with ${idx.length} coordinates")
     var flat = 0
     var i = 0
-    while (i < idx.length) { flat = flat * shape(i) + idx(i); i += 1 }
+    while (i < idx.length) {
+      require(idx(i) >= 0 && idx(i) < shape(i),
+        s"index ${idx(i)} out of bounds for dimension $i of extent ${shape(i)}")
+      flat = flat * shape(i) + idx(i); i += 1
+    }
     values(flat)
   }
 }

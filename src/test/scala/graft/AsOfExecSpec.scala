@@ -31,6 +31,39 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(out == Map(1L -> 101L, 2L -> 103L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("unbounded sentinel tolerance saturates instead of overflowing") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 10L, 300L)
+    ).toDF("id", "uid", "t")
+    val right = Seq(
+      (101L, 10L, 95L), (102L, 10L, 180L), (103L, 10L, 199L),
+      (104L, 30L, 100L), (105L, 10L, 180L)
+    ).toDF("rid", "ruid", "rt")
+    // Long.MaxValue as "no tolerance bound": lOn - tol must clamp, not
+    // wrap positive and reject every candidate
+    val back = AsOfJoin.backwardExec(
+      left, right,
+      onLeft = left("t"), onRight = right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tieBreak = Seq(right("rid")),
+      toleranceMicros = Long.MaxValue)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(back == Map(1L -> 101L, 2L -> 103L, 3L -> -1L, 4L -> 103L))
+    val fwd = AsOfJoin.forwardExec(
+      left, right,
+      onLeft = left("t"), onRight = right("rt"),
+      by = Seq(left("uid") -> right("ruid")),
+      tieBreak = Seq(right("rid")),
+      toleranceMicros = Long.MaxValue)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(fwd == Map(1L -> 102L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("exec output equals the compositional rewrite on real events") {
     val viaExec = Registry.byName("q21b_asof_exec").run(spark, sf).collect().toSeq
     val viaRewrite = Registry.byName("q21_asof_join").run(spark, sf).collect().toSeq

@@ -78,6 +78,21 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compact.recover(spark, dir) == 0)
   }
 
+  test("recover leaves a fresh (possibly in-flight) compact_tmp alone") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact5").toString
+    val dir = base + "/t"
+    Compact.fragment(Tables.documents(spark, sf), dir, nFiles = 2)
+    val tmp = java.nio.file.Paths.get(base, ".t.compact_tmp")
+    java.nio.file.Files.createDirectory(tmp)
+    // default 1h age guard: a just-created tmp could be another process's
+    // mid-flight rewrite, so recover must not destroy it
+    assert(Compact.recover(spark, dir) == 0)
+    assert(java.nio.file.Files.exists(tmp))
+    // explicit zero age: crashed-run cleanup still works on demand
+    assert(Compact.recover(spark, dir, minTmpAgeMs = -1L) == 0)
+    assert(!java.nio.file.Files.exists(tmp))
+  }
+
   test("file count tracks the byte target; tiny targets grow via repartition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     Compact.fragment(Tables.documents(spark, sf), dir, nFiles = 8)

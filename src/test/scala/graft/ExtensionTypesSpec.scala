@@ -109,6 +109,9 @@ class ExtensionTypesSpec extends AnyFunSuite {
     assert(total == 11)
     intercept[IllegalArgumentException] { VarTensor(Seq(-1), Array.emptyDoubleArray) }
     intercept[IllegalArgumentException] { back(1).t(0, 0) } // rank mismatch
+    // per-dimension bounds: (0,5) on a 2x2 must fail, not alias to (1,1)
+    intercept[IllegalArgumentException] { back(0).t(0, 5) }
+    intercept[IllegalArgumentException] { back(0).t(-1, 0) }
   }
 
   test("opaque UDT carries foreign payloads losslessly with type/vendor tags") {
@@ -128,5 +131,9 @@ class ExtensionTypesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Tensor(Seq(2, 2), Array(1.0, 2.0, 3.0))
     }
+    // per-dimension bounds on the fixed-shape tensor too
+    val t = Tensor(Seq(2, 3), Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    intercept[IllegalArgumentException] { t(0, 3) }
+    intercept[IllegalArgumentException] { t(2, 0) }
   }
 }
