@@ -33,6 +33,19 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** NON-distinct word n-grams — the unit of repetition measurement
+    * (unlike [[shingles]], which deduplicates because near-dup detection
+    * only cares about set overlap, repetition metrics need every
+    * occurrence). Same short-document guard as [[shinglesHof]]. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = words(text)
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Portable polynomial fingerprint: fold (acc*31 + codepoint) mod 1e9+7
     * over the characters of the lower-cased text. Engine-portable (the
     * DuckDB oracle reproduces it with list_reduce); the fast production

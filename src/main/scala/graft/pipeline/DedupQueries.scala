@@ -119,6 +119,30 @@ object DedupQueries {
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
       .orderBy(col("da"), col("db"))
 
+  /** SimHash recall gate vs the exact 0.8-Jaccard pairs, emitted as a
+    * THRESHOLDED deterministic scalar so the driver's DuckDB gate — not
+    * just DedupSpec — covers the simhash path (same pattern as the ANN
+    * recall gates): the hash family is fixed, so the hit count is a pure
+    * function of the corpus. DedupSpec asserts recall >= 0.5 on this
+    * corpus; the gate carries a wide margin under that. */
+  private def simhashRecall(s: SparkSession, d: String): DataFrame = {
+    val sim = Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+      .select(col("da"), col("db"))
+    val jac = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"))
+    jac.join(sim, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .crossJoin(jac.agg(count(lit(1)).as("__total")))
+      .select(
+        lit(8).as("max_hamming"),
+        (col("__total") > 0).cast("int").as("pairs_exist"),
+        (col("__hits") >= col("__total") * 0.3).cast("int").as("recall_ok"))
+  }
+
+  private val simhashRecallSql =
+    "SELECT 8 AS max_hamming, 1 AS pairs_exist, 1 AS recall_ok"
+
   /** Embedding near-dup: top-50 closest pairs by cosine (brute at test SF;
     * LSH-bucketed scale path is `ann_lsh`). The declared queries run
     * strictly sequentially, so the text-dedup caches are dead weight by
@@ -152,6 +176,8 @@ object DedupQueries {
     Capability("dedup_cc_stars", "duplicate clusters via large-star/small-star (O(log n) rounds)", ccStars,
       Some(ccSql)),
     Capability("dedup_simhash", "SimHash band-bucketed near-dup pairs (Hamming ≤ 8)", simhash),
+    Capability("dedup_simhash_recall", "simhash recall gate vs exact 0.8-Jaccard pairs (constant oracle)",
+      simhashRecall, Some(simhashRecallSql)),
     Capability("dedup_embedding", "top-50 embedding pairs by cosine", embed, Some(embedSql)),
   )
 }

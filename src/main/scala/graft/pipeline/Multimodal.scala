@@ -467,10 +467,66 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Decode METADATA gate: the generator's dims/sample counts/rates are
+    * pure functions of doc_id ([[Multimodal.synthesize]]: even ids → PNG
+    * 16+id%32 × 12+id%24, odd ids → WAV of 2000+id%6000 frames at 8 kHz),
+    * so the REAL decode path — synthesize → actual PNG/WAV encode → JDK
+    * codec parse → typed metadata — is driver-gated end-to-end against a
+    * DuckDB oracle that predicts the metadata independently from the
+    * documents table. Pixel/sample STATISTICS stay codec-derived and
+    * rows-only (mm_decode + MultimodalSpec). */
+  private def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val media = Multimodal.synthesize(s, docs, "doc_id", "text")
+    Multimodal.decode(s, media)
+      .select(col("doc_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_samples").cast("long").as("n_samples"),
+        col("sample_rate").cast("long").as("sample_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decodeMetaSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN 12 + doc_id % 24 ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2000 + doc_id % 6000 END AS n_samples,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS sample_rate
+      |FROM documents WHERE doc_id % 5 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling gate, same idea: sampled frame indices and resized
+    * dims are generator-determined (containers of 4+id%5 frames, every
+    * 2nd kept, resized to 8×6), so frame extraction + per-frame decode +
+    * resize plumbing is driver-gated; per-frame luminance stays rows-only
+    * (mm_frames + MultimodalSpec). */
+  private def framesMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 7 === 1)
+    Multimodal.frameSample(s, synthesizeVideos(s, docs), step = 2, w = 8, h = 6)
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val framesMetaSql =
+    """SELECT * FROM (
+      |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5, 2)) AS frame_idx,
+      |    CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height
+      |  FROM documents WHERE doc_id % 7 = 1)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("mm_decode", "binary media (real PNG/WAV) → batch-decoded typed features",
       features),
     Capability("mm_frames", "video frame-sampling + resize (real per-frame PNG decode)",
       frames),
+    Capability("mm_decode_meta", "decoded media metadata vs generator-predicting oracle",
+      decodeMeta, Some(decodeMetaSql)),
+    Capability("mm_frames_meta", "sampled frame indices + resized dims vs predicting oracle",
+      framesMeta, Some(framesMetaSql)),
   )
 }

@@ -84,4 +84,30 @@ object Sharding {
     df.withColumn("cap_rank", row_number().over(w))
       .filter(col("cap_rank") <= k)
   }
+
+  /** Data MIXING: deterministic weighted per-key downsampling — the
+    * corpus-curation pass that rebalances a training mix toward target
+    * source/language proportions ("keep all of en, half of zh, an eighth
+    * of de"). Each row's acceptance is decided by comparing its first
+    * four md5 hex digits (a uniform 16-bit lottery draw, same family as
+    * [[assignSplit]]) against the key's rate threshold — a pure function
+    * of the id, so the SAME rows survive on any engine, any run, any
+    * partitioning, and the sampled sets are NESTED across rates (a row
+    * kept at 0.25 is kept at 0.5). Narrow filter — zero shuffle at any
+    * scale. */
+  def weightedSample(
+      df: DataFrame, idCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    def hex4(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+      val t = math.round(rate * 65536).toInt
+      // md5 hex digits never reach 'g': "zzzz" compares above every draw
+      if (t >= 65536) "zzzz" else f"$t%04x"
+    }
+    val draw = substring(md5(col(idCol).cast("string")), 1, 4)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hex4(defaultRate))) {
+      case (acc, (k, r)) => when(col(keyCol) === k, lit(hex4(r))).otherwise(acc)
+    }
+    df.filter(draw < threshold)
+  }
 }

@@ -79,9 +79,39 @@ object ShardingQueries {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Data mixing: weighted per-language downsampling of `documents`
+    * (keep all en, half zh, a quarter es, an eighth de, 3/4 of the
+    * rest), summarized per language with id-sum/extrema so the gate
+    * catches row-level membership differences, not just counts. */
+  private def mix(s: SparkSession, d: String): DataFrame =
+    Sharding.weightedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.25, "de" -> 0.125),
+      defaultRate = 0.75)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+
+  private val mixSql =
+    """WITH kept AS (
+      |  SELECT doc_id, lang FROM documents
+      |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+      |    CASE lang WHEN 'en' THEN 'zzzz' WHEN 'zh' THEN '8000'
+      |              WHEN 'es' THEN '4000' WHEN 'de' THEN '2000'
+      |              ELSE 'c000' END)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
+    Capability("pipeline_mix", "data mixing: deterministic weighted per-language sampling", mix,
+      Some(mixSql)),
     Capability("pipeline_compact", "small-file compaction preserves content, swap-safe", compactQ,
       Some(compactSql)),
     Capability("pipeline_pack", "token-budget sequence packing in md5 shards", pack,

@@ -242,8 +242,113 @@ object TextQueries {
       |FROM tr JOIN ev USING (sh)
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  /** Repetition-based quality signals (the Gopher/C4 family): fraction of
+    * tokens taken by the most frequent word, fraction of unique words,
+    * and fraction of bigrams taken by the most frequent bigram — high
+    * values mark boilerplate / degenerate generations that a training
+    * mix should drop.
+    *
+    * Scale shape: explode → (doc, token)-keyed count → per-doc extrema.
+    * Both aggregates are keyed by doc_id(+token) with map-side combine,
+    * so the shuffle carries per-doc partial counts, never text; the final
+    * join is doc-keyed. No global state — holds at any corpus size. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val uni = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
+        count(lit(1)).as("unq"))
+    val bi = docs
+      .select(col("doc_id"), explode(TextOps.ngrams(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("bmx"), sum(col("n")).as("btot"))
+    uni.join(bi, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("mx").as("top_word_n"), col("tot").as("n_words"),
+        col("unq").as("n_uniq_words"),
+        col("bmx").as("top_bigram_n"), col("btot").as("n_bigrams"),
+        round(col("mx").cast("double") / col("tot"), 6).as("top_word_frac"),
+        round(col("unq").cast("double") / col("tot"), 6).as("uniq_word_frac"),
+        round(col("bmx").cast("double") / col("btot"), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH uc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS n FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |ua AS (
+      |  SELECT doc_id, MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot,
+      |    COUNT(*) AS unq
+      |  FROM uc GROUP BY doc_id),
+      |bc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS n FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, len(string_split(text, ' '))),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bg
+      |    FROM documents)
+      |  GROUP BY doc_id, bg),
+      |ba AS (
+      |  SELECT doc_id, MAX(n) AS bmx, CAST(SUM(n) AS BIGINT) AS btot
+      |  FROM bc GROUP BY doc_id)
+      |SELECT ua.doc_id,
+      |  ua.mx AS top_word_n, ua.tot AS n_words, ua.unq AS n_uniq_words,
+      |  ba.bmx AS top_bigram_n, ba.btot AS n_bigrams,
+      |  round(ua.mx::DOUBLE / ua.tot, 6) AS top_word_frac,
+      |  round(ua.unq::DOUBLE / ua.tot, 6) AS uniq_word_frac,
+      |  round(ba.bmx::DOUBLE / ba.btot, 6) AS top_bigram_frac
+      |FROM ua JOIN ba ON ua.doc_id = ba.doc_id
+      |ORDER BY ua.doc_id""".stripMargin
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing: regex redaction of emails and phone numbers — the
+    * compliance pass every web-scale training corpus runs before the
+    * tokenizer. The synthetic corpus carries no organic PII, so the gate
+    * PLANTS deterministic id-derived contacts into each document (both
+    * engines build the identical augmented text) and then proves the
+    * scrubber found and replaced them. Pure codegen'd regexp columns —
+    * narrow, no shuffle, no UDFs; patterns stay in the portable subset
+    * shared by java.util.regex and RE2 (no backrefs, no lookaround). */
+  private def pii(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      .select(
+        col("doc_id"),
+        regexp_count(aug, lit(emailRe)).as("n_emails"),
+        regexp_count(aug, lit(phoneRe)).as("n_phones"),
+        regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiSql =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+       |  FROM documents WHERE doc_id % 20 = 0)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$phoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM a ORDER BY doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
+    Capability("text_repetition", "repetition quality signals: top-word/bigram + unique fractions",
+      repetition, Some(repetitionSql)),
+    Capability("text_pii", "PII scrubbing: regex email/phone redaction (planted contacts)",
+      pii, Some(piiSql)),
     Capability("text_quality", "length/stopword/uniqueness quality score", quality, Some(qualitySql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Capability, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -552,6 +552,46 @@ object NestedIOQueries {
         element_at(col("qs"), 3).as("td_p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Q27h: sketch ERROR gate — the approximate aggregates (HLL++,
+    * percentile_approx, t-digest scalar + grouped) measured in-Spark
+    * against their exact counterparts and emitted as thresholded flags,
+    * so the driver's DuckDB gate (constant oracle) — not just
+    * ApproxAggSpec — covers the sketch paths. Thresholds carry wide
+    * margin: HLL++ default rsd is 5% (gate 10%), percentile_approx at
+    * accuracy 10000 and the t-digest at δ=100 are both well inside 1%
+    * on this column (gate 2% / 5%). */
+  private def q27h(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def relOk(a: Column, e: Column, tol: Double): Column =
+      (abs(a - e) <= abs(e) * tol).cast("int")
+    val scalar = li.agg(
+      countDistinct(col("l_partkey")).cast("double").as("ex_parts"),
+      countDistinct(col("l_orderkey")).cast("double").as("ex_orders"),
+      expr("percentile(l_extendedprice, 0.5)").as("ex_median"),
+      approx_count_distinct(col("l_partkey")).cast("double").as("ap_parts"),
+      approx_count_distinct(col("l_orderkey")).cast("double").as("ap_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap_median"),
+      graft.functions.expr.TDigestAgg
+        .quantiles(col("l_extendedprice"), Seq(0.5)).as("td"))
+    val grouped = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("ex"),
+        graft.functions.expr.TDigestAgg
+          .quantiles(col("l_extendedprice"), Seq(0.5)).as("td"))
+      .agg(max(abs(element_at(col("td"), 1) - col("ex")) / abs(col("ex")))
+        .as("__maxerr"))
+    scalar.crossJoin(grouped).select(
+      relOk(col("ap_parts"), col("ex_parts"), 0.10).as("approx_parts_ok"),
+      relOk(col("ap_orders"), col("ex_orders"), 0.10).as("approx_orders_ok"),
+      relOk(col("ap_median"), col("ex_median"), 0.02).as("approx_median_ok"),
+      relOk(element_at(col("td"), 1), col("ex_median"), 0.05).as("tdigest_p50_ok"),
+      (col("__maxerr") <= 0.05).cast("int").as("grouped_tdigest_ok"))
+  }
+
+  private val q27hSql =
+    """SELECT 1 AS approx_parts_ok, 1 AS approx_orders_ok,
+      |  1 AS approx_median_ok, 1 AS tdigest_p50_ok, 1 AS grouped_tdigest_ok""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
     Capability("q24b_explode", "posexplode of array column", q24b, Some(q24bSql)),
@@ -577,5 +617,7 @@ object NestedIOQueries {
       Some(q39Sql)),
     Capability("q27c_tdigest", "t-digest quantile sketch (custom TypedImperativeAggregate)", q27c, None),
     Capability("q27d_grouped_tdigest", "per-group t-digest quantiles (hash_tdigest)", q27d, None),
+    Capability("q27h_sketch_err", "sketch error gate: approx aggs vs exact (constant oracle)", q27h,
+      Some(q27hSql)),
   )
 }

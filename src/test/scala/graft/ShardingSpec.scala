@@ -45,6 +45,40 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling hits target rates, is nested across rates and layout-free") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val total = docs.count().toDouble
+    def kept(rate: Double): Set[Long] =
+      Sharding.weightedSample(docs, "doc_id", "lang",
+        Map.empty, defaultRate = rate)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = kept(0.5); val quarter = kept(0.25); val all = kept(1.0)
+    assert(all.size == total.toLong, "rate 1.0 keeps every row")
+    // uniform lottery: observed rate within ±5 points of target
+    assert(math.abs(half.size / total - 0.5) < 0.05, s"got ${half.size / total}")
+    assert(math.abs(quarter.size / total - 0.25) < 0.05)
+    // NESTED: a row kept at 0.25 is kept at 0.5 (same draw, higher bar)
+    assert(quarter.subsetOf(half))
+    // per-key rates apply to the right keys
+    val mixed = Sharding.weightedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.0), defaultRate = 0.5)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == totals("en"), "rate 1.0 keeps all of en")
+    assert(!byLang.contains("zh"), "rate 0.0 drops all of zh")
+    // layout-independent: same winners under a different partitioning
+    val repart = Sharding.weightedSample(
+      docs.repartition(7, col("lang")), "doc_id", "lang",
+      Map.empty, defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == half)
+    intercept[IllegalArgumentException] {
+      Sharding.weightedSample(docs, "doc_id", "lang", Map("en" -> 1.5))
+    }
+  }
+
   test("per-group cap keeps at most k, deterministically, layout-independent") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
     val k = 7

@@ -146,4 +146,56 @@ class TextSpec extends AnyFunSuite {
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr")))
   }
+
+  test("repetition metrics match hand-computed values on planted docs") {
+    import spark.implicits._
+    // "a a a b" → top word 3/4, unique 2/4; bigrams: "a a"×2, "a b" → 2/3
+    val planted = Seq((1L, "a a a b"), (2L, "x y x y x")).toDF("doc_id", "text")
+    val uni = planted
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"), count(lit(1)).as("unq"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(uni(1L) == ((3L, 4L, 2L)))
+    assert(uni(2L) == ((3L, 5L, 2L)))
+    val bi = planted
+      .select(col("doc_id"), explode(TextOps.ngrams(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("bmx"), sum(col("n")).as("btot"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bi(1L) == ((2L, 3L))) // "a a","a a","a b"
+    assert(bi(2L) == ((2L, 4L))) // "x y"×2, "y x"×2
+    // corpus-level gate output stays within [0,1] and denominators agree
+    val rows = Registry.byName("text_repetition").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("top_word_frac") > 0.0 &&
+        r.getAs[Double]("top_word_frac") <= 1.0)
+      assert(r.getAs[Double]("uniq_word_frac") > 0.0 &&
+        r.getAs[Double]("uniq_word_frac") <= 1.0)
+      assert(r.getAs[Double]("top_bigram_frac") > 0.0 &&
+        r.getAs[Double]("top_bigram_frac") <= 1.0)
+      assert(r.getAs[Long]("n_bigrams") == r.getAs[Long]("n_words") - 1)
+    }
+    // a single-word doc has no bigrams and must drop out, not crash
+    assert(TextOps.ngrams(lit("solo"), 2) != null)
+    val lone = Seq((9L, "solo")).toDF("doc_id", "text")
+      .select(explode(TextOps.ngrams(col("text"), 2))).count()
+    assert(lone == 0)
+  }
+
+  test("PII scrub redacts every planted email and phone, and only those") {
+    val out = Registry.byName("text_pii").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1, "exactly the planted email")
+      assert(r.getAs[Int]("n_phones") == 1, "exactly the planted phone")
+      val scrubbed = r.getAs[String]("scrubbed")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+      assert(!scrubbed.contains("@"), "no unredacted email survives")
+      assert(!scrubbed.matches(".*\\+\\d{1,2}-\\d{3}-\\d{4}.*"))
+    }
+  }
 }
