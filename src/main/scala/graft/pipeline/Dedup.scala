@@ -361,8 +361,14 @@ object Dedup {
       .filter(col("lo") =!= col("hi"))
       .distinct()
       .persist(lvl)
-    val vertices = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // derive the vertex set from the PERSISTED canonical edges, not from
+    // `pairs` — a second read of `pairs` would recompute its entire
+    // upstream pipeline (for the gated query: the whole minhash pass).
+    // Self-loop "pairs" (a,a) carry no connectivity and are not vertices
+    // (near-dup pair generators emit strictly ordered pairs, so none
+    // exist in practice).
+    val vertices = rawEdges.select(col("lo").as("id"))
+      .union(rawEdges.select(col("hi").as("id"))).distinct()
 
     def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(
