@@ -105,6 +105,27 @@ class PlanSpec extends AnyFunSuite {
       "packing must not global-sort; per-shard windows only:\n" + plan.take(2000))
   }
 
+  test("pipeline_mix sampling is a pure narrow filter (zero exchanges)") {
+    // the mixing claim IS "zero shuffle": acceptance is a per-row md5
+    // comparison. The gated query's groupBy exists only for the oracle;
+    // assert on the library output.
+    val df = graft.pipeline.Sharding.weightedSample(
+      Tables.documents(spark, sf), "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.5), defaultRate = 0.75)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("text_repetition aggregates partially before every exchange") {
+    // both token-count aggregates must combine map-side: the shuffle
+    // carries per-doc partial counts, never exploded token rows
+    val plan = executedPlan("text_repetition").split("== Initial Plan ==")(0)
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected partial+final aggregate pairs, got:\n${plan.take(2000)}")
+  }
+
   test("pipeline_decontam shingles the corpus in ONE scan") {
     // the operator's scale claim is a single shingling pass — the old
     // distinct+join formulation read and shingled documents twice. A
