@@ -564,33 +564,41 @@ object NestedIOQueries {
     val li = Tables.lineitem(s, d)
     def relOk(a: Column, e: Column, tol: Double): Column =
       (abs(a - e) <= abs(e) * tol).cast("int")
+    // exact medians via the rank-selection operators, never the
+    // single-buffer percentile() aggregate — this gate must not embody
+    // the anti-pattern Quantiles exists to avoid (q27a/q33 PlanSpec)
+    val exMedian = graft.operators.Quantiles.exact(li, "l_extendedprice", Seq(0.5)).head
+    // one distinct column gates the HLL++ plumbing; a second would only
+    // widen the distinct-agg expand (3x the scan) for no new coverage.
+    // percentile_approx accuracy 2000 keeps error ~1e-3, far inside the
+    // 2% gate, at a fraction of the summary-merge cost of 10000.
     val scalar = li.agg(
       countDistinct(col("l_partkey")).cast("double").as("ex_parts"),
-      countDistinct(col("l_orderkey")).cast("double").as("ex_orders"),
-      expr("percentile(l_extendedprice, 0.5)").as("ex_median"),
       approx_count_distinct(col("l_partkey")).cast("double").as("ap_parts"),
-      approx_count_distinct(col("l_orderkey")).cast("double").as("ap_orders"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap_median"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("ap_median"),
       graft.functions.expr.TDigestAgg
         .quantiles(col("l_extendedprice"), Seq(0.5)).as("td"))
-    val grouped = li.groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("ex"),
-        graft.functions.expr.TDigestAgg
-          .quantiles(col("l_extendedprice"), Seq(0.5)).as("td"))
+      .withColumn("ex_median", lit(exMedian))
+    val grouped = graft.operators.Quantiles
+      .exactGrouped(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+      .select(col("l_returnflag"), col("q0").as("ex"))
+      .join(
+        li.groupBy(col("l_returnflag"))
+          .agg(graft.functions.expr.TDigestAgg
+            .quantiles(col("l_extendedprice"), Seq(0.5)).as("td")),
+        "l_returnflag")
       .agg(max(abs(element_at(col("td"), 1) - col("ex")) / abs(col("ex")))
         .as("__maxerr"))
     scalar.crossJoin(grouped).select(
-      relOk(col("ap_parts"), col("ex_parts"), 0.10).as("approx_parts_ok"),
-      relOk(col("ap_orders"), col("ex_orders"), 0.10).as("approx_orders_ok"),
+      relOk(col("ap_parts"), col("ex_parts"), 0.10).as("approx_distinct_ok"),
       relOk(col("ap_median"), col("ex_median"), 0.02).as("approx_median_ok"),
       relOk(element_at(col("td"), 1), col("ex_median"), 0.05).as("tdigest_p50_ok"),
       (col("__maxerr") <= 0.05).cast("int").as("grouped_tdigest_ok"))
   }
 
   private val q27hSql =
-    """SELECT 1 AS approx_parts_ok, 1 AS approx_orders_ok,
-      |  1 AS approx_median_ok, 1 AS tdigest_p50_ok, 1 AS grouped_tdigest_ok""".stripMargin
+    """SELECT 1 AS approx_distinct_ok, 1 AS approx_median_ok,
+      |  1 AS tdigest_p50_ok, 1 AS grouped_tdigest_ok""".stripMargin
 
   val caps: Seq[Capability] = Seq(
     Capability("q24a_array_kernels", "size/element_at/slice/fold/min/max over arrays", q24a, Some(q24aSql)),
