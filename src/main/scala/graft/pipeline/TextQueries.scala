@@ -211,6 +211,63 @@ object TextQueries {
     }
   }
 
+  /** BLOOM-FILTER decontamination — the 100 TB scale twin of
+    * [[decontaminate]]'s hashed mode. Eval sets (benchmarks) are tiny
+    * relative to a training corpus, so instead of shuffling EVERY train
+    * shingle into a corpus-wide grouped aggregate, a Bloom filter of the
+    * eval shingle keys is built once (Spark's own `BloomFilterAggregate`
+    * — the machinery behind runtime join filters), folded into the plan
+    * as a binary LITERAL, and probed per train shingle by the codegen'd
+    * `BloomFilterMightContain` BEFORE anything reaches an exchange: the
+    * shuffle then carries only the ~(contamination rate + fpp) fraction
+    * of train shingles that might match. False positives are removed by
+    * an exact semi-join restricted to those candidates, so the OUTPUT is
+    * exactly `decontaminate(hashKeys = true)` — TextSpec asserts
+    * equality (including under an absurd fpp), and the gated query
+    * reuses pipeline_decontam's DuckDB oracle verbatim. */
+  def decontaminateBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, isTrain: Column, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+
+    val shingled = docs
+      .select(col(idCol), isEval.as("__ev"), isTrain.as("__tr"),
+        explode(TextOps.shingles(col(textCol), n)).as("__sh0"))
+      .filter(col("__ev") || col("__tr"))
+      .select(col(idCol), col("__ev"), col("__tr"),
+        xxhash64(col("__sh0")).as("sh"))
+
+    // eager localCheckpoint: the (tiny) key set is materialized ONCE and
+    // serves the count, the bloom build and the verification semi-join
+    // without re-scanning the corpus; blocks are GC-cleaned with the RDD
+    val evalKeys = shingled.filter(col("__ev")).select(col("sh")).distinct()
+      .localCheckpoint(true)
+    val nEval = evalKeys.count()
+    if (nEval == 0) {
+      // no eval shingles — nothing can leak; empty result, right schema
+      shingled.filter(lit(false))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    } else {
+      val nBits = math.max(64L,
+        math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      val bloomAgg = Bridge.column(
+        new BloomFilterAggregate(Bridge.expression(col("sh")),
+          Literal(nEval), Literal(nBits)).toAggregateExpression())
+      val bloomBytes = evalKeys.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(col("sh"))))
+      shingled.filter(col("__tr")).filter(mightContain)
+        .join(evalKeys, Seq("sh"), "left_semi") // exact: drops bloom FPs
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shared"))
+    }
+  }
+
   /** The gated decontamination query: train-split documents sharing any
     * 8-word shingle with any test-split document (split = the same md5
     * buckets as pipeline_split, so the whole check is a pure function of
@@ -343,6 +400,18 @@ object TextQueries {
        |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** The bloom twin on the same split/n as pipeline_decontam — gated
+    * against the IDENTICAL string-shingle oracle (output equality holds
+    * absent a 64-bit xxhash64 collision among corpus shingles, odds
+    * ~1e-8 and fixed for a given corpus). */
+  private def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    decontaminateBloom(
+      Tables.documents(s, d), "doc_id", "text",
+      isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
     Capability("text_repetition", "repetition quality signals: top-word/bigram + unique fractions",
@@ -357,5 +426,8 @@ object TextQueries {
       Some(vocabSql)),
     Capability("pipeline_decontam", "train/test decontamination by shared 8-gram shingles", decontam,
       Some(decontamSql)),
+    Capability("pipeline_decontam_bloom",
+      "bloom-pruned decontamination (broadcast eval filter, exact-verified)", decontamBloom,
+      Some(decontamSql), bench = true),
   )
 }

@@ -126,6 +126,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final aggregate pairs, got:\n${plan.take(2000)}")
   }
 
+  test("pipeline_decontam_bloom probes the broadcast bloom before any exchange") {
+    // the scale claim: train shingles meet a LITERAL bloom filter as a
+    // plain codegen'd row filter, so only might-match candidates reach a
+    // shuffle — losing the probe (e.g. to a plain semi-join formulation)
+    // would still be correct but ship every train shingle
+    val plan = executedPlan("pipeline_decontam_bloom").split("== Initial Plan ==")(0)
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("pipeline_decontam shingles the corpus in ONE scan") {
     // the operator's scale claim is a single shingling pass — the old
     // distinct+join formulation read and shingled documents twice. A

@@ -92,6 +92,33 @@ class TextSpec extends AnyFunSuite {
     assert(byHash == byString)
   }
 
+  test("bloom decontamination equals the exact baseline, even at absurd fpp") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val docs = Tables.documents(spark, sf)
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val exact = graft.pipeline.TextQueries.decontaminate(
+      docs, "doc_id", "text",
+      isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8,
+      hashKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bloom(fpp: Double): Map[Long, Long] =
+      graft.pipeline.TextQueries.decontaminateBloom(
+        docs, "doc_id", "text",
+        isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    assert(bloom(0.01) == exact)
+    // at fpp 0.9 nearly every train shingle passes the probe — the
+    // verification semi-join must still make the OUTPUT exact
+    assert(bloom(0.9) == exact)
+    // empty eval side: nothing can leak, empty result, no crash
+    val none = graft.pipeline.TextQueries.decontaminateBloom(
+      docs, "doc_id", "text",
+      isEval = org.apache.spark.sql.functions.lit(false),
+      isTrain = bucket < "cc", n = 8)
+    assert(none.count() == 0)
+  }
+
   test("df-capped decontamination equals exact when no shingle is hot") {
     import org.apache.spark.sql.functions.{col, md5, substring}
     val docs = Tables.documents(spark, sf)
