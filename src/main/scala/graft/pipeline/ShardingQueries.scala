@@ -107,9 +107,55 @@ object ShardingQueries {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** End-to-end curation composition — the pipeline a real corpus runs
+    * as ONE lazy plan: quality filter (token count + uniqueness ratio) →
+    * exact dedup (md5-keyed keep-first, so the shuffle carries a 16-byte
+    * key + id, never document bodies) → deterministic split assignment →
+    * per-split stats. Every stage is an operator gated elsewhere on its
+    * own; this query gates that they COMPOSE, with one DuckDB oracle
+    * mirroring the whole chain. */
+  private def e2e(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nTok = size(ws)
+    val uniq = size(array_distinct(ws)).cast("double") / nTok
+    val kept = Tables.documents(s, d)
+      .filter(nTok >= 30 && uniq >= lit(0.3))
+    val deduped = kept
+      .groupBy(md5(col("text")).as("__k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    Sharding.assignSplit(deduped, "doc_id")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+  }
+
+  private val e2eSql =
+    """WITH kept AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 30
+      |    AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |        / len(string_split(text, ' ')) >= 0.3),
+      |dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM dedup)
+      |SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
+    Capability("pipeline_e2e", "curation composition: quality filter → dedup → split → stats",
+      e2e, Some(e2eSql)),
     Capability("pipeline_mix", "data mixing: deterministic weighted per-language sampling", mix,
       Some(mixSql)),
     Capability("pipeline_compact", "small-file compaction preserves content, swap-safe", compactQ,
