@@ -1,10 +1,11 @@
 package graft.streaming
 
 import graft.Det
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Gap-based sessionization, twice: a declarative batch formulation
   * (lag → new-session flag → running sum → group), and a stateful
@@ -83,6 +84,66 @@ object Sessionize {
           state.update(st)
           closed.result().iterator
         })
+  }
+
+  /** The SAME sessionization on `transformWithState` — Spark 4's
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`: the
+    * per-key state is a typed named [[ValueState]] on an explicit handle
+    * rather than one opaque GroupState blob, so real operators can hold
+    * several independent states per key, set TTLs per state, and drive
+    * timers explicitly. Semantics here are identical to
+    * [[sessionsStreaming]] (closed sessions emitted once a later event
+    * proves the gap; the open session stays in state) and SessionizeSpec
+    * asserts output parity between the two APIs and the batch
+    * formulation. Requires the RocksDB state store provider — Spark's
+    * own constraint for transformWithState; see the spec for the
+    * per-query conf. */
+  class SessionProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, Ev, Session] {
+    @transient private var st: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState](
+        "session", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var state = if (st.exists()) st.get() else UserState(1L, None)
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        state.open match {
+          case Some(s) if e.ts_us - s.end_us <= gapMicros =>
+            state = state.copy(open = Some(s.copy(
+              n_events = s.n_events + 1, end_us = e.ts_us)))
+          case Some(s) =>
+            closed += s
+            state = UserState(state.nextSessionId + 1,
+              Some(Session(userId, state.nextSessionId + 1, 1, e.ts_us, e.ts_us)))
+          case None =>
+            state = UserState(state.nextSessionId,
+              Some(Session(userId, state.nextSessionId, 1, e.ts_us, e.ts_us)))
+        }
+      }
+      st.update(state)
+      closed.result().iterator
+    }
+  }
+
+  /** [[sessionsStreaming]] re-expressed on the transformWithState API. */
+  def sessionsStreamingTws(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMicros), TimeMode.None(), OutputMode.Append())
   }
 
   /** Production streaming sessionization: like [[sessionsStreaming]], but
