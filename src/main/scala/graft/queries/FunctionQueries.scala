@@ -430,8 +430,11 @@ object FunctionQueries {
       signum(col("l_discount") - lit(0.05)).cast("int").as("sg"),
       (col("l_orderkey") % 7).as("mod7"),
       shiftleft(col("l_linenumber"), 2).as("shl"),
+      shiftright(col("l_linenumber"), 1).as("shr"),
       (col("l_linenumber").bitwiseAND(lit(3))).as("band"),
+      (col("l_linenumber").bitwiseOR(lit(9))).as("bor"),
       (col("l_linenumber").bitwiseXOR(lit(5))).as("bxor"),
+      bitwise_not(col("l_linenumber")).as("bnot"),
       greatest(col("l_quantity"), lit(25.0)).as("gr"),
       least(col("l_quantity"), lit(25.0)).as("le"),
       // round_to_multiple / round_binary (scalar_round.cc, compute.rst
@@ -456,8 +459,11 @@ object FunctionQueries {
       |  CAST(SIGN(l_discount - 0.05::DOUBLE) AS INT) AS sg,
       |  l_orderkey % 7 AS mod7,
       |  l_linenumber << 2 AS shl,
+      |  l_linenumber >> 1 AS shr,
       |  l_linenumber & 3 AS band,
+      |  l_linenumber | 9 AS bor,
       |  xor(l_linenumber, 5) AS bxor,
+      |  ~l_linenumber AS bnot,
       |  greatest(l_quantity, 25.0::DOUBLE) AS gr,
       |  least(l_quantity, 25.0::DOUBLE) AS le,
       |  round(l_extendedprice / 0.25) * 0.25 AS rmult,

@@ -173,6 +173,10 @@ object WindowQueries {
         col("event_id"), col("user_id"),
         min(col("value")).over(wRows).as("running_min"),
         max(col("value")).over(wRows).as("running_max"),
+        // cumulative_mean: exact decimal running sum / running count, so
+        // the double division input is identical on both engines
+        round(sum(graft.Det.dec(col("value"))).over(wRows).cast("double")
+          / row_number().over(wOrd), 6).as("running_mean"),
         graft.functions.expr.Product((col("event_id") % 3 + 1).cast("double"))
           .over(w4).as("prod4"),
         row_number().over(wOrd).as("rn"))
@@ -183,6 +187,8 @@ object WindowQueries {
     """SELECT event_id, user_id,
       |  MIN(value) OVER wrows AS running_min,
       |  MAX(value) OVER wrows AS running_max,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER wrows AS DOUBLE)
+      |    / row_number() OVER word, 6) AS running_mean,
       |  product((event_id % 3 + 1)::DOUBLE) OVER w4 AS prod4,
       |  row_number() OVER word AS rn
       |FROM events
