@@ -563,6 +563,41 @@ object FunctionQueries {
       |  round(median(o_totalprice), 4) AS med
       |FROM orders""".stripMargin
 
+  /** Q02e: GROUPED arg-extrema and min/max — the reference's
+    * hash_min_max / hash_first_last family (hash_aggregate.cc): per
+    * group, the key at the extreme ordering value with the same
+    * smallest-key tie-break as the scalar q02c, plus the extreme values
+    * and group counts. The oracle derives the same winners with
+    * per-group row_number windows. */
+  private def q02e(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey")))
+          .as("key_of_max"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("key_of_min"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q02eSql =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rmax,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rmin
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  MIN(CASE WHEN rmax = 1 THEN o_orderkey END) AS key_of_max,
+      |  MIN(CASE WHEN rmin = 1 THEN o_orderkey END) AS key_of_min,
+      |  MAX(o_totalprice) AS max_price,
+      |  MIN(o_totalprice) AS min_price,
+      |  COUNT(*) AS n
+      |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Q17: conditional / null-handling kernels (case_when, if_else,
     * coalesce, nullif, is_null) plus the validity battery
     * (is_nan/is_inf/is_finite — reference scalar_validity.cc,
@@ -736,6 +771,8 @@ object FunctionQueries {
     Capability("q16_math", "arithmetic/rounding/log/bitwise kernels", q16, Some(q16Sql)),
     Capability("q16b_trig", "trig/hyperbolic/extended-log/pmod/factorial kernels", q16b, Some(q16bSql)),
     Capability("q02c_bool_aggs", "any/all/count_if/arg-extrema/median aggregates", q02c, Some(q02cSql)),
+    Capability("q02e_grouped_extrema", "grouped arg-extrema + min/max (hash_min_max family)", q02e,
+      Some(q02eSql)),
     Capability("q17_conditional", "case_when/coalesce/nullif/is_null", q17, Some(q17Sql)),
     Capability("q17b_kleene", "three-valued AND/OR/NOT + null-safe equality", q17b, Some(q17bSql)),
     Capability("q18_casts", "cast matrix round-trips", q18, Some(q18Sql)),
