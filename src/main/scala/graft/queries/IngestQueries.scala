@@ -229,6 +229,36 @@ object IngestQueries {
       |  types = {'id': 'BIGINT', 'note': 'VARCHAR', 'val': 'DOUBLE'})
       |ORDER BY id""".stripMargin
 
+  /** Q26k: corrupt-file skip on a parquet directory — the operational
+    * contract a 100 TB ingest lives by: one bad object (truncated upload,
+    * bit-rot, a stray non-parquet file with the wrong extension) must
+    * cost its own rows only, never the job. A valid copy of `documents`
+    * shares a directory with a planted garbage `.parquet`; the read runs
+    * with `ignoreCorruptFiles` and must return exactly the good rows
+    * (oracle = the documents table itself). IngestSpec asserts the
+    * complementary default: WITHOUT the option the read fails loudly. */
+  private def corruptDir(s: SparkSession, d: String): String = {
+    val out = s"/tmp/graft_io/q26k_corrupt_${Tables.scratchKey(d)}"
+    Tables.immutableFixture(out) { tmp =>
+      Tables.documents(s, d).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "part-corrupt.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+    }
+    out
+  }
+
+  private def q26k(s: SparkSession, d: String): DataFrame =
+    s.read
+      .option("ignoreCorruptFiles", "true")
+      .parquet(corruptDir(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q26kSql =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q26e_csv_infer", "CSV schema inference round-trip", q26e, Some(q26eSql)),
     Capability("q26f_csv_options", "CSV delimiter/null-marker/date-format parity on shared files",
@@ -238,5 +268,7 @@ object IngestQueries {
     Capability("q26h_json_infer", "JSON schema inference round-trip", q26h, Some(q26hSql)),
     Capability("q26j_csv_write_options", "CSV write options: quoteAll/escape/null string (DuckDB reads Spark's files)",
       q26j, Some(q26jSql)),
+    Capability("q26k_corrupt_skip", "corrupt parquet file skipped, good rows intact (ignoreCorruptFiles)",
+      q26k, Some(q26kSql)),
   )
 }

@@ -97,6 +97,22 @@ class IngestSpec extends AnyFunSuite {
     assert(dropped.count() == 2)
   }
 
+  test("corrupt parquet file: skipped with ignoreCorruptFiles, loud without") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    Tables.documents(spark, sf).limit(100)
+      .write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val n = spark.read.option("ignoreCorruptFiles", "true").parquet(dir).count()
+    assert(n == 100, "good rows must survive the bad neighbor")
+    // the default contract is the opposite: fail loudly, never silently
+    // drop data the caller did not opt out of
+    intercept[Exception] {
+      spark.read.parquet(dir).collect()
+    }
+  }
+
   test("FAILFAST mode raises on the first malformed row") {
     val path = corruptCsv()
     val schema = StructType(Seq(
