@@ -300,6 +300,44 @@ object NestedIOQueries {
 
   private val q25fSql = "SELECT COUNT(*) AS n_rows FROM orders"
 
+  /** Q25g: range-partitioned, sorted-within-partition layout — the write
+    * path that makes parquet min/max skipping effective at 100 TB:
+    * `repartitionByRange` gives every output file a disjoint key range,
+    * so a reader's range predicate prunes whole files (and row groups)
+    * from footer statistics alone, where a hash-partitioned layout would
+    * touch every file (reference: dataset writes carry per-fragment
+    * statistics that drive scan pruning,
+    * cpp/src/arrow/dataset/file_parquet.h StatisticsAsExpression). The
+    * gate re-reads with a range filter — pushed to the scan — and must
+    * match the plain-table oracle; IoSpec asserts the layout property
+    * itself (pairwise-disjoint per-file key ranges) and the pushdown. */
+  private def q25g(s: SparkSession, d: String): DataFrame = {
+    val out = q25gLayout(d)
+    Tables.immutableFixture(out) { tmp =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(out)
+      .filter(col("l_orderkey").between(lit(200L), lit(900L)))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+        graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** Layout dir shared with IoSpec's disjoint-ranges assertion. */
+  def q25gLayout(d: String): String =
+    s"/tmp/graft_io/q25g_sorted_${Tables.scratchKey(d)}"
+
+  private val q25gSql =
+    s"""SELECT COUNT(*) AS n,
+       |  ${graft.Det.sqlSum("l_quantity")} AS sum_qty,
+       |  ${graft.Det.sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 900""".stripMargin
+
   /** Q26a: CSV round-trip with explicit schema (reference CSV
     * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
     * writes shortest round-trippable representations. */
@@ -611,6 +649,7 @@ object NestedIOQueries {
     Capability("q25d_tee", "tee: write a copy while passing the stream through", q25d, Some(q25dSql)),
     Capability("q25e_bucketed", "bucketed write → co-located join (no shuffle)", q25e, Some(q25eSql)),
     Capability("q25f_compression", "zstd/snappy parquet codec round-trip equivalence", q25f, Some(q25fSql)),
+    Capability("q25g_sorted_layout", "range-partitioned sorted write → pruned range read", q25g, Some(q25gSql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),

@@ -144,6 +144,27 @@ object RelationalQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Q04b: the same join/aggregate as q04 through the explicit salted
+    * skew-join operator ([[graft.operators.Skew.saltedJoin]]): the probe
+    * side carries a deterministic 8-way salt and the build side is
+    * replicated across all salts, so one hot orderkey's rows spread over
+    * 8 shuffle partitions instead of hot-spotting one reducer. AQE's
+    * runtime skew split (on in GraftSession) is the default path; this
+    * gates the manual fallback a planner reaches for when the skew is
+    * known up front (SURVEY.md "Partitioning & shuffle": salting for
+    * skew). Same oracle as q04 — salting must not change a single row. */
+  private def q04b(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew
+      .saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey"), col("o_orderkey"), nSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
   /** Q05: multi-way star join. Dimension tables (nation, region) are tiny →
     * broadcast explicitly; customer/orders fall under AQE's runtime
     * broadcast threshold at small SF and shuffle at scale. */
@@ -320,6 +341,7 @@ object RelationalQueries {
     Capability("q03_group_agg", "grouped aggregation (TPC-H Q1 shape)", q03, Some(q03Sql), bench = true),
     Capability("q03b_sql_text", "flagship shape via the spark.sql text front end", q03b, Some(q03Sql)),
     Capability("q04_inner_join", "inner equi-join + aggregation", q04, Some(q04Sql), bench = true),
+    Capability("q04b_salted_join", "manually salted skew join (same rows as q04)", q04b, Some(q04Sql)),
     Capability("q05_star_join", "multi-way star join with broadcast dims", q05, Some(q05Sql), bench = true),
     Capability("q06_outer_joins", "left/right/full outer join null semantics", q06, Some(q06Sql)),
     Capability("q07_semi_anti", "left semi / left anti joins", q07, Some(q07Sql)),

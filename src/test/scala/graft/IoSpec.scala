@@ -23,6 +23,32 @@ class IoSpec extends AnyFunSuite {
     assert(back.collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("q25g sorted layout: per-file key ranges are pairwise disjoint and the range filter is pushed") {
+    // run the gated query once to install the immutable fixture
+    Registry.byName("q25g_sorted_layout").run(spark, sf)
+    val out = queries.NestedIOQueries.q25gLayout(sf)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(ranges.length >= 2, s"expected >=2 files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((fa, _, hiA), (fb, loB, _)) =>
+        // equal keys land in ONE range partition, so file ranges are
+        // strictly disjoint — the property parquet footer min/max
+        // skipping needs to prune whole files on a range predicate
+        assert(hiA < loB, s"overlapping key ranges: $fa hi=$hiA vs $fb lo=$loB")
+      case _ => ()
+    }
+    val plan = spark.read.parquet(out)
+      .filter(col("l_orderkey") <= 900L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_orderkey"), s"range filter not pushed:\n$plan")
+  }
+
   test("IPC round-trip of a real table matches the original") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ipc2").toString
     val orig = Tables.orders(spark, sf)

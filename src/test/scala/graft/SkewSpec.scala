@@ -22,4 +22,21 @@ class SkewSpec extends AnyFunSuite {
     val salted = agg(Skew.saltedJoin(li, ord, col("l_orderkey"), col("o_orderkey"), 8))
     assert(plain == salted)
   }
+
+  test("salted join shuffles on (key, salt): the hot key spreads over nSalts reducers") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Skew
+        .saltedJoin(li, ord, col("l_orderkey"), col("o_orderkey"), 8)
+        .queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head // AQE prints Final AND Initial
+      // the exchange must partition on the salt, not the key alone —
+      // that is the whole point: one hot key → nSalts shuffle partitions
+      assert(plan.contains("__salt"), s"no salt in the exchange keys:\n$plan")
+      assert(plan.contains("hashpartitioning"), s"no hash exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
