@@ -338,6 +338,46 @@ object NestedIOQueries {
        |  ${graft.Det.sqlSum("l_extendedprice")} AS sum_price
        |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 900""".stripMargin
 
+  /** Q25h: z-order (Morton) clustered layout — q25g's single-key idea
+    * extended to TWO filter dimensions: rows are sorted by the
+    * interleaved-bit key ([[graft.functions.ZOrder.mortonKey]]), so each
+    * output file covers a small bounding box in (l_partkey, l_suppkey)
+    * space and a box predicate prunes most files from footer min/max
+    * stats alone — a single-column sort would leave the second dimension
+    * spanning its full range in every file. The gate re-reads through a
+    * two-sided box filter (both pushed to the scan) against the
+    * plain-table oracle; IoSpec asserts the clustering property (mean
+    * per-file box area ≪ the global box). */
+  private def q25h(s: SparkSession, d: String): DataFrame = {
+    val out = q25hLayout(d)
+    Tables.immutableFixture(out) { tmp =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .withColumn("_z",
+          graft.functions.ZOrder.mortonKey(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(16, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(out)
+      .filter(col("l_partkey").between(lit(50L), lit(150L)) &&
+        col("l_suppkey").between(lit(2L), lit(8L)))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Layout dir shared with IoSpec's bounding-box assertion. */
+  def q25hLayout(d: String): String =
+    s"/tmp/graft_io/q25h_zorder_${Tables.scratchKey(d)}"
+
+  private val q25hSql =
+    s"""SELECT COUNT(*) AS n,
+       |  ${graft.Det.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8""".stripMargin
+
   /** Q26a: CSV round-trip with explicit schema (reference CSV
     * reader/writer, cpp/src/arrow/csv/). Doubles survive because Spark
     * writes shortest round-trippable representations. */
@@ -650,6 +690,7 @@ object NestedIOQueries {
     Capability("q25e_bucketed", "bucketed write → co-located join (no shuffle)", q25e, Some(q25eSql)),
     Capability("q25f_compression", "zstd/snappy parquet codec round-trip equivalence", q25f, Some(q25fSql)),
     Capability("q25g_sorted_layout", "range-partitioned sorted write → pruned range read", q25g, Some(q25gSql)),
+    Capability("q25h_zorder_layout", "z-order clustered write → two-dimensional box read", q25h, Some(q25hSql)),
     Capability("q26a_csv_roundtrip", "CSV write → typed read round-trip", q26a, Some(q26Sql)),
     Capability("q26b_json_roundtrip", "JSON write → typed read round-trip", q26b, Some(q26Sql)),
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),

@@ -49,6 +49,29 @@ class IoSpec extends AnyFunSuite {
       plan.contains("LessThanOrEqual(l_orderkey"), s"range filter not pushed:\n$plan")
   }
 
+  test("q25h z-order layout: per-file (partkey, suppkey) bounding boxes cluster") {
+    Registry.byName("q25h_zorder_layout").run(spark, sf)
+    val out = queries.NestedIOQueries.q25hLayout(sf)
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(col("l_partkey")).as("px0"), max(col("l_partkey")).as("px1"),
+        min(col("l_suppkey")).as("py0"), max(col("l_suppkey")).as("py1"))
+      .collect()
+      .map(r => ((r.getLong(2) - r.getLong(1) + 1).toDouble,
+        (r.getLong(4) - r.getLong(3) + 1).toDouble))
+    assert(boxes.length >= 8, s"expected >=8 files, got ${boxes.length}")
+    val stats = spark.read.parquet(out)
+      .agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val globalArea = (stats.getLong(1) - stats.getLong(0) + 1).toDouble *
+      (stats.getLong(3) - stats.getLong(2) + 1).toDouble
+    val meanFrac = boxes.map { case (w, h) => w * h / globalArea }.sum / boxes.length
+    // an unclustered layout gives ~1.0 per file; Morton segments cover a
+    // small box each (curve-boundary crossings allow a few large ones)
+    assert(meanFrac < 0.35, s"mean per-file box area fraction $meanFrac not clustered")
+  }
+
   test("IPC round-trip of a real table matches the original") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ipc2").toString
     val orig = Tables.orders(spark, sf)
