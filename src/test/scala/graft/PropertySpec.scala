@@ -191,6 +191,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("morton key de-interleaves back to both inputs on random 16-bit pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)) ++
+      Seq((0L, 0L), (0xFFFFL, 0xFFFFL), (0xFFFFL, 0L), (0L, 0xFFFFL))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrder.mortonKey(col("x"), col("y")).as("z"))
+      .collect()
+    def unspread(z: Long): Long = { // inverse magic-mask ladder
+      var v = z & 0x55555555L
+      v = (v | (v >> 1)) & 0x33333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FFL
+      (v | (v >> 8)) & 0x0000FFFFL
+    }
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(unspread(z) == x && unspread(z >> 1) == y,
+        s"morton round-trip failed for ($x, $y): z=$z")
+    }
+  }
+
   test("operator misuse fails loudly, not silently") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("a", "b")
