@@ -22,6 +22,8 @@ object Skew {
       buildKey: Column,
       nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    require(!(probe.columns ++ build.columns).contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the input first")
     val saltedProbe = probe.withColumn(
       "__salt",
       pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(nSalts.toLong)))

@@ -232,6 +232,13 @@ class PropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.streaming.StreamingOps.enrichWithStatic(df, df, "a", "full_outer")
     }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(df, df, col("a"), col("a"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      val clash = df.withColumnRenamed("b", "__salt")
+      graft.operators.Skew.saltedJoin(clash, df, col("a"), col("a"), 4)
+    }
   }
 
   test("banded range join equals the in-memory reference on random intervals") {
