@@ -37,4 +37,23 @@ object ZOrder {
     * bit i of x lands at position 2i, bit i of y at 2i+1. */
   def mortonKey(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Range-rank `c` onto `0..boundaries.size` given ascending quantile
+    * boundaries — the production prep for [[mortonKey]] on arbitrary or
+    * skewed domains: boundaries from
+    * [[graft.operators.Quantiles.exact]] at evenly spaced quantiles make
+    * the bucket ids uniform BY CONSTRUCTION, so the interleave spreads a
+    * skewed dimension evenly along the curve instead of collapsing onto
+    * a few prefixes. The rank is a fold over a literal boundary array
+    * (`functions.aggregate`), evaluated entirely executor-side — the
+    * only driver action is computing the boundaries once per write. */
+  def rankBucket(c: Column, boundaries: Seq[Double]): Column = {
+    require(boundaries.nonEmpty && boundaries.size <= 65535,
+      s"need 1..65535 boundaries for a 16-bit bucket id, got ${boundaries.size}")
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    aggregate(
+      lit(boundaries.toArray),
+      lit(0),
+      (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0))
+  }
 }

@@ -214,6 +214,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rankBucket on quantile boundaries balances a skewed dimension") {
+    import spark.implicits._
+    // heavily skewed positive values (quadratic stretch of a uniform id)
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(4000)(rnd.nextDouble()).map(u => u * u * 1e6).toDF("v")
+    val nB = 31 // 32 buckets
+    val boundaries = graft.operators.Quantiles.exact(
+      df, "v", (1 to nB).map(_.toDouble / (nB + 1)))
+    val bucketed = df
+      .select(col("v"), graft.functions.ZOrder.rankBucket(col("v"), boundaries).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    // in range, and monotone wrt the value
+    assert(bucketed.forall { case (_, b) => b >= 0 && b <= nB })
+    val sortedByV = bucketed.sortBy(_._1).map(_._2)
+    assert(sortedByV.zip(sortedByV.tail).forall { case (a, b) => a <= b })
+    // quantile boundaries make occupancy uniform: no bucket more than
+    // 2x the ideal share despite the skewed domain
+    val counts = bucketed.groupBy(_._2).map(_._2.length)
+    assert(counts.max <= 2 * (4000 / (nB + 1)),
+      s"skewed occupancy: max bucket ${counts.max} of 4000")
+  }
+
   test("operator misuse fails loudly, not silently") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("a", "b")
