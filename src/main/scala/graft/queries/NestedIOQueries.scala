@@ -460,6 +460,23 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.readStream(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26l: compressed Arrow IPC round-trip (reference
+    * IpcWriteOptions::codec, cpp/src/arrow/ipc/options.h:118-124): the
+    * same projection written with zstd body-buffer compression must read
+    * back identically — the reader decodes from the per-batch
+    * compression header with no caller-side hint. Same oracle as q26d;
+    * IoSpec additionally covers lz4 and asserts zstd bytes < plain. */
+  private def q26l(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_zstd_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.write(
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date")),
+      out, codec = "zstd")
+    graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
+  }
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
@@ -696,6 +713,7 @@ object NestedIOQueries {
     Capability("q26c_orc_roundtrip", "ORC write → read round-trip", q26c, Some(q26Sql)),
     Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
     Capability("q26i_ipc_stream", "Arrow IPC STREAM-format round-trip (footerless framing)", q26i, Some(q26Sql)),
+    Capability("q26l_ipc_zstd", "zstd-compressed Arrow IPC round-trip (body-buffer codec)", q26l, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,

@@ -69,19 +69,50 @@ object ArrowIpc {
     override def close(): Unit = { open = false; in.close() }
   }
 
+  /** IPC body-buffer compression (reference `IpcWriteOptions::codec`,
+    * cpp/src/arrow/ipc/options.h:118-124): "none", "zstd" or "lz4"
+    * (LZ4_FRAME — the only LZ4 framing the IPC spec admits). Readers
+    * decode transparently from the per-batch compression header. */
+  private def codecOf(codec: String)
+      : Option[org.apache.arrow.vector.compression.CompressionUtil.CodecType] =
+    codec match {
+      case "none" => None
+      case "zstd" => Some(org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
+      case "lz4"  => Some(org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME)
+      case other  => throw new IllegalArgumentException(
+        s"unknown IPC codec '$other' (none|zstd|lz4)")
+    }
+
   /** Write `df` as a directory of Arrow IPC files, one per partition.
     * Per partition: Spark's columnar serializer produces framed record
     * batches; a VectorLoader moves their buffers into the file writer —
-    * buffer transfers end to end. */
-  def write(df: DataFrame, dir: String, batchSize: Int = 4096): Unit =
+    * buffer transfers end to end (compressed at the writer when a codec
+    * is set). */
+  def write(df: DataFrame, dir: String, batchSize: Int = 4096,
+      codec: String = "none"): Unit = {
+    val ct = codecOf(codec)
     writeWith(df, dir, batchSize, "arrow",
-      (root, ch) => new ArrowFileWriter(root, null, ch))
+      (root, ch) => ct match {
+        case None => new ArrowFileWriter(root, null, ch)
+        case Some(c) => new ArrowFileWriter(root, null, ch,
+          null, org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, c)
+      })
+  }
 
   /** Write `df` in the IPC STREAM format (`.arrows`), one stream per
     * partition — byte-for-byte what a socket peer would send. */
-  def writeStream(df: DataFrame, dir: String, batchSize: Int = 4096): Unit =
+  def writeStream(df: DataFrame, dir: String, batchSize: Int = 4096,
+      codec: String = "none"): Unit = {
+    val ct = codecOf(codec)
     writeWith(df, dir, batchSize, "arrows",
-      (root, ch) => new ArrowStreamWriter(root, null, ch))
+      (root, ch) => ct match {
+        case None => new ArrowStreamWriter(root, null, ch)
+        case Some(c) => new ArrowStreamWriter(root, null, ch,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, c)
+      })
+  }
 
   private def writeWith(
       df: DataFrame, dir: String, batchSize: Int, ext: String,
@@ -129,11 +160,14 @@ object ArrowIpc {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val in = fs.open(path)
-    if (stream) new ArrowStreamReader(in, allocator)
+    // always hand the reader the codec factory: uncompressed batches never
+    // consult it, compressed ones (zstd / lz4_frame) decode transparently
+    val codecs = org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+    if (stream) new ArrowStreamReader(in, allocator, codecs)
     else {
       val len = fs.getFileStatus(path).getLen
       new ArrowFileReader(
-        new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator)
+        new SeekableReadChannel(new HadoopSeekableChannel(in, len)), allocator, codecs)
     }
   }
 

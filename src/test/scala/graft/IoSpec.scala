@@ -72,6 +72,30 @@ class IoSpec extends AnyFunSuite {
     assert(meanFrac < 0.35, s"mean per-file box area fraction $meanFrac not clustered")
   }
 
+  test("compressed IPC: zstd and lz4 round-trip equal, zstd file is smaller, stream format too") {
+    def dirBytes(dir: String): Long = {
+      val d = new java.io.File(dir)
+      d.listFiles().map(_.length()).sum
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ipc_codec").toString
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    ArrowIpc.write(orig, s"$base/plain")
+    ArrowIpc.write(orig, s"$base/zstd", codec = "zstd")
+    ArrowIpc.write(orig, s"$base/lz4", codec = "lz4")
+    ArrowIpc.writeStream(orig, s"$base/zstds", codec = "zstd")
+    val plain = ArrowIpc.read(spark, s"$base/plain").orderBy("doc_id").collect().toSeq
+    assert(ArrowIpc.read(spark, s"$base/zstd").orderBy("doc_id").collect().toSeq == plain)
+    assert(ArrowIpc.read(spark, s"$base/lz4").orderBy("doc_id").collect().toSeq == plain)
+    assert(ArrowIpc.readStream(spark, s"$base/zstds").orderBy("doc_id").collect().toSeq == plain)
+    // repetitive text must compress: the codec actually engaged
+    assert(dirBytes(s"$base/zstd") < dirBytes(s"$base/plain") / 2,
+      s"zstd ${dirBytes(s"$base/zstd")} vs plain ${dirBytes(s"$base/plain")}")
+    intercept[IllegalArgumentException] {
+      ArrowIpc.write(orig, s"$base/bad", codec = "gzip")
+    }
+  }
+
   test("IPC round-trip of a real table matches the original") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ipc2").toString
     val orig = Tables.orders(spark, sf)
