@@ -110,4 +110,22 @@ object Sharding {
     }
     df.filter(draw < threshold)
   }
+
+  /** Deterministic corpus SHUFFLE: the seeded global permutation every
+    * training run applies before reading the corpus in order. The
+    * permutation key is md5(seed ++ id) — reshuffling is changing the
+    * seed, and any engine reproduces the same order. The order is
+    * materialized hierarchically, the way shuffled shards are actually
+    * consumed: the key's first hex digit assigns one of 16 shards, and
+    * `shuffle_pos` ranks within the shard — ONE hash exchange (the shard
+    * window), never a global single-reducer sort; readers stream shards
+    * in any order, each internally shuffled. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = md5(concat(lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+      .withColumn("shuffle_pos", row_number().over(w) - 1)
+  }
 }

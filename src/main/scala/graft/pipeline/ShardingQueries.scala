@@ -46,6 +46,20 @@ object ShardingQueries {
       |  (cum_tok - n_tok) - ((cum_tok - n_tok) // 2048) * 2048 AS seq_offset
       |FROM cum ORDER BY doc_id""".stripMargin
 
+  private def shuffle(s: SparkSession, d: String): DataFrame =
+    Sharding.shuffleOrder(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", seed = "s42")
+      .orderBy(col("doc_id"))
+
+  private val shuffleSql =
+    """SELECT doc_id,
+      |  md5('s42' || doc_id::VARCHAR) AS shuffle_key,
+      |  substring(md5('s42' || doc_id::VARCHAR), 1, 1) AS shard,
+      |  (row_number() OVER (
+      |     PARTITION BY substring(md5('s42' || doc_id::VARCHAR), 1, 1)
+      |     ORDER BY md5('s42' || doc_id::VARCHAR), doc_id) - 1) AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def cap(s: SparkSession, d: String): DataFrame =
     Sharding.capPerGroup(
       Tables.documents(s, d).select(col("doc_id"), col("source")),
@@ -164,5 +178,7 @@ object ShardingQueries {
       Some(packSql)),
     Capability("pipeline_cap", "deterministic md5-lottery per-domain document cap", cap,
       Some(capSql)),
+    Capability("pipeline_shuffle", "seeded deterministic corpus shuffle (sharded permutation)",
+      shuffle, Some(shuffleSql)),
   )
 }

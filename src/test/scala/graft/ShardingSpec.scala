@@ -79,6 +79,29 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded shuffle is a stable permutation; a new seed reorders it") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+    def order(seed: String): Seq[Long] =
+      Sharding.shuffleOrder(ids, "doc_id", seed)
+        .orderBy(col("shard"), col("shuffle_pos"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val a = order("s42")
+    // a permutation: every doc exactly once, stable across runs
+    assert(a.sorted == a.distinct.sorted && a.size == ids.count())
+    assert(a == order("s42"))
+    val b = order("s43")
+    assert(a != b && a.sorted == b.sorted)
+    // within every shard, positions are dense 0..n-1
+    val dense = Sharding.shuffleOrder(ids, "doc_id", "s42")
+      .groupBy(col("shard"))
+      .agg(min(col("shuffle_pos")).as("lo"), max(col("shuffle_pos")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    dense.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2).toLong == r.getLong(3) - 1)
+    }
+  }
+
   test("per-group cap keeps at most k, deterministically, layout-independent") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
     val k = 7
