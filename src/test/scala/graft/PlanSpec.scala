@@ -92,6 +92,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("pipeline_shuffle plans exactly one hash exchange (the shard window)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.pipeline.Sharding.shuffleOrder(
+      Tables.documents(spark, sf).select(col("doc_id")), "doc_id", "s42")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "the shuffle must not global-sort; per-shard windows only:\n" + plan.take(2000))
+  }
+
   test("pipeline_pack plans exactly one hash exchange (the shard window)") {
     import org.apache.spark.sql.functions._
     val df = graft.pipeline.Sharding.packSequences(
