@@ -19,6 +19,20 @@ import org.apache.spark.sql.SparkSession
   * every sample. The canonical per-query number (and the headline/total)
   * is the per-query MEDIAN across passes; per-query minima are also
   * emitted (`queries_min`) as the contention-free floor.
+  *
+  * Output is TWO lines: the full record (per-query medians + minima)
+  * first, then a SHORT summary line with the total/headline. Harnesses
+  * that keep only the tail of the output therefore still capture a
+  * complete, parseable JSON object with the headline numbers — the
+  * round-6 artifact stored the last 2000 characters of a single long
+  * line, which truncated away the leading summary fields.
+  *
+  * Host-load guard: before each pass the 1-minute load average is read
+  * from /proc/loadavg; if it exceeds `SPARK_GRAFT_BENCH_MAX_LOAD`
+  * (default 1.5 — this process's own Spark threads are idle between
+  * passes), the pass is delayed up to two 30 s waits. The observed
+  * per-pass loads are recorded in the output (`load`) so a reader can
+  * tell a contended record from a quiet one without external notes.
   */
 object Bench {
 
@@ -50,12 +64,38 @@ object Bench {
     // warmup: flagship query pays codegen/classload once
     runOnce("q03_group_agg")
 
+    /** 1-minute load average, or -1 where /proc/loadavg is unavailable. */
+    def loadAvg1m(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
+    /** Delay a pass while the host is visibly contended (bounded: two
+      * 30 s waits), returning the load the pass actually started under. */
+    def guardLoad(): Double = {
+      var l = loadAvg1m()
+      var waits = 0
+      while (l > maxLoad && waits < 2) {
+        System.err.println(
+          f"[bench] 1m load $l%.2f > $maxLoad%.2f — delaying pass 30s")
+        Thread.sleep(30000)
+        waits += 1
+        l = loadAvg1m()
+      }
+      l
+    }
+
     val names = Registry.all.map(_.name)
     // interleaved passes: samples(q) accumulates one time per pass
     val samples: Map[String, Array[Double]] =
       names.map(_ -> Array.fill(reps)(-1.0)).toMap
+    val passLoads = Array.fill(reps)(-1.0)
     var pass = 0
     while (pass < reps) {
+      passLoads(pass) = guardLoad()
       names.foreach { n => samples(n)(pass) = runOnce(n) }
       pass += 1
     }
@@ -84,7 +124,11 @@ object Bench {
       .mkString("{", ",", "}")
     val totalS = num(total)
     val headS = num(headlineTotal)
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    val loads = passLoads.map(num).mkString("[", ",", "]")
+    // Per-query detail first, short summary LAST: a tail-capture of the
+    // output always holds the complete summary object.
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

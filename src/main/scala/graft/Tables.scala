@@ -95,24 +95,50 @@ object Tables {
       parent,
       s"${target.getName}.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     write(tmp.getPath)
+    def winnerInstalled: Boolean = new java.io.File(target, "_SUCCESS").exists()
     if (!tmp.renameTo(target)) {
-      // renameTo fails both when another writer won the race AND when
-      // tmp/target straddle filesystems (cross-device /tmp mount) — only
-      // the first case leaves a winner to reuse. For the second, fall back
-      // to Hadoop's rename, whose local implementation degrades to a copy
-      // across devices instead of silently returning false.
-      if (new java.io.File(target, "_SUCCESS").exists()) {
+      // renameTo fails both when another writer won the race AND on exotic
+      // filesystems where a direct rename is refused (cross-device /tmp
+      // overlay) — only the first case leaves a winner to reuse.
+      if (winnerInstalled) {
         rm(tmp) // another writer installed the fixture first — use theirs
+      } else if (target.exists()) {
+        // The target path is occupied but carries no _SUCCESS: a
+        // concurrent writer's install is mid-flight. NEVER rename or copy
+        // into an existing directory (Hadoop's rename would nest our tmp
+        // tree INSIDE the winner's fixture, and its recursive listing
+        // would then read duplicate part files). Wait briefly for the
+        // winner's marker instead.
+        val deadline = System.currentTimeMillis() + 30000L
+        while (!winnerInstalled && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        rm(tmp)
+        require(winnerInstalled,
+          s"fixture install failed at $dir: target exists without _SUCCESS" +
+            " and no concurrent writer completed within 30s")
       } else {
+        // Free target path: retry through Hadoop's machinery — but NEVER
+        // let its degraded copy aim at the final path (the copy is
+        // non-atomic and `_SUCCESS` sorts FIRST in listing order, so a
+        // concurrent reader could see the marker before the part files
+        // land). Stage the copy at a fresh sibling of the target — on the
+        // target's device by construction — then atomically
+        // File.renameTo from there.
         val conf = new org.apache.hadoop.conf.Configuration()
-        val fs = new org.apache.hadoop.fs.Path(target.getPath).getFileSystem(conf)
-        val moved = fs.rename(
-          new org.apache.hadoop.fs.Path(tmp.getPath),
-          new org.apache.hadoop.fs.Path(target.getPath))
-        if (!moved) rm(tmp)
-        require(new java.io.File(target, "_SUCCESS").exists(),
-          s"fixture install failed at $dir: File.renameTo and Hadoop " +
-            s"rename from ${tmp.getPath} both failed and no concurrent " +
+        val fsPath = new org.apache.hadoop.fs.Path(target.getPath)
+        val fs = fsPath.getFileSystem(conf)
+        val stage = new java.io.File(
+          parent,
+          s"${target.getName}.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+        val staged = org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(tmp.getPath),
+          fs, new org.apache.hadoop.fs.Path(stage.getPath),
+          true /* deleteSource */, conf)
+        val installed = staged && stage.renameTo(target)
+        if (!installed) { rm(stage); rm(tmp) } // winner re-checked below
+        require(winnerInstalled,
+          s"fixture install failed at $dir: File.renameTo and the staged " +
+            s"copy from ${tmp.getPath} both failed and no concurrent " +
             "writer installed the fixture")
       }
     }

@@ -119,21 +119,27 @@ object DedupQueries {
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
       .orderBy(col("da"), col("db"))
 
-  /** SimHash recall gate vs the exact 0.8-Jaccard pairs, emitted as a
+  /** SimHash recall gate vs the 0.8-Jaccard pairs, emitted as a
     * THRESHOLDED deterministic scalar so the driver's DuckDB gate — not
     * just DedupSpec — covers the simhash path (same pattern as the ANN
     * recall gates): the hash family is fixed, so the hit count is a pure
     * function of the corpus. DedupSpec asserts recall >= 0.5 on this
-    * corpus; the gate carries a wide margin under that. */
+    * corpus; the gate carries a wide margin under that.
+    *
+    * The reference pair set is `Dedup.minhashPairs(threshold = 0.8)` —
+    * the SAME set the `dedup_minhash_lsh` gate proves equal to the exact
+    * 0.8-Jaccard pairs against the DuckDB oracle — so this gate no longer
+    * pays the quadratic exact-inverted-index pass. Hits and total come
+    * from ONE aggregation over a single left join (the round-6 shape ran
+    * the pair pipeline twice: once for the semi-join, once for the
+    * total). */
   private def simhashRecall(s: SparkSession, d: String): DataFrame = {
     val sim = Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+      .select(col("da"), col("db"), lit(1).as("__hit"))
+    val jac = Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
       .select(col("da"), col("db"))
-    val jac = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3)
-      .filter(col("jaccard") >= 0.8)
-      .select(col("da"), col("db"))
-    jac.join(sim, Seq("da", "db"), "left_semi")
-      .agg(count(lit(1)).as("__hits"))
-      .crossJoin(jac.agg(count(lit(1)).as("__total")))
+    jac.join(sim, Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("__total"), count(col("__hit")).as("__hits"))
       .select(
         lit(8).as("max_hamming"),
         (col("__total") > 0).cast("int").as("pairs_exist"),

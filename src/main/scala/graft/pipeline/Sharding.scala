@@ -21,21 +21,42 @@ object Sharding {
   private def bucket2(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 2)
 
+  /** Guard the columns an operator is about to introduce: failing loudly
+    * beats silently overwriting (or colliding with) a caller's column of
+    * the same name — the same contract as `Skew.saltedJoin`'s `__salt`. */
+  private def requireFresh(df: DataFrame, names: String*): Unit =
+    names.foreach { n =>
+      require(!df.columns.contains(n),
+        s"Sharding reserves the '$n' column; rename it on the input first")
+    }
+
+  /** Validate an md5-prefix shard width: 1-4 hex chars → 16/256/4096/65536
+    * shards. Rule of thumb: one shard is what ONE task should sort, so
+    * pick the width where corpus_bytes / 16^width ≈ a few hundred MB —
+    * width 1 for gate-scale fixtures, 2-3 at production TB, 4 at 100 TB. */
+  private def requireWidth(shardHexChars: Int): Unit =
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be 1..4 (16..65536 shards), got $shardHexChars")
+
   /** Deterministic train/val/test split by md5 bucket. Boundaries are
     * two-hex-digit strings compared lexicographically ("cc" → 204/256 ≈
     * 80% train, "e6" → 26/256 ≈ 10% val, rest test); any row set, on any
     * engine, splits identically. Narrow projection — zero shuffle. */
   def assignSplit(
       df: DataFrame, idCol: String,
-      trainUpper: String = "cc", valUpper: String = "e6"): DataFrame =
+      trainUpper: String = "cc", valUpper: String = "e6"): DataFrame = {
+    requireFresh(df.select(col(idCol)), "bucket", "split")
     df.select(col(idCol), bucket2(col(idCol)).as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainUpper, "train")
           .when(col("bucket") < valUpper, "val")
           .otherwise("test"))
+  }
 
   /** Greedy offset-based packing of documents into fixed `ctxTokens`
-    * windows, sharded by the first md5 hex digit of the id (16 shards).
+    * windows, sharded by the first `shardHexChars` md5 hex digits of the
+    * id (16^width shards — see [[requireWidth]] for choosing the width
+    * from data volume).
     *
     * Within a shard, documents are laid out in id order at their running
     * token offset; `seq_id` is the context window the document STARTS in
@@ -48,12 +69,15 @@ object Sharding {
     * per-shard layout). */
   def packSequences(
       df: DataFrame, idCol: String, tokCol: Column,
-      ctxTokens: Int = 2048): DataFrame = {
+      ctxTokens: Int = 2048, shardHexChars: Int = 1): DataFrame = {
+    requireWidth(shardHexChars)
+    requireFresh(df.select(col(idCol)),
+      "shard", "n_tok", "cum_tok", "start_off", "seq_id", "seq_offset")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
       col(idCol),
-      substring(md5(col(idCol).cast("string")), 1, 1).as("shard"),
+      substring(md5(col(idCol).cast("string")), 1, shardHexChars).as("shard"),
       tokCol.cast("bigint").as("n_tok"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .withColumn("start_off", col("cum_tok") - col("n_tok"))
@@ -79,6 +103,7 @@ object Sharding {
     * ranking. */
   def capPerGroup(
       df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    requireFresh(df, "cap_rank")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("cap_rank", row_number().over(w))
@@ -116,16 +141,29 @@ object Sharding {
     * permutation key is md5(seed ++ id) — reshuffling is changing the
     * seed, and any engine reproduces the same order. The order is
     * materialized hierarchically, the way shuffled shards are actually
-    * consumed: the key's first hex digit assigns one of 16 shards, and
-    * `shuffle_pos` ranks within the shard — ONE hash exchange (the shard
-    * window), never a global single-reducer sort; readers stream shards
-    * in any order, each internally shuffled. */
-  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    * consumed: the key's first `shardHexChars` hex digits assign one of
+    * 16^width shards, and `shuffle_pos` ranks within the shard — ONE hash
+    * exchange (the shard window), never a global single-reducer sort;
+    * readers stream shards in lexicographic order, each internally
+    * shuffled.
+    *
+    * The GLOBAL permutation (read shards in shard order, rows by
+    * `shuffle_pos` within each) is IDENTICAL at every width — shards are
+    * key prefixes, so (shard, shuffle_key) order equals plain
+    * `shuffle_key` order; widening only raises sort parallelism. Pick the
+    * width per [[requireWidth]]'s rule of thumb: at 100 TB, width 1 would
+    * mean ~6 TB per in-partition sort; width 3-4 keeps a shard inside one
+    * task's spill budget. */
+  def shuffleOrder(
+      df: DataFrame, idCol: String, seed: String,
+      shardHexChars: Int = 1): DataFrame = {
+    requireWidth(shardHexChars)
+    requireFresh(df, "shuffle_key", "shard", "shuffle_pos")
     val key = md5(concat(lit(seed), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col(idCol))
     df.withColumn("shuffle_key", key)
-      .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+      .withColumn("shard", substring(col("shuffle_key"), 1, shardHexChars))
       .withColumn("shuffle_pos", row_number().over(w) - 1)
   }
 }

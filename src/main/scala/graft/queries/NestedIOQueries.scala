@@ -654,9 +654,14 @@ object NestedIOQueries {
     * ApproxAggSpec — covers the sketch paths. Thresholds carry wide
     * margin: HLL++ default rsd is 5% (gate 10%), percentile_approx at
     * accuracy 10000 and the t-digest at δ=100 are both well inside 1%
-    * on this column (gate 2% / 5%). */
+    * on this column (gate 2% / 5%).
+    *
+    * One ship-year slice (same reasoning as q16b): the gate property is
+    * per-sketch ERROR, not data volume — four exact baselines over the
+    * full column tripled this gate's cost for zero extra coverage, and
+    * one year still holds ~85k rows at sf0.1. */
   private def q27h(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d).filter(year(col("l_shipdate")) === 1995)
     def relOk(a: Column, e: Column, tol: Double): Column =
       (abs(a - e) <= abs(e) * tol).cast("int")
     // exact medians via the rank-selection operators, never the

@@ -102,6 +102,52 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle: the global permutation is identical at every shard width") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+    def order(width: Int): Seq[Long] =
+      Sharding.shuffleOrder(ids, "doc_id", "s42", shardHexChars = width)
+        .orderBy(col("shard"), col("shuffle_pos"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // shards are md5-key prefixes: (shard, pos-within-shard) order is the
+    // plain key order at ANY width — widening only adds sort parallelism
+    val w1 = order(1)
+    assert(w1 == order(2) && w1 == order(3))
+    intercept[IllegalArgumentException] {
+      Sharding.shuffleOrder(ids, "doc_id", "s42", shardHexChars = 5)
+    }
+  }
+
+  test("packing: wider shards split sorts without changing in-shard layout") {
+    val docs = Tables.documents(spark, sf)
+    val toks = size(TextOps.words(col("text")))
+    val w1 = Sharding.packSequences(docs, "doc_id", toks, 2048, shardHexChars = 1)
+      .select(col("doc_id"), col("shard"), col("cum_tok")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w2 = Sharding.packSequences(docs, "doc_id", toks, 2048, shardHexChars = 2)
+      .select(col("doc_id"), col("shard"), col("cum_tok")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // width-2 shards refine width-1 shards: same count, prefix-compatible
+    assert(w1.length == w2.length)
+    val shard1 = w1.map(r => r._1 -> r._2).toMap
+    w2.foreach { case (id, sh2, _) => assert(sh2.startsWith(shard1(id))) }
+  }
+
+  test("operators refuse inputs that already carry their reserved columns") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    intercept[IllegalArgumentException] {
+      Sharding.shuffleOrder(docs.withColumn("shuffle_key", lit("x")),
+        "doc_id", "s")
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.capPerGroup(docs.withColumn("cap_rank", lit(1)),
+        "cap_rank", "doc_id", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.packSequences(docs.withColumnRenamed("doc_id", "shard"),
+        "shard", lit(1))
+    }
+  }
+
   test("per-group cap keeps at most k, deterministically, layout-independent") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
     val k = 7

@@ -39,4 +39,31 @@ class SkewSpec extends AnyFunSuite {
       assert(plan.contains("hashpartitioning"), s"no hash exchange:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("byte-identical hot rows spread across salts (not one hot bucket)") {
+    import spark.implicits._
+    // the realistic 100 TB skew case: billions of IDENTICAL rows on one
+    // hot key — a pure row-hash salt would put them all in ONE bucket
+    val hot = Seq.fill(4096)((1L, "same")).toDF("k", "v").repartition(8)
+    val dim = Seq((1L, "dim")).toDF("dk", "dv")
+    val joined = Skew.saltedJoin(hot, dim, col("k"), col("dk"), 8)
+    assert(joined.count() == 4096L) // result unaffected by salting
+    // observe the salt distribution directly through the same default expr
+    val salts = hot
+      .withColumn("__salt",
+        pmod(xxhash64(struct(hot.columns.map(col): _*),
+          monotonically_increasing_id()), lit(8L)))
+      .groupBy(col("__salt")).count().collect()
+    assert(salts.length > 1,
+      s"identical rows collapsed into ${salts.length} salt bucket(s)")
+  }
+
+  test("explicit saltExpr overrides the default salt") {
+    import spark.implicits._
+    val probe = (1L to 64L).map(i => (1L, i)).toDF("k", "uid")
+    val dim = Seq((1L, "dim")).toDF("dk", "dv")
+    val viaUid = Skew.saltedJoin(probe, dim, col("k"), col("dk"), 4,
+      saltExpr = Some(xxhash64(col("uid"))))
+    assert(viaUid.count() == 64L)
+  }
 }
