@@ -38,6 +38,31 @@ object ZOrder {
   def mortonKey(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** N-dimensional Morton key: bit i of dimension d lands at position
+    * i*n + d, so a box predicate on ANY subset of the n columns prunes
+    * files of the sorted layout — the 3-4-column generalization of
+    * [[mortonKey]] (for n = 2 the bit layout is identical).
+    *
+    * The 62-bit sign-safe budget splits evenly across dimensions, capped
+    * at 16 bits each: 2-3 dims keep the full 16-bit domain of
+    * [[mortonKey]]; at 4+ dims per-dim resolution shrinks (15 bits at 4,
+    * 10 at 6) — prep wide or skewed domains with [[rankBucket]] first so
+    * the reduction keeps curve locality instead of wrapping. Same
+    * pure-bitwise construction: ~3 codegen ops per (dim, bit), all
+    * whole-stage-codegen'd into the write-side projection. */
+  def mortonKeyN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"need 2..8 dimensions to interleave, got ${cols.size}")
+    val n = cols.size
+    val bits = math.min(16, 62 / n)
+    cols.zipWithIndex.map { case (c, d) =>
+      val x = c.cast("bigint").bitwiseAND(lit((1L << bits) - 1L))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** Range-rank `c` onto `0..boundaries.size` given ascending quantile
     * boundaries — the production prep for [[mortonKey]] on arbitrary or
     * skewed domains: boundaries from

@@ -50,24 +50,9 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(nHashes)(Long.MaxValue)
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var i = 0
-      while (i < nHashes) {
-        val hi = mix(h ^ (0x9E3779B97F4A7C15L * (i + 1)))
-        if (hi < buffer(i)) buffer(i) = hi
-        i += 1
-      }
-    }
+    if (v != null) MinHashSketch.updateWith(buffer, v.asInstanceOf[Long], nHashes)
     buffer
   }
 
@@ -106,4 +91,34 @@ object MinHashSketch {
   def apply(hashed: Column, nHashes: Int): Column =
     Bridge.column(
       MinHashSketch(Bridge.expression(hashed), nHashes).toAggregateExpression())
+
+  private val Golden = 0x9E3779B97F4A7C15L
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline private[graft] def updateWith(
+      buffer: Array[Long], h: Long, nHashes: Int): Unit = {
+    var i = 0
+    while (i < nHashes) {
+      val hi = mix(h ^ (Golden * (i + 1)))
+      if (hi < buffer(i)) buffer(i) = hi
+      i += 1
+    }
+  }
+
+  /** The aggregate's per-seed minima fold over an in-memory element
+    * iterator — shared with the STREAMING twin
+    * ([[graft.streaming.StreamingDedup]]) so a document's signature is
+    * bit-identical whether it was aggregated in a batch group-by or
+    * computed row-local inside a stateful processor. */
+  private[graft] def signatureOf(hashes: Iterator[Long], nHashes: Int): Array[Long] = {
+    val buf = Array.fill(nHashes)(Long.MaxValue)
+    while (hashes.hasNext) updateWith(buf, hashes.next(), nHashes)
+    buf
+  }
 }

@@ -4,10 +4,11 @@ import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.channels.{Channels, SeekableByteChannel}
 
-import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.memory.{ArrowBuf, RootAllocator}
+import org.apache.arrow.vector.{TypeLayout, VectorLoader, VectorSchemaRoot, VectorUnloader}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter, ArrowWriter, SeekableReadChannel, WriteChannel}
-import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.TaskContext
@@ -151,6 +152,98 @@ object ArrowIpc {
     }
   }
 
+  // --- 64-bit-offset layout variants -------------------------------------
+  // LARGE_STRING / LARGE_BINARY / LARGE_LIST (reference type ids 34/35/36,
+  // cpp/src/arrow/type.h:442-448) are per SURVEY §1.2 "layout variants,
+  // same semantics" of their 32-bit twins. Spark's columnar loader speaks
+  // only the 32-bit layouts, so the read path NARROWS them at the batch
+  // level: the int64 offsets buffer is rewritten as int32 (rejecting any
+  // offset past 2^31-1 — a single task-local >2 GiB column has no 32-bit
+  // representation), every other buffer passes through untouched, at any
+  // nesting depth. Values are never copied — only offsets.
+
+  private def narrowType(t: ArrowType): ArrowType = t match {
+    case _: ArrowType.LargeUtf8   => ArrowType.Utf8.INSTANCE
+    case _: ArrowType.LargeBinary => ArrowType.Binary.INSTANCE
+    case _: ArrowType.LargeList   => ArrowType.List.INSTANCE
+    case other                    => other
+  }
+
+  private def narrowField(f: Field): Field = {
+    import scala.jdk.CollectionConverters._
+    new Field(f.getName,
+      new FieldType(f.isNullable, narrowType(f.getType), f.getDictionary, f.getMetadata),
+      f.getChildren.asScala.map(narrowField).toSeq.asJava)
+  }
+
+  private def narrowSchema(s: ArrowSchema): ArrowSchema = {
+    import scala.jdk.CollectionConverters._
+    new ArrowSchema(s.getFields.asScala.map(narrowField).toSeq.asJava)
+  }
+
+  private def hasLargeTypes(fields: Seq[Field]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    fields.exists { f =>
+      (f.getType ne narrowType(f.getType)) ||
+        hasLargeTypes(f.getChildren.asScala.toSeq)
+    }
+  }
+
+  /** Rewrite one record batch from 64-bit-offset layouts to 32-bit ones.
+    * Node list and pass-through buffers are reused; only offsets buffers
+    * of large-type vectors are re-encoded. The returned batch retains all
+    * its buffers, so both it and `batch` must be closed by the caller. */
+  private def narrowBatch(
+      fields: Seq[Field], batch: ArrowRecordBatch,
+      allocator: RootAllocator): ArrowRecordBatch = {
+    val nodes = batch.getNodes.iterator()
+    val bufs = batch.getBuffers.iterator()
+    val outNodes = new java.util.ArrayList[ArrowFieldNode]()
+    val outBufs = new java.util.ArrayList[ArrowBuf]()
+    val scratch = new java.util.ArrayList[ArrowBuf]()
+    def narrowOffsets(src: ArrowBuf, len: Int): ArrowBuf =
+      if (src.capacity() == 0) src // zero-length vector, empty offsets
+      else {
+        val n = len + 1
+        val dst = allocator.buffer(n.toLong * 4)
+        var i = 0
+        while (i < n) {
+          val v = src.getLong(i.toLong * 8)
+          require(v >= 0 && v <= Int.MaxValue,
+            s"large-type offset $v does not fit the 32-bit layout " +
+              "(a single >2 GiB column chunk cannot be narrowed)")
+          dst.setInt(i.toLong * 4, v.toInt)
+          i += 1
+        }
+        dst.writerIndex(n.toLong * 4) // serialized size is readableBytes
+        scratch.add(dst)
+        dst
+      }
+    def walk(field: Field): Unit = {
+      val node = nodes.next()
+      outNodes.add(node)
+      field.getType match {
+        case _: ArrowType.LargeUtf8 | _: ArrowType.LargeBinary =>
+          outBufs.add(bufs.next()) // validity
+          outBufs.add(narrowOffsets(bufs.next(), node.getLength))
+          outBufs.add(bufs.next()) // data
+        case _: ArrowType.LargeList =>
+          outBufs.add(bufs.next()) // validity
+          outBufs.add(narrowOffsets(bufs.next(), node.getLength))
+          field.getChildren.forEach(walk(_))
+        case t =>
+          var i = 0
+          val n = TypeLayout.getTypeBufferCount(t)
+          while (i < n) { outBufs.add(bufs.next()); i += 1 }
+          field.getChildren.forEach(walk(_))
+      }
+    }
+    fields.foreach(walk)
+    val out = new ArrowRecordBatch(batch.getLength, outNodes, outBufs)
+    scratch.forEach(_.close()) // the new batch holds its own retains
+    out
+  }
+
   /** Stream one file's record batches as framed payloads (the format
     * [[Bridge.fromArrowBatchIterator]] consumes). Batch-at-a-time: peak
     * memory is one batch, not the file. */
@@ -173,9 +266,12 @@ object ArrowIpc {
 
   private def batchBytes(
       conf: Configuration, file: String, stream: Boolean): Iterator[Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = openReader(conf, file, stream, allocator)
     val unloader = new VectorUnloader(reader.getVectorSchemaRoot)
+    val srcFields = reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+    val narrow = hasLargeTypes(srcFields)
     var closed = false
     def closeAll(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
@@ -192,10 +288,11 @@ object ArrowIpc {
         advance()
         if (!hasBatch) throw new NoSuchElementException
         advanced = false
-        val batch = unloader.getRecordBatch
+        val src = unloader.getRecordBatch
+        val batch = if (narrow) narrowBatch(srcFields, src, allocator) else src
         val bos = new ByteArrayOutputStream()
         try MessageSerializer.serialize(new WriteChannel(Channels.newChannel(bos)), batch)
-        finally batch.close()
+        finally { if (batch ne src) batch.close(); src.close() }
         bos.toByteArray
       }
     }
@@ -224,7 +321,9 @@ object ArrowIpc {
     val schema: StructType = {
       val allocator = new RootAllocator(Long.MaxValue)
       val reader = openReader(conf, files.head, stream, allocator)
-      try Bridge.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      // large-offset layout variants map to the same Spark types (§1.2);
+      // batchBytes narrows their buffers to match
+      try Bridge.fromArrowSchema(narrowSchema(reader.getVectorSchemaRoot.getSchema))
       finally { reader.close(); allocator.close() }
     }
     val hconf = new SerializableHadoopConf(conf)

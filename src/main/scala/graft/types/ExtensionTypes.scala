@@ -242,3 +242,158 @@ class OpaqueType extends UserDefinedType[Opaque] {
 }
 
 case object OpaqueType extends OpaqueType
+
+/** COO sparse tensor (reference: cpp/src/arrow/sparse_tensor.h —
+  * SparseCOOIndex + value buffer + shape; the canonical interchange
+  * format, and the one COO/CSR/CSC all convert through). Coordinates are
+  * stored ROW-MAJOR FLATTENED (`indices.length == nnz * ndim`, entry
+  * `i` of nonzero `k` at `indices(k*ndim + i)`) and must be sorted in
+  * row-major coordinate order with no duplicates — the reference's
+  * canonical COO contract, which makes equality and conversion
+  * deterministic. CSR/CSC are row/column-compressed encodings of the
+  * same data; at the column level COO subsumes them (SURVEY §1.1 scopes
+  * tensors as array-column modeling, not kernel storage).
+  *
+  * The embedding-workload fit: a row of sparse features becomes one
+  * value; density below ~1/3 makes COO strictly smaller than the dense
+  * [[Tensor]] twin (3 numbers per nonzero at rank 2). */
+@SQLUserDefinedType(udt = classOf[SparseTensorType])
+final case class SparseTensor(
+    shape: Seq[Int], indices: Array[Long], values: Array[Double]) {
+  require(shape.forall(_ >= 0),
+    s"negative extent in shape ${shape.mkString("x")}")
+  require(shape.nonEmpty, "sparse tensor needs at least one dimension")
+  require(indices.length == values.length * shape.length,
+    s"rank-${shape.length} COO with ${values.length} nonzeros needs " +
+      s"${values.length * shape.length} coordinates, got ${indices.length}")
+  locally {
+    val nd = shape.length
+    var k = 0
+    while (k < values.length) {
+      var i = 0
+      while (i < nd) {
+        val c = indices(k * nd + i)
+        require(c >= 0 && c < shape(i),
+          s"coordinate $c out of bounds for dimension $i of extent ${shape(i)}")
+        i += 1
+      }
+      if (k > 0) {
+        // canonical order: strictly increasing row-major coordinates
+        var cmp = 0
+        var j = 0
+        while (cmp == 0 && j < nd) {
+          cmp = java.lang.Long.compare(
+            indices((k - 1) * nd + j), indices(k * nd + j))
+          j += 1
+        }
+        require(cmp < 0,
+          s"COO indices must be sorted row-major with no duplicates " +
+            s"(violated at nonzero $k)")
+      }
+      k += 1
+    }
+  }
+
+  def ndim: Int = shape.length
+  def nnz: Int = values.length
+
+  /** Value at a coordinate: binary search over the canonical order. */
+  def apply(idx: Int*): Double = {
+    require(idx.length == shape.length,
+      s"rank-${shape.length} tensor indexed with ${idx.length} coordinates")
+    idx.indices.foreach { i =>
+      require(idx(i) >= 0 && idx(i) < shape(i),
+        s"index ${idx(i)} out of bounds for dimension $i of extent ${shape(i)}")
+    }
+    val nd = ndim
+    var lo = 0
+    var hi = nnz - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      var cmp = 0
+      var i = 0
+      while (cmp == 0 && i < nd) {
+        cmp = java.lang.Long.compare(indices(mid * nd + i), idx(i).toLong)
+        i += 1
+      }
+      if (cmp == 0) return values(mid)
+      else if (cmp < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    0.0
+  }
+
+  /** Densify into the row-major [[Tensor]] twin. */
+  def toDense: Tensor = {
+    val out = new Array[Double](shape.product)
+    val nd = ndim
+    var k = 0
+    while (k < nnz) {
+      var flat = 0L
+      var i = 0
+      while (i < nd) { flat = flat * shape(i) + indices(k * nd + i); i += 1 }
+      out(flat.toInt) = values(k)
+      k += 1
+    }
+    Tensor(shape, out)
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case SparseTensor(s, i, v) =>
+      s == shape && java.util.Arrays.equals(i, indices) &&
+        java.util.Arrays.equals(v, values)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (shape, java.util.Arrays.hashCode(indices),
+      java.util.Arrays.hashCode(values)).hashCode
+}
+
+object SparseTensor {
+  /** Sparsify a dense row-major [[Tensor]]: exact zeros are dropped, the
+    * canonical row-major coordinate order falls out of the scan order. */
+  def fromDense(t: Tensor): SparseTensor = {
+    val nd = t.shape.length
+    val idx = Array.newBuilder[Long]
+    val vals = Array.newBuilder[Double]
+    var flat = 0
+    while (flat < t.values.length) {
+      if (t.values(flat) != 0.0) {
+        var rem = flat.toLong
+        val coord = new Array[Long](nd)
+        var i = nd - 1
+        while (i >= 0) { coord(i) = rem % t.shape(i); rem /= t.shape(i); i -= 1 }
+        idx ++= coord
+        vals += t.values(flat)
+      }
+      flat += 1
+    }
+    SparseTensor(t.shape, idx.result(), vals.result())
+  }
+}
+
+class SparseTensorType extends UserDefinedType[SparseTensor] {
+  override def sqlType: DataType = StructType(Seq(
+    StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("indices", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def userClass: Class[SparseTensor] = classOf[SparseTensor]
+
+  override def serialize(t: SparseTensor): InternalRow =
+    InternalRow(
+      new GenericArrayData(t.shape.toArray),
+      new GenericArrayData(t.indices),
+      new GenericArrayData(t.values))
+
+  override def deserialize(datum: Any): SparseTensor = datum match {
+    case row: InternalRow =>
+      SparseTensor(
+        row.getArray(0).toIntArray().toSeq,
+        row.getArray(1).toLongArray(),
+        row.getArray(2).toDoubleArray())
+  }
+
+  override def typeName: String = "graft_sparse_tensor"
+}
+
+case object SparseTensorType extends SparseTensorType

@@ -15,6 +15,7 @@ case class JsonRec(id: Long, doc: Json)
 case class Bool8Rec(id: Long, flag: Bool8)
 case class OpaqueRec(id: Long, blob: graft.types.Opaque)
 case class VarTensorRec(id: Long, t: graft.types.VarTensor)
+case class SparseTensorRec(id: Long, t: graft.types.SparseTensor)
 
 class ExtensionTypesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -112,6 +113,54 @@ class ExtensionTypesSpec extends AnyFunSuite {
     // per-dimension bounds: (0,5) on a 2x2 must fail, not alias to (1,1)
     intercept[IllegalArgumentException] { back(0).t(0, 5) }
     intercept[IllegalArgumentException] { back(0).t(-1, 0) }
+  }
+
+  test("COO sparse tensor UDT: parquet round-trip, lookup, dense conversion") {
+    import graft.types.{SparseTensor, Tensor}
+    import spark.implicits._
+    // 3x4 with nonzeros at (0,1)=5, (1,0)=7, (2,3)=9 — canonical order
+    val s = SparseTensor(Seq(3, 4), Array(0L, 1L, 1L, 0L, 2L, 3L),
+      Array(5.0, 7.0, 9.0))
+    val rows = Seq(
+      SparseTensorRec(1L, s),
+      SparseTensorRec(2L, SparseTensor(Seq(2, 2), Array.emptyLongArray,
+        Array.emptyDoubleArray)), // all-zero tensor: nnz = 0
+      SparseTensorRec(3L, SparseTensor(Seq(5), Array(4L), Array(1.5))))
+    val out = "/tmp/graft_io/sparse_tensor_udt"
+    rows.toDS().write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[SparseTensorRec].collect().sortBy(_.id)
+    assert(back.map(r => (r.id, r.t)).toSeq == rows.map(r => (r.id, r.t)))
+    // coordinate lookup: stored nonzeros + implicit zeros
+    assert(back(0).t(0, 1) == 5.0 && back(0).t(1, 0) == 7.0 && back(0).t(2, 3) == 9.0)
+    assert(back(0).t(0, 0) == 0.0 && back(0).t(2, 2) == 0.0)
+    assert(back(1).t(1, 1) == 0.0)
+    // dense↔sparse round-trip both ways
+    val dense = s.toDense
+    assert(dense.shape == Seq(3, 4))
+    assert(dense.values.toSeq ==
+      Seq(0.0, 5.0, 0.0, 0.0, 7.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 9.0))
+    assert(SparseTensor.fromDense(dense) == s)
+    assert(SparseTensor.fromDense(Tensor(Seq(2, 2),
+      Array(0.0, 0.0, 0.0, 0.0))).nnz == 0)
+    // typed aggregation distributes
+    val nnzTotal = spark.read.parquet(out).as[SparseTensorRec]
+      .map(_.t.nnz).collect().sum
+    assert(nnzTotal == 4)
+    // contract violations: bounds, arity, canonical order, duplicates
+    intercept[IllegalArgumentException] {
+      SparseTensor(Seq(2, 2), Array(0L, 2L), Array(1.0)) // coord out of bounds
+    }
+    intercept[IllegalArgumentException] {
+      SparseTensor(Seq(2, 2), Array(0L), Array(1.0)) // arity mismatch
+    }
+    intercept[IllegalArgumentException] {
+      SparseTensor(Seq(2, 2), Array(1L, 0L, 0L, 1L), Array(1.0, 2.0)) // unsorted
+    }
+    intercept[IllegalArgumentException] {
+      SparseTensor(Seq(2, 2), Array(0L, 1L, 0L, 1L), Array(1.0, 2.0)) // duplicate
+    }
+    intercept[IllegalArgumentException] { back(0).t(0, 4) } // lookup bounds
+    intercept[IllegalArgumentException] { back(0).t(0) }    // lookup arity
   }
 
   test("opaque UDT carries foreign payloads losslessly with type/vendor tags") {

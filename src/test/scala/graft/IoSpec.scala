@@ -72,6 +72,41 @@ class IoSpec extends AnyFunSuite {
     assert(meanFrac < 0.35, s"mean per-file box area fraction $meanFrac not clustered")
   }
 
+  test("3-dim z-order layout: per-file bounding volumes cluster in ALL dims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3").toString + "/z3"
+    Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("bigint").as("l_qty"))
+      .withColumn("_z", graft.functions.ZOrder.mortonKeyN(
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_qty"))))
+      .repartitionByRange(16, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.parquet(dir)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(col("l_partkey")).as("x0"), max(col("l_partkey")).as("x1"),
+        min(col("l_suppkey")).as("y0"), max(col("l_suppkey")).as("y1"),
+        min(col("l_qty")).as("q0"), max(col("l_qty")).as("q1"))
+      .collect()
+      .map(r => (r.getLong(2) - r.getLong(1) + 1).toDouble *
+        (r.getLong(4) - r.getLong(3) + 1).toDouble *
+        (r.getLong(6) - r.getLong(5) + 1).toDouble)
+    assert(boxes.length >= 8, s"expected >=8 files, got ${boxes.length}")
+    val g = spark.read.parquet(dir)
+      .agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey")),
+        min(col("l_qty")), max(col("l_qty"))).head()
+    val globalVol = (g.getLong(1) - g.getLong(0) + 1).toDouble *
+      (g.getLong(3) - g.getLong(2) + 1).toDouble *
+      (g.getLong(5) - g.getLong(4) + 1).toDouble
+    val meanFrac = boxes.map(_ / globalVol).sum / boxes.length
+    // unclustered ≈ 1.0 per file; 16 Morton segments must each cover a
+    // small 3-d box (curve-boundary crossings allow a few larger ones)
+    assert(meanFrac < 0.35, s"mean per-file volume fraction $meanFrac not clustered")
+  }
+
   test("compressed IPC: zstd and lz4 round-trip equal, zstd file is smaller, stream format too") {
     def dirBytes(dir: String): Long = {
       val d = new java.io.File(dir)
@@ -94,6 +129,75 @@ class IoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ArrowIpc.write(orig, s"$base/bad", codec = "gzip")
     }
+  }
+
+  test("IPC large types (LARGE_STRING/LARGE_BINARY/LARGE_LIST) map per the §1.2 table") {
+    // a 64-bit-offset IPC file as an arrow-java producer would emit it;
+    // SURVEY §1.2: large_string → string, large_binary → binary,
+    // large_list<T> → array<T> (offsets widen, values unchanged)
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import org.apache.arrow.vector.{BigIntVector, LargeVarBinaryVector, LargeVarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.LargeListVector
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_large").toString
+    val allocator = new RootAllocator(Long.MaxValue)
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("ls", FieldType.nullable(ArrowType.LargeUtf8.INSTANCE), null),
+      new Field("lb", FieldType.nullable(ArrowType.LargeBinary.INSTANCE), null),
+      new Field("ll", FieldType.nullable(ArrowType.LargeList.INSTANCE), Seq(
+        new Field("element", FieldType.nullable(new ArrowType.Int(64, true)), null)
+      ).asJava)).asJava)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    try {
+      val idV = root.getVector("id").asInstanceOf[BigIntVector]
+      val lsV = root.getVector("ls").asInstanceOf[LargeVarCharVector]
+      val lbV = root.getVector("lb").asInstanceOf[LargeVarBinaryVector]
+      val llV = root.getVector("ll").asInstanceOf[LargeListVector]
+      val llW = llV.getWriter
+      val rows = Seq(
+        (1L, Some("alpha"), Some(Array[Byte](1, 2, 3)), Seq(10L, 20L)),
+        (2L, None, None, Seq.empty[Long]),
+        (3L, Some("ü_large"), Some(Array[Byte](-1)), Seq(30L)))
+      rows.zipWithIndex.foreach { case ((id, s, b, l), i) =>
+        idV.setSafe(i, id)
+        s match {
+          case Some(v) => lsV.setSafe(i, v.getBytes("UTF-8"))
+          case None => lsV.setNull(i)
+        }
+        b match {
+          case Some(v) => lbV.setSafe(i, v)
+          case None => lbV.setNull(i)
+        }
+        llW.setPosition(i)
+        llW.startList()
+        l.foreach(llW.bigInt().writeBigInt)
+        llW.endList()
+      }
+      llW.setValueCount(rows.length)
+      root.setRowCount(rows.length)
+      val out = new java.io.FileOutputStream(s"$dir/part-00000.arrow")
+      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      try { writer.start(); writer.writeBatch(); writer.end() }
+      finally { writer.close(); out.close() }
+    } finally { root.close(); allocator.close() }
+
+    val back = ArrowIpc.read(spark, dir)
+    import org.apache.spark.sql.types._
+    assert(back.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("id", LongType), ("ls", StringType), ("lb", BinaryType),
+      ("ll", ArrayType(LongType))),
+      s"large-type mapping wrong: ${back.schema}")
+    val got = back.orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("alpha"), None, Some("ü_large")))
+    assert(Option(got(0).get(2)).map(_.asInstanceOf[Array[Byte]].toSeq) ==
+      Some(Seq[Byte](1, 2, 3)) && got(1).isNullAt(2))
+    assert(got.map(r => r.getSeq[Long](3)).toSeq ==
+      Seq(Seq(10L, 20L), Seq.empty, Seq(30L)))
   }
 
   test("IPC round-trip of a real table matches the original") {

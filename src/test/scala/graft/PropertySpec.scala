@@ -214,6 +214,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mortonKeyN: 2-dim layout equals mortonKey; N-dim de-interleaves per dim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val triples = Seq.fill(300)((rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)) ++
+      Seq((0L, 0L, 0L), (0xFFFFL, 0xFFFFL, 0xFFFFL), (0xFFFFL, 0L, 0xFFFFL))
+    // n = 2: identical bit layout to the magic-mask ladder
+    val two = triples.toDF("x", "y", "q")
+      .select(
+        graft.functions.ZOrder.mortonKey(col("x"), col("y")).as("a"),
+        graft.functions.ZOrder.mortonKeyN(Seq(col("x"), col("y"))).as("b"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // n = 3: extracting every 3rd bit recovers each input exactly
+    val three = triples.toDF("x", "y", "q")
+      .select(col("x"), col("y"), col("q"),
+        graft.functions.ZOrder.mortonKeyN(
+          Seq(col("x"), col("y"), col("q"))).as("z"))
+      .collect()
+    def unspread3(z: Long, d: Int): Long =
+      (0 until 16).map(i => ((z >> (i * 3 + d)) & 1L) << i).reduce(_ | _)
+    three.foreach { r =>
+      val (x, y, q, z) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(unspread3(z, 0) == x && unspread3(z, 1) == y && unspread3(z, 2) == q,
+        s"3-dim morton round-trip failed for ($x, $y, $q): z=$z")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.ZOrder.mortonKeyN(Seq(col("x")))
+    }
+  }
+
   test("rankBucket on quantile boundaries balances a skewed dimension") {
     import spark.implicits._
     // heavily skewed positive values (quadratic stretch of a uniform id)

@@ -72,6 +72,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming minhash near-dup candidates equal the batch LSH operator") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_minhash_stream").toFile
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // transformWithState runs only on the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // several micro-batches → state is real
+        .parquet(dir.getAbsolutePath)
+      val cands = graft.streaming.StreamingDedup
+        .minhashCandidatesStream(spark, stream, "doc_id", "text")
+      val query = cands.writeStream
+        .format("memory").queryName("graft_minhash_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        val streamed = spark.table("graft_minhash_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batchCands = graft.pipeline.Dedup
+          .minhashCandidates(Tables.documents(spark, sf), "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(batchCands.nonEmpty)
+        assert(streamed == batchCands,
+          s"stream-only: ${(streamed -- batchCands).take(5)}, " +
+            s"batch-only: ${(batchCands -- streamed).take(5)}")
+        // verifying the streamed candidates reproduces the batch near-dup
+        // PAIRS — the full minhashPairs contract, not just candidacy
+        import spark.implicits._
+        val streamedPairsDf = streamed.toSeq.toDF("da", "db")
+        val verified = graft.pipeline.Dedup
+          .jaccardForPairs(Tables.documents(spark, sf), "doc_id", "text", streamedPairsDf)
+          .filter(col("jaccard") >= 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batchPairs = graft.pipeline.Dedup
+          .minhashPairs(Tables.documents(spark, sf), "doc_id", "text", threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(verified == batchPairs)
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toFile
     java.nio.file.Files.copy(
