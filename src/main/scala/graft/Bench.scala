@@ -88,7 +88,12 @@ object Bench {
       l
     }
 
+    // optional comma-separated subset for targeted re-measurement
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q27h_sketch_err,dedup_cc_stars)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = Registry.all.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     // interleaved passes: samples(q) accumulates one time per pass
     val samples: Map[String, Array[Double]] =
       names.map(_ -> Array.fill(reps)(-1.0)).toMap

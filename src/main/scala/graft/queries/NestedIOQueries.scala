@@ -659,9 +659,14 @@ object NestedIOQueries {
     * One ship-year slice (same reasoning as q16b): the gate property is
     * per-sketch ERROR, not data volume — four exact baselines over the
     * full column tripled this gate's cost for zero extra coverage, and
-    * one year still holds ~85k rows at sf0.1. */
+    * one year still holds ~85k rows at sf0.1. As a RANGE predicate, not
+    * `year() = 1995`: q27h scans its input ~5 times (range-sample,
+    * sort materialization, scalar agg, grouped window, grouped
+    * t-digest), and the range form is the one parquet row-group stats
+    * can prune on every one of those scans. */
   private def q27h(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).filter(year(col("l_shipdate")) === 1995)
+    val li = Tables.lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01"))
     def relOk(a: Column, e: Column, tol: Double): Column =
       (abs(a - e) <= abs(e) * tol).cast("int")
     // exact medians via the rank-selection operators, never the
@@ -672,12 +677,21 @@ object NestedIOQueries {
     // widen the distinct-agg expand (3x the scan) for no new coverage.
     // percentile_approx accuracy 2000 keeps error ~1e-3, far inside the
     // 2% gate, at a fraction of the summary-merge cost of 10000.
+    //
+    // The distinct counts and the quantile sketches are DELIBERATELY two
+    // aggregations cross-joined (both 1-row): fusing a distinct agg with
+    // TypedImperative sketch buffers makes Catalyst route the sketches
+    // through the distinct Expand — one t-digest / QuantileSummaries
+    // buffer PER DISTINCT KEY in a sort aggregate (measured 4.3 s vs
+    // 0.6 s here, and at 100 TB it is one sketch per key — unboundedly
+    // worse than two clean passes).
     val scalar = li.agg(
       countDistinct(col("l_partkey")).cast("double").as("ex_parts"),
-      approx_count_distinct(col("l_partkey")).cast("double").as("ap_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("ap_median"),
-      graft.functions.expr.TDigestAgg
-        .quantiles(col("l_extendedprice"), Seq(0.5)).as("td"))
+      approx_count_distinct(col("l_partkey")).cast("double").as("ap_parts"))
+      .crossJoin(li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("ap_median"),
+        graft.functions.expr.TDigestAgg
+          .quantiles(col("l_extendedprice"), Seq(0.5)).as("td")))
       .withColumn("ex_median", lit(exMedian))
     val grouped = graft.operators.Quantiles
       .exactGrouped(li, "l_returnflag", "l_extendedprice", Seq(0.5))

@@ -397,3 +397,209 @@ class SparseTensorType extends UserDefinedType[SparseTensor] {
 }
 
 case object SparseTensorType extends SparseTensorType
+
+/** Compressed sparse matrix, CSR or CSC (reference:
+  * cpp/src/arrow/sparse_tensor.h:199-216 SparseCSXIndex — indptr +
+  * indices tensors over a shared value buffer, with
+  * SparseMatrixCompressedAxis ROW|COLUMN selecting which axis is
+  * compressed). 2-D only, like the reference (CSR/CSC are matrix
+  * formats; rank-N stays in [[SparseTensor]] COO).
+  *
+  * Layout: `indptr` has `major + 1` entries (major = nRows for CSR,
+  * nCols for CSC), nondecreasing, `indptr(0) == 0`,
+  * `indptr(major) == nnz`; nonzeros of major-slice `i` live at
+  * positions `indptr(i) until indptr(i+1)` with their minor-axis
+  * coordinate in `indices` (strictly increasing within a slice — the
+  * reference's canonical contract) and their value in `values`.
+  *
+  * COO is the interchange hub exactly as in the reference
+  * (`SparseTensor::ToTensor` converts through coordinates): CSR↔COO is
+  * O(nnz) both ways because canonical COO is already row-major;
+  * CSC↔COO re-sorts to column-major once.
+  */
+@SQLUserDefinedType(udt = classOf[SparseMatrixType])
+final case class SparseMatrix(
+    byRow: Boolean, nRows: Int, nCols: Int,
+    indptr: Array[Long], indices: Array[Long], values: Array[Double]) {
+  require(nRows >= 0 && nCols >= 0, s"negative extent ${nRows}x$nCols")
+  locally {
+    val major = if (byRow) nRows else nCols
+    val minor = if (byRow) nCols else nRows
+    require(indptr.length == major + 1,
+      s"indptr needs ${major + 1} entries for $major major slices, " +
+        s"got ${indptr.length}")
+    require(indices.length == values.length,
+      s"${indices.length} minor coordinates for ${values.length} values")
+    require(indptr(0) == 0L, s"indptr must start at 0, got ${indptr(0)}")
+    require(indptr(major) == values.length.toLong,
+      s"indptr must end at nnz=${values.length}, got ${indptr(major)}")
+    var i = 0
+    while (i < major) {
+      require(indptr(i) <= indptr(i + 1),
+        s"indptr decreases at slice $i: ${indptr(i)} > ${indptr(i + 1)}")
+      var p = indptr(i)
+      while (p < indptr(i + 1)) {
+        val c = indices(p.toInt)
+        require(c >= 0 && c < minor,
+          s"minor coordinate $c out of bounds (extent $minor) in slice $i")
+        require(p == indptr(i) || indices(p.toInt - 1) < c,
+          s"minor coordinates must be strictly increasing within slice $i")
+        p += 1
+      }
+      i += 1
+    }
+  }
+
+  def nnz: Int = values.length
+
+  /** Value at (row, col): binary search the minor coordinates of the
+    * containing major slice. Implicit zeros return 0.0. */
+  def apply(row: Int, col: Int): Double = {
+    require(row >= 0 && row < nRows && col >= 0 && col < nCols,
+      s"($row,$col) out of bounds for ${nRows}x$nCols")
+    val (maj, min) = if (byRow) (row, col) else (col, row)
+    var lo = indptr(maj).toInt
+    var hi = indptr(maj + 1).toInt - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = indices(mid)
+      if (c == min) return values(mid)
+      else if (c < min) lo = mid + 1
+      else hi = mid - 1
+    }
+    0.0
+  }
+
+  /** Decompress to canonical (row-major sorted) COO. */
+  def toCOO: SparseTensor = {
+    val n = nnz
+    if (byRow) {
+      // CSR slice order IS row-major coordinate order
+      val coords = new Array[Long](n * 2)
+      var r = 0
+      while (r < nRows) {
+        var p = indptr(r).toInt
+        while (p < indptr(r + 1)) {
+          coords(p * 2) = r.toLong
+          coords(p * 2 + 1) = indices(p)
+          p += 1
+        }
+        r += 1
+      }
+      SparseTensor(Seq(nRows, nCols), coords, values)
+    } else {
+      // CSC order is column-major: materialize triples, re-sort row-major
+      val ks = Array.range(0, n)
+      val rowOf = new Array[Long](n)
+      val colOf = new Array[Long](n)
+      var c = 0
+      while (c < nCols) {
+        var p = indptr(c).toInt
+        while (p < indptr(c + 1)) {
+          rowOf(p) = indices(p); colOf(p) = c.toLong
+          p += 1
+        }
+        c += 1
+      }
+      val sorted = ks.sortBy(k => (rowOf(k), colOf(k)))
+      val coords = new Array[Long](n * 2)
+      val vals = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val k = sorted(i)
+        coords(i * 2) = rowOf(k); coords(i * 2 + 1) = colOf(k)
+        vals(i) = values(k)
+        i += 1
+      }
+      SparseTensor(Seq(nRows, nCols), coords, vals)
+    }
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case SparseMatrix(b, r, c, ip, ix, v) =>
+      b == byRow && r == nRows && c == nCols &&
+        java.util.Arrays.equals(ip, indptr) &&
+        java.util.Arrays.equals(ix, indices) &&
+        java.util.Arrays.equals(v, values)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (byRow, nRows, nCols, java.util.Arrays.hashCode(indptr),
+      java.util.Arrays.hashCode(indices),
+      java.util.Arrays.hashCode(values)).hashCode
+}
+
+object SparseMatrix {
+  /** Compress canonical COO (rank 2) along the row axis — O(nnz),
+    * no sort: canonical COO is already row-major. */
+  def csrFromCOO(t: SparseTensor): SparseMatrix = {
+    require(t.ndim == 2, s"CSR needs a rank-2 tensor, got rank ${t.ndim}")
+    val nr = t.shape(0); val nc = t.shape(1)
+    val n = t.nnz
+    val indptr = new Array[Long](nr + 1)
+    val minor = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      indptr(t.indices(k * 2).toInt + 1) += 1
+      minor(k) = t.indices(k * 2 + 1)
+      k += 1
+    }
+    var r = 0
+    while (r < nr) { indptr(r + 1) += indptr(r); r += 1 }
+    SparseMatrix(byRow = true, nr, nc, indptr, minor, t.values.clone())
+  }
+
+  /** Compress canonical COO (rank 2) along the column axis — one
+    * column-major re-sort. */
+  def cscFromCOO(t: SparseTensor): SparseMatrix = {
+    require(t.ndim == 2, s"CSC needs a rank-2 tensor, got rank ${t.ndim}")
+    val nr = t.shape(0); val nc = t.shape(1)
+    val n = t.nnz
+    val sorted = Array.range(0, n)
+      .sortBy(k => (t.indices(k * 2 + 1), t.indices(k * 2)))
+    val indptr = new Array[Long](nc + 1)
+    val minor = new Array[Long](n)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val k = sorted(i)
+      indptr(t.indices(k * 2 + 1).toInt + 1) += 1
+      minor(i) = t.indices(k * 2)
+      vals(i) = t.values(k)
+      i += 1
+    }
+    var c = 0
+    while (c < nc) { indptr(c + 1) += indptr(c); c += 1 }
+    SparseMatrix(byRow = false, nr, nc, indptr, minor, vals)
+  }
+}
+
+class SparseMatrixType extends UserDefinedType[SparseMatrix] {
+  override def sqlType: DataType = StructType(Seq(
+    StructField("by_row", BooleanType, nullable = false),
+    StructField("n_rows", IntegerType, nullable = false),
+    StructField("n_cols", IntegerType, nullable = false),
+    StructField("indptr", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("indices", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def userClass: Class[SparseMatrix] = classOf[SparseMatrix]
+
+  override def serialize(m: SparseMatrix): InternalRow =
+    InternalRow(m.byRow, m.nRows, m.nCols,
+      new GenericArrayData(m.indptr),
+      new GenericArrayData(m.indices),
+      new GenericArrayData(m.values))
+
+  override def deserialize(datum: Any): SparseMatrix = datum match {
+    case row: InternalRow =>
+      SparseMatrix(
+        row.getBoolean(0), row.getInt(1), row.getInt(2),
+        row.getArray(3).toLongArray(),
+        row.getArray(4).toLongArray(),
+        row.getArray(5).toDoubleArray())
+  }
+
+  override def typeName: String = "graft_sparse_matrix"
+}
+
+case object SparseMatrixType extends SparseMatrixType

@@ -16,6 +16,7 @@ case class Bool8Rec(id: Long, flag: Bool8)
 case class OpaqueRec(id: Long, blob: graft.types.Opaque)
 case class VarTensorRec(id: Long, t: graft.types.VarTensor)
 case class SparseTensorRec(id: Long, t: graft.types.SparseTensor)
+case class SparseMatrixRec(id: Long, m: graft.types.SparseMatrix)
 
 class ExtensionTypesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -161,6 +162,50 @@ class ExtensionTypesSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { back(0).t(0, 4) } // lookup bounds
     intercept[IllegalArgumentException] { back(0).t(0) }    // lookup arity
+  }
+
+  test("CSR/CSC sparse matrix UDT: parquet round-trip, lookup, COO conversion") {
+    import graft.types.{SparseMatrix, SparseTensor}
+    import spark.implicits._
+    // 3x4 with nonzeros at (0,1)=5, (1,0)=7, (1,3)=2, (2,3)=9
+    val coo = SparseTensor(Seq(3, 4),
+      Array(0L, 1L, 1L, 0L, 1L, 3L, 2L, 3L), Array(5.0, 7.0, 2.0, 9.0))
+    val csr = SparseMatrix.csrFromCOO(coo)
+    val csc = SparseMatrix.cscFromCOO(coo)
+    // compressed layouts are what the reference's contract says they are
+    assert(csr.indptr.toSeq == Seq(0L, 1L, 3L, 4L))
+    assert(csr.indices.toSeq == Seq(1L, 0L, 3L, 3L))
+    assert(csc.indptr.toSeq == Seq(0L, 1L, 2L, 2L, 4L))
+    assert(csc.indices.toSeq == Seq(1L, 0L, 1L, 2L))
+    assert(csc.values.toSeq == Seq(7.0, 5.0, 2.0, 9.0))
+    // both compressions decompress back to the same canonical COO
+    assert(csr.toCOO == coo && csc.toCOO == coo)
+    // point lookups agree across all three formats (incl. implicit zeros)
+    for (r <- 0 until 3; c <- 0 until 4)
+      assert(csr(r, c) == coo(r, c) && csc(r, c) == coo(r, c))
+    // parquet round-trip of both axis variants in one column
+    val rows = Seq(SparseMatrixRec(1L, csr), SparseMatrixRec(2L, csc),
+      SparseMatrixRec(3L, SparseMatrix(byRow = true, 2, 2,
+        Array(0L, 0L, 0L), Array.emptyLongArray, Array.emptyDoubleArray)))
+    val out = "/tmp/graft_io/sparse_matrix_udt"
+    rows.toDS().write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[SparseMatrixRec].collect().sortBy(_.id)
+    assert(back.map(r => (r.id, r.m)).toSeq == rows.map(r => (r.id, r.m)))
+    assert(back(2).m.nnz == 0 && back(2).m(1, 1) == 0.0)
+    // contract violations: indptr arity/monotonicity/end, minor order
+    intercept[IllegalArgumentException] {
+      SparseMatrix(byRow = true, 2, 2, Array(0L, 1L), Array(0L), Array(1.0))
+    } // indptr too short
+    intercept[IllegalArgumentException] {
+      SparseMatrix(byRow = true, 2, 2, Array(0L, 1L, 0L), Array(0L), Array(1.0))
+    } // indptr must end at nnz
+    intercept[IllegalArgumentException] {
+      SparseMatrix(byRow = true, 1, 2, Array(0L, 2L), Array(1L, 0L),
+        Array(1.0, 2.0))
+    } // minor coords unsorted within a slice
+    intercept[IllegalArgumentException] {
+      SparseMatrix.csrFromCOO(SparseTensor(Seq(2), Array(0L), Array(1.0)))
+    } // rank-1 has no CSR
   }
 
   test("opaque UDT carries foreign payloads losslessly with type/vendor tags") {
