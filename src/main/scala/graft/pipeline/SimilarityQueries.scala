@@ -73,6 +73,49 @@ object SimilarityQueries {
 
   private val recallGateSql = s"SELECT $NQueries AS n_queries, $K AS k, 1 AS recall_ok"
 
+  /** Sparse lexical top-k ([[SparseSim]]): exact integer dot products via
+    * an inverted dimension index, hot dimensions (>75 % document
+    * frequency) dropped — fully oracle-gated because every quantity is an
+    * integer and the tie-break is total. 0.75 makes the cap FIRE on this
+    * corpus (the synthetic vocabulary is tiny and hot: dropping df>0.75
+    * dims cuts Σdf² join pairs 32×) while leaving every query a full
+    * top-k; the cap's exact semantics are spec'd on planted corpora in
+    * SparseSimSpec. */
+  private val SparseK = 5
+  private val SparseNQ = 10
+  private val SparseDfFrac = 0.75
+
+  private def sparseTopK(s: SparkSession, d: String): DataFrame =
+    SparseSim.topKDot(Tables.documents(s, d), "doc_id", "text", SparseK,
+        col("id") < SparseNQ, maxDfFrac = Some(SparseDfFrac))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val sparseTopKSql =
+    s"""WITH tf AS (
+       |  SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT tf.* FROM tf
+       |  WHERE tok IN (
+       |    SELECT tok FROM tf GROUP BY tok
+       |    HAVING COUNT(*) <= $SparseDfFrac *
+       |      (SELECT COUNT(DISTINCT doc_id) FROM documents))),
+       |dots AS (
+       |  SELECT q.id AS query_id, d.id AS neighbor_id,
+       |    CAST(SUM(q.tf * d.tf) AS BIGINT) AS dot
+       |  FROM kept q JOIN kept d USING (tok)
+       |  WHERE q.id < $SparseNQ AND d.id <> q.id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+       |  FROM dots) t
+       |WHERE rank <= $SparseK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the grouped element-wise vector mean
     * behind clustering, IVF coarse training and per-source drift checks.
     *
@@ -123,5 +166,8 @@ object SimilarityQueries {
       recallGate(lsh, 0.25), Some(recallGateSql)),
     Capability("ann_ivf_recall", "IVF recall@k gate vs the exact baseline (constant oracle)",
       recallGate(ivf, 0.35), Some(recallGateSql)),
+    Capability("sparse_topk",
+      s"sparse lexical top-$SparseK by exact dot product (inverted dimension index, df-capped)",
+      sparseTopK, Some(sparseTopKSql), bench = true),
   )
 }

@@ -62,6 +62,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q27h: sketch buffers never ride the distinct-aggregate path") {
+    // countDistinct and the TypedImperative sketches (t-digest,
+    // percentile_approx) are computed as two separate one-row aggregates
+    // cross-joined. Fused into one agg, Catalyst's distinct rewrite
+    // routes the sketch buffers through the distinct expansion — one
+    // sketch buffer PER DISTINCT KEY in a SortAggregate (measured 4.3 s
+    // vs 0.6 s at sf0.1; unbounded memory per group at scale). Pin the
+    // split: no aggregate operator may carry both a distinct column and
+    // a sketch function.
+    val df = Registry.byName("q27h_sketch_err").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val offending = plan.linesIterator.filter { l =>
+      val lc = l.toLowerCase
+      (lc.contains("sortaggregate") || lc.contains("objecthashaggregate") ||
+        lc.contains("hashaggregate")) &&
+        lc.contains("distinct") &&
+        (lc.contains("tdigest") || lc.contains("percentile"))
+    }.toSeq
+    assert(offending.isEmpty,
+      s"sketch agg fused with distinct agg:\n${offending.mkString("\n")}")
+  }
+
   test("q19b: one hash exchange serves all three window aggregates") {
     // rank over (status → price), freq over (status, price) and count
     // over (status) all cluster by a prefix of the same keys —
