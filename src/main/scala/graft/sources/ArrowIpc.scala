@@ -5,7 +5,8 @@ import java.nio.ByteBuffer
 import java.nio.channels.{Channels, SeekableByteChannel}
 
 import org.apache.arrow.memory.{ArrowBuf, RootAllocator}
-import org.apache.arrow.vector.{TypeLayout, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.{FieldVector, TypeLayout, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.dictionary.DictionaryEncoder
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter, ArrowWriter, SeekableReadChannel, WriteChannel}
 import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -162,6 +163,42 @@ object ArrowIpc {
   // representation), every other buffer passes through untouched, at any
   // nesting depth. Values are never copied — only offsets.
 
+  // --- dictionary-encoded columns ----------------------------------------
+  // Dictionary encoding is a PHYSICAL layout (SURVEY §1.2 — same stance as
+  // run-end encoding): the reference's `dictionary_encode` is the default
+  // for categorical columns, so IPC files in the wild routinely carry
+  // index vectors + dictionary batches (reference
+  // cpp/src/arrow/ipc/reader.cc dictionary handling). Spark's columnar
+  // bridge speaks only value-typed vectors, so the read path DECODES at
+  // the boundary: each encoded column's indices are resolved against the
+  // reader's dictionary provider into a plain value vector, batch by
+  // batch. Memory is one decoded batch, not the file; the dictionary
+  // itself stays loaded once per file, exactly as the reader framing
+  // delivers it.
+
+  private def hasDictionary(s: ArrowSchema): Boolean = {
+    import scala.jdk.CollectionConverters._
+    s.getFields.asScala.exists(_.getDictionary != null)
+  }
+
+  /** The value-typed field an encoded column decodes to: the dictionary
+    * VALUES' type and children under the encoded column's name and
+    * nullability (indices may be null independently of the values). */
+  private def decodedField(reader: ArrowReader, f: Field): Field = {
+    val enc = f.getDictionary
+    if (enc == null) f
+    else {
+      val dict = reader.lookup(enc.getId)
+      require(dict != null,
+        s"field ${f.getName} references dictionary ${enc.getId} " +
+          "but the file carries no such dictionary batch")
+      val values = dict.getVector.getField
+      new Field(f.getName,
+        new FieldType(f.isNullable, values.getType, null, f.getMetadata),
+        values.getChildren)
+    }
+  }
+
   private def narrowType(t: ArrowType): ArrowType = t match {
     case _: ArrowType.LargeUtf8   => ArrowType.Utf8.INSTANCE
     case _: ArrowType.LargeBinary => ArrowType.Binary.INSTANCE
@@ -269,9 +306,11 @@ object ArrowIpc {
     import scala.jdk.CollectionConverters._
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = openReader(conf, file, stream, allocator)
-    val unloader = new VectorUnloader(reader.getVectorSchemaRoot)
-    val srcFields = reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-    val narrow = hasLargeTypes(srcFields)
+    val srcRoot = reader.getVectorSchemaRoot
+    val dictEncoded = hasDictionary(srcRoot.getSchema)
+    val unloader = new VectorUnloader(srcRoot)
+    val srcFields = srcRoot.getSchema.getFields.asScala.toSeq
+    val narrow = !dictEncoded && hasLargeTypes(srcFields)
     var closed = false
     def closeAll(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
@@ -288,11 +327,40 @@ object ArrowIpc {
         advance()
         if (!hasBatch) throw new NoSuchElementException
         advanced = false
-        val src = unloader.getRecordBatch
-        val batch = if (narrow) narrowBatch(srcFields, src, allocator) else src
+        // decode dictionary-encoded columns into plain value vectors; the
+        // decoded vectors are batch-local and closed after serialization
+        val decodedVecs = new java.util.ArrayList[FieldVector]()
+        val root =
+          if (!dictEncoded) srcRoot
+          else {
+            val vecs = srcRoot.getFieldVectors.asScala.map { v =>
+              val enc = v.getField.getDictionary
+              if (enc == null) v
+              else {
+                val dict = reader.lookup(enc.getId)
+                require(dict != null,
+                  s"field ${v.getField.getName} references dictionary " +
+                    s"${enc.getId} but $file carries no such dictionary batch")
+                val d = DictionaryEncoder.decode(v, dict).asInstanceOf[FieldVector]
+                decodedVecs.add(d)
+                d
+              }
+            }
+            new VectorSchemaRoot(vecs.asJava)
+          }
+        val fields =
+          if (!dictEncoded) srcFields
+          else root.getSchema.getFields.asScala.toSeq
+        val src =
+          (if (dictEncoded) new VectorUnloader(root) else unloader).getRecordBatch
+        val doNarrow = if (dictEncoded) hasLargeTypes(fields) else narrow
+        val batch = if (doNarrow) narrowBatch(fields, src, allocator) else src
         val bos = new ByteArrayOutputStream()
         try MessageSerializer.serialize(new WriteChannel(Channels.newChannel(bos)), batch)
-        finally { if (batch ne src) batch.close(); src.close() }
+        finally {
+          if (batch ne src) batch.close(); src.close()
+          decodedVecs.forEach(_.close())
+        }
         bos.toByteArray
       }
     }
@@ -319,12 +387,24 @@ object ArrowIpc {
       .getOrElse(Array.empty).map(_.getPath.toString).sorted
     require(files.nonEmpty, s"ArrowIpc.read: no $glob files in $dir")
     val schema: StructType = {
+      import scala.jdk.CollectionConverters._
       val allocator = new RootAllocator(Long.MaxValue)
       val reader = openReader(conf, files.head, stream, allocator)
-      // large-offset layout variants map to the same Spark types (§1.2);
-      // batchBytes narrows their buffers to match
-      try Bridge.fromArrowSchema(narrowSchema(reader.getVectorSchemaRoot.getSchema))
-      finally { reader.close(); allocator.close() }
+      // large-offset layout variants map to the same Spark types (§1.2)
+      // and dictionary-encoded columns map to their VALUE types;
+      // batchBytes narrows/decodes the buffers to match
+      try {
+        val raw = reader.getVectorSchemaRoot.getSchema
+        val resolved =
+          if (!hasDictionary(raw)) raw
+          else {
+            // dictionary batches arrive with the data (stream) or are
+            // footer-indexed (file); one batch load materializes them
+            reader.loadNextBatch()
+            new ArrowSchema(raw.getFields.asScala.map(decodedField(reader, _)).asJava)
+          }
+        Bridge.fromArrowSchema(narrowSchema(resolved))
+      } finally { reader.close(); allocator.close() }
     }
     val hconf = new SerializableHadoopConf(conf)
     val rows = spark.sparkContext

@@ -200,6 +200,66 @@ class IoSpec extends AnyFunSuite {
       Seq(Seq(10L, 20L), Seq.empty, Seq(30L)))
   }
 
+  test("IPC dictionary-encoded columns decode to value types, both formats") {
+    // a categorical column as the reference's dictionary_encode would
+    // ship it: int32 indices + one dictionary batch; the read boundary
+    // must decode to plain strings in both the file and stream framings
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, FieldVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_dict").toString
+    val allocator = new RootAllocator(Long.MaxValue)
+    val dictVals = new VarCharVector("d", allocator)
+    val raw = new VarCharVector("color", allocator)
+    try {
+      dictVals.allocateNew()
+      Seq("red", "green", "blue").zipWithIndex.foreach { case (s, i) =>
+        dictVals.setSafe(i, s.getBytes("UTF-8"))
+      }
+      dictVals.setValueCount(3)
+      val dictionary = new Dictionary(dictVals,
+        new DictionaryEncoding(7L, false, new ArrowType.Int(32, true)))
+      val provider = new DictionaryProvider.MapDictionaryProvider(dictionary)
+      raw.allocateNew()
+      val colors = Seq(Some("blue"), Some("red"), None, Some("red"), Some("green"))
+      colors.zipWithIndex.foreach {
+        case (Some(s), i) => raw.setSafe(i, s.getBytes("UTF-8"))
+        case (None, i)    => raw.setNull(i)
+      }
+      raw.setValueCount(colors.length)
+      val encoded = DictionaryEncoder.encode(raw, dictionary).asInstanceOf[FieldVector]
+      val idV = new BigIntVector("id", allocator)
+      idV.allocateNew()
+      (0 until colors.length).foreach(i => idV.setSafe(i, i.toLong))
+      idV.setValueCount(colors.length)
+      val root = new VectorSchemaRoot(Seq(idV, encoded).asJava)
+      try {
+        val fOut = new java.io.FileOutputStream(s"$dir/part-00000.arrow")
+        val fw = new ArrowFileWriter(root, provider, fOut.getChannel)
+        try { fw.start(); fw.writeBatch(); fw.end() }
+        finally { fw.close(); fOut.close() }
+        val sOut = new java.io.FileOutputStream(s"$dir/part-00000.arrows")
+        val sw = new ArrowStreamWriter(root, provider, sOut.getChannel)
+        try { sw.start(); sw.writeBatch(); sw.end() }
+        finally { sw.close(); sOut.close() }
+      } finally root.close()
+    } finally { raw.close(); dictVals.close(); allocator.close() }
+
+    import org.apache.spark.sql.types._
+    for (back <- Seq(ArrowIpc.read(spark, dir), ArrowIpc.readStream(spark, dir))) {
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        Seq(("id", LongType), ("color", StringType)),
+        s"dictionary column must surface as its VALUE type: ${back.schema}")
+      val got = back.orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(got == Seq(0L -> Some("blue"), 1L -> Some("red"), 2L -> None,
+        3L -> Some("red"), 4L -> Some("green")))
+    }
+  }
+
   test("IPC round-trip of a real table matches the original") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ipc2").toString
     val orig = Tables.orders(spark, sf)
