@@ -5,7 +5,8 @@ import java.nio.ByteBuffer
 import java.nio.channels.{Channels, SeekableByteChannel}
 
 import org.apache.arrow.memory.{ArrowBuf, RootAllocator}
-import org.apache.arrow.vector.{FieldVector, TypeLayout, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.{BigIntVector, FieldVector, IntVector, SmallIntVector, TypeLayout, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.complex.RunEndEncodedVector
 import org.apache.arrow.vector.dictionary.DictionaryEncoder
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter, ArrowWriter, SeekableReadChannel, WriteChannel}
 import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
@@ -199,6 +200,68 @@ object ArrowIpc {
     }
   }
 
+  // --- run-end-encoded columns -------------------------------------------
+  // The second physical compression layout the IPC format ships
+  // (reference ArrowType::RUN_END_ENCODED, cpp/src/arrow/type.h;
+  // `run_end_encode` kernel in compute/kernels/vector_run_end_encode.cc).
+  // Same stance as dictionaries: decode to the value layout at the read
+  // boundary, top-level columns, batch by batch. A run-end child of
+  // int16/int32/int64 is expanded by repeating each values entry through
+  // its run (generic `copyFromSafe`, so every value type arrow-java can
+  // copy — nested included — comes along).
+
+  private def isRee(f: Field): Boolean =
+    f.getType.isInstanceOf[ArrowType.RunEndEncoded]
+
+  private def hasRee(s: ArrowSchema): Boolean = {
+    import scala.jdk.CollectionConverters._
+    s.getFields.asScala.exists(isRee)
+  }
+
+  /** The value-typed field an REE column decodes to: child 1 ("values")
+    * under the column's name; run boundaries cannot be null, so
+    * nullability comes from the values child. */
+  private def reeValueField(f: Field): Field = {
+    require(f.getChildren.size == 2,
+      s"run-end-encoded field ${f.getName} must have [run_ends, values] " +
+        s"children, got ${f.getChildren.size}")
+    val values = f.getChildren.get(1)
+    new Field(f.getName,
+      new FieldType(values.isNullable, values.getType, null, f.getMetadata),
+      values.getChildren)
+  }
+
+  /** Expand one REE vector into a flat value vector (caller closes). */
+  private def decodeRee(v: FieldVector, allocator: RootAllocator): FieldVector = {
+    val ree = v.asInstanceOf[RunEndEncodedVector]
+    val children = ree.getChildrenFromFields
+    val runEnds = children.get(0)
+    val values = children.get(1).asInstanceOf[FieldVector]
+    val n = ree.getValueCount
+    val getEnd: Int => Int = runEnds match {
+      case iv: IntVector      => iv.get(_)
+      case sv: SmallIntVector => sv.get(_).toInt
+      case bv: BigIntVector   => (i: Int) => math.toIntExact(bv.get(i))
+      case other => throw new IllegalArgumentException(
+        s"run ends must be int16/int32/int64, got ${other.getField.getType}")
+    }
+    val out = new Field(v.getField.getName, values.getField.getFieldType,
+      values.getField.getChildren).createVector(allocator)
+    out.setInitialCapacity(n)
+    var pos = 0
+    var r = 0
+    while (pos < n) {
+      val end = math.min(getEnd(r), n)
+      require(end > pos,
+        s"run ends must be strictly increasing: run $r ends at $end, " +
+          s"position already $pos")
+      while (pos < end) { out.copyFromSafe(r, pos, values); pos += 1 }
+      r += 1
+    }
+    out.setValueCount(n)
+    out
+  }
+
   private def narrowType(t: ArrowType): ArrowType = t match {
     case _: ArrowType.LargeUtf8   => ArrowType.Utf8.INSTANCE
     case _: ArrowType.LargeBinary => ArrowType.Binary.INSTANCE
@@ -307,10 +370,10 @@ object ArrowIpc {
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = openReader(conf, file, stream, allocator)
     val srcRoot = reader.getVectorSchemaRoot
-    val dictEncoded = hasDictionary(srcRoot.getSchema)
+    val encoded = hasDictionary(srcRoot.getSchema) || hasRee(srcRoot.getSchema)
     val unloader = new VectorUnloader(srcRoot)
     val srcFields = srcRoot.getSchema.getFields.asScala.toSeq
-    val narrow = !dictEncoded && hasLargeTypes(srcFields)
+    val narrow = !encoded && hasLargeTypes(srcFields)
     var closed = false
     def closeAll(): Unit = if (!closed) { closed = true; reader.close(); allocator.close() }
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
@@ -327,16 +390,15 @@ object ArrowIpc {
         advance()
         if (!hasBatch) throw new NoSuchElementException
         advanced = false
-        // decode dictionary-encoded columns into plain value vectors; the
-        // decoded vectors are batch-local and closed after serialization
+        // decode dictionary- and run-end-encoded columns into plain value
+        // vectors; decoded vectors are batch-local, closed after serialize
         val decodedVecs = new java.util.ArrayList[FieldVector]()
         val root =
-          if (!dictEncoded) srcRoot
+          if (!encoded) srcRoot
           else {
             val vecs = srcRoot.getFieldVectors.asScala.map { v =>
               val enc = v.getField.getDictionary
-              if (enc == null) v
-              else {
+              if (enc != null) {
                 val dict = reader.lookup(enc.getId)
                 require(dict != null,
                   s"field ${v.getField.getName} references dictionary " +
@@ -344,16 +406,20 @@ object ArrowIpc {
                 val d = DictionaryEncoder.decode(v, dict).asInstanceOf[FieldVector]
                 decodedVecs.add(d)
                 d
-              }
+              } else if (isRee(v.getField)) {
+                val d = decodeRee(v, allocator)
+                decodedVecs.add(d)
+                d
+              } else v
             }
             new VectorSchemaRoot(vecs.asJava)
           }
         val fields =
-          if (!dictEncoded) srcFields
+          if (!encoded) srcFields
           else root.getSchema.getFields.asScala.toSeq
         val src =
-          (if (dictEncoded) new VectorUnloader(root) else unloader).getRecordBatch
-        val doNarrow = if (dictEncoded) hasLargeTypes(fields) else narrow
+          (if (encoded) new VectorUnloader(root) else unloader).getRecordBatch
+        val doNarrow = if (encoded) hasLargeTypes(fields) else narrow
         val batch = if (doNarrow) narrowBatch(fields, src, allocator) else src
         val bos = new ByteArrayOutputStream()
         try MessageSerializer.serialize(new WriteChannel(Channels.newChannel(bos)), batch)
@@ -395,7 +461,7 @@ object ArrowIpc {
       // batchBytes narrows/decodes the buffers to match
       try {
         val raw = reader.getVectorSchemaRoot.getSchema
-        val resolved =
+        val withDict =
           if (!hasDictionary(raw)) raw
           else {
             // dictionary batches arrive with the data (stream) or are
@@ -403,6 +469,10 @@ object ArrowIpc {
             reader.loadNextBatch()
             new ArrowSchema(raw.getFields.asScala.map(decodedField(reader, _)).asJava)
           }
+        val resolved =
+          if (!hasRee(withDict)) withDict
+          else new ArrowSchema(withDict.getFields.asScala
+            .map(f => if (isRee(f)) reeValueField(f) else f).asJava)
         Bridge.fromArrowSchema(narrowSchema(resolved))
       } finally { reader.close(); allocator.close() }
     }

@@ -260,6 +260,65 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("IPC run-end-encoded columns expand to value types, both formats") {
+    // the second physical compression layout the IPC format ships
+    // (run_end_encode kernel output): run_ends [2,3,5] over values
+    // ["up", null, "down"] means logical rows up,up,null,down,down
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, IntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.RunEndEncodedVector
+    import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_ree").toString
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reField = new Field("run_ends",
+      FieldType.notNullable(new ArrowType.Int(32, true)), null)
+    val valField = new Field("values",
+      FieldType.nullable(ArrowType.Utf8.INSTANCE), null)
+    val reeField = new Field("status",
+      FieldType.notNullable(ArrowType.RunEndEncoded.INSTANCE),
+      Seq(reField, valField).asJava)
+    val runEndsV = new IntVector(reField, allocator)
+    val valuesV = new VarCharVector(valField, allocator)
+    val ree = new RunEndEncodedVector(reeField, allocator, runEndsV, valuesV, null)
+    val idV = new BigIntVector("id", allocator)
+    try {
+      runEndsV.allocateNew(3)
+      Seq(2, 3, 5).zipWithIndex.foreach { case (e, i) => runEndsV.setSafe(i, e) }
+      runEndsV.setValueCount(3)
+      valuesV.allocateNew()
+      valuesV.setSafe(0, "up".getBytes("UTF-8"))
+      valuesV.setNull(1)
+      valuesV.setSafe(2, "down".getBytes("UTF-8"))
+      valuesV.setValueCount(3)
+      ree.setValueCount(5)
+      idV.allocateNew(5)
+      (0 until 5).foreach(i => idV.setSafe(i, i.toLong))
+      idV.setValueCount(5)
+      val root = new VectorSchemaRoot(Seq[org.apache.arrow.vector.FieldVector](idV, ree).asJava)
+      val fOut = new java.io.FileOutputStream(s"$dir/part-00000.arrow")
+      val fw = new ArrowFileWriter(root, null, fOut.getChannel)
+      try { fw.start(); fw.writeBatch(); fw.end() }
+      finally { fw.close(); fOut.close() }
+      val sOut = new java.io.FileOutputStream(s"$dir/part-00000.arrows")
+      val sw = new ArrowStreamWriter(root, null, sOut.getChannel)
+      try { sw.start(); sw.writeBatch(); sw.end() }
+      finally { sw.close(); sOut.close() }
+    } finally { ree.close(); idV.close(); allocator.close() }
+
+    import org.apache.spark.sql.types._
+    for (back <- Seq(ArrowIpc.read(spark, dir), ArrowIpc.readStream(spark, dir))) {
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        Seq(("id", LongType), ("status", StringType)),
+        s"REE column must surface as its VALUE type: ${back.schema}")
+      val got = back.orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(got == Seq(0L -> Some("up"), 1L -> Some("up"), 2L -> None,
+        3L -> Some("down"), 4L -> Some("down")))
+    }
+  }
+
   test("IPC round-trip of a real table matches the original") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ipc2").toString
     val orig = Tables.orders(spark, sf)
