@@ -29,30 +29,59 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = raw(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = raw(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * We read it as a raw nanosecond long and truncate to microseconds
-    * (integer division — `ts` is far above 2^53 so double math would lose
-    * precision). DuckDB applies the same ns→µs truncation when casting
-    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical values. */
+  /** `events.ts` normalized to a session-zone µs TIMESTAMP whatever the
+    * fixture generation wrote. The dataset has shipped with two physical
+    * encodings across rounds — parquet TIMESTAMP(NANOS) (rejected by
+    * Spark's reader, so read as a raw ns long via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncated with integer
+    * division; `ts` is far above 2^53 so double math would lose
+    * precision) and plain µs TIMESTAMP (isAdjustedToUTC=false → read as
+    * TIMESTAMP_NTZ) — so the loader dispatches on the read schema. The
+    * NTZ→TIMESTAMP cast is value-preserving because the session zone is
+    * pinned to UTC (GraftSession), matching DuckDB's naive read of the
+    * same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = raw(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
+  private def ntzLit(micros: Long) =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
   /** Events with a pushdown-friendly event-time filter: the predicate is
-    * applied to the *raw nanosecond long* before the µs conversion, so it
-    * reaches the parquet scan as a long-range filter (row-group pruning
-    * works). At 100 TB this is the difference between scanning a day and
-    * scanning the full history. */
+    * applied to the column *as stored* (raw ns long, or NTZ timestamp
+    * with an NTZ literal) before any conversion, so it reaches the
+    * parquet scan as a range filter (row-group pruning works). At 100 TB
+    * this is the difference between scanning a day and scanning the full
+    * history. */
   def eventsBetween(
       s: SparkSession,
       d: String,
       fromMicros: Long,
       untilMicros: Long): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(s, d, "events")
-      .filter(col("ts") >= fromMicros * 1000L && col("ts") < untilMicros * 1000L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = raw(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.filter(col("ts") >= fromMicros * 1000L && col("ts") < untilMicros * 1000L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.filter(col("ts") >= ntzLit(fromMicros) && col("ts") < ntzLit(untilMicros))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        df.filter(col("ts") >= timestamp_micros(lit(fromMicros)) &&
+          col("ts") < timestamp_micros(lit(untilMicros)))
+    }
   }
 
   /** Stable scratch-directory key for a scale-factor dir: the path plus

@@ -12,20 +12,24 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Raw schema of the events table as stored (ts = nanosecond epoch long,
-    * required when reading the TIMESTAMP(NANOS) parquet as a stream). */
+  /** Raw schema of the events table as stored (ts = µs TIMESTAMP_NTZ in
+    * the current fixture generation; streams need an explicit schema). */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Nanosecond-long `ts` → microsecond timestamp (same truncation as
-    * Tables.events). */
-  def withEventTime(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Stored `ts` → session-zone µs timestamp, dispatching on the stored
+    * type exactly like Tables.events (ns long fixtures truncate; NTZ
+    * fixtures cast under the pinned-UTC session zone). */
+  def withEventTime(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => raw
+  }
 
   /** Hourly tumbling-window aggregate per event type. Works identically on
     * batch and streaming inputs; on a stream, pair with
