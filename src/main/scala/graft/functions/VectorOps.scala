@@ -29,6 +29,40 @@ object VectorOps {
     * formulation, kept as the reference twin for [[cosine]]. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalized copy of a numeric array (double). Zero vectors map
+    * to zeros rather than NaN so downstream quantization stays total. */
+  def unit(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x =>
+      when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** Per-vector symmetric int8 quantization scale for a UNIT vector:
+    * `127 / max_i |u_i|` — uses the full signed-byte range regardless of
+    * dimensionality (a fixed 127 scale would waste most of the 8 bits at
+    * high dim, where unit components are ~1/√dim). Stored alongside the
+    * codes; dequantization divides by it. */
+  def int8Scale(a: Column): Column = {
+    val m = array_max(transform(unit(a), x => abs(x)))
+    when(m === 0.0, lit(1.0)).otherwise(lit(127.0) / m)
+  }
+
+  /** Int8 codes of the unit-normalized vector: `floor(u_i·scale + 0.5)`
+    * (half-up — the same closed form evaluates identically on IEEE
+    * doubles in any engine, unlike banker's rounding). Values land in
+    * [-127, 127]; kept as longs so downstream integer dot products are
+    * exact without overflow concern (127²·dim ≪ 2⁶³). The memory story
+    * at scale is 4 bytes → 1 byte per dimension plus one double scale
+    * per vector. */
+  def quantizeInt8(a: Column): Column = {
+    val s = int8Scale(a)
+    transform(unit(a), x => floor(x * s + lit(0.5)).cast("long"))
+  }
+
+  /** Exact integer dot product of two equal-length integer arrays. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Squared L2 distance. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(

@@ -28,6 +28,36 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Exact top-k over int8-QUANTIZED unit vectors — the memory/bandwidth
+    * scale lever orthogonal to LSH/IVF bucketing: 4 bytes → 1 byte per
+    * dimension (plus one stored double scale per vector), so at 100 TB of
+    * float32 embeddings the candidate side shrinks 4× before any search
+    * structure is even built, and the inner loop is integer
+    * multiply-accumulate. Scoring dequantizes the EXACT integer dot
+    * product by the two stored scales (`dot / (s_q·s_n)` ≈ cosine of the
+    * original vectors, since codes quantize the unit-normalized input) —
+    * ranking is therefore deterministic: integer dot first, IEEE division
+    * after, ties broken by neighbor id. Same broadcast shape as
+    * [[bruteTopK]]; composes with the IVF cell join for bucketed search. */
+  def int8TopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorOps.quantizeInt8(col(vecCol)).as("qq"),
+      VectorOps.int8Scale(col(vecCol)).as("qs"))
+    val cand = candidates.select(col(idCol).as("neighbor_id"),
+      VectorOps.quantizeInt8(col(vecCol)).as("nq"),
+      VectorOps.int8Scale(col(vecCol)).as("ns"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.intDot(col("qq"), col("nq")).cast("double") /
+          (col("qs") * col("ns")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** IVF (inverted-file) top-k — the second classic ANN scale path next
     * to LSH: a coarse quantizer of `nCentroids` centroids partitions the
     * base vectors into cells (the inverted lists), and each query probes

@@ -448,4 +448,61 @@ object Dedup {
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(k)
   }
+
+  /** Corpus-level span (line) deduplication, the C4/RefinedWeb text-dedup
+    * family member that operates BELOW document granularity: documents are
+    * cut into consecutive `spanTokens`-token spans, each span is kept only
+    * at its first corpus occurrence (ordered by (id, position)), spans
+    * whose corpus occurrence count exceeds `maxDf` are dropped entirely
+    * (boilerplate removal), and surviving spans are stitched back into
+    * documents in their original order. Documents whose every span is
+    * removed disappear from the output. For newline-delimited corpora the
+    * same shape applies with a `split(text, "\n")` front — the fixture
+    * corpus is single-line, so spans are fixed token windows.
+    *
+    * Scale shape (the reason this beats a naive window over span text):
+    * the winner-per-span aggregate keys on `xxhash64(span)` — an 8-byte
+    * shuffle key with map-side combine, so a boilerplate span occurring
+    * 10⁹ times arrives at its reducer as a handful of partial
+    * (min-occurrence, count) rows, never as 10⁹ sorted text rows (a
+    * `row_number() OVER (PARTITION BY span)` would sort-shuffle the hot
+    * key's full text). The join back to span rows is a (hash,id,idx)
+    * equi-join against a winners frame of ~24 bytes per DISTINCT span.
+    * A 64-bit span-hash collision (p ≈ n²/2⁶⁵) merges two unrelated spans,
+    * dropping one — same documented tolerance as [[shingleDocs]].
+    *
+    * Reference anchor: the span/line granularity mirrors how
+    * `arrow/compute` users compose `list_slice` + hash-agg for dedup;
+    * there is no single reference node — this is the LLM-pipeline family
+    * mandated beyond the reference surface. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(spanTokens > 0, s"dedupSpans: spanTokens must be > 0, got $spanTokens")
+    val toks = TextOps.words(col(textCol))
+    // ceil(nTokens / spanTokens) span slots; slice truncates the tail span
+    val nSpans = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    val spanArr = transform(
+      sequence(lit(0), greatest(nSpans, lit(1)) - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    val spans = df
+      .select(col(idCol).as("id"), posexplode(spanArr).as(Seq("span_idx", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("span_idx"))).as("keep"),
+        count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"), col("keep.id").as("id"),
+        col("keep.span_idx").as("span_idx"))
+    spans
+      .join(winners, Seq("h", "id", "span_idx"), "left_semi")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            x => x.getField("span")),
+          " ").as("text"),
+        count(lit(1)).as("n_spans_kept"))
+      .select(col("id").as(idCol), col("text"), col("n_spans_kept"))
+  }
 }

@@ -149,6 +149,39 @@ object DedupQueries {
   private val simhashRecallSql =
     "SELECT 8 AS max_hamming, 1 AS pairs_exist, 1 AS recall_ok"
 
+  /** Corpus-level span dedup ([[Dedup.dedupSpans]]): 4-token spans, first
+    * occurrence kept, spans occurring > 3 times dropped entirely — both
+    * the C4 keep-first branch and the boilerplate drop-all branch fire on
+    * this corpus (measured df histogram: 294 spans ×2, 29 ×3, 18 groups
+    * above the cap). The oracle recomputes the same winners with a
+    * span-partitioned window — affordable at gate scale, while the engine
+    * path keys every shuffle on the 8-byte span hash (scale notes on the
+    * library function). */
+  private val SpanTokens = 4
+  private val SpanMaxDf = 3L
+
+  private def spans(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSpans(Tables.documents(s, d), "doc_id", "text",
+        spanTokens = SpanTokens, maxDf = SpanMaxDf)
+      .orderBy(col("doc_id"))
+
+  private val spansSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |idx AS (SELECT doc_id, ts,
+       |  unnest(range(0, CAST(ceil(len(ts) / $SpanTokens.0) AS BIGINT))) AS i
+       |  FROM toks),
+       |spans AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+       |  array_to_string(ts[i*$SpanTokens+1 : i*$SpanTokens+$SpanTokens], ' ') AS span
+       |  FROM idx),
+       |win AS (SELECT doc_id, span_idx, span,
+       |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn,
+       |  COUNT(*) OVER (PARTITION BY span) AS df
+       |  FROM spans),
+       |keep AS (SELECT doc_id, span_idx, span FROM win WHERE rn = 1 AND df <= $SpanMaxDf)
+       |SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans_kept
+       |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Embedding near-dup: top-50 closest pairs by cosine (brute at test SF;
     * LSH-bucketed scale path is `ann_lsh`). The declared queries run
     * strictly sequentially, so the text-dedup caches are dead weight by
@@ -185,5 +218,7 @@ object DedupQueries {
     Capability("dedup_simhash_recall", "simhash recall gate vs exact 0.8-Jaccard pairs (constant oracle)",
       simhashRecall, Some(simhashRecallSql)),
     Capability("dedup_embedding", "top-50 embedding pairs by cosine", embed, Some(embedSql)),
+    Capability("dedup_spans", "corpus span/line dedup: keep-first + boilerplate df cap", spans,
+      Some(spansSql)),
   )
 }

@@ -73,6 +73,45 @@ object SimilarityQueries {
 
   private val recallGateSql = s"SELECT $NQueries AS n_queries, $K AS k, 1 AS recall_ok"
 
+  /** Int8-quantized top-k ([[Ann.int8TopK]]): fully oracle-gated — the
+    * integer dot product is exact, the dequantized score is one IEEE
+    * division, and the tie-break is total. The recall twin below asserts
+    * the SEMANTIC property (int8-of-cosine ranking ≈ float cosine
+    * ranking). */
+  private def int8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.int8TopK(e.filter(col("vec_id") < NQueries), e, "vec_id", "embedding", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val int8Sql =
+    s"""WITH uv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id,
+       |    127.0 / list_max(list_transform(u, x -> abs(x))) AS s,
+       |    list_transform(u, x -> CAST(floor(
+       |      x * (127.0 / list_max(list_transform(u, y -> abs(y)))) + 0.5)
+       |      AS BIGINT)) AS q
+       |  FROM uv),
+       |dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(CAST(list_sum(list_transform(range(1, len(a.q)+1),
+       |      i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.s * b.s), 6) AS score
+       |  FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NQueries)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM dots) t
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Sparse lexical top-k ([[SparseSim]]): exact integer dot products via
     * an inverted dimension index, hot dimensions (>75 % document
     * frequency) dropped — fully oracle-gated because every quantity is an
@@ -169,5 +208,9 @@ object SimilarityQueries {
     Capability("sparse_topk",
       s"sparse lexical top-$SparseK by exact dot product (inverted dimension index, df-capped)",
       sparseTopK, Some(sparseTopKSql), bench = true),
+    Capability("ann_int8", s"int8-quantized exact top-$K (4x-memory scale path, oracle-exact)",
+      int8, Some(int8Sql)),
+    Capability("ann_int8_recall", "int8 recall@k gate vs the float-cosine baseline (constant oracle)",
+      recallGate(int8, 0.8), Some(recallGateSql)),
   )
 }

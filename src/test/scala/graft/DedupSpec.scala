@@ -151,4 +151,42 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length == 50)
     assert(rows.zip(rows.tail).forall { case (a, b) => a >= b })
   }
+
+  test("span dedup keeps first occurrences, drops boilerplate, removes emptied docs") {
+    import spark.implicits._
+    // spans of 2 tokens; "x y" appears in docs 1,2,3 and twice in doc 1
+    val df = Seq(
+      (1L, "x y a b x y"),   // span "x y" at idx 0 (kept) and idx 2 (dup)
+      (2L, "x y c d"),       // loses "x y", keeps "c d"
+      (3L, "x y"),           // every span removed → doc disappears
+      (4L, "e f g h")        // untouched
+    ).toDF("doc_id", "text")
+    val byId = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(1L) == ("x y a b", 2L))
+    assert(byId(2L) == ("c d", 1L))
+    assert(!byId.contains(3L))
+    assert(byId(4L) == ("e f g h", 2L))
+  }
+
+  test("span dedup maxDf drops every occurrence of a hot span") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hot hot a b"), (2L, "hot hot c d"), (3L, "hot hot e f")
+    ).toDF("doc_id", "text")
+    // "hot hot" occurs 3 times > maxDf=2 → dropped everywhere, including
+    // its first occurrence
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 2, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "a b", 2L -> "c d", 3L -> "e f"))
+  }
+
+  test("span dedup with a tail span shorter than the window") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "z z a b")).toDF("doc_id", "text")
+    // doc 1: spans "a b", "c"; doc 2: "z z", "a b"(dup → removed)
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(out == List((1L, "a b c", 2L), (2L, "z z", 1L)))
+  }
 }

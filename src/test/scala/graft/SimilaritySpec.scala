@@ -126,4 +126,39 @@ class SimilaritySpec extends AnyFunSuite {
     // carries signal
     assert(recall >= 0.35, s"IVF recall $recall")
   }
+
+  test("int8 codes are bounded, exact on axis vectors, and scales positive") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),            // unit = (0.6, 0.8), scale = 127/0.8
+      (2L, Array(0.0f, -2.0f)),           // axis vector → codes (0, -127)
+      (3L, Array(1e-8f, 0.0f))            // tiny but nonzero → still quantizes
+    ).toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+        VectorOps.quantizeInt8(col("embedding")).as("q"),
+        VectorOps.int8Scale(col("embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2))).toList
+    rows.foreach { case (_, q, s) =>
+      assert(q.forall(c => c >= -127 && c <= 127))
+      assert(s > 0)
+    }
+    val m = rows.map(t => t._1 -> t._2).toMap
+    assert(m(2L) == Seq(0L, -127L))
+    // (0.6, 0.8)·(127/0.8) = (95.25, 127) → floor(+0.5) = (95, 127)
+    assert(m(1L) == Seq(95L, 127L))
+  }
+
+  test("int8 recall vs float-cosine brute is near-perfect") {
+    val brute = Registry.byName("ann_brute").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = Registry.byName("ann_int8").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(int8).size.toDouble / brute.size
+    // 8-bit codes of unit vectors perturb cosines by ~1e-2 at dim 64 —
+    // only near-ties can swap in or out of a top-5 cut
+    assert(recall >= 0.8, s"int8 recall $recall")
+  }
 }
