@@ -53,7 +53,12 @@ object VectorOps {
     * [-127, 127]; kept as longs so downstream integer dot products are
     * exact without overflow concern (127²·dim ≪ 2⁶³). The memory story
     * at scale is 4 bytes → 1 byte per dimension plus one double scale
-    * per vector. */
+    * per vector.
+    *
+    * NOTE: as a single composed Column the scale/norm subtrees re-evaluate
+    * per ELEMENT (O(dim³) per row) — fine for specs and small frames; bulk
+    * paths must stage norm/unit/scale as their own projected columns the
+    * way `Ann.int8Encoded` does. */
   def quantizeInt8(a: Column): Column = {
     val s = int8Scale(a)
     transform(unit(a), x => floor(x * s + lit(0.5)).cast("long"))

@@ -215,9 +215,14 @@ object Dedup {
     // one shingling pass feeds both the signature aggregate and the two
     // verification joins (shingleDocs is cached)
     val invSizes = shingleIndex(shingleDocs(df, idCol, textCol, n))
-    jaccardForIndex(invSizes,
+    // the verified pair set is consumed by several declared queries
+    // (minhash gate, both CC variants, the simhash recall gate) with
+    // identical arguments — persist it so the candidate generation +
+    // verification joins run once per corpus (plan-identical calls
+    // cache-hit; the frame is tiny: one row per near-dup pair)
+    tracked(jaccardForIndex(invSizes,
       minhashCandidatesFromInv(invSizes._1, nHashes, rowsPerBand))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
 
   /** 64-bit shingle-level SimHash signature per document, via the
