@@ -155,6 +155,48 @@ object SimilarityQueries {
        |WHERE rank <= $SparseK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** BM25 top-k ([[SparseSim.topKBm25]]) on the same inverted index and
+    * query/corpus split as `sparse_topk` — fully oracle-gated (per-element
+    * IEEE score in identical textual order, decimal-summed, total
+    * tie-break). */
+  private def bm25(s: SparkSession, d: String): DataFrame =
+    SparseSim.topKBm25(Tables.documents(s, d), "doc_id", "text", SparseK,
+        col("id") < SparseNQ, maxDfFrac = Some(SparseDfFrac))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val bm25Sql =
+    s"""WITH tf AS (
+       |  SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |kept AS (
+       |  SELECT tf.id, tf.tok, tf.tf, dfreq.df FROM tf
+       |  JOIN dfreq USING (tok), stats
+       |  WHERE dfreq.df <= $SparseDfFrac * stats.n_docs),
+       |elems AS (
+       |  SELECT q.id AS query_id, d.id AS neighbor_id,
+       |    round(q.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      d.tf * (1.2 + 1) / (d.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+       |      9) AS e
+       |  FROM kept q JOIN kept d USING (tok) JOIN dl ON dl.id = d.id, stats s
+       |  WHERE q.id < $SparseNQ AND d.id <> q.id),
+       |scores AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(CAST(SUM(CAST(e AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+       |  FROM elems GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scores) t
+       |WHERE rank <= $SparseK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the grouped element-wise vector mean
     * behind clustering, IVF coarse training and per-source drift checks.
     *
@@ -210,6 +252,9 @@ object SimilarityQueries {
       sparseTopK, Some(sparseTopKSql), bench = true),
     Capability("ann_int8", s"int8-quantized exact top-$K (4x-memory scale path, oracle-exact)",
       int8, Some(int8Sql)),
+    Capability("sparse_bm25",
+      s"BM25 top-$SparseK ranking on the inverted dimension index (k1=1.2, b=0.75)",
+      bm25, Some(bm25Sql)),
     Capability("ann_int8_recall", "int8 recall@k gate vs the float-cosine baseline (constant oracle)",
       recallGate(int8, 0.8), Some(recallGateSql)),
   )

@@ -79,4 +79,65 @@ object SparseSim {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
   }
+
+  /** Top-k neighbors by BM25 — the IR-standard ranking on the same
+    * inverted dimension index as [[topKDot]]: per shared token the
+    * contribution is `qtf · idf(tok) · ntf(k1+1)/(ntf + k1(1−b+b·dl/avgdl))`
+    * with the Lucene/ATIRE positive idf `ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * tf saturation `k1` and length normalization `b`. Same scale shape as
+    * the dot-product variant (broadcast query side, token-keyed join,
+    * grouped aggregate with map-side combine) plus two tiny broadcast
+    * sides: per-document lengths join the postings, and (N, avgdl) is one
+    * broadcast scalar row.
+    *
+    * Oracle-exactness: per-element scores are one IEEE double expression
+    * (evaluated in identical textual order in the DuckDB mirror), rounded
+    * to 9 decimals, summed as exact decimals (order-independent), rounded
+    * to 6 — so grouped float addition order can never flip a rank.
+    *
+    * `maxDfFrac` keeps its inverted-index-survival role; BM25 already
+    * DOWNWEIGHTS hot dimensions (idf → ~0), so the cap changes scores
+    * only marginally while cutting Σdf² join pairs — the cap is part of
+    * the declared contract here exactly as in [[topKDot]]. */
+  def topKBm25(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      queryPred: Column, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Option[Double] = None): DataFrame = {
+    val tf = tfVectors(docs, idCol, textCol)
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val kept = maxDfFrac match {
+      case Some(frac) =>
+        withDf.crossJoin(broadcast(stats))
+          .filter(col("df") <= col("n_docs") * frac)
+          .drop("n_docs", "avgdl")
+      case None => withDf
+    }
+    val q = kept.filter(queryPred)
+      .select(col("id").as("query_id"), col("tok"), col("tf").as("qtf"))
+    val d = kept.select(col("id").as("neighbor_id"), col("tok"),
+        col("tf").as("ntf"), col("df"))
+      .join(broadcast(dl.select(col("id").as("neighbor_id"), col("dl"))),
+        Seq("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val elem = round(
+      col("qtf") * log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("ntf") * lit(k1 + 1) /
+        (col("ntf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
+    broadcast(q).join(d, Seq("tok"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("neighbor_id"), elem.as("e"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("e").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
 }

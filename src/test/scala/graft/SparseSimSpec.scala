@@ -78,4 +78,39 @@ class SparseSimSpec extends AnyFunSuite {
     // partial + final HashAggregate pair around the (query, neighbor) exchange
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
   }
+
+  test("bm25: rare terms outrank common terms, longer docs are normalized down") {
+    // query d0 = {rare, common}; d1 matches only "rare" (df 2/5),
+    // d2 matches only "common" (df 4/5): idf(rare) > idf(common) and both
+    // candidate docs have identical length → d1 must outrank d2
+    val docs = corpus(
+      0L -> "rare common",
+      1L -> "rare filler1",
+      2L -> "common filler2",
+      3L -> "common x1",
+      4L -> "common y1")
+    val out = SparseSim.topKBm25(docs, "doc_id", "text", k = 4,
+        queryPred = col("id") === 0L)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._2 == 1L, out.mkString(","))
+    // length normalization: same tf of the same term, shorter doc wins
+    val docs2 = corpus(
+      0L -> "t",
+      1L -> "t pad pad pad pad pad pad pad",
+      2L -> "t q")
+    val out2 = SparseSim.topKBm25(docs2, "doc_id", "text", k = 2,
+        queryPred = col("id") === 0L)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out2.map(_._2).toSeq == Seq(2L, 1L), out2.mkString(","))
+    assert(out2(0)._3 > out2(1)._3)
+  }
+
+  test("bm25 gate query is deterministic across runs") {
+    val a = Registry.byName("sparse_bm25").run(spark, sf).collect().toSeq
+    val b = Registry.byName("sparse_bm25").run(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
