@@ -61,6 +61,48 @@ object Ann {
         floor(x * col(scaleAs) + lit(0.5)).cast("long")))
       .drop("__v", "__n", "__u", "__m")
 
+  /** (id, words) projection: sign-bit binary quantization, 32 bits packed
+    * per long word (32 — not 64 — so the `acc·2 + bit` fold can never
+    * overflow into the sign bit, which ANSI mode would turn into a runtime
+    * error). Staged like [[int8Encoded]] so the per-row cost is O(dim). */
+  private def binaryEncoded(df: DataFrame, idCol: String, idAs: String,
+      vecCol: String, wordsAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as("__v"))
+      .withColumn("__b", transform(col("__v"), x =>
+        when(x.cast("double") >= 0.0, lit(1L)).otherwise(lit(0L))))
+      .withColumn(wordsAs, transform(
+        sequence(lit(0), (ceil(size(col("__b")).cast("double") / 32.0)).cast("int") - 1),
+        w => aggregate(slice(col("__b"), w * 32 + 1, lit(32)), lit(0L),
+          (acc, s) => acc * 2 + s)))
+      .drop("__v", "__b")
+
+  /** Exact top-k by Hamming distance over BINARY (sign-bit) quantized
+    * vectors — the extreme end of the quantization ladder next to
+    * [[int8TopK]]: 32 float dims collapse into one long word, and the
+    * scoring loop is XOR + popcount on words (`bit_count`), i.e. 32
+    * dimensions per instruction instead of one multiply-add each. At
+    * 100 TB this is the candidate-generation tier: binary codes fit ~128×
+    * more vectors per executor page than float32, and the surviving
+    * candidates get re-ranked by a finer metric (int8/float — compose
+    * with [[int8TopK]]/[[bruteTopK]]). Smaller Hamming = closer; total
+    * tie-break by neighbor id; integer output, fully oracle-gateable. */
+  def binaryTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = binaryEncoded(queries, idCol, "query_id", vecCol, "qw")
+    val cand = binaryEncoded(candidates, idCol, "neighbor_id", vecCol, "nw")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("qw"), col("nw"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
+
   def int8TopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = int8Encoded(queries, idCol, "query_id", vecCol, "qq", "qs")

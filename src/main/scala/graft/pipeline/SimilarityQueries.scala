@@ -155,6 +155,35 @@ object SimilarityQueries {
        |WHERE rank <= $SparseK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Binary-quantized Hamming top-k ([[Ann.binaryTopK]]): integer output,
+    * total tie-break — fully oracle-gated. The oracle computes Hamming
+    * from UNPACKED sign bits (the semantic definition); the engine packs
+    * 32 bits per word and XOR/popcounts — the gate proves the packing. */
+  private def binary(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.binaryTopK(e.filter(col("vec_id") < NQueries), e, "vec_id", "embedding", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val binarySql =
+    s"""WITH bits AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN 1 ELSE 0 END) AS s
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.s)+1),
+       |      i -> CASE WHEN a.s[i] <> b.s[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NQueries)
+       |SELECT query_id, rank, neighbor_id, hamming FROM (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS INT) AS rank
+       |  FROM d) t
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** BM25 top-k ([[SparseSim.topKBm25]]) on the same inverted index and
     * query/corpus split as `sparse_topk` — fully oracle-gated (per-element
     * IEEE score in identical textual order, decimal-summed, total
@@ -255,6 +284,9 @@ object SimilarityQueries {
     Capability("sparse_bm25",
       s"BM25 top-$SparseK ranking on the inverted dimension index (k1=1.2, b=0.75)",
       bm25, Some(bm25Sql)),
+    Capability("ann_binary",
+      s"binary sign-bit top-$K by packed XOR/popcount Hamming (32x-memory tier)",
+      binary, Some(binarySql)),
     Capability("ann_int8_recall", "int8 recall@k gate vs the float-cosine baseline (constant oracle)",
       recallGate(int8, 0.8), Some(recallGateSql)),
   )

@@ -149,6 +149,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m(1L) == Seq(95L, 127L))
   }
 
+  test("binary packing computes the same hamming as unpacked sign comparison") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    // 33 dims forces a 2-word packing with a 1-bit tail word
+    val va = Array.tabulate(33)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val vb = Array.tabulate(33)(i => if (i % 5 == 0) 1.0f else -1.0f)
+    val expected = va.zip(vb).count { case (x, y) => (x >= 0) != (y >= 0) }
+    val df = Seq((0L, va), (1L, vb)).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Ann.binaryTopK(
+        df.filter(col("vec_id") === 0L), df, "vec_id", "embedding", 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == expected.toLong)
+  }
+
+  test("binary hamming ranking recall vs brute beats random") {
+    val brute = Registry.byName("ann_brute").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Registry.byName("ann_binary").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(bin).size.toDouble / brute.size
+    // 1 bit/dim at dim 64 is the coarse candidate tier — random top-5
+    // of ~500 gives ~0.01, sign codes must carry far more signal
+    assert(recall >= 0.1, s"binary recall $recall")
+  }
+
   test("int8 recall vs float-cosine brute is near-perfect") {
     val brute = Registry.byName("ann_brute").run(spark, sf)
       .select("query_id", "neighbor_id").collect()
