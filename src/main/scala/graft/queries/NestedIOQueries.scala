@@ -492,6 +492,25 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26m: DICTIONARY-ENCODED Arrow IPC round-trip — the write half of
+    * the reference's categorical transport (`dictionary_encode` is the
+    * reference default for categoricals; read-side decode is q26d's
+    * machinery). The status column ships as an int32 index vector plus a
+    * per-file dictionary batch; reading it back must reproduce the
+    * values exactly. Same oracle as q26d; IoSpec additionally asserts
+    * the written file REALLY carries a dictionary-encoded field and that
+    * high-cardinality columns are rejected. */
+  private def q26m(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_dict_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.writeDict(
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date")),
+      out, dictCols = Seq("o_orderstatus"))
+    graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
+  }
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
@@ -748,6 +767,7 @@ object NestedIOQueries {
     Capability("q26d_ipc_roundtrip", "Arrow IPC write → read round-trip (arrow-java)", q26d, Some(q26Sql)),
     Capability("q26i_ipc_stream", "Arrow IPC STREAM-format round-trip (footerless framing)", q26i, Some(q26Sql)),
     Capability("q26l_ipc_zstd", "zstd-compressed Arrow IPC round-trip (body-buffer codec)", q26l, Some(q26Sql)),
+    Capability("q26m_ipc_dict", "dictionary-encoded Arrow IPC round-trip (categorical transport)", q26m, Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,

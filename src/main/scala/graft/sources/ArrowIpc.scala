@@ -154,6 +154,124 @@ object ArrowIpc {
     }
   }
 
+  /** Write `df` with the named string columns DICTIONARY-ENCODED — the
+    * write half of the reference's categorical transport (the read path
+    * already decodes dictionary batches; `dictionary_encode` is the
+    * reference default for categorical columns, so a file we hand to an
+    * Arrow consumer should offer the same layout). Each encoded column
+    * ships as an int32 index vector plus one dictionary batch per file.
+    *
+    * The dictionary is GLOBAL and computed by one distributed
+    * distinct-aggregate whose result lands on the driver — a bounded
+    * exchange by contract: dictionary encoding only makes sense for
+    * low-cardinality columns, and `maxDictSize` rejects anything else
+    * loudly rather than building a multi-gigabyte dictionary. Ids are
+    * assigned in sorted value order, so the file layout is a pure
+    * function of the data. `df` must be deterministic (it is scanned
+    * once for the dictionary and once for the rows — the same contract
+    * as every two-pass writer).
+    *
+    * At 100 TB: the distinct shuffle carries only (column value) partial
+    * sets with map-side combine; row batches encode per partition
+    * against the broadcast dictionary with an O(1) hash lookup per
+    * value; nothing else changes vs [[write]]. */
+  def writeDict(df: DataFrame, dir: String, dictCols: Seq[String],
+      batchSize: Int = 4096, maxDictSize: Int = 1 << 16): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.vector.VarCharVector
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    import org.apache.spark.sql.functions.col
+    require(dictCols.nonEmpty, "writeDict needs at least one dictionary column")
+    val schema = df.schema
+    dictCols.foreach { c =>
+      require(schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"dictionary column '$c' must be string, got ${schema(c).dataType}")
+    }
+    // one bounded driver exchange per declared categorical column
+    val dictValues: Map[String, Array[String]] = dictCols.map { c =>
+      val vals = df.select(col(c)).filter(col(c).isNotNull).distinct()
+        .orderBy(col(c)).limit(maxDictSize + 1).collect().map(_.getString(0))
+      require(vals.length <= maxDictSize,
+        s"column '$c' exceeds maxDictSize=$maxDictSize distinct values — " +
+          "not a categorical column; write it unencoded")
+      c -> vals
+    }.toMap
+    val dictIds: Map[String, Long] = dictCols.zipWithIndex
+      .map { case (c, i) => c -> i.toLong }.toMap
+
+    val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    Bridge.toInternalRdd(df).foreachPartition { rows =>
+      if (rows.nonEmpty) {
+        val part = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$part%05d.arrow")
+        val pfs = path.getFileSystem(hconf.value)
+        val allocator = new RootAllocator(Long.MaxValue)
+        // task-local dictionary vectors from the broadcast value arrays
+        val provider = new DictionaryProvider.MapDictionaryProvider()
+        val dicts: Map[String, Dictionary] = dictValues.map { case (c, vals) =>
+          val vec = new VarCharVector(s"$c-dict", allocator)
+          vec.allocateNew(vals.length)
+          vals.zipWithIndex.foreach { case (v, i) =>
+            vec.setSafe(i, v.getBytes("UTF-8"))
+          }
+          vec.setValueCount(vals.length)
+          val enc = new DictionaryEncoding(dictIds(c), /*ordered=*/ false,
+            new ArrowType.Int(32, true))
+          c -> new Dictionary(vec, enc)
+        }
+        dicts.values.foreach(provider.put)
+        val valueSchema = Bridge.toArrowSchema(schema)
+        val valueRoot = VectorSchemaRoot.create(valueSchema, allocator)
+        val loader = new VectorLoader(valueRoot)
+        val outFields = valueSchema.getFields.asScala.map { f =>
+          if (dicts.contains(f.getName))
+            new Field(f.getName,
+              new FieldType(f.isNullable, new ArrowType.Int(32, true),
+                dicts(f.getName).getEncoding, f.getMetadata),
+              java.util.Collections.emptyList[Field]())
+          else f
+        }.toSeq
+        val outRoot = VectorSchemaRoot.create(
+          new ArrowSchema(outFields.asJava), allocator)
+        val out = pfs.create(path, true)
+        val writer = new ArrowFileWriter(outRoot, provider, Channels.newChannel(out))
+        try {
+          writer.start()
+          Bridge.toArrowBatchIterator(rows, schema, batchSize, TaskContext.get()).foreach { bytes =>
+            val batch = MessageSerializer.deserializeRecordBatch(
+              new org.apache.arrow.vector.ipc.ReadChannel(
+                Channels.newChannel(new java.io.ByteArrayInputStream(bytes))), allocator)
+            try loader.load(batch) finally batch.close()
+            val n = valueRoot.getRowCount
+            schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+              val src = valueRoot.getVector(i)
+              val dst = outRoot.getVector(i)
+              if (dicts.contains(name)) {
+                // hash-lookup encode against the fixed global dictionary
+                val encoded = DictionaryEncoder.encode(src, dicts(name))
+                try encoded.makeTransferPair(dst).transfer()
+                finally encoded.close()
+              } else src.makeTransferPair(dst).transfer()
+            }
+            outRoot.setRowCount(n)
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally {
+          writer.close(); out.close()
+          outRoot.close(); valueRoot.close()
+          dicts.values.foreach(_.getVector.close())
+          allocator.close()
+        }
+      }
+    }
+  }
+
   // --- 64-bit-offset layout variants -------------------------------------
   // LARGE_STRING / LARGE_BINARY / LARGE_LIST (reference type ids 34/35/36,
   // cpp/src/arrow/type.h:442-448) are per SURVEY §1.2 "layout variants,
