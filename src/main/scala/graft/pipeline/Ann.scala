@@ -103,6 +103,38 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
   }
 
+  /** The full QUANTIZATION-LADDER composition — how the tiers are
+    * actually deployed at 100 TB: the binary sign-bit tier (XOR/popcount
+    * Hamming, ~128× denser than float32) generates `k · candFactor`
+    * candidates per query, and ONLY those candidates are re-ranked with
+    * the exact float cosine. The expensive float vectors are touched for
+    * `Q · k · candFactor` rows instead of `Q · N` — the re-rank join is
+    * id-keyed on the candidate ids, so the big float side shuffles
+    * nothing beyond the surviving candidates.
+    *
+    * Fully deterministic, hence fully oracle-gateable end to end (unlike
+    * the LSH/IVF paths whose hash families need recall gates): the
+    * candidate tier breaks Hamming ties by neighbor id, the re-rank
+    * breaks cosine ties by neighbor id. */
+  def ladderTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, candFactor: Int = 4): DataFrame = {
+    require(candFactor >= 1, s"candFactor must be >= 1, got $candFactor")
+    val cands = binaryTopK(queries, candidates, idCol, vecCol, k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val nv = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   def int8TopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = int8Encoded(queries, idCol, "query_id", vecCol, "qq", "qs")

@@ -184,6 +184,56 @@ object SimilarityQueries {
        |WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  private val LadderFactor = 4
+
+  /** Quantization-ladder composition ([[Ann.ladderTopK]]): binary
+    * Hamming candidate tier → exact float-cosine re-rank of the
+    * surviving `K·$LadderFactor` candidates. Deterministic end to end
+    * (Hamming and cosine ties both break by neighbor id), so the FULL
+    * pipeline is oracle-gated — the DuckDB mirror computes Hamming from
+    * unpacked sign bits, takes the same candidate cut, and re-ranks with
+    * list_cosine_similarity. */
+  private def ladder(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.ladderTopK(e.filter(col("vec_id") < NQueries), e, "vec_id", "embedding",
+        K, candFactor = LadderFactor)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val ladderSql =
+    s"""WITH bits AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN 1 ELSE 0 END) AS s
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.s)+1),
+       |      i -> CASE WHEN a.s[i] <> b.s[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NQueries),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, neighbor_id) AS crank
+       |    FROM d) t
+       |  WHERE crank <= ${K * LadderFactor}),
+       |r AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(
+       |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+       |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       |  FROM r) t
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** BM25 top-k ([[SparseSim.topKBm25]]) on the same inverted index and
     * query/corpus split as `sparse_topk` — fully oracle-gated (per-element
     * IEEE score in identical textual order, decimal-summed, total
@@ -289,5 +339,8 @@ object SimilarityQueries {
       binary, Some(binarySql)),
     Capability("ann_int8_recall", "int8 recall@k gate vs the float-cosine baseline (constant oracle)",
       recallGate(int8, 0.8), Some(recallGateSql)),
+    Capability("ann_ladder",
+      s"quantization ladder: binary candidate tier → float re-rank, top-$K (fully gated)",
+      ladder, Some(ladderSql), bench = true),
   )
 }

@@ -189,4 +189,35 @@ class SimilaritySpec extends AnyFunSuite {
     // only near-ties can swap in or out of a top-5 cut
     assert(recall >= 0.8, s"int8 recall $recall")
   }
+
+  test("ladder with an exhaustive candidate tier degenerates to brute exactly") {
+    // k·candFactor >= |candidates| - 1 → the binary tier keeps everyone,
+    // so the float re-rank IS the brute result, bit for bit
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+    val q = e.filter(col("vec_id") < 5)
+    val ladder = graft.pipeline.Ann
+      .ladderTopK(q, e, "vec_id", "embedding", 5, candFactor = 20)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val brute = graft.pipeline.Ann
+      .bruteTopK(q, e, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(ladder.toSeq == brute.toSeq)
+  }
+
+  test("ladder re-rank lifts recall above the binary tier alone") {
+    val brute = Registry.byName("ann_brute").run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String) = {
+      val got = Registry.byName(name).run(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val ladder = recallOf("ann_ladder")
+    val binary = recallOf("ann_binary")
+    assert(ladder >= binary,
+      s"re-ranking 4x candidates must not lose recall: $ladder < $binary")
+    assert(ladder >= 0.2, s"ladder recall $ladder")
+  }
 }
