@@ -225,13 +225,37 @@ object TextQueries {
     * exactly `decontaminate(hashKeys = true)` — TextSpec asserts
     * equality (including under an absurd fpp), and the gated query
     * reuses pipeline_decontam's DuckDB oracle verbatim. */
+  /** Aggregate the long column `keyCol` of `keys` into a LITERAL Bloom
+    * filter and return the codegen'd might-contain predicate factory —
+    * the building block behind [[decontaminateBloom]] and the streaming
+    * twin ([[graft.streaming.StreamingDecontam]]). ONE bounded driver
+    * exchange (the aggregated filter bytes — kilobytes for any eval set);
+    * `None` when `keys` is empty (nothing can match). */
+  def literalBloomPredicate(
+      keys: DataFrame, keyCol: String, fpp: Double): Option[Column => Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val nKeys = keys.count()
+    if (nKeys == 0) None
+    else {
+      val nBits = math.max(64L,
+        math.ceil(-nKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      val bloomAgg = Bridge.column(
+        new BloomFilterAggregate(Bridge.expression(col(keyCol)),
+          Literal(nKeys), Literal(nBits)).toAggregateExpression())
+      val bloomBytes = keys.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+      Some((probe: Column) => Bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(probe))))
+    }
+  }
+
   def decontaminateBloom(
       docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, isTrain: Column, n: Int,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
 
     val shingled = docs
@@ -246,25 +270,16 @@ object TextQueries {
     // without re-scanning the corpus; blocks are GC-cleaned with the RDD
     val evalKeys = shingled.filter(col("__ev")).select(col("sh")).distinct()
       .localCheckpoint(true)
-    val nEval = evalKeys.count()
-    if (nEval == 0) {
-      // no eval shingles — nothing can leak; empty result, right schema
-      shingled.filter(lit(false))
-        .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-    } else {
-      val nBits = math.max(64L,
-        math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-      val bloomAgg = Bridge.column(
-        new BloomFilterAggregate(Bridge.expression(col("sh")),
-          Literal(nEval), Literal(nBits)).toAggregateExpression())
-      val bloomBytes = evalKeys.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
-      val mightContain = Bridge.column(BloomFilterMightContain(
-        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
-        Bridge.expression(col("sh"))))
-      shingled.filter(col("__tr")).filter(mightContain)
-        .join(evalKeys, Seq("sh"), "left_semi") // exact: drops bloom FPs
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_shared"))
+    literalBloomPredicate(evalKeys, "sh", fpp) match {
+      case None =>
+        // no eval shingles — nothing can leak; empty result, right schema
+        shingled.filter(lit(false))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      case Some(mightContain) =>
+        shingled.filter(col("__tr")).filter(mightContain(col("sh")))
+          .join(evalKeys, Seq("sh"), "left_semi") // exact: drops bloom FPs
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared"))
     }
   }
 

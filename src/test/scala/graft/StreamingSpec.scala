@@ -127,6 +127,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination flag: batch parity and no false negatives") {
+    // stage train docs as a file stream; eval docs are the static side
+    val docs = Tables.documents(spark, sf)
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val evalDocs = docs.filter(bucket >= "e6").select("text")
+    val train = docs.filter(bucket < "cc").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_stream").toFile
+    train.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val stream = spark.readStream.schema(train.schema).parquet(dir.getAbsolutePath)
+    val flagged = graft.streaming.StreamingDecontam
+      .flagStream(stream, "text", evalDocs, "text", n = 8)
+    val query = flagged.writeStream
+      .format("memory").queryName("graft_decontam_flags")
+      .outputMode("append").start()
+    val streamedFlagged =
+      try {
+        query.processAllAvailable()
+        spark.table("graft_decontam_flags")
+          .filter(col("contaminated")).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      } finally query.stop()
+
+    // bit-parity: the same predicate evaluated in batch flags the same docs
+    val batchFlagged = graft.streaming.StreamingDecontam
+      .flagStream(train, "text", evalDocs, "text", n = 8)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedFlagged == batchFlagged)
+
+    // candidate-tier contract: every truly contaminated doc is flagged
+    // (false positives allowed at fpp, false negatives never)
+    val exact = graft.pipeline.TextQueries.decontaminate(
+        docs, "doc_id", "text",
+        isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8,
+        hashKeys = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(streamedFlagged),
+      s"missed ${(exact -- streamedFlagged).size} contaminated docs")
+    assert(exact.nonEmpty, "vacuous gate: no contamination planted in corpus")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toFile
     java.nio.file.Files.copy(
