@@ -179,10 +179,11 @@ object Dedup {
     minhashCandidatesFromInv(
       shingleIndex(shingleDocs(df, idCol, textCol, n))._1, nHashes, rowsPerBand)
 
-  private def minhashCandidatesFromInv(
-      inv: DataFrame, nHashes: Int, rowsPerBand: Int): DataFrame = {
-    // both sides of the band self-join descend from the signature
-    // aggregate; cache it (one ~0.5 KB sketch per doc) so it runs once
+  /** (doc_id, band, band_sig) LSH band rows of an inverted shingle index:
+    * the MinHash signature aggregate cut into `nHashes / rowsPerBand`
+    * band signatures. Cached — one ~0.5 KB sketch per doc — so every
+    * consumer of the same index shares one aggregate run. */
+  private def bandsOf(inv: DataFrame, nHashes: Int, rowsPerBand: Int): DataFrame = {
     val sig = tracked(inv.groupBy(col("doc_id"))
       .agg(graft.functions.expr.MinHashSketch(col("shingle"), nHashes).as("sig")))
     val nBands = nHashes / rowsPerBand
@@ -193,9 +194,14 @@ object Dedup {
           transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
             x => x.cast("string")), ",").as("sig"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.sig").as("band_sig"))
+  }
+
+  private def minhashCandidatesFromInv(
+      inv: DataFrame, nHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = bandsOf(inv, nHashes, rowsPerBand)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -223,6 +229,60 @@ object Dedup {
     tracked(jaccardForIndex(invSizes,
       minhashCandidatesFromInv(invSizes._1, nHashes, rowsPerBand))
       .filter(col("jaccard") >= threshold))
+  }
+
+  /** INCREMENTAL corpus update — the dedup topology a growing 100 TB
+    * corpus actually runs: an arriving batch is checked against the
+    * EXISTING corpus only (never existing-vs-existing, which was settled
+    * when those docs arrived). Each incoming doc gets a status:
+    * `exact_dup` (byte-identical text exists), `near_dup` (Jaccard ≥
+    * `threshold` with some existing doc), or `kept`; `matched_id` is the
+    * smallest matching existing id (exact tier wins ties with the near
+    * tier).
+    *
+    * Scale shape: the exact tier joins on 8-byte `xxhash64(text)` keys
+    * with a min-id aggregate — text never shuffles past the hashing
+    * projection (collision odds ~1e-10 corpus-wide, the same declared
+    * contract as hashed decontamination). The near tier bands BOTH sides
+    * with the shared MinHash machinery and joins ACROSS sides only —
+    * the existing×existing self-join never happens — then verifies just
+    * the cross candidates with exact Jaccard. Ids must be unique across
+    * both frames (they key the verification join). */
+  def incrementalDedup(
+      existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      n: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val ex = existing.select(col(idCol), col(textCol))
+    val inc = incoming.select(col(idCol), col(textCol))
+    // exact tier: hash-keyed min-id lookup
+    val exByHash = ex
+      .select(xxhash64(col(textCol)).as("__h"), col(idCol).as("__ex"))
+      .groupBy(col("__h")).agg(min(col("__ex")).as("exact_match"))
+    val exact = inc.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .join(exByHash, Seq("__h"), "left")
+      .select(col(idCol), col("exact_match"))
+    // near tier: cross-side band join, candidate-only verification
+    val exInv = shingleIndex(shingleDocs(ex, idCol, textCol, n))
+    val incInv = shingleIndex(shingleDocs(inc, idCol, textCol, n))
+    val cand = bandsOf(exInv._1, nHashes, rowsPerBand).as("a")
+      .join(bandsOf(incInv._1, nHashes, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val unionInv = (exInv._1.unionByName(incInv._1),
+      exInv._2.unionByName(incInv._2))
+    val near = jaccardForIndex(unionInv, cand)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("db").as(idCol)).agg(min(col("da")).as("near_match"))
+    inc.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("kept").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("matched_id"))
   }
 
   /** 64-bit shingle-level SimHash signature per document, via the

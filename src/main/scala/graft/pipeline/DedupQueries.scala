@@ -285,6 +285,53 @@ object DedupQueries {
        |FROM j WHERE rn = 1 ORDER BY component""".stripMargin
   }
 
+  /** Incremental-update gate: even ids are the standing corpus, odd ids
+    * the arriving batch ([[Dedup.incrementalDedup]] holds the scale
+    * notes). The oracle mirrors both tiers: text equality for the exact
+    * tier, the ccSql 3-gram Jaccard ≥ 0.8 restricted ACROSS the parity
+    * split for the near tier, exact tier winning the status. */
+  private def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.8)
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalSql =
+    """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      |exact AS (
+      |  SELECT inc.doc_id, MIN(ex.doc_id) AS m
+      |  FROM inc JOIN ex ON ex.text = inc.text GROUP BY inc.doc_id),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(*)::DOUBLE /
+      |         (any_value(sa.n_sh) + any_value(sb.n_sh) - COUNT(*)) >= 0.8),
+      |near AS (SELECT db AS doc_id, MIN(da) AS m FROM pairs GROUP BY db)
+      |SELECT inc.doc_id,
+      |  CASE WHEN exact.m IS NOT NULL THEN 'exact_dup'
+      |       WHEN near.m IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS status,
+      |  coalesce(exact.m, near.m) AS matched_id
+      |FROM inc
+      |LEFT JOIN exact ON exact.doc_id = inc.doc_id
+      |LEFT JOIN near ON near.doc_id = inc.doc_id
+      |ORDER BY inc.doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("dedup_exact", "exact dedup via content-hash groupBy", exact, Some(exactSql)),
     // the exact-pairs baseline is quadratic in hot-shingle df — a
@@ -306,5 +353,8 @@ object DedupQueries {
     Capability("dedup_keep_best",
       "fuzzy-dedup keep-best policy: highest-quality doc per near-dup cluster", keepBest,
       Some(keepBestSql)),
+    Capability("dedup_incremental",
+      "incremental corpus update: arriving batch vs existing corpus (exact + near tiers)",
+      incremental, Some(incrementalSql)),
   )
 }

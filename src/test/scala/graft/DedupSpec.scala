@@ -190,6 +190,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out == List((1L, "a b c", 2L), (2L, "z z", 1L)))
   }
 
+  test("incremental dedup: exact tier wins, near tier catches, kept passes") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val existing = Seq(
+      (2L, base),                             // exact twin of incoming 11
+      (4L, base + " lambda"),                 // near-dup of incoming 13
+      (6L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, base),                            // exact dup of 2
+      (13L, base + " mu"),                    // near: long shared prefix
+      (15L, "unrelated fresh content nothing shared with anyone at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(out(0) == ((11L, "exact_dup", Some(2L))))
+    // 13 is near both 2 and 4 — matched_id is the MIN matching id
+    assert(out(1) == ((13L, "near_dup", Some(2L))))
+    assert(out(2) == ((15L, "kept", None)))
+    // within-batch near-dups are NOT flagged: only the existing corpus
+    // counts (the batch settles against itself on its own arrival)
+    val twoNew = Seq((21L, base + " nu"), (23L, base + " xi"))
+      .toDF("doc_id", "text")
+    val vsEmpty = Dedup.incrementalDedup(
+        Seq((1L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text"),
+        twoNew, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getString(1)).toSet
+    assert(vsEmpty == Set("kept"))
+  }
+
   test("keep-best picks the per-cluster quality argmax, not the min id") {
     // independent Scala-side reimplementation: recompute components and
     // qualities, take maxBy((quality, -id)) per component, compare
