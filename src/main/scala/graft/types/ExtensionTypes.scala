@@ -603,3 +603,43 @@ class SparseMatrixType extends UserDefinedType[SparseMatrix] {
 }
 
 case object SparseMatrixType extends SparseMatrixType
+
+/** Time-of-day — closes the §1.2 time32/time64 contract's logical-type
+  * loss: the VALUES were always preserved as µs-since-midnight longs
+  * ([[TypeBridge.time32ToMicros]]/[[TypeBridge.time64ToMicros]]), but a
+  * plain long column forgets it ever was a time. This UDT tags the
+  * column so the logical type survives parquet round-trips (Spark
+  * stores the UDT class in column metadata), exactly like the other
+  * extension types. Unit is normalized to µs at the boundary — the
+  * reference's four units (s/ms/µs/ns, type.h TIME32/TIME64) all
+  * convert in, ns by the same truncation Spark applies to timestamps. */
+@SQLUserDefinedType(udt = classOf[TimeOfDayType])
+final case class TimeOfDay(micros: Long) {
+  require(micros >= 0L && micros < TypeBridge.MicrosPerDay,
+    s"time-of-day out of range: $micros µs")
+  override def toString: String = {
+    val s = micros / 1000000L
+    f"${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d.${micros % 1000000L}%06d"
+  }
+}
+
+object TimeOfDay {
+  /** From an Arrow time32 value (unit "s" or "ms"). */
+  def fromTime32(value: Int, unit: String): TimeOfDay =
+    TimeOfDay(TypeBridge.time32ToMicros(value, unit))
+  /** From an Arrow time64 value (unit "us" or "ns"). */
+  def fromTime64(value: Long, unit: String): TimeOfDay =
+    TimeOfDay(TypeBridge.time64ToMicros(value, unit))
+}
+
+class TimeOfDayType extends UserDefinedType[TimeOfDay] {
+  override def sqlType: DataType = LongType
+  override def userClass: Class[TimeOfDay] = classOf[TimeOfDay]
+  override def serialize(t: TimeOfDay): Long = t.micros
+  override def deserialize(datum: Any): TimeOfDay = datum match {
+    case l: Long => TimeOfDay(l)
+  }
+  override def typeName: String = "graft_time"
+}
+
+case object TimeOfDayType extends TimeOfDayType

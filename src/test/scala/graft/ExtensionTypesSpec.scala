@@ -17,6 +17,7 @@ case class OpaqueRec(id: Long, blob: graft.types.Opaque)
 case class VarTensorRec(id: Long, t: graft.types.VarTensor)
 case class SparseTensorRec(id: Long, t: graft.types.SparseTensor)
 case class SparseMatrixRec(id: Long, m: graft.types.SparseMatrix)
+case class TimeRec(id: Long, t: graft.types.TimeOfDay)
 
 class ExtensionTypesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -229,5 +230,30 @@ class ExtensionTypesSpec extends AnyFunSuite {
     val t = Tensor(Seq(2, 3), Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
     intercept[IllegalArgumentException] { t(0, 3) }
     intercept[IllegalArgumentException] { t(2, 0) }
+  }
+
+  test("time-of-day UDT: parquet round-trip, unit conversion, range rejection") {
+    import spark.implicits._
+    import graft.types.TimeOfDay
+    val rows = Seq(
+      TimeRec(1L, TimeOfDay(0L)),                       // midnight
+      TimeRec(2L, TimeOfDay(86399999999L)),             // 23:59:59.999999
+      TimeRec(3L, TimeOfDay.fromTime32(8 * 3600, "s")), // 08:00:00 time32[s]
+      TimeRec(4L, TimeOfDay.fromTime64(12L * 3600 * 1000000000L + 1500L, "ns")))
+    val out = "/tmp/graft_io/time_udt"
+    rows.toDS().write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[TimeRec].collect().sortBy(_.id)
+    // the LOGICAL type survives the round-trip (this is the §1.2 gap
+    // being closed), not just the µs values
+    assert(spark.read.parquet(out).schema("t").dataType
+      .isInstanceOf[graft.types.TimeOfDayType])
+    assert(back.map(r => (r.id, r.t.micros)).toSeq ==
+      rows.map(r => (r.id, r.t.micros)))
+    assert(back(2).t.toString == "08:00:00.000000")
+    assert(back(3).t.micros == 12L * 3600 * 1000000L + 1L) // ns truncates
+    // out-of-range and bad-unit values fail loudly at construction
+    intercept[IllegalArgumentException] { TimeOfDay(-1L) }
+    intercept[IllegalArgumentException] { TimeOfDay(86400000000L) }
+    intercept[IllegalArgumentException] { TimeOfDay.fromTime32(5, "us") }
   }
 }

@@ -115,6 +115,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("pipeline_chunk plans as a pure narrow fan-out (zero exchanges)") {
+    // the chunker's scale claim is "chunks never leave the reading
+    // partition" — an accidental aggregate or repartition would still
+    // chunk correctly but serialize the corpus at 100 TB
+    val df = graft.pipeline.Chunking.chunks(
+      Tables.documents(spark, sf), "doc_id", "text", maxTokens = 64, overlap = 16)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("ann_ladder: float vectors join only the candidate cut, no cartesian") {
+    // the ladder's scale claim: the binary tier's nested-loop candidate
+    // join touches packed words only, and the float re-rank is an
+    // equi-join on the surviving (query, neighbor) ids — if the re-rank
+    // ever degraded to a nested loop over float vectors, the ladder
+    // would silently cost as much as brute force
+    val plan = executedPlan("ann_ladder").split("== Initial Plan ==")(0)
+    val cartesians = "CartesianProduct".r.findAllIn(plan).length
+    assert(cartesians == 0, plan.take(2000))
+    // exactly one nested-loop join (the binary tier's q≠n pairing);
+    // every other join is hash/broadcast-keyed
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl == 1, s"expected 1 nested-loop (binary tier), got $bnl")
+  }
+
   test("pipeline_shuffle plans exactly one hash exchange (the shard window)") {
     import org.apache.spark.sql.functions._
     val df = graft.pipeline.Sharding.shuffleOrder(
