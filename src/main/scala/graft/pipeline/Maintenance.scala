@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-table maintenance: versioned upsert (SCD-1 merge) and snapshot
+  * diff — the bookkeeping half of a living 100 TB corpus next to
+  * [[Compact]]'s physical half. Both are single id-keyed shuffles; text
+  * rides the shuffle only where the result needs it (the winning row /
+  * the changed row), never twice.
+  */
+object Maintenance {
+
+  /** Latest-version-wins upsert: `base` rows are version 0, `updates`
+    * carry explicit versions (ties broken toward the UPDATE, then the
+    * higher version — deterministic for any input). One row per id
+    * survives. The classic MERGE INTO semantics expressed as one
+    * window over the union — a single hash exchange on the id, no join,
+    * which at 100 TB beats the join-based merge whenever updates are a
+    * nontrivial fraction of the base. */
+  def upsert(base: DataFrame, updates: DataFrame,
+      idCol: String, versionCol: String): DataFrame = {
+    val cols = base.columns
+    require(cols.sameElements(updates.columns),
+      s"base and updates must share a schema: ${cols.mkString(",")} vs " +
+        updates.columns.mkString(","))
+    require(cols.contains(versionCol), s"missing version column $versionCol")
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** Snapshot diff: one row per id present in either snapshot, with
+    * `change` ∈ added | removed | changed | unchanged (content compared
+    * on `contentCol`). A full outer join keyed on the id — both sides
+    * shuffle once; at 100 TB co-partitioned/bucketed snapshots make it
+    * exchange-free (q25e's layout). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val b = before.select(col(idCol), col(contentCol).as("__b"))
+    val a = after.select(col(idCol), col(contentCol).as("__a"))
+    b.join(a, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__b").isNull, "added")
+          .when(col("__a").isNull, "removed")
+          .when(col("__a") === col("__b"), "unchanged")
+          .otherwise("changed").as("change"),
+        col("__a").as("content"))
+  }
+}

@@ -194,6 +194,76 @@ object ShardingQueries {
        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Versioned-upsert gate ([[Maintenance.upsert]]): the arriving update
+    * set revises every 7th doc (text gains a suffix, version 1) and adds
+    * brand-new ids from every 13th doc — latest version wins, update
+    * beats base on ties. */
+  private def upsertQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.withColumn("version", lit(0L))
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" rev")).as("text"),
+        lit(1L).as("version"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          lit(1L).as("version")))
+    Maintenance.upsert(base, updates, "doc_id", "version")
+      .select(col("doc_id"), col("version"), length(col("text")).as("len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val upsertSql =
+    """WITH base AS (
+      |  SELECT doc_id, 0 AS version, text, 0 AS src FROM documents),
+      |upd AS (
+      |  SELECT doc_id, 1 AS version, text || ' rev' AS text, 1 AS src
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 1, text, 1
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |w AS (
+      |  SELECT doc_id, version, text,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY version DESC, src DESC) AS rn
+      |  FROM u)
+      |SELECT doc_id, CAST(version AS BIGINT) AS version,
+      |  length(text) AS len
+      |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Snapshot-diff gate ([[Maintenance.snapshotDiff]]): the after
+    * snapshot drops every 11th doc, revises every 7th, and adds new ids
+    * from every 13th — the diff classifies every id in either snapshot. */
+  private def diffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val after = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    Maintenance.snapshotDiff(docs, after, "doc_id", "text")
+      .select(col("doc_id"), col("change"), length(col("content")).as("len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val diffSql =
+    """WITH b AS (SELECT doc_id, text FROM documents),
+      |a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 13 = 0)
+      |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+      |  CASE WHEN b.text IS NULL THEN 'added'
+      |       WHEN a.text IS NULL THEN 'removed'
+      |       WHEN a.text = b.text THEN 'unchanged'
+      |       ELSE 'changed' END AS change,
+      |  length(a.text) AS len
+      |FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
@@ -212,5 +282,11 @@ object ShardingQueries {
     Capability("pipeline_chunk",
       "token-budget document chunking with overlap (narrow fan-out)", chunkQ,
       Some(chunkSql)),
+    Capability("pipeline_upsert",
+      "versioned corpus upsert: latest wins, one window over the union", upsertQ,
+      Some(upsertSql)),
+    Capability("pipeline_diff",
+      "snapshot diff: added/removed/changed/unchanged per id", diffQ,
+      Some(diffSql)),
   )
 }

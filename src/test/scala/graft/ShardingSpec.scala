@@ -167,4 +167,35 @@ class ShardingSpec extends AnyFunSuite {
       assert(a(src).size == math.min(n, k.toLong))
     }
   }
+
+  test("upsert: latest version wins, update beats base on version ties") {
+    import spark.implicits._
+    import graft.pipeline.Maintenance
+    val base = Seq((1L, "a", 3L), (2L, "b", 1L), (3L, "c", 0L))
+      .toDF("id", "text", "version")
+    val updates = Seq(
+      (1L, "a2", 2L), // older than base v3 → base survives
+      (2L, "b2", 1L), // same version → update wins the tie
+      (4L, "d", 0L))  // new id → inserted
+      .toDF("id", "text", "version")
+    val out = Maintenance.upsert(base, updates, "id", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(out == List((1L, "a", 3L), (2L, "b2", 1L), (3L, "c", 0L), (4L, "d", 0L)))
+    // schema mismatch is rejected loudly
+    intercept[IllegalArgumentException] {
+      Maintenance.upsert(base, updates.drop("version"), "id", "version")
+    }
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    import graft.pipeline.Maintenance
+    val before = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    val after = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("id", "text")
+    val out = Maintenance.snapshotDiff(before, after, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toList
+    assert(out == List((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
 }
