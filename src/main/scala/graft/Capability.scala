@@ -26,6 +26,7 @@ object Registry {
       queries.NestedIOQueries.caps ++
       queries.IngestQueries.caps ++
       queries.ExtendedQueries.caps ++
+      queries.AnalyticsQueries.caps ++
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++

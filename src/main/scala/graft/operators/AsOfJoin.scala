@@ -81,6 +81,41 @@ object AsOfJoin {
       .drop("__asof_rn")
   }
 
+  /** Nearest as-of left join: for each left row, the right row whose `on`
+    * value is CLOSEST in either direction within `tolerance` (pandas
+    * `merge_asof(direction="nearest")`; the reference exposes only the
+    * signed-tolerance single-direction modes at options.h:692-738, so this
+    * is the natural completion of the family). Ties on equal distance
+    * prefer the backward match (earlier right), then break by `tieBreak`
+    * ascending — pinned so the result is deterministic and the oracle can
+    * mirror the exact ordering. Same join shape as [[backward]]: equi-join
+    * on the `by` keys with a symmetric range residual, then one window
+    * dedup per left row. */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      onLeft: Column,
+      onRight: Column,
+      by: Seq[(Column, Column)],
+      tolerance: Column,
+      leftId: Column,
+      tieBreak: Column): DataFrame = {
+    val byCond = by
+      .map { case (l, r) => l === r }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val cond =
+      byCond && onRight >= onLeft - tolerance && onRight <= onLeft + tolerance
+    val joined = left.join(right, cond, "left")
+    val dist = abs(unix_micros(onRight) - unix_micros(onLeft))
+    val w = Window.partitionBy(leftId)
+      .orderBy(dist.asc_nulls_last, onRight.asc_nulls_last, tieBreak.asc_nulls_last)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
   /** Backward as-of left join through the dedicated physical operator
     * ([[graft.plans.AsOfJoinExec]] — one sort-merge pass per co-partitioned
     * sorted partition, no row-multiplying range join). Semantics match

@@ -541,8 +541,35 @@ object TextQueries {
        |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
        |FROM n GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** Blocklist screening (the C4 badword filter): per-document count of
+    * blocklisted tokens and the keep/drop decision (C4 drops a document on
+    * ANY hit). The list ships as an array literal — a real badword list is
+    * a few thousand entries, still literal/broadcast-sized — so the whole
+    * op is one narrow codegen map stage: zero shuffle at any scale. */
+  private val blocklist = Seq("slow", "error", "big")
+
+  private def blocklistHits(s: SparkSession, d: String): DataFrame = {
+    val bl = array(blocklist.map(lit): _*)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(TextOps.words(col("text")), t => array_contains(bl, t)))
+        .as("n_blocked"))
+      .withColumn("keep", (col("n_blocked") === 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val blocklistSql = {
+    val hits = "len(list_filter(string_split(text, ' '), " +
+      "t -> t IN ('slow','error','big')))"
+    s"""SELECT doc_id, $hits AS n_blocked,
+       |  CASE WHEN $hits = 0 THEN 1 ELSE 0 END AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
+    Capability("text_blocklist", "blocklist screening: per-doc badword hits + keep flag (C4 filter)",
+      blocklistHits, Some(blocklistSql)),
     Capability("text_repetition", "repetition quality signals: top-word/bigram + unique fractions",
       repetition, Some(repetitionSql)),
     Capability("text_pii", "PII scrubbing: regex email/phone redaction (planted contacts)",

@@ -333,6 +333,50 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q21f: NEAREST as-of join — closest click in either direction within
+    * the tolerance (pandas `merge_asof(direction="nearest")`; completes
+    * the direction family next to the reference's signed-tolerance modes,
+    * acero/options.h:692-738). Ties at equal distance prefer the backward
+    * match, then the lowest click id — pinned identically in the oracle. */
+  private def q21f(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsOfJoin.nearest(
+      left = purchases,
+      right = clicks,
+      onLeft = purchases("ts"),
+      onRight = clicks("click_ts"),
+      by = Seq(purchases("user_id") -> clicks("c_user_id")),
+      tolerance = expr("INTERVAL 1 HOUR"),
+      leftId = purchases("event_id"),
+      tieBreak = clicks("click_id"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q21fSql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |       click_id, CAST(click_ts AS TIMESTAMP) AS click_ts, click_value
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value,
+      |         c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+      |                                     c.ts ASC, c.event_id ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts + INTERVAL 1 HOUR
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   /** Q21d: MULTI-RIGHT as-of join — the reference's flagship asof shape
     * (acero/asof_join_node.cc:1106: 1 left + N sorted rights in one pass):
     * for each purchase, the latest click AND the latest view by the same
@@ -524,6 +568,7 @@ object WindowQueries {
     Capability("q21c_asof_forward", "forward as-of join (positive tolerance)", q21c, Some(q21cSql)),
     Capability("q21d_asof_multi", "multi-right as-of join (1 left + 2 rights, one pass)", q21d, Some(q21dSql)),
     Capability("q21e_asof_forward_exec", "forward as-of via the physical operator (positive tolerance)", q21e, Some(q21cSql)),
+    Capability("q21f_asof_nearest", "nearest-direction as-of join (closest match either side)", q21f, Some(q21fSql)),
     Capability("q22_window_agg", "event-time tumbling window aggregation", q22, Some(q22Sql)),
     Capability("q22b_session_window", "native session_window gap sessionization", q22b, Some(q22bSql)),
     Capability("q22c_sliding_window", "sliding event-time windows (1h / 30min slide)", q22c, Some(q22cSql)),

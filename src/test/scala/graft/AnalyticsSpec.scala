@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("nearest as-of picks the closer side and prefers backward on ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")), // backward 11:59 closer than 12:02
+      (2L, 10L, ts("2024-01-01 13:00:00")), // tie: 12:58 vs 13:02 -> backward
+      (3L, 10L, ts("2024-01-01 18:00:00")), // nothing within 1h -> null
+      (4L, 20L, ts("2024-01-01 12:00:00"))  // other key: only forward exists
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 11:59:00")),
+      (102L, 10L, ts("2024-01-01 12:02:00")),
+      (103L, 10L, ts("2024-01-01 12:58:00")),
+      (104L, 10L, ts("2024-01-01 13:02:00")),
+      (105L, 20L, ts("2024-01-01 12:30:00"))
+    ).toDF("rid", "rk", "rt")
+
+    val out = AsOfJoin.nearest(
+      left, right,
+      onLeft = left("t"), onRight = right("rt"),
+      by = Seq(left("k") -> right("rk")),
+      tolerance = expr("INTERVAL 1 HOUR"),
+      leftId = left("id"), tieBreak = right("rid"))
+      .select(col("id"), col("rid")).orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(out.toSeq == Seq(1L -> 101L, 2L -> 103L, 3L -> -1L, 4L -> 105L))
+  }
+
+  test("funnel stages on hand-built events: one user per stage depth") {
+    import spark.implicits._
+    val d1 = 86400L * 1000000L // one day in micros
+    def t(base: String, plusUs: Long) =
+      new Timestamp(ts(base).getTime + plusUs / 1000L)
+    val events = Seq(
+      // user 1: full chain inside the windows
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 05:00:00")),
+      (1L, "purchase", ts("2024-01-01 20:00:00")),
+      // user 2: click in-window, purchase too late after the click
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 01:00:00")),
+      (2L, "purchase", t("2024-01-01 01:00:00", d1 + 1000000L)),
+      // user 3: view only (click BEFORE the view does not count)
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      (3L, "view", ts("2024-01-01 01:00:00")),
+      // user 4: no view at all
+      (4L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val step = expr("INTERVAL 1 DAY")
+    val staged = events
+      .withColumn("v", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c", min(when(col("event_type") === "click" &&
+        col("ts") >= col("v") && col("ts") <= col("v") + step, col("ts"))).over(w))
+      .withColumn("p", min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("c") && col("ts") <= col("c") + step, col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("v")).as("v"), max(col("c")).as("c"), max(col("p")).as("p"))
+      .select(col("user_id"),
+        when(col("p").isNotNull, 3).when(col("c").isNotNull, 2)
+          .when(col("v").isNotNull, 1).otherwise(0).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(staged == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
+
+  test("gated analytics queries run and stay deterministic across runs") {
+    for (name <- Seq("events_funnel", "profile_stats", "dedup_fuzzy", "text_blocklist")) {
+      val q = Registry.byName(name)
+      val a = q.run(spark, sf).collect().toSeq
+      val b = q.run(spark, sf).collect().toSeq
+      assert(a.nonEmpty, s"$name returned no rows")
+      assert(a == b, s"$name not deterministic across runs")
+    }
+  }
+
+  test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
+    val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
+    assert(rows.forall(_.getInt(2) <= 1))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
