@@ -166,4 +166,46 @@ object Sharding {
       .withColumn("shard", substring(col("shuffle_key"), 1, shardHexChars))
       .withColumn("shuffle_pos", row_number().over(w) - 1)
   }
+
+  /** Global fractional selection WITHOUT a global sort: keep the rows whose
+    * `metricCol` is at or above the corpus-wide `1 - keepFrac` quantile
+    * (e.g. keepFrac 0.3 → the "top 30 % by quality/length" curation cut).
+    * The cutoff comes from [[graft.operators.Quantiles.exact]] — a
+    * range-partitioned sort of the single metric column plus a bounded
+    * driver fetch of two bracketing rows — and is then applied as a narrow
+    * broadcast-scalar filter, so the corpus itself is never globally
+    * sorted or ranked. Ties AT the cutoff are all kept (>=), making the
+    * kept set a pure function of the data (may slightly exceed keepFrac
+    * when the cutoff value repeats). At 100 TB, seed the exact pass with
+    * an `approx_percentile` bracket first if the metric column itself is
+    * too large to sort comfortably. */
+  def thresholdCut(
+      df: DataFrame, metricCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val cutoff =
+      graft.operators.Quantiles.exact(df, metricCol, Seq(1.0 - keepFrac)).head
+    df.filter(col(metricCol) >= cutoff)
+  }
+
+  /** Per-key token-budget capping: the mixing pass that downsamples each
+    * source to a TOKEN budget rather than a row count ([[capPerGroup]]'s
+    * sibling — training mixes are specified in tokens). Rows are admitted
+    * in the deterministic md5(id) lottery order until the key's cumulative
+    * token count reaches `budget`; the row that crosses the budget line is
+    * the last one admitted (so every key reaches ≥ budget tokens when it
+    * has them). One hash-partitioned window per key — at scale, project to
+    * (key, id, n_tok) first and join winners back by id, exactly as the
+    * [[capPerGroup]] scale note prescribes. */
+  def tokenBudget(
+      df: DataFrame, idCol: String, keyCol: String, tokens: Column,
+      budget: Long): DataFrame = {
+    requireFresh(df, "n_tok", "cum_tok")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("n_tok", tokens.cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") - col("n_tok") < budget)
+  }
 }

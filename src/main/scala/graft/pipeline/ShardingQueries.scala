@@ -264,6 +264,52 @@ object ShardingQueries {
       |FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-threshold curation cut ([[Sharding.thresholdCut]]): keep the
+    * top 30 % of documents by length without globally sorting the corpus —
+    * the cutoff is an exact interpolated quantile of the single metric
+    * column (range-sorted, bounded driver fetch), applied as a narrow
+    * scalar filter. Ties at the cutoff all kept, so the set is a pure
+    * function of the data and DuckDB reproduces it from quantile_cont. */
+  private def qualityCutQ(s: SparkSession, d: String): DataFrame =
+    Sharding.thresholdCut(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      "n_chars", keepFrac = 0.3)
+      .orderBy(col("doc_id"))
+
+  private val qualityCutSql =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source token-budget mix ([[Sharding.tokenBudget]]): each source
+    * admits documents in md5-lottery order until 600 cumulative tokens —
+    * the mixing pass that targets TOKEN proportions (how training mixes
+    * are actually specified) rather than row counts ([[Sharding
+    * .capPerGroup]]'s sibling). */
+  private val TokenBudget = 600L
+
+  private def tokenBudgetQ(s: SparkSession, d: String): DataFrame =
+    Sharding.tokenBudget(
+      Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("text")),
+      "doc_id", "source", size(TextOps.words(col("text"))),
+      budget = TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+
+  private val tokenBudgetSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok,
+       |         md5(doc_id::VARCHAR) AS mk
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, source, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY mk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tok
+       |  FROM toks)
+       |SELECT doc_id, source, n_tok, cum_tok FROM cum
+       |WHERE cum_tok - n_tok < $TokenBudget ORDER BY doc_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
@@ -288,5 +334,11 @@ object ShardingQueries {
     Capability("pipeline_diff",
       "snapshot diff: added/removed/changed/unchanged per id", diffQ,
       Some(diffSql)),
+    Capability("pipeline_quality_cut",
+      "top-fraction curation cut via exact quantile cutoff (no global sort)",
+      qualityCutQ, Some(qualityCutSql)),
+    Capability("pipeline_token_budget",
+      "per-source token-budget mixing in md5-lottery order", tokenBudgetQ,
+      Some(tokenBudgetSql)),
   )
 }

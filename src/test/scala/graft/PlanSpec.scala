@@ -261,4 +261,59 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
   }
+
+  test("events_funnel: all stage windows + the user collapse share ONE exchange") {
+    // the funnel's scale claim: three chained window minima over user_id
+    // AND the groupBy(user_id) that follows are all partitioning-compatible,
+    // so the whole per-user phase costs one hash exchange; the only other
+    // exchange carries the few-row stage-count partials
+    val df = Registry.byName("events_funnel").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val interesting = plan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Window") || l.contains("Aggregate"))
+      .map(_.take(160)).mkString("\n")
+    assert(hashExchanges == 2,
+      s"expected 2 hash exchanges (user_id phase + stage partials), got $hashExchanges:\n$interesting")
+  }
+
+  test("profile_stats: one scan serves every profiling aggregate (Expand, not re-reads)") {
+    val df = Registry.byName("profile_stats").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n${plan.take(2000)}")
+    assert(plan.contains("Expand"), s"multiple exact distincts should plan via Expand:\n${plan.take(2000)}")
+  }
+
+  test("pipeline_token_budget plans exactly one hash exchange (the source window)") {
+    val df = graft.pipeline.Sharding.tokenBudget(
+      Tables.documents(spark, sf).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text")),
+      "doc_id", "source",
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextOps.words(org.apache.spark.sql.functions.col("text"))),
+      budget = 600L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("thresholdCut applies the quantile cutoff as a narrow filter (zero exchanges)") {
+    // the cutoff is computed once (bounded driver fetch inside
+    // Quantiles.exact); the RETURNED frame must be scan+filter only —
+    // no global sort or rank of the corpus itself
+    val df = graft.pipeline.Sharding.thresholdCut(
+      Tables.documents(spark, sf).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars")),
+      "n_chars", keepFrac = 0.3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }

@@ -198,4 +198,38 @@ class ShardingSpec extends AnyFunSuite {
     assert(out == List((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added")))
   }
+
+  test("token budget admits rows in lottery order until the budget line crosses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one key, equal 10-token docs, budget 25: the first THREE admitted
+    // docs (in md5 order) cover 10/20/30 cumulative — the 30 crosses the
+    // line and is the last admitted; the fourth (cum 40, start 30) is out
+    val df = Seq((1L, "k"), (2L, "k"), (3L, "k"), (4L, "k")).toDF("id", "key")
+    val out = Sharding.tokenBudget(df, "id", "key", lit(10), budget = 25L)
+      .select(col("id"), col("cum_tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 3)
+    assert(out.values.toSet == Set(10L, 20L, 30L))
+    // deterministic: the admitted ids are the md5-smallest three
+    val lottery = Seq(1L, 2L, 3L, 4L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out.keySet == lottery.take(3).toSet)
+  }
+
+  test("threshold cut keeps every row tied at the cutoff value") {
+    import spark.implicits._
+    // values 1..10, keepFrac 0.3 → cutoff = quantile(0.7) = 7.3; kept
+    // are 8,9,10; with duplicates AT a cutoff value all stay
+    val df = (1 to 10).map(_.toLong).toDF("v")
+    val kept = Sharding.thresholdCut(df, "v", 0.3)
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(kept == List(8L, 9L, 10L))
+    val dup = Seq(1L, 5L, 5L, 5L, 9L).toDF("v")
+    // quantile(0.5) of (1,5,5,5,9) = 5 → all three 5s survive a 0.5 cut
+    val keptDup = Sharding.thresholdCut(dup, "v", 0.5)
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(keptDup == List(5L, 5L, 5L, 9L))
+  }
 }
