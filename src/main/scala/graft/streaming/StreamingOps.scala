@@ -42,6 +42,23 @@ object StreamingOps {
         col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming windowed approx-distinct: per (1-hour window, event_type),
+    * the HLL-sketched distinct user count — q39's mergeable-sketch
+    * machinery (`hll_sketch_agg`, Apache DataSketches) on the ingest
+    * path. The sketch registers are the ONLY per-group state, so a
+    * window with a billion distinct users carries kilobytes instead of a
+    * distinct-set; the register state is order-insensitive, which is what
+    * makes the streaming result EQUAL the batch result rather than merely
+    * approximate-close (the parity spec asserts equality). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(14))).as("nd_users"))
+      .select(
+        col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("nd_users"))
+
   /** Event-time + watermark for streaming inputs: late data beyond the
     * delay is dropped and window state is bounded — the knob the
     * reference's backpressure/ordering machinery has no analogue for. */

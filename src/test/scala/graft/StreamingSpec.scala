@@ -36,6 +36,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed HLL distinct-count equals the batch sketch exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+
+    val stream = spark.readStream
+      .schema(StreamingOps.rawEventSchema)
+      .parquet(dir.getAbsolutePath)
+    val agg = StreamingOps.hourlyDistinctUsers(
+      StreamingOps.withWatermarkedEventTime(stream))
+
+    val query = agg.writeStream
+      .format("memory").queryName("graft_stream_hll")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("graft_stream_hll")
+        .orderBy(col("ws"), col("event_type")).collect().toSeq
+      val batch = StreamingOps.hourlyDistinctUsers(Tables.events(spark, sf))
+        .orderBy(col("ws"), col("event_type")).collect().toSeq
+      // HLL register state is order-insensitive, so batch and stream agree
+      // bit-for-bit, not just within sketch error
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally {
+      query.stop()
+    }
+  }
+
   test("streaming exact dedup keeps one row per distinct content (batch parity)") {
     import org.apache.spark.sql.types._
     // documents have no event time — synthesize one (doc_id seconds after
