@@ -163,14 +163,21 @@ object Ann {
     * the search is a (cell)-keyed equi-join. Each base vector lives in
     * exactly one cell, so unlike LSH no collision dedup is needed —
     * (query, neighbor) pairs are unique by construction. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
+  /** Train the IVF coarse quantizer: Lloyd's iterations over a
+    * deterministic hash-ordered sample, returning the (cid, ce) centroid
+    * table — the REUSABLE index artifact. Persist it once and keep
+    * assigning newly-arrived vectors against it ([[ivfTopKWith]]): an
+    * incrementally-growing corpus needs no retraining until the
+    * distribution drifts, which is how IVF indexes are actually operated
+    * (train rarely, assign continuously). The sample collect is the one
+    * bounded driver exchange of the ANN family (≤ sampleSize rows,
+    * documented); a sample stays a sample at 100 TB. */
+  def trainCentroids(candidates: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int = 16, sampleSize: Int = 1024,
       iterations: Int = 8): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-
-    // ---- train the coarse quantizer on a deterministic sample ----
     // ordered by a hash of the id: uniform pseudo-random yet reproducible
     // (first-N-by-id would train on the corpus HEAD, which is not a
     // sample when id order correlates with content)
@@ -178,7 +185,7 @@ object Ann {
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .select(col(vecCol)).limit(sampleSize)
       .as[Array[Float]].collect()
-    require(sample.nonEmpty, "ivfTopK: empty candidate set")
+    require(sample.nonEmpty, "trainCentroids: empty candidate set")
     val kC = math.min(nCentroids, sample.length)
     var centroids: Array[Array[Double]] =
       sample.take(kC).map(_.map(_.toDouble))
@@ -209,25 +216,48 @@ object Ann {
       }
       it += 1
     }
-    val centroidDf = broadcast(
-      centroids.zipWithIndex
-        .map { case (ce, cid) => (cid, ce.map(_.toFloat)) }
-        .toSeq.toDF("cid", "ce"))
+    centroids.zipWithIndex
+      .map { case (ce, cid) => (cid, ce.map(_.toFloat)) }
+      .toSeq.toDF("cid", "ce")
+  }
 
-    // ---- assign: nearest cell per base vector, nProbe cells per query ----
-    def nearestCells(df: DataFrame, id: String, vec: String, keep: Int) = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("ccos").desc, col("cid"))
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(centroidDf)
-        .select(col(id), col(vec), col("cid"),
-          VectorOps.cosine(col(vec), col("ce")).as("ccos"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("ccos", "crn")
-    }
-    val base = nearestCells(candidates, "neighbor_id", "ne", 1)
-    val probes = nearestCells(queries, "query_id", "qe", nProbe)
+  /** Nearest-cell assignment against a trained centroid table: broadcast
+    * join + per-row argmin — narrow over the vector side, the index-build
+    * (and index-APPEND) step of the IVF family. `keep = 1` assigns base
+    * vectors to their cell; `keep = nProbe` expands queries to their
+    * probe cells. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, idAs: String, vecAs: String,
+      keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idAs))
+      .orderBy(col("ccos").desc, col("cid"))
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .join(broadcast(centroidDf))
+      .select(col(idAs), col(vecAs), col("cid"),
+        VectorOps.cosine(col(vecAs), col("ce")).as("ccos"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .drop("ccos", "crn")
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
+      iterations: Int = 8): DataFrame =
+    ivfTopKWith(
+      trainCentroids(candidates, idCol, vecCol, nCentroids, sampleSize, iterations),
+      queries, candidates, idCol, vecCol, k, nProbe)
+
+  /** IVF search against an ALREADY-TRAINED centroid table — the
+    * incremental-corpus path: candidates (old + newly-appended vectors
+    * alike) are cell-assigned by [[ivfAssign]] with no retraining, and
+    * each query probes its `nProbe` nearest cells. */
+  def ivfTopKWith(centroidDf: DataFrame,
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val base = ivfAssign(candidates, idCol, vecCol, centroidDf, "neighbor_id", "ne", 1)
+    val probes = ivfAssign(queries, idCol, vecCol, centroidDf, "query_id", "qe", nProbe)
 
     // ---- search the probed cells only ----
     val w = Window.partitionBy(col("query_id"))

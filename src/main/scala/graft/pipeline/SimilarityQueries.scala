@@ -73,6 +73,22 @@ object SimilarityQueries {
 
   private val recallGateSql = s"SELECT $NQueries AS n_queries, $K AS k, 1 AS recall_ok"
 
+  /** Incremental IVF: centroids trained ONLY on the 75 % "existing"
+    * corpus slice (vec_id % 4 != 0), then the FULL corpus — existing plus
+    * the 25 % that "arrived" after training — is cell-assigned and
+    * searched against those stale centroids ([[Ann.ivfTopKWith]], no
+    * retraining). The recall gate proves the operational claim: an
+    * incrementally-growing corpus keeps its index quality without
+    * re-clustering. */
+  private def ivfIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val existing = e.filter(col("vec_id") % 4 =!= 0)
+    val centroids = Ann.trainCentroids(existing, "vec_id", "embedding")
+    Ann.ivfTopKWith(centroids,
+      e.filter(col("vec_id") < NQueries), e, "vec_id", "embedding", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Int8-quantized top-k ([[Ann.int8TopK]]): fully oracle-gated — the
     * integer dot product is exact, the dequantized score is one IEEE
     * division, and the tie-break is total. The recall twin below asserts
@@ -324,6 +340,12 @@ object SimilarityQueries {
       Some(centroidsSql)),
     Capability("ann_lsh_recall", "LSH recall@k gate vs the exact baseline (constant oracle)",
       recallGate(lsh, 0.25), Some(recallGateSql)),
+    Capability("ann_ivf_incremental",
+      "IVF search after corpus growth on stale centroids (no retraining)",
+      ivfIncremental),
+    Capability("ann_ivf_incremental_recall",
+      "stale-centroid IVF recall@k gate vs the exact baseline (constant oracle)",
+      recallGate(ivfIncremental, 0.4), Some(recallGateSql)),
     Capability("ann_ivf_recall", "IVF recall@k gate vs the exact baseline (constant oracle)",
       recallGate(ivf, 0.35), Some(recallGateSql)),
     Capability("sparse_topk",

@@ -140,6 +140,36 @@ object AnalyticsQueries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY ca, cb""".stripMargin
 
+  /** Equal-width 20-bin histogram of `o_totalprice`. The (min, max) bounds
+    * ride a broadcast one-row frame into a narrow binning projection —
+    * no driver round-trip, and the binning pass shuffles only (bin,
+    * partial-count) pairs. Bin arithmetic is plain IEEE double ops
+    * (`floor((x-lo)/w)`) that DuckDB evaluates identically; the top bin
+    * absorbs the x == max edge. */
+  private val HistBins = 20
+
+  private def histogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice"))
+    val bounds = o.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / HistBins)).cast("int"),
+        lit(HistBins - 1)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  private val histogramSql =
+    s"""WITH b AS (
+       |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+       |SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) /
+       |         ((b.hi - b.lo) / $HistBins)) AS INT), ${HistBins - 1}) AS bin,
+       |       COUNT(*) AS n
+       |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
@@ -150,5 +180,8 @@ object AnalyticsQueries {
     Capability("dedup_fuzzy",
       "blocked Levenshtein record linkage (prefix blocks, no all-pairs)",
       fuzzy, Some(fuzzySql)),
+    Capability("profile_histogram",
+      "equal-width histogram via broadcast bounds (no driver round-trip)",
+      histogram, Some(histogramSql)),
   )
 }

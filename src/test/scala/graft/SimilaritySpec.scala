@@ -127,6 +127,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"IVF recall $recall")
   }
 
+  test("incremental IVF on stale centroids keeps recall near the fresh index") {
+    def pairsOf(name: String) = Registry.byName(name).run(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf("ann_brute")
+    val fresh = pairsOf("ann_ivf")
+    val stale = pairsOf("ann_ivf_incremental")
+    val freshRecall = brute.intersect(fresh).size.toDouble / brute.size
+    val staleRecall = brute.intersect(stale).size.toDouble / brute.size
+    // centroids trained on 75% of the corpus, searched after the other
+    // 25% "arrived": quality must not collapse vs retraining from scratch
+    assert(staleRecall >= 0.35, s"stale-centroid recall $staleRecall")
+    assert(staleRecall >= freshRecall - 0.25,
+      s"stale $staleRecall vs fresh $freshRecall — index aged out")
+  }
+
   test("int8 codes are bounded, exact on axis vectors, and scales positive") {
     import spark.implicits._
     import graft.functions.VectorOps
