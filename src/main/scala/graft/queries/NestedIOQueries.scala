@@ -174,6 +174,25 @@ object NestedIOQueries {
       |  COUNT(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q25i: file-size-bounded write — `maxRecordsPerFile` (the reference
+    * dataset writer's `max_rows_per_file`,
+    * cpp/src/arrow/dataset/file_base.h:389-443 FileSystemDatasetWriteOptions)
+    * splits each task's output into ≤ 20 000-row files, the knob that
+    * keeps file sizes uniform for downstream scan parallelism at 100 TB.
+    * Gated on content identity with q25's oracle; IoSpec asserts the
+    * per-file row bound actually holds on disk. */
+  private def q25i(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q25i_maxrows_${Tables.scratchKey(d)}"
+    Tables.lineitem(s, d)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 20000)
+      .parquet(out)
+    val back = s.read.parquet(out)
+    back.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q25b: filename/path-encoded partitioning parsed with
     * input_file_name() (reference FilenamePartitioning,
     * cpp/src/arrow/dataset/partition.h:353) — the key is recovered from
@@ -754,6 +773,8 @@ object NestedIOQueries {
     Capability("q24c_map_kernels", "map construct/keys/lookup/transform/concat/filter", q24c, Some(q24cSql)),
     Capability("q24d_array_setops", "array distinct/union/intersect/except/position/contains", q24d, Some(q24dSql)),
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
+    Capability("q25i_max_rows_per_file", "file-size-bounded write (maxRecordsPerFile)", q25i,
+      Some(q25Sql)),
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),
     Capability("q25d_tee", "tee: write a copy while passing the stream through", q25d, Some(q25dSql)),

@@ -442,4 +442,27 @@ class IoSpec extends AnyFunSuite {
     val expected = "abc".foldLeft(0L)((acc, ch) => (acc * 31 + ch) % 1000000007L)
     assert(fp == expected)
   }
+
+  test("maxRecordsPerFile bounds every on-disk file at the declared cap") {
+    import org.apache.spark.sql.functions._
+    // the gated query writes the layout as a side effect
+    Registry.byName("q25i_max_rows_per_file").run(spark, sf).collect()
+    val out = s"/tmp/graft_io/q25i_maxrows_${Tables.scratchKey(sf)}"
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perFile.nonEmpty)
+    assert(perFile.forall(_._2 <= 20000L),
+      s"files over the cap: ${perFile.filter(_._2 > 20000L).mkString(", ")}")
+    // a corpus above the cap must be split across files (test-SF lineitem
+    // is below it, so exercise the bound on a frame that must split)
+    val forced = s"$out.forced"
+    spark.range(0, 45000, 1, 1).toDF("id")
+      .write.mode("overwrite").option("maxRecordsPerFile", 20000).parquet(forced)
+    val forcedFiles = spark.read.parquet(forced)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(forcedFiles.length == 3 && forcedFiles.forall(_ <= 20000L),
+      s"45k rows at cap 20k should yield 3 files, got ${forcedFiles.mkString(",")}")
+  }
 }

@@ -303,6 +303,15 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("dedup_fuzzy joins on the block key, never a nested-loop all-pairs") {
+    val df = Registry.byName("dedup_fuzzy").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"blocking must plan as an equi-join:\n${plan.take(2000)}")
+    assert(plan.contains("Join") || plan.contains("join"), plan.take(500))
+  }
+
   test("thresholdCut applies the quantile cutoff as a narrow filter (zero exchanges)") {
     // the cutoff is computed once (bounded driver fetch inside
     // Quantiles.exact); the RETURNED frame must be scan+filter only —
