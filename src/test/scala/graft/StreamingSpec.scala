@@ -67,6 +67,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel state machine reaches the batch stages exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(StreamingOps.rawEventSchema)
+        .parquet(dir.getAbsolutePath)
+      val advances = graft.streaming.Funnel.stagesStream(
+        spark, StreamingOps.withEventTime(stream))
+      val q = advances.writeStream
+        .format("memory").queryName("graft_stream_funnel").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // per-user deepest stage reached on the stream side...
+        val streamedStages = spark.table("graft_stream_funnel")
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+          .groupBy(_._1).map { case (u, g) => u -> g.map(_._2).max }
+        val streamedCounts = streamedStages.values
+          .groupBy(identity).map { case (s, g) => s.toLong -> g.size.toLong }
+        // ...must reproduce the batch funnel's per-stage counts (stage 0
+        // users never emit an advance, so compare stages 1-3 only)
+        val batchCounts = Registry.byName("events_funnel").run(spark, sf)
+          .collect().map(r => r.getInt(0).toLong -> r.getLong(1))
+          .filter(_._1 > 0).toMap
+        assert(streamedCounts == batchCounts,
+          s"stream $streamedCounts vs batch $batchCounts")
+        assert(streamedCounts.nonEmpty)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming exact dedup keeps one row per distinct content (batch parity)") {
     import org.apache.spark.sql.types._
     // documents have no event time — synthesize one (doc_id seconds after
