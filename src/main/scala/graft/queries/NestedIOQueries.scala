@@ -530,6 +530,27 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26n: RUN-END-ENCODED Arrow IPC round-trip — the write half of the
+    * reference's second physical compression layout (`run_end_encode`
+    * kernel output; read-side expansion is q26d's machinery). The status
+    * column is sorted within partitions first so runs actually form (the
+    * reference applies the kernel to sorted output the same way), ships
+    * as (run_ends int32, values utf8) children, and must read back
+    * value-identical. Same oracle as q26d; IoSpec asserts the on-disk
+    * field is REALLY run-end encoded with far fewer stored values than
+    * logical rows. */
+  private def q26n(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_ree_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.writeRee(
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date"))
+        .sortWithinPartitions(col("o_orderstatus")),
+      out, reeCols = Seq("o_orderstatus"))
+    graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
+  }
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
@@ -789,6 +810,8 @@ object NestedIOQueries {
     Capability("q26i_ipc_stream", "Arrow IPC STREAM-format round-trip (footerless framing)", q26i, Some(q26Sql)),
     Capability("q26l_ipc_zstd", "zstd-compressed Arrow IPC round-trip (body-buffer codec)", q26l, Some(q26Sql)),
     Capability("q26m_ipc_dict", "dictionary-encoded Arrow IPC round-trip (categorical transport)", q26m, Some(q26Sql)),
+    Capability("q26n_ipc_ree", "run-end-encoded Arrow IPC round-trip (sorted-run transport)", q26n,
+      Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,

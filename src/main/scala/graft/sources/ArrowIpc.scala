@@ -272,6 +272,122 @@ object ArrowIpc {
     }
   }
 
+  /** Run-end-encoded IPC WRITE — the transport half of the reference's
+    * `run_end_encode` kernel (ArrowType::RUN_END_ENCODED, type id 38;
+    * read support in [[decodeRee]]): each declared string column is
+    * written as (run_ends int32, values utf8) children instead of a flat
+    * vector, batch by batch. The win is proportional to run length, so
+    * sort-within-partitions by the encoded column first (the caller's
+    * job, mirroring how the reference applies the kernel to sorted
+    * output); a column with no repetition degrades to nnz runs, never
+    * breaks. Pure per-batch task-local work — no exchange, no driver
+    * state; nulls ride the values child (the REE layout has no top-level
+    * validity). */
+  def writeRee(df: DataFrame, dir: String, reeCols: Seq[String],
+      batchSize: Int = 4096): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.vector.VarCharVector
+    require(reeCols.nonEmpty, "writeRee needs at least one run-end column")
+    val schema = df.schema
+    reeCols.foreach { c =>
+      require(schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"run-end column '$c' must be string, got ${schema(c).dataType}")
+    }
+    val reeSet = reeCols.toSet
+    val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    Bridge.toInternalRdd(df).foreachPartition { rows =>
+      if (rows.nonEmpty) {
+        val part = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$part%05d.arrow")
+        val pfs = path.getFileSystem(hconf.value)
+        val allocator = new RootAllocator(Long.MaxValue)
+        val valueSchema = Bridge.toArrowSchema(schema)
+        val valueRoot = VectorSchemaRoot.create(valueSchema, allocator)
+        val loader = new VectorLoader(valueRoot)
+        val outVectors: Seq[FieldVector] = valueSchema.getFields.asScala.toSeq.map { f =>
+          if (reeSet(f.getName)) {
+            val reField = new Field("run_ends",
+              FieldType.notNullable(new ArrowType.Int(32, true)), null)
+            val valField = new Field("values",
+              FieldType.nullable(ArrowType.Utf8.INSTANCE), null)
+            val reeField = new Field(f.getName,
+              FieldType.notNullable(ArrowType.RunEndEncoded.INSTANCE),
+              Seq(reField, valField).asJava)
+            new RunEndEncodedVector(reeField, allocator,
+              new IntVector(reField, allocator),
+              new VarCharVector(valField, allocator), null)
+          } else f.createVector(allocator)
+        }
+        val outRoot = new VectorSchemaRoot(outVectors.asJava)
+        val out = pfs.create(path, true)
+        val writer = new ArrowFileWriter(outRoot, null, Channels.newChannel(out))
+        try {
+          writer.start()
+          Bridge.toArrowBatchIterator(rows, schema, batchSize, TaskContext.get()).foreach { bytes =>
+            val batch = MessageSerializer.deserializeRecordBatch(
+              new org.apache.arrow.vector.ipc.ReadChannel(
+                Channels.newChannel(new java.io.ByteArrayInputStream(bytes))), allocator)
+            try loader.load(batch) finally batch.close()
+            val n = valueRoot.getRowCount
+            schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+              val src = valueRoot.getVector(i)
+              outVectors(i) match {
+                case ree: RunEndEncodedVector =>
+                  // scan the flat column into (run_end, value) pairs
+                  val sv = src.asInstanceOf[VarCharVector]
+                  val ends = Array.newBuilder[Int]
+                  val vals = Array.newBuilder[Option[Array[Byte]]]
+                  var runVal: Option[Array[Byte]] = None
+                  var started = false
+                  var r = 0
+                  while (r < n) {
+                    val cur = if (sv.isNull(r)) None else Some(sv.get(r))
+                    val same = started && ((cur, runVal) match {
+                      case (None, None)       => true
+                      case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+                      case _                  => false
+                    })
+                    if (!same) {
+                      if (started) { ends += r; vals += runVal }
+                      runVal = cur; started = true
+                    }
+                    r += 1
+                  }
+                  if (started) { ends += n; vals += runVal }
+                  val endArr = ends.result(); val valArr = vals.result()
+                  val reV = ree.getRunEndsVector.asInstanceOf[IntVector]
+                  val vaV = ree.getValuesVector.asInstanceOf[VarCharVector]
+                  reV.allocateNew(endArr.length)
+                  endArr.zipWithIndex.foreach { case (e, j) => reV.setSafe(j, e) }
+                  reV.setValueCount(endArr.length)
+                  vaV.allocateNew()
+                  valArr.zipWithIndex.foreach {
+                    case (Some(b), j) => vaV.setSafe(j, b)
+                    case (None, j)    => vaV.setNull(j)
+                  }
+                  vaV.setValueCount(valArr.length)
+                  ree.setValueCount(n)
+                case dst =>
+                  src.makeTransferPair(dst).transfer()
+              }
+            }
+            outRoot.setRowCount(n)
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally {
+          writer.close(); out.close()
+          outRoot.close(); valueRoot.close()
+          allocator.close()
+        }
+      }
+    }
+  }
+
   // --- 64-bit-offset layout variants -------------------------------------
   // LARGE_STRING / LARGE_BINARY / LARGE_LIST (reference type ids 34/35/36,
   // cpp/src/arrow/type.h:442-448) are per SURVEY §1.2 "layout variants,

@@ -443,6 +443,44 @@ class IoSpec extends AnyFunSuite {
     assert(fp == expected)
   }
 
+  test("run-end-encoded WRITE round-trips and really encodes on disk") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    // the gated query writes the layout as a side effect
+    val back = Registry.byName("q26n_ipc_ree").run(spark, sf)
+    val orig = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(back.collect().toSeq == orig)
+
+    // crack a part file open raw: the status field must be REE on disk,
+    // with far fewer stored values than logical rows (runs really formed)
+    val out = new java.io.File(s"/tmp/graft_io/q26_ipc_ree_${Tables.scratchKey(sf)}")
+    val part = out.listFiles().filter(_.getName.endsWith(".arrow")).minBy(_.getName)
+    val allocator = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val ch = new java.io.FileInputStream(part).getChannel
+    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, allocator)
+    try {
+      val f = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+        .find(_.getName == "o_orderstatus").get
+      assert(f.getType.isInstanceOf[
+        org.apache.arrow.vector.types.pojo.ArrowType.RunEndEncoded], f.toString)
+      var logical = 0L; var stored = 0L
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        val ree = root.getVector("o_orderstatus")
+          .asInstanceOf[org.apache.arrow.vector.complex.RunEndEncodedVector]
+        logical += root.getRowCount
+        stored += ree.getValuesVector.getValueCount
+      }
+      // 3 distinct statuses over sorted-within-partition batches: stored
+      // runs are a tiny fraction of the logical rows
+      assert(logical > 0 && stored * 10 <= logical,
+        s"expected real runs, got $stored stored values for $logical rows")
+    } finally { reader.close(); ch.close(); allocator.close() }
+  }
+
   test("maxRecordsPerFile bounds every on-disk file at the declared cap") {
     import org.apache.spark.sql.functions._
     // the gated query writes the layout as a side effect
