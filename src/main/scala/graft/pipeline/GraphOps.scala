@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph scoring over edge-list DataFrames — the link-authority
+  * side of corpus curation (Common Crawl publishes exactly this: per-host
+  * PageRank/harmonic-centrality rankings used to weight crawl frontiers
+  * and filter low-authority domains). Complements the connected-component
+  * machinery in [[Dedup]]: CC groups, PageRank scores.
+  */
+object GraphOps {
+
+  /** Fixed-iteration damped PageRank over a directed edge list.
+    *
+    * Engine-portable determinism (the gate runs the identical arithmetic
+    * in DuckDB): per-edge contributions `rank/outdeg` are IEEE doubles
+    * rounded at `roundContrib` digits, summed EXACTLY as decimal(38,18)
+    * (order-independent — double sums are not), and the damping update
+    * stays in IEEE double. Fixed iteration count, not convergence-tested:
+    * a deterministic gate cannot hinge on a float threshold.
+    *
+    * Scale shape: one src-keyed equi-join plus one dst-keyed aggregate
+    * per iteration — both shuffle (node, contribution) pairs only, never
+    * adjacency payloads. The node count is the op's single bounded driver
+    * exchange (one long). For deep iteration counts localCheckpoint the
+    * ranks frame every few rounds exactly as [[Dedup]]'s CC loop does;
+    * the default 3 rounds chain lazily. */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85,
+      roundContrib: Int = 12): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count() // bounded driver exchange: one long
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    val base = lit((1.0 - damping) / n)
+    def exactSum(c: Column): Column =
+      coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var it = 0
+    while (it < iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round(col("rank") / col("deg"), roundContrib).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .groupBy(col("node"))
+        .agg((base + lit(damping) * exactSum(col("contrib"))).as("rank"))
+      it += 1
+    }
+    ranks
+  }
+}

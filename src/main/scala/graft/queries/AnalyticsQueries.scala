@@ -170,6 +170,55 @@ object AnalyticsQueries {
        |       COUNT(*) AS n
        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Link-authority scoring ([[graft.pipeline.GraphOps.pageRank]]): 3
+    * damped iterations over the symmetric part↔supplier co-occurrence
+    * graph from lineitem (the same shape as Common Crawl's published
+    * per-host rank data used to weight crawl corpora). The oracle unrolls
+    * the identical three iterations as chained CTEs — recursive CTEs
+    * cannot aggregate in the recursive member, and a fixed-depth unroll
+    * is the honest mirror of a fixed-iteration operator. */
+  private val PrIters = 3
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs.select(
+        concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+      .union(pairs.select(
+        concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst")))
+    graft.pipeline.GraphOps.pageRank(edges, "src", "dst", iterations = PrIters)
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val pagerankSql = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT nodes.node,
+         |    (SELECT (1.0-0.85)/n FROM n) + 0.85 * COALESCE(
+         |      CAST(SUM(CAST(round(r.rank/deg.deg, 12) AS DECIMAL(38,18))) AS DOUBLE),
+         |      0.0) AS rank
+         |  FROM nodes
+         |  LEFT JOIN edges e ON e.dst = nodes.node
+         |  LEFT JOIN $prev r ON r.node = e.src
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  GROUP BY nodes.node)"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT 'p' || p AS src, 's' || sk AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's' || sk, 'p' || p FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |n AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, (SELECT 1.0/n FROM n) AS rank FROM nodes),
+       |${iter("r0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
@@ -183,5 +232,8 @@ object AnalyticsQueries {
     Capability("profile_histogram",
       "equal-width histogram via broadcast bounds (no driver round-trip)",
       histogram, Some(histogramSql)),
+    Capability("graph_pagerank",
+      "damped PageRank, 3 exact-decimal iterations (link-authority scoring)",
+      pagerank, Some(pagerankSql)),
   )
 }

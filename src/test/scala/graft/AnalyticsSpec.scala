@@ -89,6 +89,20 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank conserves rank mass and ranks hubs above leaves") {
+    import spark.implicits._
+    // star: center c linked symmetrically with 4 leaves
+    val pairs = Seq("a", "b", "d", "e").flatMap(l => Seq(("c", l), (l, "c")))
+    val edges = pairs.toDF("src", "dst")
+    val ranks = graft.pipeline.GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // symmetric graph, no dangling nodes: total mass stays 1 every round
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, ranks.toString)
+    assert(Seq("a", "b", "d", "e").forall(l => ranks("c") > ranks(l)), ranks.toString)
+    // leaves are symmetric, so their ranks are identical
+    assert(Seq("b", "d", "e").forall(l => ranks(l) == ranks("a")), ranks.toString)
+  }
+
   test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
     val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 1))
