@@ -398,6 +398,94 @@ object Multimodal {
     * ids a WAV (length/frequency likewise). Generation is a narrow
     * per-partition transform — at 100 TB this stage is the ingest that
     * reads real media files alongside the metadata table. */
+  // ---- perceptual image hashing (average hash) -------------------------
+
+  /** 64-bit average-hash (aHash — the public pHash family's simplest
+    * member): downscale to 8×8 (nearest-neighbor, same policy as
+    * [[resizePng]]), integer luminance per cell, bit i set iff cell i is
+    * at or above the image mean (`lum·64 >= Σlum` — pure integer math, no
+    * float threshold). Visually identical images hash equal; small edits
+    * flip few bits, so near-duplicate detection is a small-Hamming search
+    * — the image-space sibling of SimHash over text. None for undecodable
+    * payloads. */
+  def aHash(png: Array[Byte]): Option[Long] = {
+    val src = ImageIO.read(new ByteArrayInputStream(png))
+    if (src == null) return None
+    val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val lum = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = dst.getRGB(i % 8, i / 8)
+      lum(i) = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+        (rgb & 0xFF) * 114) / 1000
+      sum += lum(i)
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (lum(i) * 64 >= sum) bits |= (1L << i)
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** One-pixel edit (XOR of the RGB channels) — the spec/gate's planted
+    * "near duplicate": decode, flip, re-encode. */
+  def tweakPixel(png: Array[Byte], x: Int, y: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    if (img == null) return png
+    img.setRGB(x, y, img.getRGB(x, y) ^ 0xFFFFFF)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (doc_id, phash) for every decodable image payload — narrow
+    * per-partition decode, one long per image on the wire. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.flatMap(r => aHash(r.media).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Image near-duplicate pairs by banded Hamming search over [[aHash]]
+    * hashes — the same 16-bit-band trick as the text SimHash path: two
+    * hashes within Hamming distance ≤ 3·bands/4 must agree on ≥ one of 4
+    * bands (pigeonhole: 8 flipped bits cannot touch all 4), so candidates
+    * come from a (band, value) equi-join, never an all-pairs scan; the
+    * exact popcount verifies candidates only. */
+  def imageNearDupPairs(
+      spark: SparkSession, media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming < 4 * 16, s"banding needs maxHamming < 64, got $maxHamming")
+    val h = imageHashes(spark, media)
+    val bands = h.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("doc_id"), col("phash"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = bands.select(col("doc_id").as("da"), col("phash").as("ha"),
+      col("band"), col("v"))
+    val b = bands.select(col("doc_id").as("db"), col("phash").as("hb"),
+      col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def synthesize(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"), xxhash64(col(textCol)).as("seed"))
@@ -519,9 +607,40 @@ object MultimodalQueries {
       |  FROM documents WHERE doc_id % 7 = 1)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Perceptual-hash image dedup over a planted corpus: every even doc id
+    * gets a fixed-size PNG seeded by `id / 4`, so consecutive even ids
+    * (4k, 4k+2) render the SAME image — and the 4k+2 copy additionally
+    * has one pixel flipped ([[Multimodal.tweakPixel]]), making it a true
+    * NEAR-duplicate (small aHash Hamming), not a byte copy. The banded
+    * Hamming search must recover exactly those planted pairs, which a
+    * closed-form oracle predicts without ever seeing a hash value — the
+    * image twin of the text dedup gates. */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val png = Multimodal.syntheticPng(id / 4, 24, 18)
+        Multimodal.MediaRow(id,
+          if (id % 4 == 2) Multimodal.tweakPixel(png, 3, 5) else png)
+      }).toDF()
+    Multimodal.imageNearDupPairs(s, media, maxHamming = 8)
+      .select(col("da"), col("db"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val phashPairsSql =
+    """SELECT a.doc_id AS da, b.doc_id AS db
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+      |WHERE a.doc_id % 4 = 0
+      |ORDER BY da, db""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("mm_decode", "binary media (real PNG/WAV) → batch-decoded typed features",
       features),
+    Capability("mm_phash_pairs",
+      "perceptual-hash (aHash) image near-dup pairs, banded Hamming search",
+      phashPairs, Some(phashPairsSql)),
     Capability("mm_frames", "video frame-sampling + resize (real per-frame PNG decode)",
       frames),
     Capability("mm_decode_meta", "decoded media metadata vs generator-predicting oracle",

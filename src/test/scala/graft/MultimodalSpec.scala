@@ -208,4 +208,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(a.forall(r => r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 6))
   }
+
+  test("aHash: identical images equal, one-pixel edits near, other seeds far") {
+    import graft.pipeline.Multimodal
+    val png = Multimodal.syntheticPng(7L, 24, 18)
+    val same = Multimodal.syntheticPng(7L, 24, 18)
+    val tweaked = Multimodal.tweakPixel(png, 3, 5)
+    val other = Multimodal.syntheticPng(8L, 24, 18)
+    val Seq(h1, h2, ht, ho) = Seq(png, same, tweaked, other).map(Multimodal.aHash(_).get)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h1 == h2, "same pixels must hash equal")
+    assert(hamming(h1, ht) <= 8, s"one-pixel edit drifted ${hamming(h1, ht)} bits")
+    assert(hamming(h1, ho) > 8, s"unrelated image too close: ${hamming(h1, ho)} bits")
+    assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty, "undecodable → None")
+  }
 }
