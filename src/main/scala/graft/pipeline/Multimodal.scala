@@ -464,19 +464,29 @@ object Multimodal {
     * bands (pigeonhole: 8 flipped bits cannot touch all 4), so candidates
     * come from a (band, value) equi-join, never an all-pairs scan; the
     * exact popcount verifies candidates only. */
-  def imageNearDupPairs(
-      spark: SparkSession, media: DataFrame, maxHamming: Int = 8): DataFrame = {
-    require(maxHamming < 4 * 16, s"banding needs maxHamming < 64, got $maxHamming")
-    val h = imageHashes(spark, media)
-    val bands = h.select(col("doc_id"), col("phash"),
+  /** Banded small-Hamming pair search over a (doc_id, hash int64) frame —
+    * shared by the image and audio fingerprint paths, same shape as the
+    * text SimHash gate. Candidates come from a (band, value) equi-join
+    * over 4 disjoint 16-bit bands; exact popcount verifies candidates
+    * only — never an all-pairs scan. Pigeonhole GUARANTEES recovery at
+    * Hamming ≤ 3 (each flipped bit ruins at most one band); above that,
+    * recall is probabilistic exactly as in LSH — real edits flip
+    * clustered probes, so in practice small-Hamming pairs still agree on
+    * a band, and the planted gates verify recovery deterministically on
+    * the fixed corpus. */
+  private def bandedHammingPairs(
+      hashes: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3 * 16,
+      s"4x16-bit banding guarantees recall only to Hamming 48, got $maxHamming")
+    val bands = hashes.select(col("doc_id"), col(hashCol),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+          shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
       }: _*)).as("bv"))
-      .select(col("doc_id"), col("phash"), col("bv.band").as("band"), col("bv.v").as("v"))
-    val a = bands.select(col("doc_id").as("da"), col("phash").as("ha"),
+      .select(col("doc_id"), col(hashCol), col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = bands.select(col("doc_id").as("da"), col(hashCol).as("ha"),
       col("band"), col("v"))
-    val b = bands.select(col("doc_id").as("db"), col("phash").as("hb"),
+    val b = bands.select(col("doc_id").as("db"), col(hashCol).as("hb"),
       col("band"), col("v"))
     a.join(b, Seq("band", "v"))
       .filter(col("da") < col("db"))
@@ -485,6 +495,92 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  def imageNearDupPairs(
+      spark: SparkSession, media: DataFrame, maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(imageHashes(spark, media), "phash", maxHamming)
+
+  // ---- audio fingerprinting --------------------------------------------
+
+  /** 64-bit audio dropout fingerprint: the PCM stream splits into 64
+    * equal windows and bit i is the PARITY of window i's L1 energy
+    * (Σ|sample| & 1). Identical audio fingerprints equal; a localized
+    * edit (dropout, clipped span, spliced region) flips only the bits of
+    * the windows it touches — clustered bits, which is exactly what the
+    * banded search recovers — while any two different recordings disagree
+    * on ~half the parities. Parity of exact integer sums, not a
+    * float threshold: steady signals (sine fixtures, room tone) have FLAT
+    * energy profiles that make mean-threshold bases degenerate, and sign
+    * probes correlate between near-frequency tones; exact-sum parity is
+    * content-chaotic for any difference yet perfectly local for edits.
+    * None for undecodable or sub-64-sample payloads. */
+  def audioFingerprint(wav: Array[Byte]): Option[Long] = {
+    val in = try AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
+        return None
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      if (n < 64) return None
+      var bits = 0L
+      var w = 0
+      while (w < 64) {
+        val from = (n.toLong * w / 64).toInt
+        val until = (n.toLong * (w + 1) / 64).toInt
+        var sum = 0L
+        var p = from
+        while (p < until) {
+          val v = ((bytes(2 * p + 1) << 8) | (bytes(2 * p) & 0xFF)).toShort.toInt
+          sum += math.abs(v)
+          p += 1
+        }
+        if ((sum & 1L) == 1L) bits |= (1L << w)
+        w += 1
+      }
+      Some(bits)
+    } finally in.close()
+  }
+
+  /** Zero out `count` PCM samples starting at `fromSample` — the planted
+    * "dropout" edit. Walks the RIFF chunks to the data payload, so it
+    * works on any canonical PCM WAV, not just [[syntheticWav]]'s. */
+  def tweakWavSamples(wav: Array[Byte], fromSample: Int, count: Int): Array[Byte] = {
+    val out = wav.clone()
+    var off = 12 // past RIFF header
+    while (off + 8 <= out.length) {
+      val id = new String(out.slice(off, off + 4), "US-ASCII")
+      val size = (out(off + 4) & 0xFF) | ((out(off + 5) & 0xFF) << 8) |
+        ((out(off + 6) & 0xFF) << 16) | ((out(off + 7) & 0xFF) << 24)
+      if (id == "data") {
+        var i = 0
+        while (i < count && off + 8 + 2 * (fromSample + i) + 1 < out.length) {
+          out(off + 8 + 2 * (fromSample + i)) = 0
+          out(off + 8 + 2 * (fromSample + i) + 1) = 0
+          i += 1
+        }
+        return out
+      }
+      off += 8 + size + (size & 1)
+    }
+    out
+  }
+
+  /** (doc_id, afp) for every decodable audio payload. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.flatMap(r => audioFingerprint(r.media).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs by the same banded Hamming search as
+    * [[imageNearDupPairs]]. */
+  def audioNearDupPairs(
+      spark: SparkSession, media: DataFrame, maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(audioFingerprints(spark, media), "afp", maxHamming)
 
   def synthesize(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import spark.implicits._
@@ -635,12 +731,43 @@ object MultimodalQueries {
       |WHERE a.doc_id % 4 = 0
       |ORDER BY da, db""".stripMargin
 
+  /** Audio near-dup over a planted corpus, mirroring [[phashPairs]]: odd
+    * ids 4k+1 and 4k+3 synthesize the SAME WAV (seed and length keyed on
+    * id/4) and the 4k+3 copy carries a 100-sample dropout
+    * ([[Multimodal.tweakWavSamples]]) — a true near-duplicate whose
+    * fingerprint differs only in the windows the dropout touches. The
+    * banded search must recover exactly the planted pairs; the closed-form
+    * oracle predicts them without seeing a fingerprint. */
+  private def audioPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val wav = Multimodal.syntheticWav(g, 2000 + (g % 499).toInt * 4)
+        Multimodal.MediaRow(id,
+          if (id % 4 == 3) Multimodal.tweakWavSamples(wav, 600, 100) else wav)
+      }).toDF()
+    Multimodal.audioNearDupPairs(s, media, maxHamming = 8)
+      .select(col("da"), col("db"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val audioPairsSql =
+    """SELECT a.doc_id AS da, b.doc_id AS db
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+      |WHERE a.doc_id % 4 = 1
+      |ORDER BY da, db""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("mm_decode", "binary media (real PNG/WAV) → batch-decoded typed features",
       features),
     Capability("mm_phash_pairs",
       "perceptual-hash (aHash) image near-dup pairs, banded Hamming search",
       phashPairs, Some(phashPairsSql)),
+    Capability("mm_audio_fp_pairs",
+      "audio dropout-fingerprint near-dup pairs, banded Hamming search",
+      audioPairs, Some(audioPairsSql)),
     Capability("mm_frames", "video frame-sampling + resize (real per-frame PNG decode)",
       frames),
     Capability("mm_decode_meta", "decoded media metadata vs generator-predicting oracle",

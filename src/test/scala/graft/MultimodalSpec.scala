@@ -222,4 +222,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(h1, ho) > 8, s"unrelated image too close: ${hamming(h1, ho)} bits")
     assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty, "undecodable → None")
   }
+
+  test("audio fingerprint: identical equal, dropouts cluster, other audio far") {
+    import graft.pipeline.Multimodal
+    val wav = Multimodal.syntheticWav(11L, 4000)
+    val same = Multimodal.syntheticWav(11L, 4000)
+    val dropped = Multimodal.tweakWavSamples(wav, 600, 100)
+    val other = Multimodal.syntheticWav(12L, 4000)
+    val Seq(h1, h2, hd, ho) =
+      Seq(wav, same, dropped, other).map(Multimodal.audioFingerprint(_).get)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h1 == h2, "same samples must fingerprint equal")
+    // a 100-sample dropout in 4000 samples touches at most 3 of 64 windows
+    assert(hamming(h1, hd) <= 3, s"dropout drifted ${hamming(h1, hd)} bits")
+    assert(hamming(h1, ho) > 8, s"unrelated audio too close: ${hamming(h1, ho)} bits")
+    assert(Multimodal.audioFingerprint(Array[Byte](9, 9)).isEmpty, "undecodable → None")
+    // the dropout really zeroed the samples (RIFF walk found the payload)
+    assert(!dropped.sameElements(wav))
+  }
 }
