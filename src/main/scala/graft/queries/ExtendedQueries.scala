@@ -75,6 +75,33 @@ object ExtendedQueries {
       |FROM events GROUP BY event_type
       |ORDER BY cnt DESC, item""".stripMargin
 
+  /** Q42: GROUPED top-k through the bounded-heap [[graft.functions.expr
+    * .TopKAgg]] aggregate (the reference's select_k as a mergeable agg):
+    * map-side combine ships at most k (score, id) pairs per group per
+    * task instead of shuffling every row to a per-group sort — the
+    * grouped sibling of q10's TakeOrderedAndProject. Oracle recomputes
+    * with the window formulation the aggregate replaces. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val rid = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+    li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.expr.TopKAgg(col("l_extendedprice"), rid, 5).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("score"), col("col.rid").as("rid"))
+      .orderBy(col("l_returnflag"), col("rank"))
+  }
+
+  private val q42Sql =
+    """SELECT l_returnflag, rank, score, rid FROM (
+      |  SELECT l_returnflag, l_extendedprice AS score,
+      |    l_orderkey*10+l_linenumber AS rid,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey*10+l_linenumber) AS INT) AS rank
+      |  FROM lineitem) t
+      |WHERE rank <= 5
+      |ORDER BY l_returnflag, rank""".stripMargin
+
   /** Q29: INTERSECT / EXCEPT (set semantics — deduplicated). */
   private def q29(s: SparkSession, d: String): DataFrame = {
     val custNk = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
@@ -501,6 +528,8 @@ object ExtendedQueries {
     Capability("q28_rollup", "rollup subtotals with grouping_id", q28, Some(q28Sql)),
     Capability("q28b_cube", "cube over both grouping dimensions", q28b, Some(q28bSql)),
     Capability("q27e_approx_topk", "approx_top_k frequent-items sketch (exact at this cardinality)", q27e, Some(q27eSql)),
+    Capability("q42_grouped_topk", "grouped top-k via bounded-heap mergeable aggregate (select_k)", q42,
+      Some(q42Sql)),
     Capability("q29_setops", "intersect / except set operations", q29, Some(q29Sql)),
     Capability("q30_cross_join", "cross join", q30, Some(q30Sql)),
     Capability("q38_range_join", "banded point-in-interval range join (no nested-loop)", q38,

@@ -89,6 +89,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("heap top-k aggregate equals the window formulation on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+    val viaAgg = e.groupBy(col("event_type"))
+      .agg(graft.functions.expr.TopKAgg(col("value"), col("event_id"), 7).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), col("pos"), col("col.score"), col("col.rid"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val viaWindow = e
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("event_type"), (col("rn") - 1).cast("int"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("pagerank conserves rank mass and ranks hubs above leaves") {
     import spark.implicits._
     // star: center c linked symmetrically with 4 leaves

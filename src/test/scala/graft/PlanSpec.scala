@@ -303,6 +303,20 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("q42 grouped top-k aggregates partially: only heaps cross the exchange") {
+    // the whole point of the heap aggregate vs the window formulation:
+    // a partial ObjectHashAggregate must run BEFORE the exchange, so each
+    // map task ships at most k pairs per group instead of all rows
+    val df = Registry.byName("q42_grouped_topk").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val objAgg = plan.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(objAgg.size >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(2000)}")
+    assert(plan.contains("partial_graft_top_k") || objAgg.exists(_.contains("partial")),
+      s"no partial top-k aggregate before the exchange:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"window formulation leaked back in:\n${plan.take(800)}")
+  }
+
   test("dedup_fuzzy joins on the block key, never a nested-loop all-pairs") {
     val df = Registry.byName("dedup_fuzzy").run(spark, sf)
     df.collect()
