@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, MinHashSketch, PolyFingerprint, SimHashAgg, TDigestAgg}
+import graft.functions.expr.{CosineSimilarity, MinHashSketch, PolyFingerprint, SimHashAgg, TDigestAgg, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       GraftFunctions.simhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      GraftFunctions.topKBuilder))
   }
 }
 
@@ -81,6 +85,19 @@ object GraftFunctions {
     SimHashAgg(exprs.head).toAggregateExpression()
   }
 
+  /** `graft_top_k(score, id, k)` — k must be a foldable literal. */
+  val topKBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3 && exprs(2).foldable,
+      "graft_top_k takes (score, id, k literal)")
+    val k = exprs(2).eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_top_k k must be an integral literal, got $other")
+    }
+    TopKAgg(exprs(0), exprs(1), k).toAggregateExpression()
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
@@ -89,6 +106,7 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "graft_tdigest", tdigestBuilder)
     Bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     Bridge.registerFunction(spark, "graft_simhash", GraftFunctions.simhashBuilder)
+    Bridge.registerFunction(spark, "graft_top_k", topKBuilder)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

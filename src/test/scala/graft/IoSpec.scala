@@ -441,6 +441,11 @@ class IoSpec extends AnyFunSuite {
     val fp = spark.sql("SELECT graft_fingerprint('abc') AS f").head().getLong(0)
     val expected = "abc".foldLeft(0L)((acc, ch) => (acc * 31 + ch) % 1000000007L)
     assert(fp == expected)
+    val tk = spark.sql(
+      "SELECT graft_top_k(CAST(v AS DOUBLE), CAST(v AS BIGINT), 2) AS tk " +
+        "FROM VALUES (3), (1), (9), (7) AS t(v)").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(tk == Seq((9.0, 9L), (7.0, 7L)))
   }
 
   test("run-end-encoded WRITE round-trips and really encodes on disk") {
