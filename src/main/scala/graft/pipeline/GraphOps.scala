@@ -32,9 +32,14 @@ object GraphOps {
       roundContrib: Int = 12): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    // persisted: the count below materializes nodes once, and every
+    // iteration joins edges and re-reads nodes — without the persist the
+    // upstream distinct would recompute per iteration
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded driver exchange: one long
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
     val base = lit((1.0 - damping) / n)
