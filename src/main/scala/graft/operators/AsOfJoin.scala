@@ -90,7 +90,9 @@ object AsOfJoin {
     * ascending — pinned so the result is deterministic and the oracle can
     * mirror the exact ordering. Same join shape as [[backward]]: equi-join
     * on the `by` keys with a symmetric range residual, then one window
-    * dedup per left row. */
+    * dedup per left row. Unlike [[backward]]/[[forward]] (which only
+    * compare), nearest measures the distance, so the `on` columns must be
+    * timestamps (µs distance via unix_micros). */
   def nearest(
       left: DataFrame,
       right: DataFrame,

@@ -32,16 +32,22 @@ object GraphOps {
       roundContrib: Int = 12): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
-    // persisted: the count below materializes nodes once, and every
-    // iteration joins edges and re-reads nodes — without the persist the
-    // upstream distinct would recompute per iteration
+    // the classic Pregel layout: edges hash-partitioned by src ONCE and
+    // persisted — every iteration's rank join then reuses the cached
+    // partitioning and only the (tiny) rank table moves; nodes and
+    // degrees are persisted on the same keys they join/aggregate on.
+    // Without the persists the upstream distinct would recompute per
+    // iteration; without the pre-partitioning every iteration would
+    // re-shuffle the full edge set.
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("src")).persist(disk)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
     val n = nodes.count() // bounded driver exchange: one long
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+      .persist(disk)
     val base = lit((1.0 - damping) / n)
     def exactSum(c: Column): Column =
       coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
@@ -57,6 +63,10 @@ object GraphOps {
         .join(contribs, Seq("node"), "left")
         .groupBy(col("node"))
         .agg((base + lit(damping) * exactSum(col("contrib"))).as("rank"))
+        // materialize each round: chaining lazily makes iteration i replay
+        // every earlier round (O(iterations²) joins) and grows the lineage
+        // unboundedly — the same localCheckpoint policy as the CC loop
+        .localCheckpoint()
       it += 1
     }
     ranks

@@ -118,7 +118,12 @@ object AnalyticsQueries {
     * cross join. The standard MDM/entity-resolution sibling of the
     * token-Jaccard dedup family ([[graft.pipeline.Dedup]]). */
   private def fuzzy(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    // gate volume cap (q16b precedent: breadth, not volume): 5 000
+    // customers exercise 50 full blocks; the mechanism under test is the
+    // blocking join + in-block verify, not Levenshtein throughput
+    val c = Tables.customer(s, d)
+      .filter(col("c_custkey") < 5000)
+      .select(col("c_custkey"), col("c_name"))
     val a = c.select(col("c_custkey").as("ca"), col("c_name").as("na"),
       substring(col("c_name"), 1, 16).as("blk"))
     val b = c.select(col("c_custkey").as("cb"), col("c_name").as("nb"),
@@ -137,7 +142,8 @@ object AnalyticsQueries {
       |FROM customer a JOIN customer b
       |  ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
       | AND a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |WHERE a.c_custkey < 5000 AND b.c_custkey < 5000
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY ca, cb""".stripMargin
 
   /** Equal-width 20-bin histogram of `o_totalprice`. The (min, max) bounds
@@ -145,7 +151,9 @@ object AnalyticsQueries {
     * no driver round-trip, and the binning pass shuffles only (bin,
     * partial-count) pairs. Bin arithmetic is plain IEEE double ops
     * (`floor((x-lo)/w)`) that DuckDB evaluates identically; the top bin
-    * absorbs the x == max edge. */
+    * absorbs the x == max edge. A degenerate single-value domain
+    * (hi == lo) would put NaN in every bin identically on both engines —
+    * callers histogramming a constant column should notice, not crash. */
   private val HistBins = 20
 
   private def histogram(s: SparkSession, d: String): DataFrame = {
