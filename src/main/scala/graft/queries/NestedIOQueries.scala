@@ -183,7 +183,11 @@ object NestedIOQueries {
     * per-file row bound actually holds on disk. */
   private def q25i(s: SparkSession, d: String): DataFrame = {
     val out = s"/tmp/graft_io/q25i_maxrows_${Tables.scratchKey(d)}"
+    // the knob under test splits by ROW COUNT, so the gate only needs the
+    // columns its oracle reads — writing the full table would re-measure
+    // q25's IO volume, not the cap
     Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 20000)
       .parquet(out)
