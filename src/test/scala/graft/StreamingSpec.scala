@@ -67,6 +67,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming continuous top-k (heap aggregate) equals the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_topk").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val stream = spark.readStream
+      .schema(StreamingOps.rawEventSchema)
+      .parquet(dir.getAbsolutePath)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(graft.functions.expr.TopKAgg(col("value"), col("event_id"), 5).as("tk"))
+    val q = topk(StreamingOps.withEventTime(stream)).writeStream
+      .format("memory").queryName("graft_stream_topk").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def flat(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getDouble(0), e.getLong(1)))
+      }.toMap
+      val streamed = flat(spark.table("graft_stream_topk").collect())
+      val batch = flat(topk(Tables.events(spark, sf)).collect())
+      // the top-k set under a total order is unique, so the heap state
+      // merged across micro-batches equals the batch aggregate exactly
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.values.forall(_.size == 5))
+    } finally q.stop()
+  }
+
   test("streaming funnel state machine reaches the batch stages exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toFile
     java.nio.file.Files.copy(
