@@ -486,6 +486,24 @@ class IoSpec extends AnyFunSuite {
     } finally { reader.close(); ch.close(); allocator.close() }
   }
 
+  test("run-end-encoded WRITE round-trips null runs and singleton runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ree_nulls").toString
+    // runs of nulls, runs of values, and a no-repetition tail — the three
+    // shapes the run scanner must handle; written across several batches
+    val rows: Seq[(Long, Option[String])] =
+      (0L until 50L).map(i => i -> Some("x")) ++
+        (50L until 90L).map(i => i -> (None: Option[String])) ++
+        (90L until 130L).map(i => i -> Some(s"v$i"))
+    val df = rows.toDF("id", "s").repartition(1).sortWithinPartitions("id")
+    graft.sources.ArrowIpc.writeRee(df, dir, Seq("s"), batchSize = 16)
+    val back = graft.sources.ArrowIpc.read(spark, dir)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(back == rows.sortBy(_._1))
+  }
+
   test("maxRecordsPerFile bounds every on-disk file at the declared cap") {
     import org.apache.spark.sql.functions._
     // the gated query writes the layout as a side effect

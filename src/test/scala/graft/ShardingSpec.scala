@@ -218,6 +218,20 @@ class ShardingSpec extends AnyFunSuite {
     assert(out.keySet == lottery.take(3).toSet)
   }
 
+  test("token budget admits the same rows under any input layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1L to 200L).map(i => (i, s"k${i % 5}", 5 + (i % 7))).toDF("id", "key", "tok")
+    def admitted(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sharding.tokenBudget(df, "id", "key", col("tok"), budget = 60L)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+    val a = admitted(base.repartition(1))
+    val b = admitted(base.repartition(13, col("tok")))
+    val c = admitted(base.orderBy(col("id").desc))
+    assert(a == b && b == c, "admitted set must be layout-independent")
+    assert(a.nonEmpty && a.size < 200)
+  }
+
   test("threshold cut keeps every row tied at the cutoff value") {
     import spark.implicits._
     // values 1..10, keepFrac 0.3 → cutoff = quantile(0.7) = 7.3; kept
