@@ -534,6 +534,33 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q25j: DYNAMIC partition overwrite — the reference dataset writer's
+    * `ExistingDataBehavior::kDeleteMatching` (file_base.h:404-432: replace
+    * only the partitions the new data touches, leave the rest). The gate
+    * discriminates all three failure modes: the layout is seeded with a
+    * HALF-full 'A' partition plus full N/R, then the full 'A' rows are
+    * written under `partitionOverwriteMode=dynamic` — static overwrite
+    * would delete N/R (missing rows), append would double A (extra
+    * rows), and only delete-matching reproduces the full table. */
+  private def q25j(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q25j_dynover_${Tables.scratchKey(d)}"
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"))
+    li.filter(col("l_returnflag") =!= "A" || col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try li.filter(col("l_returnflag") === "A")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    s.read.parquet(out).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q26n: RUN-END-ENCODED Arrow IPC round-trip — the write half of the
     * reference's second physical compression layout (`run_end_encode`
     * kernel output; read-side expansion is q26d's machinery). The status
@@ -799,6 +826,9 @@ object NestedIOQueries {
     Capability("q24d_array_setops", "array distinct/union/intersect/except/position/contains", q24d, Some(q24dSql)),
     Capability("q25_partitioned_write", "hive-partitioned parquet write → read", q25, Some(q25Sql)),
     Capability("q25i_max_rows_per_file", "file-size-bounded write (maxRecordsPerFile)", q25i,
+      Some(q25Sql)),
+    Capability("q25j_dynamic_overwrite",
+      "dynamic partition overwrite (delete_matching existing-data behavior)", q25j,
       Some(q25Sql)),
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),

@@ -486,6 +486,33 @@ class IoSpec extends AnyFunSuite {
     } finally { reader.close(); ch.close(); allocator.close() }
   }
 
+  test("dynamic partition overwrite replaces only matching partitions; static deletes all") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "N"), (4L, "R"))
+    rows.toDF("id", "p").write.mode("overwrite").partitionBy("p").parquet(dir)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      // STATIC overwrite of A-only data wipes the whole layout
+      spark.conf.set(key, "static")
+      Seq((9L, "A")).toDF("id", "p").write.mode("overwrite").partitionBy("p").parquet(dir)
+      assert(spark.read.parquet(dir).select("p").distinct().collect()
+        .map(_.getString(0)).toSet == Set("A"))
+      // re-seed, then DYNAMIC overwrite replaces only partition A
+      rows.toDF("id", "p").write.mode("overwrite").partitionBy("p").parquet(dir)
+      spark.conf.set(key, "dynamic")
+      Seq((9L, "A")).toDF("id", "p").write.mode("overwrite").partitionBy("p").parquet(dir)
+      val back = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == Set((9L, "A"), (3L, "N"), (4L, "R")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("run-end-encoded WRITE round-trips null runs and singleton runs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
