@@ -511,6 +511,14 @@ class IoSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+    // the other two reference ExistingDataBehavior values map to SaveModes:
+    // kError → errorifexists (refuses), kOverwriteOrIgnore → ignore (no-op)
+    intercept[Exception] {
+      Seq((1L, "A")).toDF("id", "p").write.mode("errorifexists").parquet(dir)
+    }
+    Seq((99L, "Z")).toDF("id", "p").write.mode("ignore").parquet(dir)
+    assert(!spark.read.parquet(dir).collect().exists(_.getLong(0) == 99L),
+      "ignore mode must leave existing data untouched")
   }
 
   test("run-end-encoded WRITE round-trips null runs and singleton runs") {
