@@ -63,10 +63,13 @@ object GraphOps {
         .join(contribs, Seq("node"), "left")
         .groupBy(col("node"))
         .agg((base + lit(damping) * exactSum(col("contrib"))).as("rank"))
-        // materialize each round: chaining lazily makes iteration i replay
-        // every earlier round (O(iterations²) joins) and grows the lineage
-        // unboundedly — the same localCheckpoint policy as the CC loop
-        .localCheckpoint()
+      // materialize between rounds: chaining lazily makes iteration i
+      // replay every earlier round (O(iterations²) joins) and grows the
+      // lineage unboundedly — the same localCheckpoint policy as the CC
+      // loop. The FINAL round stays lazy: its checkpoint would only feed
+      // a next round that never runs, and the caller's sink materializes
+      // it once anyway.
+      if (it < iterations - 1) ranks = ranks.localCheckpoint()
       it += 1
     }
     ranks

@@ -167,6 +167,32 @@ object Sharding {
       .withColumn("shuffle_pos", row_number().over(w) - 1)
   }
 
+  /** k-bounded-shuffle variant of [[capPerGroup]]: the same md5-lottery
+    * selection computed through [[graft.functions.expr.TopKAgg]]'s
+    * bounded heap — each map task ships AT MOST k (draw, id) pairs per
+    * group across the exchange instead of shuffling every row to a
+    * per-group window sort, which is the difference between shuffling
+    * k·groups rows and shuffling the corpus at 100 TB. The draw is the
+    * first 12 md5 hex digits as a 48-bit integer — exactly representable
+    * in the heap's IEEE-double score, negated because the lottery keeps
+    * the SMALLEST draw; draws tie only on a 2^-48 prefix collision,
+    * broken by id. Selection equals a window ordered by
+    * (md5-prefix, id); the gated query's oracle mirrors that order. */
+  def capPerGroupTopK(
+      df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    requireFresh(df, "cap_rank")
+    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.select(col(groupCol), col(idCol))
+      .withColumn("__draw", -draw.cast("double"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.expr.TopKAgg(
+        col("__draw"), col(idCol).cast("long"), k).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")))
+      .select(col("col.rid").as(idCol), col(groupCol),
+        (col("pos") + 1).cast("int").as("cap_rank"))
+  }
+
   /** Global fractional selection WITHOUT a global sort: keep the rows whose
     * `metricCol` is at or above the corpus-wide `1 - keepFrac` quantile
     * (e.g. keepFrac 0.3 → the "top 30 % by quality/length" curation cut).

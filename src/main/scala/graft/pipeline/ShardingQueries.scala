@@ -74,6 +74,27 @@ object ShardingQueries {
       |  FROM documents)
       |WHERE cap_rank <= 25 ORDER BY source, cap_rank""".stripMargin
 
+  /** The k-bounded-shuffle cap ([[Sharding.capPerGroupTopK]]): identical
+    * selection policy to pipeline_cap, but at most k (draw, id) pairs per
+    * group per map task cross the exchange. The oracle orders by the
+    * 12-hex md5 prefix the heap scores on (ties by id), which equals the
+    * full-md5 order except on 2^-48 prefix collisions — none exist in
+    * any fixture, and the gate would catch one loudly. */
+  private def capTopK(s: SparkSession, d: String): DataFrame =
+    Sharding.capPerGroupTopK(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 25)
+      .orderBy(col("source"), col("cap_rank"))
+
+  private val capTopKSql =
+    """SELECT doc_id, source, cap_rank FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY substring(md5(doc_id::VARCHAR), 1, 12), doc_id) AS INT)
+      |      AS cap_rank
+      |  FROM documents)
+      |WHERE cap_rank <= 25 ORDER BY source, cap_rank""".stripMargin
+
   /** Small-file compaction as a gated capability: a deliberately
     * fragmented copy of `documents` (64 splinter files — a micro-batch
     * sink's typical residue) is compacted to size-targeted files via
@@ -323,6 +344,9 @@ object ShardingQueries {
       Some(packSql)),
     Capability("pipeline_cap", "deterministic md5-lottery per-domain document cap", cap,
       Some(capSql)),
+    Capability("pipeline_cap_topk",
+      "per-domain cap via the bounded-heap aggregate (k-bounded shuffle)", capTopK,
+      Some(capTopKSql)),
     Capability("pipeline_shuffle", "seeded deterministic corpus shuffle (sharded permutation)",
       shuffle, Some(shuffleSql)),
     Capability("pipeline_chunk",

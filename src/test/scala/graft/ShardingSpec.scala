@@ -218,6 +218,19 @@ class ShardingSpec extends AnyFunSuite {
     assert(out.keySet == lottery.take(3).toSet)
   }
 
+  test("heap-based cap selects exactly the window-based cap's rows") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    def kept(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), col("doc_id"), col("cap_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val window = kept(Sharding.capPerGroup(docs, "source", "doc_id", 7)
+      .select(col("source"), col("doc_id"), col("cap_rank").cast("int").as("cap_rank")))
+    val heap = kept(Sharding.capPerGroupTopK(docs, "source", "doc_id", 7))
+    assert(window == heap)
+    assert(heap.nonEmpty)
+  }
+
   test("token budget admits the same rows under any input layout") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
