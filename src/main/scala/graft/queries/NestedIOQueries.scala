@@ -561,6 +561,34 @@ object NestedIOQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Q25k: parquet COLUMN BLOOM FILTERS — the reference parquet writer's
+    * per-column bloom properties (cpp/src/parquet/properties.h:175-273:
+    * NDV, FPP, enable per path). A high-cardinality point-lookup column
+    * (`l_orderkey`) gets a bloom filter in each row group, letting a
+    * point predicate skip row groups whose filter excludes the key —
+    * min/max stats cannot do that for uniformly-spread keys. Gated on
+    * content identity; IoSpec cracks the footer open and asserts the
+    * bloom really exists for the declared column only, and that a point
+    * read returns exactly the matching rows. */
+  private def q25k(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q25k_bloom_${Tables.scratchKey(d)}"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .write.mode("overwrite")
+      // dictionary off for the bloom column: parquet drops the bloom when
+      // a chunk ends up fully dictionary-encoded (the dictionary already
+      // answers membership) — the realistic pairing for a point-lookup
+      // column is bloom on, dictionary off
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+      .parquet(out)
+    val back = s.read.parquet(out)
+    back.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q26n: RUN-END-ENCODED Arrow IPC round-trip — the write half of the
     * reference's second physical compression layout (`run_end_encode`
     * kernel output; read-side expansion is q26d's machinery). The status
@@ -829,6 +857,9 @@ object NestedIOQueries {
       Some(q25Sql)),
     Capability("q25j_dynamic_overwrite",
       "dynamic partition overwrite (delete_matching existing-data behavior)", q25j,
+      Some(q25Sql)),
+    Capability("q25k_parquet_bloom",
+      "per-column parquet bloom filters (point-lookup row-group skipping)", q25k,
       Some(q25Sql)),
     Capability("q25b_filename_partition", "path-encoded partition key via input_file_name", q25b, Some(q25bSql)),
     Capability("q25c_merge_schema", "schema unification across parquet dirs", q25c, Some(q25cSql)),

@@ -486,6 +486,31 @@ class IoSpec extends AnyFunSuite {
     } finally { reader.close(); ch.close(); allocator.close() }
   }
 
+  test("parquet bloom filters exist for the declared column and point reads are exact") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    Registry.byName("q25k_parquet_bloom").run(spark, sf).collect()
+    val out = new java.io.File(s"/tmp/graft_io/q25k_bloom_${Tables.scratchKey(sf)}")
+    val part = out.listFiles().filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getFooter.getBlocks.asScala.head
+      val byCol = rg.getColumns.asScala.map(c =>
+        c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(byCol("l_orderkey"), s"no bloom filter on l_orderkey: $byCol")
+      assert(!byCol("l_returnflag"), s"bloom leaked onto undeclared column: $byCol")
+    } finally reader.close()
+    // point lookup returns exactly the matching rows
+    val some = Tables.lineitem(spark, sf).select(col("l_orderkey")).head().getLong(0)
+    val expect = Tables.lineitem(spark, sf).filter(col("l_orderkey") === some).count()
+    val got = spark.read.parquet(out.getAbsolutePath)
+      .filter(col("l_orderkey") === some).count()
+    assert(got == expect && got > 0)
+  }
+
   test("dynamic partition overwrite replaces only matching partitions; static deletes all") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
