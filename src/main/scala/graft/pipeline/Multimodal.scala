@@ -568,6 +568,53 @@ object Multimodal {
     out
   }
 
+  /** Build a GFTV container from explicit frame payloads — the
+    * construction twin of [[syntheticVideo]] for planting edited
+    * variants (replace one frame, keep the rest). */
+  def videoFromFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GFTV"); dos.writeInt(frames.length)
+    frames.foreach { png => dos.writeInt(png.length); dos.write(png) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** DISTINCT sampled-frame aHashes per video — the video fingerprint: a
+    * set of 64-bit image hashes, one per every `step`-th frame. Videos
+    * sharing ≥ m frame hashes are near-duplicates (re-encodes, trims and
+    * single-frame edits keep most sampled frames identical), and the
+    * frame hash itself is the join key — no extra banding needed. Narrow
+    * per-partition decode; only (doc_id, hash) longs leave the task. */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame, step: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(step >= 1, s"step must be >= 1, got $step")
+    media.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        videoFrames(r.media, keep = _ % step == 0)
+          .flatMap { case (_, png) => aHash(png).map(h => (r.doc_id, h)) }
+          .toList
+      })
+      .toDF("doc_id", "fhash").distinct()
+  }
+
+  /** Video near-duplicate pairs: equi-join on sampled-frame hashes, count
+    * distinct shared frames, keep pairs sharing ≥ `minShared`. At corpus
+    * scale a boilerplate frame (black/title card) is a hot key — df-cap
+    * the hash side first exactly as the shingle pipelines do. */
+  def videoNearDupPairs(
+      spark: SparkSession, media: DataFrame,
+      step: Int = 2, minShared: Int = 2): DataFrame = {
+    val h = videoFrameHashes(spark, media, step)
+    val a = h.select(col("doc_id").as("da"), col("fhash"))
+    val b = h.select(col("doc_id").as("db"), col("fhash"))
+    a.join(b, "fhash")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** (doc_id, afp) for every decodable audio payload. */
   def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -759,9 +806,47 @@ object MultimodalQueries {
       |WHERE a.doc_id % 4 = 1
       |ORDER BY da, db""".stripMargin
 
+  /** Video near-dup over a planted corpus, completing the image/audio
+    * pattern: even ids 4k and 4k+2 build the SAME six-frame container
+    * (frames seeded on id/4) and the 4k+2 copy carries a one-pixel edit
+    * in frame 2 — a sampled frame, so its hash may drift, while sampled
+    * frames 0 and 4 stay identical and carry the match. minShared = 2 of
+    * 3 sampled frames; the closed-form oracle predicts the exact pairs. */
+  private def videoPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        // frame seeds spaced far beyond the frame count so no two GROUPS
+        // can share a frame (g+i seeding would give groups g and g+2 two
+        // common sampled frames — false pairs)
+        val frames = (0 until 6).map(i =>
+          Multimodal.syntheticPng(g * 1000003L + i, 16, 12))
+        val payload =
+          if (id % 4 == 2)
+            Multimodal.videoFromFrames(
+              frames.updated(2, Multimodal.tweakPixel(frames(2), 1, 1)))
+          else Multimodal.videoFromFrames(frames)
+        Multimodal.MediaRow(id, payload)
+      }).toDF()
+    Multimodal.videoNearDupPairs(s, media, step = 2, minShared = 2)
+      .select(col("da"), col("db"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val videoPairsSql =
+    """SELECT a.doc_id AS da, b.doc_id AS db
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+      |WHERE a.doc_id % 4 = 0
+      |ORDER BY da, db""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("mm_decode", "binary media (real PNG/WAV) → batch-decoded typed features",
       features),
+    Capability("mm_video_pairs",
+      "video near-dup pairs via shared sampled-frame hashes",
+      videoPairs, Some(videoPairsSql)),
     Capability("mm_phash_pairs",
       "perceptual-hash (aHash) image near-dup pairs, banded Hamming search",
       phashPairs, Some(phashPairsSql)),

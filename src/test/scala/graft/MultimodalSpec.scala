@@ -240,4 +240,21 @@ class MultimodalSpec extends AnyFunSuite {
     // the dropout really zeroed the samples (RIFF walk found the payload)
     assert(!dropped.sameElements(wav))
   }
+
+  test("video frame-hash sets: identical match fully, edits drop at most the edited frame") {
+    import graft.pipeline.Multimodal
+    val frames = (0 until 6).map(i => Multimodal.syntheticPng(100L + i * 7, 16, 12))
+    val vA = Multimodal.videoFromFrames(frames)
+    val vB = Multimodal.videoFromFrames(
+      frames.updated(2, Multimodal.tweakPixel(frames(2), 1, 1)))
+    val vC = Multimodal.videoFromFrames(
+      (0 until 6).map(i => Multimodal.syntheticPng(900L + i * 7, 16, 12)))
+    def hashes(v: Array[Byte]) = Multimodal
+      .videoFrames(v, keep = _ % 2 == 0)
+      .flatMap { case (_, png) => Multimodal.aHash(png) }.toSet
+    val (ha, hb, hc) = (hashes(vA), hashes(vB), hashes(vC))
+    assert(ha.size == 3 && ha == hashes(vA))
+    assert((ha intersect hb).size >= 2, "one edited frame must not break the other samples")
+    assert((ha intersect hc).isEmpty, "unrelated videos must share no frames")
+  }
 }
