@@ -89,6 +89,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest as-of equals the closer of backward and forward on real data") {
+    import java.sql.Timestamp
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    def run(dir: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame) =
+      dir(purchases, clicks, purchases("ts"), clicks("click_ts"),
+        Seq(purchases("user_id") -> clicks("c_user_id")),
+        expr("INTERVAL 1 HOUR"), purchases("event_id"), clicks("click_id"))
+        .select(col("event_id"), col("ts"), col("click_id"), col("click_ts"))
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.get(2)).map(_ => (r.getLong(2),
+          math.abs(r.getAs[Timestamp](3).getTime - r.getAs[Timestamp](1).getTime)))))
+        .toMap
+    val nearest = run(operators.AsOfJoin.nearest)
+    val back = run(operators.AsOfJoin.backward)
+    val fwd = run(operators.AsOfJoin.forward)
+    nearest.foreach { case (id, n) =>
+      val candidates = Seq(back(id), fwd(id)).flatten
+      if (candidates.isEmpty) assert(n.isEmpty, s"$id: nearest matched where neither side did")
+      else {
+        val bestDist = candidates.map(_._2).min
+        assert(n.isDefined && n.get._2 == bestDist,
+          s"$id: nearest ${n} vs candidates $candidates")
+        // tie at equal distance → the backward match wins
+        if (candidates.size == 2 && candidates(0)._2 == candidates(1)._2)
+          assert(n.get._1 == back(id).get._1, s"$id: tie must prefer backward")
+      }
+    }
+    assert(nearest.nonEmpty)
+  }
+
   test("heap top-k aggregate equals the window formulation on real data") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sf)
