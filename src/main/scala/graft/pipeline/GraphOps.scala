@@ -11,21 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Fixed-iteration damped PageRank over a directed edge list.
+  /** Fixed-iteration damped PageRank over a directed edge list, with the
+    * standard dangling-node treatment: each iteration the rank mass
+    * sitting on sink nodes (no out-edges) is redistributed uniformly, so
+    * total mass stays 1 on ANY graph — without it, scores decay below 1
+    * and are wrong on every real web/host graph, where sinks are
+    * everywhere (the Common Crawl host graph is the motivating input).
     *
     * Engine-portable determinism (the gate runs the identical arithmetic
     * in DuckDB): per-edge contributions `rank/outdeg` are IEEE doubles
     * rounded at `roundContrib` digits, summed EXACTLY as decimal(38,18)
-    * (order-independent — double sums are not), and the damping update
-    * stays in IEEE double. Fixed iteration count, not convergence-tested:
-    * a deterministic gate cannot hinge on a float threshold.
+    * (order-independent — double sums are not); the dangling mass is the
+    * decimal-exact sum of sink ranks, its per-node share rounded at the
+    * same `roundContrib`; the damping update stays in IEEE double. Fixed
+    * iteration count, not convergence-tested: a deterministic gate cannot
+    * hinge on a float threshold.
     *
     * Scale shape: one src-keyed equi-join plus one dst-keyed aggregate
     * per iteration — both shuffle (node, contribution) pairs only, never
-    * adjacency payloads. The node count is the op's single bounded driver
-    * exchange (one long). For deep iteration counts localCheckpoint the
-    * ranks frame every few rounds exactly as [[Dedup]]'s CC loop does;
-    * the default 3 rounds chain lazily. */
+    * adjacency payloads — plus one 1-row sink-mass aggregate broadcast
+    * into the update (an anti-join of the small ranks frame against the
+    * persisted degree frame; no extra pass over edges). The node count is
+    * the op's single bounded driver exchange (one long). Ranks are
+    * localCheckpoint-ed every round — including the last, so the cached
+    * edge/node/degree frames can be unpersisted before returning instead
+    * of leaking blocks for the session's lifetime. */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
@@ -59,19 +69,32 @@ object GraphOps {
         .join(deg, "src")
         .select(col("dst").as("node"),
           round(col("rank") / col("deg"), roundContrib).as("contrib"))
+      // dangling mass: total rank held by nodes with no out-edges — an
+      // anti-join of the (node, rank) frame against the persisted degree
+      // frame, reduced to ONE row and broadcast into the update. Its
+      // uniform per-node share joins the edge contributions inside the
+      // damping term, matching the textbook formulation.
+      val sinkMass = ranks
+        .join(deg, ranks("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(38,18)")).cast("double"),
+          lit(0.0)).as("dm"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .groupBy(col("node"))
-        .agg((base + lit(damping) * exactSum(col("contrib"))).as("rank"))
-      // materialize between rounds: chaining lazily makes iteration i
-      // replay every earlier round (O(iterations²) joins) and grows the
-      // lineage unboundedly — the same localCheckpoint policy as the CC
-      // loop. The FINAL round stays lazy: its checkpoint would only feed
-      // a next round that never runs, and the caller's sink materializes
-      // it once anyway.
-      if (it < iterations - 1) ranks = ranks.localCheckpoint()
+        .agg(exactSum(col("contrib")).as("csum"))
+        .crossJoin(broadcast(sinkMass))
+        .select(col("node"),
+          (base + lit(damping) *
+            (col("csum") + round(col("dm") / n, roundContrib))).as("rank"))
+      // materialize every round: chaining lazily makes iteration i replay
+      // every earlier round (O(iterations²) joins) and grows the lineage
+      // unboundedly — the same localCheckpoint policy as the CC loop. The
+      // FINAL round checkpoints too (ranks is just (node, rank) pairs) so
+      // the returned frame no longer references the cached inputs.
+      ranks = ranks.localCheckpoint()
       it += 1
     }
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
     ranks
   }
 }

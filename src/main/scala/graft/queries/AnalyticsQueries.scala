@@ -179,12 +179,16 @@ object AnalyticsQueries {
        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Link-authority scoring ([[graft.pipeline.GraphOps.pageRank]]): 3
-    * damped iterations over the symmetric part↔supplier co-occurrence
-    * graph from lineitem (the same shape as Common Crawl's published
-    * per-host rank data used to weight crawl corpora). The oracle unrolls
-    * the identical three iterations as chained CTEs — recursive CTEs
-    * cannot aggregate in the recursive member, and a fixed-depth unroll
-    * is the honest mirror of a fixed-iteration operator. */
+    * damped iterations over the part↔supplier co-occurrence graph from
+    * lineitem (the same shape as Common Crawl's published per-host rank
+    * data used to weight crawl corpora), PLUS a genuine sink: every tenth
+    * part also links to a synthetic `zsink` node that has no out-edges, so
+    * the gate exercises the dangling-mass redistribution path — without
+    * it, total rank would silently decay below 1. The oracle unrolls the
+    * identical three iterations as chained CTEs, each with its own
+    * sink-mass CTE mirroring the redistribution — recursive CTEs cannot
+    * aggregate in the recursive member, and a fixed-depth unroll is the
+    * honest mirror of a fixed-iteration operator. */
   private val PrIters = 3
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {
@@ -194,18 +198,26 @@ object AnalyticsQueries {
         concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
       .union(pairs.select(
         concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst")))
+      .union(pairs.filter(col("p") % 10 === 0)
+        .select(concat(lit("p"), col("p")).as("src"), lit("zsink").as("dst"))
+        .distinct())
     graft.pipeline.GraphOps.pageRank(edges, "src", "dst", iterations = PrIters)
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy(col("node"))
   }
 
   private val pagerankSql = {
-    def iter(prev: String, out: String) =
-      s"""$out AS (
+    def iter(prev: String, dm: String, out: String) =
+      s"""$dm AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+         |         0.0) AS dm
+         |  FROM $prev r LEFT JOIN deg ON deg.src = r.node
+         |  WHERE deg.src IS NULL),
+         |$out AS (
          |  SELECT nodes.node,
-         |    (SELECT (1.0-0.85)/n FROM n) + 0.85 * COALESCE(
+         |    (SELECT (1.0-0.85)/n FROM n) + 0.85 * (COALESCE(
          |      CAST(SUM(CAST(round(r.rank/deg.deg, 12) AS DECIMAL(38,18))) AS DOUBLE),
-         |      0.0) AS rank
+         |      0.0) + (SELECT round(dm / (SELECT n FROM n), 12) FROM $dm)) AS rank
          |  FROM nodes
          |  LEFT JOIN edges e ON e.dst = nodes.node
          |  LEFT JOIN $prev r ON r.node = e.src
@@ -216,14 +228,18 @@ object AnalyticsQueries {
        |edges AS (
        |  SELECT 'p' || p AS src, 's' || sk AS dst FROM pairs
        |  UNION ALL
-       |  SELECT 's' || sk, 'p' || p FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |  SELECT 's' || sk, 'p' || p FROM pairs
+       |  UNION ALL
+       |  SELECT DISTINCT 'p' || p, 'zsink' FROM pairs WHERE p % 10 = 0),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
        |n AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
        |deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
        |r0 AS (SELECT node, (SELECT 1.0/n FROM n) AS rank FROM nodes),
-       |${iter("r0", "it1")},
-       |${iter("it1", "it2")},
-       |${iter("it2", "it3")}
+       |${iter("r0", "dm1", "it1")},
+       |${iter("it1", "dm2", "it2")},
+       |${iter("it2", "dm3", "it3")}
        |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
   }
 

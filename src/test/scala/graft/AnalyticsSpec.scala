@@ -160,6 +160,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Seq("b", "d", "e").forall(l => ranks(l) == ranks("a")), ranks.toString)
   }
 
+  test("pagerank conserves rank mass WITH a dangling node (sink redistribution)") {
+    import spark.implicits._
+    // chain into a sink: a -> b -> c, plus a -> c; c has NO out-edges, so
+    // each round its rank is dangling mass that must be redistributed —
+    // without the sink term total mass decays below 1 and this fails.
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val ranks = graft.pipeline.GraphOps.pageRank(edges, "src", "dst", iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, ranks.toString)
+    // the sink accumulates the most rank; the un-pointed-at root the least
+    assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"), ranks.toString)
+  }
+
   test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
     val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 1))
