@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, MinHashSketch, PolyFingerprint, SimHashAgg, TDigestAgg, TopKAgg}
+import graft.functions.expr.{CosineSimilarity, DistinctSketchAgg, MinHashSketch, PolyFingerprint, SimHashAgg, TDigestAgg, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
       GraftFunctions.topKBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_distinct_sketch"),
+      new ExpressionInfo(classOf[DistinctSketchAgg].getName, "graft_distinct_sketch"),
+      GraftFunctions.distinctSketchBuilder))
   }
 }
 
@@ -98,6 +102,28 @@ object GraftFunctions {
     TopKAgg(exprs(0), exprs(1), k).toAggregateExpression()
   }
 
+  /** `graft_distinct_sketch(col [, exactCap, lgK])` — caps must be
+    * foldable integral literals. */
+  val distinctSketchBuilder: Seq[Expression] => Expression = exprs => {
+    def intLit(e: Expression, what: String): Int = {
+      require(e.foldable, s"graft_distinct_sketch $what must be a literal")
+      e.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_distinct_sketch $what must be an integral literal, got $other")
+      }
+    }
+    exprs match {
+      case Seq(c) => DistinctSketchAgg(c).toAggregateExpression()
+      case Seq(c, cap, lg) =>
+        DistinctSketchAgg(c, intLit(cap, "exactCap"), intLit(lg, "lgK"))
+          .toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_distinct_sketch takes (col) or (col, exactCap, lgK)")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
@@ -107,6 +133,7 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     Bridge.registerFunction(spark, "graft_simhash", GraftFunctions.simhashBuilder)
     Bridge.registerFunction(spark, "graft_top_k", topKBuilder)
+    Bridge.registerFunction(spark, "graft_distinct_sketch", distinctSketchBuilder)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -81,7 +81,11 @@ case class TopKAgg(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    // NaN is skipped like null: every comparison against NaN is false, so
+    // admitting one below capacity would break the heap invariant and make
+    // the kept set merge-order-dependent — violating the determinism
+    // contract above
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     buf
   }

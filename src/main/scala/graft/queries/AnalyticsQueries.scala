@@ -110,6 +110,34 @@ object AnalyticsQueries {
       |  COUNT(DISTINCT o_orderpriority) AS nd_priority
       |FROM orders""".stripMargin
 
+  /** The 100 TB twin of [[profile]]: identical output, but every distinct
+    * count runs through [[graft.functions.expr.DistinctSketchAgg]] — a
+    * mergeable sketch with an exact sparse tier — instead of Spark's exact
+    * `count(DISTINCT …)`. The exact formulation plans via Expand (k× row
+    * multiplication into the exchange) and holds full per-column distinct
+    * state on the reducer — a memory hazard on a high-cardinality 100 TB
+    * column. The sketch plans as ONE ObjectHashAggregate pass (no Expand,
+    * partials are fixed-size sketch states), and its exact tier at gate
+    * cardinality is what lets the SAME COUNT(DISTINCT) oracle gate it. */
+  private def profileSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expr.DistinctSketchAgg
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_orderstatus").isNull, 1)).as("null_status"),
+      DistinctSketchAgg(col("o_orderstatus")).as("nd_status"),
+      min(col("o_orderstatus")).as("min_status"),
+      max(col("o_orderstatus")).as("max_status"),
+      count(when(col("o_totalprice").isNull, 1)).as("null_price"),
+      DistinctSketchAgg(col("o_totalprice")).as("nd_price"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      count(when(col("o_orderdate").isNull, 1)).as("null_date"),
+      DistinctSketchAgg(col("o_orderdate")).as("nd_date"),
+      min(col("o_orderdate")).as("min_date"),
+      max(col("o_orderdate")).as("max_date"),
+      DistinctSketchAgg(col("o_orderpriority")).as("nd_priority"))
+  }
+
   /** Blocked edit-distance record linkage: candidate pairs of customer
     * names within Levenshtein distance 1, generated inside 16-character
     * prefix blocks. Blocking is what makes string-metric dedup scale: the
@@ -250,6 +278,9 @@ object AnalyticsQueries {
     Capability("profile_stats",
       "one-pass column profiling: nulls, exact distincts, typed min/max",
       profile, Some(profileSql)),
+    Capability("profile_stats_sketch",
+      "profiling twin via mergeable distinct sketches (no Expand, bounded state)",
+      profileSketch, Some(profileSql)),
     Capability("dedup_fuzzy",
       "blocked Levenshtein record linkage (prefix blocks, no all-pairs)",
       fuzzy, Some(fuzzySql)),

@@ -97,6 +97,36 @@ class ApproxAggSpec extends AnyFunSuite {
       .select(col("source")).distinct().count())
   }
 
+  test("distinct sketch: exact below cap, bounded + accurate after degrade, SQL-callable") {
+    import org.apache.spark.sql.functions._
+    // exact tier: 40k distinct values under the default 64k cap → exact
+    val exactTier = spark.range(0, 80000, 1, 16)
+      .select((org.apache.spark.sql.functions.col("id") % 40000).as("v"))
+      .agg(graft.functions.expr.DistinctSketchAgg(col("v"))).head().getLong(0)
+    assert(exactTier == 40000L, s"exact tier must be exact, got $exactTier")
+    // degraded tier: 1M distinct over a 1k cap at lgK=12 → within ~3*RSE
+    // (1.04/sqrt(4096) ≈ 1.6%) of the truth, with bounded register state
+    val degraded = spark.range(0, 1000000, 1, 16)
+      .agg(graft.functions.expr.DistinctSketchAgg(col("id"), 1000, 12))
+      .head().getLong(0)
+    assert(math.abs(degraded - 1000000.0) / 1000000.0 < 0.05,
+      s"degraded estimate $degraded too far from 1000000")
+    // merge order independence across the exact→register boundary: fewer
+    // partitions merge different-sized partials, same answer
+    val degraded2 = spark.range(0, 1000000, 1, 3)
+      .agg(graft.functions.expr.DistinctSketchAgg(col("id"), 1000, 12))
+      .head().getLong(0)
+    assert(degraded == degraded2,
+      s"register-tier result must be partitioning-independent: $degraded vs $degraded2")
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_distinct_sketch(id) FROM range(0, 5000)").head().getLong(0)
+    assert(viaSql == 5000L)
+    val viaSqlCapped = spark.sql(
+      "SELECT graft_distinct_sketch(id, 100, 12) FROM range(0, 200)").head().getLong(0)
+    assert(viaSqlCapped != 0L)
+  }
+
   test("minhash and simhash sketches are callable from SQL text") {
     import org.apache.spark.sql.functions._
     Tables.documents(spark, TestSpark.sf)

@@ -287,6 +287,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"multiple exact distincts should plan via Expand:\n${plan.take(2000)}")
   }
 
+  test("profile_stats_sketch: one scan, NO Expand — sketch partials replace distinct expansion") {
+    val df = Registry.byName("profile_stats_sketch").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n${plan.take(2000)}")
+    assert(!plan.contains("Expand"),
+      s"sketch twin must not re-introduce the Expand blow-up:\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch aggregates should plan as ObjectHashAggregate partial+final:\n${plan.take(2000)}")
+  }
+
   test("pipeline_token_budget plans exactly one hash exchange (the source window)") {
     val df = graft.pipeline.Sharding.tokenBudget(
       Tables.documents(spark, sf).select(
