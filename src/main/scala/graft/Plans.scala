@@ -47,7 +47,11 @@ object Plans {
       "dedup_fuzzy",             // prefix-block equi-join bounds the verify
       "profile_histogram",       // broadcast bounds into a narrow binning map
       "q42_grouped_topk",        // partial ObjectHashAggregate heaps, no Window
-      "mm_phash_pairs")          // banded Hamming equi-join, popcount verify
+      "mm_phash_pairs",          // banded Hamming equi-join, popcount verify
+      "dedup_keep_best",         // one component exchange for both policy windows
+      "dedup_incremental",       // 8-byte-hash tiers, cross-side-only near join
+      "mm_video_pairs",          // one decode pass, reused exchange, fhash equi-join
+      "profile_stats_sketch")    // sketch partials, no Expand
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
@@ -60,6 +64,30 @@ object Plans {
       s"## $name\n\n${cap.doc}\n\n```\n${plan.trim}\n```\n"
     }
 
+    // graph_pagerank's returned frame is localCheckpoint-truncated, so its
+    // own section would show only a checkpoint scan; dump ONE un-checkpointed
+    // iteration instead — the plan that runs every round
+    val prSection = {
+      import org.apache.spark.sql.functions._
+      val pairs = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val edges = pairs.select(
+          concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+        .union(pairs.select(
+          concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst")))
+      val g = graft.pipeline.GraphOps.prepare(edges, "src", "dst")
+      val r0 = g.nodes.withColumn("rank", lit(1.0 / g.n)).localCheckpoint()
+      val it = graft.pipeline.GraphOps.iterate(g, r0, 0.85, 12)
+      val plan = it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      g.e.unpersist(); g.nodes.unpersist(); g.deg.unpersist()
+      "## graph_pagerank (one iteration)\n\n" +
+        "The per-round plan of GraphOps.pageRank: cached src-partitioned " +
+        "edges reused (no live src exchange), rank-width frames shuffle, " +
+        "sink mass broadcasts. PlanSpec pins these properties.\n\n" +
+        s"```\n${plan.trim}\n```\n"
+    }
+
     val header =
       s"""# PLANS — formatted physical plans of the headline queries
          |
@@ -70,8 +98,9 @@ object Plans {
          |in `PlanSpec`/`RangeJoinSpec`/`QuantilesSpec`/`BucketingSpec`.
          |""".stripMargin
 
-    Files.writeString(Paths.get(out), header + "\n" + sections.mkString("\n"))
-    println(s"[plans] wrote ${names.size} plans to $out")
+    Files.writeString(Paths.get(out),
+      header + "\n" + (sections :+ prSection).mkString("\n"))
+    println(s"[plans] wrote ${names.size + 1} plans to $out")
     spark.stop()
   }
 }

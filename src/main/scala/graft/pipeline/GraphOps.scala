@@ -42,13 +42,37 @@ object GraphOps {
       roundContrib: Int = 12): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
-    // the classic Pregel layout: edges hash-partitioned by src ONCE and
-    // persisted — every iteration's rank join then reuses the cached
-    // partitioning and only the (tiny) rank table moves; nodes and
-    // degrees are persisted on the same keys they join/aggregate on.
-    // Without the persists the upstream distinct would recompute per
-    // iteration; without the pre-partitioning every iteration would
-    // re-shuffle the full edge set.
+    val g = prepare(edges, srcCol, dstCol)
+    var ranks = g.nodes.withColumn("rank", lit(1.0 / g.n))
+    var it = 0
+    while (it < iterations) {
+      // materialize every round: chaining lazily makes iteration i replay
+      // every earlier round (O(iterations²) joins) and grows the lineage
+      // unboundedly — the same localCheckpoint policy as the CC loop. The
+      // FINAL round checkpoints too (ranks is just (node, rank) pairs) so
+      // the returned frame no longer references the cached inputs.
+      ranks = iterate(g, ranks, damping, roundContrib).localCheckpoint()
+      it += 1
+    }
+    g.e.unpersist(); g.nodes.unpersist(); g.deg.unpersist()
+    ranks
+  }
+
+  /** The persisted graph state one rank iteration reads: edges
+    * pre-partitioned by src, the node set, out-degrees, and the node
+    * count. */
+  private[graft] final case class PrGraph(
+      e: DataFrame, nodes: DataFrame, deg: DataFrame, n: Long)
+
+  /** The classic Pregel layout: edges hash-partitioned by src ONCE and
+    * persisted — every iteration's rank join then reuses the cached
+    * partitioning and only the (tiny) rank table moves; nodes and degrees
+    * are persisted on the same keys they join/aggregate on. Without the
+    * persists the upstream distinct would recompute per iteration;
+    * without the pre-partitioning every iteration would re-shuffle the
+    * full edge set. */
+  private[graft] def prepare(
+      edges: DataFrame, srcCol: String, dstCol: String): PrGraph = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).persist(disk)
@@ -58,43 +82,39 @@ object GraphOps {
     val n = nodes.count() // bounded driver exchange: one long
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
       .persist(disk)
-    val base = lit((1.0 - damping) / n)
+    PrGraph(e, nodes, deg, n)
+  }
+
+  /** One damped update. PlanSpec pins this plan: the cached edge frame is
+    * never re-shuffled (no exchange on src), only rank-width frames move,
+    * and the sink mass rides a broadcast. */
+  private[graft] def iterate(
+      g: PrGraph, ranks: DataFrame,
+      damping: Double, roundContrib: Int): DataFrame = {
+    val base = lit((1.0 - damping) / g.n)
     def exactSum(c: Column): Column =
       coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var it = 0
-    while (it < iterations) {
-      val contribs = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
-        .select(col("dst").as("node"),
-          round(col("rank") / col("deg"), roundContrib).as("contrib"))
-      // dangling mass: total rank held by nodes with no out-edges — an
-      // anti-join of the (node, rank) frame against the persisted degree
-      // frame, reduced to ONE row and broadcast into the update. Its
-      // uniform per-node share joins the edge contributions inside the
-      // damping term, matching the textbook formulation.
-      val sinkMass = ranks
-        .join(deg, ranks("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast("decimal(38,18)")).cast("double"),
-          lit(0.0)).as("dm"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .groupBy(col("node"))
-        .agg(exactSum(col("contrib")).as("csum"))
-        .crossJoin(broadcast(sinkMass))
-        .select(col("node"),
-          (base + lit(damping) *
-            (col("csum") + round(col("dm") / n, roundContrib))).as("rank"))
-      // materialize every round: chaining lazily makes iteration i replay
-      // every earlier round (O(iterations²) joins) and grows the lineage
-      // unboundedly — the same localCheckpoint policy as the CC loop. The
-      // FINAL round checkpoints too (ranks is just (node, rank) pairs) so
-      // the returned frame no longer references the cached inputs.
-      ranks = ranks.localCheckpoint()
-      it += 1
-    }
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
-    ranks
+    val contribs = g.e
+      .join(ranks, g.e("src") === ranks("node"))
+      .join(g.deg, "src")
+      .select(col("dst").as("node"),
+        round(col("rank") / col("deg"), roundContrib).as("contrib"))
+    // dangling mass: total rank held by nodes with no out-edges — an
+    // anti-join of the (node, rank) frame against the persisted degree
+    // frame, reduced to ONE row and broadcast into the update. Its
+    // uniform per-node share joins the edge contributions inside the
+    // damping term, matching the textbook formulation.
+    val sinkMass = ranks
+      .join(g.deg, ranks("node") === g.deg("src"), "left_anti")
+      .agg(coalesce(sum(col("rank").cast("decimal(38,18)")).cast("double"),
+        lit(0.0)).as("dm"))
+    g.nodes
+      .join(contribs, Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(exactSum(col("contrib")).as("csum"))
+      .crossJoin(broadcast(sinkMass))
+      .select(col("node"),
+        (base + lit(damping) *
+          (col("csum") + round(col("dm") / g.n, roundContrib))).as("rank"))
   }
 }

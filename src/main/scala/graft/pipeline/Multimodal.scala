@@ -409,7 +409,11 @@ object Multimodal {
     * — the image-space sibling of SimHash over text. None for undecodable
     * payloads. */
   def aHash(png: Array[Byte]): Option[Long] = {
-    val src = ImageIO.read(new ByteArrayInputStream(png))
+    // ImageIO.read throws (not just returns null) on a truncated payload
+    // with a recognized magic — both shapes are "undecodable" here, same
+    // guard as audioFingerprint
+    val src = try ImageIO.read(new ByteArrayInputStream(png))
+    catch { case scala.util.control.NonFatal(_) => return None }
     if (src == null) return None
     val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
@@ -441,7 +445,8 @@ object Multimodal {
   /** One-pixel edit (XOR of the RGB channels) — the spec/gate's planted
     * "near duplicate": decode, flip, re-encode. */
   def tweakPixel(png: Array[Byte], x: Int, y: Int): Array[Byte] = {
-    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val img = try ImageIO.read(new ByteArrayInputStream(png))
+    catch { case scala.util.control.NonFatal(_) => return png }
     if (img == null) return png
     img.setRGB(x, y, img.getRGB(x, y) ^ 0xFFFFFF)
     val out = new ByteArrayOutputStream()
@@ -458,12 +463,6 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
-  /** Image near-duplicate pairs by banded Hamming search over [[aHash]]
-    * hashes — the same 16-bit-band trick as the text SimHash path: two
-    * hashes within Hamming distance ≤ 3·bands/4 must agree on ≥ one of 4
-    * bands (pigeonhole: 8 flipped bits cannot touch all 4), so candidates
-    * come from a (band, value) equi-join, never an all-pairs scan; the
-    * exact popcount verifies candidates only. */
   /** Banded small-Hamming pair search over a (doc_id, hash int64) frame —
     * shared by the image and audio fingerprint paths, same shape as the
     * text SimHash gate. Candidates come from a (band, value) equi-join

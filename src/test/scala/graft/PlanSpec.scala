@@ -287,6 +287,81 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"multiple exact distincts should plan via Expand:\n${plan.take(2000)}")
   }
 
+  // top-level final AQE plan only: a column-0 "+- == Initial Plan ==" ends
+  // it (nested markers inside InMemoryRelation cache text are indented)
+  private def topLevelFinal(plan: String): String =
+    plan.split("(?m)^\\+\\- == Initial Plan ==")(0)
+
+  test("pagerank iteration: cached edge frame is never re-shuffled; sink mass broadcasts") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      import spark.implicits._
+      val edges = Seq.tabulate(2000)(i => (s"n${i % 97}", s"n${(i * 7) % 89}"))
+        .toDF("src", "dst")
+      val g = graft.pipeline.GraphOps.prepare(edges, "src", "dst")
+      try {
+        val r0 = g.nodes.withColumn("rank", lit(1.0 / g.n)).localCheckpoint()
+        val it = graft.pipeline.GraphOps.iterate(g, r0, 0.85, 12)
+        it.collect()
+        val plan = topLevelFinal(it.queryExecution.executedPlan.toString)
+        // the load-bearing property: the only src-keyed exchange is the
+        // one-time REPARTITION_BY_COL inside the persisted edge relation —
+        // a live (ENSURE_REQUIREMENTS) src shuffle would mean the edge or
+        // degree frame is re-shuffled EVERY iteration
+        val liveSrc = "Exchange hashpartitioning\\(src#\\d+, \\d+\\), ENSURE_REQUIREMENTS".r
+          .findAllIn(plan).length
+        assert(liveSrc == 0,
+          s"edge/degree frames re-shuffled per iteration ($liveSrc live src exchanges):\n${plan.take(3000)}")
+        // cache reuse: edges, nodes and degrees all read from memory
+        assert("InMemoryTableScan".r.findAllIn(plan).length >= 3, plan.take(3000))
+        // the 1-row sink-mass aggregate rides a broadcast cross join, never
+        // a shuffled join
+        assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 1,
+          plan.take(3000))
+      } finally { g.e.unpersist(); g.nodes.unpersist(); g.deg.unpersist() }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dedup_keep_best: both policy windows share ONE component exchange, no all-pairs") {
+    val df = Registry.byName("dedup_keep_best").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val compEx = "Exchange hashpartitioning\\(component#\\d+".r.findAllIn(plan).length
+    assert(compEx == 1,
+      s"rank + size windows must reuse one component exchange, got $compEx:\n${plan.take(3000)}")
+    assert("Window ".r.findAllIn(plan).length == 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dedup_incremental: tiers join on 8-byte hashes, never all-pairs text") {
+    val df = Registry.byName("dedup_incremental").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exact tier keys on xxhash64(text), so full text never becomes a
+    // join key or shuffle key
+    assert(plan.contains("xxhash64"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("mm_video_pairs: ONE decode pass feeds both join sides; equi-join on frame hash") {
+    val df = Registry.byName("mm_video_pairs").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the (doc_id, fhash) distinct exchange is computed once and reused on
+    // the b-side — decoding every video twice would double the pipeline's
+    // dominant cost
+    assert(plan.contains("ReusedExchange"),
+      s"b-side must reuse the decoded frame-hash exchange:\n${plan.take(3000)}")
+    // candidate generation is an equi-join on the frame hash itself
+    assert("Join \\[fhash#\\d+L?\\], \\[fhash#\\d+L?\\]".r.findAllIn(plan).nonEmpty,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("profile_stats_sketch: one scan, NO Expand — sketch partials replace distinct expansion") {
     val df = Registry.byName("profile_stats_sketch").run(spark, sf)
     df.collect()
