@@ -5,8 +5,8 @@ import java.nio.ByteBuffer
 import java.nio.channels.{Channels, SeekableByteChannel}
 
 import org.apache.arrow.memory.{ArrowBuf, RootAllocator}
-import org.apache.arrow.vector.{BigIntVector, FieldVector, IntVector, SmallIntVector, TypeLayout, VectorLoader, VectorSchemaRoot, VectorUnloader}
-import org.apache.arrow.vector.complex.RunEndEncodedVector
+import org.apache.arrow.vector.{BigIntVector, FieldVector, IntVector, SmallIntVector, TypeLayout, VarBinaryVector, VarCharVector, VectorLoader, VectorSchemaRoot, VectorUnloader, ViewVarBinaryVector, ViewVarCharVector}
+import org.apache.arrow.vector.complex.{LargeListViewVector, ListVector, ListViewVector, RunEndEncodedVector}
 import org.apache.arrow.vector.dictionary.DictionaryEncoder
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter, ArrowWriter, SeekableReadChannel, WriteChannel}
 import org.apache.arrow.vector.ipc.message.{ArrowFieldNode, ArrowRecordBatch, MessageSerializer}
@@ -496,6 +496,137 @@ object ArrowIpc {
     out
   }
 
+  // --- view layouts ------------------------------------------------------
+  // STRING_VIEW / BINARY_VIEW / LIST_VIEW / LARGE_LIST_VIEW (reference
+  // type ids 39-42, cpp/src/arrow/type_fwd.h:458-467) are per SURVEY §1.2
+  // layout variants of string/binary/list: string/binary views store
+  // (length, prefix, buffer_id, offset) structs over out-of-line variadic
+  // data buffers, list-views store independent (offset, size) pairs that
+  // need not be monotonic or disjoint. Unlike the large-offset narrowing,
+  // view DATA is not contiguous in element order, so a buffer-level
+  // rewrite cannot avoid touching values — the read path therefore
+  // DECODES at the boundary (same stance as dictionaries and REE): each
+  // top-level view column's elements are copied in order into a plain
+  // utf8/binary/list vector, batch by batch. Views nested inside other
+  // columns are rejected loudly (same top-level contract as REE).
+
+  private def isViewType(t: ArrowType): Boolean = t match {
+    case _: ArrowType.Utf8View | _: ArrowType.BinaryView |
+         _: ArrowType.ListView | _: ArrowType.LargeListView => true
+    case _ => false
+  }
+
+  private def isView(f: Field): Boolean = isViewType(f.getType)
+
+  private def hasView(s: ArrowSchema): Boolean = {
+    import scala.jdk.CollectionConverters._
+    s.getFields.asScala.exists(isView)
+  }
+
+  private def requireNoNestedViews(f: Field, top: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    f.getChildren.asScala.foreach { c =>
+      require(!isViewType(c.getType),
+        s"column $top nests a ${c.getType} layout below the top level — " +
+          "view layouts are decoded only as top-level columns")
+      requireNoNestedViews(c, top)
+    }
+  }
+
+  /** The §1.2 value-typed field a view column decodes to: utf8/binary for
+    * the string views, a plain 32-bit list (same child) for both
+    * list-view widths. */
+  private def viewValueField(f: Field): Field = {
+    requireNoNestedViews(f, f.getName)
+    f.getType match {
+      case _: ArrowType.Utf8View =>
+        new Field(f.getName,
+          new FieldType(f.isNullable, ArrowType.Utf8.INSTANCE, null, f.getMetadata),
+          java.util.Collections.emptyList())
+      case _: ArrowType.BinaryView =>
+        new Field(f.getName,
+          new FieldType(f.isNullable, ArrowType.Binary.INSTANCE, null, f.getMetadata),
+          java.util.Collections.emptyList())
+      case _: ArrowType.ListView | _: ArrowType.LargeListView =>
+        new Field(f.getName,
+          new FieldType(f.isNullable, ArrowType.List.INSTANCE, null, f.getMetadata),
+          f.getChildren)
+      case other => throw new IllegalArgumentException(
+        s"not a view layout: $other")
+    }
+  }
+
+  /** Copy one view vector's elements, in order, into the contiguous value
+    * layout (caller closes the result). */
+  private def decodeView(v: FieldVector, allocator: RootAllocator): FieldVector = {
+    requireNoNestedViews(v.getField, v.getField.getName)
+    val n = v.getValueCount
+    v match {
+      case src: ViewVarCharVector =>
+        val dst = new VarCharVector(src.getName, allocator)
+        dst.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (src.isNull(i)) dst.setNull(i) else dst.setSafe(i, src.get(i))
+          i += 1
+        }
+        dst.setValueCount(n); dst
+      case src: ViewVarBinaryVector =>
+        val dst = new VarBinaryVector(src.getName, allocator)
+        dst.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (src.isNull(i)) dst.setNull(i) else dst.setSafe(i, src.get(i))
+          i += 1
+        }
+        dst.setValueCount(n); dst
+      case src: ListViewVector =>
+        decodeListView(src.getName, n, src.getDataVector,
+          i => src.isNull(i),
+          i => (src.getElementStartIndex(i), src.getElementEndIndex(i)),
+          allocator)
+      case src: LargeListViewVector =>
+        val off = src.getOffsetBuffer
+        val sz = src.getSizeBuffer
+        decodeListView(src.getName, n, src.getDataVector,
+          i => src.isNull(i),
+          { i =>
+            val s = math.toIntExact(off.getLong(i.toLong * 8))
+            val len = math.toIntExact(sz.getLong(i.toLong * 8))
+            (s, s + len)
+          },
+          allocator)
+      case other => throw new IllegalArgumentException(
+        s"not a view vector: ${other.getField.getType}")
+    }
+  }
+
+  private def decodeListView(
+      name: String, n: Int, srcChild: FieldVector,
+      isNull: Int => Boolean, bounds: Int => (Int, Int),
+      allocator: RootAllocator): FieldVector = {
+    val dst = ListVector.empty(name, allocator)
+    dst.initializeChildrenFromFields(
+      java.util.Collections.singletonList(srcChild.getField))
+    dst.allocateNew()
+    val dChild = dst.getDataVector
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      if (isNull(i)) dst.setNull(i)
+      else {
+        dst.startNewValue(i)
+        val (s, e) = bounds(i)
+        var j = s
+        while (j < e) { dChild.copyFromSafe(j, pos, srcChild); pos += 1; j += 1 }
+        dst.endValue(i, e - s)
+      }
+      i += 1
+    }
+    dst.setValueCount(n)
+    dst
+  }
+
   private def narrowType(t: ArrowType): ArrowType = t match {
     case _: ArrowType.LargeUtf8   => ArrowType.Utf8.INSTANCE
     case _: ArrowType.LargeBinary => ArrowType.Binary.INSTANCE
@@ -604,7 +735,8 @@ object ArrowIpc {
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = openReader(conf, file, stream, allocator)
     val srcRoot = reader.getVectorSchemaRoot
-    val encoded = hasDictionary(srcRoot.getSchema) || hasRee(srcRoot.getSchema)
+    val encoded = hasDictionary(srcRoot.getSchema) || hasRee(srcRoot.getSchema) ||
+      hasView(srcRoot.getSchema)
     val unloader = new VectorUnloader(srcRoot)
     val srcFields = srcRoot.getSchema.getFields.asScala.toSeq
     val narrow = !encoded && hasLargeTypes(srcFields)
@@ -642,6 +774,10 @@ object ArrowIpc {
                 d
               } else if (isRee(v.getField)) {
                 val d = decodeRee(v, allocator)
+                decodedVecs.add(d)
+                d
+              } else if (isView(v.getField)) {
+                val d = decodeView(v, allocator)
                 decodedVecs.add(d)
                 d
               } else v
@@ -707,7 +843,11 @@ object ArrowIpc {
           if (!hasRee(withDict)) withDict
           else new ArrowSchema(withDict.getFields.asScala
             .map(f => if (isRee(f)) reeValueField(f) else f).asJava)
-        Bridge.fromArrowSchema(narrowSchema(resolved))
+        val unviewed =
+          if (!hasView(resolved)) resolved
+          else new ArrowSchema(resolved.getFields.asScala
+            .map(f => if (isView(f)) viewValueField(f) else f).asJava)
+        Bridge.fromArrowSchema(narrowSchema(unviewed))
       } finally { reader.close(); allocator.close() }
     }
     val hconf = new SerializableHadoopConf(conf)

@@ -200,6 +200,89 @@ class IoSpec extends AnyFunSuite {
       Seq(Seq(10L, 20L), Seq.empty, Seq(30L)))
   }
 
+  test("IPC view layouts (STRING_VIEW/BINARY_VIEW/LIST_VIEW) map per the §1.2 table") {
+    // a view-layout IPC file as an Arrow C++ >= 14 producer would emit it
+    // (type ids 39-42, reference cpp/src/arrow/type_fwd.h:458-467):
+    // inline AND out-of-line string views, plus a list-view whose
+    // (offset, size) pairs are deliberately NON-monotonic and overlapping
+    // — legal only in the view layout, so a pass proves genuine decode,
+    // not offset pass-through
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import org.apache.arrow.vector.{BigIntVector, VectorSchemaRoot, ViewVarBinaryVector, ViewVarCharVector}
+    import org.apache.arrow.vector.complex.ListViewVector
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_view").toString
+    val allocator = new RootAllocator(Long.MaxValue)
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("sv", FieldType.nullable(ArrowType.Utf8View.INSTANCE), null),
+      new Field("bv", FieldType.nullable(ArrowType.BinaryView.INSTANCE), null),
+      new Field("lv", FieldType.nullable(ArrowType.ListView.INSTANCE), Seq(
+        new Field("element", FieldType.nullable(new ArrowType.Int(64, true)), null)
+      ).asJava)).asJava)
+    val longStr = "a string well beyond the twelve-byte inline view limit"
+    val root = VectorSchemaRoot.create(schema, allocator)
+    try {
+      root.allocateNew()
+      val idV = root.getVector("id").asInstanceOf[BigIntVector]
+      val svV = root.getVector("sv").asInstanceOf[ViewVarCharVector]
+      val bvV = root.getVector("bv").asInstanceOf[ViewVarBinaryVector]
+      val lvV = root.getVector("lv").asInstanceOf[ListViewVector]
+      val child = lvV.getDataVector.asInstanceOf[BigIntVector]
+      Seq(100L, 200L, 300L, 400L).zipWithIndex.foreach { case (v, i) =>
+        child.setSafe(i, v)
+      }
+      child.setValueCount(4)
+      val svRows = Seq(Some("short"), None, Some(longStr), Some(""))
+      val bvRows = Seq(Some(Array[Byte](1, 2)), None,
+        Some(Array.tabulate[Byte](20)(_.toByte)), Some(Array.empty[Byte]))
+      // (validity, offset, size): row2 starts BEFORE row0's range and
+      // overlaps it — non-monotonic shared child ranges
+      val lvRows = Seq((1, 2, 2), (0, 0, 0), (1, 0, 3), (1, 1, 0))
+      (0 until 4).foreach { i =>
+        idV.setSafe(i, i + 1L)
+        svRows(i) match {
+          case Some(s) => svV.setSafe(i, s.getBytes("UTF-8"))
+          case None => svV.setNull(i)
+        }
+        bvRows(i) match {
+          case Some(b) => bvV.setSafe(i, b)
+          case None => bvV.setNull(i)
+        }
+        val (valid, off, len) = lvRows(i)
+        lvV.setValidity(i, valid)
+        lvV.setOffset(i, off)
+        lvV.setSize(i, len)
+      }
+      lvV.setValueCount(4)
+      root.setRowCount(4)
+      val out = new java.io.FileOutputStream(s"$dir/part-00000.arrow")
+      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      try { writer.start(); writer.writeBatch(); writer.end() }
+      finally { writer.close(); out.close() }
+    } finally { root.close(); allocator.close() }
+
+    val back = ArrowIpc.read(spark, dir)
+    import org.apache.spark.sql.types._
+    assert(back.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("id", LongType), ("sv", StringType), ("bv", BinaryType),
+      ("lv", ArrayType(LongType))),
+      s"view-layout mapping wrong: ${back.schema}")
+    val got = back.orderBy("id").collect()
+    assert(got.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("short"), None, Some(longStr), Some("")))
+    assert(got(0).get(2).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2))
+    assert(got(1).isNullAt(2))
+    assert(got(2).get(2).asInstanceOf[Array[Byte]].length == 20)
+    assert(got(3).get(2).asInstanceOf[Array[Byte]].isEmpty)
+    assert(got(0).getSeq[Long](3) == Seq(300L, 400L))
+    assert(got(1).isNullAt(3))
+    assert(got(2).getSeq[Long](3) == Seq(100L, 200L, 300L))
+    assert(got(3).getSeq[Long](3) == Seq.empty)
+  }
+
   test("IPC dictionary-encoded columns decode to value types, both formats") {
     // a categorical column as the reference's dictionary_encode would
     // ship it: int32 indices + one dictionary batch; the read boundary
