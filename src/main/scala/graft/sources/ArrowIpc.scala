@@ -581,9 +581,16 @@ object ArrowIpc {
         }
         dst.setValueCount(n); dst
       case src: ListViewVector =>
+        // read (offset, size) straight from the buffers: the vector's
+        // getElementEndIndex returns the SIZE, not offset+size
+        val off = src.getOffsetBuffer
+        val sz = src.getSizeBuffer
         decodeListView(src.getName, n, src.getDataVector,
           i => src.isNull(i),
-          i => (src.getElementStartIndex(i), src.getElementEndIndex(i)),
+          { i =>
+            val s = off.getInt(i.toLong * 4)
+            (s, s + sz.getInt(i.toLong * 4))
+          },
           allocator)
       case src: LargeListViewVector =>
         val off = src.getOffsetBuffer
@@ -624,6 +631,10 @@ object ArrowIpc {
       i += 1
     }
     dst.setValueCount(n)
+    // setValueCount derives the child count from internal lastSet
+    // bookkeeping that startNewValue/endValue don't maintain reliably;
+    // the loop knows exactly how many child values it wrote
+    dChild.setValueCount(pos)
     dst
   }
 

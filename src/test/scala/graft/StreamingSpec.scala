@@ -260,6 +260,79 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDC upsert: last emission per id equals the batch upsert") {
+    import org.apache.spark.sql.types._
+    // the pipeline_upsert fixture as a change stream: base load (src 0,
+    // v0), then every-7th-doc revisions + every-13th-doc new ids (src 1,
+    // v1), then a second revision wave (v2) — three files, three
+    // micro-batches, state must advance across them
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id").as("id"), lit(0L).as("version"),
+      lit(0).as("src"), col("text").as("payload"))
+    val upd1 = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), lit(1L).as("version"), lit(1).as("src"),
+        concat(col("text"), lit(" rev")).as("payload"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("id"), lit(1L).as("version"),
+          lit(1).as("src"), col("text").as("payload")))
+    val upd2 = docs.filter(col("doc_id") % 21 === 0)
+      .select(col("doc_id").as("id"), lit(2L).as("version"), lit(1).as("src"),
+        concat(col("text"), lit(" rev2")).as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_stream").toFile
+    base.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    upd1.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    upd2.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("version", LongType),
+      StructField("src", IntegerType), StructField("payload", StringType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+      val current = graft.streaming.StreamingUpsert
+        .upsertStream(spark, stream, "id", "version", "src", "payload")
+      val query = current.writeStream
+        .format("memory").queryName("graft_upsert_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        // last emission per id = highest version emitted (emissions per id
+        // advance strictly)
+        val streamed = spark.table("graft_upsert_stream")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+              .orderBy(col("version").desc)))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("version"), col("payload"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        val batch = graft.pipeline.Maintenance
+          .upsert(
+            base.drop("src"), upd1.unionByName(upd2).drop("src"),
+            "id", "version")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        assert(batch.nonEmpty)
+        assert(streamed == batch,
+          s"stream-only: ${(streamed -- batch).take(3)}, " +
+            s"batch-only: ${(batch -- streamed).take(3)}")
+        // a genuinely revised id advanced twice: one emission per version
+        val emissions = spark.table("graft_upsert_stream")
+          .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        assert(emissions.filter(col("n") === 3).count() > 0,
+          "every-21st ids must emit v0, v1 and v2 current rows")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming decontamination flag: batch parity and no false negatives") {
     // stage train docs as a file stream; eval docs are the static side
     val docs = Tables.documents(spark, sf)
