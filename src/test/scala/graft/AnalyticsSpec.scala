@@ -178,4 +178,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(2) <= 1))
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("fuzzy linkage recovers a typo in the FIRST block-length characters") {
+    import spark.implicits._
+    // "Xustomer..." vs "Customer...": the leading-character typo changes
+    // the 16-char prefix key, so a prefix-only blocking can never pair
+    // them — the suffix block must recover it. The control pair (3, 4)
+    // differs in the last character and lands in the prefix block; the
+    // unrelated name (5) must pair with nothing.
+    val recs = Seq(
+      (1L, "Customer#000000042"),
+      (2L, "Xustomer#000000042"),
+      (3L, "Customer#000000077"),
+      (4L, "Customer#000000078"),
+      (5L, "Supplier#000000042")).toDF("id", "name")
+    val pairs = graft.queries.AnalyticsQueries.linkagePairs(recs, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1), (3L, 4L, 1)), pairs.toString)
+  }
 }
