@@ -355,6 +355,6 @@ object DedupQueries {
       Some(keepBestSql)),
     Capability("dedup_incremental",
       "incremental corpus update: arriving batch vs existing corpus (exact + near tiers)",
-      incremental, Some(incrementalSql)),
+      incremental, Some(incrementalSql), bench = true),
   )
 }

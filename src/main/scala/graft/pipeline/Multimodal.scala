@@ -845,7 +845,7 @@ object MultimodalQueries {
       features),
     Capability("mm_video_pairs",
       "video near-dup pairs via shared sampled-frame hashes",
-      videoPairs, Some(videoPairsSql)),
+      videoPairs, Some(videoPairsSql), bench = true),
     Capability("mm_phash_pairs",
       "perceptual-hash (aHash) image near-dup pairs, banded Hamming search",
       phashPairs, Some(phashPairsSql)),

@@ -310,6 +310,6 @@ object AnalyticsQueries {
       histogram, Some(histogramSql)),
     Capability("graph_pagerank",
       "damped PageRank, 3 exact-decimal iterations (link-authority scoring)",
-      pagerank, Some(pagerankSql)),
+      pagerank, Some(pagerankSql), bench = true),
   )
 }
