@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, DistinctSketchAgg, MinHashSketch, PolyFingerprint, SimHashAgg, TDigestAgg, TopKAgg}
+import graft.functions.expr.{CosineSimilarity, DistinctSketchAgg, DistinctSketchEstimate, MinHashSketch, PolyFingerprint, SimHashAgg, SketchUnionAgg, TDigestAgg, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_distinct_sketch"),
       new ExpressionInfo(classOf[DistinctSketchAgg].getName, "graft_distinct_sketch"),
       GraftFunctions.distinctSketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_sketch_union"),
+      new ExpressionInfo(classOf[SketchUnionAgg].getName, "graft_sketch_union"),
+      GraftFunctions.sketchUnionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_sketch_estimate"),
+      new ExpressionInfo(classOf[DistinctSketchEstimate].getName, "graft_sketch_estimate"),
+      GraftFunctions.sketchEstimateBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_sketch_singleton"),
+      new ExpressionInfo(
+        classOf[graft.functions.expr.DistinctSketchSingleton].getName,
+        "graft_sketch_singleton"),
+      GraftFunctions.sketchSingletonBuilder))
   }
 }
 
@@ -124,6 +138,55 @@ object GraftFunctions {
     }
   }
 
+  /** `graft_sketch_union(state_col [, exactCap, lgK])` — union of
+    * serialized sketch states. */
+  val sketchUnionBuilder: Seq[Expression] => Expression = exprs => {
+    exprs match {
+      case Seq(c) => SketchUnionAgg(c).toAggregateExpression()
+      case Seq(c, cap, lg) =>
+        SketchUnionAgg(c, intLitOf(cap, "graft_sketch_union exactCap"),
+          intLitOf(lg, "graft_sketch_union lgK")).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_sketch_union takes (state) or (state, exactCap, lgK)")
+    }
+  }
+
+  /** `graft_sketch_estimate(state_col [, exactCap, lgK])`. */
+  val sketchEstimateBuilder: Seq[Expression] => Expression = exprs => {
+    exprs match {
+      case Seq(c) => DistinctSketchEstimate(c)
+      case Seq(c, cap, lg) =>
+        DistinctSketchEstimate(c, intLitOf(cap, "graft_sketch_estimate exactCap"),
+          intLitOf(lg, "graft_sketch_estimate lgK"))
+      case _ => throw new IllegalArgumentException(
+        "graft_sketch_estimate takes (state) or (state, exactCap, lgK)")
+    }
+  }
+
+  /** `graft_sketch_singleton(hash64 [, exactCap, lgK])` — one-element
+    * serialized state, the SQL seed for `graft_sketch_union`. */
+  val sketchSingletonBuilder: Seq[Expression] => Expression = exprs => {
+    import graft.functions.expr.DistinctSketchSingleton
+    exprs match {
+      case Seq(c) => DistinctSketchSingleton(c)
+      case Seq(c, cap, lg) =>
+        DistinctSketchSingleton(c, intLitOf(cap, "graft_sketch_singleton exactCap"),
+          intLitOf(lg, "graft_sketch_singleton lgK"))
+      case _ => throw new IllegalArgumentException(
+        "graft_sketch_singleton takes (hash) or (hash, exactCap, lgK)")
+    }
+  }
+
+  private def intLitOf(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integral literal, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
@@ -134,6 +197,9 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "graft_simhash", GraftFunctions.simhashBuilder)
     Bridge.registerFunction(spark, "graft_top_k", topKBuilder)
     Bridge.registerFunction(spark, "graft_distinct_sketch", distinctSketchBuilder)
+    Bridge.registerFunction(spark, "graft_sketch_union", sketchUnionBuilder)
+    Bridge.registerFunction(spark, "graft_sketch_estimate", sketchEstimateBuilder)
+    Bridge.registerFunction(spark, "graft_sketch_singleton", sketchSingletonBuilder)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -51,7 +51,8 @@ object Plans {
       "dedup_keep_best",         // one component exchange for both policy windows
       "dedup_incremental",       // 8-byte-hash tiers, cross-side-only near join
       "mm_video_pairs",          // one decode pass, reused exchange, fhash equi-join
-      "profile_stats_sketch")    // sketch partials, no Expand
+      "profile_stats_sketch",    // sketch partials, no Expand
+      "graph_harmonic")          // HyperBall sketch-ball iteration
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -180,4 +180,16 @@ object DistinctSketchAgg {
   def apply(c: Column, exactCap: Int, lgK: Int): Column =
     Bridge.column(
       DistinctSketchAgg(Bridge.expression(c), exactCap, lgK).toAggregateExpression())
+
+  /** Serialized-state constructors for graph-shaped uses (HyperBall
+    * balls): a singleton sketch for one hashed element, estimate of a
+    * serialized state. Static so codegen'd expressions can call them. */
+  def singleton(h: Long, exactCap: Int, lgK: Int): Array[Byte] = {
+    val b = new Buf(exactCap, lgK)
+    b.add(h)
+    b.serialize()
+  }
+
+  def estimateBytes(bytes: Array[Byte], exactCap: Int, lgK: Int): Long =
+    Buf.deserialize(bytes, exactCap, lgK).estimate
 }

@@ -58,6 +58,71 @@ object GraphOps {
     ranks
   }
 
+  /** HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+    * of Geometric Centralities with HyperBall", 2013 — the algorithm
+    * behind Common Crawl's published harmonic-centrality host ranks,
+    * which ship alongside the PageRank ranks [[pageRank]] mirrors).
+    *
+    * Each node carries a [[graft.functions.expr.DistinctSketchAgg]]
+    * state (its "ball") seeded with itself; round t replaces every ball
+    * with the union of its out-neighbors' balls and itself, so after
+    * round t the ball estimates `|B_t(v)|` = nodes within out-distance
+    * <= t. The harmonic sum accumulates `(|B_t| - |B_(t-1)|) / t` per
+    * round — exactly Σ 1/d(v,u) over nodes reached within `maxDepth`
+    * along the EDGE DIRECTION GIVEN. Pass reversed edges for the
+    * standard incoming-distance harmonic centrality (the gate does).
+    *
+    * Exactness contract: below the sketch's exact tier cap the ball
+    * counts are exact (64-bit-hash set), which is what lets a DuckDB
+    * recursive-CTE BFS oracle gate the operator at test scale; at web
+    * scale callers drop `exactCap`/`lgK` so per-node state is bounded at
+    * 2^lgK bytes — approximate counts, the published algorithm's actual
+    * operating mode.
+    *
+    * Scale shape: per round one dst-keyed equi-join over the
+    * pre-partitioned persisted edge frame (balls of neighbors flow to
+    * their source), one node-keyed union aggregate, one join against the
+    * previous round for the increment — only (node, ball) pairs ever
+    * shuffle, balls bounded by the tier caps. localCheckpoint truncates
+    * lineage per round exactly as [[pageRank]]. */
+  def harmonicCentrality(
+      edges: DataFrame, srcCol: String, dstCol: String, maxDepth: Int,
+      exactCap: Int = graft.functions.expr.DistinctSketchAgg.DefaultExactCap,
+      lgK: Int = graft.functions.expr.DistinctSketchAgg.DefaultLgK): DataFrame = {
+    import graft.functions.expr.{DistinctSketchEstimate, DistinctSketchSingleton, SketchUnionAgg}
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("dst")).persist(disk)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(disk)
+    var cur = nodes.select(col("node"),
+        DistinctSketchSingleton(xxhash64(col("node")), exactCap, lgK).as("ball"),
+        lit(1L).as("est"), lit(0.0).as("h"))
+      .localCheckpoint()
+    var t = 1
+    while (t <= maxDepth) {
+      val neigh = e
+        .join(cur.select(col("node"), col("ball")), e("dst") === cur("node"))
+        .select(e("src").as("node"), col("ball"))
+      val merged = neigh
+        .unionByName(cur.select(col("node"), col("ball")))
+        .groupBy(col("node"))
+        .agg(SketchUnionAgg(col("ball"), exactCap, lgK).as("ball"))
+        .withColumn("est", DistinctSketchEstimate(col("ball"), exactCap, lgK))
+      cur = merged
+        .join(cur.select(col("node"), col("est").as("prev"), col("h")), Seq("node"))
+        .select(col("node"), col("ball"), col("est"),
+          (col("h") +
+            (col("est") - col("prev")).cast("double") / lit(t.toDouble)).as("h"))
+        .localCheckpoint()
+      t += 1
+    }
+    e.unpersist(); nodes.unpersist()
+    cur.select(col("node"), col("est"), col("h"))
+  }
+
   /** The persisted graph state one rank iteration reads: edges
     * pre-partitioned by src, the node set, out-degrees, and the node
     * count. */

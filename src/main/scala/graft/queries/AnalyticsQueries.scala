@@ -292,6 +292,65 @@ object AnalyticsQueries {
        |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
   }
 
+  /** Harmonic centrality via HyperBall
+    * ([[graft.pipeline.GraphOps.harmonicCentrality]]) on the SAME
+    * sink-bearing graph as [[pagerank]], REVERSED so distances run
+    * toward each node — the standard incoming-harmonic definition and
+    * the other half of Common Crawl's published host ranks. The sketch
+    * balls stay in the exact tier at gate cardinality, so the DuckDB
+    * oracle is an exact recursive-CTE BFS: per node the count of nodes
+    * within distance 3 and Σ 1/d, with the depth-increment arithmetic
+    * mirrored term by term in fixed order. */
+  private val HcDepth = 3
+
+  private def harmonic(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs.select(
+        concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+      .union(pairs.select(
+        concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst")))
+      .union(pairs.filter(col("p") % 10 === 0)
+        .select(concat(lit("p"), col("p")).as("src"), lit("zsink").as("dst"))
+        .distinct())
+    val reversed = edges.select(col("dst").as("src"), col("src").as("dst"))
+    graft.pipeline.GraphOps
+      .harmonicCentrality(reversed, "src", "dst", maxDepth = HcDepth)
+      .select(col("node"), col("est").as("n_reach3"),
+        round(col("h"), 9).as("harmonic"))
+      .orderBy(col("node"))
+  }
+
+  private val harmonicSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |edges0 AS (
+       |  SELECT 'p' || p AS src, 's' || sk AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's' || sk, 'p' || p FROM pairs
+       |  UNION ALL
+       |  SELECT DISTINCT 'p' || p, 'zsink' FROM pairs WHERE p % 10 = 0),
+       |redges AS (SELECT dst AS src, src AS dst FROM edges0),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM redges UNION ALL SELECT dst FROM redges)),
+       |reach AS (
+       |  SELECT node AS v, node AS u, 0 AS d FROM nodes
+       |  UNION
+       |  SELECT r.v, e.dst AS u, r.d + 1 AS d
+       |  FROM reach r JOIN redges e ON e.src = r.u
+       |  WHERE r.d < $HcDepth),
+       |md AS (SELECT v, u, MIN(d) AS d FROM reach GROUP BY v, u),
+       |lv AS (
+       |  SELECT v,
+       |    COUNT(*) FILTER (WHERE d = 1) AS n1,
+       |    COUNT(*) FILTER (WHERE d = 2) AS n2,
+       |    COUNT(*) FILTER (WHERE d = 3) AS n3
+       |  FROM md GROUP BY v)
+       |SELECT v AS node, 1 + n1 + n2 + n3 AS n_reach3,
+       |  round(((0.0 + n1 / 1.0) + n2 / 2.0) + n3 / 3.0, 9) AS harmonic
+       |FROM lv ORDER BY node""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
@@ -311,5 +370,8 @@ object AnalyticsQueries {
     Capability("graph_pagerank",
       "damped PageRank, 3 exact-decimal iterations (link-authority scoring)",
       pagerank, Some(pagerankSql), bench = true),
+    Capability("graph_harmonic",
+      "HyperBall harmonic centrality: sketch-ball iteration, exact at gate tier",
+      harmonic, Some(harmonicSql)),
   )
 }

@@ -173,6 +173,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"), ranks.toString)
   }
 
+  test("harmonic centrality equals the closed form on a directed path") {
+    import spark.implicits._
+    // path a -> b -> c -> d, REVERSED input so distances run toward each
+    // node (the standard incoming-harmonic): H(d) = 1/1 + 1/2 + 1/3,
+    // H(c) = 1 + 1/2, H(b) = 1, H(a) = 0; balls |B_3| are 4, 3, 2, 1
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val reversed = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val out = graft.pipeline.GraphOps
+      .harmonicCentrality(reversed, "src", "dst", maxDepth = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a") == ((1L, 0.0)), out.toString)
+    assert(out("b") == ((2L, 1.0)), out.toString)
+    assert(out("c") == ((3L, 1.5)), out.toString)
+    assert(out("d")._1 == 4L && math.abs(out("d")._2 - (1.0 + 0.5 + 1.0 / 3)) < 1e-12,
+      out.toString)
+  }
+
+  test("harmonic centrality register tier stays bounded and ranks the hub first") {
+    import spark.implicits._
+    // star: every leaf points at the hub, so the operator input (REVERSED
+    // edges, incoming-distance convention) is hub -> leaf; with a 4-entry
+    // exact cap the hub's ball degrades to registers, state stays 2^lgK
+    // bytes, and the hub still outranks every leaf
+    val reversed = (1 to 40).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val out = graft.pipeline.GraphOps
+      .harmonicCentrality(reversed, "src", "dst",
+        maxDepth = 2, exactCap = 4, lgK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet.size == 41)
+    assert((1 to 40).forall(i => out("hub") > out(s"leaf$i")), out("hub").toString)
+  }
+
   test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
     val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 1))

@@ -125,6 +125,16 @@ class ApproxAggSpec extends AnyFunSuite {
     val viaSqlCapped = spark.sql(
       "SELECT graft_distinct_sketch(id, 100, 12) FROM range(0, 200)").head().getLong(0)
     assert(viaSqlCapped != 0L)
+    // shard -> union -> estimate over SERIALIZED states (the q39 pattern
+    // with the graft sketch): per-shard states built from singletons,
+    // merged later without the raw data — exact through the union in the
+    // exact tier (3000 distinct hashes, well under the cap)
+    val unioned = spark.sql(
+      """SELECT graft_sketch_estimate(graft_sketch_union(st)) AS nd FROM (
+        |  SELECT id % 8 AS shard,
+        |         graft_sketch_union(graft_sketch_singleton(xxhash64(CAST(id AS STRING)))) AS st
+        |  FROM range(0, 3000) GROUP BY 1)""".stripMargin).head().getLong(0)
+    assert(unioned == 3000L, s"sharded union must stay exact, got $unioned")
   }
 
   test("minhash and simhash sketches are callable from SQL text") {
