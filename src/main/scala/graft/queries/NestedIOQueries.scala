@@ -610,6 +610,24 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26o: VIEW-LAYOUT Arrow IPC round-trip — the write half of the
+    * string_view transport ([[graft.sources.ArrowIpc.writeViews]]; read
+    * decode is the view half of q26d's machinery): the status column
+    * ships as STRING_VIEW (type id 39, the Arrow C++ >= 14 default
+    * string layout) and must read back value-identical. Same oracle as
+    * q26d; IoSpec additionally asserts the on-disk field REALLY carries
+    * the Utf8View type. */
+  private def q26o(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_view_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.writeViews(
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date")),
+      out, viewCols = Seq("o_orderstatus"))
+    graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
+  }
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
@@ -876,6 +894,8 @@ object NestedIOQueries {
     Capability("q26l_ipc_zstd", "zstd-compressed Arrow IPC round-trip (body-buffer codec)", q26l, Some(q26Sql)),
     Capability("q26m_ipc_dict", "dictionary-encoded Arrow IPC round-trip (categorical transport)", q26m, Some(q26Sql)),
     Capability("q26n_ipc_ree", "run-end-encoded Arrow IPC round-trip (sorted-run transport)", q26n,
+      Some(q26Sql)),
+    Capability("q26o_ipc_view", "view-layout Arrow IPC round-trip (string_view transport)", q26o,
       Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),

@@ -388,6 +388,89 @@ object ArrowIpc {
     }
   }
 
+  /** View-layout IPC WRITE — the write half of [[decodeView]]: each
+    * declared string column ships in the STRING_VIEW layout (type id 39,
+    * reference cpp/src/arrow/type_fwd.h:458-467 — the default string
+    * layout for Arrow C++ >= 14 consumers): a 16-byte (length, prefix,
+    * buffer_id, offset) view struct per element, short strings inlined,
+    * long ones referenced in variadic data buffers. Pure per-batch
+    * task-local work exactly like [[writeRee]] — no exchange, no driver
+    * state; values are copied once into the view vector per batch. */
+  def writeViews(df: DataFrame, dir: String, viewCols: Seq[String],
+      batchSize: Int = 4096): Unit = {
+    import scala.jdk.CollectionConverters._
+    require(viewCols.nonEmpty, "writeViews needs at least one view column")
+    val schema = df.schema
+    viewCols.foreach { c =>
+      require(schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"view column '$c' must be string, got ${schema(c).dataType}")
+    }
+    val viewSet = viewCols.toSet
+    val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    Bridge.toInternalRdd(df).foreachPartition { rows =>
+      if (rows.nonEmpty) {
+        val part = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$part%05d.arrow")
+        val pfs = path.getFileSystem(hconf.value)
+        val allocator = new RootAllocator(Long.MaxValue)
+        val valueSchema = Bridge.toArrowSchema(schema)
+        val valueRoot = VectorSchemaRoot.create(valueSchema, allocator)
+        val loader = new VectorLoader(valueRoot)
+        val outVectors: Seq[FieldVector] = valueSchema.getFields.asScala.toSeq.map { f =>
+          if (viewSet(f.getName))
+            new ViewVarCharVector(
+              new Field(f.getName,
+                new FieldType(f.isNullable, ArrowType.Utf8View.INSTANCE, null,
+                  f.getMetadata),
+                java.util.Collections.emptyList[Field]()),
+              allocator)
+          else f.createVector(allocator)
+        }
+        val outRoot = new VectorSchemaRoot(outVectors.asJava)
+        val out = pfs.create(path, true)
+        val writer = new ArrowFileWriter(outRoot, null, Channels.newChannel(out))
+        try {
+          writer.start()
+          Bridge.toArrowBatchIterator(rows, schema, batchSize, TaskContext.get()).foreach { bytes =>
+            val batch = MessageSerializer.deserializeRecordBatch(
+              new org.apache.arrow.vector.ipc.ReadChannel(
+                Channels.newChannel(new java.io.ByteArrayInputStream(bytes))), allocator)
+            try loader.load(batch) finally batch.close()
+            val n = valueRoot.getRowCount
+            schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+              val src = valueRoot.getVector(i)
+              outVectors(i) match {
+                case vv: ViewVarCharVector =>
+                  val sv = src.asInstanceOf[VarCharVector]
+                  vv.clear()
+                  vv.allocateNew(n)
+                  var r = 0
+                  while (r < n) {
+                    if (sv.isNull(r)) vv.setNull(r) else vv.setSafe(r, sv.get(r))
+                    r += 1
+                  }
+                  vv.setValueCount(n)
+                case dst =>
+                  src.makeTransferPair(dst).transfer()
+              }
+            }
+            outRoot.setRowCount(n)
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally {
+          writer.close(); out.close()
+          outRoot.close(); valueRoot.close()
+          allocator.close()
+        }
+      }
+    }
+  }
+
   // --- 64-bit-offset layout variants -------------------------------------
   // LARGE_STRING / LARGE_BINARY / LARGE_LIST (reference type ids 34/35/36,
   // cpp/src/arrow/type.h:442-448) are per SURVEY §1.2 "layout variants,

@@ -283,6 +283,40 @@ class IoSpec extends AnyFunSuite {
     assert(got(3).getSeq[Long](3) == Seq.empty)
   }
 
+  test("writeViews emits a REAL string_view field; long and null values survive") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.{ArrowFileReader, SeekableReadChannel}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_wview").toString
+    val longStr = "x" * 100 // out-of-line view (beyond the 12-byte inline limit)
+    val df = Seq(
+      (1L, Some("inline")), (2L, Some(longStr)), (3L, None), (4L, Some("")))
+      .toDF("id", "s")
+    graft.sources.ArrowIpc.writeViews(df, s"$dir/v", viewCols = Seq("s"))
+    // footer really declares Utf8View for the encoded column
+    val allocator = new RootAllocator(Long.MaxValue)
+    val file = new java.io.File(s"$dir/v").listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val fc = new java.io.FileInputStream(file).getChannel
+    val reader = new ArrowFileReader(new SeekableReadChannel(fc), allocator)
+    try {
+      val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+      assert(fields.find(_.getName == "s").get.getType ==
+        org.apache.arrow.vector.types.pojo.ArrowType.Utf8View.INSTANCE,
+        fields.toString)
+    } finally { reader.close(); allocator.close() }
+    // values round-trip through the view decode back to plain strings
+    val back = graft.sources.ArrowIpc.read(spark, s"$dir/v").orderBy("id").collect()
+    assert(back.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("inline"), Some(longStr), None, Some("")))
+    // a non-string view column is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.ArrowIpc.writeViews(df, s"$dir/bad", viewCols = Seq("id"))
+    }
+  }
+
   test("IPC dictionary-encoded columns decode to value types, both formats") {
     // a categorical column as the reference's dictionary_encode would
     // ship it: int32 indices + one dictionary batch; the read boundary
