@@ -271,6 +271,166 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Train a product-quantization codebook: the vector space splits into
+    * `m` contiguous subspaces and each learns its own `ksub`-entry
+    * L2 k-means codebook over UNIT-NORMALIZED sample vectors (L2 on unit
+    * vectors orders like cosine: ‖a-b‖² = 2 - 2·cos). The returned
+    * codebook is the PQ index artifact — m·ksub·(dim/m) floats, a few KB,
+    * trivially persistable and broadcast into every later encode/search
+    * (train rarely, encode continuously — the same operating contract as
+    * [[trainCentroids]]). The sample collect is the family's bounded
+    * driver exchange (≤ sampleSize rows, same contract). Deterministic:
+    * hash-ordered sample, first-kC seeding, fixed iterations. */
+  def pqTrain(candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 1024,
+      iterations: Int = 8): Array[Array[Array[Float]]] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = candidates
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .select(col(vecCol)).limit(sampleSize)
+      .as[Array[Float]].collect()
+    require(sample.nonEmpty, "pqTrain: empty candidate set")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val unit = sample.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+      val nn = math.sqrt(n)
+      if (nn == 0) v.map(_ => 0.0) else v.map(_ / nn)
+    }
+    Array.tabulate(m) { s =>
+      val subs = unit.map(_.slice(s * dsub, (s + 1) * dsub))
+      val kC = math.min(ksub, subs.length)
+      var cents: Array[Array[Double]] = subs.take(kC).map(_.clone())
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+        d
+      }
+      var it = 0
+      while (it < iterations) {
+        val sums = Array.fill(kC)(new Array[Double](dsub))
+        val counts = new Array[Int](kC)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < kC) {
+            val d = l2(cents(c), v)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(kC)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  /** Encode vectors to PQ codes — pure NARROW codegen, zero shuffle: the
+    * codebook rides the plan as a folded literal (a few KB) and each
+    * row's m sub-argmins run as higher-order-function expressions
+    * (`array_position(dists, array_min(dists))` — first-match, so ties
+    * break deterministically toward the lower code). Unit-normalization
+    * is staged as its own projected column (see [[int8Encoded]]'s
+    * O(dim³) trap note). Output: (idAs, codesAs array<int>, vecAs raw). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Float]]],
+      idAs: String, codesAs: String, vecAs: String): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val cbLit = typedLit[Seq[Seq[Seq[Float]]]](
+      codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .withColumn("__n", VectorOps.norm(col(vecAs)))
+      .withColumn("__u", transform(col(vecAs), x =>
+        when(col("__n") === 0.0, lit(0.0))
+          .otherwise(x.cast("double") / col("__n"))))
+      .withColumn(codesAs, transform(sequence(lit(0), lit(m - 1)), s => {
+        val sub = slice(col("__u"), s * dsub + 1, lit(dsub))
+        val dists = transform(element_at(cbLit, s + 1), ce =>
+          aggregate(zip_with(sub, ce, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }))
+      .drop("__n", "__u")
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC) with exact
+    * re-rank — the compressed-domain scale tier of the quantization
+    * ladder: candidates are scanned as m-byte codes (a 32× compression
+    * of 64-dim float32), each query carries its m×ksub distance table
+    * (built once per query, narrow), and the approximate score is m
+    * table lookups per candidate — no float vector ever leaves the scan
+    * until the exact re-rank touches the `refine·k` survivors per query.
+    * Shape: broadcast(queries+tables) ⋈ encoded candidates (narrow over
+    * the big side), per-query window keeps `refine·k` by ADC distance,
+    * then one id-keyed join back to raw vectors re-ranks exactly by
+    * cosine. Deterministic end to end (fixed training, first-match
+    * argmin, id tie-breaks). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      sampleSize: Int = 1024, iterations: Int = 8): DataFrame = {
+    val codebook = pqTrain(candidates, idCol, vecCol, m, ksub, sampleSize, iterations)
+    pqTopKWith(codebook, queries, candidates, idCol, vecCol, k, refine)
+  }
+
+  /** PQ search against an ALREADY-TRAINED codebook (see [[pqTrain]]'s
+    * train-rarely contract). */
+  def pqTopKWith(codebook: Array[Array[Array[Float]]],
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int = 4): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val cbLit = typedLit[Seq[Seq[Seq[Float]]]](
+      codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = pqEncode(candidates, idCol, vecCol, codebook,
+      "neighbor_id", "codes", "__ne").drop("__ne")
+    // per-query ADC table: dtab[s][c] = ‖q_sub(s) - codebook[s][c]‖²
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+      .withColumn("__n", VectorOps.norm(col("qe")))
+      .withColumn("__u", transform(col("qe"), x =>
+        when(col("__n") === 0.0, lit(0.0))
+          .otherwise(x.cast("double") / col("__n"))))
+      .withColumn("dtab", transform(sequence(lit(0), lit(m - 1)), s => {
+        val sub = slice(col("__u"), s * dsub + 1, lit(dsub))
+        transform(element_at(cbLit, s + 1), ce =>
+          aggregate(zip_with(sub, ce, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+      }))
+      .select(col("query_id"), col("dtab"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = broadcast(q).join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("dtab"), s + 1),
+            element_at(col("codes"), s + 1) + 1)).as("adist"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val cRaw = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+    val wX = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(cRaw, Seq("neighbor_id"))
+      .join(broadcast(qRaw), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wX))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Multi-table LSH top-k: `nTables` independent hyperplane families of
     * `nPlanes` bits each; a candidate is scored if it shares a bucket with
     * the query in ANY table. The 100 TB path — (table, bucket)-keyed
