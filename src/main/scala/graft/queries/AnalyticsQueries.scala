@@ -351,6 +351,43 @@ object AnalyticsQueries {
        |  round(((0.0 + n1 / 1.0) + n2 / 2.0) + n3 / 3.0, 9) AS harmonic
        |FROM lv ORDER BY node""".stripMargin
 
+  /** Per-node triangle counts ([[graft.pipeline.GraphOps.triangleCounts]])
+    * over the part–part co-occurrence graph (parts sharing a supplier —
+    * supplier cliques, so triangles are plentiful; the bipartite
+    * part↔supplier graph itself has none). Capped at the usual gate
+    * volume; the oracle enumerates triangles directly from the canonical
+    * a<b<c edge triple join — a formulation that dies on hubs at scale,
+    * which is exactly why the operator orients by degree instead. */
+  private def trianglesQ(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 300)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val a = pp.select(col("p").as("pa"), col("sk"))
+    val b = pp.select(col("p").as("pb"), col("sk"))
+    val e = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+    graft.pipeline.GraphOps.triangleCounts(e, "u", "v")
+      .orderBy(col("node"))
+  }
+
+  private val trianglesSql =
+    """WITH pp AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+      |  WHERE l_partkey < 300),
+      |und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pp a JOIN pp b ON a.sk = b.sk AND a.p < b.p),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e2.u = e1.v
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, COUNT(*) AS n_tri FROM (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
@@ -373,5 +410,8 @@ object AnalyticsQueries {
     Capability("graph_harmonic",
       "HyperBall harmonic centrality: sketch-ball iteration, exact at gate tier",
       harmonic, Some(harmonicSql)),
+    Capability("graph_triangles",
+      "per-node triangle counts via degree-ordered orientation (hub-safe wedges)",
+      trianglesQ, Some(trianglesSql)),
   )
 }

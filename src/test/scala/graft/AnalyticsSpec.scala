@@ -205,6 +205,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((1 to 40).forall(i => out("hub") > out(s"leaf$i")), out("hub").toString)
   }
 
+  test("triangle counts: K4 closed form, stars are triangle-free, direction-insensitive") {
+    import spark.implicits._
+    // K4: every node sits on C(3,2) = 3 triangles; 4 triangles total
+    val k4 = (for (i <- 0 to 3; j <- 0 to 3 if i < j) yield (s"n$i", s"n$j"))
+      .toDF("src", "dst")
+    val out = graft.pipeline.GraphOps.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == (0 to 3).map(i => s"n$i" -> 3L).toMap, out.toString)
+    // a star has wedges but no closing edges
+    val star = (1 to 10).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    assert(graft.pipeline.GraphOps.triangleCounts(star, "src", "dst").count() == 0)
+    // orientation/duplication insensitivity: reversed + duplicated edges
+    // give the same counts (canonical-undirected distinct)
+    val messy = k4.unionAll(k4.select(col("dst").as("src"), col("src").as("dst")))
+    val out2 = graft.pipeline.GraphOps.triangleCounts(messy, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == out, out2.toString)
+  }
+
   test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
     val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 1))
