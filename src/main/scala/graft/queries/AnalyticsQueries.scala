@@ -300,11 +300,19 @@ object AnalyticsQueries {
     * balls stay in the exact tier at gate cardinality, so the DuckDB
     * oracle is an exact recursive-CTE BFS: per node the count of nodes
     * within distance 3 and Σ 1/d, with the depth-increment arithmetic
-    * mirrored term by term in fixed order. */
+    * mirrored term by term in fixed order.
+    *
+    * Gate volume cap (graph_triangles precedent): parts < 2000 keeps the
+    * ball states — which carry the whole exact tier per node while the
+    * graph is below the cap — at tens of KB across every SF the driver
+    * runs, so the bench measures the iteration shape, not a ballooning
+    * exact tier (at real scale callers run the register tier, where
+    * state is 2^lgK bytes per node regardless of graph size). */
   private val HcDepth = 3
 
   private def harmonic(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 2000)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
     val edges = pairs.select(
         concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
@@ -323,7 +331,8 @@ object AnalyticsQueries {
 
   private val harmonicSql =
     s"""WITH RECURSIVE pairs AS (
-       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+       |  WHERE l_partkey < 2000),
        |edges0 AS (
        |  SELECT 'p' || p AS src, 's' || sk AS dst FROM pairs
        |  UNION ALL
