@@ -292,6 +292,73 @@ object AnalyticsQueries {
        |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
   }
 
+  /** Personalized PageRank
+    * ([[graft.pipeline.GraphOps.pageRankPersonalized]]): the SAME
+    * sink-bearing graph as [[pagerank]], teleporting to the SUPPLIER
+    * nodes only — authority as seen from a trusted seed set, the
+    * domain-focused variant of crawl weighting. The oracle unrolls the
+    * same three iterations with the seed flag folded into the base and
+    * dangling terms exactly as the operator computes them. */
+  private def ppr(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs.select(
+        concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+      .union(pairs.select(
+        concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst")))
+      .union(pairs.filter(col("p") % 10 === 0)
+        .select(concat(lit("p"), col("p")).as("src"), lit("zsink").as("dst"))
+        .distinct())
+    val seeds = pairs.select(concat(lit("s"), col("sk")).as("node")).distinct()
+    graft.pipeline.GraphOps
+      .pageRankPersonalized(edges, "src", "dst", seeds, "node",
+        iterations = PrIters)
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val pprSql = {
+    def iter(prev: String, dm: String, out: String) =
+      s"""$dm AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+         |         0.0) AS dm
+         |  FROM $prev r LEFT JOIN deg ON deg.src = r.node
+         |  WHERE deg.src IS NULL),
+         |$out AS (
+         |  SELECT flag.node,
+         |    (flag.t * (SELECT (1.0-0.85)/nt FROM nt)) + 0.85 * (COALESCE(
+         |      CAST(SUM(CAST(round(r.rank/deg.deg, 12) AS DECIMAL(38,18))) AS DOUBLE),
+         |      0.0) + flag.t * (SELECT round(dm / (SELECT nt FROM nt), 12)
+         |                       FROM $dm)) AS rank
+         |  FROM flag
+         |  LEFT JOIN edges e ON e.dst = flag.node
+         |  LEFT JOIN $prev r ON r.node = e.src
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  GROUP BY flag.node, flag.t)"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT 'p' || p AS src, 's' || sk AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's' || sk, 'p' || p FROM pairs
+       |  UNION ALL
+       |  SELECT DISTINCT 'p' || p, 'zsink' FROM pairs WHERE p % 10 = 0),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |tele AS (SELECT DISTINCT 's' || sk AS node FROM pairs),
+       |nt AS (SELECT COUNT(*)::DOUBLE AS nt FROM tele),
+       |deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+       |flag AS (
+       |  SELECT n.node, CASE WHEN t.node IS NOT NULL THEN 1 ELSE 0 END AS t
+       |  FROM nodes n LEFT JOIN tele t ON t.node = n.node),
+       |r0 AS (SELECT node, t * (SELECT 1.0/nt FROM nt) AS rank FROM flag),
+       |${iter("r0", "dm1", "it1")},
+       |${iter("it1", "dm2", "it2")},
+       |${iter("it2", "dm3", "it3")}
+       |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
+  }
+
   /** Harmonic centrality via HyperBall
     * ([[graft.pipeline.GraphOps.harmonicCentrality]]) on the SAME
     * sink-bearing graph as [[pagerank]], REVERSED so distances run
@@ -422,5 +489,8 @@ object AnalyticsQueries {
     Capability("graph_triangles",
       "per-node triangle counts via degree-ordered orientation (hub-safe wedges)",
       trianglesQ, Some(trianglesSql)),
+    Capability("graph_ppr",
+      "personalized PageRank: teleport + dangling mass land on a seed set only",
+      ppr, Some(pprSql)),
   )
 }

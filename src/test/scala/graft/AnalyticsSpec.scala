@@ -173,6 +173,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"), ranks.toString)
   }
 
+  test("personalized pagerank conserves mass and concentrates rank near the seed") {
+    import spark.implicits._
+    // two symmetric 3-cliques bridged by one edge; seed lives in clique A
+    val cliqueA = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"))
+    val cliqueB = Seq(("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+    val und = (cliqueA ++ cliqueB ++ Seq(("a3", "b1")))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a1").toDF("node")
+    val ranks = graft.pipeline.GraphOps
+      .pageRankPersonalized(edges, "src", "dst", seeds, "node", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, ranks.toString)
+    // rank decays with distance from the seed: seed > its clique > the far clique
+    assert(ranks("a1") > ranks("a2") && ranks("a2") > ranks("b2"), ranks.toString)
+    // an absent seed is an error, not a silent zero-mass run
+    intercept[IllegalArgumentException] {
+      graft.pipeline.GraphOps.pageRankPersonalized(
+        edges, "src", "dst", Seq("zzz").toDF("node"), "node", iterations = 1)
+    }
+  }
+
   test("harmonic centrality equals the closed form on a directed path") {
     import spark.implicits._
     // path a -> b -> c -> d, REVERSED input so distances run toward each
