@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DataFrame-parametric deduplication library. Each function takes any
@@ -163,6 +164,51 @@ object Dedup {
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     attachJaccard(inter, sizes)
+  }
+
+  /** EXACT Jaccard-threshold pairs by PREFIX FILTERING (the
+    * PPJoin/AllPairs family, Chaudhuri et al. / Xiao et al.) — the
+    * LOSSLESS scale path of the exact tier: order every document's
+    * shingles by one GLOBAL (document-frequency asc, hash) total order
+    * and keep only each document's first `n − ⌈t·n⌉ + 1` shingles as its
+    * prefix; any two sets with Jaccard ≥ t MUST share a prefix token
+    * (pigeonhole on the canonical order), so the candidate equi-join
+    * runs over prefixes only — which by construction hold each
+    * document's RAREST shingles — and the output still EQUALS the full
+    * exact-threshold join (the gate shares dedup_ngram_jaccard's
+    * oracle). Contrast with the df-cap (lossy by contract on all-hot
+    * pairs) and minhash (probabilistic recall): prefix filtering prunes
+    * the quadratic hot-shingle term without giving up exactness — at
+    * t = 0.8 prefixes are ~20 % of tokens, and corpus-stopword shingles
+    * fall out of candidate generation for any document with enough rarer
+    * shingles to fill its prefix.
+    *
+    * Shape: one df-count over the inverted index, one per-doc window for
+    * prefix ranks, a prefix⋈prefix equi-join on the shingle, then the
+    * candidate-restricted exact verify ([[jaccardForPairs]]). */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val docs = shingleDocs(df, idCol, textCol, n)
+    val (inv, sizes) = shingleIndex(docs)
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = inv
+      .join(dfreq, Seq("shingle"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.select(col("doc_id").as("da"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("db"), col("shingle")), Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+      .distinct()
+    jaccardForPairs(df, idCol, textCol, cand, n)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash+LSH candidate pairs: `nHashes`-long signature of seeded

@@ -56,6 +56,16 @@ object DedupQueries {
   // than the exact count — the cap only pays when stopword shingles
   // dominate. The production-scale candidate path remains minhash.
 
+  /** Prefix-filtered exact pairs at 0.8 ([[Dedup.prefixJaccardPairs]]):
+    * LOSSLESS by the prefix-filter theorem, so it shares
+    * dedup_ngram_jaccard's exact oracle — three independent paths
+    * (exact index, minhash, prefix filter) now gate against the same
+    * pair set. */
+  private def ppjoin(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+
   /** MinHash+LSH pairs, exact-verified at 0.8. With 16 bands × 4 rows a
     * true 0.8-Jaccard pair is missed with p < 2e-4 (planted ~0.97 dups:
     * p < 1e-7), so the output equals the exact-threshold oracle. */
@@ -340,6 +350,9 @@ object DedupQueries {
       Some(jaccardPairsSql(0.5))),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
+    Capability("dedup_ppjoin",
+      "prefix-filtered EXACT 0.8-Jaccard pairs (lossless PPJoin-style scale path)",
+      ppjoin, Some(jaccardPairsSql(0.8))),
     Capability("dedup_cc", "duplicate clusters: connected components over near-dup pairs", cc,
       Some(ccSql)),
     Capability("dedup_cc_stars", "duplicate clusters via large-star/small-star (O(log n) rounds)", ccStars,

@@ -55,6 +55,31 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("prefix-filtered pairs equal the exact pairs WITH values (lossless by theorem)") {
+    val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup
+      .prefixJaccardPairs(Tables.documents(spark, sf), "doc_id", "text",
+        threshold = 0.8)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // prefix filtering is LOSSLESS (unlike the df-cap's all-hot caveat or
+    // minhash's probabilistic recall): identical pairs, identical values
+    assert(viaPrefix == exact)
+    assert(viaPrefix.nonEmpty)
+    // a low threshold keeps whole sets as prefixes and must also be exact
+    val loose = Dedup
+      .prefixJaccardPairs(Tables.documents(spark, sf), "doc_id", "text",
+        threshold = 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val looseExact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == looseExact)
+  }
+
   test("connected components label a hand-built graph by min reachable id") {
     import spark.implicits._
     // two triangles bridged into one component {1..6}, a 3-chain {10,11,12},
