@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a corpus table — the
+  * validation pass a 100 TB ingest runs BEFORE anything downstream
+  * trusts the data (the Deequ-style "unit tests for data" pattern;
+  * complements [[graft.queries.AnalyticsQueries]]'s profiling, which
+  * DESCRIBES a table where this one JUDGES it against a contract).
+  *
+  * Every rule compiles to aggregate expressions evaluated in ONE pass —
+  * a single scan and a single 1-row aggregate no matter how many rules,
+  * then a narrow unpivot to one row per rule. Uniqueness runs on the
+  * exact-tier mergeable distinct sketch ([[graft.functions.expr.DistinctSketchAgg]])
+  * rather than `count(DISTINCT)`, so adding uniqueness rules never
+  * re-introduces the Expand row-multiplication or unbounded reducer
+  * state (same contract as profile_stats_sketch).
+  *
+  * Output: (rule, column, metric, threshold, pass) — `metric` is the
+  * VIOLATION measure (fraction or count, per rule doc), `pass` is
+  * `metric <= threshold`.
+  */
+object Expectations {
+
+  sealed trait Rule {
+    /** Stable rule id shown in the report. */
+    def name: String
+    def column: String
+    def threshold: Double
+  }
+
+  /** Fraction of NULL values in `column` must be <= `threshold`. */
+  final case class NotNull(column: String, threshold: Double = 0.0)
+    extends Rule { val name = "not_null" }
+
+  /** Fraction of DUPLICATED rows on `column` (1 − distinct/total,
+    * null-bearing rows excluded from both counts) must be <= `threshold`. */
+  final case class Unique(column: String, threshold: Double = 0.0)
+    extends Rule { val name = "unique" }
+
+  /** Fraction of non-null values outside [lo, hi] must be <= `threshold`. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      threshold: Double = 0.0) extends Rule { val name = "in_range" }
+
+  /** Fraction of non-null values NOT matching `regex` (RLIKE semantics)
+    * must be <= `threshold`. */
+  final case class Matches(column: String, regex: String,
+      threshold: Double = 0.0) extends Rule { val name = "matches" }
+
+  /** Fraction of non-null values outside the allowed set must be
+    * <= `threshold`. */
+  final case class IsIn(column: String, allowed: Seq[String],
+      threshold: Double = 0.0) extends Rule { val name = "is_in" }
+
+  /** Row count must be >= `minRows` (metric = shortfall in rows). */
+  final case class MinRows(minRows: Long) extends Rule {
+    val name = "min_rows"; val column = "*"; val threshold = 0.0
+  }
+
+  private def frac(violations: Column, denom: Column): Column =
+    when(denom === 0L, lit(0.0))
+      .otherwise(violations.cast("double") / denom.cast("double"))
+
+  /** Evaluate `rules` in one pass; see the object doc for the shape. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.check needs at least one rule")
+    val total = count(lit(1))
+    // one aggregate column per rule, one metric expression over them
+    val aggs: Seq[Column] = total.as("__n") +: rules.zipWithIndex.flatMap {
+      case (r: NotNull, i) =>
+        Seq(count(when(col(r.column).isNull, 1)).as(s"__m$i"))
+      case (r: Unique, i) => Seq(
+        count(col(r.column)).as(s"__c$i"),
+        graft.functions.expr.DistinctSketchAgg(col(r.column)).as(s"__d$i"))
+      case (r: InRange, i) => Seq(
+        count(col(r.column)).as(s"__c$i"),
+        count(when(col(r.column) < r.lo || col(r.column) > r.hi, 1)).as(s"__m$i"))
+      case (r: Matches, i) => Seq(
+        count(col(r.column)).as(s"__c$i"),
+        count(when(!col(r.column).rlike(r.regex), 1)).as(s"__m$i"))
+      case (r: IsIn, i) => Seq(
+        count(col(r.column)).as(s"__c$i"),
+        count(when(!col(r.column).isin(r.allowed: _*), 1)).as(s"__m$i"))
+      case (_: MinRows, _) => Seq.empty
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val metrics: Seq[Column] = rules.zipWithIndex.map {
+      case (r: NotNull, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          frac(col(s"__m$i"), col("__n")).as("metric"),
+          lit(r.threshold).as("threshold"))
+      case (r: Unique, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          frac(col(s"__c$i") - col(s"__d$i"), col(s"__c$i")).as("metric"),
+          lit(r.threshold).as("threshold"))
+      case (r: InRange, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          frac(col(s"__m$i"), col(s"__c$i")).as("metric"),
+          lit(r.threshold).as("threshold"))
+      case (r: Matches, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          frac(col(s"__m$i"), col(s"__c$i")).as("metric"),
+          lit(r.threshold).as("threshold"))
+      case (r: IsIn, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          frac(col(s"__m$i"), col(s"__c$i")).as("metric"),
+          lit(r.threshold).as("threshold"))
+      case (r: MinRows, _) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          greatest(lit(0.0), lit(r.minRows).cast("double") - col("__n"))
+            .as("metric"),
+          lit(r.threshold).as("threshold"))
+    }
+    one
+      .select(explode(array(metrics: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.column").as("column"),
+        col("r.metric").as("metric"), col("r.threshold").as("threshold"),
+        (col("r.metric") <= col("r.threshold")).as("pass"))
+  }
+}

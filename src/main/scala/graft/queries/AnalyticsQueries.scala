@@ -464,6 +464,71 @@ object AnalyticsQueries {
       |  UNION ALL SELECT c FROM tri)
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Declarative data-quality expectations
+    * ([[graft.pipeline.Expectations]]): seven rules over `orders` judged
+    * in ONE aggregation pass — including a deliberately failing
+    * uniqueness rule (o_orderstatus has 3 values over 15 k rows), so the
+    * gate covers the fail path, not just green checks. Uniqueness runs
+    * on the exact-tier distinct sketch; the oracle mirrors every metric
+    * with plain COUNT/COUNT(DISTINCT)/FILTER arithmetic. */
+  private def expectationsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Expectations._
+    check(Tables.orders(s, d), Seq(
+      NotNull("o_orderstatus"),
+      Unique("o_orderkey"),
+      Unique("o_orderstatus"), // fails: 3 distinct over the whole table
+      InRange("o_totalprice", 0.0, 600000.0),
+      Matches("o_orderpriority", "^[1-5]-"),
+      IsIn("o_orderstatus", Seq("O", "F", "P")),
+      MinRows(1000)))
+      .orderBy(col("rule"), col("column"))
+  }
+
+  private val expectationsSql =
+    """WITH t AS (
+      |  SELECT COUNT(*)::BIGINT AS n,
+      |    COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS null_status,
+      |    COUNT(o_orderkey) AS c_key, COUNT(DISTINCT o_orderkey) AS d_key,
+      |    COUNT(o_orderstatus) AS c_st, COUNT(DISTINCT o_orderstatus) AS d_st,
+      |    COUNT(o_totalprice) AS c_price,
+      |    COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 600000)
+      |      AS oor_price,
+      |    COUNT(o_orderpriority) AS c_prio,
+      |    COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+      |      AS bad_prio,
+      |    COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+      |      AS bad_st
+      |  FROM orders),
+      |rows0 AS (
+      |  SELECT 'not_null' AS rule, 'o_orderstatus' AS "column",
+      |    CASE WHEN n = 0 THEN 0.0 ELSE null_status::DOUBLE / n END AS metric,
+      |    0.0 AS threshold FROM t
+      |  UNION ALL
+      |  SELECT 'unique', 'o_orderkey',
+      |    CASE WHEN c_key = 0 THEN 0.0
+      |         ELSE (c_key - d_key)::DOUBLE / c_key END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT 'unique', 'o_orderstatus',
+      |    CASE WHEN c_st = 0 THEN 0.0
+      |         ELSE (c_st - d_st)::DOUBLE / c_st END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT 'in_range', 'o_totalprice',
+      |    CASE WHEN c_price = 0 THEN 0.0
+      |         ELSE oor_price::DOUBLE / c_price END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT 'matches', 'o_orderpriority',
+      |    CASE WHEN c_prio = 0 THEN 0.0
+      |         ELSE bad_prio::DOUBLE / c_prio END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT 'is_in', 'o_orderstatus',
+      |    CASE WHEN c_st = 0 THEN 0.0
+      |         ELSE bad_st::DOUBLE / c_st END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT 'min_rows', '*',
+      |    greatest(0.0, 1000.0 - n), 0.0 FROM t)
+      |SELECT rule, "column", metric, threshold, (metric <= threshold) AS pass
+      |FROM rows0 ORDER BY rule, "column"""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
@@ -492,5 +557,8 @@ object AnalyticsQueries {
     Capability("graph_ppr",
       "personalized PageRank: teleport + dangling mass land on a seed set only",
       ppr, Some(pprSql)),
+    Capability("pipeline_expectations",
+      "declarative data-quality rules judged in one aggregation pass",
+      expectationsQ, Some(expectationsSql)),
   )
 }

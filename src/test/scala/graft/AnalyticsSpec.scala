@@ -173,6 +173,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"), ranks.toString)
   }
 
+  test("expectations judge violations per rule in one pass without Expand") {
+    import spark.implicits._
+    import graft.pipeline.Expectations._
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, None, 999.0),
+      (4L, Some("b"), 30.0)).toDF("id", "s", "x")
+    val out = check(df, Seq(
+      NotNull("s", threshold = 0.5),      // 1/4 null -> pass
+      NotNull("s"),                       // 1/4 null -> fail at 0
+      Unique("id"),                       // all distinct -> pass
+      Unique("s"),                        // b duplicated: 1/3 dup -> fail
+      InRange("x", 0.0, 100.0),           // 999 out -> fail
+      MinRows(3),                         // 4 rows -> pass
+      MinRows(10)))                       // shortfall 6 -> fail
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    def row(rule: String, colN: String, thr: Double) =
+      out.find(r => r._1 == rule && r._2 == colN && r._4 == thr).get
+    assert(row("not_null", "s", 0.5)._5)
+    assert(!row("not_null", "s", 0.0)._5)
+    assert(row("unique", "id", 0.0)._5)
+    assert(!row("unique", "s", 0.0)._5 &&
+      math.abs(row("unique", "s", 0.0)._3 - 1.0 / 3) < 1e-12)
+    assert(!row("in_range", "x", 0.0)._5)
+    assert(row("min_rows", "*", 0.0)._3 == 0.0 || row("min_rows", "*", 0.0)._5)
+    assert(out.count(r => r._1 == "min_rows" && !r._5) == 1)
+    assert(out.find(r => r._1 == "min_rows" && !r._5).get._3 == 6.0)
+    // ONE pass: a single scan, and no Expand despite two uniqueness rules
+    val q = check(df, Seq(Unique("id"), Unique("s"), NotNull("s")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"), plan.take(2000))
+  }
+
   test("personalized pagerank conserves mass and concentrates rank near the seed") {
     import spark.implicits._
     // two symmetric 3-cliques bridged by one edge; seed lives in clique A
