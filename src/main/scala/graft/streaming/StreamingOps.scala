@@ -59,6 +59,26 @@ object StreamingOps {
         col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("nd_users"))
 
+  /** Windowed streaming quantiles via the merging t-digest
+    * ([[graft.functions.expr.TDigestAgg]]) — per (hour, event_type) the
+    * ONLY state is one O(δ)-centroid digest, incrementally merged across
+    * micro-batches by the state store exactly like the HLL state of
+    * [[hourlyDistinctUsers]]. Unlike HLL registers a t-digest is
+    * order-SENSITIVE at the centroid level, so batch ≡ stream parity is
+    * rank accuracy (both land within the digest's documented error of
+    * the exact quantiles), not bit equality — StreamingSpec asserts
+    * exactly that. */
+  def hourlyQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.expr.TDigestAgg
+        .quantiles(col("value"), Seq(0.5, 0.9)).as("qs"))
+      .select(
+        col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"))
+
   /** Event-time + watermark for streaming inputs: late data beyond the
     * delay is dropped and window state is bounded — the knob the
     * reference's backpressure/ordering machinery has no analogue for. */

@@ -67,6 +67,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed t-digest quantiles land at the right ranks per window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_td").toFile
+    // two files -> at least two micro-batches: digests really merge
+    // across state-store updates, not inside one batch
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val agg = StreamingOps.hourlyQuantiles(stream.withWatermark("ts", "1 hour"))
+    val query = agg.writeStream
+      .format("memory").queryName("graft_stream_td")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("graft_stream_td").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2)) ->
+          ((r.getDouble(3), r.getDouble(4)))).toMap
+      assert(streamed.nonEmpty)
+      // t-digest centroids are merge-order-sensitive, so parity with the
+      // batch digest is RANK accuracy against the exact per-window sorted
+      // values, the digest's own contract (ApproxAggSpec precedent)
+      val groups = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(sort_array(collect_list(col("value"))).as("vs"))
+        .select(col("window.start"), col("event_type"), col("vs"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          r.getSeq[Double](2)).toMap
+      assert(groups.keySet == streamed.keySet)
+      groups.foreach { case (key, vs) =>
+        val (p50, p90) = streamed(key)
+        def rankOf(q: Double): Double = {
+          val below = vs.count(_ <= q)
+          below.toDouble / vs.length
+        }
+        // generous window-level bound: small windows quantize coarsely
+        assert(math.abs(rankOf(p50) - 0.5) <= 0.25 + 1.0 / vs.length,
+          s"$key p50=$p50 rank=${rankOf(p50)} n=${vs.length}")
+        assert(rankOf(p90) >= 0.6,
+          s"$key p90=$p90 rank=${rankOf(p90)} n=${vs.length}")
+        assert(p50 <= p90)
+      }
+    } finally query.stop()
+  }
+
   test("restart from checkpoint resumes exactly-once (no dupes, no gaps)") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toFile
