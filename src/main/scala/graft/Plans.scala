@@ -52,7 +52,12 @@ object Plans {
       "dedup_incremental",       // 8-byte-hash tiers, cross-side-only near join
       "mm_video_pairs",          // one decode pass, reused exchange, fhash equi-join
       "profile_stats_sketch",    // sketch partials, no Expand
-      "graph_harmonic")          // HyperBall sketch-ball iteration
+      "graph_harmonic",          // HyperBall sketch-ball iteration
+      "graph_ppr",               // seed-flag teleport, same iteration shape
+      "graph_triangles",         // degree-oriented wedges, reused exchange
+      "dedup_ppjoin",            // prefix-filter candidates, exact verify
+      "ann_pq",                  // literal codebook, narrow encode, ADC scan
+      "pipeline_expectations")   // one scan + one 1-row aggregate
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
