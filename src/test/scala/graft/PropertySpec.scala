@@ -36,6 +36,75 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("distinct sketch exact tier equals the true distinct count on random multisets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.choose(0L, 120L))
+    val prop = Prop.forAll(gen) { vals =>
+      vals.nonEmpty ==> {
+        val df = vals.toDF("v")
+        val got = df.agg(graft.functions.expr.DistinctSketchAgg(col("v")))
+          .head().getLong(0)
+        got == vals.distinct.length.toLong
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("top-k heap ignores NaN scores and keeps the total-order top set") {
+    import spark.implicits._
+    // regression for the NaN-poisoned-heap defect: NaN compares false
+    // with everything, so an admitted NaN would make results depend on
+    // merge order; the aggregate must skip NaN like null
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf(Gen.choose(0.0, 100.0), Gen.const(Double.NaN)),
+        Gen.choose(0L, 1000L)))
+    val prop = Prop.forAll(gen) { pairs =>
+      pairs.exists(p => !p._1.isNaN) ==> {
+        val df = pairs.toDF("s", "id").repartition(7)
+        val got = df.agg(graft.functions.expr.TopKAgg(col("s"), col("id"), 5))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getDouble(0), r.getLong(1)))
+        val expected = pairs.filter(!_._1.isNaN).distinct
+          .sortBy { case (s, i) => (-s, i) }
+        // expected top-5 under (score desc, id asc) over the DISTINCT
+        // pair set the heap sees (identical pairs collapse to one entry
+        // at most k times — compare against the heap's own contract:
+        // no NaN, sorted by the total order, subset of the input)
+        got.forall(e => !e._1.isNaN) &&
+          got == got.sortBy { case (s, i) => (-s, i) } &&
+          got.toSet.subsetOf(pairs.toSet) &&
+          got.headOption == expected.headOption
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("prefix-filtered Jaccard equals the exact inverted-index join on random docs") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val gen = Gen.listOfN(12, doc)
+    val prop = Prop.forAll(gen) { texts =>
+      texts.nonEmpty ==> {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        def pairsOf(d: org.apache.spark.sql.DataFrame) = d
+          .select("da", "db", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val exact = pairsOf(graft.pipeline.Dedup
+          .jaccardPairs(df, "doc_id", "text").filter(col("jaccard") >= 0.6))
+        val prefix = pairsOf(graft.pipeline.Dedup
+          .prefixJaccardPairs(df, "doc_id", "text", threshold = 0.6))
+        graft.pipeline.Dedup.unpersistAll()
+        prefix == exact
+      }
+    }
+    val res = SCTest.check(scParams.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("swapcase expression equals a character-wise reference on random text") {
     import spark.implicits._
     val gen = Gen.listOfN(8, Gen.asciiPrintableStr.map(_.take(40)))
