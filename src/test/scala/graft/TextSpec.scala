@@ -8,6 +8,56 @@ class TextSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("BPE learns the textbook merge order on the Sennrich corpus") {
+    import spark.implicits._
+    import graft.pipeline.Bpe
+    // the worked example from the BPE paper: weighted words low*5,
+    // lower*2, newest*6, widest*3 — the first merges are driven by the
+    // (e,s) pair at weight 9
+    val docs = (
+      List.fill(5)("low") ++ List.fill(2)("lower") ++
+      List.fill(6)("newest") ++ List.fill(3)("widest"))
+      .map(Tuple1(_)).toDF("text")
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+    assert(merges.take(3) == Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow)),
+      merges.toString)
+    // the distributed tier (forced by a zero collect cap) learns the
+    // IDENTICAL merge sequence — the two tiers share one total order
+    val distributed = Bpe.train(docs, "text", nMerges = 4, maxVocabCollect = 0)
+    assert(distributed == merges, s"$distributed vs $merges")
+    // tokenizing with those merges keeps "est▁" together
+    val toks = Bpe.tokenize(Seq(Tuple1("newest")).toDF("text"), "text", merges)
+      .select(col("tokens")).head().getSeq[String](0)
+    assert(toks.last == "est" + Bpe.Eow, toks.toString)
+    assert(toks.mkString("") == "newest" + Bpe.Eow)
+  }
+
+  test("BPE greedy rewrite is left-to-right non-overlapping and lossless") {
+    import graft.pipeline.Bpe
+    // overlapping occurrences: aaa + (a,a) merges the FIRST pair only
+    assert(Bpe.mergeOnce(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Array("a", "a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "aa"))
+    // losslessness on real documents with the learned merges
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(200)
+    val merges = Bpe.train(docs, "text", nMerges = 12)
+    assert(merges.length == 12)
+    val bad = Bpe.tokenize(docs, "text", merges)
+      .filter(concat_ws("", col("tokens")) =!=
+        concat(regexp_replace(trim(col("text")), "\\s+", Bpe.Eow), lit(Bpe.Eow)))
+      .count()
+    assert(bad == 0)
+    // more merges never increase the token total
+    def total(m: Seq[(String, String)]): Long =
+      Bpe.tokenize(docs, "text", m).agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(total(merges) <= total(merges.take(6)))
+    assert(total(merges.take(6)) <= total(Seq.empty))
+    assert(total(merges) < total(Seq.empty))
+  }
+
   test("shingles produce size-n word windows, deduplicated") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x x x x").toDF("text")
