@@ -82,11 +82,11 @@ object Plans {
         .union(pairs.select(
           concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst")))
       val g = graft.pipeline.GraphOps.prepare(edges, "src", "dst")
-      val r0 = g.nodes.withColumn("rank", lit(1.0 / g.n)).localCheckpoint()
+      val r0 = g.nd.withColumn("rank", lit(1.0 / g.n)).localCheckpoint()
       val it = graft.pipeline.GraphOps.iterate(g, r0, 0.85, 12)
       val plan = it.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      g.e.unpersist(); g.nodes.unpersist(); g.deg.unpersist()
+      g.e.unpersist(); g.nd.unpersist()
       "## graph_pagerank (one iteration)\n\n" +
         "The per-round plan of GraphOps.pageRank: cached src-partitioned " +
         "edges reused (no live src exchange), rank-width frames shuffle, " +

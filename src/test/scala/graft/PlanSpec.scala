@@ -302,25 +302,27 @@ class PlanSpec extends AnyFunSuite {
         .toDF("src", "dst")
       val g = graft.pipeline.GraphOps.prepare(edges, "src", "dst")
       try {
-        val r0 = g.nodes.withColumn("rank", lit(1.0 / g.n)).localCheckpoint()
+        val r0 = g.nd.withColumn("rank", lit(1.0 / g.n)).localCheckpoint()
         val it = graft.pipeline.GraphOps.iterate(g, r0, 0.85, 12)
         it.collect()
         val plan = topLevelFinal(it.queryExecution.executedPlan.toString)
         // the load-bearing property: the only src-keyed exchange is the
         // one-time REPARTITION_BY_COL inside the persisted edge relation —
-        // a live (ENSURE_REQUIREMENTS) src shuffle would mean the edge or
-        // degree frame is re-shuffled EVERY iteration
+        // a live (ENSURE_REQUIREMENTS) src shuffle would mean the edge
+        // frame is re-shuffled EVERY iteration
         val liveSrc = "Exchange hashpartitioning\\(src#\\d+, \\d+\\), ENSURE_REQUIREMENTS".r
           .findAllIn(plan).length
         assert(liveSrc == 0,
-          s"edge/degree frames re-shuffled per iteration ($liveSrc live src exchanges):\n${plan.take(3000)}")
-        // cache reuse: edges, nodes and degrees all read from memory
-        assert("InMemoryTableScan".r.findAllIn(plan).length >= 3, plan.take(3000))
+          s"edge frame re-shuffled per iteration ($liveSrc live src exchanges):\n${plan.take(3000)}")
+        // cache reuse: the edge and node/degree frames read from memory
+        assert("InMemoryTableScan".r.findAllIn(plan).length >= 2, plan.take(3000))
         // the 1-row sink-mass aggregate rides a broadcast cross join, never
-        // a shuffled join
+        // a shuffled join — and sinks come from the rank frame's own deg
+        // column, so the plan has NO anti join at all
         assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 1,
           plan.take(3000))
-      } finally { g.e.unpersist(); g.nodes.unpersist(); g.deg.unpersist() }
+        assert(!plan.contains("LeftAnti"), plan.take(3000))
+      } finally { g.e.unpersist(); g.nd.unpersist() }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
