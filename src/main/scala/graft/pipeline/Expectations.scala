@@ -58,6 +58,17 @@ object Expectations {
     val name = "min_rows"; val column = "*"; val threshold = 0.0
   }
 
+  /** Referential integrity: the fraction of non-null values in `column`
+    * absent from `ref`'s `refCol` must be <= `threshold` — the
+    * foreign-key containment check. Unlike the scalar rules this needs a
+    * second input, so it costs one LEFT ANTI equi-join per rule (the
+    * reference side is typically a dimension table Spark broadcasts);
+    * the scalar rules still share their single pass. */
+  final case class RefIntegrity(column: String, ref: DataFrame,
+      refCol: String, threshold: Double = 0.0) extends Rule {
+    val name = "ref_integrity"
+  }
+
   private def frac(violations: Column, denom: Column): Column =
     when(denom === 0L, lit(0.0))
       .otherwise(violations.cast("double") / denom.cast("double"))
@@ -83,7 +94,20 @@ object Expectations {
         count(col(r.column)).as(s"__c$i"),
         count(when(!col(r.column).isin(r.allowed: _*), 1)).as(s"__m$i"))
       case (_: MinRows, _) => Seq.empty
+      case (_: RefIntegrity, _) => Seq.empty
     }
+    // join-backed rules: one (violations, total) pair per rule, computed
+    // outside the shared scalar pass and carried as literals
+    val refMetrics: Map[Int, (Long, Long)] = rules.zipWithIndex.collect {
+      case (r: RefIntegrity, i) =>
+        val vals = df.select(col(r.column)).filter(col(r.column).isNotNull)
+        val total = vals.count()
+        val missing = vals
+          .join(r.ref.select(col(r.refCol).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
+          .count()
+        i -> ((missing, total))
+    }.toMap
     val one = df.agg(aggs.head, aggs.tail: _*)
     val metrics: Seq[Column] = rules.zipWithIndex.map {
       case (r: NotNull, i) =>
@@ -111,6 +135,11 @@ object Expectations {
           greatest(lit(0.0), lit(r.minRows).cast("double") - col("__n"))
             .as("metric"),
           lit(r.threshold).as("threshold"))
+      case (r: RefIntegrity, i) =>
+        val (missing, total) = refMetrics(i)
+        val m = if (total == 0L) 0.0 else missing.toDouble / total.toDouble
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          lit(m).as("metric"), lit(r.threshold).as("threshold"))
     }
     one
       .select(explode(array(metrics: _*)).as("r"))

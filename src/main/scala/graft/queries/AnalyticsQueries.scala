@@ -480,7 +480,11 @@ object AnalyticsQueries {
       InRange("o_totalprice", 0.0, 600000.0),
       Matches("o_orderpriority", "^[1-5]-"),
       IsIn("o_orderstatus", Seq("O", "F", "P")),
-      MinRows(1000)))
+      MinRows(1000),
+      // FK containment: every order's customer exists (passes); order
+      // keys are NOT customer keys (fails loudly, second fail-path row)
+      RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey"),
+      RefIntegrity("o_orderkey", Tables.customer(s, d), "c_custkey")))
       .orderBy(col("rule"), col("column"))
   }
 
@@ -525,7 +529,19 @@ object AnalyticsQueries {
       |         ELSE bad_st::DOUBLE / c_st END, 0.0 FROM t
       |  UNION ALL
       |  SELECT 'min_rows', '*',
-      |    greatest(0.0, 1000.0 - n), 0.0 FROM t)
+      |    greatest(0.0, 1000.0 - n), 0.0 FROM t
+      |  UNION ALL
+      |  SELECT 'ref_integrity', 'o_custkey',
+      |    (SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL)::DOUBLE /
+      |            COUNT(*)
+      |     FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |     WHERE o.o_custkey IS NOT NULL), 0.0
+      |  UNION ALL
+      |  SELECT 'ref_integrity', 'o_orderkey',
+      |    (SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL)::DOUBLE /
+      |            COUNT(*)
+      |     FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_orderkey
+      |     WHERE o.o_orderkey IS NOT NULL), 0.0)
       |SELECT rule, "column", metric, threshold, (metric <= threshold) AS pass
       |FROM rows0 ORDER BY rule, "column"""".stripMargin
 

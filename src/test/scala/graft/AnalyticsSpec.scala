@@ -200,6 +200,13 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row("min_rows", "*", 0.0)._3 == 0.0 || row("min_rows", "*", 0.0)._5)
     assert(out.count(r => r._1 == "min_rows" && !r._5) == 1)
     assert(out.find(r => r._1 == "min_rows" && !r._5).get._3 == 6.0)
+    // referential integrity: 10,20,30 ⊆ dim, 999 not — 1/4 missing
+    val dim = Seq(10.0, 20.0, 30.0, 40.0).map(Tuple1(_)).toDF("k")
+    val fk = check(df, Seq(RefIntegrity("x", dim, "k"),
+      RefIntegrity("x", dim, "k", threshold = 0.5)))
+      .collect().map(r => (r.getDouble(2), r.getBoolean(4)))
+    assert(fk.forall(f => math.abs(f._1 - 0.25) < 1e-12), fk.mkString(","))
+    assert(fk.map(_._2).toSeq.sorted == Seq(false, true))
     // ONE pass: a single scan, and no Expand despite two uniqueness rules
     val q = check(df, Seq(Unique("id"), Unique("s"), NotNull("s")))
     q.collect()
