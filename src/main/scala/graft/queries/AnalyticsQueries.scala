@@ -584,6 +584,56 @@ object AnalyticsQueries {
   private val bpeSql =
     s"SELECT $BpeMerges AS n_merges, 1 AS lossless_ok, 1 AS monotone_ok"
 
+  /** Q43: regular-grid resampling with linear interpolation
+    * ([[graft.operators.Resample]]): per event type, a 2-hour grid over
+    * the observed span, each point interpolated between its bracketing
+    * events within a 4-hour gap horizon (outside → NULL). The oracle
+    * mirrors the two bounded as-of joins as range joins with the same
+    * tie rules and the identical microsecond long arithmetic. */
+  private def resampleQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Resample.linear(
+        Tables.events(s, d), "event_type", "ts", "value", "event_id",
+        step = "2 hours", maxGap = "4 hours")
+      .select(col("event_type"), col("g"), round(col("value"), 6).as("value"))
+      .orderBy(col("event_type"), col("g"))
+
+  private val resampleSql =
+    """WITH b AS (
+      |  SELECT event_type, min(ts) AS mn, max(ts) AS mx
+      |  FROM events GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 2 HOUR)) AS g
+      |  FROM b),
+      |bk AS (
+      |  SELECT event_type, g, tb, vb FROM (
+      |    SELECT gr.event_type, gr.g, e.ts AS tb, e.value AS vb,
+      |      row_number() OVER (PARTITION BY gr.event_type, gr.g
+      |                         ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |    FROM grid gr JOIN events e
+      |      ON e.event_type = gr.event_type
+      |     AND e.ts <= gr.g AND e.ts >= gr.g - INTERVAL 4 HOUR)
+      |  WHERE rn = 1),
+      |fw AS (
+      |  SELECT event_type, g, tf, vf FROM (
+      |    SELECT gr.event_type, gr.g, e.ts AS tf, e.value AS vf,
+      |      row_number() OVER (PARTITION BY gr.event_type, gr.g
+      |                         ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      |    FROM grid gr JOIN events e
+      |      ON e.event_type = gr.event_type
+      |     AND e.ts >= gr.g AND e.ts <= gr.g + INTERVAL 4 HOUR)
+      |  WHERE rn = 1)
+      |SELECT gr.event_type AS event_type, gr.g AS g,
+      |  round(CASE WHEN bk.tb IS NOT NULL AND fw.tf IS NOT NULL THEN
+      |    CASE WHEN fw.tf = bk.tb THEN bk.vb
+      |         ELSE bk.vb + (fw.vf - bk.vb) *
+      |              ((epoch_us(gr.g) - epoch_us(bk.tb)) /
+      |               (epoch_us(fw.tf) - epoch_us(bk.tb))) END
+      |  END, 6) AS value
+      |FROM grid gr
+      |LEFT JOIN bk ON bk.event_type = gr.event_type AND bk.g = gr.g
+      |LEFT JOIN fw ON fw.event_type = gr.event_type AND fw.g = gr.g
+      |ORDER BY gr.event_type, gr.g""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
@@ -618,5 +668,8 @@ object AnalyticsQueries {
     Capability("pipeline_bpe",
       "BPE vocabulary training + lossless tokenization (monotone compression gate)",
       bpeQ, Some(bpeSql)),
+    Capability("q43_resample",
+      "regular-grid time-series resampling with linear interpolation (as-of composed)",
+      resampleQ, Some(resampleSql)),
   )
 }

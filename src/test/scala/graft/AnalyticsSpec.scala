@@ -173,6 +173,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"), ranks.toString)
   }
 
+  test("resample interpolates between brackets and NULLs gaps beyond the horizon") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "k", "2024-01-01 00:00:00", 0.0),
+      (2L, "k", "2024-01-01 01:00:00", 10.0),
+      (3L, "k", "2024-01-01 04:00:00", 40.0))
+      .toDF("event_id", "key", "t", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val out = graft.operators.Resample
+      .linear(events, "key", "ts", "value", "event_id",
+        step = "30 minutes", maxGap = "2 hours")
+      .orderBy(col("g"))
+      .collect().map(r => (r.getTimestamp(1).toString.substring(11, 16),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // 0:00 exact, 0:30 midpoint, 1:00 exact, 1:30 forward bracket beyond
+    // the 2h horizon -> gap, 2:00-3:00 interpolate across the long span,
+    // 3:30 backward bracket beyond the horizon -> gap, 4:00 exact
+    assert(out.toSeq == Seq(
+      "00:00" -> Some(0.0), "00:30" -> Some(5.0), "01:00" -> Some(10.0),
+      "01:30" -> None, "02:00" -> Some(20.0), "02:30" -> Some(25.0),
+      "03:00" -> Some(30.0), "03:30" -> None, "04:00" -> Some(40.0)),
+      out.mkString(","))
+  }
+
   test("expectations judge violations per rule in one pass without Expand") {
     import spark.implicits._
     import graft.pipeline.Expectations._
