@@ -73,12 +73,9 @@ object Expectations {
     when(denom === 0L, lit(0.0))
       .otherwise(violations.cast("double") / denom.cast("double"))
 
-  /** Evaluate `rules` in one pass; see the object doc for the shape. */
-  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "Expectations.check needs at least one rule")
-    val total = count(lit(1))
-    // one aggregate column per rule, one metric expression over them
-    val aggs: Seq[Column] = total.as("__n") +: rules.zipWithIndex.flatMap {
+  // one aggregate column per rule, shared by the global and windowed paths
+  private def aggsFor(rules: Seq[Rule]): Seq[Column] =
+    count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
       case (r: NotNull, i) =>
         Seq(count(when(col(r.column).isNull, 1)).as(s"__m$i"))
       case (r: Unique, i) => Seq(
@@ -96,20 +93,12 @@ object Expectations {
       case (_: MinRows, _) => Seq.empty
       case (_: RefIntegrity, _) => Seq.empty
     }
-    // join-backed rules: one (violations, total) pair per rule, computed
-    // outside the shared scalar pass and carried as literals
-    val refMetrics: Map[Int, (Long, Long)] = rules.zipWithIndex.collect {
-      case (r: RefIntegrity, i) =>
-        val vals = df.select(col(r.column)).filter(col(r.column).isNotNull)
-        val total = vals.count()
-        val missing = vals
-          .join(r.ref.select(col(r.refCol).as(r.column)).distinct(),
-            Seq(r.column), "left_anti")
-          .count()
-        i -> ((missing, total))
-    }.toMap
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val metrics: Seq[Column] = rules.zipWithIndex.map {
+
+  // metric structs over the aggregate columns; `refMetrics` carries the
+  // join-backed results (empty when those rules are disallowed)
+  private def metricsFor(
+      rules: Seq[Rule], refMetrics: Map[Int, (Long, Long)]): Seq[Column] =
+    rules.zipWithIndex.map {
       case (r: NotNull, i) =>
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
           frac(col(s"__m$i"), col("__n")).as("metric"),
@@ -141,10 +130,55 @@ object Expectations {
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
           lit(m).as("metric"), lit(r.threshold).as("threshold"))
     }
+
+  private def report(prefix: Seq[Column]): Seq[Column] =
+    prefix ++ Seq(col("r.rule").as("rule"), col("r.column").as("column"),
+      col("r.metric").as("metric"), col("r.threshold").as("threshold"),
+      (col("r.metric") <= col("r.threshold")).as("pass"))
+
+  /** Evaluate `rules` in one pass; see the object doc for the shape. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.check needs at least one rule")
+    val aggs = aggsFor(rules)
+    // join-backed rules: one (violations, total) pair per rule, computed
+    // outside the shared scalar pass and carried as literals
+    val refMetrics: Map[Int, (Long, Long)] = rules.zipWithIndex.collect {
+      case (r: RefIntegrity, i) =>
+        val vals = df.select(col(r.column)).filter(col(r.column).isNotNull)
+        val total = vals.count()
+        val missing = vals
+          .join(r.ref.select(col(r.refCol).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
+          .count()
+        i -> ((missing, total))
+    }.toMap
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val metrics = metricsFor(rules, refMetrics)
     one
       .select(explode(array(metrics: _*)).as("r"))
-      .select(col("r.rule").as("rule"), col("r.column").as("column"),
-        col("r.metric").as("metric"), col("r.threshold").as("threshold"),
-        (col("r.metric") <= col("r.threshold")).as("pass"))
+      .select(report(Seq.empty): _*)
+  }
+
+  /** Per-event-time-window expectations — continuous data-quality
+    * monitoring over a (possibly streaming) event frame: the same rule
+    * set judged independently inside every `windowDur` window of
+    * `tsCol`. Works identically on a batch frame and a watermarked
+    * stream (the aggregate state per window is the scalar counters plus
+    * any uniqueness rule's sketch — bounded, watermark-evictable; the
+    * StreamingSpec parity case runs exactly that). Join-backed rules
+    * ([[RefIntegrity]]) are global by nature and rejected here.
+    * Output: (ws, we, rule, column, metric, threshold, pass). */
+  def checkWindowed(df: DataFrame, tsCol: String, windowDur: String,
+      rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.checkWindowed needs at least one rule")
+    require(!rules.exists(_.isInstanceOf[RefIntegrity]),
+      "RefIntegrity is a global rule — run it via check(), not per window")
+    val aggs = aggsFor(rules)
+    val metrics = metricsFor(rules, Map.empty)
+    df.groupBy(window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        explode(array(metrics: _*)).as("r"))
+      .select(report(Seq(col("ws"), col("we"))): _*)
   }
 }

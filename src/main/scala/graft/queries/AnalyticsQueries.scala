@@ -584,6 +584,58 @@ object AnalyticsQueries {
   private val bpeSql =
     s"SELECT $BpeMerges AS n_merges, 1 AS lossless_ok, 1 AS monotone_ok"
 
+  /** Windowed expectations ([[graft.pipeline.Expectations.checkWindowed]]):
+    * the same rule engine judged per event-time day — continuous
+    * data-quality monitoring, identical code on a batch frame and a
+    * watermarked stream (StreamingSpec asserts that parity). The
+    * in-range rule's nonzero violation fractions and the failing
+    * per-window user uniqueness keep both metric paths honest. */
+  private def expectationsWindowedQ(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Expectations._
+    checkWindowed(Tables.events(s, d), "ts", "1 day", Seq(
+      NotNull("value"),
+      InRange("value", 0.0, 100.0, threshold = 0.8),
+      IsIn("event_type", Seq("click", "signup", "error", "view", "purchase")),
+      Unique("event_id"),
+      Unique("user_id"))) // fails: users repeat within a day
+      .orderBy(col("ws"), col("rule"), col("column"))
+  }
+
+  private val expectationsWindowedSql =
+    """WITH t AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws,
+      |    COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE value IS NULL) AS null_v,
+      |    COUNT(value) AS c_v,
+      |    COUNT(*) FILTER (WHERE value < 0 OR value > 100) AS oor_v,
+      |    COUNT(event_type) AS c_t,
+      |    COUNT(*) FILTER (WHERE event_type NOT IN
+      |      ('click', 'signup', 'error', 'view', 'purchase')) AS bad_t,
+      |    COUNT(event_id) AS c_e, COUNT(DISTINCT event_id) AS d_e,
+      |    COUNT(user_id) AS c_u, COUNT(DISTINCT user_id) AS d_u
+      |  FROM events GROUP BY 1),
+      |rows0 AS (
+      |  SELECT ws, 'not_null' AS rule, 'value' AS "column",
+      |    CASE WHEN n = 0 THEN 0.0 ELSE null_v::DOUBLE / n END AS metric,
+      |    0.0 AS threshold FROM t
+      |  UNION ALL
+      |  SELECT ws, 'in_range', 'value',
+      |    CASE WHEN c_v = 0 THEN 0.0 ELSE oor_v::DOUBLE / c_v END, 0.8 FROM t
+      |  UNION ALL
+      |  SELECT ws, 'is_in', 'event_type',
+      |    CASE WHEN c_t = 0 THEN 0.0 ELSE bad_t::DOUBLE / c_t END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT ws, 'unique', 'event_id',
+      |    CASE WHEN c_e = 0 THEN 0.0
+      |         ELSE (c_e - d_e)::DOUBLE / c_e END, 0.0 FROM t
+      |  UNION ALL
+      |  SELECT ws, 'unique', 'user_id',
+      |    CASE WHEN c_u = 0 THEN 0.0
+      |         ELSE (c_u - d_u)::DOUBLE / c_u END, 0.0 FROM t)
+      |SELECT ws, ws + INTERVAL 1 DAY AS we, rule, "column", metric,
+      |  threshold, (metric <= threshold) AS pass
+      |FROM rows0 ORDER BY ws, rule, "column"""".stripMargin
+
   /** Q43: regular-grid resampling with linear interpolation
     * ([[graft.operators.Resample]]): per event type, a 2-hour grid over
     * the observed span, each point interpolated between its bracketing
@@ -671,5 +723,8 @@ object AnalyticsQueries {
     Capability("q43_resample",
       "regular-grid time-series resampling with linear interpolation (as-of composed)",
       resampleQ, Some(resampleSql)),
+    Capability("pipeline_expectations_windowed",
+      "per-event-time-window data-quality rules (continuous monitoring)",
+      expectationsWindowedQ, Some(expectationsWindowedSql)),
   )
 }

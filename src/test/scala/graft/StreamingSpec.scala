@@ -67,6 +67,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed expectations equal the batch rule report exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dq").toFile
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    import graft.pipeline.Expectations._
+    val rules = Seq(
+      NotNull("value"),
+      InRange("value", 0.0, 100.0, threshold = 0.8),
+      Unique("event_id"),
+      Unique("user_id"))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val agg = checkWindowed(stream.withWatermark("ts", "1 hour"), "ts", "1 day", rules)
+    val query = agg.writeStream
+      .format("memory").queryName("graft_stream_dq")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("graft_stream_dq")
+        .orderBy(col("ws"), col("rule"), col("column")).collect().toSeq
+      // scalar counters AND the uniqueness sketch state merge across
+      // micro-batches to the batch answer: exact, not approximate —
+      // row-for-row equality including metric doubles
+      val batch = checkWindowed(ev, "ts", "1 day", rules)
+        .orderBy(col("ws"), col("rule"), col("column")).collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // the planted failing rule fails in EVERY window in both worlds
+      assert(spark.table("graft_stream_dq")
+        .filter(col("rule") === "unique" && col("column") === "user_id")
+        .collect().forall(!_.getBoolean(6)))
+    } finally query.stop()
+  }
+
   test("streaming windowed t-digest quantiles land at the right ranks per window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_td").toFile
     // two files -> at least two micro-batches: digests really merge
