@@ -57,7 +57,8 @@ object Plans {
       "graph_triangles",         // degree-oriented wedges, reused exchange
       "dedup_ppjoin",            // prefix-filter candidates, exact verify
       "ann_pq",                  // literal codebook, narrow encode, ADC scan
-      "pipeline_expectations")   // one scan + one 1-row aggregate
+      "pipeline_expectations",   // one scan + one 1-row aggregate
+      "q43_resample")            // binned bracket joins, no per-key cross
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
