@@ -59,6 +59,32 @@ object GraphOps {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** WEIGHTED PageRank: rank splits over out-edges in proportion to a
+    * positive edge weight (contribution `rank·w/Σw`) instead of
+    * uniformly — host graphs are weighted by link counts, and uniform
+    * splitting over-credits hosts linked once from everywhere. Same
+    * dangling-mass redistribution, determinism contract and
+    * per-iteration plan shape as [[pageRank]] (which IS this operator
+    * at weight 1.0 — multiplying by 1.0 is IEEE-exact). Weights must be
+    * positive; a non-positive weight corrupts the split silently, so
+    * validate upstream. */
+  def pageRankWeighted(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int, damping: Double = 0.85,
+      roundContrib: Int = 12): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    val g = prepare(edges, srcCol, dstCol, Some(weightCol))
+    var ranks = g.nd.withColumn("rank", lit(1.0 / g.n))
+    var it = 0
+    while (it < iterations) {
+      ranks = iterate(g, ranks, damping, roundContrib).localCheckpoint()
+      it += 1
+    }
+    g.e.unpersist(); g.nd.unpersist()
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** PERSONALIZED (topic-sensitive) PageRank: teleportation lands
     * uniformly on a seed set instead of the whole graph — rank measures
     * authority AS SEEN FROM the seeds (Haveliwala 2002), the standard
@@ -260,16 +286,24 @@ object GraphOps {
     * Without the persists the upstream distinct would recompute per
     * iteration; without the pre-partitioning every iteration would
     * re-shuffle the full edge set. */
+  /** `weightCol = None` carries weight 1.0 per edge, and `deg` becomes
+    * the plain out-degree; multiplying a rank by 1.0 is IEEE-exact, so
+    * the unweighted arithmetic is bit-identical to a weightless
+    * formulation. Weights must be positive — a zero-total-weight source
+    * would divide by zero. */
   private[graft] def prepare(
-      edges: DataFrame, srcCol: String, dstCol: String): PrGraph = {
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None): PrGraph = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        w.as("w"))
       .repartition(col("src")).persist(disk)
     // rename BEFORE grouping so every node-keyed exchange in this frame's
     // plan prints on `node` — PlanSpec's no-live-src-exchange pin reads
     // the plan text, cached relations included
-    val deg = e.select(col("src").as("node")).groupBy(col("node"))
-      .agg(count(lit(1)).cast("double").as("deg"))
+    val deg = e.select(col("src").as("node"), col("w")).groupBy(col("node"))
+      .agg(sum(col("w")).as("deg"))
     val nd = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(deg, Seq("node"), "left")
@@ -289,11 +323,13 @@ object GraphOps {
     def exactSum(c: Column): Column =
       coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
     // only rows with out-edges match the join, so `deg` is non-null on
-    // every contribution
+    // every contribution; rank splits over out-edges in proportion to
+    // edge weight (w = 1.0 and deg = out-degree in the unweighted case —
+    // multiplying by 1.0 is IEEE-exact, so the arithmetic is identical)
     val contribs = g.e
       .join(ranks, g.e("src") === ranks("node"))
       .select(col("dst").as("node"),
-        round(col("rank") / col("deg"), roundContrib).as("contrib"))
+        round(col("rank") * col("w") / col("deg"), roundContrib).as("contrib"))
     // dangling mass: total rank held by sink nodes — deg IS NULL on the
     // rank frame itself; one narrow filter + 1-row aggregate, broadcast
     // into the update. Its uniform per-node share joins the edge

@@ -292,6 +292,69 @@ object AnalyticsQueries {
        |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
   }
 
+  /** Weighted PageRank ([[graft.pipeline.GraphOps.pageRankWeighted]]):
+    * the same sink-bearing graph, with each part↔supplier edge weighted
+    * by its lineitem co-occurrence COUNT (how link-weighted host graphs
+    * actually arrive) and sink edges at weight 1. The oracle unrolls the
+    * identical iterations with `rank·w/Σw` contributions. */
+  private def wpr(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val edges = pairs.select(
+        concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"),
+        col("w"))
+      .union(pairs.select(
+        concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("p")).as("dst"),
+        col("w")))
+      .union(pairs.filter(col("p") % 10 === 0)
+        .select(concat(lit("p"), col("p")).as("src"), lit("zsink").as("dst"),
+          lit(1.0).as("w"))
+        .distinct())
+    graft.pipeline.GraphOps
+      .pageRankWeighted(edges, "src", "dst", "w", iterations = PrIters)
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val wprSql = {
+    def iter(prev: String, dm: String, out: String) =
+      s"""$dm AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+         |         0.0) AS dm
+         |  FROM $prev r LEFT JOIN deg ON deg.src = r.node
+         |  WHERE deg.src IS NULL),
+         |$out AS (
+         |  SELECT nodes.node,
+         |    (SELECT (1.0-0.85)/n FROM n) + 0.85 * (COALESCE(
+         |      CAST(SUM(CAST(round(r.rank * e.w / deg.sw, 12) AS DECIMAL(38,18))) AS DOUBLE),
+         |      0.0) + (SELECT round(dm / (SELECT n FROM n), 12) FROM $dm)) AS rank
+         |  FROM nodes
+         |  LEFT JOIN edges e ON e.dst = nodes.node
+         |  LEFT JOIN $prev r ON r.node = e.src
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  GROUP BY nodes.node)"""
+    s"""WITH pairs AS (
+       |  SELECT l_partkey AS p, l_suppkey AS sk, COUNT(*)::DOUBLE AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT 'p' || p AS src, 's' || sk AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT 's' || sk, 'p' || p, w FROM pairs
+       |  UNION ALL
+       |  SELECT DISTINCT 'p' || p, 'zsink', 1.0 FROM pairs WHERE p % 10 = 0),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |n AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+       |deg AS (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+       |r0 AS (SELECT node, (SELECT 1.0/n FROM n) AS rank FROM nodes),
+       |${iter("r0", "dm1", "it1")},
+       |${iter("it1", "dm2", "it2")},
+       |${iter("it2", "dm3", "it3")}
+       |SELECT node, round(rank, 9) AS rank FROM it3 ORDER BY node""".stripMargin
+  }
+
   /** Personalized PageRank
     * ([[graft.pipeline.GraphOps.pageRankPersonalized]]): the SAME
     * sink-bearing graph as [[pagerank]], teleporting to the SUPPLIER
@@ -714,6 +777,9 @@ object AnalyticsQueries {
     Capability("graph_ppr",
       "personalized PageRank: teleport + dangling mass land on a seed set only",
       ppr, Some(pprSql)),
+    Capability("graph_wpr",
+      "weighted PageRank: rank splits over out-edges by edge weight",
+      wpr, Some(wprSql)),
     Capability("pipeline_expectations",
       "declarative data-quality rules judged in one aggregation pass",
       expectationsQ, Some(expectationsSql)),

@@ -259,6 +259,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted pagerank conserves mass and follows the heavy edge") {
+    import spark.implicits._
+    // a splits 9:1 between b and c; both feed back to a — b must outrank
+    // c, and at weight 1.0 the operator must equal the unweighted one
+    val edges = Seq(("a", "b", 9.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val ranks = graft.pipeline.GraphOps
+      .pageRankWeighted(edges, "src", "dst", "w", iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, ranks.toString)
+    assert(ranks("b") > ranks("c"), ranks.toString)
+    val unit = edges.withColumn("w", lit(1.0))
+    val viaWeighted = graft.pipeline.GraphOps
+      .pageRankWeighted(unit, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = graft.pipeline.GraphOps
+      .pageRank(edges.drop("w"), "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaWeighted == plain, s"$viaWeighted vs $plain")
+  }
+
   test("harmonic centrality equals the closed form on a directed path") {
     import spark.implicits._
     // path a -> b -> c -> d, REVERSED input so distances run toward each
