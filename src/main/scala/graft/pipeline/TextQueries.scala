@@ -490,6 +490,80 @@ object TextQueries {
       |  round(sum_lp10 / n_tok, 6) AS avg_lp10
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained BIGRAM language-model scoring — one n-gram order up
+    * from [[unigramLogProb]], the form CCNet-style perplexity filters
+    * actually run: each document scores by the add-one-smoothed log10
+    * probability of its word transitions `P(w_i | w_{i-1}) =
+    * (c(w_{i-1}, w_i) + 1) / (c(w_{i-1}·) + V)` under the corpus's own
+    * bigram counts. Word soup with plausible words but implausible
+    * ORDER — the case a unigram model cannot see — scores low.
+    *
+    * Scale shape mirrors the unigram gate: bigrams explode narrowly from
+    * per-row slices, (doc, bigram)-keyed counts with map-side combine,
+    * corpus transition and context counts reuse those partials, the
+    * (V) scalar is one broadcast row, and the per-doc score is the same
+    * decimal-summed one-expression-per-term contract, so grouped float
+    * addition order cannot perturb the gate. Documents shorter than two
+    * tokens have no transitions and drop from the output (both engines
+    * agree by construction). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = graft.functions.TextOps.words(col(textCol))
+    val bg = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1))).as("p"))
+      .select(col(idCol), col("p").getField("0").as("wl"),
+        col("p").getField("1").as("wr"))
+    val dc = bg.groupBy(col(idCol), col("wl"), col("wr"))
+      .agg(count(lit(1)).as("k"))
+    val trans = dc.groupBy(col("wl"), col("wr")).agg(sum(col("k")).as("cb"))
+    val ctx = trans.groupBy(col("wl")).agg(sum(col("cb")).as("cu"))
+    val vocab = trans.agg(countDistinct(col("wr")).as("vs"))
+    val elem = round(
+      col("k") * log10((col("cb") + lit(1.0)) / (col("cu") + col("vs"))), 9)
+    dc.join(trans, Seq("wl", "wr"))
+      .join(ctx, Seq("wl"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("k"),
+        elem.cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_big"),
+        round(sum(col("e")).cast("double"), 6).as("sum_lp10"))
+      .withColumn("avg_lp10", round(col("sum_lp10") / col("n_big"), 6))
+  }
+
+  private def bigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val bigramLmSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_zip(
+      |    ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+      |  FROM toks),
+      |bgf AS (
+      |  SELECT doc_id, p[1] AS wl, p[2] AS wr FROM bg),
+      |dc AS (SELECT doc_id, wl, wr, COUNT(*) AS k FROM bgf GROUP BY 1, 2, 3),
+      |trans AS (
+      |  SELECT wl, wr, CAST(SUM(k) AS BIGINT) AS cb FROM dc GROUP BY 1, 2),
+      |ctx AS (SELECT wl, CAST(SUM(cb) AS BIGINT) AS cu FROM trans GROUP BY 1),
+      |vocab AS (SELECT COUNT(DISTINCT wr) AS vs FROM trans),
+      |e AS (
+      |  SELECT dc.doc_id, dc.k,
+      |    CAST(round(dc.k * log10((trans.cb + 1.0) / (ctx.cu + vocab.vs)), 9)
+      |      AS DECIMAL(38,12)) AS e
+      |  FROM dc JOIN trans USING (wl, wr) JOIN ctx USING (wl)
+      |  CROSS JOIN vocab),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_big,
+      |    round(CAST(SUM(e) AS DOUBLE), 6) AS sum_lp10
+      |  FROM e GROUP BY doc_id)
+      |SELECT doc_id, n_big, sum_lp10,
+      |  round(sum_lp10 / n_big, 6) AS avg_lp10
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private val urlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
 
   /** URL extraction + normalization + per-domain rollup — the provenance
@@ -588,6 +662,9 @@ object TextQueries {
     Capability("text_unigram_lm",
       "corpus-trained unigram LM scoring (CCNet-style perplexity signal)", unigramLm,
       Some(unigramLmSql)),
+    Capability("text_bigram_lm",
+      "corpus-trained bigram LM scoring (word-order-aware perplexity signal)", bigramLm,
+      Some(bigramLmSql)),
     Capability("text_urls",
       "URL extraction + host normalization + per-domain rollup (planted URLs)", urls,
       Some(urlsSql)),

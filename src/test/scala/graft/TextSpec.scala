@@ -8,6 +8,26 @@ class TextSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("bigram LM punishes scrambled word order that the unigram model cannot see") {
+    import spark.implicits._
+    // same unigram distribution, reversed transitions: only a
+    // word-order-aware model separates them
+    val docs = ((1 to 20).map(i => (i.toLong, "a b c d e")) :+
+      (99L, "e d c b a")).toDF("doc_id", "text")
+    val bi = graft.pipeline.TextQueries
+      .bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bi(99L) < bi(1L), bi.toString)
+    val uni = graft.pipeline.TextQueries
+      .unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(99L) == uni(1L), uni.toString) // unigram is order-blind
+    // a one-token document has no transitions and drops from the output
+    val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    assert(graft.pipeline.TextQueries.bigramLogProb(tiny, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("BPE learns the textbook merge order on the Sennrich corpus") {
     import spark.implicits._
     import graft.pipeline.Bpe
