@@ -39,7 +39,10 @@ object StreamingUpsert {
   /** The current winner for an id, re-emitted whenever it advances. */
   final case class CurrentRow(id: Long, version: Long, payload: String)
 
-  private final case class CurState(version: Long, src: Int, payload: String)
+  /** Per-id state row. Public: Spark's codegen'd encoder accesses the
+    * accessors from generated classes, and a private case class forces a
+    * per-batch Janino compile failure + interpreted fallback. */
+  final case class CurState(version: Long, src: Int, payload: String)
 
   class UpsertProcessor(stateTtl: Option[java.time.Duration])
       extends StatefulProcessor[Long, ChangeRow, CurrentRow] {
