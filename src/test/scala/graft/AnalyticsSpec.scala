@@ -197,6 +197,50 @@ class AnalyticsSpec extends AnyFunSuite {
       out.mkString(","))
   }
 
+  test("expectations on an empty frame: fractions pass vacuously, min_rows fails") {
+    import spark.implicits._
+    import graft.pipeline.Expectations._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val out = check(empty, Seq(NotNull("s"), Unique("id"), MinRows(1)))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(4)))
+    assert(out.filter(_._1 != "min_rows").forall(r => r._2 == 0.0 && r._3),
+      out.mkString(","))
+    val mr = out.find(_._1 == "min_rows").get
+    assert(mr._2 == 1.0 && !mr._3, mr.toString)
+  }
+
+  test("resample handles a single-observation key and disjoint keys independently") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "solo", "2024-01-01 00:00:00", 7.0),
+      (2L, "pair", "2024-01-01 00:00:00", 0.0),
+      (3L, "pair", "2024-01-01 01:00:00", 10.0))
+      .toDF("event_id", "key", "t", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val out = graft.operators.Resample
+      .linear(events, "key", "ts", "value", "event_id",
+        step = "30 minutes", maxGap = "2 hours")
+      .collect().map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    // solo key: a one-point grid, exact hit
+    assert(out.filter(_._1 == "solo") == Seq(("solo", Some(7.0))))
+    // pair key: its own 3-point grid, never contaminated by solo's value
+    val pair = out.filter(_._1 == "pair").map(_._2)
+    assert(pair == Seq(Some(0.0), Some(5.0), Some(10.0)), pair.toString)
+  }
+
+  test("triangle counts stay per-component on disjoint graphs") {
+    import spark.implicits._
+    // two disjoint triangles + an isolated edge: each triangle's nodes
+    // count exactly one, the edge's nodes none
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("x", "y")).toDF("src", "dst")
+    val out = graft.pipeline.GraphOps.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a1" -> 1L, "a2" -> 1L, "a3" -> 1L,
+      "b1" -> 1L, "b2" -> 1L, "b3" -> 1L), out.toString)
+  }
+
   test("expectations judge violations per rule in one pass without Expand") {
     import spark.implicits._
     import graft.pipeline.Expectations._

@@ -317,6 +317,25 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("writeViews survives multiple record batches per file") {
+    import spark.implicits._
+    // batchSize 7 over 40 rows -> several batches, each rebuilding the
+    // view vectors; values and nulls must survive every batch boundary
+    val df = (0 until 40).map { i =>
+      (i.toLong, if (i % 5 == 0) None else Some("v" * (i % 20) + i.toString))
+    }.toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wview_mb").toString
+    graft.sources.ArrowIpc.writeViews(df.repartition(1), s"$dir/v",
+      viewCols = Seq("s"), batchSize = 7)
+    val back = graft.sources.ArrowIpc.read(spark, s"$dir/v")
+      .orderBy("id").collect()
+    assert(back.length == 40)
+    (0 until 40).foreach { i =>
+      val expect = if (i % 5 == 0) null else "v" * (i % 20) + i.toString
+      assert(back(i).getString(1) == expect, s"row $i")
+    }
+  }
+
   test("IPC dictionary-encoded columns decode to value types, both formats") {
     // a categorical column as the reference's dictionary_encode would
     // ship it: int32 indices + one dictionary batch; the read boundary
