@@ -127,7 +127,15 @@ object DistinctSketchAgg {
     def estimate: Long = {
       if (set != null) return set.size.toLong
       val m = 1 << lgK
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      // Flajolet et al. give exact alpha for the three smallest register
+      // counts; the 0.7213/(1+1.079/m) form is the m >= 128 asymptote and
+      // carries avoidable bias at m = 16/32/64 (lgK 4-6).
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / m)
+      }
       var sum = 0.0
       var zeros = 0
       var i = 0

@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** End-of-word marker symbol (kept out of the corpus alphabet by
-    * construction — documents are whitespace-split first). */
+  /** End-of-word marker symbol U+2581. NOT guaranteed absent from the
+    * corpus alphabet: it is not whitespace, so a document containing a
+    * literal U+2581 keeps it as an ordinary symbol. The concat-lossless
+    * contract (`concat(tokens)` reproduces the whitespace-normalized
+    * text) still holds — the literal passes through unchanged — but
+    * token→text DETOKENIZATION is only unambiguous for corpora that do
+    * not contain the marker character, since a literal and a word
+    * boundary are then indistinguishable in the token stream. */
   val Eow = "▁"
 
   /** Greedy left-to-right merge of one adjacent pair inside a symbol

@@ -35,8 +35,18 @@ object Expectations {
     extends Rule { val name = "not_null" }
 
   /** Fraction of DUPLICATED rows on `column` (1 − distinct/total,
-    * null-bearing rows excluded from both counts) must be <= `threshold`. */
-  final case class Unique(column: String, threshold: Double = 0.0)
+    * null-bearing rows excluded from both counts) must be <= `threshold`.
+    *
+    * The distinct count comes from [[graft.functions.expr.DistinctSketchAgg]]:
+    * EXACT up to `exactCap` distinct values, approximate (HLL at `lgK`)
+    * above it — so a threshold-0 uniqueness rule is only a hard guarantee
+    * while the column's cardinality fits the exact tier. Raise `exactCap`
+    * (state cost: 8 bytes/value per partial) when you need the exact
+    * guarantee on a higher-cardinality column; above the cap the metric
+    * is clamped at 0 (HLL may over-estimate distinct > total). */
+  final case class Unique(column: String, threshold: Double = 0.0,
+      exactCap: Int = graft.functions.expr.DistinctSketchAgg.DefaultExactCap,
+      lgK: Int = graft.functions.expr.DistinctSketchAgg.DefaultLgK)
     extends Rule { val name = "unique" }
 
   /** Fraction of non-null values outside [lo, hi] must be <= `threshold`. */
@@ -80,7 +90,8 @@ object Expectations {
         Seq(count(when(col(r.column).isNull, 1)).as(s"__m$i"))
       case (r: Unique, i) => Seq(
         count(col(r.column)).as(s"__c$i"),
-        graft.functions.expr.DistinctSketchAgg(col(r.column)).as(s"__d$i"))
+        graft.functions.expr.DistinctSketchAgg(col(r.column), r.exactCap, r.lgK)
+          .as(s"__d$i"))
       case (r: InRange, i) => Seq(
         count(col(r.column)).as(s"__c$i"),
         count(when(col(r.column) < r.lo || col(r.column) > r.hi, 1)).as(s"__m$i"))
@@ -104,8 +115,12 @@ object Expectations {
           frac(col(s"__m$i"), col("__n")).as("metric"),
           lit(r.threshold).as("threshold"))
       case (r: Unique, i) =>
+        // clamp at 0: above the exact tier the HLL distinct estimate can
+        // exceed the true count, and a negative "duplicate fraction" would
+        // read as a pass with spurious precision
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
-          frac(col(s"__c$i") - col(s"__d$i"), col(s"__c$i")).as("metric"),
+          greatest(lit(0.0),
+            frac(col(s"__c$i") - col(s"__d$i"), col(s"__c$i"))).as("metric"),
           lit(r.threshold).as("threshold"))
       case (r: InRange, i) =>
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),

@@ -606,6 +606,17 @@ object ArrowIpc {
     s.getFields.asScala.exists(isView)
   }
 
+  /** The documented loud rejection for views BELOW the top level must
+    * fire even when the top-level field is not itself a view (e.g.
+    * `struct<s: string_view>` — such a column never reaches
+    * viewValueField/decodeView, so the per-field walk alone would let it
+    * fall through to an unrelated unsupported-type error downstream).
+    * Called once per file at both read boundaries (schema and batches). */
+  private def requireNoNestedViewsInSchema(s: ArrowSchema): Unit = {
+    import scala.jdk.CollectionConverters._
+    s.getFields.asScala.foreach(f => requireNoNestedViews(f, f.getName))
+  }
+
   private def requireNoNestedViews(f: Field, top: String): Unit = {
     import scala.jdk.CollectionConverters._
     f.getChildren.asScala.foreach { c =>
@@ -829,6 +840,7 @@ object ArrowIpc {
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = openReader(conf, file, stream, allocator)
     val srcRoot = reader.getVectorSchemaRoot
+    requireNoNestedViewsInSchema(srcRoot.getSchema)
     val encoded = hasDictionary(srcRoot.getSchema) || hasRee(srcRoot.getSchema) ||
       hasView(srcRoot.getSchema)
     val unloader = new VectorUnloader(srcRoot)
@@ -925,6 +937,7 @@ object ArrowIpc {
       // batchBytes narrows/decodes the buffers to match
       try {
         val raw = reader.getVectorSchemaRoot.getSchema
+        requireNoNestedViewsInSchema(raw)
         val withDict =
           if (!hasDictionary(raw)) raw
           else {

@@ -209,6 +209,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mr._2 == 1.0 && !mr._3, mr.toString)
   }
 
+  test("unique rule threads its cap and clamps above-cap approximation at 0") {
+    import spark.implicits._
+    import graft.pipeline.Expectations._
+    // 500 distinct ids, rule cap forced far below: the sketch is in its
+    // HLL tier, where the estimate may exceed the true count — the
+    // duplicate fraction must clamp at 0, never go negative
+    val df = spark.range(0, 500).toDF("id")
+    val approx = check(df, Seq(Unique("id", exactCap = 8, lgK = 10)))
+      .head()
+    assert(approx.getDouble(2) >= 0.0,
+      s"above-cap unique metric must clamp at 0, got ${approx.getDouble(2)}")
+    // raising the cap restores the exact guarantee on the same column
+    val exact = check(df, Seq(Unique("id", exactCap = 1000))).head()
+    assert(exact.getDouble(2) == 0.0 && exact.getBoolean(4))
+    // and a real duplicate is still caught exactly under the raised cap
+    val dup = df.union(spark.range(0, 50).toDF("id"))
+    val caught = check(dup, Seq(Unique("id", exactCap = 1000))).head()
+    assert(math.abs(caught.getDouble(2) - 50.0 / 550.0) < 1e-12 &&
+      !caught.getBoolean(4), caught.toString)
+  }
+
   test("resample handles a single-observation key and disjoint keys independently") {
     import spark.implicits._
     val events = Seq(

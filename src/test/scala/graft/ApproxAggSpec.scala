@@ -135,6 +135,19 @@ class ApproxAggSpec extends AnyFunSuite {
         |         graft_sketch_union(graft_sketch_singleton(xxhash64(CAST(id AS STRING)))) AS st
         |  FROM range(0, 3000) GROUP BY 1)""".stripMargin).head().getLong(0)
     assert(unioned == 3000L, s"sharded union must stay exact, got $unioned")
+    // small-register tiers (lgK 4-6) use the exact Flajolet alpha
+    // constants (0.673/0.697/0.709), not the m>=128 asymptote — the
+    // estimate at each tiny m must stay within 3*RSE of the truth
+    Seq(4, 5, 6).foreach { lg =>
+      val m = 1 << lg
+      val rse = 1.04 / math.sqrt(m.toDouble)
+      val n = 50000L
+      val est = spark.range(0, n, 1, 8)
+        .agg(graft.functions.expr.DistinctSketchAgg(col("id"), 1, lg))
+        .head().getLong(0)
+      assert(math.abs(est - n.toDouble) / n < 3 * rse,
+        s"lgK=$lg estimate $est outside 3*RSE of $n")
+    }
   }
 
   test("minhash and simhash sketches are callable from SQL text") {

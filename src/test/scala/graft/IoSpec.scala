@@ -283,6 +283,38 @@ class IoSpec extends AnyFunSuite {
     assert(got(3).getSeq[Long](3) == Seq.empty)
   }
 
+  test("a view layout nested INSIDE a struct is rejected loudly at the read boundary") {
+    // struct<s: string_view>: the top-level field is NOT itself a view,
+    // so the per-column decode walk never sees it — the schema-level walk
+    // must reject it with the documented message instead of letting it
+    // fall through to an unrelated unsupported-type error
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import org.apache.arrow.vector.VectorSchemaRoot
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_nview").toString
+    val allocator = new RootAllocator(Long.MaxValue)
+    val schema = new Schema(Seq(
+      new Field("st", FieldType.nullable(ArrowType.Struct.INSTANCE), Seq(
+        new Field("s", FieldType.nullable(ArrowType.Utf8View.INSTANCE), null)
+      ).asJava)).asJava)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    try {
+      root.allocateNew()
+      root.setRowCount(0)
+      val out = new java.io.FileOutputStream(s"$dir/part-00000.arrow")
+      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      try { writer.start(); writer.writeBatch(); writer.end() }
+      finally { writer.close(); out.close() }
+    } finally { root.close(); allocator.close() }
+    val err = intercept[IllegalArgumentException] {
+      ArrowIpc.read(spark, dir).collect()
+    }
+    assert(err.getMessage.contains("below the top level"),
+      s"expected the documented nested-view rejection, got: ${err.getMessage}")
+  }
+
   test("writeViews emits a REAL string_view field; long and null values survive") {
     import scala.jdk.CollectionConverters._
     import org.apache.arrow.memory.RootAllocator
