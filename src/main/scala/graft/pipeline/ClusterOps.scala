@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column, and the
+  * SemDeDup-style semantic dedup built on top of it (Abbas et al. 2023:
+  * cluster the corpus, then drop near-duplicate members inside each
+  * cluster — the scale path for embedding-level dedup, because the
+  * quadratic candidate search is confined to cluster-local pairs).
+  *
+  * This is the FULL-CORPUS counterpart of [[Ann.trainCentroids]] (which
+  * trains on a bounded driver-side sample): every assignment pass sees
+  * every vector, so the centroids converge on the true cluster structure
+  * rather than the sample's. The per-iteration shape is built for 100 TB:
+  *
+  *  - **assignment is narrow** — the k centroids fold into the projection
+  *    as literals (same stance as the PQ codebook, `Ann.pqTopK`), so the
+  *    k squared-L2 distances and the argmin are whole-stage-codegen'd
+  *    per row with NO shuffle and NO join;
+  *  - **update is one exchange** — members posexplode to (cid, pos, v)
+  *    and the element-wise mean aggregates with map-side combine
+  *    (the ann_centroids shape: partials carry (cid, pos, sum, count),
+  *    never vectors);
+  *  - the k·dim rounded centroid components are the loop's bounded,
+  *    documented driver exchange per iteration (≤ a few KB — the same
+  *    stance as [[Bpe.train]]'s per-round argmax row).
+  *
+  * Determinism (the oracle contract): seeds are the k vectors first in
+  * `(md5(id), id)` order; element means go through the exact-decimal sum
+  * (`Det`) and round at 6 dp, so every centroid component is the
+  * identical double in Spark and DuckDB; distances fold sequentially in
+  * array order per row (bit-identical IEEE across engines, the int8
+  * precedent) and round at 6 dp before the argmin with a cid tie-break.
+  */
+object ClusterOps {
+
+  /** Squared L2 distance between an array column and a literal centroid,
+    * folded sequentially in array order, rounded at 6 dp. */
+  private def dist2(vec: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    round(aggregate(
+      zip_with(vec, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0),
+      (acc, v) => acc + v), 6)
+  }
+
+  /** Nearest-centroid id (argmin of [[dist2]], ties to the lower cid) as
+    * a narrow literal-folded projection — no join, no shuffle. */
+  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val ds = array(centroids.map(c => dist2(vec, c)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Deterministic seed centroids: the k vectors first in
+    * `(md5(id), id)` order — uniform pseudo-random yet reproducible in
+    * any engine (first-k-by-id would seed on the corpus head). Bounded
+    * driver exchange: k rows. */
+  private def seeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .select(col(vecCol)).limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** One centroid-update pass: element-wise exact-decimal mean of each
+    * cluster's members, rounded at 6 dp; clusters that lost every member
+    * keep their previous centroid (the standard Lloyd convention, same
+    * as [[Ann.trainCentroids]]). Bounded driver exchange: k·dim rows. */
+  private def updateCentroids(assigned: DataFrame, vecCol: String,
+      prev: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = prev.head.length
+    val rows = assigned
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((graft.Det.dsum(col("v").cast("double")) / count(lit(1))).as("m"))
+      .select(col("cid"), col("pos"), round(col("m"), 6).as("c"))
+      .collect()
+    val next = prev.map(_.clone())
+    rows.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    require(rows.isEmpty || rows.map(_.getInt(1)).max < dim,
+      "updateCentroids: vector dimension exceeds the seed dimension")
+    next
+  }
+
+  /** Distributed Lloyd's k-means: returns (assignments, centroids) where
+    * assignments is the input frame plus a `cid` column (narrow — safe to
+    * keep in a longer pipeline) and centroids is the final k×dim array.
+    * `iterations` counts UPDATE passes; the returned assignment is
+    * against the final centroids (so `iterations = 0` is pure
+    * seed-assignment). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int): (DataFrame, Array[Array[Double]]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    var centroids = seeds(df, idCol, vecCol, k)
+    require(centroids.nonEmpty, "kmeans: empty input")
+    var it = 0
+    while (it < iterations) {
+      val assigned = df.withColumn("cid", assignExpr(col(vecCol), centroids))
+      centroids = updateCentroids(assigned, vecCol, centroids)
+      it += 1
+    }
+    (df.withColumn("cid", assignExpr(col(vecCol), centroids)), centroids)
+  }
+
+  /** Sequential-fold cosine between two array columns, rounded at 6 dp —
+    * the engine-deterministic within-row formulation (each of the three
+    * sums folds in array order). */
+  private def cosine6(a: Column, b: Column): Column = {
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    round(dot / (sqrt(na) * sqrt(nb)), 6)
+  }
+
+  /** SemDeDup: k-means the corpus, keep each cluster's representative
+    * (the lowest id), drop every other member whose cosine to its
+    * cluster's representative is >= `tau`, keep the rest. Output: one row
+    * per SURVIVING vector with its cluster and its cosine to the
+    * representative (the representative itself scores 1.0 by definition
+    * but keeps its computed value for honesty).
+    *
+    * Scale shape: the candidate search is cluster-local BY CONSTRUCTION —
+    * each member is compared against exactly ONE representative row
+    * (k rows total, broadcast), so the per-member cost is O(dim), not
+    * O(n·dim) like [[Dedup.embeddingPairs]]'s banded search. The price is
+    * recall at cluster boundaries (a near-dup pair split across clusters
+    * is missed) — the standard SemDeDup trade, spec'd in ClusterSpec. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, tau: Double): DataFrame = {
+    val (assigned, _) = kmeans(df, idCol, vecCol, k, iterations)
+    val reps = assigned
+      .groupBy(col("cid")).agg(min(col(idCol)).as("rep_id"))
+    val repVecs = reps
+      .join(assigned.select(col(idCol).as("rep_id"), col(vecCol).as("rep_vec")),
+        Seq("rep_id"))
+    assigned
+      .join(broadcast(repVecs), Seq("cid"))
+      .withColumn("rep_cos", cosine6(col(vecCol), col("rep_vec")))
+      .filter(col(idCol) === col("rep_id") || col("rep_cos") < tau)
+      .select(col(idCol), col("cid"), col("rep_id"), col("rep_cos"))
+  }
+}
