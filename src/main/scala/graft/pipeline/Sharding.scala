@@ -193,6 +193,49 @@ object Sharding {
         (col("pos") + 1).cast("int").as("cap_rank"))
   }
 
+  /** Weight-proportional sample of exactly `n` rows per group WITHOUT
+    * replacement (Efraimidis–Spirakis 2006): each row draws the
+    * deterministic 48-bit md5 uniform `u = (prefix48 + 0.5) / 2^48` and
+    * competes on the exponential key `-ln(u) / w` — the n SMALLEST keys
+    * per group win, which selects with probability proportional to
+    * `weightCol` without ever materializing cumulative weights. This is
+    * the weighted counterpart of [[capPerGroupTopK]] (uniform lottery)
+    * and of [[weightedSample]] (Bernoulli RATE thinning — that one keeps
+    * a random fraction, this one keeps an exact count).
+    *
+    * Same k-bounded-shuffle shape: the key feeds
+    * [[graft.functions.expr.TopKAgg]]'s mergeable bounded heap, so each
+    * map task ships at most n (key, id) pairs per group across the ONE
+    * exchange — n·groups rows, never the corpus. Ties (2^-48 prefix
+    * collisions at equal weight) break by id; rows with
+    * non-positive/null weight never win (they draw +inf keys — the
+    * standard ES convention for zero weight).
+    *
+    * Determinism: u is exact in a double (48 bits), the key is one
+    * `ln`/divide on identical inputs, and selection equals a window
+    * ordered by (key, id) — the gated query's oracle computes the
+    * identical key in DuckDB. */
+  def weightedTopN(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"weightedTopN needs n >= 1, got $n")
+    requireFresh(df, "ws_rank")
+    // 48-bit prefix + 0.5, over 2^48: u in (0, 1), exact in a double
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") + 0.5) / lit(281474976710656.0)
+    val key = when(col(weightCol).isNull || col(weightCol) <= 0,
+      lit(Double.PositiveInfinity))
+      .otherwise(-log(u) / col(weightCol).cast("double"))
+    df.select(col(groupCol), col(idCol), col(weightCol))
+      .withColumn("__wkey", -key) // heap keeps LARGEST score = smallest key
+      .groupBy(col(groupCol))
+      .agg(graft.functions.expr.TopKAgg(
+        col("__wkey"), col(idCol).cast("long"), n).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")))
+      .select(col("col.rid").as(idCol), col(groupCol),
+        (col("pos") + 1).cast("int").as("ws_rank"))
+  }
+
   /** Global fractional selection WITHOUT a global sort: keep the rows whose
     * `metricCol` is at or above the corpus-wide `1 - keepFrac` quantile
     * (e.g. keepFrac 0.3 → the "top 30 % by quality/length" curation cut).

@@ -95,6 +95,27 @@ object ShardingQueries {
       |  FROM documents)
       |WHERE cap_rank <= 25 ORDER BY source, cap_rank""".stripMargin
 
+  /** Efraimidis–Spirakis weighted sample: exactly 20 docs per language,
+    * selection probability proportional to n_chars, through the bounded
+    * heap (k-bounded shuffle). The oracle computes the identical
+    * exponential key — `-ln((prefix48 + 0.5) / 2^48) / w` — in DuckDB
+    * and ranks with the same (key, id) window order. */
+  private def weightedSampleQ(s: SparkSession, d: String): DataFrame =
+    Sharding.weightedTopN(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "doc_id", "n_chars", n = 20)
+      .orderBy(col("lang"), col("ws_rank"))
+
+  private val weightedSampleSql =
+    """SELECT doc_id, lang, ws_rank FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      -ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+      |          / 281474976710656.0) / n_chars,
+      |      doc_id) AS INT) AS ws_rank
+      |  FROM documents WHERE n_chars > 0)
+      |WHERE ws_rank <= 20 ORDER BY lang, ws_rank""".stripMargin
+
   /** Small-file compaction as a gated capability: a deliberately
     * fragmented copy of `documents` (64 splinter files — a micro-batch
     * sink's typical residue) is compacted to size-targeted files via
@@ -347,6 +368,9 @@ object ShardingQueries {
     Capability("pipeline_cap_topk",
       "per-domain cap via the bounded-heap aggregate (k-bounded shuffle)", capTopK,
       Some(capTopKSql)),
+    Capability("pipeline_weighted_sample",
+      "Efraimidis-Spirakis weighted sample without replacement, 20/lang by n_chars",
+      weightedSampleQ, Some(weightedSampleSql)),
     Capability("pipeline_shuffle", "seeded deterministic corpus shuffle (sharded permutation)",
       shuffle, Some(shuffleSql)),
     Capability("pipeline_chunk",

@@ -231,6 +231,39 @@ class ShardingSpec extends AnyFunSuite {
     assert(heap.nonEmpty)
   }
 
+  test("weighted top-n equals its window formulation; bad weights never win") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val heap = Sharding.weightedTopN(docs, "lang", "doc_id", "n_chars", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    // window twin computed inline with the identical key
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("double") + 0.5) / lit(281474976710656.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy((-log(u) / col("n_chars").cast("double")).asc, col("doc_id"))
+    val window = docs
+      .withColumn("ws_rank", row_number().over(w).cast("int"))
+      .filter(col("ws_rank") <= 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    assert(heap == window)
+    assert(heap.nonEmpty)
+    // layout independence
+    val re = Sharding.weightedTopN(docs.repartition(13), "lang", "doc_id", "n_chars", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(re == heap)
+    // null/zero/negative weights draw +inf keys: with enough good rows
+    // they never appear in the sample
+    val mixed = Seq(
+      (1L, "g", Some(10L)), (2L, "g", Some(1L)), (3L, "g", Some(0L)),
+      (4L, "g", None), (5L, "g", Some(-3L)), (6L, "g", Some(5L)))
+      .toDF("id", "g", "w")
+    val picked = Sharding.weightedTopN(mixed, "g", "id", "w", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L, 2L, 6L), s"picked $picked")
+  }
+
   test("token budget admits the same rows under any input layout") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
