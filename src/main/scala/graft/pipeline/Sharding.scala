@@ -53,6 +53,27 @@ object Sharding {
           .otherwise("test"))
   }
 
+  /** Leakage-controlled train/val/test split: the md5 bucket is computed
+    * on `groupCol` (a domain, site, or source key) instead of the row id,
+    * so EVERY row sharing that key lands in the SAME split — the standard
+    * guard against near-duplicate leakage across the eval boundary
+    * (same-site boilerplate and templated pages are the canonical
+    * offenders; a row-level split puts sister pages on both sides of the
+    * test line). Same contract as [[assignSplit]] otherwise: pure
+    * function of the data, engine-independent, narrow projection, zero
+    * shuffle — no distinct() over the keys, no join back. */
+  def assignSplitLeakFree(
+      df: DataFrame, idCol: String, groupCol: String,
+      trainUpper: String = "cc", valUpper: String = "e6"): DataFrame = {
+    requireFresh(df.select(col(idCol), col(groupCol)), "bucket", "split")
+    df.select(col(idCol), col(groupCol),
+      bucket2(col(groupCol)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpper, "train")
+          .when(col("bucket") < valUpper, "val")
+          .otherwise("test"))
+  }
+
   /** Greedy offset-based packing of documents into fixed `ctxTokens`
     * windows, sharded by the first `shardHexChars` md5 hex digits of the
     * id (16^width shards — see [[requireWidth]] for choosing the width

@@ -24,6 +24,18 @@ object ShardingQueries {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def splitLeakFree(s: SparkSession, d: String): DataFrame =
+    Sharding.assignSplitLeakFree(Tables.documents(s, d), "doc_id", "source")
+      .orderBy(col("doc_id"))
+
+  private val splitLeakFreeSql =
+    """SELECT doc_id, source,
+      |  substring(md5(source), 1, 2) AS bucket,
+      |  CASE WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def pack(s: SparkSession, d: String): DataFrame =
     Sharding.packSequences(
       Tables.documents(s, d), "doc_id",
@@ -353,6 +365,9 @@ object ShardingQueries {
        |WHERE cum_tok - n_tok < $TokenBudget ORDER BY doc_id""".stripMargin
 
   val caps: Seq[Capability] = Seq(
+    Capability("pipeline_split_leakfree",
+      "domain-granular split: every doc of a source lands in ONE split (leakage guard)",
+      splitLeakFree, Some(splitLeakFreeSql)),
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
     Capability("pipeline_e2e", "curation composition: quality filter → dedup → split → stats",

@@ -467,6 +467,54 @@ object TextQueries {
       .withColumn("avg_lp10", round(col("sum_lp10") / col("n_tok"), 6))
   }
 
+  /** Character-level Shannon entropy per document — the cheap gibberish
+    * and degenerate-content signal (base64 blobs and random keys score
+    * HIGH, single-character runs and template spam score LOW; natural
+    * prose sits in a tight per-language band, so both tails are cut
+    * material). Complements text_quality (token-level ratios) and the LM
+    * scores (corpus-relative): entropy is corpus-INDEPENDENT, so it
+    * needs no second pass over anything.
+    *
+    * Scale shape: chars explode narrowly per row; the only state is
+    * (doc, char)-keyed counts with map-side combine (alphabet-bounded
+    * per doc), the per-doc total reuses those counts, and the join back
+    * is doc-keyed. Shuffles carry counts, never text. Per-term math
+    * follows the decimal-summed one-expression-per-term contract
+    * ([[unigramLogProb]]). Empty/null texts have no characters and drop
+    * from the output (both engines agree by construction). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs.select(col(idCol),
+      explode(filter(split(col(textCol), ""), c => c =!= "")).as("ch"))
+    val c = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("k"))
+    val n = c.groupBy(col(idCol)).agg(sum(col("k")).as("n"))
+    val p = col("k").cast("double") / col("n")
+    c.join(n, Seq(idCol))
+      .select(col(idCol), col("k"),
+        round(p * log2(p), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_chars2"),
+        round((-sum(col("e"))).cast("double"), 6).as("entropy"))
+  }
+
+  private def entropyQ(s: SparkSession, d: String): DataFrame =
+    charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val entropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |c AS (SELECT doc_id, ch, COUNT(*) AS k FROM ch GROUP BY doc_id, ch),
+      |n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY doc_id),
+      |e AS (
+      |  SELECT c.doc_id, c.k,
+      |    CAST(round((c.k::DOUBLE / n.n) * log2(c.k::DOUBLE / n.n), 9)
+      |      AS DECIMAL(38,12)) AS e
+      |  FROM c JOIN n USING (doc_id))
+      |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars2,
+      |  round(CAST(-SUM(e) AS DOUBLE), 6) AS entropy
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def unigramLm(s: SparkSession, d: String): DataFrame =
     unigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -649,6 +697,8 @@ object TextQueries {
     Capability("text_pii", "PII scrubbing: regex email/phone redaction (planted contacts)",
       pii, Some(piiSql)),
     Capability("text_quality", "length/stopword/uniqueness quality score", quality, Some(qualitySql)),
+    Capability("text_entropy", "character-level Shannon entropy (gibberish/degeneracy signal)",
+      entropyQ, Some(entropySql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),

@@ -231,6 +231,24 @@ class ShardingSpec extends AnyFunSuite {
     assert(heap.nonEmpty)
   }
 
+  test("leak-free split keys on the group: one split per source, zero shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val out = Sharding.assignSplitLeakFree(docs, "doc_id", "source")
+    // every source maps to exactly one split — no doc of a site can leak
+    // across the eval boundary
+    val perSource = out.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(perSource == 0)
+    assert(out.count() == docs.count())
+    assert(out.select(col("split")).distinct().count() >= 2,
+      "the corpus should spread over more than one split")
+    // the assignment is a narrow projection — no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("weighted top-n equals its window formulation; bad weights never win") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

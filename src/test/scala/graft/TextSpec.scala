@@ -325,6 +325,28 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy: closed forms, degenerate tails, empty-text drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "aaaa"),                 // one symbol: H = 0
+      (2L, "abcd"),                 // four equiprobable: H = 2
+      (3L, "aabb"),                 // two equiprobable: H = 1
+      (4L, ""),                     // no chars: drops
+      (5L, "the cat sat on the mat"),
+      (6L, "Kq9/zR2+xW7mPb0tYv4L")) // base64-ish: high entropy
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextQueries
+      .charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - 2.0) < 1e-6, out(2L).toString)
+    assert(math.abs(out(3L) - 1.0) < 1e-6, out(3L).toString)
+    // the degenerate run scores BELOW prose, the key blob ABOVE it
+    assert(out(1L) < out(5L) && out(5L) < out(6L), out.toString)
+  }
+
   test("URL extraction normalizes hosts: lowercase, www-stripped, path-agnostic") {
     import spark.implicits._
     val df = Seq(
