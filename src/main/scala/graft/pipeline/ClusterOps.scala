@@ -106,6 +106,19 @@ object ClusterOps {
     (df.withColumn("cid", assignExpr(col(vecCol), centroids)), centroids)
   }
 
+  /** Nearest-centroid assignment against an ALREADY-TRAINED centroid
+    * array — the "train rarely, assign continuously" half of the k-means
+    * family (the [[Ann.ivfAssign]] stance, minus its join: the centroids
+    * fold into the projection as literals). Being a pure narrow
+    * stateless transform, the same call classifies a STREAMING frame of
+    * arriving vectors with no state, watermark, or shuffle —
+    * StreamingSpec asserts batch bit-parity. */
+  def assign(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assign: empty centroid set")
+    df.withColumn("cid", assignExpr(col(vecCol), centroids))
+  }
+
   /** Sequential-fold cosine between two array columns, rounded at 6 dp —
     * the engine-deterministic within-row formulation (each of the three
     * sums folds in array order). */

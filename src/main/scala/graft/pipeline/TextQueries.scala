@@ -515,6 +515,75 @@ object TextQueries {
       |  round(CAST(-SUM(e) AS DOUBLE), 6) AS entropy
       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Distribution drift per corpus slice: Jensen–Shannon divergence (in
+    * bits) between each slice's token distribution and the corpus-wide
+    * one — the monitoring signal that catches a domain gone templated, a
+    * crawler feeding one site garbage, or a language shift between
+    * snapshots, BEFORE a model trains on it. JSD over KL because it is
+    * symmetric, bounded in [0,1], and defined when a token is missing
+    * from one side.
+    *
+    * The absent-token mass needs no materialized pairs: a token absent
+    * from slice s contributes exactly `0.5·g` to JSD(P_s, G) (its mixture
+    * is g/2, so the g·log2(2g/(p+g)) term degenerates to g), hence
+    *   JSD_s = Σ_{w∈s} [0.5·p·log2(2p/(p+g)) + 0.5·g·log2(2g/(p+g))]
+    *           + 0.5·(1 − Σ_{w∈s} g)
+    * — the join touches only (slice, token) pairs that EXIST, so the
+    * shuffle is the same (slice, token)-keyed count reduction as the LM
+    * scores, never slices × vocabulary. Per-term math follows the
+    * decimal-summed contract; the global counts reuse the per-slice
+    * partials. */
+  def sliceDrift(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val toks = docs.select(col(sliceCol),
+      explode(TextOps.words(col(textCol))).as("w"))
+    val sc = toks.groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("k"))
+    val st = sc.groupBy(col(sliceCol)).agg(sum(col("k")).as("stot"))
+    val gc = sc.groupBy(col("w")).agg(sum(col("k")).as("c"))
+    val gt = gc.agg(sum(col("c")).as("gtot"))
+    val p = col("k").cast("double") / col("stot")
+    val g = col("c").cast("double") / col("gtot")
+    sc.join(st, Seq(sliceCol))
+      .join(gc, Seq("w"))
+      .crossJoin(broadcast(gt))
+      .select(col(sliceCol),
+        round(lit(0.5) * p * log2(lit(2.0) * p / (p + g))
+          + lit(0.5) * g * log2(lit(2.0) * g / (p + g)), 9).cast(dec).as("e"),
+        round(g, 9).cast(dec).as("gm"))
+      .groupBy(col(sliceCol))
+      // both decimal sums drop to double BEFORE the final three-term
+      // expression so the closing arithmetic is plain IEEE in both engines
+      .agg(round(sum(col("e")).cast("double")
+        + lit(0.5) * (lit(1.0) - sum(col("gm")).cast("double")), 6).as("jsd"))
+  }
+
+  private def driftQ(s: SparkSession, d: String): DataFrame =
+    sliceDrift(Tables.documents(s, d), "source", "text")
+      .orderBy(col("source"))
+
+  private val driftSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sc AS (SELECT source, w, COUNT(*) AS k FROM toks GROUP BY source, w),
+      |st AS (SELECT source, CAST(SUM(k) AS BIGINT) AS stot FROM sc GROUP BY source),
+      |gc AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM sc GROUP BY w),
+      |gt AS (SELECT CAST(SUM(c) AS BIGINT) AS gtot FROM gc),
+      |e AS (
+      |  SELECT sc.source,
+      |    CAST(round(0.5 * (sc.k::DOUBLE / st.stot)
+      |        * log2(2.0 * (sc.k::DOUBLE / st.stot)
+      |            / ((sc.k::DOUBLE / st.stot) + (gc.c::DOUBLE / gt.gtot)))
+      |      + 0.5 * (gc.c::DOUBLE / gt.gtot)
+      |        * log2(2.0 * (gc.c::DOUBLE / gt.gtot)
+      |            / ((sc.k::DOUBLE / st.stot) + (gc.c::DOUBLE / gt.gtot))), 9)
+      |      AS DECIMAL(38,12)) AS e,
+      |    CAST(round(gc.c::DOUBLE / gt.gtot, 9) AS DECIMAL(38,12)) AS gm
+      |  FROM sc JOIN st USING (source) JOIN gc USING (w) CROSS JOIN gt)
+      |SELECT source,
+      |  round(CAST(SUM(e) AS DOUBLE)
+      |    + 0.5 * (1.0 - CAST(SUM(gm) AS DOUBLE)), 6) AS jsd
+      |FROM e GROUP BY source ORDER BY source""".stripMargin
+
   private def unigramLm(s: SparkSession, d: String): DataFrame =
     unigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -699,6 +768,9 @@ object TextQueries {
     Capability("text_quality", "length/stopword/uniqueness quality score", quality, Some(qualitySql)),
     Capability("text_entropy", "character-level Shannon entropy (gibberish/degeneracy signal)",
       entropyQ, Some(entropySql)),
+    Capability("text_drift",
+      "per-source Jensen-Shannon drift vs the corpus token distribution",
+      driftQ, Some(driftSql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),

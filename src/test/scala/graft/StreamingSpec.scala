@@ -544,6 +544,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming cluster assignment equals the batch assignment (stateless narrow)") {
+    // train once on the static corpus, then classify a STREAM of arriving
+    // vectors against the frozen centroids — the "train rarely, assign
+    // continuously" operating mode
+    val e = Tables.embeddings(spark, sf)
+    val (_, centroids) =
+      graft.pipeline.ClusterOps.kmeans(e, "vec_id", "embedding", 4, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmstream").toFile
+    e.select("vec_id", "embedding").write.mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(e.select("vec_id", "embedding").schema)
+      .parquet(dir.getAbsolutePath)
+    val assigned = graft.pipeline.ClusterOps.assign(stream, "embedding", centroids)
+    val query = assigned.select("vec_id", "cid").writeStream
+      .format("memory").queryName("graft_km_stream")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        query.processAllAvailable()
+        spark.table("graft_km_stream")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      } finally query.stop()
+    val batch = graft.pipeline.ClusterOps
+      .assign(e.select("vec_id", "embedding"), "embedding", centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.size == e.count())
+  }
+
   test("left-outer stream-stream interval join: matches ≡ batch, null rows trail the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssloj").toFile
     java.nio.file.Files.copy(

@@ -347,6 +347,31 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L) < out(5L) && out(5L) < out(6L), out.toString)
   }
 
+  test("slice drift: zero for the global distribution, closed form for disjoint vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // single slice: its distribution IS the global one -> JSD 0 exactly
+    val one = Seq(("a", "x y x z")).toDF("src", "text")
+    val jsd1 = graft.pipeline.TextQueries.sliceDrift(one, "src", "text")
+      .head().getDouble(1)
+    assert(jsd1 == 0.0, jsd1.toString)
+    // two equal-mass slices with DISJOINT vocabularies: each slice's JSD
+    // vs the global mixture is 0.5*log2(4/3) + 0.25*log2(2/3) + 0.25
+    val two = Seq(("a", "x y z w"), ("b", "p q r s")).toDF("src", "text")
+    val expect = 0.5 * math.log(4.0 / 3.0) / math.log(2.0) +
+      0.25 * math.log(2.0 / 3.0) / math.log(2.0) + 0.25
+    val got = graft.pipeline.TextQueries.sliceDrift(two, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b"))
+    got.values.foreach(v => assert(math.abs(v - expect) < 1e-4, s"$v vs $expect"))
+    // bounds on real data, and the metric separates at least two sources
+    val real = graft.pipeline.TextQueries
+      .sliceDrift(Tables.documents(spark, sf), "source", "text")
+      .collect().map(_.getDouble(1))
+    assert(real.forall(v => v >= 0.0 && v <= 1.0))
+    assert(real.distinct.length > 1)
+  }
+
   test("URL extraction normalizes hosts: lowercase, www-stripped, path-agnostic") {
     import spark.implicits._
     val df = Seq(
