@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Spearman rank correlation — the rank-based dependence measure next to
+  * the moment-based `corr` (reference exposes the rank half as the
+  * `rank` vector kernel family, `vector_rank.cc`; combining ranks with
+  * Pearson is the standard composition).
+  *
+  * Scale shape: a global ranking is unavoidable (that is the statistic),
+  * but it is a RANGE-PARTITIONED sort, never a single-partition window:
+  * each column is `orderBy`'d (distributed), ranks come from
+  * `zipWithIndex` (one extra job to count partition sizes, then a narrow
+  * per-partition offset add), ties collapse to their average rank via a
+  * value-keyed aggregate, and the fractional ranks join back on the
+  * value. The final Pearson over ranks is one scalar aggregate. Nothing
+  * ever concentrates on one task, so the operator survives a 100×
+  * scale-up where `Window.orderBy` (no partition key) would not.
+  *
+  * Null rows (either column) are excluded pairwise — the same contract
+  * as `corr`. */
+object Spearman {
+
+  /** Fractional (average-on-ties) ranks of `valueCol`: returns
+    * (value, frac_rank) with one row per DISTINCT value. 1-based. */
+  private def fracRanks(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .orderBy(col("__v"))
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getDouble(0), i + 1L)
+    }
+    spark.createDataFrame(ranked, StructType(Seq(
+        StructField("__v", DoubleType), StructField("__r", LongType))))
+      .groupBy(col("__v"))
+      .agg((sum(col("__r")).cast("double") / count(lit(1))).as("__fr"))
+  }
+
+  /** Spearman's rho between two numeric columns, rounded at `scale` dp.
+    * Returns a 1-row frame (rho, n) where n is the pairwise-complete
+    * count. */
+  def rho(df: DataFrame, colA: String, colB: String,
+      scale: Int = 6): DataFrame = {
+    val pairs = df.select(
+        col(colA).cast("double").as("__a"), col(colB).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val ra = fracRanks(pairs, "__a")
+      .select(col("__v").as("__a"), col("__fr").as("__ra"))
+    val rb = fracRanks(pairs, "__b")
+      .select(col("__v").as("__b"), col("__fr").as("__rb"))
+    pairs
+      .join(ra, Seq("__a"))
+      .join(rb, Seq("__b"))
+      .agg(round(corr(col("__ra"), col("__rb")), scale).as("rho"),
+        count(lit(1)).as("n"))
+  }
+}

@@ -265,6 +265,29 @@ object ExtendedQueries {
       |  (SELECT round(covar_pop(l_extendedprice, l_quantity), 4) FROM lineitem) AS cov_p
       |FROM moments""".stripMargin
 
+  /** Q02f: Spearman rank correlation ([[graft.operators.Spearman]]) over
+    * price/quantity — the rank-kernel composition (reference
+    * `vector_rank.cc` + Pearson). The oracle computes the identical
+    * fractional (average-tie) ranks with window functions; the Spark
+    * side ranks through a range-partitioned sort + zipWithIndex, never a
+    * single-partition window. */
+  private def q02f(s: SparkSession, d: String): DataFrame =
+    graft.operators.Spearman.rho(
+      Tables.lineitem(s, d), "l_extendedprice", "l_quantity")
+
+  private val q02fSql =
+    """WITH p AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS a,
+      |         CAST(l_quantity AS DOUBLE) AS b
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |r AS (
+      |  SELECT
+      |    rank() OVER (ORDER BY a) + (count(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+      |    rank() OVER (ORDER BY b) + (count(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+      |  FROM p)
+      |SELECT round(corr(ra, rb), 6) AS rho, COUNT(*) AS n FROM r""".stripMargin
+
   /** Q02d: the reference's aggregate OPTION surfaces
     * (`ScalarAggregateOptions(skip_nulls, min_count)`,
     * cpp/src/arrow/compute/api_aggregate.h:36-44, and
@@ -538,6 +561,9 @@ object ExtendedQueries {
       Some(q38bSql)),
     Capability("q31_product", "custom product aggregate (DeclarativeAggregate)", q31, Some(q31Sql)),
     Capability("q02b_moments", "skewness/kurtosis/corr/covariance", q02b, Some(q02bSql)),
+    Capability("q02f_spearman",
+      "Spearman rank correlation (distributed fractional ranks + Pearson)",
+      q02f, Some(q02fSql)),
     Capability("q02d_agg_options", "aggregate options: ddof, skip_nulls, min_count", q02d,
       Some(q02dSql)),
     Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),

@@ -209,6 +209,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mr._2 == 1.0 && !mr._3, mr.toString)
   }
 
+  test("spearman: monotone invariance, sign, tie averaging, null exclusion") {
+    import spark.implicits._
+    // monotone nonlinear relation: Pearson < 1 but Spearman exactly 1
+    val mono = (1 to 50).map(i => (i.toDouble, i.toDouble * i)).toDF("a", "b")
+    assert(graft.operators.Spearman.rho(mono, "a", "b").head().getDouble(0) == 1.0)
+    val anti = (1 to 50).map(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    assert(graft.operators.Spearman.rho(anti, "a", "b").head().getDouble(0) == -1.0)
+    // tie averaging: ranks a = (1.5, 1.5, 3), b = (1, 2, 3)
+    // -> rho = 1.5 / sqrt(1.5 * 2) = 0.866025
+    val ties = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("a", "b")
+    val rho = graft.operators.Spearman.rho(ties, "a", "b").head()
+    assert(math.abs(rho.getDouble(0) - 0.866025) < 1e-6, rho.toString)
+    assert(rho.getLong(1) == 3L)
+    // a null on either side drops the PAIR, not just the value
+    val withNull = Seq(
+      (Some(1.0), Some(1.0)), (Some(2.0), None), (None, Some(5.0)),
+      (Some(3.0), Some(2.0))).toDF("a", "b")
+    val r2 = graft.operators.Spearman.rho(withNull, "a", "b").head()
+    assert(r2.getLong(1) == 2L)
+    assert(r2.getDouble(0) == 1.0)
+  }
+
   test("unique rule threads its cap and clamps above-cap approximation at 0") {
     import spark.implicits._
     import graft.pipeline.Expectations._
