@@ -203,6 +203,41 @@ object AnalyticsQueries {
     * absorbs the x == max edge. A degenerate single-value domain
     * (hi == lo) would put NaN in every bin identically on both engines —
     * callers histogramming a constant column should notice, not crash. */
+  /** Robust per-group outlier flags ([[graft.operators.Robust]]): rows
+    * of the events stream whose value sits more than 6 MADs from their
+    * event-type median. Median and MAD are the exact grouped quantiles
+    * (single-shuffle rank selection, parity proven by q27g), so every
+    * comparison is the same IEEE double in both engines. */
+  private def outliers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Robust.madOutliers(
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value")),
+      "event_type", "value", k = 6.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("mad_score"))
+      .orderBy(col("event_id"))
+
+  private val outliersSql =
+    """WITH p AS (
+      |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+      |  FROM events WHERE value IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+      |        FROM p GROUP BY event_type),
+      |dev AS (SELECT p.event_id, p.event_type, p.value, med.m,
+      |          abs(p.value - med.m) AS d
+      |        FROM p JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT dev.event_id, dev.event_type, dev.value,
+      |  round(dev.m, 6) AS med, round(mad.mad, 6) AS mad,
+      |  CASE WHEN mad.mad = 0 THEN NULL
+      |       ELSE round(dev.d / mad.mad, 6) END AS mad_score
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE CASE WHEN mad.mad = 0 THEN dev.d > 0
+      |           ELSE dev.d > 6.0 * mad.mad END
+      |ORDER BY event_id""".stripMargin
+
   private val HistBins = 20
 
   private def histogram(s: SparkSession, d: String): DataFrame = {
@@ -765,6 +800,9 @@ object AnalyticsQueries {
     Capability("profile_histogram",
       "equal-width histogram via broadcast bounds (no driver round-trip)",
       histogram, Some(histogramSql)),
+    Capability("profile_outliers",
+      "robust per-group outliers: |value - median| > 6 MAD (50% breakdown)",
+      outliers, Some(outliersSql)),
     Capability("graph_pagerank",
       "damped PageRank, 3 exact-decimal iterations (link-authority scoring)",
       pagerank, Some(pagerankSql), bench = true),

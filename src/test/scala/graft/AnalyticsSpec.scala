@@ -209,6 +209,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mr._2 == 1.0 && !mr._3, mr.toString)
   }
 
+  test("MAD outliers: hand-computed flags, zero-MAD convention, null exclusion") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: med=20, devs (20,10,0,10,980), mad=10 -> only 1000 at k=3
+      ("a", 1L, Some(0.0)), ("a", 2L, Some(10.0)), ("a", 3L, Some(20.0)),
+      ("a", 4L, Some(30.0)), ("a", 5L, Some(1000.0)),
+      // group b: >half identical -> mad=0: off-median rows flag, score NULL
+      ("b", 6L, Some(7.0)), ("b", 7L, Some(7.0)), ("b", 8L, Some(7.0)),
+      ("b", 9L, Some(9.0)),
+      // nulls never participate
+      ("a", 10L, None))
+      .toDF("g", "id", "v")
+    val out = graft.operators.Robust.madOutliers(df, "g", "v", k = 3.0)
+      .select(col("id"), col("mad_score"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out.keySet == Set(5L, 9L), s"flagged ${out.keySet}")
+    assert(out(5L) == Some(98.0), out(5L).toString)
+    assert(out(9L).isEmpty, "zero-MAD group must flag with a NULL score")
+  }
+
   test("spearman: monotone invariance, sign, tie averaging, null exclusion") {
     import spark.implicits._
     // monotone nonlinear relation: Pearson < 1 but Spearman exactly 1
