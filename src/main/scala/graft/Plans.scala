@@ -58,7 +58,14 @@ object Plans {
       "dedup_ppjoin",            // prefix-filter candidates, exact verify
       "ann_pq",                  // literal codebook, narrow encode, ADC scan
       "pipeline_expectations",   // one scan + one 1-row aggregate
-      "q43_resample")            // binned bracket joins, no per-key cross
+      "q43_resample",            // binned bracket joins, no per-key cross
+      "dedup_semantic",          // literal-folded assignment, broadcast reps
+      "pipeline_weighted_sample",// ES keys through the bounded heap
+      "text_drift",              // slice-token partials, closed-form absent mass
+      "text_entropy",            // (doc,char) partials, never text
+      "q02f_spearman",           // range-sorted ranks, no one-partition window
+      "profile_outliers",        // two grouped rank selections + broadcast backs
+      "pipeline_split_leakfree") // narrow group-keyed bucket projection
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
