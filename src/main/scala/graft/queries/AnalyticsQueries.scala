@@ -203,6 +203,111 @@ object AnalyticsQueries {
     * absorbs the x == max edge. A degenerate single-value domain
     * (hi == lo) would put NaN in every bin identically on both engines —
     * callers histogramming a constant column should notice, not crash. */
+  /** Cohort retention — THE product-analytics table: users grouped by
+    * first-seen week (the cohort), counted once per week-offset in which
+    * they return. Shuffle shape: one user-keyed aggregate for the cohort
+    * anchor, one distinct over (user, activity week) — both carry ids
+    * and dates only — then a user-keyed join and a (cohort, offset)
+    * count; nothing holds per-user history in memory. Week arithmetic is
+    * integer day-diff / 7, identical in both engines. */
+  private def cohorts(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.distinct()
+      .join(first, Seq("user_id"))
+      .select(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("offset_wk"))
+      .groupBy(col("cohort_wk"), col("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+
+  private val cohortsSql =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |first AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+      |SELECT e2.cohort_wk, e2.offset_wk, COUNT(*) AS n_users FROM (
+      |  SELECT first.cohort_wk,
+      |    CAST(datediff('day', first.cohort_wk, e.wk) / 7 AS INT) AS offset_wk
+      |  FROM e JOIN first USING (user_id)) e2
+      |GROUP BY e2.cohort_wk, e2.offset_wk
+      |ORDER BY e2.cohort_wk, e2.offset_wk""".stripMargin
+
+  /** First-order event-transition matrix per user stream (the Markov
+    * view of product flows): counts and probabilities of each
+    * (prev event type → next event type) step, ordered by time with the
+    * event id as the deterministic tie-break. One user-keyed window for
+    * the lag, one (prev, next) count with map-side combine; the
+    * row-count probability denominators reuse the same partials. */
+  private def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("prev_type"), col("next_type"))
+    steps.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  private val transitionsSql =
+    """WITH s AS (
+      |  SELECT event_type AS prev_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, next_type, COUNT(*) AS n FROM s
+      |  WHERE next_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  round(n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** Equi-height histogram — the quantile-edged companion to
+    * profile_histogram's equal-width bins (equal-width collapses under
+    * skew; equi-height bins adapt). Edges are the exact interpolated
+    * k/B quantiles ([[graft.operators.Quantiles.exact]] — range-sorted
+    * rank selection, bounded driver fetch), folded into a narrow binning
+    * projection as literals; only (bin, partial-count) pairs shuffle.
+    * A row lands in the LAST bin whose lower edge it reaches, so ties
+    * at an edge go to the higher bin deterministically in both engines. */
+  private def eqHistogram(s: SparkSession, d: String): DataFrame = {
+    val bins = 10
+    val o = Tables.orders(s, d).select(col("o_totalprice").cast("double").as("v"))
+    val qs = (1 until bins).map(_.toDouble / bins)
+    // edges rounded at 6 dp (half-up, matching DuckDB round()) so the
+    // bin comparisons see the identical literal in both engines even if
+    // the two quantile implementations differ in the last ulp
+    val edges = graft.operators.Quantiles.exact(o, "v", qs)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bin = edges.zipWithIndex.foldLeft(lit(0)) { case (acc, (e, i)) =>
+      when(col("v") >= e, lit(i + 1)).otherwise(acc)
+    }
+    o.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  private val eqHistogramSql =
+    """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+      |e AS (
+      |  SELECT list_transform(
+      |    quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    x -> round(x, 6)) AS q
+      |  FROM v),
+      |b AS (
+      |  SELECT len(list_filter(e.q, x -> v.v >= x)) AS bin
+      |  FROM v CROSS JOIN e)
+      |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n FROM b
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Robust per-group outlier flags ([[graft.operators.Robust]]): rows
     * of the events stream whose value sits more than 6 MADs from their
     * event-type median. Median and MAD are the exact grouped quantiles
@@ -803,6 +908,15 @@ object AnalyticsQueries {
     Capability("profile_outliers",
       "robust per-group outliers: |value - median| > 6 MAD (50% breakdown)",
       outliers, Some(outliersSql)),
+    Capability("events_cohorts",
+      "weekly cohort retention (first-seen week x return-week offset)",
+      cohorts, Some(cohortsSql)),
+    Capability("events_transitions",
+      "first-order event-transition matrix (counts + row-stochastic probabilities)",
+      transitions, Some(transitionsSql)),
+    Capability("profile_eq_histogram",
+      "equi-height histogram on exact decile edges (skew-adaptive bins)",
+      eqHistogram, Some(eqHistogramSql)),
     Capability("graph_pagerank",
       "damped PageRank, 3 exact-decimal iterations (link-authority scoring)",
       pagerank, Some(pagerankSql), bench = true),

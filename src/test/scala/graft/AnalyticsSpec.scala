@@ -209,6 +209,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mr._2 == 1.0 && !mr._3, mr.toString)
   }
 
+  test("equi-height histogram bins are near-equal on real data and cover every row") {
+    val out = Registry.byName("profile_eq_histogram").run(spark, TestSpark.sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = Tables.orders(spark, TestSpark.sf).count()
+    assert(out.values.sum == total, "every row must land in exactly one bin")
+    assert(out.keySet == (0 until 10).toSet, s"bins ${out.keySet}")
+    // decile edges: each bin holds ~10% (ties at edges shift a few rows)
+    val expect = total / 10.0
+    out.values.foreach(n =>
+      assert(math.abs(n - expect) <= expect * 0.2 + 2, s"bin of $n vs ~$expect"))
+  }
+
   test("MAD outliers: hand-computed flags, zero-MAD convention, null exclusion") {
     import spark.implicits._
     val df = Seq(

@@ -415,6 +415,15 @@ class PlanSpec extends AnyFunSuite {
     assert(objAgg.size >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(2000)}")
   }
 
+  test("pipeline_weighted_sample ships heaps, not rows: partial agg, no Window") {
+    val df = Registry.byName("pipeline_weighted_sample").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"window formulation leaked back in:\n${plan.take(800)}")
+    val objAgg = plan.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(objAgg.size >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(2000)}")
+  }
+
   test("dedup_fuzzy joins on the block key, never a nested-loop all-pairs") {
     val df = Registry.byName("dedup_fuzzy").run(spark, sf)
     df.collect()
