@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-state distribution drift: Jensen–Shannon divergence over a
+  * FIXED 64-bucket hash of the token space, per slice or per event-time
+  * window — the scale/streaming twin of [[TextQueries.sliceDrift]].
+  * sliceDrift is exact over the real vocabulary but its state is the
+  * vocabulary itself; hashing tokens into 64 md5 buckets caps the state
+  * at 64 counters per group FOREVER (watermark-evictable in a stream),
+  * at the price of hash-collision smoothing (bucketed JSD lower-bounds
+  * vocabulary JSD — collisions can only cancel mass, never invent it;
+  * DriftSpec pins that and the zero-self-drift identity).
+  *
+  * The whole computation is ONE aggregate: tokens explode narrowly, each
+  * draws its md5 bucket, and a single groupBy emits the 64 conditional
+  * counts; the JSD against the broadcast reference distribution is a
+  * narrow closed-form projection over those counts (64 fixed terms in
+  * deterministic textual order — the DuckDB oracle mirrors them term by
+  * term). Because it is one watermarked aggregate, the identical code
+  * runs on a stream grouped by `window(ts, ...)` — StreamingSpec asserts
+  * batch parity.
+  */
+object Drift {
+
+  /** Bucket count — 64 keeps the conditional-count aggregate comfortably
+    * inside codegen while resolving drift at the few-percent level. */
+  val Buckets = 64
+
+  /** md5 bucket of a token: low 6 bits of the first 16 hash bits —
+    * `('0x' || substring(md5(w),1,4))::INT % 64` in DuckDB. */
+  def bucketOf(w: Column): Column =
+    (conv(substring(md5(w), 1, 4), 16, 10).cast("int") % Buckets)
+
+  /** Reference bucket distribution of a corpus: 64 probabilities
+    * (counts / total, plain IEEE division of exact integers — identical
+    * in any engine). Bounded driver exchange: 64 rows. */
+  def refProbs(df: DataFrame, textCol: String): Array[Double] = {
+    val counts = df
+      .select(explode(graft.functions.TextOps.words(col(textCol))).as("w"))
+      .groupBy(bucketOf(col("w")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    require(total > 0, "refProbs: empty reference corpus")
+    Array.tabulate(Buckets)(i => counts.getOrElse(i, 0L).toDouble / total)
+  }
+
+  /** Per-group JSD (bits) of the bucketed token distribution against
+    * `ref`: one aggregate over `groupCols` (existing columns of `df` —
+    * e.g. a slice key, or a pre-projected `window(ts, ...)` struct on a
+    * watermarked stream), bounded 64-counter state. A group with no
+    * tokens yields a NULL jsd. */
+  def bucketJsd(df: DataFrame, groupCols: Seq[String], textCol: String,
+      ref: Array[Double]): DataFrame = {
+    require(ref.length == Buckets, s"ref must have $Buckets entries")
+    val aggs = (0 until Buckets).map(i =>
+      count(when(col("__b") === i, 1)).as(s"__c$i"))
+    val n = (0 until Buckets).map(i => col(s"__c$i")).reduce(_ + _)
+    // Σ over buckets of 0.5·p·log2(2p/(p+g)) + 0.5·g·log2(2g/(p+g)),
+    // each term guarded (p = 0 or g = 0 degenerate cleanly) and rounded
+    // at 9 dp — a FIXED 64-term sum in deterministic textual order
+    val jsd = (0 until Buckets).map { i =>
+      val p = col(s"__c$i").cast("double") / col("__n")
+      val g = lit(ref(i))
+      val pTerm = when(col(s"__c$i") > 0,
+        lit(0.5) * p * log2(lit(2.0) * p / (p + g))).otherwise(lit(0.0))
+      val gTerm = if (ref(i) > 0)
+        lit(0.5) * g * log2(lit(2.0) * g / (when(col(s"__c$i") > 0, p)
+          .otherwise(lit(0.0)) + g))
+      else lit(0.0)
+      // each term scales to an exact 1e-9-unit LONG so the 64-term sum
+      // is order-independent integer arithmetic — NOT a decimal chain:
+      // Spark's (38,12)+(38,12) addition overflows precision 38 and
+      // silently REDUCES the scale toward 6 on every chained add, which
+      // rounded this very sum at 6 dp before the fix
+      round((pTerm + gTerm) * lit(1e9), 0).cast("long")
+    }.reduce(_ + _).cast("double") / lit(1e9)
+    df.select(groupCols.map(col) :+
+        explode(graft.functions.TextOps.words(col(textCol))).as("w"): _*)
+      .withColumn("__b", bucketOf(col("w")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__n", n)
+      // NO final rounding: the 64-term decimal sum is exact at 9 dp, so
+      // a round(x, 6) can land exactly on a .5 tie where engines round
+      // differently (this bit the gate); the exact-decimal→double cast
+      // is identical everywhere
+      .withColumn("jsd", when(col("__n") > 0, jsd))
+      .drop((0 until Buckets).map(i => s"__c$i") :+ "__n": _*)
+  }
+}

@@ -584,6 +584,49 @@ object TextQueries {
       |    + 0.5 * (1.0 - CAST(SUM(gm) AS DOUBLE)), 6) AS jsd
       |FROM e GROUP BY source ORDER BY source""".stripMargin
 
+  /** Bounded-state drift twin ([[Drift]]): the same per-source JSD as
+    * text_drift but over the fixed 64-bucket token hash — the state that
+    * survives a stream. The oracle densifies (source × 64 buckets) and
+    * mirrors the per-bucket guarded expression term by term. */
+  private def driftBucketedQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = Drift.refProbs(docs, "text")
+    Drift.bucketJsd(docs, Seq("source"), "text", ref)
+      .orderBy(col("source"))
+  }
+
+  private val driftBucketedSql =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tb AS (
+       |  SELECT source,
+       |    (('0x' || substring(md5(w), 1, 4))::INT % ${Drift.Buckets}) AS b
+       |  FROM toks),
+       |sc AS (SELECT source, b, COUNT(*) AS k FROM tb GROUP BY source, b),
+       |st AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM sc GROUP BY source),
+       |gc AS (SELECT b, CAST(SUM(k) AS BIGINT) AS c FROM sc GROUP BY b),
+       |gt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM gc),
+       |dense AS (
+       |  SELECT st.source, st.n, r.range AS b,
+       |         coalesce(sc.k, 0) AS k, coalesce(gc.c, 0) AS c
+       |  FROM st CROSS JOIN range(${Drift.Buckets}) r
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.b = r.range
+       |  LEFT JOIN gc ON gc.b = r.range),
+       |terms AS (
+       |  SELECT source,
+       |    CAST(round((
+       |      (CASE WHEN k > 0 THEN
+       |        0.5 * (k::DOUBLE / n) * log2(2.0 * (k::DOUBLE / n)
+       |          / ((k::DOUBLE / n) + (c::DOUBLE / gt.t))) ELSE 0.0 END)
+       |      + (CASE WHEN c > 0 THEN
+       |        0.5 * (c::DOUBLE / gt.t) * log2(2.0 * (c::DOUBLE / gt.t)
+       |          / ((CASE WHEN k > 0 THEN k::DOUBLE / n ELSE 0.0 END)
+       |             + (c::DOUBLE / gt.t))) ELSE 0.0 END)) * 1e9, 0)
+       |      AS BIGINT) AS e
+       |  FROM dense CROSS JOIN gt)
+       |SELECT source, CAST(SUM(e) AS DOUBLE) / 1e9 AS jsd
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   private def unigramLm(s: SparkSession, d: String): DataFrame =
     unigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -771,6 +814,9 @@ object TextQueries {
     Capability("text_drift",
       "per-source Jensen-Shannon drift vs the corpus token distribution",
       driftQ, Some(driftSql)),
+    Capability("text_drift_bucketed",
+      "bounded-state drift twin: JSD over the fixed 64-bucket token hash",
+      driftBucketedQ, Some(driftBucketedSql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),
