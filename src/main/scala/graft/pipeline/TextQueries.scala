@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.{Capability, Tables}
 import graft.functions.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis pipelines over `documents`: token counting, quality
@@ -627,6 +628,58 @@ object TextQueries {
        |SELECT source, CAST(SUM(e) AS DOUBLE) / 1e9 AS jsd
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-document TF-IDF top terms — the keyword-extraction staple
+    * (tf·ln((N+1)/(df+1)), smoothed so corpus-universal terms score ~0
+    * instead of dividing by zero). Shuffle shape: the (doc, word) count
+    * reduction with map-side combine, document frequencies reusing those
+    * partials word-keyed, one broadcast N row, and a doc-partitioned
+    * window for the per-doc top-k (per-doc cardinality is bounded by
+    * document length, so the window never concentrates a corpus).
+    * Scores on identical integer inputs are identical doubles in both
+    * engines; ties break on the term string. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val dc = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = dc.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("w"))
+    dc.join(dfq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("rank"), col("w").as("term"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  private def tfidfQ(s: SparkSession, d: String): DataFrame =
+    tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dc AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE w <> ''
+      |       GROUP BY doc_id, w),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM dc GROUP BY w),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |s AS (
+      |  SELECT dc.doc_id, dc.w,
+      |    dc.tf * ln((nd.nd + 1.0) / (dfq.df + 1.0)) AS score
+      |  FROM dc JOIN dfq USING (w) CROSS JOIN nd)
+      |SELECT doc_id, rank, term, tfidf FROM (
+      |  SELECT doc_id, w AS term,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, w) AS INT) AS rank,
+      |    round(score, 6) AS tfidf
+      |  FROM s)
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   private def unigramLm(s: SparkSession, d: String): DataFrame =
     unigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -817,6 +870,9 @@ object TextQueries {
     Capability("text_drift_bucketed",
       "bounded-state drift twin: JSD over the fixed 64-bucket token hash",
       driftBucketedQ, Some(driftBucketedSql)),
+    Capability("text_tfidf",
+      "per-document TF-IDF top-5 keyword extraction (smoothed idf)",
+      tfidfQ, Some(tfidfSql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),

@@ -288,6 +288,36 @@ object ExtendedQueries {
       |  FROM p)
       |SELECT round(corr(ra, rb), 6) AS rho, COUNT(*) AS n FROM r""".stripMargin
 
+  /** Q02g: the least-squares regression aggregate family (regr_slope /
+    * intercept / r2 / count / avgx / avgy) — grouped, price ~ quantity
+    * per return flag. Both engines implement the same closed forms over
+    * double moments; round@6 absorbs accumulation-order ulps (the q02b
+    * corr precedent). */
+  private def q02g(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("y"),
+        col("l_quantity").cast("double").as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("y"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 6).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"),
+        regr_count(col("y"), col("x")).as("n"),
+        round(regr_avgx(col("y"), col("x")), 6).as("avgx"),
+        round(regr_avgy(col("y"), col("x")), 6).as("avgy"))
+      .orderBy(col("l_returnflag"))
+
+  private val q02gSql =
+    """SELECT l_returnflag,
+      |  round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS slope,
+      |  round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS intercept,
+      |  round(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS r2,
+      |  CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n,
+      |  round(regr_avgx(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS avgx,
+      |  round(regr_avgy(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS avgy
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Q02d: the reference's aggregate OPTION surfaces
     * (`ScalarAggregateOptions(skip_nulls, min_count)`,
     * cpp/src/arrow/compute/api_aggregate.h:36-44, and
@@ -564,6 +594,9 @@ object ExtendedQueries {
     Capability("q02f_spearman",
       "Spearman rank correlation (distributed fractional ranks + Pearson)",
       q02f, Some(q02fSql)),
+    Capability("q02g_regression",
+      "grouped least-squares regression aggregates (slope/intercept/r2/avgx/avgy)",
+      q02g, Some(q02gSql)),
     Capability("q02d_agg_options", "aggregate options: ddof, skip_nulls, min_count", q02d,
       Some(q02dSql)),
     Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),
