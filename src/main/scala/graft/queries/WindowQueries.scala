@@ -558,7 +558,46 @@ object WindowQueries {
        |      THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS O
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q44: event-time RANGE frames — the rolling-statistics window the
+    * rows-frame battery (q20/q20b) cannot express: every row sees the
+    * events of its own trailing hour (peers at the same second
+    * included), per type. The frame key is whole SECONDS derived from
+    * the µs bridge (`unix_micros div 1e6` ↔ `epoch_us // 1e6` — integer
+    * floor on both engines), sums go through the exact-decimal contract,
+    * and the mean divides two exact quantities. */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val secs = expr("unix_micros(ts) div 1000000") // integer floor, µs bridge
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        secs.as("__s"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(graft.Det.dec(col("value"))).over(w).cast("double"), 4)
+          .as("sum_1h"),
+        round(sum(graft.Det.dec(col("value"))).over(w).cast("double")
+          / count(lit(1)).over(w), 6).as("avg_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q44Sql =
+    """SELECT event_id, event_type,
+      |  COUNT(*) OVER w AS n_1h,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE), 4)
+      |    AS sum_1h,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w, 6) AS avg_1h
+      |FROM (SELECT event_id, event_type, value,
+      |        epoch_us(ts) // 1000000 AS s FROM events)
+      |WINDOW w AS (PARTITION BY event_type ORDER BY s
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
+    Capability("q44_rolling",
+      "event-time RANGE frame: trailing-hour rolling count/sum/mean per type",
+      q44, Some(q44Sql)),
     Capability("q19_ranking", "rank/dense_rank/percent_rank/row_number/ntile/lag/lead", q19, Some(q19Sql)),
     Capability("q19b_rank_normal", "rank_quantile / rank_normal (mid-rank + normal PPF)", q19b, Some(q19bSql)),
     Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
