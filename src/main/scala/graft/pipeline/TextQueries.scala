@@ -628,6 +628,74 @@ object TextQueries {
        |SELECT source, CAST(SUM(e) AS DOUBLE) / 1e9 AS jsd
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** Gopher-style rule battery (Rae et al. 2021 Appendix A) — the
+    * second industry-standard quality screen next to [[quality]]'s
+    * C4-ish ratios: mean word length inside [3,10], symbol-to-word
+    * ratio (#/… spam), fraction of lines starting with a bullet or
+    * ending with an ellipsis, and the alphabetic-word fraction. Each
+    * signal is a narrow per-row expression (no shuffle at any scale);
+    * the keep flag is the conjunction of the published thresholds. */
+  private def gopherQ(s: SparkSession, d: String): DataFrame =
+    gopherOn(Tables.documents(s, d))
+
+  /** The rule battery over any (doc_id, text) frame — spec entry point. */
+  def gopherOn(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nTok = size(ws).cast("double")
+    val meanWordLen =
+      aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / nTok
+    val symbolRatio =
+      (size(split(col("text"), "#", -1)) - 1 +
+        (size(split(col("text"), "\\.\\.\\.", -1)) - 1) * 3).cast("double") / nTok
+    val lines = split(col("text"), "\n", -1)
+    val nLines = size(lines).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+        .cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines
+    val alphaFrac =
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nTok
+    // keep is judged on the UNROUNDED ratios in BOTH engines (a ratio
+    // rounding up to a threshold must not flip the flag on one side)
+    docs.select(
+      col("doc_id"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 &&
+        ellipsisFrac <= 0.3 && alphaFrac >= 0.8).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherSql = {
+    val nTok = "len(string_split(text, ' '))::DOUBLE"
+    val mwl = s"list_sum(list_transform(string_split(text, ' '), w -> length(w)))::DOUBLE / $nTok"
+    // '#' chars + 3x the non-overlapping '...' occurrences (replace and
+    // a left-to-right regex split count occurrences identically)
+    val sym = s"((length(text) - length(replace(text, '#', ''))) + " +
+      s"(length(text) - length(replace(text, '...', ''))))::DOUBLE / $nTok"
+    val nLines = "len(string_split(text, chr(10)))::DOUBLE"
+    val bullet = s"len(list_filter(string_split(text, chr(10)), " +
+      s"l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE / $nLines"
+    val ell = s"len(list_filter(string_split(text, chr(10)), " +
+      s"l -> ends_with(l, '...')))::DOUBLE / $nLines"
+    val alpha = s"len(list_filter(string_split(text, ' '), " +
+      s"w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / $nTok"
+    s"""SELECT doc_id,
+       |  round($mwl, 6) AS mean_word_len,
+       |  round($sym, 6) AS symbol_ratio,
+       |  round($bullet, 6) AS bullet_frac,
+       |  round($ell, 6) AS ellipsis_frac,
+       |  round($alpha, 6) AS alpha_frac,
+       |  ($mwl >= 3.0 AND $mwl <= 10.0 AND $sym <= 0.1 AND $bullet <= 0.9
+       |   AND $ell <= 0.3 AND $alpha >= 0.8) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document TF-IDF top terms — the keyword-extraction staple
     * (tf·ln((N+1)/(df+1)), smoothed so corpus-universal terms score ~0
     * instead of dividing by zero). Shuffle shape: the (doc, word) count
@@ -873,6 +941,9 @@ object TextQueries {
     Capability("text_tfidf",
       "per-document TF-IDF top-5 keyword extraction (smoothed idf)",
       tfidfQ, Some(tfidfSql)),
+    Capability("text_gopher",
+      "Gopher rule battery: word-length/symbol/bullet/ellipsis/alpha screens + keep flag",
+      gopherQ, Some(gopherSql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),

@@ -325,6 +325,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher battery flags planted spam shapes, keeps clean prose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy sleeping dog today"),
+      (2L, "- one\n- two\n- three\n- four"),          // all-bullet listicle
+      (3L, "buy### now### cheap### pills### here###"), // symbol spam
+      (4L, "a b c d e f g h i j"),                     // mean word len 1
+      (5L, "1 2 3 4 5 6 7 8 9 10"))                    // no alphabetic words
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextQueries.gopherOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out(1L), "clean prose must pass")
+    assert(!out(2L), "all-bullet listicle must fail")
+    assert(!out(3L), "symbol spam must fail")
+    assert(!out(4L), "degenerate word length must fail")
+    assert(!out(5L), "non-alphabetic soup must fail")
+  }
+
   test("char entropy: closed forms, degenerate tails, empty-text drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
