@@ -483,6 +483,32 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26p: HIVE-PARTITIONED Arrow IPC dataset round-trip — the
+    * reference's `FileSystemDataset` + `HivePartitioning` layout
+    * (cpp/src/arrow/dataset/partition.h) over IPC files: one
+    * `lang=<v>` directory per key, files written per partition, read
+    * back with the partition column reconstructed from the path. The
+    * oracle is the source table itself (partition values re-typed as
+    * the strings the path carries). */
+  private def q26p(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_part_${Tables.scratchKey(d)}"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    langs.foreach { l =>
+      graft.sources.ArrowIpc.write(
+        docs.filter(col("lang") === l).drop("lang"),
+        s"$out/lang=$l")
+    }
+    graft.sources.ArrowIpc.readPartitioned(s, out)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q26pSql =
+    """SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""".stripMargin
+
   /** Q26i: Arrow IPC STREAM-format round-trip (reference
     * RecordBatchStreamReader/Writer, cpp/src/arrow/ipc/reader.h:74,
     * writer.h:143) — the footerless pipe/socket framing, same oracle as
@@ -895,6 +921,9 @@ object NestedIOQueries {
     Capability("q26m_ipc_dict", "dictionary-encoded Arrow IPC round-trip (categorical transport)", q26m, Some(q26Sql)),
     Capability("q26n_ipc_ree", "run-end-encoded Arrow IPC round-trip (sorted-run transport)", q26n,
       Some(q26Sql)),
+    Capability("q26p_ipc_partitioned",
+      "hive-partitioned Arrow IPC dataset round-trip (HivePartitioning)",
+      q26p, Some(q26pSql)),
     Capability("q26o_ipc_view", "view-layout Arrow IPC round-trip (string_view transport)", q26o,
       Some(q26Sql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),

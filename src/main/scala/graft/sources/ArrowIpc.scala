@@ -920,6 +920,49 @@ object ArrowIpc {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     readWith(spark, dir, "*.arrows", stream = true)
 
+  /** Read a HIVE-PARTITIONED Arrow IPC dataset — `key=value` directory
+    * levels become (string-typed) partition columns appended after the
+    * file columns, mirroring the reference's `HivePartitioning`
+    * (`cpp/src/arrow/dataset/partition.h`) and Spark's own layout
+    * convention. Each partition's files read through the full decode
+    * machinery (dictionaries, REE, views, large types); values are
+    * URL-decoded the way both writers escape them. Cast partition
+    * columns downstream when a typed key is needed — the reference
+    * infers types only when asked, and a lossless string never lies. */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val base = fs.getFileStatus(dirPath).getPath // normalized
+    def walk(p: Path): Seq[Path] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      files.map(_.getPath).filter(_.getName.endsWith(".arrow")) ++
+        dirs.flatMap(d => walk(d.getPath))
+    }
+    val all = walk(base)
+    require(all.nonEmpty, s"ArrowIpc.readPartitioned: no .arrow files under $dir")
+    def specOf(f: Path): Seq[(String, String)] = {
+      val rel = f.toString.stripPrefix(base.toString).stripPrefix("/")
+      rel.split("/").dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"non-hive path segment '$seg' under $dir")
+        seg.substring(0, i) ->
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      }
+    }
+    val bySpec = all.groupBy(specOf).toSeq.sortBy(_._1.toString)
+    val keys = bySpec.head._1.map(_._1)
+    require(bySpec.forall(_._1.map(_._1) == keys),
+      s"inconsistent partition keys under $dir: " +
+        bySpec.map(_._1.map(_._1).mkString("/")).distinct.mkString(", "))
+    bySpec.map { case (spec, files) =>
+      val part = readFiles(spark, files.map(_.toString).sorted, stream = false)
+      spec.foldLeft(part) { case (df, (k, v)) =>
+        df.withColumn(k, org.apache.spark.sql.functions.lit(v))
+      }
+    }.reduce(_ unionByName _)
+  }
+
   private def readWith(
       spark: SparkSession, dir: String, glob: String, stream: Boolean): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -928,6 +971,13 @@ object ArrowIpc {
     val files = Option(fs.globStatus(new Path(dirPath, glob)))
       .getOrElse(Array.empty).map(_.getPath.toString).sorted
     require(files.nonEmpty, s"ArrowIpc.read: no $glob files in $dir")
+    readFiles(spark, files.toIndexedSeq, stream)
+  }
+
+  private def readFiles(
+      spark: SparkSession, files: Seq[String], stream: Boolean): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(files.nonEmpty, "ArrowIpc.readFiles: empty file list")
     val schema: StructType = {
       import scala.jdk.CollectionConverters._
       val allocator = new RootAllocator(Long.MaxValue)

@@ -283,6 +283,29 @@ class IoSpec extends AnyFunSuite {
     assert(got(3).getSeq[Long](3) == Seq.empty)
   }
 
+  test("partitioned IPC read: URL-decoded values, inconsistent keys rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_part").toString
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    // value with a space, URL-escaped the way writers escape it
+    ArrowIpc.write(a, s"$dir/k=a%20b")
+    ArrowIpc.write(b, s"$dir/k=plain")
+    val back = ArrowIpc.readPartitioned(spark, dir)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == Seq((1L, "x", "a b"), (2L, "y", "a b"), (3L, "z", "plain")))
+    // a second level with a DIFFERENT key name must fail loudly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ipc_part2").toString
+    ArrowIpc.write(a, s"$dir2/k=1")
+    ArrowIpc.write(b, s"$dir2/other=2")
+    val err = intercept[IllegalArgumentException] {
+      ArrowIpc.readPartitioned(spark, dir2)
+    }
+    assert(err.getMessage.contains("inconsistent partition keys"), err.getMessage)
+  }
+
   test("a view layout nested INSIDE a struct is rejected loudly at the read boundary") {
     // struct<s: string_view>: the top-level field is NOT itself a view,
     // so the per-column decode walk never sees it — the schema-level walk
