@@ -494,13 +494,7 @@ object NestedIOQueries {
     val out = s"/tmp/graft_io/q26_ipc_part_${Tables.scratchKey(d)}"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("lang"))
-    val langs = docs.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
-    langs.foreach { l =>
-      graft.sources.ArrowIpc.write(
-        docs.filter(col("lang") === l).drop("lang"),
-        s"$out/lang=$l")
-    }
+    graft.sources.ArrowIpc.writePartitioned(docs, out, Seq("lang"))
     graft.sources.ArrowIpc.readPartitioned(s, out)
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))

@@ -920,6 +920,39 @@ object ArrowIpc {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     readWith(spark, dir, "*.arrows", stream = true)
 
+  /** Write `df` as a HIVE-PARTITIONED Arrow IPC dataset: one
+    * `key=value` directory level per partition column (URL-escaped
+    * values), [[write]]'s file layout inside each leaf. The distinct
+    * partition tuples are the one bounded driver exchange (they ARE the
+    * directory listing — a layout with more leaves than a driver can
+    * hold is unusable anyway); each leaf's data is written by the
+    * cluster through the normal path. Partition columns are dropped
+    * from the files exactly like Spark's own partitioned writers —
+    * [[readPartitioned]] reconstructs them from the path. */
+  def writePartitioned(df: DataFrame, dir: String,
+      partitionCols: Seq[String], batchSize: Int = 4096): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    import org.apache.spark.sql.functions.col
+    // overwrite semantics for the whole dataset, like write(): a stale
+    // leaf from a previous layout must not survive into the new one
+    val rootPath = new Path(dir)
+    val rfs = rootPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (rfs.exists(rootPath)) rfs.delete(rootPath, true)
+    val specs = df.select(partitionCols.map(col): _*).distinct()
+      .collect().map(r => partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> String.valueOf(r.get(i))
+      })
+    specs.foreach { spec =>
+      val leaf = spec.map { case (k, v) =>
+        s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}"
+      }.mkString("/")
+      val slice = spec.foldLeft(df) { case (d, (k, v)) =>
+        d.filter(col(k).cast("string") === v)
+      }.drop(partitionCols: _*)
+      write(slice, s"$dir/$leaf", batchSize)
+    }
+  }
+
   /** Read a HIVE-PARTITIONED Arrow IPC dataset — `key=value` directory
     * levels become (string-typed) partition columns appended after the
     * file columns, mirroring the reference's `HivePartitioning`
