@@ -65,7 +65,16 @@ object Plans {
       "text_entropy",            // (doc,char) partials, never text
       "q02f_spearman",           // range-sorted ranks, no one-partition window
       "profile_outliers",        // two grouped rank selections + broadcast backs
-      "pipeline_split_leakfree") // narrow group-keyed bucket projection
+      "pipeline_split_leakfree", // narrow group-keyed bucket projection
+      "text_drift_bucketed",     // one 64-counter aggregate, closed-form JSD projection
+      "text_tfidf",              // doc/word partials, df reuse, bounded doc window
+      "text_gopher",             // pure narrow rule battery, zero shuffle
+      "events_cohorts",          // anchor agg + distinct + user-keyed join
+      "events_transitions",      // one user lag window + pair counts
+      "profile_eq_histogram",    // quantile edges folded into a narrow binning map
+      "q44_rolling",             // event-time RANGE frame
+      "ann_filtered",            // pushed metadata pre-filter + exact search
+      "q26p_ipc_partitioned")    // hive-layout IPC dataset round-trip
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
