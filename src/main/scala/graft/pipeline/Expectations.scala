@@ -68,6 +68,20 @@ object Expectations {
     val name = "min_rows"; val column = "*"; val threshold = 0.0
   }
 
+  /** Robust-outlier rule: the fraction of non-null values more than `k`
+    * MADs from the column median must be <= `threshold` (see
+    * [[graft.operators.Robust]] — median/MAD have a 50 % breakdown
+    * point, so a contaminated column cannot mask its own outliers the
+    * way a stddev rule lets it). Like [[RefIntegrity]] this is not a
+    * single-pass scalar rule: it costs two exact-quantile passes
+    * ([[graft.operators.Quantiles.exact]]) computed outside the shared
+    * scan and carried as a literal. A zero MAD flags any off-median
+    * value (the Robust convention). */
+  final case class Outliers(column: String, k: Double = 6.0,
+      threshold: Double = 0.0) extends Rule {
+    val name = "outliers"
+  }
+
   /** Referential integrity: the fraction of non-null values in `column`
     * absent from `ref`'s `refCol` must be <= `threshold` — the
     * foreign-key containment check. Unlike the scalar rules this needs a
@@ -103,6 +117,7 @@ object Expectations {
         count(when(!col(r.column).isin(r.allowed: _*), 1)).as(s"__m$i"))
       case (_: MinRows, _) => Seq.empty
       case (_: RefIntegrity, _) => Seq.empty
+      case (_: Outliers, _) => Seq.empty
     }
 
   // metric structs over the aggregate columns; `refMetrics` carries the
@@ -144,6 +159,11 @@ object Expectations {
         val m = if (total == 0L) 0.0 else missing.toDouble / total.toDouble
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
           lit(m).as("metric"), lit(r.threshold).as("threshold"))
+      case (r: Outliers, i) =>
+        val (out, total) = refMetrics(i)
+        val m = if (total == 0L) 0.0 else out.toDouble / total.toDouble
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          lit(m).as("metric"), lit(r.threshold).as("threshold"))
     }
 
   private def report(prefix: Seq[Column]): Seq[Column] =
@@ -166,6 +186,20 @@ object Expectations {
             Seq(r.column), "left_anti")
           .count()
         i -> ((missing, total))
+      case (r: Outliers, i) =>
+        val vals = df.select(col(r.column).cast("double").as("__v"))
+          .filter(col("__v").isNotNull)
+        val total = vals.count()
+        if (total == 0L) i -> ((0L, 0L))
+        else {
+          val med = graft.operators.Quantiles.exact(vals, "__v", Seq(0.5)).head
+          val dev = vals.select(abs(col("__v") - lit(med)).as("__d"))
+          val mad = graft.operators.Quantiles.exact(dev, "__d", Seq(0.5)).head
+          val out =
+            if (mad == 0.0) dev.filter(col("__d") > 0.0).count()
+            else dev.filter(col("__d") > lit(r.k) * lit(mad)).count()
+          i -> ((out, total))
+        }
     }.toMap
     val one = df.agg(aggs.head, aggs.tail: _*)
     val metrics = metricsFor(rules, refMetrics)
@@ -188,6 +222,8 @@ object Expectations {
     require(rules.nonEmpty, "Expectations.checkWindowed needs at least one rule")
     require(!rules.exists(_.isInstanceOf[RefIntegrity]),
       "RefIntegrity is a global rule — run it via check(), not per window")
+    require(!rules.exists(_.isInstanceOf[Outliers]),
+      "Outliers needs global quantile passes — run it via check(), not per window")
     val aggs = aggsFor(rules)
     val metrics = metricsFor(rules, Map.empty)
     df.groupBy(window(col(tsCol), windowDur))

@@ -687,7 +687,10 @@ object AnalyticsQueries {
       // FK containment: every order's customer exists (passes); order
       // keys are NOT customer keys (fails loudly, second fail-path row)
       RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey"),
-      RefIntegrity("o_orderkey", Tables.customer(s, d), "c_custkey")))
+      RefIntegrity("o_orderkey", Tables.customer(s, d), "c_custkey"),
+      // robust outliers: right-skewed prices put mass past 4 MADs, so
+      // this rule FAILS with a real nonzero fraction (third fail path)
+      Outliers("o_totalprice", k = 4.0)))
       .orderBy(col("rule"), col("column"))
   }
 
@@ -744,7 +747,19 @@ object AnalyticsQueries {
       |    (SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL)::DOUBLE /
       |            COUNT(*)
       |     FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_orderkey
-      |     WHERE o.o_orderkey IS NOT NULL), 0.0)
+      |     WHERE o.o_orderkey IS NOT NULL), 0.0
+      |  UNION ALL
+      |  SELECT 'outliers', 'o_totalprice',
+      |    (WITH p AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |                WHERE o_totalprice IS NOT NULL),
+      |          med AS (SELECT quantile_cont(v, 0.5) AS m FROM p),
+      |          mad AS (SELECT quantile_cont(abs(p.v - med.m), 0.5) AS d
+      |                  FROM p CROSS JOIN med)
+      |     SELECT COUNT(*) FILTER (WHERE CASE WHEN mad.d = 0
+      |              THEN abs(p.v - med.m) > 0
+      |              ELSE abs(p.v - med.m) > 4.0 * mad.d END)::DOUBLE
+      |            / COUNT(*)
+      |     FROM p CROSS JOIN med CROSS JOIN mad), 0.0)
       |SELECT rule, "column", metric, threshold, (metric <= threshold) AS pass
       |FROM rows0 ORDER BY rule, "column"""".stripMargin
 

@@ -209,6 +209,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mr._2 == 1.0 && !mr._3, mr.toString)
   }
 
+  test("outlier expectation rule: hand case, zero-MAD convention, windowed rejection") {
+    import spark.implicits._
+    import graft.pipeline.Expectations._
+    // med=20, devs (20,10,0,10,980), mad=10 -> one outlier of 5 at k=3
+    val df = Seq(0.0, 10.0, 20.0, 30.0, 1000.0).toDF("v")
+    val row = check(df, Seq(Outliers("v", k = 3.0))).head()
+    assert(math.abs(row.getDouble(2) - 0.2) < 1e-12 && !row.getBoolean(4))
+    // >half identical -> mad=0: any off-median value is an outlier
+    val z = Seq(7.0, 7.0, 7.0, 9.0).toDF("v")
+    val rz = check(z, Seq(Outliers("v", k = 3.0))).head()
+    assert(math.abs(rz.getDouble(2) - 0.25) < 1e-12)
+    // the rule needs global quantiles -> rejected per window
+    val err = intercept[IllegalArgumentException] {
+      checkWindowed(
+        Tables.events(spark, TestSpark.sf), "ts", "1 hour",
+        Seq(Outliers("value")))
+    }
+    assert(err.getMessage.contains("global quantile"), err.getMessage)
+  }
+
   test("equi-height histogram bins are near-equal on real data and cover every row") {
     val out = Registry.byName("profile_eq_histogram").run(spark, TestSpark.sf)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
