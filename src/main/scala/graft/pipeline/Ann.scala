@@ -466,4 +466,28 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** SEMANTIC eval-set decontamination — the embedding-level companion
+    * to the shingle-based [[TextQueries.decontaminate]]: a train item is
+    * contaminated when its cosine to ANY eval item reaches `tau`
+    * (paraphrases and translations share no shingles but do share an
+    * embedding neighborhood). Eval sets are SMALL by construction, so
+    * the scale plan is exactly this: broadcast the eval vectors and
+    * stream the train side through a narrow max-cosine pass — O(dim·|eval|)
+    * per train row, no shuffle of the train corpus, and the per-train
+    * MAX is computed inside the join row group (one train-id-keyed
+    * aggregate over |eval| rows each). For an eval set too big to
+    * broadcast, band BOTH sides with the LSH machinery and verify
+    * candidates only (the dedup_incremental pattern) — recall-gated
+    * rather than exact. */
+  def semanticDecontam(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val ev = eval.select(col(vecCol).as("__ev"))
+    train
+      .join(org.apache.spark.sql.functions.broadcast(ev))
+      .groupBy(col(idCol))
+      .agg(max(round(graft.functions.VectorOps.cosine(col(vecCol), col("__ev")), 6))
+        .as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= tau)
+  }
 }

@@ -257,6 +257,52 @@ object Sharding {
         (col("pos") + 1).cast("int").as("ws_rank"))
   }
 
+  /** Temperature-weighted mixture sampling (the T5/mT5 recipe): draw a
+    * `total`-row corpus whose per-group share is proportional to
+    * `n_g^alpha` — alpha 1 reproduces natural proportions, alpha 0 is
+    * uniform-per-group, the 0.2–0.7 range up-samples small groups the
+    * way multilingual pretraining mixes do. Targets come from the
+    * largest-remainder method (floor(total·w_g) + the biggest
+    * remainders take the leftover — deterministic, ties on the group
+    * key), capped at each group's population (an oversubscribed tiny
+    * group yields what it has; the result can then be < total, which is
+    * the honest outcome — document shortfall rather than silently
+    * re-normalize). Row selection inside a group is the md5 lottery.
+    *
+    * Scale shape: one count aggregate; the allocation math runs on the
+    * #groups-row frame (windows over a bounded frame — the frame IS the
+    * allocation table); selection is one group-keyed window rank over
+    * the corpus with the tiny target table broadcast back. */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, total: Int): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(total >= 1, s"total must be >= 1, got $total")
+    requireFresh(df, "mix_rank")
+    val c = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val sumW = c.agg(sum(pow(col("__n"), alpha)).as("__sw"))
+    val alloc = c.crossJoin(broadcast(sumW))
+      .withColumn("__w", pow(col("__n"), alpha) / col("__sw"))
+      .withColumn("__base", floor(lit(total) * col("__w")))
+      .withColumn("__rem", lit(total) * col("__w") - col("__base"))
+    val deficit = alloc.agg((lit(total) - sum(col("__base"))).cast("long")
+      .as("__deficit"))
+    val wRem = Window.orderBy(col("__rem").desc, col(groupCol))
+    val targets = alloc.crossJoin(broadcast(deficit))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("__tgt",
+        least(col("__n"),
+          col("__base").cast("long") +
+            when(col("__rk") <= col("__deficit"), 1L).otherwise(0L)))
+      .select(col(groupCol), col("__tgt"))
+    val wSel = Window.partitionBy(col(groupCol))
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 12), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("mix_rank", row_number().over(wSel).cast("int"))
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("mix_rank") <= col("__tgt"))
+      .select(col(idCol), col(groupCol), col("mix_rank"))
+  }
+
   /** Global fractional selection WITHOUT a global sort: keep the rows whose
     * `metricCol` is at or above the corpus-wide `1 - keepFrac` quantile
     * (e.g. keepFrac 0.3 → the "top 30 % by quality/length" curation cut).

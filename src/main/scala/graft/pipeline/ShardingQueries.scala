@@ -128,6 +128,40 @@ object ShardingQueries {
       |  FROM documents WHERE n_chars > 0)
       |WHERE ws_rank <= 20 ORDER BY lang, ws_rank""".stripMargin
 
+  /** Temperature mixture: 200 docs at alpha 0.5 across the 20 sources —
+    * small sources up-sampled toward uniform, largest-remainder
+    * allocation mirrored exactly in SQL. */
+  private def temperatureMixQ(s: SparkSession, d: String): DataFrame =
+    Sharding.temperatureMix(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", alpha = 0.5, total = 200)
+      .orderBy(col("source"), col("mix_rank"))
+
+  private val temperatureMixSql =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n,
+      |        pow(n, 0.5) / (SELECT SUM(pow(n, 0.5)) FROM c) AS w FROM c),
+      |a AS (SELECT source, n, floor(200 * w) AS base,
+      |        200 * w - floor(200 * w) AS rem FROM w),
+      |r AS (SELECT source, n, base,
+      |        CAST(row_number() OVER (ORDER BY rem DESC, source) AS INT) AS rk
+      |      FROM a),
+      |t AS (SELECT source,
+      |        LEAST(n, CAST(base AS BIGINT) +
+      |          CASE WHEN rk <= 200 - (SELECT CAST(SUM(base) AS BIGINT) FROM a)
+      |               THEN 1 ELSE 0 END) AS tgt
+      |      FROM r),
+      |ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY substring(md5(doc_id::VARCHAR), 1, 12), doc_id) AS INT)
+      |      AS mix_rank
+      |  FROM documents)
+      |SELECT doc_id, source, mix_rank
+      |FROM ranked JOIN t USING (source)
+      |WHERE mix_rank <= t.tgt
+      |ORDER BY source, mix_rank""".stripMargin
+
   /** Small-file compaction as a gated capability: a deliberately
     * fragmented copy of `documents` (64 splinter files — a micro-batch
     * sink's typical residue) is compacted to size-targeted files via
@@ -386,6 +420,9 @@ object ShardingQueries {
     Capability("pipeline_weighted_sample",
       "Efraimidis-Spirakis weighted sample without replacement, 20/lang by n_chars",
       weightedSampleQ, Some(weightedSampleSql)),
+    Capability("pipeline_mix_temperature",
+      "temperature mixture sampling (n^alpha shares, largest-remainder allocation)",
+      temperatureMixQ, Some(temperatureMixSql)),
     Capability("pipeline_shuffle", "seeded deterministic corpus shuffle (sharded permutation)",
       shuffle, Some(shuffleSql)),
     Capability("pipeline_chunk",

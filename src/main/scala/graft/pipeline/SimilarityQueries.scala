@@ -371,6 +371,30 @@ object SimilarityQueries {
        |) WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Semantic decontamination gate: label 9 plays the eval set (~10 %
+    * of the corpus — small, broadcastable, the realistic shape), every
+    * other label is train; tau 0.35 flags ~10 % of train on this
+    * corpus, so both branches of the flag are exercised. */
+  private def semDecontam(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.semanticDecontam(
+      e.filter(col("label") =!= 9), e.filter(col("label") === 9),
+      "vec_id", "embedding", tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  private val semDecontamSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         label
+      |  FROM embeddings)
+      |SELECT t.vec_id,
+      |  max(round(list_cosine_similarity(t.v, q.v), 6)) AS max_eval_cos,
+      |  (max(round(list_cosine_similarity(t.v, q.v), 6)) >= 0.35)
+      |    AS contaminated
+      |FROM e t JOIN e q ON q.label = 9 AND t.label <> 9
+      |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin
+
   // ---- distributed k-means + SemDeDup ([[ClusterOps]]) ----------------
   // Gate geometry: k=8 seeds, 2 Lloyd iterations, final assignment. The
   // oracle replays the exact loop as chained CTEs: every centroid
@@ -462,6 +486,9 @@ object SimilarityQueries {
     Capability("ann_filtered",
       s"filtered vector search: top-$K under a metadata predicate (pre-filter exact tier)",
       filtered, Some(filteredSql)),
+    Capability("pipeline_decontam_semantic",
+      "embedding-level eval decontamination (broadcast eval, max-cosine flag)",
+      semDecontam, Some(semDecontamSql)),
     // headline tracks the SCALE paths (lsh/ivf); the O(Q·N) brute
     // baseline stays a correctness gate only — a metric that dies at
     // 100× scale-up must not be the number the engine is graded on

@@ -88,6 +88,26 @@ class ClusterSpec extends AnyFunSuite {
     assert(kept == Set(0L, 5L, 10L, 15L), s"kept $kept")
   }
 
+  test("semantic decontamination flags planted eval near-copies only") {
+    import spark.implicits._
+    val train = Seq(
+      1L -> Array(10f, 0f, 0f, 0f),    // near-copy of eval A -> flagged
+      2L -> Array(0f, 10f, 0f, 0f),    // orthogonal -> clean
+      3L -> Array(7f, 0.2f, 0f, 7f))   // partial overlap, cos ~ 0.71
+      .map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+    val eval = Seq(
+      100L -> Array(9.9f, 0.1f, 0f, 0f),
+      101L -> Array(0f, 0f, 10f, 0f))
+      .map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+    val out = graft.pipeline.Ann
+      .semanticDecontam(train, eval, "id", "v", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2, s"near-copy must flag: ${out(1L)}")
+    assert(!out(2L)._2 && !out(3L)._2, out.toString)
+    assert(out(1L)._1 > 0.99 && out(2L)._1 < 0.05)
+  }
+
   test("semanticDedup keeps everything at tau above the max within-cluster cosine") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val kept = ClusterOps.semanticDedup(e, "vec_id", "embedding", 8, 1, tau = 0.999)

@@ -282,6 +282,32 @@ class ShardingSpec extends AnyFunSuite {
     assert(picked == Set(1L, 2L, 6L), s"picked $picked")
   }
 
+  test("temperature mix: proportional at alpha 1, uniform at 0, caps and fills") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // groups of 16 / 4 / 2 rows
+    val rows = ((1 to 16).map(i => (i.toLong, "big")) ++
+      (21 to 24).map(i => (i.toLong, "mid")) ++
+      (31 to 32).map(i => (i.toLong, "small"))).toDF("id", "g")
+    def targets(alpha: Double, total: Int): Map[String, Long] =
+      graft.pipeline.Sharding.temperatureMix(rows, "g", "id", alpha, total)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha 1: shares follow the population exactly (11 = 16/22 * 11 etc.)
+    val prop = targets(1.0, 11)
+    assert(prop.values.sum == 11)
+    assert(prop("big") == 8 && prop("mid") == 2 && prop("small") == 1, prop.toString)
+    // alpha 0: uniform thirds
+    val unif = targets(0.0, 6)
+    assert(unif == Map("big" -> 2L, "mid" -> 2L, "small" -> 2L), unif.toString)
+    // an oversubscribed tiny group is capped at its population — the
+    // result honestly falls short of `total` rather than re-normalizing
+    val capped = targets(0.0, 21)
+    assert(capped("small") == 2 && capped.values.sum < 21, capped.toString)
+    // feasible demands fill exactly
+    assert(targets(0.5, 10).values.sum == 10)
+  }
+
   test("token budget admits the same rows under any input layout") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
