@@ -119,6 +119,38 @@ object ClusterOps {
     df.withColumn("cid", assignExpr(col(vecCol), centroids))
   }
 
+  /** Per-cluster quality summary: size, mean within-cluster distance
+    * (inertia), and the mean simplified SILHOUETTE — per point,
+    * `(b − a) / max(a, b)` where `a` is the distance to the OWN centroid
+    * and `b` the distance to the nearest OTHER centroid (the
+    * centroid-based simplification every large-scale clustering QA uses;
+    * the pairwise original is O(n²) and exists only as a spec check).
+    * Distances are sqrt of the 6-dp-rounded squared folds (identical
+    * IEEE in any engine); the means follow the exact-decimal contract.
+    *
+    * Everything per-row is literal-folded and narrow — the only
+    * exchange carries (cid, partial sums). */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "silhouette needs at least 2 centroids")
+    val ds = centroids.map(c => sqrt(dist2(col(vecCol), c)))
+    val own = assignExpr(col(vecCol), centroids)
+    // distance to own centroid, and min over the others
+    val a = ds.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (d, i)) =>
+      when(own === i, d).otherwise(acc)
+    }
+    val b = ds.zipWithIndex.map { case (d, i) =>
+      when(own === i, lit(Double.PositiveInfinity)).otherwise(d)
+    }.reduce((x, y) => least(x, y))
+    val s = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    df.select(own.as("cid"), a.as("__a"), s.as("__s"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.Det.dsum(col("__a")) / count(lit(1)), 6).as("mean_dist"),
+        round(graft.Det.dsum(col("__s")) / count(lit(1)), 6).as("mean_silhouette"))
+  }
+
   /** Sequential-fold cosine between two array columns, rounded at 6 dp —
     * the engine-deterministic within-row formulation (each of the three
     * sums folds in array order). */

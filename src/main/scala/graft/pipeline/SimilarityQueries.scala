@@ -456,6 +456,46 @@ object SimilarityQueries {
     s"""${kmeansCtes(KmIters)}
        |SELECT vec_id, cid FROM afinal ORDER BY vec_id""".stripMargin
 
+  /** Cluster-quality summary over the same k-means geometry as
+    * ann_kmeans: per-cluster size, inertia, and the simplified
+    * (centroid-based) silhouette — the QA readout that tells an
+    * operator whether k was sane before anything trusts the clusters. */
+  private def kmeansQuality(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (_, centroids) = ClusterOps.kmeans(e, "vec_id", "embedding", KmK, KmIters)
+    ClusterOps.silhouette(e, "vec_id", "embedding", centroids)
+      .orderBy(col("cid"))
+  }
+
+  private val kmeansQualitySql =
+    s"""${kmeansCtes(KmIters)},
+       |pairs AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(range(1, len(e.v)+1),
+       |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d2
+       |  FROM e CROSS JOIN c$KmIters c),
+       |ranked AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM pairs),
+       |per_vec AS (
+       |  SELECT vec_id,
+       |    MIN(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |    sqrt(MIN(CASE WHEN rn = 1 THEN d2 END)) AS a,
+       |    sqrt(MIN(CASE WHEN rn > 1 THEN d2 END)) AS b
+       |  FROM ranked GROUP BY vec_id),
+       |scored AS (
+       |  SELECT cid, a,
+       |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |         ELSE (b - a) / greatest(a, b) END AS s
+       |  FROM per_vec)
+       |SELECT cid, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(a AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_dist,
+       |  round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_silhouette
+       |FROM scored GROUP BY cid ORDER BY cid""".stripMargin
+
   private def semanticDedup(s: SparkSession, d: String): DataFrame =
     ClusterOps.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
       KmK, KmIters, KmTau)
@@ -489,6 +529,9 @@ object SimilarityQueries {
     Capability("pipeline_decontam_semantic",
       "embedding-level eval decontamination (broadcast eval, max-cosine flag)",
       semDecontam, Some(semDecontamSql)),
+    Capability("ann_kmeans_quality",
+      "per-cluster size/inertia/simplified-silhouette QA over the ann_kmeans geometry",
+      kmeansQuality, Some(kmeansQualitySql)),
     // headline tracks the SCALE paths (lsh/ivf); the O(Q·N) brute
     // baseline stays a correctness gate only — a metric that dies at
     // 100× scale-up must not be the number the engine is graded on

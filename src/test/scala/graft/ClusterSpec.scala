@@ -88,6 +88,26 @@ class ClusterSpec extends AnyFunSuite {
     assert(kept == Set(0L, 5L, 10L, 15L), s"kept $kept")
   }
 
+  test("silhouette is near 1 on planted separated clusters, lower when k splits them") {
+    val df = plantedClusters()
+    val (_, c3) = ClusterOps.kmeans(df, "id", "v", k = 3, iterations = 4)
+    val good = ClusterOps.silhouette(df, "id", "v", c3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(good.map(_._1).sum == 15)
+    good.foreach { case (_, s) =>
+      assert(s > 0.8, s"separated clusters must score high, got $s")
+    }
+    // k = 6 forcibly splits planted groups: the mean silhouette over all
+    // points drops below the k = 3 score
+    val (_, c6) = ClusterOps.kmeans(df, "id", "v", k = 6, iterations = 4)
+    def weightedMean(rows: Array[(Long, Double)]): Double =
+      rows.map { case (n, s) => n * s }.sum / rows.map(_._1).sum
+    val bad = ClusterOps.silhouette(df, "id", "v", c6)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(weightedMean(bad) < weightedMean(good),
+      s"over-split k should score lower: ${weightedMean(bad)} vs ${weightedMean(good)}")
+  }
+
   test("semantic decontamination flags planted eval near-copies only") {
     import spark.implicits._
     val train = Seq(
