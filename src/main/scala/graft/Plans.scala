@@ -74,7 +74,10 @@ object Plans {
       "profile_eq_histogram",    // quantile edges folded into a narrow binning map
       "q44_rolling",             // event-time RANGE frame
       "ann_filtered",            // pushed metadata pre-filter + exact search
-      "q26p_ipc_partitioned")    // hive-layout IPC dataset round-trip
+      "q26p_ipc_partitioned",    // hive-layout IPC dataset round-trip
+      "pipeline_decontam_semantic", // broadcast eval, map-side max collapse
+      "pipeline_mix_temperature",   // bounded allocation frame + lottery window
+      "ann_kmeans_quality")      // literal-folded silhouette, one exchange
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
