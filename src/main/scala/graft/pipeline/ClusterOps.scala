@@ -71,6 +71,11 @@ object ClusterOps {
       prev: Array[Array[Double]]): Array[Array[Double]] = {
     val dim = prev.head.length
     val rows = assigned
+      // a vector whose length differs from the seeds' has NULL distances
+      // to every centroid and therefore a NULL cid (zip_with pads with
+      // nulls): such rows are visibly unassigned in the output and must
+      // not poison the centroid means here
+      .filter(col("cid").isNotNull)
       .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg((graft.Det.dsum(col("v").cast("double")) / count(lit(1))).as("m"))

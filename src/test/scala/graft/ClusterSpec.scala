@@ -128,6 +128,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(out(1L)._1 > 0.99 && out(2L)._1 < 0.05)
   }
 
+  test("a vector whose length differs from the seeds' gets a NULL cid, not a wrong one") {
+    import spark.implicits._
+    // zip_with pads the shorter side with nulls, so every distance to a
+    // mismatched vector is NULL and the argmin yields NULL — the row is
+    // visibly unassigned rather than silently misclassified
+    val rows = Seq(
+      (1L, Seq(10f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 10f, 0f, 0f)),
+      (3L, Seq(1f, 2f))) // wrong dimension
+      .toDF("id", "v")
+    val (assigned, _) = ClusterOps.kmeans(rows, "id", "v", k = 2, iterations = 1)
+    val byId = assigned.select(col("id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(byId(1L).isDefined && byId(2L).isDefined)
+    assert(byId(3L).isEmpty, s"mismatched vector must be unassigned: ${byId(3L)}")
+  }
+
   test("semanticDedup keeps everything at tau above the max within-cluster cosine") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val kept = ClusterOps.semanticDedup(e, "vec_id", "embedding", 8, 1, tau = 0.999)
