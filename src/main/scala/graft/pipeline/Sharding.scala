@@ -229,8 +229,9 @@ object Sharding {
     * map task ships at most n (key, id) pairs per group across the ONE
     * exchange — n·groups rows, never the corpus. Ties (2^-48 prefix
     * collisions at equal weight) break by id; rows with
-    * non-positive/null weight never win (they draw +inf keys — the
-    * standard ES convention for zero weight).
+    * non-positive/null weight are excluded before the draw (zero weight
+    * means zero selection probability — they must not surface even in a
+    * group smaller than n).
     *
     * Determinism: u is exact in a double (48 bits), the key is one
     * `ln`/divide on identical inputs, and selection equals a window
@@ -244,10 +245,9 @@ object Sharding {
     // 48-bit prefix + 0.5, over 2^48: u in (0, 1), exact in a double
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("double") + 0.5) / lit(281474976710656.0)
-    val key = when(col(weightCol).isNull || col(weightCol) <= 0,
-      lit(Double.PositiveInfinity))
-      .otherwise(-log(u) / col(weightCol).cast("double"))
+    val key = -log(u) / col(weightCol).cast("double")
     df.select(col(groupCol), col(idCol), col(weightCol))
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__wkey", -key) // heap keeps LARGEST score = smallest key
       .groupBy(col(groupCol))
       .agg(graft.functions.expr.TopKAgg(

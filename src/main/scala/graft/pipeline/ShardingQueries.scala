@@ -162,6 +162,94 @@ object ShardingQueries {
       |WHERE mix_rank <= t.tgt
       |ORDER BY source, mix_rank""".stripMargin
 
+  /** Round-9 curation composition — the ops land as ONE lazy plan:
+    * Gopher rule screen → character-entropy floor → domain-granular
+    * leak-free split (train side) → temperature mixture draw. Each
+    * stage is separately gated; this gate proves they COMPOSE (column
+    * contracts line up, determinism survives the chain, and the mix
+    * allocation is computed over the FILTERED population, not the raw
+    * corpus). */
+  private def e2eV2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = TextQueries.gopherOn(docs)
+      .filter(col("keep")).select(col("doc_id"))
+    val calm = TextQueries.charEntropy(docs, "doc_id", "text")
+      .filter(col("entropy") >= 3.9).select(col("doc_id"))
+    val train = Sharding
+      .assignSplitLeakFree(docs.select(col("doc_id"), col("source")),
+        "doc_id", "source")
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("source"))
+    val filtered = train
+      .join(keep, Seq("doc_id"))
+      .join(calm, Seq("doc_id"))
+    Sharding.temperatureMix(filtered, "source", "doc_id",
+      alpha = 0.5, total = 100)
+      .orderBy(col("source"), col("mix_rank"))
+  }
+
+  private val e2eV2Sql = {
+    // the gopher/entropy formulations are the SAME SQL the individual
+    // gates use, re-scoped into the chain
+    val nTok = "len(string_split(text, ' '))::DOUBLE"
+    val mwl = s"list_sum(list_transform(string_split(text, ' '), w -> length(w)))::DOUBLE / $nTok"
+    val sym = s"((length(text) - length(replace(text, '#', ''))) + " +
+      s"(length(text) - length(replace(text, '...', ''))))::DOUBLE / $nTok"
+    val nLines = "len(string_split(text, chr(10)))::DOUBLE"
+    val bullet = s"len(list_filter(string_split(text, chr(10)), " +
+      s"l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE / $nLines"
+    val ell = s"len(list_filter(string_split(text, chr(10)), " +
+      s"l -> ends_with(l, '...')))::DOUBLE / $nLines"
+    val alpha = s"len(list_filter(string_split(text, ' '), " +
+      s"w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / $nTok"
+    s"""WITH keepers AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE $mwl >= 3.0 AND $mwl <= 10.0 AND $sym <= 0.1
+       |    AND $bullet <= 0.9 AND $ell <= 0.3 AND $alpha >= 0.8),
+       |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+       |cc AS (SELECT doc_id, ch, COUNT(*) AS k FROM ch GROUP BY doc_id, ch),
+       |cn AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+       |ce AS (
+       |  SELECT cc.doc_id, cc.k,
+       |    CAST(round((cc.k::DOUBLE / cn.n) * log2(cc.k::DOUBLE / cn.n), 9)
+       |      AS DECIMAL(38,12)) AS e
+       |  FROM cc JOIN cn USING (doc_id)),
+       |calm AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, round(CAST(-SUM(e) AS DOUBLE), 6) AS entropy
+       |    FROM ce GROUP BY doc_id)
+       |  WHERE entropy >= 3.9),
+       |train AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE substring(md5(source), 1, 2) < 'cc'),
+       |filtered AS (
+       |  SELECT t.doc_id, t.source FROM train t
+       |  JOIN keepers USING (doc_id) JOIN calm USING (doc_id)),
+       |c AS (SELECT source, COUNT(*) AS n FROM filtered GROUP BY source),
+       |w AS (SELECT source, n,
+       |        pow(n, 0.5) / (SELECT SUM(pow(n, 0.5)) FROM c) AS w FROM c),
+       |a AS (SELECT source, n, floor(100 * w) AS base,
+       |        100 * w - floor(100 * w) AS rem FROM w),
+       |r AS (SELECT source, n, base,
+       |        CAST(row_number() OVER (ORDER BY rem DESC, source) AS INT) AS rk
+       |      FROM a),
+       |t AS (SELECT source,
+       |        LEAST(n, CAST(base AS BIGINT) +
+       |          CASE WHEN rk <= 100 - (SELECT CAST(SUM(base) AS BIGINT) FROM a)
+       |               THEN 1 ELSE 0 END) AS tgt
+       |      FROM r),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY substring(md5(doc_id::VARCHAR), 1, 12), doc_id) AS INT)
+       |      AS mix_rank
+       |  FROM filtered)
+       |SELECT doc_id, source, mix_rank
+       |FROM ranked JOIN t USING (source)
+       |WHERE mix_rank <= t.tgt
+       |ORDER BY source, mix_rank""".stripMargin
+  }
+
   /** Small-file compaction as a gated capability: a deliberately
     * fragmented copy of `documents` (64 splinter files — a micro-batch
     * sink's typical residue) is compacted to size-targeted files via
@@ -423,6 +511,9 @@ object ShardingQueries {
     Capability("pipeline_mix_temperature",
       "temperature mixture sampling (n^alpha shares, largest-remainder allocation)",
       temperatureMixQ, Some(temperatureMixSql)),
+    Capability("pipeline_e2e_v2",
+      "curation composition v2: gopher screen -> entropy floor -> leak-free split -> temperature mix",
+      e2eV2, Some(e2eV2Sql)),
     Capability("pipeline_shuffle", "seeded deterministic corpus shuffle (sharded permutation)",
       shuffle, Some(shuffleSql)),
     Capability("pipeline_chunk",

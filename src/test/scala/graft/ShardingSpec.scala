@@ -271,8 +271,8 @@ class ShardingSpec extends AnyFunSuite {
     val re = Sharding.weightedTopN(docs.repartition(13), "lang", "doc_id", "n_chars", 5)
       .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
     assert(re == heap)
-    // null/zero/negative weights draw +inf keys: with enough good rows
-    // they never appear in the sample
+    // null/zero/negative weights are excluded BEFORE the draw — even
+    // when the group is smaller than n, they must not surface
     val mixed = Seq(
       (1L, "g", Some(10L)), (2L, "g", Some(1L)), (3L, "g", Some(0L)),
       (4L, "g", None), (5L, "g", Some(-3L)), (6L, "g", Some(5L)))
@@ -280,6 +280,10 @@ class ShardingSpec extends AnyFunSuite {
     val picked = Sharding.weightedTopN(mixed, "g", "id", "w", 3)
       .collect().map(_.getLong(0)).toSet
     assert(picked == Set(1L, 2L, 6L), s"picked $picked")
+    val undersized = Sharding.weightedTopN(mixed, "g", "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(undersized == Set(1L, 2L, 6L),
+      s"bad weights must not fill an undersized group: $undersized")
   }
 
   test("temperature mix: proportional at alpha 1, uniform at 0, caps and fills") {
