@@ -218,6 +218,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition steps count up to the batch transition matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_trans").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(StreamingOps.rawEventSchema)
+        .parquet(dir.getAbsolutePath)
+      val steps = graft.streaming.StreamingTransitions.stepsStream(
+        spark, StreamingOps.withEventTime(stream))
+      val q = steps.writeStream
+        .format("memory").queryName("graft_stream_trans").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("graft_stream_trans")
+          .groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val batch = Registry.byName("events_transitions").run(spark, sf)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        assert(streamed == batch, s"stream $streamed vs batch $batch")
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming funnel state machine reaches the batch stages exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toFile
     java.nio.file.Files.copy(
