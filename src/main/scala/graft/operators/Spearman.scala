@@ -39,6 +39,31 @@ object Spearman {
       .agg((sum(col("__r")).cast("double") / count(lit(1))).as("__fr"))
   }
 
+  /** GROUPED Spearman's rho — one coefficient per group. Unlike the
+    * global statistic this needs no zipWithIndex trick: the ranks come
+    * from group-PARTITIONED windows (each group's rows sort within its
+    * own partition, the shape every grouped window in the engine uses),
+    * tie-averaged via the fractional-rank closed form
+    * `rank() + (peers − 1) / 2`. Null rows drop pairwise per group. */
+  def rhoGrouped(df: DataFrame, groupCol: String, colA: String,
+      colB: String, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(col(groupCol),
+        col(colA).cast("double").as("__a"), col(colB).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    def fr(c: String) = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val peers = Window.partitionBy(col(groupCol), col(c))
+      rank().over(w) + (count(lit(1)).over(peers) - 1) / 2.0
+    }
+    pairs
+      .withColumn("__ra", fr("__a"))
+      .withColumn("__rb", fr("__b"))
+      .groupBy(col(groupCol))
+      .agg(round(corr(col("__ra"), col("__rb")), scale).as("rho"),
+        count(lit(1)).as("n"))
+  }
+
   /** Spearman's rho between two numeric columns, rounded at `scale` dp.
     * Returns a 1-row frame (rho, n) where n is the pairwise-complete
     * count. */

@@ -288,6 +288,30 @@ object ExtendedQueries {
       |  FROM p)
       |SELECT round(corr(ra, rb), 6) AS rho, COUNT(*) AS n FROM r""".stripMargin
 
+  /** Q02h: grouped Spearman — one rho per return flag through
+    * group-partitioned rank windows (the grouped variant needs no global
+    * machinery; see [[graft.operators.Spearman.rhoGrouped]]). */
+  private def q02h(s: SparkSession, d: String): DataFrame =
+    graft.operators.Spearman.rhoGrouped(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice", "l_quantity")
+      .orderBy(col("l_returnflag"))
+
+  private val q02hSql =
+    """WITH p AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS a,
+      |         CAST(l_quantity AS DOUBLE) AS b
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |r AS (
+      |  SELECT g,
+      |    rank() OVER (PARTITION BY g ORDER BY a)
+      |      + (count(*) OVER (PARTITION BY g, a) - 1) / 2.0 AS ra,
+      |    rank() OVER (PARTITION BY g ORDER BY b)
+      |      + (count(*) OVER (PARTITION BY g, b) - 1) / 2.0 AS rb
+      |  FROM p)
+      |SELECT g AS l_returnflag, round(corr(ra, rb), 6) AS rho, COUNT(*) AS n
+      |FROM r GROUP BY g ORDER BY g""".stripMargin
+
   /** Q02g: the least-squares regression aggregate family (regr_slope /
     * intercept / r2 / count / avgx / avgy) — grouped, price ~ quantity
     * per return flag. Both engines implement the same closed forms over
@@ -597,6 +621,9 @@ object ExtendedQueries {
     Capability("q02g_regression",
       "grouped least-squares regression aggregates (slope/intercept/r2/avgx/avgy)",
       q02g, Some(q02gSql)),
+    Capability("q02h_grouped_spearman",
+      "grouped Spearman rho via group-partitioned fractional-rank windows",
+      q02h, Some(q02hSql)),
     Capability("q02d_agg_options", "aggregate options: ddof, skip_nulls, min_count", q02d,
       Some(q02dSql)),
     Capability("q32_mode", "deterministic mode via count+rank", q32, Some(q32Sql)),

@@ -241,6 +241,21 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(n - expect) <= expect * 0.2 + 2, s"bin of $n vs ~$expect"))
   }
 
+  test("grouped spearman equals the global statistic computed per group slice") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val grouped = graft.operators.Spearman
+      .rhoGrouped(li, "l_returnflag", "l_extendedprice", "l_quantity")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    grouped.keys.foreach { g =>
+      val slice = li.filter(col("l_returnflag") === g)
+      val solo = graft.operators.Spearman
+        .rho(slice, "l_extendedprice", "l_quantity").head()
+      assert(grouped(g) == ((solo.getDouble(0), solo.getLong(1))),
+        s"group $g: ${grouped(g)} vs ($solo)")
+    }
+    assert(grouped.size >= 2)
+  }
+
   test("MAD outliers: hand-computed flags, zero-MAD convention, null exclusion") {
     import spark.implicits._
     val df = Seq(
