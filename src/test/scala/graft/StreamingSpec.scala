@@ -218,6 +218,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cohort emissions count up to the batch retention matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cohort").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(StreamingOps.rawEventSchema)
+        .parquet(dir.getAbsolutePath)
+      val ret = graft.streaming.StreamingCohorts.retentionStream(
+        spark, StreamingOps.withEventTime(stream))
+      val q = ret.writeStream
+        .format("memory").queryName("graft_stream_cohort").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("graft_stream_cohort")
+          .select(
+            to_date(timestamp_micros(col("cohort_wk_us"))).as("cohort_wk"),
+            col("offset_wk"))
+          .groupBy(col("cohort_wk"), col("offset_wk"))
+          .agg(count(lit(1)).as("n_users"))
+          .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+          .toMap
+        val batch = Registry.byName("events_cohorts").run(spark, sf)
+          .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+          .toMap
+        assert(streamed == batch, s"stream $streamed vs batch $batch")
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming transition steps count up to the batch transition matrix") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_trans").toFile
     java.nio.file.Files.copy(
