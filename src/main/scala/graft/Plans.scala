@@ -77,7 +77,9 @@ object Plans {
       "q26p_ipc_partitioned",    // hive-layout IPC dataset round-trip
       "pipeline_decontam_semantic", // broadcast eval, map-side max collapse
       "pipeline_mix_temperature",   // bounded allocation frame + lottery window
-      "ann_kmeans_quality")      // literal-folded silhouette, one exchange
+      "ann_kmeans_quality",      // literal-folded silhouette, one exchange
+      "pipeline_e2e_v2",         // the round-9 ops as one lazy plan
+      "q02h_grouped_spearman")   // group-partitioned rank windows
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
