@@ -363,6 +363,74 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted top-n equals an in-memory ES reference on random weights") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 3), Gen.choose(1L, 50L)))
+    val prop = Prop.forAll(gen) { raw =>
+      raw.nonEmpty ==> {
+        // distinct ids so md5 draws are unique per row
+        val rows = raw.zipWithIndex.map { case ((g, w), i) =>
+          (i.toLong, s"g$g", w)
+        }
+        val df = rows.toDF("id", "g", "w")
+        val got = graft.pipeline.Sharding.weightedTopN(df, "g", "id", "w", 4)
+          .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+        // in-memory reference: same 48-bit md5 uniform, same exp key
+        def key(id: Long, w: Long): Double = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString
+          val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+          -math.log(u) / w
+        }
+        // non-positive weights are excluded, same as the operator
+        // (scalacheck shrinking can step outside the generator's range);
+        // note .toSeq before flatMap — Map#flatMap over (g, id) tuples
+        // would rebuild a MAP and silently collapse to one id per group
+        val expect = rows.filter(_._3 > 0).groupBy(_._2).toSeq
+          .flatMap { case (g, rs) =>
+            rs.sortBy { case (id, _, w) => (key(id, w), id) }.take(4)
+              .map(r => (g, r._1))
+          }.toSet
+        got == expect
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kmeans assignment equals an in-memory argmin on random vectors") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.listOfN(4, Gen.choose(-100, 100)))
+    val prop = Prop.forAll(gen) { raw =>
+      (raw.length >= 4) ==> {
+        val rows = raw.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.map(x => x.toFloat / 7f))
+        }
+        val df = rows.toDF("id", "v")
+        val (assigned, centroids) =
+          graft.pipeline.ClusterOps.kmeans(df, "id", "v", k = 3, iterations = 2)
+        val got = assigned.select(col("id"), col("cid"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // reference argmin against the RETURNED centroids with the same
+        // 6-dp-rounded distances and lowest-cid tie-break
+        def d2(v: Seq[Float], c: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < c.length) {
+            val d = v(i).toDouble - c(i); s += d * d; i += 1
+          }
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        rows.forall { case (id, v) =>
+          val ds = centroids.map(c => d2(v, c))
+          got(id) == ds.indexOf(ds.min)
+        }
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("banded range join equals the in-memory reference on random intervals") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
