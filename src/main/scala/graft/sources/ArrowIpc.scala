@@ -402,8 +402,10 @@ object ArrowIpc {
     require(viewCols.nonEmpty, "writeViews needs at least one view column")
     val schema = df.schema
     viewCols.foreach { c =>
-      require(schema(c).dataType == org.apache.spark.sql.types.StringType,
-        s"view column '$c' must be string, got ${schema(c).dataType}")
+      val dt = schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType ||
+          dt == org.apache.spark.sql.types.BinaryType,
+        s"view column '$c' must be string or binary, got $dt")
     }
     val viewSet = viewCols.toSet
     val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -421,14 +423,24 @@ object ArrowIpc {
         val valueRoot = VectorSchemaRoot.create(valueSchema, allocator)
         val loader = new VectorLoader(valueRoot)
         val outVectors: Seq[FieldVector] = valueSchema.getFields.asScala.toSeq.map { f =>
-          if (viewSet(f.getName))
-            new ViewVarCharVector(
-              new Field(f.getName,
-                new FieldType(f.isNullable, ArrowType.Utf8View.INSTANCE, null,
-                  f.getMetadata),
-                java.util.Collections.emptyList[Field]()),
-              allocator)
-          else f.createVector(allocator)
+          if (viewSet(f.getName)) {
+            val isBinary = schema(f.getName).dataType ==
+              org.apache.spark.sql.types.BinaryType
+            if (isBinary)
+              new ViewVarBinaryVector(
+                new Field(f.getName,
+                  new FieldType(f.isNullable, ArrowType.BinaryView.INSTANCE, null,
+                    f.getMetadata),
+                  java.util.Collections.emptyList[Field]()),
+                allocator)
+            else
+              new ViewVarCharVector(
+                new Field(f.getName,
+                  new FieldType(f.isNullable, ArrowType.Utf8View.INSTANCE, null,
+                    f.getMetadata),
+                  java.util.Collections.emptyList[Field]()),
+                allocator)
+          } else f.createVector(allocator)
         }
         val outRoot = new VectorSchemaRoot(outVectors.asJava)
         val out = pfs.create(path, true)
@@ -454,6 +466,16 @@ object ArrowIpc {
                     r += 1
                   }
                   vv.setValueCount(n)
+                case vb: ViewVarBinaryVector =>
+                  val sv = src.asInstanceOf[VarBinaryVector]
+                  vb.clear()
+                  vb.allocateNew(n)
+                  var r = 0
+                  while (r < n) {
+                    if (sv.isNull(r)) vb.setNull(r) else vb.setSafe(r, sv.get(r))
+                    r += 1
+                  }
+                  vb.setValueCount(n)
                 case dst =>
                   src.makeTransferPair(dst).transfer()
               }

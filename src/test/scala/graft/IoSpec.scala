@@ -366,10 +366,34 @@ class IoSpec extends AnyFunSuite {
     val back = graft.sources.ArrowIpc.read(spark, s"$dir/v").orderBy("id").collect()
     assert(back.map(r => Option(r.getString(1))).toSeq ==
       Seq(Some("inline"), Some(longStr), None, Some("")))
-    // a non-string view column is rejected loudly
+    // a non-string/binary view column is rejected loudly
     intercept[IllegalArgumentException] {
       graft.sources.ArrowIpc.writeViews(df, s"$dir/bad", viewCols = Seq("id"))
     }
+    // BINARY view columns write as BinaryView and round-trip
+    val bdf = Seq(
+      (1L, Some(Array[Byte](1, 2, 3))),
+      (2L, Some(Array.tabulate[Byte](40)(_.toByte))), // out-of-line
+      (3L, None),
+      (4L, Some(Array.empty[Byte])))
+      .toDF("id", "b")
+    graft.sources.ArrowIpc.writeViews(bdf, s"$dir/vb", viewCols = Seq("b"))
+    val alloc2 = new RootAllocator(Long.MaxValue)
+    val bfile = new java.io.File(s"$dir/vb").listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val bfc = new java.io.FileInputStream(bfile).getChannel
+    val breader = new ArrowFileReader(new SeekableReadChannel(bfc), alloc2)
+    try {
+      val fields = breader.getVectorSchemaRoot.getSchema.getFields.asScala
+      assert(fields.find(_.getName == "b").get.getType ==
+        org.apache.arrow.vector.types.pojo.ArrowType.BinaryView.INSTANCE,
+        fields.toString)
+    } finally { breader.close(); alloc2.close() }
+    val bback = graft.sources.ArrowIpc.read(spark, s"$dir/vb").orderBy("id").collect()
+    assert(bback(0).get(1).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
+    assert(bback(1).get(1).asInstanceOf[Array[Byte]].length == 40)
+    assert(bback(2).isNullAt(1))
+    assert(bback(3).get(1).asInstanceOf[Array[Byte]].isEmpty)
   }
 
   test("writeViews survives multiple record batches per file") {
