@@ -60,8 +60,20 @@ object Spearman {
       .withColumn("__ra", fr("__a"))
       .withColumn("__rb", fr("__b"))
       .groupBy(col(groupCol))
-      .agg(round(corr(col("__ra"), col("__rb")), scale).as("rho"),
-        count(lit(1)).as("n"))
+      .agg(guardedCorr(scale).as("rho"), count(lit(1)).as("n"))
+  }
+
+  /** Pearson over the rank columns via explicit moments: builtin `corr`
+    * DIVIDES BY ZERO inside its own evaluation when a side has zero
+    * variance, which under ANSI mode (Spark 4's default) THROWS where
+    * DuckDB's corr returns NULL — a zero-variance (constant or
+    * fully-tied) column must yield a NULL coefficient in both engines.
+    * covar_samp/(stddev_samp·stddev_samp) is the identical ratio. */
+  private def guardedCorr(scale: Int) = {
+    val sa = stddev_samp(col("__ra"))
+    val sb = stddev_samp(col("__rb"))
+    when(sa > 0.0 && sb > 0.0,
+      round(covar_samp(col("__ra"), col("__rb")) / (sa * sb), scale))
   }
 
   /** Spearman's rho between two numeric columns, rounded at `scale` dp.
@@ -79,7 +91,6 @@ object Spearman {
     pairs
       .join(ra, Seq("__a"))
       .join(rb, Seq("__b"))
-      .agg(round(corr(col("__ra"), col("__rb")), scale).as("rho"),
-        count(lit(1)).as("n"))
+      .agg(guardedCorr(scale).as("rho"), count(lit(1)).as("n"))
   }
 }

@@ -241,6 +241,16 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(n - expect) <= expect * 0.2 + 2, s"bin of $n vs ~$expect"))
   }
 
+  test("spearman on a constant column yields a NULL coefficient, not 0 or NaN") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val r = graft.operators.Spearman.rho(df, "a", "b").head()
+    // zero rank variance on b: correlation is undefined — both engines'
+    // corr returns NULL (the oracle contract), never a fabricated number
+    assert(r.isNullAt(0), r.toString)
+    assert(r.getLong(1) == 3L)
+  }
+
   test("grouped spearman equals the global statistic computed per group slice") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val grouped = graft.operators.Spearman
