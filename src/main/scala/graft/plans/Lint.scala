@@ -78,7 +78,11 @@ object Lint {
         Seq(Finding("unpushed-filter", name(p),
           s"substantive filters not pushed: ${p.dataFilters.mkString(", ").take(120)}"))
       case p: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if p.outputPartitioning.numPartitions == 1 =>
+          if p.outputPartitioning.numPartitions == 1 &&
+            // a scalar aggregate's final exchange is single-partition BY
+            // DESIGN and bounded (one partial row per map task crosses) —
+            // flag only exchanges that funnel unbounded row streams
+            !p.child.getClass.getSimpleName.contains("Aggregate") =>
         Seq(Finding("single-partition-shuffle", name(p),
           "exchange funnels every row into one partition"))
     }.flatten
