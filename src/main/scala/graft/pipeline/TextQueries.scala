@@ -748,6 +748,52 @@ object TextQueries {
       |  FROM s)
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** CCNet-style perplexity bucketing: documents split into
+    * head / middle / tail by their LM score (higher avg log-prob =
+    * lower perplexity = head — the bucket CCNet keeps or up-weights).
+    * Cut points are the exact 0.75/0.25 quantiles of the score (binary-
+    * exact q values, so the (n−1)·q rank arithmetic has no rounding
+    * question in either engine); ties at a cutoff take the better
+    * bucket. The cutoffs ride in as broadcast scalars — the corpus is
+    * never sorted or windowed globally (the pipeline_quality_cut
+    * stance). */
+  private def ccnetQ(s: SparkSession, d: String): DataFrame = {
+    val lm = unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("avg_lp10"))
+    val cuts = graft.operators.Quantiles.exact(lm, "avg_lp10", Seq(0.25, 0.75))
+    lm.withColumn("bucket",
+        when(col("avg_lp10") >= cuts(1), "head")
+          .when(col("avg_lp10") >= cuts(0), "middle")
+          .otherwise("tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ccnetSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dc AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+      |v AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM dc GROUP BY w),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS vs FROM v),
+      |e AS (
+      |  SELECT dc.doc_id, dc.k,
+      |    CAST(round(dc.k * log10((v.c + 1.0) / (t.tot + t.vs)), 9)
+      |      AS DECIMAL(38,12)) AS e
+      |  FROM dc JOIN v USING (w) CROSS JOIN t),
+      |lm AS (
+      |  SELECT doc_id,
+      |    round(round(CAST(SUM(e) AS DOUBLE), 6) / CAST(SUM(k) AS BIGINT), 6)
+      |      AS avg_lp10
+      |  FROM e GROUP BY doc_id),
+      |cuts AS (
+      |  SELECT quantile_cont(avg_lp10, 0.25) AS lo,
+      |         quantile_cont(avg_lp10, 0.75) AS hi
+      |  FROM lm)
+      |SELECT doc_id, avg_lp10,
+      |  CASE WHEN avg_lp10 >= cuts.hi THEN 'head'
+      |       WHEN avg_lp10 >= cuts.lo THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM lm CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
   private def unigramLm(s: SparkSession, d: String): DataFrame =
     unigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -944,6 +990,9 @@ object TextQueries {
     Capability("text_gopher",
       "Gopher rule battery: word-length/symbol/bullet/ellipsis/alpha screens + keep flag",
       gopherQ, Some(gopherSql)),
+    Capability("pipeline_ccnet_buckets",
+      "CCNet-style perplexity bucketing: head/middle/tail by LM score quantiles",
+      ccnetQ, Some(ccnetSql)),
     Capability("text_langid", "marker-word heuristic language ID", langid, Some(langidSql)),
     Capability("text_fingerprint", "portable polynomial content fingerprint", fingerprint,
       Some(fingerprintSql)),
