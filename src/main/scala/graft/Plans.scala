@@ -79,6 +79,7 @@ object Plans {
       "pipeline_mix_temperature",   // bounded allocation frame + lottery window
       "ann_kmeans_quality",      // literal-folded silhouette, one exchange
       "pipeline_e2e_v2",         // the round-9 ops as one lazy plan
+      "pipeline_ccnet_buckets",  // LM chain + broadcast quantile cutoffs
       "q02h_grouped_spearman")   // group-partitioned rank windows
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
