@@ -270,6 +270,121 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
+    * the query-dependent companion of [[pageRank]] in link analysis: a
+    * good HUB points at good authorities, a good AUTHORITY is pointed at
+    * by good hubs. In corpus curation the two scores separate directory/
+    * aggregator hosts (hubs) from content hosts (authorities), which a
+    * single PageRank score conflates.
+    *
+    * Fixed-iteration mutual recursion with L1 normalization each half-step
+    * (scores sum to 1, the NetworkX convention — same ranking as the
+    * L2-normalized original, and L1 sums are exactly mirrorable): per
+    * iteration `auth := normalize(Σ_{j→i} hub_j)` then
+    * `hub := normalize(Σ_{i→j} auth_j)`. Determinism contract matches
+    * [[pageRank]]: contributions rounded at `roundContrib` are summed as
+    * exact decimal(38,18) (order-independent), the L1 total is the decimal
+    * sum of the per-node doubles, and each normalized score is one IEEE
+    * division rounded at `roundContrib`. Parallel edges count multiply —
+    * dedup upstream if that's not the intent.
+    *
+    * Scale shape: per iteration two score-keyed equi-joins over the ONE
+    * pre-partitioned persisted edge frame and two node-keyed aggregates —
+    * only (node, score) pairs shuffle; each L1 total is a 1-row broadcast.
+    * localCheckpoint truncates lineage per round exactly as [[pageRank]];
+    * nodes with no in-edges hold authority 0 (resp. no out-edges, hub 0).
+    * Output: (node, hub, auth). */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, roundContrib: Int = 12): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).persist(disk)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(disk)
+    def exactSum(c: Column): Column =
+      coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
+    // one half-step: flow `score` along the edge from `from` to `to`,
+    // L1-normalize the landed mass over ALL nodes (absent nodes get 0)
+    def halfStep(scores: DataFrame, scoreCol: String,
+        from: String, to: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("node"), col(scoreCol)), e(from) === col("node"))
+        .groupBy(e(to).as("node"))
+        .agg(exactSum(round(col(scoreCol), roundContrib)).as("raw"))
+      val total = raw.agg(exactSum(col("raw")).as("s"))
+      nodes
+        .join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0.0)) / col("s"), roundContrib)
+            .as(outCol))
+    }
+    var cur = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    var it = 0
+    while (it < iterations) {
+      val auth = halfStep(cur, "hub", "src", "dst", "auth")
+      val hub = halfStep(auth, "auth", "dst", "src", "hub")
+      cur = hub.join(auth, Seq("node")).localCheckpoint()
+      it += 1
+    }
+    e.unpersist(); nodes.unpersist()
+    cur.select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, deterministic
+    * variant) — community detection over an UNDIRECTED graph: every node
+    * starts labeled with itself; each round it adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label. The
+    * asynchronous original is run-order-dependent; the synchronous
+    * min-tie-break variant is a pure function of the graph, which is what
+    * lets a fixed-round unrolled SQL oracle gate it bit-for-bit (all
+    * arithmetic is integer counts + label comparisons — no floats at
+    * all). Fixed `rounds`, not convergence-tested, same stance as
+    * [[pageRank]]; synchronous LPA can 2-cycle on bipartite structures,
+    * so callers pick the round count, they don't get a convergence
+    * promise. In curation this clusters the host graph into communities
+    * (mirror networks, link farms, topical hubs) for per-community caps.
+    *
+    * Scale shape: edges are symmetrized + dedup'd once (one exchange),
+    * pre-partitioned by src and persisted; per round one label-keyed
+    * equi-join (labels flow to neighbors), one (node, label) count with
+    * map-side combine, and one per-node argmax via `min(struct(-count,
+    * label))` — an ordinary reducible aggregate, no window. Only (node,
+    * label) pairs ever shuffle. Every node of the symmetrized edge list
+    * has >= 1 neighbor, so each round relabels every node. */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist(disk)
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var r = 0
+    while (r < rounds) {
+      lab = sym
+        .join(lab, sym("dst") === lab("node"))
+        .groupBy(sym("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    sym.unpersist()
+    lab
+  }
+
   /** The persisted graph state one rank iteration reads: edges
     * pre-partitioned by src, and the node table with each node's
     * out-degree inlined (`deg` NULL marks a sink). Carrying the static

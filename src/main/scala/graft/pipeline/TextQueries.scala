@@ -967,8 +967,61 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance resampling ([[graft.pipeline.Dsir]]): the raw
+    * corpus tilted toward the `lang = 'en'` target slice — hashed-bigram
+    * bucket models, add-one-smoothed log-ratio weights, Gumbel-top-100
+    * selection on the deterministic 48-bit md5 uniform. The oracle
+    * mirrors the whole chain: the same 64 md5 buckets, the same rounded
+    * log-ratios, the same 1e-9-unit scaled-long term sums, the same
+    * Gumbel keys. */
+  private val DsirN = 100
+
+  private def dsirQ(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dsir.selectTopN(
+        Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", DsirN)
+      .orderBy(col("skey").desc, col("doc_id"))
+
+  private val dsirSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+       |  FROM documents),
+       |bb AS (
+       |  SELECT doc_id, t,
+       |    ('0x' || substring(md5(bg), 1, 4))::INT % 64 AS b
+       |  FROM (
+       |    SELECT doc_id, t, unnest(list_transform(range(1, len(ws)),
+       |      i -> array_to_string(ws[i:i+1], ' '))) AS bg
+       |    FROM d)),
+       |c AS (
+       |  SELECT b, COUNT(*) AS cr, CAST(SUM(t) AS BIGINT) AS ct
+       |  FROM bb GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS rtot,
+       |    CAST(SUM(ct) AS BIGINT) AS ttot FROM c),
+       |lr AS (
+       |  SELECT b, round(ln((ct + 1.0) / (ttot + 64.0)) -
+       |    ln((cr + 1.0) / (rtot + 64.0)), 9) AS lr
+       |  FROM c, tot),
+       |nb AS (SELECT doc_id, b, COUNT(*) AS n FROM bb GROUP BY 1, 2),
+       |lw AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CAST(round(n * lr.lr * 1e9, 0) AS BIGINT)) AS DOUBLE)
+       |      / 1e9 AS logw
+       |  FROM nb JOIN lr USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, logw,
+       |  round(logw + round(-ln(-ln(
+       |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+       |      / 281474976710656.0)), 9), 9) AS skey
+       |FROM lw
+       |ORDER BY skey DESC, doc_id LIMIT $DsirN""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
+    Capability("pipeline_dsir",
+      "DSIR importance resampling: hashed-bigram models, Gumbel-top-k draw",
+      dsirQ, Some(dsirSql)),
     Capability("text_blocklist", "blocklist screening: per-doc badword hits + keep flag (C4 filter)",
       blocklistHits, Some(blocklistSql)),
     Capability("text_repetition", "repetition quality signals: top-word/bigram + unique fractions",

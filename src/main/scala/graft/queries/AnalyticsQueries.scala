@@ -667,6 +667,115 @@ object AnalyticsQueries {
       |  UNION ALL SELECT c FROM tri)
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** HITS hubs & authorities ([[graft.pipeline.GraphOps.hits]]) over the
+    * DIRECTED part→supplier graph (parts are pure hubs, suppliers pure
+    * authorities — plus the zsink authority every tenth part links to),
+    * 2 mutually-recursive iterations. The oracle unrolls each half-step
+    * as its own raw-mass / L1-total / normalize CTE chain with the
+    * identical rounded-contribution + decimal-sum arithmetic; the zero
+    * paths (parts' authority, suppliers' hub) are part of the gate. */
+  private val HitsIters = 2
+
+  private def hitsQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs.select(
+        concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+      .union(pairs.filter(col("p") % 10 === 0)
+        .select(concat(lit("p"), col("p")).as("src"), lit("zsink").as("dst"))
+        .distinct())
+    graft.pipeline.GraphOps.hits(edges, "src", "dst", iterations = HitsIters)
+      .select(col("node"), round(col("hub"), 9).as("hub"),
+        round(col("auth"), 9).as("auth"))
+      .orderBy(col("node"))
+  }
+
+  private val hitsSql = {
+    // one L1-normalized half-step: mass flows `from` -> `to`, lands as
+    // `outCol` on every node (0 where nothing landed)
+    def half(prev: String, prevCol: String, from: String, to: String,
+        raw: String, tot: String, out: String, outCol: String) =
+      s"""$raw AS (
+         |  SELECT e.$to AS node,
+         |    CAST(SUM(CAST(round(p.$prevCol, 12) AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS raw
+         |  FROM edges e JOIN $prev p ON p.node = e.$from GROUP BY 1),
+         |$tot AS (
+         |  SELECT CAST(SUM(CAST(raw AS DECIMAL(38,18))) AS DOUBLE) AS s
+         |  FROM $raw),
+         |$out AS (
+         |  SELECT n.node,
+         |    round(COALESCE(r.raw, 0.0) / (SELECT s FROM $tot), 12) AS $outCol
+         |  FROM nodes n LEFT JOIN $raw r ON r.node = n.node)"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT 'p' || p AS src, 's' || sk AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT DISTINCT 'p' || p, 'zsink' FROM pairs WHERE p % 10 = 0),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+       |${half("h0", "hub", "src", "dst", "a1r", "a1s", "a1", "auth")},
+       |${half("a1", "auth", "dst", "src", "h1r", "h1s", "h1", "hub")},
+       |${half("h1", "hub", "src", "dst", "a2r", "a2s", "a2", "auth")},
+       |${half("a2", "auth", "dst", "src", "h2r", "h2s", "h2", "hub")}
+       |SELECT n.node, round(h.hub, 9) AS hub, round(a.auth, 9) AS auth
+       |FROM nodes n
+       |JOIN h2 h ON h.node = n.node
+       |JOIN a2 a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
+  /** Synchronous label-propagation communities
+    * ([[graft.pipeline.GraphOps.labelPropagation]]) on the SAME part–part
+    * co-occurrence graph as [[trianglesQ]] (supplier cliques make real
+    * communities), 3 rounds. All-integer arithmetic — counts and label
+    * comparisons only — so the unrolled oracle is bit-exact with no
+    * rounding contract at all. */
+  private val LpaRounds = 3
+
+  private def lpaQ(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 300)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val a = pp.select(col("p").as("pa"), col("sk"))
+    val b = pp.select(col("p").as("pb"), col("sk"))
+    val e = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+    graft.pipeline.GraphOps.labelPropagation(e, "u", "v", rounds = LpaRounds)
+      .orderBy(col("node"))
+  }
+
+  private val lpaSql = {
+    def round_(prev: String, cnt: String, out: String) =
+      s"""$cnt AS (
+         |  SELECT e.src AS node, l.label AS label, COUNT(*) AS c
+         |  FROM sym e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn
+         |    FROM $cnt) t
+         |  WHERE rn = 1)"""
+    s"""WITH pp AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+       |  WHERE l_partkey < 300),
+       |e0 AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pp a JOIN pp b ON a.sk = b.sk AND a.p < b.p),
+       |sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT u AS src, v AS dst FROM e0
+       |    UNION ALL SELECT v, u FROM e0)),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+       |${round_("l0", "c1", "l1")},
+       |${round_("l1", "c2", "l2")},
+       |${round_("l2", "c3", "l3")}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
+
   /** Declarative data-quality expectations
     * ([[graft.pipeline.Expectations]]): seven rules over `orders` judged
     * in ONE aggregation pass — including a deliberately failing
@@ -941,6 +1050,12 @@ object AnalyticsQueries {
     Capability("graph_triangles",
       "per-node triangle counts via degree-ordered orientation (hub-safe wedges)",
       trianglesQ, Some(trianglesSql)),
+    Capability("graph_hits",
+      "HITS hubs & authorities: 2 L1-normalized mutual-recursion iterations",
+      hitsQ, Some(hitsSql)),
+    Capability("graph_lpa",
+      "synchronous min-tie-break label propagation (integer-exact communities)",
+      lpaQ, Some(lpaSql)),
     Capability("graph_ppr",
       "personalized PageRank: teleport + dangling mass land on a seed set only",
       ppr, Some(pprSql)),

@@ -173,6 +173,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"), ranks.toString)
   }
 
+  test("hits separates hubs from authorities and L1-normalizes both") {
+    import spark.implicits._
+    // a,b,c all point at x; a also points at y — x the stronger
+    // authority, a the stronger hub; sources hold zero authority and
+    // sinks zero hub
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"))
+      .toDF("src", "dst")
+    val out = graft.pipeline.GraphOps.hits(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-6, out.toString)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6, out.toString)
+    assert(out("x")._2 > out("y")._2, out.toString)
+    assert(out("a")._1 > out("b")._1, out.toString)
+    assert(out("b")._1 == out("c")._1, out.toString)
+    assert(out("a")._2 == 0.0 && out("b")._2 == 0.0, out.toString)
+    assert(out("x")._1 == 0.0 && out("y")._1 == 0.0, out.toString)
+  }
+
+  test("label propagation converges two disjoint cliques to their min member") {
+    import spark.implicits._
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val edges = (k3 ++ k3.map { case (u, v) => (u + 10, v + 10) })
+      .toDF("u", "v")
+    val out = graft.pipeline.GraphOps.labelPropagation(edges, "u", "v", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L), out.toString)
+  }
+
+  test("label propagation: a planted hub bridging cliques keeps each side's label") {
+    import spark.implicits._
+    // two K4 cliques joined by ONE bridge edge: the bridge endpoints see
+    // 3 same-community neighbors vs 1 cross neighbor, so communities hold
+    def k4(base: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (base + i, base + j)
+    val edges = (k4(1) ++ k4(21) :+ ((4L, 21L))).toDF("u", "v")
+    val out = graft.pipeline.GraphOps.labelPropagation(edges, "u", "v", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(n => out(n) == 1L), out.toString)
+    assert((21L to 24L).forall(n => out(n) == 21L), out.toString)
+  }
+
   test("resample interpolates between brackets and NULLs gaps beyond the horizon") {
     import spark.implicits._
     val events = Seq(

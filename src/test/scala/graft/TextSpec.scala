@@ -28,6 +28,32 @@ class TextSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("DSIR tilts selection toward target-like documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target-like docs repeat the target bigram vocabulary; raw-only docs
+    // use a disjoint one; one doc is a single token (no bigram evidence)
+    val tgt = (0L until 10L).map(i => (i, "alpha beta alpha beta alpha beta", true))
+    val raw = (10L until 30L).map(i => (i, "gamma delta gamma delta gamma delta", false))
+    val docs = (tgt ++ raw :+ ((99L, "solo", false)))
+      .toDF("id", "text", "is_t")
+    val lw = graft.pipeline.Dsir.logWeights(docs, "id", "text",
+      graft.pipeline.Dsir.bucketLogRatios(docs, "text", col("is_t")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the single-token doc has no bigrams and drops from scoring
+    assert(!lw.exists(_._1 == 99L))
+    assert(lw.forall(_._2 == 5L), lw.mkString(","))
+    val byId = lw.map(t => t._1 -> t._3).toMap
+    // every target-vocabulary doc outweighs every raw-only doc
+    assert((0L until 10L).forall(t => (10L until 30L)
+      .forall(r => byId(t) > byId(r))), byId.toString)
+    // Gumbel-top-k at n = 12: all 10 high-weight docs survive when the
+    // weight gap dominates the Gumbel noise range on this fixture
+    val sel = graft.pipeline.Dsir.selectTopN(docs, "id", "text",
+      col("is_t"), 12).collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).toSet.subsetOf(sel), sel.toString)
+  }
+
   test("BPE learns the textbook merge order on the Sennrich corpus") {
     import spark.implicits._
     import graft.pipeline.Bpe
