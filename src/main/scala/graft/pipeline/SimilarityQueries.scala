@@ -303,6 +303,84 @@ object SimilarityQueries {
        |WHERE rank <= $SparseK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hybrid retrieval ([[Hybrid.rrf]]): BM25 over `documents` fused with
+    * dense cosine over `embeddings` (vector `vec_id` = document `doc_id`,
+    * the usual keying of document embeddings) by Reciprocal Rank Fusion —
+    * each ranker contributes its top-$RrfDepth, the fusion keeps the
+    * top-$SparseK. Fully oracle-gated: both rankers' lists are already
+    * deterministic (the sparse_bm25 / ann_brute contracts), and the
+    * fused score is a 1e-9-unit scaled-long sum of rounded reciprocal
+    * terms, so DuckDB mirrors rank-for-rank. */
+  private val RrfDepth = 10
+  private val RrfK0 = 60
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val sparse = SparseSim.topKBm25(Tables.documents(s, d), "doc_id", "text",
+      RrfDepth, col("id") < SparseNQ, maxDfFrac = Some(SparseDfFrac))
+    val e = Tables.embeddings(s, d)
+    val dense = Ann.bruteTopK(e.filter(col("vec_id") < SparseNQ), e,
+      "vec_id", "embedding", RrfDepth)
+    Hybrid.rrf(Seq(sparse, dense), topK = SparseK, k0 = RrfK0)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val hybridRrfSql =
+    s"""WITH tf AS (
+       |  SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |kept AS (
+       |  SELECT tf.id, tf.tok, tf.tf, dfreq.df FROM tf
+       |  JOIN dfreq USING (tok), stats
+       |  WHERE dfreq.df <= $SparseDfFrac * stats.n_docs),
+       |elems AS (
+       |  SELECT q.id AS query_id, d.id AS neighbor_id,
+       |    round(q.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      d.tf * (1.2 + 1) / (d.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+       |      9) AS e
+       |  FROM kept q JOIN kept d USING (tok) JOIN dl ON dl.id = d.id, stats s
+       |  WHERE q.id < $SparseNQ AND d.id <> q.id),
+       |bscores AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(CAST(SUM(CAST(e AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+       |  FROM elems GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT query_id, rank, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |    FROM bscores) t
+       |  WHERE rank <= $RrfDepth),
+       |dn AS (
+       |  SELECT query_id, rank, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(
+       |          list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+       |          list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+       |        c.vec_id) AS INT) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < $SparseNQ) t
+       |  WHERE rank <= $RrfDepth),
+       |fused AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(SUM(CAST(round(round(1.0 / ($RrfK0 + rank), 9) * 1e9, 0)
+       |      AS BIGINT)) AS DOUBLE) / 1e9 AS score
+       |  FROM (SELECT * FROM sp UNION ALL SELECT * FROM dn)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM fused) t
+       |WHERE rank <= $SparseK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the grouped element-wise vector mean
     * behind clustering, IVF coarse training and per-source drift checks.
     *
@@ -563,6 +641,9 @@ object SimilarityQueries {
     Capability("ann_binary",
       s"binary sign-bit top-$K by packed XOR/popcount Hamming (32x-memory tier)",
       binary, Some(binarySql)),
+    Capability("hybrid_rrf",
+      s"hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank fusion (k0=$RrfK0)",
+      hybridRrf, Some(hybridRrfSql)),
     Capability("ann_int8_recall", "int8 recall@k gate vs the float-cosine baseline (constant oracle)",
       recallGate(int8, 0.8), Some(recallGateSql)),
     Capability("ann_ladder",

@@ -44,6 +44,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.select(VectorOps.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
   }
 
+  test("RRF fusion: doubly-ranked docs beat single-list docs, ties break by id") {
+    import spark.implicits._
+    // ranker A: d1 > d2 > d3 ; ranker B: d1 > d4 > d2
+    val a = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((1L, 1, 10L), (1L, 2, 40L), (1L, 3, 20L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val fused = graft.pipeline.Hybrid.rrf(Seq(a, b), topK = 4)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // d10 leads (1/61 twice); d20 (1/62 + 1/63) beats the single-list
+    // docs; d30 (rank 3, 1/63) and d40 (rank 2, 1/62) order by term, and
+    // the fused ordering is NOT either input's ordering alone
+    assert(fused.map(_._2).toSeq == Seq(10L, 20L, 40L, 30L), fused.mkString(","))
+    val s = fused.map(t => t._2 -> t._3).toMap
+    assert(math.abs(s(10L) - 2.0 / 61) < 1e-8, s.toString)
+    assert(math.abs(s(20L) - (1.0 / 62 + 1.0 / 63)) < 1e-8, s.toString)
+    // equal single terms tie on score and break by neighbor id
+    val c = Seq((2L, 1, 7L), (2L, 1, 5L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val tied = graft.pipeline.Hybrid.rrf(Seq(c), topK = 2)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 2L)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(tied == Seq(5L, 7L), tied.toString)
+  }
+
   test("brute top-k ranks are dense and cosine non-increasing per query") {
     val rows = Registry.byName("ann_brute").run(spark, sf)
       .collect()
