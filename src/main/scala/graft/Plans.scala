@@ -80,7 +80,9 @@ object Plans {
       "ann_kmeans_quality",      // literal-folded silhouette, one exchange
       "pipeline_e2e_v2",         // the round-9 ops as one lazy plan
       "pipeline_ccnet_buckets",  // LM chain + broadcast quantile cutoffs
-      "q02h_grouped_spearman")   // group-partitioned rank windows
+      "q02h_grouped_spearman",   // group-partitioned rank windows
+      "pipeline_dsir",           // 64-row LM broadcast, bucket partials, top-k sink
+      "hybrid_rrf")              // bounded fusion agg over two ranker lists
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
@@ -117,6 +119,73 @@ object Plans {
         s"```\n${plan.trim}\n```\n"
     }
 
+    // graph_hits / graph_lpa are localCheckpoint-truncated like pageRank;
+    // dump one live half-step / round instead — the plan every iteration runs
+    val hitsSection = {
+      import org.apache.spark.sql.functions._
+      val pairs = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val edges = pairs.select(
+        concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+      val e = edges.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val h0 = nodes.select(col("node"), lit(1.0).as("hub"))
+      val raw = e.join(h0, e("src") === col("node"))
+        .groupBy(e("dst").as("node"))
+        .agg(coalesce(sum(round(col("hub"), 12).cast("decimal(38,18)"))
+          .cast("double"), lit(0.0)).as("raw"))
+      val total = raw.agg(coalesce(sum(col("raw").cast("decimal(38,18)"))
+        .cast("double"), lit(0.0)).as("s"))
+      val half = nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0.0)) / col("s"), 12).as("auth"))
+      val plan = half.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      e.unpersist(); nodes.unpersist()
+      "## graph_hits (one half-step)\n\n" +
+        "The per-half-step plan of GraphOps.hits: cached src-partitioned " +
+        "edges reused, (node, score) pairs shuffle, the L1 total rides a " +
+        "broadcast — the mirror of the pageRank iteration shape.\n\n" +
+        s"```\n${plan.trim}\n```\n"
+    }
+
+    val lpaSection = {
+      import org.apache.spark.sql.functions._
+      val pairs = Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") < 300)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val e0 = pairs.select(col("p").as("pa"), col("sk"))
+        .join(pairs.select(col("p").as("pb"), col("sk")), Seq("sk"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa").as("u"), col("pb").as("v")).distinct()
+      val und = e0.filter(col("u") =!= col("v"))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lab0 = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val round1 = sym.join(lab0, sym("dst") === lab0("node"))
+        .groupBy(sym("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      val plan = round1.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sym.unpersist()
+      "## graph_lpa (one round)\n\n" +
+        "The per-round plan of GraphOps.labelPropagation: cached " +
+        "symmetrized edges reused, (node, label) count partials with " +
+        "map-side combine, per-node argmax as a reducible min(struct) " +
+        "aggregate — no window anywhere.\n\n" +
+        s"```\n${plan.trim}\n```\n"
+    }
+
     val header =
       s"""# PLANS — formatted physical plans of the headline queries
          |
@@ -128,8 +197,9 @@ object Plans {
          |""".stripMargin
 
     Files.writeString(Paths.get(out),
-      header + "\n" + (sections :+ prSection).mkString("\n"))
-    println(s"[plans] wrote ${names.size + 1} plans to $out")
+      header + "\n" +
+        (sections ++ Seq(prSection, hitsSection, lpaSection)).mkString("\n"))
+    println(s"[plans] wrote ${names.size + 3} plans to $out")
     spark.stop()
   }
 }

@@ -86,6 +86,25 @@ class LintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("late round-9 additions carry no UNJUSTIFIED plan findings") {
+    // not bench-flagged (yet), so the flagship sweep misses them; the
+    // graph twins are localCheckpoint-truncated (their live per-round
+    // plans are dumped by graft.Plans instead — the pageRank precedent)
+    val justified: Map[String, Set[String]] = Map(
+      // DSIR: the 64-row ratio/total frames ride tiny broadcasts
+      "pipeline_dsir" -> Set("cartesian"),
+      // RRF: the dense ranker is the declared brute baseline (broadcast
+      // query side, theta self-join) — the fusion itself adds nothing
+      "hybrid_rrf" -> Set("cartesian"))
+    val offenders = Seq("pipeline_dsir", "hybrid_rrf").flatMap { name =>
+      val cap = Registry.byName(name)
+      val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
+      val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
+      if (bad.isEmpty) None else Some(s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("clean declarative plans produce no findings") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val good = li.filter(col("l_quantity") > 10)
