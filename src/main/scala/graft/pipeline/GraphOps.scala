@@ -385,6 +385,53 @@ object GraphOps {
     lab
   }
 
+  /** k-core peeling (Seidman 1983) over an UNDIRECTED graph: repeatedly
+    * delete nodes with degree < k; what survives is the k-core — the
+    * standard cohesion filter on crawl/host graphs (link farms and
+    * isolated tendrils peel away, densely-linked cores remain) and the
+    * usual preprocessing cut before community detection. `rounds` is the
+    * peeling-round budget, the same fixed-iteration stance as
+    * [[pageRank]]: after `rounds` rounds the result is the exact k-core
+    * iff peeling has converged (each extra round is then a no-op);
+    * callers size `rounds` to the peel depth they expect (chains peel
+    * one layer per round). All-integer arithmetic — degrees and set
+    * membership — so the unrolled SQL oracle is bit-exact.
+    *
+    * Scale shape: edges symmetrized + dedup'd once; per round one
+    * src-keyed degree aggregate with map-side combine and two semi-joins
+    * of the edge frame against the surviving-node set — (node, degree)
+    * pairs and id-pair edges are all that shuffle. localCheckpoint per
+    * round truncates the shrinking edge frame's lineage exactly as the
+    * rank loops. Output: (node, deg) of survivors, deg = degree INSIDE
+    * the surviving subgraph. */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var e = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      r += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** The persisted graph state one rank iteration reads: edges
     * pre-partitioned by src, and the node table with each node's
     * out-degree inlined (`deg` NULL marks a sink). Carrying the static

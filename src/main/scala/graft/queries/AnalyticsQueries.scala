@@ -776,6 +776,100 @@ object AnalyticsQueries {
        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
   }
 
+  /** k-core peeling ([[graft.pipeline.GraphOps.kCore]]) on an
+    * md5-SAMPLED part co-occurrence graph — the full graph is a dense
+    * supplier-clique union whose min degree sits far above any useful k
+    * (nothing peels); keeping ~0.7 % of edges by a deterministic
+    * md5-of-edge lottery (both engines compute the identical sample)
+    * yields a sparse random graph near the k=4 core threshold, where
+    * peeling genuinely CASCADES: 4 rounds of real deletions before the
+    * fixed point, so the gate exercises the iterated recomputation, not
+    * one filter. Integer-exact like graph_lpa. */
+  private val KcK = 4
+  private val KcRounds = 4
+  private val KcMod = 150
+
+  private def kcoreQ(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 1000)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val a = pp.select(col("p").as("pa"), col("sk"))
+    val b = pp.select(col("p").as("pb"), col("sk"))
+    val e0 = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+    val e = e0.filter(
+      conv(substring(md5(concat(col("u").cast("string"), lit("_"),
+        col("v").cast("string"))), 1, 4), 16, 10).cast("int") % KcMod === 0)
+    graft.pipeline.GraphOps.kCore(e, "u", "v", k = KcK, rounds = KcRounds)
+      .orderBy(col("node"))
+  }
+
+  private val kcoreSql = {
+    def round_(prev: String, deg: String, keep: String, out: String) =
+      s"""$deg AS (SELECT src, COUNT(*) AS c FROM $prev GROUP BY src),
+         |$keep AS (SELECT src FROM $deg WHERE c >= $KcK),
+         |$out AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN $keep a ON a.src = e.src
+         |  JOIN $keep b ON b.src = e.dst)"""
+    s"""WITH pp AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+       |  WHERE l_partkey < 1000),
+       |e0 AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pp a JOIN pp b ON a.sk = b.sk AND a.p < b.p),
+       |es AS (
+       |  SELECT u, v FROM e0
+       |  WHERE ('0x' || substring(md5(u || '_' || v), 1, 4))::INT
+       |    % $KcMod = 0),
+       |sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT u AS src, v AS dst FROM es
+       |    UNION ALL SELECT v, u FROM es)),
+       |${round_("sym", "d1", "k1", "e1")},
+       |${round_("e1", "d2", "k2", "e2")},
+       |${round_("e2", "d3", "k3", "e3")},
+       |${round_("e3", "d4", "k4", "e4")}
+       |SELECT src AS node, COUNT(*) AS deg FROM e4
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Q45: windowed EWMA ([[graft.operators.Ewma.smooth]]) per event
+    * type over the trailing 8 observations at alpha = 0.5 — a DYADIC
+    * alpha, so every weight (1-alpha)^j is an exact binary double and
+    * the whole computation carries zero transcendental risk. The oracle
+    * collects the identical window frame with DuckDB's list() OVER and
+    * replays the two sequential folds term by term. */
+  private val EwmaAlpha = 0.5
+  private val EwmaWindow = 8
+
+  private def ewmaQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ewma.smooth(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            expr("unix_micros(ts)").as("__us")),
+        "event_type", "__us", "event_id", "value",
+        alpha = EwmaAlpha, window = EwmaWindow)
+      .select(col("event_id"), col("event_type"), col("value"), col("ewma"))
+      .orderBy(col("event_id"))
+
+  private val ewmaSql =
+    s"""WITH src AS (
+       |  SELECT event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events WHERE value IS NOT NULL),
+       |fr AS (
+       |  SELECT event_id, event_type, value,
+       |    list(value) OVER (PARTITION BY event_type ORDER BY us, event_id
+       |      ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW) AS a
+       |  FROM src)
+       |SELECT event_id, event_type, value,
+       |  round(
+       |    list_sum(list_transform(range(1, len(a) + 1),
+       |      i -> a[i] * pow(${1.0 - EwmaAlpha}, len(a) - i))) /
+       |    list_sum(list_transform(range(1, len(a) + 1),
+       |      i -> pow(${1.0 - EwmaAlpha}, len(a) - i))), 9) AS ewma
+       |FROM fr ORDER BY event_id""".stripMargin
+
   /** Declarative data-quality expectations
     * ([[graft.pipeline.Expectations]]): seven rules over `orders` judged
     * in ONE aggregation pass — including a deliberately failing
@@ -1056,6 +1150,12 @@ object AnalyticsQueries {
     Capability("graph_lpa",
       "synchronous min-tie-break label propagation (integer-exact communities)",
       lpaQ, Some(lpaSql)),
+    Capability("graph_kcore",
+      s"k-core peeling (k=$KcK): $KcRounds cascading rounds on a sampled sparse graph",
+      kcoreQ, Some(kcoreSql)),
+    Capability("q45_ewma",
+      "windowed EWMA per key: trailing-8 exponential smoothing at dyadic alpha",
+      ewmaQ, Some(ewmaSql)),
     Capability("graph_ppr",
       "personalized PageRank: teleport + dangling mass land on a seed set only",
       ppr, Some(pprSql)),

@@ -217,6 +217,53 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((21L to 24L).forall(n => out(n) == 21L), out.toString)
   }
 
+  test("k-core peels a chain into the clique core, one layer per round") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} with a tail 4-5-6: the 2-core is the clique —
+    // 6 peels in round 1 (deg 1), 5 only in round 2 (deg 1 after 6 left)
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val one = graft.pipeline.GraphOps.kCore(edges, "u", "v", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after ONE round node 5 still stands (its degree was 2 before 6 left)
+    assert(one.keySet == Set(1L, 2L, 3L, 4L, 5L), one.toString)
+    val core = graft.pipeline.GraphOps.kCore(edges, "u", "v", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core.toString)
+    // converged: extra rounds are no-ops
+    val more = graft.pipeline.GraphOps.kCore(edges, "u", "v", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == core, more.toString)
+    // k above the clique degree empties the graph
+    assert(graft.pipeline.GraphOps.kCore(edges, "u", "v", k = 4, rounds = 3)
+      .count() == 0L)
+  }
+
+  test("ewma matches the closed form and excludes nulls from the frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "k", 1L, Some(1.0)), (2L, "k", 2L, Some(2.0)),
+      (3L, "k", 3L, None), (4L, "k", 4L, Some(4.0)),
+      (5L, "x", 1L, Some(10.0)))
+      .toDF("id", "key", "t", "value")
+    val out = graft.operators.Ewma
+      .smooth(df, "key", "t", "id", "value", alpha = 0.5, window = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // weights 0.5^(n-1-j): id1 -> 1.0; id2 -> (0.5*1 + 1*2)/1.5;
+    // id3 is null (dropped); id4 frame is [1,2,4] -> (0.25+1+4)/1.75
+    assert(out(1L) == 1.0, out.toString)
+    assert(math.abs(out(2L) - 2.5 / 1.5) < 1e-9, out.toString)
+    assert(!out.contains(3L), out.toString)
+    assert(math.abs(out(4L) - 5.25 / 1.75) < 1e-9, out.toString)
+    // singleton key: ewma = the value itself
+    assert(out(5L) == 10.0, out.toString)
+    // window cap: with window=2 only the trailing two observations count
+    val capped = graft.operators.Ewma
+      .smooth(df, "key", "t", "id", "value", alpha = 0.5, window = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(math.abs(capped(4L) - (0.5 * 2.0 + 4.0) / 1.5) < 1e-9, capped.toString)
+  }
+
   test("resample interpolates between brackets and NULLs gaps beyond the horizon") {
     import spark.implicits._
     val events = Seq(
