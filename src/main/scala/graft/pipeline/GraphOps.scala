@@ -325,7 +325,11 @@ object GraphOps {
     var cur = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
     var it = 0
     while (it < iterations) {
-      val auth = halfStep(cur, "hub", "src", "dst", "auth")
+      // checkpoint EACH half-step: the auth frame feeds both the hub
+      // half-step and the final join — left live, its whole subtree
+      // would be embedded (and computed) in both consumers, doubling
+      // the per-iteration work and growing the plan superlinearly
+      val auth = halfStep(cur, "hub", "src", "dst", "auth").localCheckpoint()
       val hub = halfStep(auth, "auth", "dst", "src", "hub")
       cur = hub.join(auth, Seq("node")).localCheckpoint()
       it += 1
