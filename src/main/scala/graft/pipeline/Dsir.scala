@@ -92,8 +92,33 @@ object Dsir {
       docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val lw = logWeights(docs, idCol, textCol,
-      bucketLogRatios(docs, textCol, targetPred))
+    val b = Drift.Buckets
+    // ONE corpus pass: the (doc, bucket) counts are the shared partials —
+    // both bucket models AND the per-doc scoring derive from them (the
+    // unigram-LM trick), so the text explodes once, not once per model;
+    // the (id, b) exchange is reused by Spark across the two consumers.
+    // Arithmetic is identical to composing bucketLogRatios + logWeights
+    // (cr/ct are the same sums, grouped differently).
+    val nb = docs
+      .select(col(idCol), targetPred.cast("int").as("__t"),
+        explode(bigramBuckets(textCol)).as("bg"))
+      .groupBy(col(idCol), Drift.bucketOf(col("bg")).as("b"))
+      .agg(count(lit(1)).as("n"), max(col("__t")).as("t"))
+    val c = nb.groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"), sum(col("n") * col("t")).as("ct"))
+    val tot = c.agg(sum(col("cr")).as("rtot"), sum(col("ct")).as("ttot"))
+    val ratios = c.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(
+          log((col("ct") + lit(1.0)) / (col("ttot") + lit(b.toDouble))) -
+            log((col("cr") + lit(1.0)) / (col("rtot") + lit(b.toDouble))),
+          9).as("lr"))
+    val lw = nb.join(broadcast(ratios), Seq("b"))
+      .select(col(idCol), col("n"),
+        round(col("n") * col("lr") * lit(1e9), 0).cast("long").as("e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_bigrams"),
+        (sum(col("e")).cast("double") / lit(1e9)).as("logw"))
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
     val gum = round(-log(-log(u)), 9)
