@@ -133,16 +133,8 @@ object Plans {
         .union(e.select(col("dst").as("node"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val h0 = nodes.select(col("node"), lit(1.0).as("hub"))
-      val raw = e.join(h0, e("src") === col("node"))
-        .groupBy(e("dst").as("node"))
-        .agg(coalesce(sum(round(col("hub"), 12).cast("decimal(38,18)"))
-          .cast("double"), lit(0.0)).as("raw"))
-      val total = raw.agg(coalesce(sum(col("raw").cast("decimal(38,18)"))
-        .cast("double"), lit(0.0)).as("s"))
-      val half = nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("node"),
-          round(coalesce(col("raw"), lit(0.0)) / col("s"), 12).as("auth"))
+      val half = graft.pipeline.GraphOps.hitsHalfStep(
+        e, nodes, h0, "hub", "src", "dst", "auth", 12)
       val plan = half.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       e.unpersist(); nodes.unpersist()
@@ -169,12 +161,7 @@ object Plans {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lab0 = sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
-      val round1 = sym.join(lab0, sym("dst") === lab0("node"))
-        .groupBy(sym("src").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("node"))
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("label"))
+      val round1 = graft.pipeline.GraphOps.lpaRound(sym, lab0)
       val plan = round1.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sym.unpersist()

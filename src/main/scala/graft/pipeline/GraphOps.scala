@@ -304,24 +304,6 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(disk)
-    def exactSum(c: Column): Column =
-      coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
-    // one half-step: flow `score` along the edge from `from` to `to`,
-    // L1-normalize the landed mass over ALL nodes (absent nodes get 0)
-    def halfStep(scores: DataFrame, scoreCol: String,
-        from: String, to: String, outCol: String): DataFrame = {
-      val raw = e
-        .join(scores.select(col("node"), col(scoreCol)), e(from) === col("node"))
-        .groupBy(e(to).as("node"))
-        .agg(exactSum(round(col(scoreCol), roundContrib)).as("raw"))
-      val total = raw.agg(exactSum(col("raw")).as("s"))
-      nodes
-        .join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("node"),
-          round(coalesce(col("raw"), lit(0.0)) / col("s"), roundContrib)
-            .as(outCol))
-    }
     var cur = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
     var it = 0
     while (it < iterations) {
@@ -329,13 +311,38 @@ object GraphOps {
       // half-step and the final join — left live, its whole subtree
       // would be embedded (and computed) in both consumers, doubling
       // the per-iteration work and growing the plan superlinearly
-      val auth = halfStep(cur, "hub", "src", "dst", "auth").localCheckpoint()
-      val hub = halfStep(auth, "auth", "dst", "src", "hub")
+      val auth = hitsHalfStep(e, nodes, cur, "hub", "src", "dst", "auth",
+        roundContrib).localCheckpoint()
+      val hub = hitsHalfStep(e, nodes, auth, "auth", "dst", "src", "hub",
+        roundContrib)
       cur = hub.join(auth, Seq("node")).localCheckpoint()
       it += 1
     }
     e.unpersist(); nodes.unpersist()
     cur.select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** One HITS half-step: flow `scoreCol` along the edge from `from` to
+    * `to`, L1-normalize the landed mass over ALL nodes (absent nodes get
+    * 0). `e` must be the persisted src-partitioned edge frame and
+    * `nodes` the persisted node table — PlanSpec pins this plan (no live
+    * src exchange, L1 total on a broadcast). */
+  private[graft] def hitsHalfStep(
+      e: DataFrame, nodes: DataFrame, scores: DataFrame, scoreCol: String,
+      from: String, to: String, outCol: String, roundContrib: Int): DataFrame = {
+    def exactSum(c: Column): Column =
+      coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
+    val raw = e
+      .join(scores.select(col("node"), col(scoreCol)), e(from) === col("node"))
+      .groupBy(e(to).as("node"))
+      .agg(exactSum(round(col(scoreCol), roundContrib)).as("raw"))
+    val total = raw.agg(exactSum(col("raw")).as("s"))
+    nodes
+      .join(raw, Seq("node"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("node"),
+        round(coalesce(col("raw"), lit(0.0)) / col("s"), roundContrib)
+          .as(outCol))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007, deterministic
@@ -375,19 +382,25 @@ object GraphOps {
       .select(col("node"), col("node").as("label"))
     var r = 0
     while (r < rounds) {
-      lab = sym
-        .join(lab, sym("dst") === lab("node"))
-        .groupBy(sym("src").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("node"))
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("label"))
-        .localCheckpoint()
+      lab = lpaRound(sym, lab).localCheckpoint()
       r += 1
     }
     sym.unpersist()
     lab
   }
+
+  /** One synchronous LPA round over the persisted symmetrized edge frame:
+    * labels flow to neighbors, (node, label) counts combine map-side, and
+    * the per-node argmax is the reducible `min(struct(-count, label))`
+    * aggregate — no window. PlanSpec pins this plan. */
+  private[graft] def lpaRound(sym: DataFrame, lab: DataFrame): DataFrame =
+    sym
+      .join(lab, sym("dst") === lab("node"))
+      .groupBy(sym("src").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("node"), col("m.l").as("label"))
 
   /** k-core peeling (Seidman 1983) over an UNDIRECTED graph: repeatedly
     * delete nodes with degree < k; what survives is the k-core — the

@@ -326,6 +326,61 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hits half-step: cached edges never re-shuffled; L1 total broadcasts") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      import spark.implicits._
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val edges = Seq.tabulate(2000)(i => (s"n${i % 97}", s"n${(i * 7) % 89}"))
+        .toDF("src", "dst")
+      val e = edges.repartition(col("src")).persist(disk)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist(disk)
+      try {
+        val h0 = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+        val half = graft.pipeline.GraphOps.hitsHalfStep(
+          e, nodes, h0, "hub", "src", "dst", "auth", 12)
+        half.collect()
+        val plan = topLevelFinal(half.queryExecution.executedPlan.toString)
+        // the pageRank pin, mirrored: only the one-time REPARTITION_BY_COL
+        // inside the persisted edge relation touches src — a live src
+        // exchange would re-shuffle the edge frame every half-step
+        val liveSrc = "Exchange hashpartitioning\\(src#\\d+, \\d+\\), ENSURE_REQUIREMENTS".r
+          .findAllIn(plan).length
+        assert(liveSrc == 0, plan.take(3000))
+        assert("InMemoryTableScan".r.findAllIn(plan).length >= 2, plan.take(3000))
+        // the 1-row L1 total rides a broadcast cross join
+        assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 1,
+          plan.take(3000))
+      } finally { e.unpersist(); nodes.unpersist() }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("lpa round: partial (node,label) counts, argmax as an aggregate, no Window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = Seq.tabulate(2000)(i => (i.toLong % 97, (i.toLong * 7) % 89))
+      .toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).persist(disk)
+    try {
+      val lab0 = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")).localCheckpoint()
+      val round1 = graft.pipeline.GraphOps.lpaRound(sym, lab0)
+      round1.collect()
+      val plan = topLevelFinal(round1.queryExecution.executedPlan.toString)
+      // both aggregates combine map-side before their exchange
+      assert("partial_count".r.findAllIn(plan).nonEmpty, plan.take(3000))
+      assert("partial_min".r.findAllIn(plan).nonEmpty, plan.take(3000))
+      // the per-node argmax is a reducible aggregate, never a window sort
+      assert(!plan.contains("Window"), plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    } finally sym.unpersist()
+  }
+
   test("dedup_keep_best: both policy windows share ONE component exchange, no all-pairs") {
     val df = Registry.byName("dedup_keep_best").run(spark, sf)
     df.collect()
