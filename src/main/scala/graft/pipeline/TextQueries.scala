@@ -1017,8 +1017,80 @@ object TextQueries {
        |FROM lw
        |ORDER BY skey DESC, doc_id LIMIT $DsirN""".stripMargin
 
+  /** PMI collocation mining — the phrase-discovery pass of vocabulary /
+    * tokenizer construction (Mikolov-style phrase merging, multi-word
+    * entity detection): score each bigram by pointwise mutual
+    * information `log2(p(ab) / (p(a)·p(b)))` against the corpus unigram
+    * model, keep the top collocations above a count floor (PMI is
+    * notoriously noisy on rare pairs — the floor is part of the
+    * definition in practice).
+    *
+    * Scale shape: unigram and bigram counts are (word)- and (wl,wr)-
+    * keyed aggregates with map-side combine (counts, never text, on the
+    * wire); the two totals ride broadcast 1-row frames; the scoring
+    * joins key on single words against the unigram counts (vocabulary-
+    * sized, hash-joined — NOT collected); top-k is a
+    * TakeOrderedAndProject sink. Determinism: all counts are exact
+    * integers, the PMI is one IEEE expression rounded at 9 dp, ties
+    * break on the bigram text. */
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  private def pmiQ(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val docs = Tables.documents(s, d)
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bg = docs.select(
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1))).as("p"))
+      .select(col("p").getField("0").as("wl"), col("p").getField("1").as("wr"))
+    val bc = bg.groupBy(col("wl"), col("wr")).agg(count(lit(1)).as("cb"))
+    val nb = bc.agg(sum(col("cb")).as("nb"))
+    bc.filter(col("cb") >= PmiMinCount)
+      .join(uni.select(col("w").as("wl"), col("c").as("ca")), Seq("wl"))
+      .join(uni.select(col("w").as("wr"), col("c").as("cd")), Seq("wr"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nb))
+      .select(concat(col("wl"), lit(" "), col("wr")).as("bigram"),
+        col("cb"),
+        round(log2((col("cb").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("n")) *
+            (col("cd").cast("double") / col("n")))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(PmiTopK)
+  }
+
+  private val pmiSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |uc AS (
+       |  SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM toks)
+       |  GROUP BY w),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+       |bgp AS (
+       |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS wl,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS wr
+       |  FROM toks),
+       |bc AS (SELECT wl, wr, COUNT(*) AS cb FROM bgp GROUP BY 1, 2),
+       |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM bc)
+       |SELECT bigram, cb, pmi FROM (
+       |  SELECT bc.wl || ' ' || bc.wr AS bigram, bc.cb,
+       |    round(log2((bc.cb::DOUBLE / nb.nb) /
+       |      ((a.c::DOUBLE / n.n) * (d.c::DOUBLE / n.n))), 9) AS pmi
+       |  FROM bc
+       |  JOIN uc a ON a.w = bc.wl
+       |  JOIN uc d ON d.w = bc.wr, n, nb
+       |  WHERE bc.cb >= $PmiMinCount) t
+       |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("text_tokens", "whitespace + regex token counting", tokens, Some(tokensSql)),
+    Capability("text_pmi",
+      "PMI collocation mining: top bigram phrases vs the unigram model",
+      pmiQ, Some(pmiSql)),
     Capability("pipeline_dsir",
       "DSIR importance resampling: hashed-bigram models, Gumbel-top-k draw",
       dsirQ, Some(dsirSql)),

@@ -54,6 +54,40 @@ class TextSpec extends AnyFunSuite {
     assert((0L until 10L).toSet.subsetOf(sel), sel.toString)
   }
 
+  test("PMI ranks a planted collocation above independent co-occurrences") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "new" and "york" ONLY ever occur together; filler words pair freely
+    val fill = Seq("a", "b", "c", "d")
+    val docs = (0 until 40).map { i =>
+      val f = fill(i % 4) + " " + fill((i + 1) % 4) + " " + fill((i + 2) % 4)
+      (i.toLong, s"new york $f")
+    }.toDF("doc_id", "text")
+    // mirror of the gated query at a tiny min count, via the same exprs
+    val ws = graft.functions.TextOps.words(col("text"))
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bg = docs.select(explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1))).as("p"))
+      .select(col("p").getField("0").as("wl"), col("p").getField("1").as("wr"))
+    val bc = bg.groupBy(col("wl"), col("wr")).agg(count(lit(1)).as("cb"))
+    val nb = bc.agg(sum(col("cb")).as("nb"))
+    val pmi = bc.filter(col("cb") >= 3)
+      .join(uni.select(col("w").as("wl"), col("c").as("ca")), Seq("wl"))
+      .join(uni.select(col("w").as("wr"), col("c").as("cd")), Seq("wr"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+      .select(concat(col("wl"), lit(" "), col("wr")).as("bigram"),
+        round(log2((col("cb").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("n")) *
+            (col("cd").cast("double") / col("n")))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(pmi.head._1 == "new york", pmi.take(5).mkString(","))
+    // the perfect collocation's PMI is strictly above every filler pair
+    assert(pmi.tail.forall(_._2 < pmi.head._2), pmi.take(5).mkString(","))
+  }
+
   test("BPE learns the textbook merge order on the Sennrich corpus") {
     import spark.implicits._
     import graft.pipeline.Bpe
