@@ -55,4 +55,64 @@ object Ewma {
       .withColumn("ewma", round(num(col("__arr")) / den(col("__arr")), 9))
       .drop("__arr")
   }
+
+  /** EWMA-baseline anomaly detection — the standard metrics-monitoring
+    * rule: each observation compares against the exponentially-weighted
+    * mean and standard deviation of the PRECEDING `window` observations
+    * (current row excluded — a spike must not dampen its own baseline):
+    * `anomaly = |x − m| > k·s`. Weighted variance is the weighted mean
+    * of squares minus the squared weighted mean, floored at 0 (exact
+    * arithmetic can dip epsilon-negative).
+    *
+    * Conventions (mirroring [[graft.pipeline.Expectations]]'s MAD rule):
+    * rows with fewer than `minObs` prior observations emit NULL flag and
+    * score (insufficient history is not "normal"); a zero-variance
+    * baseline flags ANY deviation and emits a NULL score (no finite
+    * z-score exists). `sqrt` is exactly rounded under IEEE-754, so the
+    * whole rule carries no cross-engine risk beyond the dyadic-alpha
+    * contract of [[smooth]].
+    *
+    * Output adds `score` (round@6 z-score) and `anomaly` (boolean). Same
+    * bounded-frame scale shape as [[smooth]]. */
+  def anomalies(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double, window: Int,
+      k: Double = 3.0, minObs: Int = 4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minObs >= 1 && minObs <= window,
+      s"minObs in [1, window], got $minObs")
+    val decay = lit(1.0 - alpha)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window, -1)
+    def wexp(n: Column, i: Column): Column =
+      pow(decay, (n - lit(1) - i).cast("double"))
+    def wsum(a: Column, f: Column => Column): Column = aggregate(
+      transform(a, (x, i) => f(x) * wexp(size(a), i)), lit(0.0),
+      (acc, x) => acc + x)
+    val den = (a: Column) => aggregate(
+      transform(a, (_, i) => wexp(size(a), i)), lit(0.0), (acc, x) => acc + x)
+    val x = col(valCol).cast("double")
+    // guard the divisions behind the history check: an empty/short frame
+    // would divide by a zero weight total (an ANSI error, not a NaN) and
+    // its outputs are NULL anyway
+    val enough = size(col("__arr")) >= minObs
+    val m = when(enough, wsum(col("__arr"), identity) / den(col("__arr")))
+    val s = when(enough, sqrt(greatest(
+      wsum(col("__arr"), v => v * v) / den(col("__arr")) - col("__m") * col("__m"),
+      lit(0.0))))
+    df.filter(col(valCol).isNotNull)
+      .withColumn("__arr", collect_list(x).over(w))
+      .withColumn("__m", m)
+      .withColumn("__s", s)
+      .withColumn("score",
+        when(size(col("__arr")) >= minObs && col("__s") > 0.0,
+          round((x - col("__m")) / col("__s"), 6)))
+      .withColumn("anomaly",
+        when(size(col("__arr")) < minObs, lit(null).cast("boolean"))
+          .otherwise(when(col("__s") === 0.0, x =!= col("__m"))
+            .otherwise(abs(x - col("__m")) > lit(k) * col("__s"))))
+      .drop("__arr", "__m", "__s")
+  }
 }

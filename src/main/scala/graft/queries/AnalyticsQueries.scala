@@ -870,6 +870,54 @@ object AnalyticsQueries {
        |      i -> pow(${1.0 - EwmaAlpha}, len(a) - i))), 9) AS ewma
        |FROM fr ORDER BY event_id""".stripMargin
 
+  /** Q46: EWMA-baseline anomaly flags ([[graft.operators.Ewma.anomalies]])
+    * on the SAME stream/params as [[ewmaQ]] with the current row
+    * excluded from its own baseline; k = 2 keeps a real population of
+    * anomalies on this data. The oracle replays the shifted frame with
+    * DuckDB's lateral column aliases (m referenced by s in one SELECT). */
+  private val AnomK = 2.0
+  private val AnomMinObs = 4
+
+  private def anomalyQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ewma.anomalies(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            expr("unix_micros(ts)").as("__us")),
+        "event_type", "__us", "event_id", "value",
+        alpha = EwmaAlpha, window = EwmaWindow, k = AnomK, minObs = AnomMinObs)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("score"), col("anomaly"))
+      .orderBy(col("event_id"))
+
+  private val anomalySql =
+    s"""WITH src AS (
+       |  SELECT event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events WHERE value IS NOT NULL),
+       |fr AS (
+       |  SELECT event_id, event_type, value,
+       |    list(value) OVER (PARTITION BY event_type ORDER BY us, event_id
+       |      ROWS BETWEEN $EwmaWindow PRECEDING AND 1 PRECEDING) AS a
+       |  FROM src),
+       |c AS (
+       |  SELECT event_id, event_type, value, len(a) AS na,
+       |    list_sum(list_transform(range(1, len(a) + 1),
+       |      i -> a[i] * pow(${1.0 - EwmaAlpha}, len(a) - i))) /
+       |    list_sum(list_transform(range(1, len(a) + 1),
+       |      i -> pow(${1.0 - EwmaAlpha}, len(a) - i))) AS m,
+       |    sqrt(greatest(
+       |      list_sum(list_transform(range(1, len(a) + 1),
+       |        i -> a[i] * a[i] * pow(${1.0 - EwmaAlpha}, len(a) - i))) /
+       |      list_sum(list_transform(range(1, len(a) + 1),
+       |        i -> pow(${1.0 - EwmaAlpha}, len(a) - i))) - m * m, 0.0)) AS s
+       |  FROM fr)
+       |SELECT event_id, event_type, value,
+       |  CASE WHEN na >= $AnomMinObs AND s > 0
+       |       THEN round((value - m) / s, 6) END AS score,
+       |  CASE WHEN na < $AnomMinObs THEN NULL
+       |       WHEN s = 0 THEN value <> m
+       |       ELSE abs(value - m) > $AnomK * s END AS anomaly
+       |FROM c ORDER BY event_id""".stripMargin
+
   /** Declarative data-quality expectations
     * ([[graft.pipeline.Expectations]]): seven rules over `orders` judged
     * in ONE aggregation pass — including a deliberately failing
@@ -1156,6 +1204,9 @@ object AnalyticsQueries {
     Capability("q45_ewma",
       "windowed EWMA per key: trailing-8 exponential smoothing at dyadic alpha",
       ewmaQ, Some(ewmaSql)),
+    Capability("q46_anomaly",
+      "EWMA-baseline anomaly flags: z-score vs the preceding-window mean/std",
+      anomalyQ, Some(anomalySql)),
     Capability("graph_ppr",
       "personalized PageRank: teleport + dangling mass land on a seed set only",
       ppr, Some(pprSql)),

@@ -264,6 +264,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(capped(4L) - (0.5 * 2.0 + 4.0) / 1.5) < 1e-9, capped.toString)
   }
 
+  test("ewma anomalies: planted spike flags, steady series does not") {
+    import spark.implicits._
+    // steady noise around 10, then a spike at t=9; first minObs rows
+    // have insufficient history (NULL flag); zero-variance baseline
+    // flags ANY deviation with a NULL score
+    val vals = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.1, 9.9, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, "k", i.toLong, v)
+    }.toDF("id", "key", "t", "value")
+    val out = graft.operators.Ewma
+      .anomalies(df, "key", "t", "id", "value",
+        alpha = 0.5, window = 8, k = 3.0, minObs = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    // ids 1..4: frames of 0..3 prior rows -> insufficient history
+    assert((1L to 4L).forall(i => out(i)._2.isEmpty), out.toString)
+    // steady mid-series rows are not anomalous
+    assert((5L to 8L).forall(i => out(i)._2 == Some(false)), out.toString)
+    // the spike flags, with a large positive z-score
+    assert(out(9L)._2 == Some(true), out.toString)
+    assert(out(9L)._1.exists(_ > 3.0), out.toString)
+
+    // zero-variance baseline: constant history, any deviation flags
+    val const = Seq.tabulate(6)(i => (i.toLong + 1, "c", i.toLong, 5.0)) :+
+      ((7L, "c", 6L, 5.5))
+    val c = graft.operators.Ewma
+      .anomalies(const.toDF("id", "key", "t", "value"),
+        "key", "t", "id", "value", alpha = 0.5, window = 8, k = 3.0, minObs = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)), Option(r.get(5)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    assert(c(6L) == (None, Some(false)), c.toString) // 5.0 == baseline
+    assert(c(7L) == (None, Some(true)), c.toString)  // deviation, NULL score
+  }
+
   test("resample interpolates between brackets and NULLs gaps beyond the horizon") {
     import spark.implicits._
     val events = Seq(
