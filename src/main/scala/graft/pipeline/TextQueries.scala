@@ -863,6 +863,88 @@ object TextQueries {
     bigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Jelinek–Mercer INTERPOLATED bigram LM — the smoothing family real
+    * perplexity filters (CCNet's KenLM) actually use, one honest
+    * declarative step down from Kneser–Ney: each transition scores
+    * `log10(λ·P_bi(w|u) + (1−λ)·P_uni(w))` with MLE component models.
+    * Unlike [[bigramLogProb]]'s add-one floor, unseen transitions fall
+    * back to the unigram model WEIGHTED, not to a uniform 1/V — rare
+    * continuations of common words stop being over-penalized. Same
+    * plan shape and decimal-summed per-term contract; the unigram
+    * probabilities join on the right word, reusing the bigram partials'
+    * exchange for the context counts. */
+  private val JmLambda = 0.75
+
+  def interpolatedLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double): DataFrame = {
+    val ws = graft.functions.TextOps.words(col(textCol))
+    val bg = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1))).as("p"))
+      .select(col(idCol), col("p").getField("0").as("wl"),
+        col("p").getField("1").as("wr"))
+    val dc = bg.groupBy(col(idCol), col("wl"), col("wr"))
+      .agg(count(lit(1)).as("k"))
+    val trans = dc.groupBy(col("wl"), col("wr")).agg(sum(col("k")).as("cb"))
+    val ctx = trans.groupBy(col("wl")).agg(sum(col("cb")).as("cu"))
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).as("n"))
+    val elem = round(
+      col("k") * log10(
+        lit(lambda) * (col("cb").cast("double") / col("cu")) +
+          lit(1.0 - lambda) * (col("cw").cast("double") / col("n"))), 9)
+    dc.join(trans, Seq("wl", "wr"))
+      .join(ctx, Seq("wl"))
+      .join(uni.select(col("w").as("wr"), col("cw")), Seq("wr"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("k"),
+        elem.cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_big"),
+        round(sum(col("e")).cast("double"), 6).as("sum_lp10"))
+      .withColumn("avg_lp10", round(col("sum_lp10") / col("n_big"), 6))
+  }
+
+  private def jmLm(s: SparkSession, d: String): DataFrame =
+    interpolatedLogProb(Tables.documents(s, d), "doc_id", "text", JmLambda)
+      .orderBy(col("doc_id"))
+
+  private val jmLmSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_zip(
+       |    ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+       |  FROM toks),
+       |bgf AS (
+       |  SELECT doc_id, p[1] AS wl, p[2] AS wr FROM bg),
+       |dc AS (SELECT doc_id, wl, wr, COUNT(*) AS k FROM bgf GROUP BY 1, 2, 3),
+       |trans AS (
+       |  SELECT wl, wr, CAST(SUM(k) AS BIGINT) AS cb FROM dc GROUP BY 1, 2),
+       |ctx AS (SELECT wl, CAST(SUM(cb) AS BIGINT) AS cu FROM trans GROUP BY 1),
+       |uc AS (
+       |  SELECT w, COUNT(*) AS cw FROM (
+       |    SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+       |n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uc),
+       |e AS (
+       |  SELECT dc.doc_id, dc.k,
+       |    CAST(round(dc.k * log10(
+       |      $JmLambda * (trans.cb::DOUBLE / ctx.cu) +
+       |      ${1.0 - JmLambda} * (uc.cw::DOUBLE / n.n)), 9)
+       |      AS DECIMAL(38,12)) AS e
+       |  FROM dc JOIN trans USING (wl, wr) JOIN ctx USING (wl)
+       |  JOIN uc ON uc.w = dc.wr, n),
+       |s AS (
+       |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_big,
+       |    round(CAST(SUM(e) AS DOUBLE), 6) AS sum_lp10
+       |  FROM e GROUP BY doc_id)
+       |SELECT doc_id, n_big, sum_lp10,
+       |  round(sum_lp10 / n_big, 6) AS avg_lp10
+       |FROM s ORDER BY doc_id""".stripMargin
+
   private val bigramLmSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1134,6 +1216,9 @@ object TextQueries {
     Capability("text_bigram_lm",
       "corpus-trained bigram LM scoring (word-order-aware perplexity signal)", bigramLm,
       Some(bigramLmSql)),
+    Capability("text_jm_lm",
+      s"Jelinek-Mercer interpolated bigram LM (lambda=$JmLambda bigram/unigram mixture)",
+      jmLm, Some(jmLmSql)),
     Capability("text_urls",
       "URL extraction + host normalization + per-domain rollup (planted URLs)", urls,
       Some(urlsSql)),

@@ -26,6 +26,16 @@ class TextSpec extends AnyFunSuite {
     val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     assert(graft.pipeline.TextQueries.bigramLogProb(tiny, "doc_id", "text")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the JM interpolation keeps the order separation at lambda 0.75 …
+    val jm = graft.pipeline.TextQueries
+      .interpolatedLogProb(docs, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(jm(99L) < jm(1L), jm.toString)
+    // … and degrades to the order-blind unigram model as lambda -> 0
+    val jm0 = graft.pipeline.TextQueries
+      .interpolatedLogProb(docs, "doc_id", "text", lambda = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(jm0(99L) - jm0(1L)) < 1e-4, jm0.toString)
   }
 
   test("DSIR tilts selection toward target-like documents") {
