@@ -402,6 +402,38 @@ object GraphOps {
       .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
       .select(col("node"), col("m.l").as("label"))
 
+  /** Local clustering coefficient per node: `2·T_v / (d_v·(d_v−1))` —
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected. The standard cohesion signal next to [[triangleCounts]]
+    * (which supplies T_v): organic communities cluster, link farms and
+    * bot follow-graphs don't — near-zero coefficients at high degree are
+    * the classic spam shape. Degree-1 nodes have no neighbor pairs and
+    * emit coefficient 0 by convention.
+    *
+    * Scale shape: [[triangleCounts]]'s oriented-wedge machinery does the
+    * heavy lifting; this adds one degree aggregate over the canonical
+    * undirected edge set and a node-keyed left join — counts only on the
+    * wire. Determinism: integer counts, one IEEE division rounded at 9. */
+  def clusteringCoefficients(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1))), 9))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
   /** k-core peeling (Seidman 1983) over an UNDIRECTED graph: repeatedly
     * delete nodes with degree < k; what survives is the k-core — the
     * standard cohesion filter on crawl/host graphs (link farms and

@@ -870,6 +870,54 @@ object AnalyticsQueries {
        |      i -> pow(${1.0 - EwmaAlpha}, len(a) - i))), 9) AS ewma
        |FROM fr ORDER BY event_id""".stripMargin
 
+  /** Local clustering coefficients
+    * ([[graft.pipeline.GraphOps.clusteringCoefficients]]) on the SAME
+    * part co-occurrence graph as [[trianglesQ]] — its oriented-wedge
+    * triangle counts divided into each node's neighbor-pair count. The
+    * oracle reuses the direct triple-join triangle enumeration plus a
+    * degree CTE; the deg-1 zero convention and absent-triangle zeros are
+    * both exercised. */
+  private def clusteringQ(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 300)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val a = pp.select(col("p").as("pa"), col("sk"))
+    val b = pp.select(col("p").as("pb"), col("sk"))
+    val e = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+    graft.pipeline.GraphOps.clusteringCoefficients(e, "u", "v")
+      .orderBy(col("node"))
+  }
+
+  private val clusteringSql =
+    """WITH pp AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+      |  WHERE l_partkey < 300),
+      |und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pp a JOIN pp b ON a.sk = b.sk AND a.p < b.p),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e2.u = e1.v
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tcnt AS (
+      |  SELECT node, COUNT(*) AS n_tri FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY node),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY node)
+      |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+      |  CASE WHEN d.deg >= 2
+      |       THEN round(2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1)), 9)
+      |       ELSE 0.0 END AS cc
+      |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+      |ORDER BY d.node""".stripMargin
+
   /** Q46: EWMA-baseline anomaly flags ([[graft.operators.Ewma.anomalies]])
     * on the SAME stream/params as [[ewmaQ]] with the current row
     * excluded from its own baseline; k = 2 keeps a real population of
@@ -1198,6 +1246,9 @@ object AnalyticsQueries {
     Capability("graph_lpa",
       "synchronous min-tie-break label propagation (integer-exact communities)",
       lpaQ, Some(lpaSql)),
+    Capability("graph_clustering",
+      "local clustering coefficients: oriented-wedge triangles / neighbor pairs",
+      clusteringQ, Some(clusteringSql)),
     Capability("graph_kcore",
       s"k-core peeling (k=$KcK): $KcRounds cascading rounds on a sampled sparse graph",
       kcoreQ, Some(kcoreSql)),

@@ -264,6 +264,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(capped(4L) - (0.5 * 2.0 + 4.0) / 1.5) < 1e-9, capped.toString)
   }
 
+  test("clustering coefficients: clique 1.0, pendant 0, bridge in between") {
+    import spark.implicits._
+    // K4 {1,2,3,4} plus a pendant 5 hanging off node 4
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      :+ ((4L, 5L))).toDF("u", "v")
+    val cc = graft.pipeline.GraphOps.clusteringCoefficients(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // pure clique members: every neighbor pair connected
+    assert(Seq(1L, 2L, 3L).forall(n => cc(n) == ((3L, 3L, 1.0))), cc.toString)
+    // node 4: degree 4, 3 triangles -> 2*3/(4*3) = 0.5
+    assert(cc(4L) == ((4L, 3L, 0.5)), cc.toString)
+    // pendant: degree 1, no neighbor pairs -> 0 by convention
+    assert(cc(5L) == ((1L, 0L, 0.0)), cc.toString)
+  }
+
   test("ewma anomalies: planted spike flags, steady series does not") {
     import spark.implicits._
     // steady noise around 10, then a spike at t=9; first minObs rows

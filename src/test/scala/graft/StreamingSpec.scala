@@ -488,6 +488,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming EWMA anomalies equal the batch rule across batch boundaries") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val split = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_stream").toFile
+    ev.filter(expr("unix_micros(ts)") < split)
+      .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    ev.filter(expr("unix_micros(ts)") >= split)
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        ev.schema("ts").dataType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+      val flagged = graft.streaming.StreamingEwma.anomalyStream(
+        spark, stream, "event_type", "ts", "event_id", "value",
+        alpha = 0.5, window = 8, k = 2.0, minObs = 4)
+      val query = flagged.writeStream
+        .format("memory").queryName("graft_anom_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        val streamed = spark.table("graft_anom_stream")
+          .collect().map(r => r.getLong(1) ->
+            ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+              Option(r.get(4)).map(_.asInstanceOf[Boolean])))).toMap
+        val batch = graft.operators.Ewma.anomalies(
+            ev.withColumn("__us", expr("unix_micros(ts)")),
+            "event_type", "__us", "event_id", "value",
+            alpha = 0.5, window = 8, k = 2.0, minObs = 4)
+          .collect().map(r => r.getLong(0) ->
+            ((Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double]),
+              Option(r.getAs[Any]("anomaly")).map(_.asInstanceOf[Boolean]))))
+          .toMap
+        assert(batch.nonEmpty && streamed.size == batch.size)
+        // some flags genuinely fire in both worlds
+        assert(batch.values.exists(_._2 == Some(true)))
+        val diff = batch.collect {
+          case (id, v) if streamed.get(id) != Some(v) =>
+            id -> (v, streamed.get(id))
+        }
+        assert(diff.isEmpty, s"first diffs: ${diff.take(5)}")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CDC upsert: last emission per id equals the batch upsert") {
     import org.apache.spark.sql.types._
     // the pipeline_upsert fixture as a change stream: base load (src 0,
