@@ -434,6 +434,49 @@ object GraphOps {
           .otherwise(lit(0.0)).as("cc"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed instance of the symmetrized
+    * edge set — positive on social-style graphs (hubs link hubs),
+    * negative on web/infrastructure-style graphs (hubs link leaves), a
+    * one-number fingerprint of graph mixing used to sanity-check crawl
+    * snapshots. Degrees are integers, so all five moment sums are EXACT
+    * decimal sums (order-independent); the final correlation is one IEEE
+    * expression rounded at 9, NULL when either marginal has zero
+    * variance (regular graphs — the [[graft.operators.Spearman]]
+    * convention, not a divide-by-zero).
+    *
+    * Scale shape: one degree aggregate, two node-keyed joins to put
+    * (deg_u, deg_v) on each edge instance, one 1-row moment aggregate —
+    * integer pairs on the wire, nothing quadratic. Output:
+    * (n_edges, assortativity). */
+  def assortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    val m = sym
+      .join(deg.select(col("node").as("src"), col("dg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("dg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("dx")).as("sx"), dsum(col("dy")).as("sy"),
+        dsum(col("dx") * col("dx")).as("sxx"),
+        dsum(col("dy") * col("dy")).as("syy"),
+        dsum(col("dx") * col("dy")).as("sxy"))
+    val n = col("n").cast("double")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("n_edges"),
+      when(varx > 0.0 && vary > 0.0,
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varx * vary), 9)).as("assortativity"))
+  }
+
   /** k-core peeling (Seidman 1983) over an UNDIRECTED graph: repeatedly
     * delete nodes with degree < k; what survives is the k-core — the
     * standard cohesion filter on crawl/host graphs (link farms and

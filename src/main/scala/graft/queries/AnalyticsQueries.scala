@@ -918,6 +918,58 @@ object AnalyticsQueries {
       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** Degree assortativity ([[graft.pipeline.GraphOps.assortativity]]) on
+    * the SAME md5-sampled sparse graph as [[kcoreQ]] (the full
+    * co-occurrence graph is near-regular — zero marginal variance, NULL
+    * by convention — while the sampled one has real degree spread). All
+    * moment sums are exact decimal sums of integers, so the single
+    * rounded correlation expression is the only IEEE step. */
+  private def assortQ(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 1000)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val a = pp.select(col("p").as("pa"), col("sk"))
+    val b = pp.select(col("p").as("pb"), col("sk"))
+    val e0 = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+    val e = e0.filter(
+      conv(substring(md5(concat(col("u").cast("string"), lit("_"),
+        col("v").cast("string"))), 1, 4), 16, 10).cast("int") % KcMod === 0)
+    graft.pipeline.GraphOps.assortativity(e, "u", "v")
+  }
+
+  private val assortSql =
+    s"""WITH pp AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+       |  WHERE l_partkey < 1000),
+       |e0 AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pp a JOIN pp b ON a.sk = b.sk AND a.p < b.p),
+       |es AS (
+       |  SELECT u, v FROM e0
+       |  WHERE ('0x' || substring(md5(u || '_' || v), 1, 4))::INT
+       |    % $KcMod = 0),
+       |sym AS (
+       |  SELECT u AS src, v AS dst FROM es
+       |  UNION ALL SELECT v, u FROM es),
+       |deg AS (SELECT src AS node, COUNT(*) AS dg FROM sym GROUP BY 1),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(a.dg AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(b.dg AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(a.dg * a.dg AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(b.dg * b.dg AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(a.dg * b.dg AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+       |  FROM sym
+       |  JOIN deg a ON a.node = sym.src
+       |  JOIN deg b ON b.node = sym.dst)
+       |SELECT n AS n_edges,
+       |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       |       THEN round((n * sxy - sx * sy) /
+       |         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+       |  END AS assortativity
+       |FROM m""".stripMargin
+
   /** Q46: EWMA-baseline anomaly flags ([[graft.operators.Ewma.anomalies]])
     * on the SAME stream/params as [[ewmaQ]] with the current row
     * excluded from its own baseline; k = 2 keeps a real population of
@@ -1249,6 +1301,9 @@ object AnalyticsQueries {
     Capability("graph_clustering",
       "local clustering coefficients: oriented-wedge triangles / neighbor pairs",
       clusteringQ, Some(clusteringSql)),
+    Capability("graph_assortativity",
+      "degree assortativity: Pearson over edge endpoint degrees (exact moments)",
+      assortQ, Some(assortSql)),
     Capability("graph_kcore",
       s"k-core peeling (k=$KcK): $KcRounds cascading rounds on a sampled sparse graph",
       kcoreQ, Some(kcoreSql)),

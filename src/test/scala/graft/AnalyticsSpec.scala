@@ -280,6 +280,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cc(5L) == ((1L, 0L, 0.0)), cc.toString)
   }
 
+  test("assortativity: star is -1, regular graph is NULL by convention") {
+    import spark.implicits._
+    // star: every edge joins the deg-4 hub to a deg-1 leaf -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    val rs = graft.pipeline.GraphOps.assortativity(star, "u", "v")
+      .head()
+    assert(rs.getLong(0) == 8L, rs.toString)
+    assert(rs.getDouble(1) == -1.0, rs.toString)
+    // triangle: all degrees equal -> zero marginal variance -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val rt = graft.pipeline.GraphOps.assortativity(tri, "u", "v").head()
+    assert(rt.isNullAt(1), rt.toString)
+  }
+
   test("ewma anomalies: planted spike flags, steady series does not") {
     import spark.implicits._
     // steady noise around 10, then a spike at t=9; first minObs rows
