@@ -912,8 +912,9 @@ object TextQueries {
     interpolatedLogProb(Tables.documents(s, d), "doc_id", "text", JmLambda)
       .orderBy(col("doc_id"))
 
-  private val jmLmSql =
-    s"""WITH toks AS (
+  // CTE fragment twin of [[dsirCtes]] — names are disjoint by design
+  private val jmCtes =
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |bg AS (
        |  SELECT doc_id, unnest(list_zip(
@@ -940,10 +941,51 @@ object TextQueries {
        |s AS (
        |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_big,
        |    round(CAST(SUM(e) AS DOUBLE), 6) AS sum_lp10
-       |  FROM e GROUP BY doc_id)
-       |SELECT doc_id, n_big, sum_lp10,
-       |  round(sum_lp10 / n_big, 6) AS avg_lp10
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  FROM e GROUP BY doc_id),
+       |jmscore AS (
+       |  SELECT doc_id, n_big, sum_lp10,
+       |    round(sum_lp10 / n_big, 6) AS avg_lp10
+       |  FROM s)""".stripMargin
+
+  private val jmLmSql =
+    s"""WITH $jmCtes
+       |SELECT doc_id, n_big, sum_lp10, avg_lp10
+       |FROM jmscore ORDER BY doc_id""".stripMargin
+
+  /** Curation composition v3 — the NEWEST ops as one lazy plan:
+    * DSIR-select the 200 most target-like documents (lang='en' tilt,
+    * Gumbel draw), then rank the selection by the Jelinek–Mercer LM
+    * score (corpus-trained model) and keep the 100 most fluent. Proves
+    * the session's operators compose: the selection's Gumbel keys and
+    * the LM's decimal-summed scores survive a join + re-rank in one
+    * deterministic chain, mirrored CTE-for-CTE in DuckDB. */
+  private val E2eV3Sel = 200
+  private val E2eV3Keep = 100
+
+  private def e2eV3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sel = graft.pipeline.Dsir
+      .selectTopN(docs, "doc_id", "text", col("lang") === "en", E2eV3Sel)
+      .select(col("doc_id"), col("logw"), col("skey"))
+    val lm = interpolatedLogProb(docs, "doc_id", "text", JmLambda)
+      .select(col("doc_id"), col("avg_lp10"))
+    sel.join(lm, Seq("doc_id"))
+      .select(col("doc_id"), col("logw"), col("skey"), col("avg_lp10"))
+      .orderBy(col("avg_lp10").desc, col("doc_id"))
+      .limit(E2eV3Keep)
+  }
+
+  // lazy: dsirCtes is declared further down the object — evaluation at
+  // caps-construction time sees both fragments initialized
+  private lazy val e2eV3Sql =
+    s"""WITH $dsirCtes,
+       |$jmCtes,
+       |sel AS (
+       |  SELECT doc_id, logw, skey FROM dsel
+       |  ORDER BY skey DESC, doc_id LIMIT $E2eV3Sel)
+       |SELECT sel.doc_id, sel.logw, sel.skey, j.avg_lp10
+       |FROM sel JOIN jmscore j ON j.doc_id = sel.doc_id
+       |ORDER BY j.avg_lp10 DESC, sel.doc_id LIMIT $E2eV3Keep""".stripMargin
 
   private val bigramLmSql =
     """WITH toks AS (
@@ -1064,8 +1106,10 @@ object TextQueries {
         col("lang") === "en", DsirN)
       .orderBy(col("skey").desc, col("doc_id"))
 
-  private val dsirSql =
-    s"""WITH d AS (
+  // CTE fragment (no WITH / final SELECT) so pipeline_e2e_v3 can compose
+  // the identical formulation with the JM-LM fragment
+  private val dsirCtes =
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
        |  FROM documents),
@@ -1091,12 +1135,17 @@ object TextQueries {
        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
        |    CAST(SUM(CAST(round(n * lr.lr * 1e9, 0) AS BIGINT)) AS DOUBLE)
        |      / 1e9 AS logw
-       |  FROM nb JOIN lr USING (b) GROUP BY doc_id)
-       |SELECT doc_id, n_bigrams, logw,
-       |  round(logw + round(-ln(-ln(
-       |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
-       |      / 281474976710656.0)), 9), 9) AS skey
-       |FROM lw
+       |  FROM nb JOIN lr USING (b) GROUP BY doc_id),
+       |dsel AS (
+       |  SELECT doc_id, n_bigrams, logw,
+       |    round(logw + round(-ln(-ln(
+       |      (('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+       |        / 281474976710656.0)), 9), 9) AS skey
+       |  FROM lw)""".stripMargin
+
+  private val dsirSql =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_bigrams, logw, skey FROM dsel
        |ORDER BY skey DESC, doc_id LIMIT $DsirN""".stripMargin
 
   /** PMI collocation mining — the phrase-discovery pass of vocabulary /
@@ -1219,6 +1268,9 @@ object TextQueries {
     Capability("text_jm_lm",
       s"Jelinek-Mercer interpolated bigram LM (lambda=$JmLambda bigram/unigram mixture)",
       jmLm, Some(jmLmSql)),
+    Capability("pipeline_e2e_v3",
+      "curation composition v3: DSIR target selection re-ranked by the JM LM",
+      e2eV3, Some(e2eV3Sql)),
     Capability("text_urls",
       "URL extraction + host normalization + per-domain rollup (planted URLs)", urls,
       Some(urlsSql)),
