@@ -82,7 +82,15 @@ object Plans {
       "pipeline_ccnet_buckets",  // LM chain + broadcast quantile cutoffs
       "q02h_grouped_spearman",   // group-partitioned rank windows
       "pipeline_dsir",           // 64-row LM broadcast, bucket partials, top-k sink
-      "hybrid_rrf")              // bounded fusion agg over two ranker lists
+      "hybrid_rrf",              // bounded fusion agg over two ranker lists
+      "graph_kcore",             // degree agg + semi-joins per peeling round
+      "q45_ewma",                // bounded-frame window, fold-projected
+      "q46_anomaly",             // preceding-window frame, guarded divisions
+      "text_pmi",                // count partials, word-keyed joins, top-k sink
+      "text_jm_lm",              // bigram partials + unigram join mixture
+      "graph_clustering",        // triangle machinery + degree join
+      "graph_assortativity",     // degree joins + 1-row moment aggregate
+      "pipeline_e2e_v3")         // DSIR + JM LM composed in one plan
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -95,8 +95,15 @@ class LintSpec extends AnyFunSuite {
       "pipeline_dsir" -> Set("cartesian"),
       // RRF: the dense ranker is the declared brute baseline (broadcast
       // query side, theta self-join) — the fusion itself adds nothing
-      "hybrid_rrf" -> Set("cartesian"))
-    val offenders = Seq("pipeline_dsir", "hybrid_rrf").flatMap { name =>
+      "hybrid_rrf" -> Set("cartesian"),
+      // 1-row totals (PMI's n/nb, assortativity's moments) broadcast
+      "text_pmi" -> Set("cartesian"),
+      "text_jm_lm" -> Set("cartesian"),
+      "pipeline_e2e_v3" -> Set("cartesian"))
+    val offenders = Seq("pipeline_dsir", "hybrid_rrf", "graph_kcore",
+      "q45_ewma", "q46_anomaly", "text_pmi", "text_jm_lm",
+      "graph_clustering", "graph_assortativity",
+      "pipeline_e2e_v3").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
