@@ -127,6 +127,91 @@ object Quantiles {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Exact WEIGHTED quantiles — the importance-weighted order statistic
+    * (weighted median and friends) that survey-weighted and
+    * importance-resampled data need: the q-quantile is the SMALLEST
+    * value v whose cumulative weight (in value order) reaches q·W (the
+    * inverted-CDF definition; at unit weights this is the `lower`
+    * interpolation of [[exact]]).
+    *
+    * Same two-pass shape as [[exact]]: range-partition + in-partition
+    * sort, collect the per-partition WEIGHT TOTALS (one double per
+    * partition — the bounded driver exchange), locate the partition
+    * whose cumulative range covers each target, and have that partition
+    * scan its sorted run once, accumulating from the driver-computed
+    * prefix until the target is crossed. Weight addition order equals
+    * the global value order on both engines; with INTEGER-valued
+    * weights (the gate's case) every partial sum is exact in a double,
+    * so the crossing row is engine-portable bit-for-bit. With
+    * fractional weights, ties among equal values may reorder additions
+    * — low-bit cumsum differences can only move the crossing within a
+    * tie group (same output value) unless a boundary lands within one
+    * ulp of a target. Rows with null/non-positive weight are excluded
+    * (zero weight means zero mass). */
+  def weightedExact(
+      df: DataFrame, valCol: String, weightCol: String,
+      qs: Seq[Double]): Seq[Double] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val sorted = df
+      .select(col(valCol).cast("double").as("v"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0.0)
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wsums = sorted.rdd
+        .mapPartitionsWithIndex((i, it) =>
+          Iterator((i, it.foldLeft(0.0)((acc, r) => acc + r.getDouble(1)))))
+        .collect().sortBy(_._1).map(_._2)
+      val total = wsums.foldLeft(0.0)(_ + _)
+      if (total == 0.0) return qs.map(_ => Double.NaN)
+      val starts = wsums.scanLeft(0.0)(_ + _)
+      // target cumulative mass per q; q = 0 selects the first row (its
+      // positive weight crosses a zero target immediately)
+      val targets = qs.map(q => q * total)
+      def locate(t: Double): Int = {
+        var p = 0
+        while (p + 1 < wsums.length && starts(p + 1) < t) p += 1
+        // skip empty/weightless partitions that cannot cross anything
+        while (p < wsums.length - 1 && wsums(p) == 0.0) p += 1
+        p
+      }
+      val byPartition = targets.zipWithIndex
+        .map { case (t, qi) => (locate(t), t, qi) }
+        .groupBy(_._1)
+        .map { case (p, ts) => p -> ts.map { case (_, t, qi) => (t, qi) }.sortBy(_._1) }
+      val fetched = sorted.rdd
+        .mapPartitionsWithIndex { (p, it) =>
+          byPartition.get(p) match {
+            case None => Iterator.empty
+            case Some(ts) =>
+              var running = starts(p)
+              var remaining = ts
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+              while (remaining.nonEmpty && it.hasNext) {
+                val r = it.next()
+                running += r.getDouble(1)
+                while (remaining.nonEmpty && running >= remaining.head._1) {
+                  out += ((remaining.head._2, r.getDouble(0)))
+                  remaining = remaining.tail
+                }
+              }
+              // float edge: a target equal to the partition's final
+              // cumulative weight can fail the >= inside by one ulp —
+              // it belongs to the first row of the NEXT run; refuse
+              // silently-wrong output instead
+              require(remaining.isEmpty,
+                s"weighted quantile targets ${remaining.map(_._1)} not crossed in partition $p")
+              out.iterator
+          }
+        }
+        .collect().toMap
+      qs.indices.map(fetched).toSeq
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Exact interpolated quantiles PER GROUP — the scale path for the
     * reference's `hash_quantile` / `hash_tdigest`-exact surface
     * (cpp/src/arrow/compute/kernels/hash_aggregate.cc): one row per group

@@ -918,6 +918,56 @@ object AnalyticsQueries {
       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** Q47: exact WEIGHTED quantiles
+    * ([[graft.operators.Quantiles.weightedExact]]) of l_extendedprice
+    * under l_quantity mass — INTEGER weights, so every cumulative sum is
+    * exact in a double and the inverted-CDF crossing row is
+    * engine-portable bit-for-bit. The oracle mirrors with a window
+    * cumsum in value order; the unweighted q50 rides along to show the
+    * weighting actually moves the statistic. */
+  private val WqQs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  private def weightedQuantQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ws = graft.operators.Quantiles
+      .weightedExact(li, "l_extendedprice", "l_quantity", WqQs)
+    val Seq(u50) = graft.operators.Quantiles
+      .exact(li.filter(col("l_quantity").isNotNull && col("l_quantity") > 0),
+        "l_extendedprice", Seq(0.5), interpolation = "lower")
+    s.range(1).select(
+      round(lit(ws(0)), 4).as("wq25"),
+      round(lit(ws(1)), 4).as("wq50"),
+      round(lit(ws(2)), 4).as("wq75"),
+      round(lit(ws(3)), 4).as("wq90"),
+      round(lit(u50), 4).as("uq50"))
+  }
+
+  private val weightedQuantSql =
+    s"""WITH src AS (
+       |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+       |    CAST(l_quantity AS DOUBLE) AS w
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_quantity > 0),
+       |tot AS (SELECT SUM(w) AS wt FROM src),
+       |c AS (
+       |  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM src)
+       |SELECT
+       |  round((SELECT MIN(v) FROM c, tot
+       |         WHERE cum >= CAST(0.25 AS DOUBLE) * wt), 4) AS wq25,
+       |  round((SELECT MIN(v) FROM c, tot
+       |         WHERE cum >= CAST(0.5 AS DOUBLE) * wt), 4) AS wq50,
+       |  round((SELECT MIN(v) FROM c, tot
+       |         WHERE cum >= CAST(0.75 AS DOUBLE) * wt), 4) AS wq75,
+       |  round((SELECT MIN(v) FROM c, tot
+       |         WHERE cum >= CAST(0.9 AS DOUBLE) * wt), 4) AS wq90,
+       |  round((SELECT v FROM (
+       |    SELECT v, row_number() OVER (ORDER BY v) AS rn,
+       |      COUNT(*) OVER () AS n FROM src) t
+       |    WHERE rn - 1 = CAST(floor((n - 1) * 0.5) AS BIGINT)
+       |    LIMIT 1), 4) AS uq50""".stripMargin
+
   /** Degree assortativity ([[graft.pipeline.GraphOps.assortativity]]) on
     * the SAME md5-sampled sparse graph as [[kcoreQ]] (the full
     * co-occurrence graph is near-regular — zero marginal variance, NULL
@@ -1307,6 +1357,9 @@ object AnalyticsQueries {
     Capability("graph_kcore",
       s"k-core peeling (k=$KcK): $KcRounds cascading rounds on a sampled sparse graph",
       kcoreQ, Some(kcoreSql)),
+    Capability("q47_weighted_quantiles",
+      "exact weighted quantiles: inverted-CDF rank selection under row mass",
+      weightedQuantQ, Some(weightedQuantSql)),
     Capability("q45_ewma",
       "windowed EWMA per key: trailing-8 exponential smoothing at dyadic alpha",
       ewmaQ, Some(ewmaSql)),

@@ -56,6 +56,37 @@ class QuantilesSpec extends AnyFunSuite {
     assert(Quantiles.exact(df, "x", Seq(0.5)) == Seq(2.0))
   }
 
+  test("weighted quantiles: hand mass, unit-weight degeneration, bounds, exclusions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // values 1..4 with weights 1,1,2,6 (W=10): half the mass sits on 4
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 6.0))
+      .toDF("v", "w")
+    val qs = graft.operators.Quantiles
+      .weightedExact(df, "v", "w", Seq(0.0, 0.2, 0.4, 0.5, 1.0))
+    assert(qs == Seq(1.0, 2.0, 3.0, 4.0, 4.0), qs.toString)
+    // unit weights degenerate to the plain inverted CDF: the smallest v
+    // with cum >= q*n is the 1-based-rank ceil(q*n) order statistic
+    val li = Tables.lineitem(spark, sf).limit(5000)
+      .withColumn("one", lit(1.0))
+    val w = graft.operators.Quantiles
+      .weightedExact(li, "l_extendedprice", "one", Seq(0.25, 0.5, 0.75))
+    val vals = li.select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val u = Seq(0.25, 0.5, 0.75)
+      .map(q => vals(math.ceil(q * vals.length).toInt - 1))
+    assert(w == u, s"$w vs $u")
+    // null and non-positive weights are excluded from the mass
+    val mixed = Seq((1.0, Some(0.0)), (2.0, None), (3.0, Some(5.0)))
+      .toDF("v", "w")
+    assert(graft.operators.Quantiles
+      .weightedExact(mixed, "v", "w", Seq(0.5)) == Seq(3.0))
+    // all mass excluded -> NaN
+    val none = Seq((1.0, 0.0)).toDF("v", "w")
+    assert(graft.operators.Quantiles
+      .weightedExact(none, "v", "w", Seq(0.5)).head.isNaN)
+  }
+
   test("grouped quantiles equal grouped percentile() on real data") {
     val li = Tables.lineitem(spark, sf)
     val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
