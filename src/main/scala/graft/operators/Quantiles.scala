@@ -212,6 +212,40 @@ object Quantiles {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Exact weighted quantiles PER GROUP — [[weightedExact]]'s inverted
+    * CDF as one hash exchange: a group-keyed window computes the running
+    * weight in value order plus the group total, and the q-quantile
+    * falls out as `min(v) over rows with cum >= q·W` (values ascend with
+    * the cumulative weight, so the minimum of the qualifying suffix IS
+    * the crossing value — no crossing-row bookkeeping, and q = 0
+    * degenerates to the group minimum). Same spill story as
+    * [[exactGrouped]]: WindowExec's spillable partition buffer, never a
+    * per-group aggregation buffer. Output: one row per group,
+    * `q0, q1, …` in request order. Integer-valued weights make the
+    * cumulative sums exact (the engine-portability contract of
+    * [[weightedExact]]); rows with null/non-positive weight are
+    * excluded. */
+  def weightedExactGrouped(
+      df: DataFrame, groupCol: String, valCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val base = df
+      .select(col(groupCol), col(valCol).cast("double").as("__v"),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0.0)
+    val ord = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    val staged = base
+      .withColumn("__cum", sum(col("__w")).over(ord))
+      .withColumn("__wt", sum(col("__w")).over(all))
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("__cum") >= lit(q) * col("__wt"), col("__v"))).as(s"q$i")
+    }
+    staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact interpolated quantiles PER GROUP — the scale path for the
     * reference's `hash_quantile` / `hash_tdigest`-exact surface
     * (cpp/src/arrow/compute/kernels/hash_aggregate.cc): one row per group

@@ -968,6 +968,43 @@ object AnalyticsQueries {
        |    WHERE rn - 1 = CAST(floor((n - 1) * 0.5) AS BIGINT)
        |    LIMIT 1), 4) AS uq50""".stripMargin
 
+  /** Q47b: grouped weighted quantiles
+    * ([[graft.operators.Quantiles.weightedExactGrouped]]) per return
+    * flag — the windowed single-exchange form of q47's inverted CDF.
+    * The oracle mirrors the running-weight window and the
+    * min-of-qualifying-suffix selection per quantile. */
+  private def weightedQuantGroupedQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles
+      .weightedExactGrouped(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.9))
+      .select(col("l_returnflag"),
+        round(col("q0"), 4).as("wq25"),
+        round(col("q1"), 4).as("wq50"),
+        round(col("q2"), 4).as("wq90"))
+      .orderBy(col("l_returnflag"))
+
+  private val weightedQuantGroupedSql =
+    """WITH src AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+      |    CAST(l_quantity AS DOUBLE) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND l_quantity > 0),
+      |c AS (
+      |  SELECT g, v, w,
+      |    SUM(w) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(w) OVER (PARTITION BY g) AS wt
+      |  FROM src)
+      |SELECT g AS l_returnflag,
+      |  round(MIN(v) FILTER (WHERE cum >= CAST(0.25 AS DOUBLE) * wt), 4)
+      |    AS wq25,
+      |  round(MIN(v) FILTER (WHERE cum >= CAST(0.5 AS DOUBLE) * wt), 4)
+      |    AS wq50,
+      |  round(MIN(v) FILTER (WHERE cum >= CAST(0.9 AS DOUBLE) * wt), 4)
+      |    AS wq90
+      |FROM c GROUP BY g ORDER BY g""".stripMargin
+
   /** Degree assortativity ([[graft.pipeline.GraphOps.assortativity]]) on
     * the SAME md5-sampled sparse graph as [[kcoreQ]] (the full
     * co-occurrence graph is near-regular — zero marginal variance, NULL
@@ -1360,6 +1397,9 @@ object AnalyticsQueries {
     Capability("q47_weighted_quantiles",
       "exact weighted quantiles: inverted-CDF rank selection under row mass",
       weightedQuantQ, Some(weightedQuantSql)),
+    Capability("q47b_grouped_weighted_quantiles",
+      "grouped weighted quantiles: one windowed exchange, min-of-suffix selection",
+      weightedQuantGroupedQ, Some(weightedQuantGroupedSql)),
     Capability("q45_ewma",
       "windowed EWMA per key: trailing-8 exponential smoothing at dyadic alpha",
       ewmaQ, Some(ewmaSql)),

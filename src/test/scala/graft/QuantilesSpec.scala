@@ -87,6 +87,25 @@ class QuantilesSpec extends AnyFunSuite {
       .weightedExact(none, "v", "w", Seq(0.5)).head.isNaN)
   }
 
+  test("grouped weighted quantiles equal the global operator per group slice") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val grouped = graft.operators.Quantiles
+      .weightedExactGrouped(li, "l_returnflag", "l_extendedprice",
+        "l_quantity", qs)
+      .collect()
+      .map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    assert(grouped.nonEmpty)
+    grouped.keys.foreach { flag =>
+      val slice = li.filter(col("l_returnflag") === flag)
+      val global = graft.operators.Quantiles
+        .weightedExact(slice, "l_extendedprice", "l_quantity", qs)
+      assert(grouped(flag) == global, s"$flag: ${grouped(flag)} vs $global")
+    }
+  }
+
   test("grouped quantiles equal grouped percentile() on real data") {
     val li = Tables.lineitem(spark, sf)
     val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
