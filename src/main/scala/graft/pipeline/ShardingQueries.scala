@@ -407,6 +407,67 @@ object ShardingQueries {
       |  length(text) AS len
       |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** SCD-2 history gate ([[Maintenance.scd2]]): the upsert fixture plus
+    * a version-2 revision wave (every 21st doc → three-row histories)
+    * and a version-0 COLLISION wave (every 17th doc revised at the
+    * base's own version — the update-beats-base tie path must resolve
+    * before intervals form). Every history row carries its validity
+    * interval and current flag. */
+  private def scd2Q(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.withColumn("version", lit(0L))
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" rev")).as("text"),
+        lit(1L).as("version"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          lit(1L).as("version")))
+      .unionByName(docs.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"),
+          lit(2L).as("version")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" r0")).as("text"),
+          lit(0L).as("version")))
+    Maintenance.scd2(base, updates, "doc_id", "version")
+      .select(col("doc_id"), col("version"), length(col("text")).as("len"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("doc_id"), col("version"))
+  }
+
+  private val scd2Sql =
+    """WITH base AS (
+      |  SELECT doc_id, 0 AS version, text, 0 AS src FROM documents),
+      |upd AS (
+      |  SELECT doc_id, 1 AS version, text || ' rev' AS text, 1 AS src
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 1, text, 1
+      |  FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, text || ' rev2', 1
+      |  FROM documents WHERE doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 0, text || ' r0', 1
+      |  FROM documents WHERE doc_id % 17 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |d AS (
+      |  SELECT doc_id, version, text FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id, version
+      |      ORDER BY src DESC) AS rn
+      |    FROM u) t
+      |  WHERE rn = 1),
+      |h AS (
+      |  SELECT doc_id, version, text, version AS valid_from,
+      |    lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+      |      AS valid_to
+      |  FROM d)
+      |SELECT doc_id, CAST(version AS BIGINT) AS version,
+      |  length(text) AS len,
+      |  CAST(valid_from AS BIGINT) AS valid_from,
+      |  CAST(valid_to AS BIGINT) AS valid_to,
+      |  (valid_to IS NULL) AS is_current
+      |FROM h ORDER BY doc_id, version""".stripMargin
+
   /** Snapshot-diff gate ([[Maintenance.snapshotDiff]]): the after
     * snapshot drops every 11th doc, revises every 7th, and adds new ids
     * from every 13th — the diff classifies every id in either snapshot. */
@@ -522,6 +583,9 @@ object ShardingQueries {
     Capability("pipeline_upsert",
       "versioned corpus upsert: latest wins, one window over the union", upsertQ,
       Some(upsertSql)),
+    Capability("pipeline_scd2",
+      "SCD-2 history merge: validity intervals + current flags per version",
+      scd2Q, Some(scd2Sql)),
     Capability("pipeline_diff",
       "snapshot diff: added/removed/changed/unchanged per id", diffQ,
       Some(diffSql)),

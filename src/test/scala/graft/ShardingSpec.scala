@@ -188,6 +188,38 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: intervals chain per id, ties resolve pre-history, PIT lookup works") {
+    import spark.implicits._
+    import graft.pipeline.Maintenance
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "text", "version")
+    val updates = Seq(
+      (1L, "a1", 1L), (1L, "a2", 3L), // two revisions → 3-row history
+      (2L, "b0", 0L))                 // version-0 collision → update wins
+      .toDF("id", "text", "version")
+    val h = Maintenance.scd2(base, updates, "id", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))
+      .sortBy(t => (t._1, t._3)).toList
+    assert(h == List(
+      (1L, "a", 0L, 0L, Some(1L), false),
+      (1L, "a1", 1L, 1L, Some(3L), false),
+      (1L, "a2", 3L, 3L, None, true),
+      (2L, "b0", 0L, 0L, None, true)), h.toString)
+    // point-in-time lookup at t=2: interval containment finds the row
+    // the SCD-1 upsert over versions <= 2 would keep
+    val hist = Maintenance.scd2(base, updates, "id", "version")
+    val pit = hist.filter(col("valid_from") <= 2L &&
+        (col("valid_to").isNull || col("valid_to") > 2L))
+      .select(col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scd1 = Maintenance.upsert(base,
+        updates.filter(col("version") <= 2L), "id", "version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pit == scd1, s"$pit vs $scd1")
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     import graft.pipeline.Maintenance
