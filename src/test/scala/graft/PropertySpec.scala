@@ -105,6 +105,118 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("weighted quantiles equal a brute cumulative-mass reference on random data") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(1, 5)))
+    val qs = Seq(0.0, 0.3, 0.5, 1.0)
+    val prop = Prop.forAll(gen) { pairs =>
+      pairs.nonEmpty ==> {
+        val df = pairs.map { case (v, w) => (v.toDouble, w.toDouble) }
+          .toDF("v", "w")
+        val got = graft.operators.Quantiles.weightedExact(df, "v", "w", qs)
+        val sorted = pairs.sortBy(_._1)
+        val total = pairs.map(_._2).sum.toDouble
+        val expected = qs.map { q =>
+          val t = q * total
+          var cum = 0.0
+          sorted.find { case (_, w) => cum += w; cum >= t }.get._1.toDouble
+        }
+        got == expected
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("k-core equals a peel-to-convergence reference on random sparse graphs") {
+    import spark.implicits._
+    val edge = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
+    val gen = Gen.listOfN(16, edge)
+    val prop = Prop.forAll(gen) { raw =>
+      val edges = raw.filter { case (u, v) => u != v }
+      edges.nonEmpty ==> {
+        val df = edges.toDF("u", "v")
+        val got = graft.pipeline.GraphOps.kCore(df, "u", "v", k = 2, rounds = 12)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: symmetrize, peel degree < 2 until fixpoint
+        val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+        var alive = sym.map(_._1).toSet
+        var changed = true
+        while (changed) {
+          val deg = alive.map(n =>
+            n -> sym.count { case (a, b) => a == n && alive(b) }).toMap
+          val keep = alive.filter(deg(_) >= 2)
+          changed = keep != alive
+          alive = keep
+        }
+        val expected = alive.map(n =>
+          n -> sym.count { case (a, b) => a == n && alive(b) }.toLong).toMap
+        got == expected
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("synchronous LPA equals a Scala reference and ignores edge direction") {
+    import spark.implicits._
+    val edge = Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))
+    val gen = Gen.listOfN(14, edge)
+    val rounds = 3
+    val prop = Prop.forAll(gen) { raw =>
+      val edges = raw.filter { case (u, v) => u != v }
+      edges.nonEmpty ==> {
+        val df = edges.toDF("u", "v")
+        val got = graft.pipeline.GraphOps
+          .labelPropagation(df, "u", "v", rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val flipped = graft.pipeline.GraphOps
+          .labelPropagation(df.select(col("v").as("u"), col("u").as("v")),
+            "u", "v", rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: symmetrized adjacency, max-count min-label updates
+        val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+        val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+        var lab = adj.keys.map(n => n -> n).toMap
+        (1 to rounds).foreach { _ =>
+          lab = adj.map { case (n, nbrs) =>
+            val counts = nbrs.groupBy(lab).view.mapValues(_.size).toSeq
+            n -> counts.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        got == lab && flipped == got
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("RRF fusion is invariant to ranker order on random rank lists") {
+    import spark.implicits._
+    val entry = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 15L))
+    val gen = Gen.zip(Gen.listOfN(12, entry), Gen.listOfN(12, entry))
+    val prop = Prop.forAll(gen) { case (ra, rb) =>
+      def ranked(rs: List[(Long, Long)]) = rs.distinct
+        .groupBy(_._1).toSeq.flatMap { case (q, ds) =>
+          ds.map(_._2).distinct.zipWithIndex.map { case (d, i) =>
+            (q, i + 1, d)
+          }
+        }
+      val a = ranked(ra).toDF("query_id", "rank", "neighbor_id")
+      val b = ranked(rb).toDF("query_id", "rank", "neighbor_id")
+      (ranked(ra).nonEmpty && ranked(rb).nonEmpty) ==> {
+        def out(rs: Seq[org.apache.spark.sql.DataFrame]) =
+          graft.pipeline.Hybrid.rrf(rs, topK = 5)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+        out(Seq(a, b)) == out(Seq(b, a))
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("swapcase expression equals a character-wise reference on random text") {
     import spark.implicits._
     val gen = Gen.listOfN(8, Gen.asciiPrintableStr.map(_.take(40)))
