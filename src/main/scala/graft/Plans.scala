@@ -90,7 +90,9 @@ object Plans {
       "text_jm_lm",              // bigram partials + unigram join mixture
       "graph_clustering",        // triangle machinery + degree join
       "graph_assortativity",     // degree joins + 1-row moment aggregate
-      "pipeline_e2e_v3")         // DSIR + JM LM composed in one plan
+      "pipeline_e2e_v3",         // DSIR + JM LM composed in one plan
+      "q47b_grouped_weighted_quantiles", // running-weight window, min-of-suffix
+      "pipeline_scd2")           // one id exchange, two windows
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -99,11 +99,15 @@ class LintSpec extends AnyFunSuite {
       // 1-row totals (PMI's n/nb, assortativity's moments) broadcast
       "text_pmi" -> Set("cartesian"),
       "text_jm_lm" -> Set("cartesian"),
-      "pipeline_e2e_v3" -> Set("cartesian"))
+      "pipeline_e2e_v3" -> Set("cartesian"),
+      // the gate fixture slices the update waves with doc_id % k
+      // predicates — parquet-inexpressible by design, the
+      // dedup_incremental precedent
+      "pipeline_scd2" -> Set("unpushed-filter"))
     val offenders = Seq("pipeline_dsir", "hybrid_rrf", "graph_kcore",
       "q45_ewma", "q46_anomaly", "text_pmi", "text_jm_lm",
-      "graph_clustering", "graph_assortativity",
-      "pipeline_e2e_v3").flatMap { name =>
+      "graph_clustering", "graph_assortativity", "pipeline_e2e_v3",
+      "q47b_grouped_weighted_quantiles", "pipeline_scd2").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
