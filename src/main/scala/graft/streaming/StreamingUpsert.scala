@@ -78,6 +78,80 @@ object StreamingUpsert {
     }
   }
 
+  /** One SCD-2 history emission: `valid_to` empty on an OPEN (the
+    * version became current), set on a CLOSE (a newer version ended its
+    * validity). `src` disambiguates same-version re-opens (the
+    * update-beats-base tie): the max-src open per (id, version) is the
+    * one that stood. */
+  final case class Scd2Ev(id: Long, version: Long, src: Int,
+      payload: String, valid_to: Option[Long])
+
+  /** Streaming twin of [[graft.pipeline.Maintenance.scd2]]: per-id state
+    * is ONE current row (exactly [[UpsertProcessor]]'s bound — never the
+    * history, which lives in the emitted log); each strictly newer
+    * version CLOSES the incumbent (emitting its finished interval) and
+    * OPENS itself; an equal-version arrival that wins the src tie
+    * re-opens the version with the corrected payload. Reconstructing
+    * per (id, version) — the close emission if one exists, else the
+    * max-src open — reproduces the batch scd2 exactly on
+    * version-ordered arrival (StreamingSpec asserts it). Arrivals OLDER
+    * than the current version are outside the ordered-arrival contract
+    * and are dropped: splicing mid-history would require carrying the
+    * history as state, defeating the bound. */
+  class Scd2Processor(stateTtl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, ChangeRow, Scd2Ev] {
+    @transient private var cur: ValueState[CurState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[CurState]("cur", Encoders.product[CurState],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[ChangeRow],
+        timerValues: TimerValues): Iterator[Scd2Ev] = {
+      val sorted = rows.toSeq.sortBy(r => (r.version, r.src))
+      var state = Option(cur.get())
+      val out = Seq.newBuilder[Scd2Ev]
+      sorted.foreach { r =>
+        state match {
+          case None =>
+            state = Some(CurState(r.version, r.src, r.payload))
+            out += Scd2Ev(key, r.version, r.src, r.payload, None)
+          case Some(s) if r.version > s.version =>
+            out += Scd2Ev(key, s.version, s.src, s.payload, Some(r.version))
+            state = Some(CurState(r.version, r.src, r.payload))
+            out += Scd2Ev(key, r.version, r.src, r.payload, None)
+          case Some(s) if r.version == s.version && r.src > s.src =>
+            state = Some(CurState(r.version, r.src, r.payload))
+            out += Scd2Ev(key, r.version, r.src, r.payload, None)
+          case _ => // stale or tie-losing arrival: no emission
+        }
+      }
+      state.foreach(cur.update)
+      out.result().iterator
+    }
+  }
+
+  /** SCD-2 history log over a CDC stream — same column contract as
+    * [[upsertStream]]. */
+  def scd2Stream(
+      spark: SparkSession, changes: DataFrame,
+      idCol: String, versionCol: String, srcCol: String, payloadCol: String,
+      stateTtl: Option[java.time.Duration] = None): Dataset[Scd2Ev] = {
+    import spark.implicits._
+    changes
+      .select(col(idCol).cast("long").as("id"),
+        col(versionCol).cast("long").as("version"),
+        col(srcCol).cast("int").as("src"),
+        col(payloadCol).as("payload"))
+      .as[ChangeRow]
+      .groupByKey(_.id)
+      .transformWithState(
+        new Scd2Processor(stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Current-row change log over a CDC stream. `changes` must carry
     * `idCol` (long), `versionCol` (long), `srcCol` (int: 0 base / 1
     * update) and `payloadCol` (string); emits the new current row each

@@ -627,6 +627,91 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD-2 log reconstructs the batch history exactly") {
+    import org.apache.spark.sql.types._
+    // the scd2 gate fixture as a version-ordered change stream: base
+    // (v0), then v1 revisions + new ids + v0 COLLISIONS (the tie path),
+    // then a v2 wave — three files, three micro-batches
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id").as("id"), lit(0L).as("version"),
+      lit(0).as("src"), col("text").as("payload"))
+    val w1 = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), lit(1L).as("version"), lit(1).as("src"),
+        concat(col("text"), lit(" rev")).as("payload"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("id"), lit(1L).as("version"),
+          lit(1).as("src"), col("text").as("payload")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("id"), lit(0L).as("version"), lit(1).as("src"),
+          concat(col("text"), lit(" r0")).as("payload")))
+    val w2 = docs.filter(col("doc_id") % 21 === 0)
+      .select(col("doc_id").as("id"), lit(2L).as("version"), lit(1).as("src"),
+        concat(col("text"), lit(" rev2")).as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_stream").toFile
+    base.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    w1.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    w2.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("version", LongType),
+      StructField("src", IntegerType), StructField("payload", StringType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+      val log = graft.streaming.StreamingUpsert
+        .scd2Stream(spark, stream, "id", "version", "src", "payload")
+      val query = log.writeStream
+        .format("memory").queryName("graft_scd2_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        // reconstruct per (id, version): the close emission if one
+        // exists (a version closes at most once), else the max-src open
+        val streamed = spark.table("graft_scd2_stream")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+          .groupBy(t => (t._1, t._2))
+          .map { case (k, evs) =>
+            val row = evs.find(_._5.isDefined)
+              .getOrElse(evs.maxBy(_._3))
+            k -> ((row._4.length, row._5, row._5.isEmpty))
+          }
+        val batch = graft.pipeline.Maintenance
+          .scd2(base.drop("src"), w1.unionByName(w2).drop("src"),
+            "id", "version")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getString(2).length, Option(r.get(4)).map(_.asInstanceOf[Long]),
+              r.getBoolean(5))))
+          .toMap
+        assert(batch.nonEmpty)
+        assert(streamed.size == batch.size,
+          s"stream ${streamed.size} vs batch ${batch.size}")
+        val diff = batch.collect {
+          case (k, v) if streamed.get(k) != Some(v) => k -> (v, streamed.get(k))
+        }
+        assert(diff.isEmpty, s"first diffs: ${diff.take(5)}")
+        // three-row histories exist and closed twice
+        val closes = spark.table("graft_scd2_stream")
+          .filter(col("valid_to").isNotNull)
+          .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        assert(closes.filter(col("n") === 2).count() > 0,
+          "every-21st ids must close v0 and v1")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming decontamination flag: batch parity and no false negatives") {
     // stage train docs as a file stream; eval docs are the static side
     val docs = Tables.documents(spark, sf)
