@@ -192,6 +192,43 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("windowed EWMA equals a Scala reference fold on random keyed series") {
+    import spark.implicits._
+    val gen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(1, 3), Gen.choose(0.0, 10.0)))
+    val (alpha, window) = (0.5, 4)
+    val prop = Prop.forAll(gen) { raw =>
+      raw.nonEmpty ==> {
+        val rows = raw.zipWithIndex.map { case ((k, v), i) =>
+          (i.toLong, s"k$k", i.toLong, v)
+        }
+        val got = graft.operators.Ewma
+          .smooth(rows.toDF("id", "key", "t", "value"),
+            "key", "t", "id", "value", alpha, window)
+          .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+        val expected = rows.groupBy(_._2).flatMap { case (_, ks) =>
+          val ordered = ks.sortBy(r => (r._3, r._1))
+          ordered.indices.map { i =>
+            val frame = ordered.slice(math.max(0, i - window + 1), i + 1)
+              .map(_._4)
+            val n = frame.length
+            val num = frame.zipWithIndex
+              .map { case (x, j) => x * math.pow(1 - alpha, (n - 1 - j).toDouble) }
+              .foldLeft(0.0)(_ + _)
+            val den = frame.indices
+              .map(j => math.pow(1 - alpha, (n - 1 - j).toDouble))
+              .foldLeft(0.0)(_ + _)
+            ordered(i)._1 -> BigDecimal(num / den)
+              .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
+        got == expected
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("RRF fusion is invariant to ranker order on random rank lists") {
     import spark.implicits._
     val entry = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 15L))
