@@ -1005,6 +1005,68 @@ object AnalyticsQueries {
       |    AS wq90
       |FROM c GROUP BY g ORDER BY g""".stripMargin
 
+  /** Q48: sketch-based audience overlap — the classic
+    * audience-intersection estimate from mergeable distinct sketches via
+    * inclusion–exclusion: `|A∩B| = est(A) + est(B) − est(A∪B)`, where
+    * the union estimate comes from MERGING the two stored sketches, not
+    * from rescanning the data (the whole point at 100 TB: per-segment
+    * sketches are tiny persisted artifacts — the q39 incremental-HLL
+    * story — and every pairwise overlap is sketch algebra). Audiences
+    * are users with a high-value event per type (everyone triggers every
+    * type on this corpus, so raw type audiences would be degenerate).
+    * The gate runs inside the sketch's EXACT tier at every driver SF, so
+    * the DuckDB COUNT(DISTINCT) inclusion–exclusion oracle matches
+    * exactly — the q39/q27e trick. */
+  private val OvThreshold = 95.0
+
+  private def sketchOverlapQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expr.{DistinctSketchEstimate, DistinctSketchSingleton, SketchUnionAgg}
+    // the serialized-STATE path (singleton → union), not the plain
+    // distinct-count aggregate: the stored binary is what sketch algebra
+    // needs (the HyperBall ball pattern)
+    val sk = Tables.events(s, d)
+      .filter(col("value") >= OvThreshold)
+      .groupBy(col("event_type"))
+      .agg(SketchUnionAgg(
+        DistinctSketchSingleton(xxhash64(col("user_id")))).as("sk"))
+      .select(col("event_type"), col("sk"),
+        DistinctSketchEstimate(col("sk")).as("n"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"),
+      col("n").as("n_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"),
+      col("n").as("n_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        explode(array(col("ska"), col("skb"))).as("s"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        SketchUnionAgg(col("s")).as("u"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        DistinctSketchEstimate(col("u")).as("n_union"))
+      .withColumn("n_common", col("n_a") + col("n_b") - col("n_union"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val sketchOverlapSql =
+    s"""WITH du AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |  WHERE value >= $OvThreshold),
+       |c AS (
+       |  SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
+       |ov AS (
+       |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_common
+       |  FROM du x JOIN du y
+       |    ON y.user_id = x.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2)
+       |SELECT c1.event_type AS type_a, c2.event_type AS type_b,
+       |  c1.n AS n_a, c2.n AS n_b,
+       |  c1.n + c2.n - COALESCE(ov.n_common, 0) AS n_union,
+       |  COALESCE(ov.n_common, 0) AS n_common
+       |FROM c c1
+       |JOIN c c2 ON c1.event_type < c2.event_type
+       |LEFT JOIN ov ON ov.ta = c1.event_type AND ov.tb = c2.event_type
+       |ORDER BY type_a, type_b""".stripMargin
+
   /** Degree assortativity ([[graft.pipeline.GraphOps.assortativity]]) on
     * the SAME md5-sampled sparse graph as [[kcoreQ]] (the full
     * co-occurrence graph is near-regular — zero marginal variance, NULL
@@ -1388,6 +1450,9 @@ object AnalyticsQueries {
     Capability("graph_clustering",
       "local clustering coefficients: oriented-wedge triangles / neighbor pairs",
       clusteringQ, Some(clusteringSql)),
+    Capability("q48_sketch_overlap",
+      "audience overlap by sketch algebra: inclusion-exclusion over merged sketches",
+      sketchOverlapQ, Some(sketchOverlapSql)),
     Capability("graph_assortativity",
       "degree assortativity: Pearson over edge endpoint degrees (exact moments)",
       assortQ, Some(assortSql)),

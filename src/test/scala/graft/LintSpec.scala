@@ -103,11 +103,15 @@ class LintSpec extends AnyFunSuite {
       // the gate fixture slices the update waves with doc_id % k
       // predicates — parquet-inexpressible by design, the
       // dedup_incremental precedent
-      "pipeline_scd2" -> Set("unpushed-filter"))
+      "pipeline_scd2" -> Set("unpushed-filter"),
+      // 5-audience pair frame: the theta self-join is a broadcast NLJ
+      // over a #segments-sized frame of sketch artifacts by design
+      "q48_sketch_overlap" -> Set("cartesian"))
     val offenders = Seq("pipeline_dsir", "hybrid_rrf", "graph_kcore",
       "q45_ewma", "q46_anomaly", "text_pmi", "text_jm_lm",
       "graph_clustering", "graph_assortativity", "pipeline_e2e_v3",
-      "q47b_grouped_weighted_quantiles", "pipeline_scd2").flatMap { name =>
+      "q47b_grouped_weighted_quantiles", "pipeline_scd2",
+      "q48_sketch_overlap").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
