@@ -93,7 +93,8 @@ object Plans {
       "pipeline_e2e_v3",         // DSIR + JM LM composed in one plan
       "q47b_grouped_weighted_quantiles", // running-weight window, min-of-suffix
       "pipeline_scd2",           // one id exchange, two windows
-      "q48_sketch_overlap")      // sketch algebra over per-segment artifacts
+      "q48_sketch_overlap",      // sketch algebra over per-segment artifacts
+      "events_funnel_latency")   // funnel stage windows + grouped rank selection
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

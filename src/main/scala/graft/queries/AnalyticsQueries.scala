@@ -67,6 +67,75 @@ object AnalyticsQueries {
       |  FROM v JOIN c USING (user_id) JOIN p USING (user_id))
       |SELECT stage, COUNT(*) AS n_users FROM u GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** Funnel time-to-convert ([[funnel]]'s per-user stage times composed
+    * with the grouped rank-selection quantiles): for each converted
+    * transition, the count plus median and p90 latency in integer
+    * MICROSECONDS with `lower` interpolation — every emitted quantile
+    * is an actually-observed latency, so the whole gate is
+    * integer-exact (no interpolation float risk). The oracle reuses the
+    * funnel CTEs and selects the same ⌊(n−1)q⌋ order statistics. */
+  private def funnelLatencyQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+    val step = expr("INTERVAL 1 DAY")
+    val u = e.withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("v") && col("ts") <= col("v") + step, col("ts"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("c") && col("ts") <= col("c") + step, col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("v")).as("v"), max(col("c")).as("c"), max(col("p")).as("p"))
+    val lats = u.filter(col("c").isNotNull)
+      .select(lit("view_click").as("tr"),
+        (expr("unix_micros(c)") - expr("unix_micros(v)")).as("lat"))
+      .unionByName(u.filter(col("p").isNotNull)
+        .select(lit("click_purchase").as("tr"),
+          (expr("unix_micros(p)") - expr("unix_micros(c)")).as("lat")))
+    val q = graft.operators.Quantiles
+      .exactGrouped(lats, "tr", "lat", Seq(0.5, 0.9), interpolation = "lower")
+    lats.groupBy(col("tr")).agg(count(lit(1)).as("n_conv"))
+      .join(q, Seq("tr"))
+      .select(col("tr"), col("n_conv"),
+        col("q0").cast("long").as("p50_us"), col("q1").cast("long").as("p90_us"))
+      .orderBy(col("tr"))
+  }
+
+  private val funnelLatencySql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS v
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) FILTER (WHERE e.event_type = 'click'
+      |    AND e.ts >= v.v AND e.ts <= v.v + INTERVAL 1 DAY) AS c
+      |  FROM events e JOIN v USING (user_id) GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+      |    AND e.ts >= c.c AND e.ts <= c.c + INTERVAL 1 DAY) AS p
+      |  FROM events e JOIN c USING (user_id) GROUP BY 1),
+      |u AS (
+      |  SELECT v.user_id, v.v, c.c, p.p
+      |  FROM v JOIN c USING (user_id) JOIN p USING (user_id)),
+      |lat AS (
+      |  SELECT 'view_click' AS tr, epoch_us(c) - epoch_us(v) AS lat
+      |  FROM u WHERE c IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'click_purchase', epoch_us(p) - epoch_us(c)
+      |  FROM u WHERE p IS NOT NULL),
+      |r AS (
+      |  SELECT tr, lat,
+      |    row_number() OVER (PARTITION BY tr ORDER BY lat) - 1 AS rk,
+      |    COUNT(*) OVER (PARTITION BY tr) AS n
+      |  FROM lat)
+      |SELECT tr, MAX(n) AS n_conv,
+      |  MAX(CASE WHEN rk = CAST(floor((n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |      THEN lat END) AS p50_us,
+      |  MAX(CASE WHEN rk = CAST(floor((n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+      |      THEN lat END) AS p90_us
+      |FROM r GROUP BY tr ORDER BY tr""".stripMargin
+
   /** One-pass column profiling of `orders`: row count plus per-column
     * null count, exact distinct count, and typed min/max — the stats pass
     * every curation plan starts from.
@@ -1408,6 +1477,9 @@ object AnalyticsQueries {
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
       funnel, Some(funnelSql)),
+    Capability("events_funnel_latency",
+      "funnel time-to-convert: per-transition count + integer-exact p50/p90 latency",
+      funnelLatencyQ, Some(funnelLatencySql)),
     Capability("profile_stats",
       "one-pass column profiling: nulls, exact distincts, typed min/max",
       profile, Some(profileSql)),
