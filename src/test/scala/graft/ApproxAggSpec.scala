@@ -3,6 +3,31 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 class ApproxAggSpec extends AnyFunSuite {
+
+  test("sketch algebra: pairwise union + inclusion-exclusion recovers exact overlaps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.expr.{DistinctSketchEstimate, DistinctSketchSingleton, SketchUnionAgg}
+    // segment A = {1..10}, B = {6..20}: |A|=10, |B|=15, |A∩B|=5, |A∪B|=20
+    val rows = ((1L to 10L).map(("A", _)) ++ (6L to 20L).map(("B", _)))
+      .toDF("seg", "uid")
+    val sk = rows.groupBy(col("seg"))
+      .agg(SketchUnionAgg(DistinctSketchSingleton(xxhash64(col("uid")))).as("sk"))
+      .select(col("seg"), col("sk"), DistinctSketchEstimate(col("sk")).as("n"))
+    val a = sk.filter(col("seg") === "A").select(col("sk").as("ska"), col("n").as("na"))
+    val b = sk.filter(col("seg") === "B").select(col("sk").as("skb"), col("n").as("nb"))
+    val out = a.crossJoin(b)
+      .select(col("na"), col("nb"),
+        explode(array(col("ska"), col("skb"))).as("s"))
+      .groupBy(col("na"), col("nb"))
+      .agg(SketchUnionAgg(col("s")).as("u"))
+      .select(col("na"), col("nb"), DistinctSketchEstimate(col("u")).as("nu"))
+      .head()
+    assert(out.getLong(0) == 10L && out.getLong(1) == 15L, out.toString)
+    assert(out.getLong(2) == 20L, out.toString)
+    assert(out.getLong(0) + out.getLong(1) - out.getLong(2) == 5L, out.toString)
+  }
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
