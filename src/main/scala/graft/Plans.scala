@@ -94,7 +94,8 @@ object Plans {
       "q47b_grouped_weighted_quantiles", // running-weight window, min-of-suffix
       "pipeline_scd2",           // one id exchange, two windows
       "q48_sketch_overlap",      // sketch algebra over per-segment artifacts
-      "events_funnel_latency")   // funnel stage windows + grouped rank selection
+      "events_funnel_latency",   // funnel stage windows + grouped rank selection
+      "q49_interarrival")        // one lag window + grouped rank selection
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -136,6 +136,54 @@ object AnalyticsQueries {
       |      THEN lat END) AS p90_us
       |FROM r GROUP BY tr ORDER BY tr""".stripMargin
 
+  /** Q49: inter-arrival time profile per event type — the
+    * traffic-shape fingerprint (burst detection, rate baselining,
+    * sampling-interval QA) as gap quantiles: consecutive-event deltas in
+    * integer MICROSECONDS with `lower`-interpolation rank selection, so
+    * every emitted quantile is an observed gap and the gate is
+    * integer-exact (the events_funnel_latency contract). One lag window
+    * + the single-exchange grouped quantile machinery. */
+  private def interarrivalQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__us"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("__us"))
+      .withColumn("gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val q = graft.operators.Quantiles
+      .exactGrouped(gaps, "event_type", "gap", Seq(0.5, 0.9, 0.99),
+        interpolation = "lower")
+    gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+      .join(q, Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"),
+        col("q0").cast("long").as("p50_us"),
+        col("q1").cast("long").as("p90_us"),
+        col("q2").cast("long").as("p99_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val interarrivalSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, gap,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap) - 1 AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM f)
+      |SELECT event_type, MAX(n) AS n_gaps,
+      |  MAX(CASE WHEN rk = CAST(floor((n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |      THEN gap END) AS p50_us,
+      |  MAX(CASE WHEN rk = CAST(floor((n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+      |      THEN gap END) AS p90_us,
+      |  MAX(CASE WHEN rk = CAST(floor((n - 1) * CAST(0.99 AS DOUBLE)) AS BIGINT)
+      |      THEN gap END) AS p99_us
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** One-pass column profiling of `orders`: row count plus per-column
     * null count, exact distinct count, and typed min/max — the stats pass
     * every curation plan starts from.
@@ -1477,6 +1525,9 @@ object AnalyticsQueries {
     Capability("events_funnel",
       "ordered multi-stage funnel conversion (one exchange for all stages)",
       funnel, Some(funnelSql)),
+    Capability("q49_interarrival",
+      "inter-arrival time profile per type: integer-exact gap quantiles",
+      interarrivalQ, Some(interarrivalSql)),
     Capability("events_funnel_latency",
       "funnel time-to-convert: per-transition count + integer-exact p50/p90 latency",
       funnelLatencyQ, Some(funnelLatencySql)),

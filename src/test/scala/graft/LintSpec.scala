@@ -111,7 +111,8 @@ class LintSpec extends AnyFunSuite {
       "q45_ewma", "q46_anomaly", "text_pmi", "text_jm_lm",
       "graph_clustering", "graph_assortativity", "pipeline_e2e_v3",
       "q47b_grouped_weighted_quantiles", "pipeline_scd2",
-      "q48_sketch_overlap", "events_funnel_latency").flatMap { name =>
+      "q48_sketch_overlap", "events_funnel_latency",
+      "q49_interarrival").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
