@@ -27,6 +27,7 @@ object Registry {
       queries.IngestQueries.caps ++
       queries.ExtendedQueries.caps ++
       queries.AnalyticsQueries.caps ++
+      queries.TimeSeriesQueries.caps ++
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++

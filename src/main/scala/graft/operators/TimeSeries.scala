@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical per-series time-series statistics the reference's vector
+  * kernels stop short of (its surface ends at cumulative_* /
+  * pairwise_diff — reference: cpp/src/arrow/compute/kernels/
+  * vector_cumulative_ops.cc, vector_pairwise.cc): autocorrelation,
+  * gaps-and-islands interval merging, and CUSUM change-point location.
+  * All three are the single-exchange window/aggregate compositions a
+  * 100 TB event store needs — the series key is the partition key, so
+  * adding series scales horizontally and no operator ever materializes
+  * a whole series in one buffer (the only per-row state is O(1); ACF
+  * carries `maxLag` lagged values per row).
+  *
+  * Determinism contract (shared with the rest of the registry): every
+  * cross-row sum runs over exact types — decimal-cast doubles for value
+  * sums ([[graft.Det]]), scaled longs for CUSUM — and the only
+  * floating-point steps are per-row IEEE expressions plus one final
+  * division rounded at a fixed scale, so results hash-match DuckDB.
+  */
+object TimeSeries {
+
+  /** Sample autocorrelation at lags 1..`maxLag`: for each key, the
+    * Pearson correlation between the value series (ordered by
+    * (`tsCol`, `idCol`)) and its lag-k shift, computed from exact
+    * decimal moments over the (x_i, x_{i-k}) pair set. One window
+    * exchange on the key computes ALL lags (lag(v,1)..lag(v,maxLag) in
+    * the same frame), then one hash aggregate on (key, lag) — two
+    * exchanges total regardless of `maxLag`.
+    *
+    * NULL values are dropped before lagging (the series is the observed
+    * sample sequence). Keys with fewer than `minPairs` pairs at a lag,
+    * or zero variance on either side, return NULL acf (the guarded
+    * Pearson — builtin `corr` throws under ANSI; operators/Spearman
+    * precedent).
+    *
+    * Output: (key, lag, n_pairs, acf) — acf rounded at 9 dp. */
+  def acf(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, maxLag: Int, minPairs: Int = 2): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val lagged = (1 to maxLag).foldLeft(
+        df.filter(col(valCol).isNotNull)
+          .select(col(keyCol), col(tsCol), col(idCol),
+            col(valCol).cast("double").as("__x"))) {
+      (d, k) => d.withColumn(s"__y$k", lag(col("__x"), k).over(w))
+    }
+    // (key, lag, x, y) pair stream: maxLag rows out per input row, each
+    // carrying just two doubles — a narrow in-partition fan-out
+    val pairs = lagged.select(
+      col(keyCol),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col("__x").as("x"),
+          col(s"__y$k").as("y"))): _*)).as("p"))
+      .select(col(keyCol), col("p.lag").as("lag"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val m = pairs.groupBy(col(keyCol), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      graft.Det.dsum(col("x")).as("sx"),
+      graft.Det.dsum(col("y")).as("sy"),
+      graft.Det.dsum(col("x") * col("x")).as("sxx"),
+      graft.Det.dsum(col("y") * col("y")).as("syy"),
+      graft.Det.dsum(col("x") * col("y")).as("sxy"))
+    val n = col("n_pairs").cast("double")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    m.select(col(keyCol), col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= minPairs && varx > 0.0 && vary > 0.0,
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varx * vary), 9)).as("acf"))
+  }
+
+  /** Gaps-and-islands interval merge: each input row is an interval
+    * [`startCol`, `endCol`] (µs-long columns); overlapping or touching
+    * intervals within a key merge into islands. Returns one row per
+    * island: (key, island, island_start, island_end, n_rows).
+    *
+    * The classic one-window formulation: a running max of `end` over
+    * strictly-preceding rows (ordered by (start, id)) marks island
+    * breaks where `start > cummax`, and a running sum of break flags
+    * numbers the islands — integer-exact, one exchange on the key plus
+    * one aggregate on (key, island). Per-row state is O(1); islands
+    * never materialize as arrays, so a key with a million intervals
+    * costs the same per-row work as one with ten. */
+  def mergeIntervals(
+      df: DataFrame, keyCol: String, idCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(idCol))
+    val prevMax = max(col(endCol))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("__brk",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col(keyCol), col("__island").as("island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** CUSUM change-point location per key: with the series x_1..x_n
+    * (ordered by (`tsCol`, `idCol`), NULLs dropped) and mean μ, the
+    * cumulative sum S_i = Σ_{j≤i}(x_j − μ) peaks in magnitude at the
+    * most likely single change point (Page's statistic / binary
+    * segmentation step). To stay engine-exact the operator never forms
+    * μ: values become scaled longs v = round6(x)·10⁶ and the argmax of
+    * |n·CS_i − i·T| (CS = running sum, T = series total) — equal to
+    * n·|S_i| — is located in pure integer arithmetic. The reported
+    * statistic |S_cp| divides back out as the ONE floating step,
+    * rounded at 6 dp.
+    *
+    * Two exchanges: the key-partitioned window (running sum + row
+    * index) and a (key)-grouped max-struct argmin/argmax selection;
+    * the 1-row-per-key totals join is broadcast by AQE.
+    *
+    * Output: (key, n, cp_idx, cp_id, cusum_stat) — cp_idx is the
+    * 1-based position i maximizing |S_i| (first such position on ties,
+    * i < n; the last point is excluded since S_n ≡ 0 by construction). */
+  def cusum(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val scaled = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(idCol),
+        (graft.Det.dec(col(valCol)) * lit(1000000L)).cast("long").as("__v6"))
+    val run = scaled
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__cs",
+        sum(col("__v6")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = run.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v6")).as("__t"))
+    // n·S_i scaled: |n·CS_i − i·T| — longs throughout (n ≤ 2^31 rows/key
+    // at 10^6-scaled values would overflow; decimal(38,0) keeps it exact
+    // with the same portable semantics)
+    val joined = run.join(tot, keyCol)
+      .filter(col("__i") < col("__n"))
+      .withColumn("__ns",
+        abs(col("__n").cast("decimal(38,0)") * col("__cs") -
+          col("__i").cast("decimal(38,0)") * col("__t")))
+    val best = joined.groupBy(col(keyCol)).agg(
+      min(struct((col("__ns") * lit(-1)).as("neg"), col("__i").as("i"),
+        col(idCol).as("id"))).as("b"),
+      max(col("__n")).as("n0"))
+    best.select(col(keyCol), col("n0").as("n"),
+      col("b.i").as("cp_idx"), col("b.id").as("cp_id"),
+      round((col("b.neg").cast("double") * -1.0) /
+        (col("n0").cast("double") * 1e6), 6).as("cusum_stat"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Capability, Det, Tables}
+import graft.operators.TimeSeries
+
+/** Declared time-series analytics capabilities over the `events` table
+  * (operators: [[graft.operators.TimeSeries]]) — autocorrelation,
+  * interval merging, CUSUM change-point location. Complements the
+  * EWMA/anomaly/resample/inter-arrival family in
+  * [[AnalyticsQueries]]; the reference's own vector surface stops at
+  * cumulative_* and pairwise_diff (SURVEY §2.2).
+  */
+object TimeSeriesQueries {
+
+  private val AcfMaxLag = 3
+
+  /** Q50: sample autocorrelation at lags 1..3 per event type — the
+    * seasonality/memory fingerprint of each event stream. Exact decimal
+    * moments, guarded Pearson, one window + one aggregate exchange for
+    * all lags. */
+  private def acfQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.acf(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("event_id"), col("value")),
+        "event_type", "__us", "event_id", "value", maxLag = AcfMaxLag)
+      .withColumnRenamed("lag", "lg")
+      .orderBy(col("event_type"), col("lg"))
+
+  private val acfSql =
+    s"""WITH src AS (
+       |  SELECT event_type, epoch_us(ts) AS us, event_id,
+       |    CAST(value AS DOUBLE) AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |l AS (
+       |  SELECT event_type, x,
+       |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+       |    lag(x, 3) OVER w AS y3
+       |  FROM src WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+       |p AS (
+       |  SELECT event_type, 1 AS lg, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+       |m AS (
+       |  SELECT event_type, lg, COUNT(*) AS n_pairs,
+       |    ${Det.sqlSum("x")} AS sx, ${Det.sqlSum("y")} AS sy,
+       |    ${Det.sqlSum("x * x")} AS sxx, ${Det.sqlSum("y * y")} AS syy,
+       |    ${Det.sqlSum("x * y")} AS sxy
+       |  FROM p GROUP BY 1, 2)
+       |SELECT event_type, lg, n_pairs,
+       |  CASE WHEN n_pairs >= 2
+       |        AND (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
+       |        AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+       |       THEN round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+       |         sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+       |              (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 9)
+       |  END AS acf
+       |FROM m ORDER BY event_type, lg""".stripMargin
+
+  /** Interval half-width: each event claims [ts, ts + 30 min]. */
+  private val IvUs = 1800L * 1000000L
+
+  /** Q51: gaps-and-islands per user — merge each user's overlapping
+    * 30-minute activity intervals into islands, then roll up to
+    * (n_islands, covered_us, longest_us). Integer-exact µs arithmetic;
+    * O(1) per-row window state (no arrays). */
+  private def intervalsQ(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("s"),
+      (expr("unix_micros(ts)") + lit(IvUs)).as("e"))
+    TimeSeries.mergeIntervals(iv, "user_id", "event_id", "s", "e")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("island_end") - col("island_start")).as("covered_us"),
+        max(col("island_end") - col("island_start")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val intervalsSql =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS s,
+       |    epoch_us(ts) + $IvUs AS e
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, s, e,
+       |    CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM iv WINDOW wp AS (PARTITION BY user_id ORDER BY s, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |isl AS (
+       |  SELECT user_id, s, e,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM f),
+       |g AS (
+       |  SELECT user_id, island, min(s) AS island_start, max(e) AS island_end
+       |  FROM isl GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_islands,
+       |  CAST(sum(island_end - island_start) AS BIGINT) AS covered_us,
+       |  max(island_end - island_start) AS longest_us
+       |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Q52: CUSUM change-point per event type — the position where the
+    * centered cumulative sum peaks (Page's statistic / binary
+    * segmentation step). Pure scaled-long integer arithmetic locates
+    * the argmax; the reported |S| divides out as the single float op. */
+  private def cusumQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.cusum(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("event_id"), col("value")),
+        "event_type", "__us", "event_id", "value")
+      .orderBy(col("event_type"))
+
+  private val cusumSql =
+    """WITH src AS (
+      |  SELECT event_type, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v6
+      |  FROM events WHERE value IS NOT NULL),
+      |run AS (
+      |  SELECT event_type, event_id, us,
+      |    row_number() OVER w AS i,
+      |    sum(v6) OVER (PARTITION BY event_type ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      |  FROM src WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+      |tot AS (
+      |  SELECT event_type, COUNT(*) AS n, sum(v6) AS t
+      |  FROM src GROUP BY 1),
+      |ns AS (
+      |  SELECT r.event_type, r.i, r.event_id, t.n,
+      |    abs(CAST(t.n AS DECIMAL(38,0)) * CAST(r.cs AS DECIMAL(38,0)) -
+      |        CAST(r.i AS DECIMAL(38,0)) * CAST(t.t AS DECIMAL(38,0))) AS sc
+      |  FROM run r JOIN tot t USING (event_type)
+      |  WHERE r.i < t.n),
+      |best AS (
+      |  SELECT event_type, n, i, event_id, sc,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY sc DESC, i ASC) AS rn
+      |  FROM ns)
+      |SELECT event_type, n, i AS cp_idx, event_id AS cp_id,
+      |  round(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS cusum_stat
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("q50_acf",
+      "autocorrelation at lags 1-3 per series: exact-moment guarded Pearson",
+      acfQ, Some(acfSql)),
+    Capability("q51_intervals",
+      "gaps-and-islands interval merge per user (O(1) window state, integer-exact)",
+      intervalsQ, Some(intervalsSql)),
+    Capability("q52_cusum",
+      "CUSUM change-point location per series (scaled-long exact argmax)",
+      cusumQ, Some(cusumSql)),
+  )
+}

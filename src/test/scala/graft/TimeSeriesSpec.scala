@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** Hand fixtures for the time-series trio: ACF against closed-form
+  * values, interval merging against an enumerable island layout, and
+  * CUSUM against a planted level shift.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("acf matches the closed-form lag-1 value on an alternating series") {
+    import spark.implicits._
+    // x = 1,-1,1,-1,1,-1 : lag-1 pairs are perfectly anti-correlated
+    val df = (1 to 6).map(i =>
+      ("a", i.toLong, i.toLong, if (i % 2 == 1) 1.0 else -1.0))
+      .toDF("k", "t", "id", "v")
+    val out = TimeSeries.acf(df, "k", "t", "id", "v", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out.length == 2)
+    val lag1 = out(0)
+    assert(lag1.getInt(1) == 1 && lag1.getLong(2) == 5L)
+    assert(math.abs(lag1.getDouble(3) - (-1.0)) < 1e-9)
+    // lag-2 pairs are perfectly correlated
+    val lag2 = out(1)
+    assert(lag2.getInt(1) == 2 && lag2.getLong(2) == 4L)
+    assert(math.abs(lag2.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("acf returns NULL under minPairs or zero variance, drops NULL values") {
+    import spark.implicits._
+    val df = Seq[(String, Long, Long, java.lang.Double)](
+      ("const", 1L, 1L, 5.0), ("const", 2L, 2L, 5.0), ("const", 3L, 3L, 5.0),
+      ("tiny", 1L, 1L, 1.0), ("tiny", 2L, 2L, 2.0),
+      ("holes", 1L, 1L, 1.0), ("holes", 2L, 2L, null),
+      ("holes", 3L, 3L, 2.0), ("holes", 4L, 4L, 1.0), ("holes", 5L, 5L, 2.0)
+    ).toDF("k", "t", "id", "v")
+    val rows = TimeSeries.acf(df, "k", "t", "id", "v", maxLag = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("const").isNullAt(3), "zero variance must yield NULL acf")
+    assert(rows("tiny").isNullAt(3), "n_pairs=1 < minPairs=2 must yield NULL")
+    // NULL dropped: holes series is 1,2,1,2 -> lag-1 pairs (2,1)(1,2)(2,1),
+    // anti-correlated
+    assert(rows("holes").getLong(2) == 3L)
+    assert(rows("holes").getDouble(3) < 0.0)
+  }
+
+  test("mergeIntervals merges overlapping and touching, splits on gaps") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: [0,10] + [5,20] overlap; [20,30] touches; [40,50] gapped
+      ("a", 1L, 0L, 10L), ("a", 2L, 5L, 20L), ("a", 3L, 20L, 30L),
+      ("a", 4L, 40L, 50L),
+      // key b: nested interval [0,100] contains [10,20]
+      ("b", 5L, 0L, 100L), ("b", 6L, 10L, 20L)
+    ).toDF("k", "id", "s", "e")
+    val out = TimeSeries.mergeIntervals(df, "k", "id", "s", "e")
+      .orderBy("k", "island")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 30L, 3L), ("a", 40L, 50L, 1L), ("b", 0L, 100L, 2L)))
+  }
+
+  test("cusum locates a planted level shift at its true boundary") {
+    import spark.implicits._
+    // 10 points: first 5 at 0, last 5 at 10 -> |S_i| peaks at i=5
+    val df = (1 to 10).map(i =>
+      ("a", i.toLong, i.toLong, if (i <= 5) 0.0 else 10.0))
+      .toDF("k", "t", "id", "v")
+    val r = TimeSeries.cusum(df, "k", "t", "id", "v").collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getInt(2) == 5, s"cp_idx should be 5, got ${r.getInt(2)}")
+    assert(r.getLong(3) == 5L)
+    // S_5 = 5*(0-5) = -25 -> |S| = 25
+    assert(math.abs(r.getDouble(4) - 25.0) < 1e-6)
+  }
+
+  test("cusum tie-breaks to the first peak position") {
+    import spark.implicits._
+    // symmetric bump: 0,10,0 -> S_1 = -10/3*... compute: mean = 10/3
+    // S_1 = -10/3, S_2 = 10/3 -> tie in |S|; first position (i=1) wins
+    val df = Seq(("a", 1L, 1L, 0.0), ("a", 2L, 2L, 10.0), ("a", 3L, 3L, 0.0))
+      .toDF("k", "t", "id", "v")
+    val r = TimeSeries.cusum(df, "k", "t", "id", "v").collect().head
+    assert(r.getInt(2) == 1, s"tie must resolve to first peak, got ${r.getInt(2)}")
+  }
+}
