@@ -28,6 +28,7 @@ object Registry {
       queries.ExtendedQueries.caps ++
       queries.AnalyticsQueries.caps ++
       queries.TimeSeriesQueries.caps ++
+      queries.SketchQueries.caps ++
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++
