@@ -32,6 +32,7 @@ object Registry {
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++
+      pipeline.ClassifyQueries.caps ++
       pipeline.ShardingQueries.caps ++
       pipeline.MultimodalQueries.caps
 

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Classify
+
+/** Hashed Naive Bayes contracts on planted fixtures: separable classes
+  * are recovered, unseen tokens fall back to the prior, and score ties
+  * resolve to the smallest label.
+  */
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("recovers planted separable classes") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "ham", "meeting notes agenda budget report"),
+      (2L, "ham", "report budget quarterly meeting notes"),
+      (3L, "spam", "winner prize click free money"),
+      (4L, "spam", "free money click winner lottery")
+    ).toDF("doc_id", "label", "text")
+    val test = Seq(
+      (10L, "agenda for the quarterly budget meeting"),
+      (11L, "click to claim your free prize money")
+    ).toDF("doc_id", "text")
+    val out = Classify.naiveBayes(train, test, "label", "text", "doc_id", 1024)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "ham")
+    assert(out(1).getString(1) == "spam")
+  }
+
+  test("all-unseen tokens reduce to the prior: majority class wins") {
+    import spark.implicits._
+    // 3 "big" docs vs 1 "small" -> prior favors big; test text shares no
+    // tokens with training, so every likelihood term is the same
+    // 1/(t+V) smoothed constant per label ONLY if totals match — make
+    // totals equal (3 tokens each) so the prior alone decides
+    val train = Seq(
+      (1L, "big", "aa bb cc"), (2L, "big", "dd ee ff"), (3L, "big", "gg hh ii"),
+      (4L, "small", "xx yy zz")
+    ).toDF("doc_id", "label", "text")
+    // NOTE: totals differ (big 9 tokens, small 3) — smoothing then favors
+    // SMALL per token (smaller denominator), so use a 1-token probe where
+    // prior ln(3/4) - ln(1/4) = ln 3 beats the per-token denominator gap
+    // ln((3+V)/(9+V)) ~ 0 at V=1024
+    val test = Seq((10L, "unseen")).toDF("doc_id", "text")
+    val out = Classify.naiveBayes(train, test, "label", "text", "doc_id", 1024)
+      .collect().head
+    assert(out.getString(1) == "big")
+  }
+
+  test("exact score ties resolve to the smallest label") {
+    import spark.implicits._
+    // perfectly symmetric training: both labels see one doc of one token,
+    // the probe token is unseen by both -> identical scores
+    val train = Seq(
+      (1L, "b_label", "tok1"), (2L, "a_label", "tok2")
+    ).toDF("doc_id", "label", "text")
+    val test = Seq((10L, "unseen")).toDF("doc_id", "text")
+    val out = Classify.naiveBayes(train, test, "label", "text", "doc_id", 1024)
+      .collect().head
+    assert(out.getString(1) == "a_label",
+      s"tie must break to smallest label, got ${out.getString(1)}")
+  }
+
+  test("score9 is the exact sum of rounded scaled log terms") {
+    import spark.implicits._
+    val V = 1024
+    val train = Seq((1L, "x", "w w v")).toDF("doc_id", "label", "text")
+    val test = Seq((10L, "w u")).toDF("doc_id", "text")
+    val out = Classify.naiveBayes(train, test, "label", "text", "doc_id", V)
+      .collect().head
+    def ln9(x: Double): Long = math.round(math.log(x) * 1e9)
+    // prior ln(1/1)=0; token w: (2+1)/(3+V); token u unseen: 1/(3+V)
+    val expect = ln9(3.0 / (3 + V)) + ln9(1.0 / (3 + V)) + ln9(1.0)
+    assert(out.getLong(2) == expect, s"got ${out.getLong(2)}, want $expect")
+  }
+}
