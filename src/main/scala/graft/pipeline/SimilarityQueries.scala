@@ -594,7 +594,63 @@ object SimilarityQueries {
        |WHERE vec_id = rep_id OR rep_cos < $KmTau
        |ORDER BY vec_id""".stripMargin
 
+  private val PcaDim = 64
+  private val PcaIters = 10
+
+  /** ann_pca: dominant principal component of the embedding covariance —
+    * one exact integer Gram/moment pass ([[graft.functions.expr.
+    * GramMatrixAgg]]) + a driver-side power iteration whose every float
+    * op the oracle replays in the same within-row fold order (the
+    * ann_kmeans determinism pattern). The synthetic embeddings are
+    * near-isotropic (leading eigenvalues within ~1.3 %), so after the
+    * fixed $PcaIters iterations both engines sit on the SAME point of
+    * the convergence path — the gate asserts the method, PcaSpec proves
+    * convergence on an anisotropic fixture. */
+  private def pcaQ(s: SparkSession, d: String): DataFrame =
+    Pca.topComponent(Tables.embeddings(s, d), "embedding", PcaDim, PcaIters)
+      .orderBy(col("i"))
+
+  private val pcaSql: String = {
+    val S = "1099511627776" // 2^40
+    val iters = (1 to PcaIters).map { k =>
+      s"""it$k AS (
+         |  SELECT list_transform(w, x -> x / nrm) AS v FROM (
+         |    SELECT w, sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm FROM (
+         |      SELECT list_transform(range($PcaDim), i ->
+         |        list_sum(list_transform(range($PcaDim), j -> cm[i+1][j+1] * v[j+1]))) AS w
+         |      FROM cmat, it${k - 1})))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH terms AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    SUM(CAST(round(e.embedding[i.i+1]::DOUBLE * e.embedding[j.j+1]::DOUBLE * $S, 0) AS HUGEINT)) AS g
+       |  FROM embeddings e, range($PcaDim) i(i), range($PcaDim) j(j)
+       |  GROUP BY 1, 2),
+       |mom AS (
+       |  SELECT i.i AS i,
+       |    SUM(CAST(round(e.embedding[i.i+1]::DOUBLE * $S, 0) AS HUGEINT)) AS m
+       |  FROM embeddings e, range($PcaDim) i(i) GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |a AS (
+       |  SELECT t.i, t.j, CAST(nn.n * t.g * $S - mi.m * mj.m AS DOUBLE) AS c
+       |  FROM terms t JOIN mom mi ON mi.i = t.i JOIN mom mj ON mj.i = t.j
+       |  CROSS JOIN nn),
+       |crows AS (SELECT i, list(c ORDER BY j) AS cr FROM a GROUP BY i),
+       |cmat AS (SELECT list(cr ORDER BY i) AS cm FROM crows),
+       |it0 AS (SELECT list_transform(range($PcaDim), x -> 0.125) AS v),
+       |$iters,
+       |rq AS (
+       |  SELECT round((list_sum(list_transform(range($PcaDim), i ->
+       |      v[i+1] * list_sum(list_transform(range($PcaDim), j -> cm[i+1][j+1] * v[j+1]))))
+       |    / 1208925819614629174706176.0) / CAST(nn.n * (nn.n - 1) AS DOUBLE), 9) AS eigval
+       |  FROM cmat, it$PcaIters, nn)
+       |SELECT i.i AS i, round(v[i.i+1], 9) AS loading, rq.eigval AS eigval
+       |FROM it$PcaIters, rq, range($PcaDim) i(i) ORDER BY i""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
+    Capability("ann_pca",
+      s"dominant principal component: one exact Gram pass + $PcaIters deterministic power iterations",
+      pcaQ, Some(pcaSql)),
     Capability("ann_kmeans",
       s"distributed Lloyd k-means (k=$KmK, $KmIters iterations, narrow literal-folded assignment)",
       kmeansAssign, Some(kmeansSql), bench = true),
