@@ -610,7 +610,10 @@ object SimilarityQueries {
     Pca.topComponent(Tables.embeddings(s, d), "embedding", PcaDim, PcaIters)
       .orderBy(col("i"))
 
-  private val pcaSql: String = {
+  /** The full exact-scatter + power-iteration CTE chain (shared by the
+    * ann_pca gate and the ann_pca_project composition gate — lazy so the
+    * composing SQL never sees an uninitialized fragment). */
+  private lazy val pcaCtes: String = {
     val S = "1099511627776" // 2^40
     val iters = (1 to PcaIters).map { k =>
       s"""it$k AS (
@@ -642,15 +645,62 @@ object SimilarityQueries {
        |  SELECT round((list_sum(list_transform(range($PcaDim), i ->
        |      v[i+1] * list_sum(list_transform(range($PcaDim), j -> cm[i+1][j+1] * v[j+1]))))
        |    / 1208925819614629174706176.0) / CAST(nn.n * (nn.n - 1) AS DOUBLE), 9) AS eigval
-       |  FROM cmat, it$PcaIters, nn)
+       |  FROM cmat, it$PcaIters, nn)""".stripMargin
+  }
+
+  private lazy val pcaSql: String =
+    s"""$pcaCtes
        |SELECT i.i AS i, round(v[i.i+1], 9) AS loading, rq.eigval AS eigval
        |FROM it$PcaIters, rq, range($PcaDim) i(i) ORDER BY i""".stripMargin
+
+  /** ann_pca_project: the "apply the artifact" half — every embedding
+    * projected onto the trained component. The loadings (the SAME
+    * round@9 values ann_pca emits) fold in as literals, so the plan is
+    * a narrow zero-shuffle projection over the scan; the oracle replays
+    * training AND projection in one query (composition gate). */
+  private def pcaProjectQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val loadings = Pca.topComponent(e, "embedding", PcaDim, PcaIters)
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+    Project.pcaProject(e, "vec_id", "embedding", loadings)
+      .orderBy(col("vec_id"))
   }
+
+  private lazy val pcaProjectSql: String =
+    s"""$pcaCtes
+       |SELECT e.vec_id, round(list_sum(list_transform(range($PcaDim),
+       |    j -> e.embedding[j+1]::DOUBLE * round(v[j+1], 9))), 6) AS proj
+       |FROM embeddings e, it$PcaIters ORDER BY e.vec_id""".stripMargin
+
+  private val RpK = 16
+
+  /** ann_rp: Johnson–Lindenstrauss sign projection 64 → 16 dims — the
+    * cheap pre-ANN dimensionality cut whose projection matrix BOTH
+    * engines derive from md5(j_k) parity (no artifact to ship). */
+  private def rpQ(s: SparkSession, d: String): DataFrame =
+    Project.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        PcaDim, RpK)
+      .orderBy(col("vec_id"), col("k"))
+
+  private val rpSql =
+    s"""SELECT e.vec_id, k.k::INT AS k,
+       |  round(list_sum(list_transform(range($PcaDim), j ->
+       |    e.embedding[j+1]::DOUBLE *
+       |    (CASE WHEN ('0x' || substring(md5(j || '_' || k.k), 1, 1))::INT % 2 = 0
+       |          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) / 4.0, 6) AS proj
+       |FROM embeddings e, range($RpK) k(k)
+       |ORDER BY e.vec_id, k""".stripMargin
 
   val caps: Seq[Capability] = Seq(
     Capability("ann_pca",
       s"dominant principal component: one exact Gram pass + $PcaIters deterministic power iterations",
       pcaQ, Some(pcaSql)),
+    Capability("ann_pca_project",
+      "projection onto the trained component (literal-folded, zero-shuffle apply)",
+      pcaProjectQ, Some(pcaProjectSql)),
+    Capability("ann_rp",
+      s"Johnson-Lindenstrauss sign projection $PcaDim->$RpK (md5-derived matrix, no artifact)",
+      rpQ, Some(rpSql)),
     Capability("ann_kmeans",
       s"distributed Lloyd k-means (k=$KmK, $KmIters iterations, narrow literal-folded assignment)",
       kmeansAssign, Some(kmeansSql), bench = true),
