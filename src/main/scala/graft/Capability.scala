@@ -29,6 +29,7 @@ object Registry {
       queries.AnalyticsQueries.caps ++
       queries.TimeSeriesQueries.caps ++
       queries.SketchQueries.caps ++
+      queries.StatsQueries.caps ++
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++

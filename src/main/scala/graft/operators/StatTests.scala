@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Two-sample statistical tests — the drift/experiment QA surface next
+  * to the moment aggregates (the reference stops at variance/stddev;
+  * `compute.rst` has no test statistics): Welch's unequal-variance t,
+  * Mann–Whitney U, and the chi-squared homogeneity statistic. Every
+  * statistic is derived from EXACT integer/decimal aggregates with one
+  * fixed-order IEEE formula at the end (round@6/9), so all three gate
+  * against DuckDB bit-for-bit.
+  */
+object StatTests {
+
+  /** Pairwise Welch's t-test between every pair of groups: per pair
+    * (group_a < group_b lexicographically) the t statistic and the
+    * Welch–Satterthwaite degrees of freedom, both round@6. Moments are
+    * exact decimal sums; the moment frame is #groups rows (broadcast
+    * both sides of the pair cross join). NULL values drop per group. */
+  def welchPairs(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val m = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("__x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("__x")).as("sx"),
+        Det.dsum(col("__x") * col("__x")).as("sxx"))
+    def side(s: String) = m.select(
+      col("g").as(s"g_$s"), col("n").as(s"n_$s"),
+      col("sx").as(s"sx_$s"), col("sxx").as(s"sxx_$s"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"sx_$s") / nD(s)
+    // sample variance over n: (sxx - sx*sx/n) / (n-1)
+    def v(s: String) =
+      (col(s"sxx_$s") - col(s"sx_$s") * col(s"sx_$s") / nD(s)) / (nD(s) - 1.0)
+    def vn(s: String) = v(s) / nD(s)
+    val se2 = vn("a") + vn("b")
+    val t = (mean("a") - mean("b")) / sqrt(se2)
+    val wdf = (se2 * se2) /
+      (vn("a") * vn("a") / (nD("a") - 1.0) + vn("b") * vn("b") / (nD("b") - 1.0))
+    broadcast(side("a")).join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(t, 6).as("t_stat"), round(wdf, 6).as("t_df"))
+  }
+
+  /** Mann–Whitney U between groups `ga` and `gb` of `groupCol`: exact
+    * U statistics kept ×2 so tie half-ranks stay integers (`u1x2 =
+    * 2·U1`), plus the tie-corrected normal z round@6.
+    *
+    * The rank sum never ranks rows: U1 = Σ_v c1(v)·C2(<v) + c1·c2/2
+    * over per-VALUE counts, so the only window runs over the
+    * distinct-value frame (bounded by value cardinality, already
+    * aggregated — the profile_eq_histogram shape; for unbounded-
+    * cardinality columns, [[Spearman]]'s range-sorted zipWithIndex
+    * ranking is the alternative formulation). */
+  def mannWhitney(df: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val vc = df.filter(col(valCol).isNotNull &&
+        (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(when(col("g") === ga, 1)).as("c1"),
+        count(when(col("g") === gb, 1)).as("c2"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val parts = vc
+      .withColumn("__p2",
+        col("c1") * coalesce(sum(col("c2")).over(w), lit(0L)) * 2 +
+          col("c1") * col("c2"))
+      .agg(sum(col("__p2")).as("u1x2"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum((col("c1") + col("c2")) * (col("c1") + col("c2")) *
+          (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("tsum"))
+    def d(c: Column) = c.cast("double")
+    val nn = d(col("n1")) + d(col("n2"))
+    val sigma = sqrt(d(col("n1")) * d(col("n2")) / 12.0 *
+      ((nn + 1.0) - d(col("tsum")) / (nn * (nn - 1.0))))
+    parts.select(col("n1"), col("n2"), col("u1x2"),
+      (col("n1") * col("n2") * 2 - col("u1x2")).as("u2x2"),
+      round((d(col("u1x2")) - d(col("n1")) * d(col("n2"))) / (sigma * 2.0), 6)
+        .as("z"))
+  }
+
+  /** Chi-squared homogeneity over the (rowCol × colCol) contingency
+    * table: X² = Σ (O−E)²/E with E = rowTot·colTot/N, over the DENSE
+    * grid (an unobserved cell still contributes its E). Observed counts
+    * are exact; each cell term is ONE rounded IEEE expression scaled to
+    * a long (round@9 — the text_pmi pattern), so the cross-cell sum is
+    * exact. Returns 1 row: (x2_9 = X²·1e9 as a long, dof, n). The grid
+    * is marginal-bounded (#rows × #cols — both broadcast-sized for any
+    * sane contingency table). */
+  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val o = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(col("r")).agg(sum(col("o")).as("rtot"))
+    val ct = o.groupBy(col("c")).agg(sum(col("o")).as("ctot"))
+    val n1 = o.agg(sum(col("o")).as("ntot"))
+    val e = col("rtot").cast("double") * col("ctot").cast("double") /
+      col("ntot").cast("double")
+    val oD = coalesce(col("o"), lit(0L)).cast("double")
+    val cell9 = round((oD - e) * (oD - e) / e * 1e9, 0).cast("long")
+    broadcast(rt).crossJoin(broadcast(ct))
+      .join(o, Seq("r", "c"), "left")
+      .crossJoin(broadcast(n1))
+      .select(cell9.as("__c9"), col("r"), col("c"), col("ntot"))
+      .agg(sum(col("__c9")).as("x2_9"),
+        ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1)).as("dof"),
+        max(col("ntot")).as("n"))
+  }
+}

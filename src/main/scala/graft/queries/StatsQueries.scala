@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Capability, Det, Tables}
+import graft.operators.StatTests
+
+/** Declared statistical-test capabilities ([[graft.operators.
+  * StatTests]]): Welch's t, Mann–Whitney U, chi-squared homogeneity —
+  * the A/B-experiment and drift-QA readouts over the events/documents
+  * tables.
+  */
+object StatsQueries {
+
+  /** q55_welch: pairwise Welch's t between all event-type value
+    * distributions — exact decimal moments, one fixed-order IEEE
+    * formula per pair, round@6. */
+  private def welchQ(s: SparkSession, d: String): DataFrame =
+    StatTests.welchPairs(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("g_a"), col("g_b"))
+
+  private val welchSql =
+    s"""WITH m AS (
+       |  SELECT event_type AS g, COUNT(*) AS n,
+       |    ${Det.sqlSum("CAST(value AS DOUBLE)")} AS sx,
+       |    ${Det.sqlSum("CAST(value AS DOUBLE) * CAST(value AS DOUBLE)")} AS sxx
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |v AS (
+       |  SELECT g, n, sx / CAST(n AS DOUBLE) AS mean,
+       |    ((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+       |      / CAST(n AS DOUBLE) AS vn
+       |  FROM m)
+       |SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+       |  round((a.mean - b.mean) / sqrt(a.vn + b.vn), 6) AS t_stat,
+       |  round(((a.vn + b.vn) * (a.vn + b.vn)) /
+       |    (a.vn * a.vn / (CAST(a.n AS DOUBLE) - 1.0) +
+       |     b.vn * b.vn / (CAST(b.n AS DOUBLE) - 1.0)), 6) AS t_df
+       |FROM v a JOIN v b ON a.g < b.g
+       |ORDER BY g_a, g_b""".stripMargin
+
+  private val MwA = "click"
+  private val MwB = "purchase"
+
+  /** q56_mannwhitney: Mann–Whitney U between the $MwA and $MwB value
+    * distributions — exact ×2-scaled U from per-value counts (no row
+    * ever ranked), tie-corrected normal z round@6. */
+  private def mwQ(s: SparkSession, d: String): DataFrame =
+    StatTests.mannWhitney(Tables.events(s, d), "event_type", "value", MwA, MwB)
+
+  private val mwSql =
+    s"""WITH vc AS (
+       |  SELECT CAST(value AS DOUBLE) AS v,
+       |    COUNT(*) FILTER (event_type = '$MwA') AS c1,
+       |    COUNT(*) FILTER (event_type = '$MwB') AS c2
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT c1 * coalesce(SUM(c2) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+       |    + c1 * c2 AS p2, c1, c2
+       |  FROM vc),
+       |s AS (
+       |  SELECT CAST(SUM(p2) AS BIGINT) AS u1x2,
+       |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+       |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS tsum
+       |  FROM p)
+       |SELECT n1, n2, u1x2, CAST(n1 * n2 * 2 - u1x2 AS BIGINT) AS u2x2,
+       |  round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+       |    (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+       |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
+       |       CAST(tsum AS DOUBLE) /
+       |       ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+       |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6) AS z
+       |FROM s""".stripMargin
+
+  /** q57_chisq: chi-squared homogeneity of the (source × md5-token-
+    * bucket) contingency table — "do sources share one token
+    * distribution", the test-statistic twin of text_drift's JSD. */
+  private def chisqQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.TextOps.words(col("text"))).as("__w"))
+      .select(col("source"), graft.pipeline.Drift.bucketOf(col("__w")).as("b"))
+    StatTests.chiSquared(toks, "source", "b")
+  }
+
+  private val chisqSql =
+    s"""WITH toks AS (
+       |  SELECT source AS r,
+       |    (('0x' || substring(md5(w), 1, 4))::INT % ${graft.pipeline.Drift.Buckets}) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |o AS (SELECT r, c, COUNT(*) AS o FROM toks GROUP BY 1, 2),
+       |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rtot FROM o GROUP BY 1),
+       |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ctot FROM o GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS ntot FROM o),
+       |grid AS (
+       |  SELECT rt.r, ct.c, rt.rtot, ct.ctot, coalesce(o.o, 0) AS o
+       |  FROM rt CROSS JOIN ct LEFT JOIN o USING (r, c)),
+       |cell AS (
+       |  SELECT g.r, g.c,
+       |    CAST(round((CAST(g.o AS DOUBLE) -
+       |        CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE) / CAST(nn.ntot AS DOUBLE)) *
+       |      (CAST(g.o AS DOUBLE) -
+       |        CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE) / CAST(nn.ntot AS DOUBLE)) /
+       |      (CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE) / CAST(nn.ntot AS DOUBLE))
+       |      * 1e9, 0) AS BIGINT) AS c9,
+       |    nn.ntot
+       |  FROM grid g, nn)
+       |SELECT CAST(SUM(c9) AS BIGINT) AS x2_9,
+       |  CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+       |  CAST(MAX(ntot) AS BIGINT) AS n
+       |FROM cell""".stripMargin
+
+  val caps: Seq[Capability] = Seq(
+    Capability("q55_welch",
+      "pairwise Welch's t-test between group value distributions (exact moments)",
+      welchQ, Some(welchSql)),
+    Capability("q56_mannwhitney",
+      "Mann-Whitney U from per-value counts (exact 2x-scaled U, tie-corrected z)",
+      mwQ, Some(mwSql)),
+    Capability("q57_chisq",
+      "chi-squared homogeneity over the source x token-bucket contingency table",
+      chisqQ, Some(chisqSql)),
+  )
+}

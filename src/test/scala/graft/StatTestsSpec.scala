@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StatTests
+
+/** Closed-form fixtures for the two-sample test family. */
+class StatTestsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("welch t matches the hand-computed statistic and df") {
+    import spark.implicits._
+    // a = {1,2,3}: mean 2, var 1; b = {2,4,6}: mean 4, var 4
+    // se2 = 1/3 + 4/3; t = -2/sqrt(5/3); df = (5/3)^2 / ((1/9+16/9)/2) = 50/17
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 4.0, 6.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = StatTests.welchPairs(df, "g", "v").collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(math.abs(r.getDouble(4) - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 50.0 / 17.0) < 1e-6)
+  }
+
+  test("mann-whitney: fully separated groups and tie handling") {
+    import spark.implicits._
+    val sep = (Seq(1.0, 2.0, 3.0).map(("x", _)) ++ Seq(4.0, 5.0, 6.0).map(("y", _)))
+      .toDF("g", "v")
+    val r = StatTests.mannWhitney(sep, "g", "v", "x", "y").collect().head
+    assert(r.getLong(2) == 0L, "all x below all y -> U1 = 0")
+    assert(r.getLong(3) == 18L) // 2*n1*n2
+    // z = -9 / (2*sqrt(9*7/12))
+    assert(math.abs(r.getDouble(4) - (-9.0 / (2.0 * math.sqrt(5.25)))) < 1e-6)
+
+    val tied = (Seq(1.0, 1.0).map(("x", _)) ++ Seq(1.0, 2.0).map(("y", _)))
+      .toDF("g", "v")
+    val rt = StatTests.mannWhitney(tied, "g", "v", "x", "y").collect().head
+    assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
+  }
+
+  test("chi-squared matches the hand-computed 2x2 statistic incl. zero cells") {
+    import spark.implicits._
+    // counts: (a,x)=10 (a,y)=20 (b,x)=20 (b,y)=10 -> E=15 everywhere,
+    // X^2 = 4 * 25/15 = 20/3
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+        Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = StatTests.chiSquared(rows.toDF("r", "c"), "r", "c").collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 60L)
+    assert(math.abs(r.getLong(0) / 1e9 - 20.0 / 3.0) < 1e-6)
+
+    // zero cell contributes its E: (a,x)=4 (a,y)=0 (b,x)=4 (b,y)=4
+    // rt = 4,8; ct = 8,4; N = 12; E = 8/3, 4/3, 16/3, 8/3
+    // X^2 = (4-8/3)^2/(8/3) + (4/3)^2/(4/3) + (4-16/3)^2/(16/3) + (4-8/3)^2/(8/3)
+    val z = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))
+    val rz = StatTests.chiSquared(z.toDF("r", "c"), "r", "c").collect().head
+    val e = Seq((4.0, 8.0 / 3), (0.0, 4.0 / 3), (4.0, 16.0 / 3), (4.0, 8.0 / 3))
+    val expect = e.map { case (o, ee) => (o - ee) * (o - ee) / ee }.sum
+    assert(math.abs(rz.getLong(0) / 1e9 - expect) < 1e-6,
+      s"got ${rz.getLong(0) / 1e9}, want $expect")
+  }
+}
