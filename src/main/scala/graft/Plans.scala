@@ -95,7 +95,18 @@ object Plans {
       "pipeline_scd2",           // one id exchange, two windows
       "q48_sketch_overlap",      // sketch algebra over per-segment artifacts
       "events_funnel_latency",   // funnel stage windows + grouped rank selection
-      "q49_interarrival")        // one lag window + grouped rank selection
+      "q49_interarrival",        // one lag window + grouped rank selection
+      "q50_acf",                 // one window for ALL lags + (key,lag) aggregate
+      "q51_intervals",           // gaps-and-islands: O(1) window state, no arrays
+      "q52_cusum",               // scaled-long argmax, broadcast totals join
+      "q53_cms_topk",            // per-day CMS artifacts merged, codegen probe
+      "pipeline_nb_classify",    // bounded model frame join, long-summed terms
+      "ann_pca",                 // one Gram pass, driver eigen on 33 KB
+      "ann_pca_project",         // literal-folded component, zero shuffle
+      "ann_rp",                  // md5-derived sign matrix, narrow fan-out
+      "q55_welch",               // broadcast moment pairs
+      "q56_mannwhitney",         // distinct-value frame window only
+      "q57_chisq")               // marginal-bounded dense grid
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

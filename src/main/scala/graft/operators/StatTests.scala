@@ -84,6 +84,39 @@ object StatTests {
         .as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov: D = max_v |F1(v) − F2(v)| located in
+    * PURE INTEGER arithmetic — over per-value counts, the numerator
+    * |cum1·n2 − cum2·n1| is an exact long and D divides out once at the
+    * end (round@9), with the √(n1·n2/(n1+n2))·D significance statistic
+    * round@6. Same distinct-value-frame shape as [[mannWhitney]]; no
+    * row is ever ranked or sorted globally. */
+  def ksTest(df: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val vc = df.filter(col(valCol).isNotNull &&
+        (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(when(col("g") === ga, 1)).as("c1"),
+        count(when(col("g") === gb, 1)).as("c2"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val top = vc
+      .withColumn("__cum1", sum(col("c1")).over(w))
+      .withColumn("__cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("__cum1") * col("n2") - col("__cum2") * col("n1")).as("__dn"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("__dn")).as("d_num"))
+    def dD(c: Column) = c.cast("double")
+    val d = dD(col("d_num")) / (dD(col("n1")) * dD(col("n2")))
+    top.select(col("n1"), col("n2"), col("d_num"),
+      round(d, 9).as("d"),
+      round(sqrt(dD(col("n1")) * dD(col("n2")) /
+        (dD(col("n1")) + dD(col("n2")))) * d, 6).as("ks_stat"))
+  }
+
   /** Chi-squared homogeneity over the (rowCol × colCol) contingency
     * table: X² = Σ (O−E)²/E with E = rowTot·colTot/N, over the DENSE
     * grid (an unobserved cell still contributes its E). Observed counts

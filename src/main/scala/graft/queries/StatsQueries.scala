@@ -75,6 +75,38 @@ object StatsQueries {
        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6) AS z
        |FROM s""".stripMargin
 
+  /** q58_ks: two-sample Kolmogorov–Smirnov between the $MwA and $MwB
+    * value distributions — the D location is pure integer arithmetic
+    * over per-value counts (exact d_num = max|cum1·n2 − cum2·n1|), one
+    * division at the end. */
+  private def ksQ(s: SparkSession, d: String): DataFrame =
+    StatTests.ksTest(Tables.events(s, d), "event_type", "value", MwA, MwB)
+
+  private val ksSql =
+    s"""WITH vc AS (
+       |  SELECT CAST(value AS DOUBLE) AS v,
+       |    COUNT(*) FILTER (event_type = '$MwA') AS c1,
+       |    COUNT(*) FILTER (event_type = '$MwB') AS c2
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')
+       |  GROUP BY 1),
+       |cums AS (
+       |  SELECT
+       |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+       |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+       |  FROM vc),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM vc),
+       |top AS (
+       |  SELECT t.n1, t.n2,
+       |    CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num
+       |  FROM cums, tot t GROUP BY 1, 2)
+       |SELECT n1, n2, d_num,
+       |  round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d,
+       |  round(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+       |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+       |    (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS ks_stat
+       |FROM top""".stripMargin
+
   /** q57_chisq: chi-squared homogeneity of the (source × md5-token-
     * bucket) contingency table — "do sources share one token
     * distribution", the test-statistic twin of text_drift's JSD. */
@@ -123,5 +155,8 @@ object StatsQueries {
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
+    Capability("q58_ks",
+      "two-sample Kolmogorov-Smirnov D (integer-exact numerator, one division)",
+      ksQ, Some(ksSql)),
   )
 }

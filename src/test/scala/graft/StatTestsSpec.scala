@@ -36,6 +36,22 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
   }
 
+  test("kolmogorov-smirnov: separated groups give D = 1, ties stay exact") {
+    import spark.implicits._
+    val sep = (Seq(1.0, 2.0).map(("x", _)) ++ Seq(3.0, 4.0).map(("y", _)))
+      .toDF("g", "v")
+    val r = StatTests.ksTest(sep, "g", "v", "x", "y").collect().head
+    assert(r.getLong(2) == 4L, "d_num = n1*n2 when fully separated")
+    assert(r.getDouble(3) == 1.0)
+    // interleaved with a tie: x={1,3}, y={1,5}
+    // v=1: F1=1/2, F2=1/2; v=3: F1=1, F2=1/2 -> D=1/2; d_num=|2*2-1*2|=2
+    val mix = (Seq(1.0, 3.0).map(("x", _)) ++ Seq(1.0, 5.0).map(("y", _)))
+      .toDF("g", "v")
+    val rm = StatTests.ksTest(mix, "g", "v", "x", "y").collect().head
+    assert(rm.getLong(2) == 2L, s"d_num should be 2, got ${rm.getLong(2)}")
+    assert(rm.getDouble(3) == 0.5)
+  }
+
   test("chi-squared matches the hand-computed 2x2 statistic incl. zero cells") {
     import spark.implicits._
     // counts: (a,x)=10 (a,y)=20 (b,x)=20 (b,y)=10 -> E=15 everywhere,
