@@ -938,4 +938,59 @@ class StreamingSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  test("streaming CMS shard states union to the batch frequency sketch") {
+    import org.apache.spark.sql.types._
+    import graft.functions.expr.{CountMinAgg, CountMinEstimate, CountMinUnionAgg}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toFile
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    // two files → two micro-batches, so shard states really accumulate
+    val half = ev.filter(col("user_id") % 2 === 0)
+    half.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    ev.filter(col("user_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+      val states = graft.streaming.StreamingCms
+        .sketchStream(spark, stream, "user_id", numShards = 4)
+      val query = states.writeStream
+        .format("memory").queryName("graft_cms_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        import spark.implicits._
+        // latest state per shard → union → one merged artifact
+        val latest = spark.table("graft_cms_stream")
+          .orderBy(col("shard"), col("seq").desc)
+          .collect().groupBy(_.getLong(0))
+          .map { case (_, rows) => rows.head.getAs[Array[Byte]]("state") }
+          .toSeq.toDF("state")
+        val merged = latest.agg(CountMinUnionAgg(col("state")).as("s"))
+        val batchState = ev.agg(CountMinAgg(col("user_id")).as("s"))
+        def estimates(stateDf: org.apache.spark.sql.DataFrame) =
+          ev.distinct().crossJoin(broadcast(stateDf))
+            .select(col("user_id"),
+              CountMinEstimate(col("s"), xxhash64(col("user_id"))).as("est"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val se = estimates(merged)
+        val be = estimates(batchState)
+        assert(se.nonEmpty && se == be,
+          s"streamed-union estimates diverge: ${se.toSeq.diff(be.toSeq).take(5)}")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
