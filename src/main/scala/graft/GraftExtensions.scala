@@ -57,6 +57,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.expr.DistinctSketchSingleton].getName,
         "graft_sketch_singleton"),
       GraftFunctions.sketchSingletonBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(
+        classOf[graft.functions.expr.CountMinAgg].getName, "graft_count_min"),
+      GraftFunctions.countMinBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_count_min_union"),
+      new ExpressionInfo(
+        classOf[graft.functions.expr.CountMinUnionAgg].getName,
+        "graft_count_min_union"),
+      GraftFunctions.countMinUnionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_count_min_estimate"),
+      new ExpressionInfo(
+        classOf[graft.functions.expr.CountMinEstimate].getName,
+        "graft_count_min_estimate"),
+      GraftFunctions.countMinEstimateBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_gram_matrix"),
+      new ExpressionInfo(
+        classOf[graft.functions.expr.GramMatrixAgg].getName, "graft_gram_matrix"),
+      GraftFunctions.gramMatrixBuilder))
   }
 }
 
@@ -177,6 +199,59 @@ object GraftFunctions {
     }
   }
 
+  /** `graft_count_min(col [, exactCap, depth, width])` — mergeable
+    * Count-Min frequency state. */
+  val countMinBuilder: Seq[Expression] => Expression = exprs => {
+    import graft.functions.expr.CountMinAgg
+    exprs match {
+      case Seq(c) => CountMinAgg(c).toAggregateExpression()
+      case Seq(c, cap, d, w) =>
+        CountMinAgg(c, intLitOf(cap, "graft_count_min exactCap"),
+          intLitOf(d, "graft_count_min depth"),
+          intLitOf(w, "graft_count_min width")).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_count_min takes (col) or (col, exactCap, depth, width)")
+    }
+  }
+
+  /** `graft_count_min_union(state [, exactCap, depth, width])`. */
+  val countMinUnionBuilder: Seq[Expression] => Expression = exprs => {
+    import graft.functions.expr.CountMinUnionAgg
+    exprs match {
+      case Seq(c) => CountMinUnionAgg(c).toAggregateExpression()
+      case Seq(c, cap, d, w) =>
+        CountMinUnionAgg(c, intLitOf(cap, "graft_count_min_union exactCap"),
+          intLitOf(d, "graft_count_min_union depth"),
+          intLitOf(w, "graft_count_min_union width")).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_count_min_union takes (state) or (state, exactCap, depth, width)")
+    }
+  }
+
+  /** `graft_count_min_estimate(state, xxhash64(key) [, exactCap, depth,
+    * width])`. */
+  val countMinEstimateBuilder: Seq[Expression] => Expression = exprs => {
+    import graft.functions.expr.CountMinEstimate
+    exprs match {
+      case Seq(s, h) => CountMinEstimate(s, h)
+      case Seq(s, h, cap, d, w) =>
+        CountMinEstimate(s, h, intLitOf(cap, "graft_count_min_estimate exactCap"),
+          intLitOf(d, "graft_count_min_estimate depth"),
+          intLitOf(w, "graft_count_min_estimate width"))
+      case _ => throw new IllegalArgumentException(
+        "graft_count_min_estimate takes (state, hash) or (state, hash, exactCap, depth, width)")
+    }
+  }
+
+  /** `graft_gram_matrix(vec, dim)` — exact integer Gram/moment state. */
+  val gramMatrixBuilder: Seq[Expression] => Expression = exprs => {
+    import graft.functions.expr.GramMatrixAgg
+    require(exprs.length == 2,
+      "graft_gram_matrix takes (vec, dim literal)")
+    GramMatrixAgg(exprs.head, intLitOf(exprs(1), "graft_gram_matrix dim"))
+      .toAggregateExpression()
+  }
+
   private def intLitOf(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
@@ -200,6 +275,10 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "graft_sketch_union", sketchUnionBuilder)
     Bridge.registerFunction(spark, "graft_sketch_estimate", sketchEstimateBuilder)
     Bridge.registerFunction(spark, "graft_sketch_singleton", sketchSingletonBuilder)
+    Bridge.registerFunction(spark, "graft_count_min", countMinBuilder)
+    Bridge.registerFunction(spark, "graft_count_min_union", countMinUnionBuilder)
+    Bridge.registerFunction(spark, "graft_count_min_estimate", countMinEstimateBuilder)
+    Bridge.registerFunction(spark, "graft_gram_matrix", gramMatrixBuilder)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -71,6 +71,24 @@ class CountMinSpec extends AnyFunSuite {
       "artifact union must give the same estimates as one global pass")
   }
 
+  test("SQL surface: graft_count_min / _union / _estimate match the column API") {
+    val df = fixture
+    df.createOrReplaceTempView("cms_fixture")
+    val viaSql = spark.sql(
+      """SELECT k, graft_count_min_estimate(s, xxhash64(k)) AS est FROM (
+        |  SELECT graft_count_min(k) AS s FROM cms_fixture
+        |) CROSS JOIN (SELECT DISTINCT k FROM cms_fixture)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 40).foreach(k => assert(viaSql(k.toLong) == k.toLong, s"key $k via SQL"))
+    // union path: per-group states merged in SQL
+    val viaUnion = spark.sql(
+      """SELECT graft_count_min_estimate(u, xxhash64(CAST(40 AS BIGINT))) AS est
+        |FROM (SELECT graft_count_min_union(s) AS u FROM (
+        |  SELECT g, graft_count_min(k) AS s FROM cms_fixture GROUP BY g))""".stripMargin)
+      .head().getLong(0)
+    assert(viaUnion == 40L)
+  }
+
   test("serialization round-trips both tiers") {
     import CountMinAgg.Buf
     val exact = new Buf(100, 5, 64)
