@@ -106,7 +106,8 @@ object Plans {
       "ann_rp",                  // md5-derived sign matrix, narrow fan-out
       "q55_welch",               // broadcast moment pairs
       "q56_mannwhitney",         // distinct-value frame window only
-      "q57_chisq")               // marginal-bounded dense grid
+      "q57_chisq",               // marginal-bounded dense grid
+      "q58_ks")                  // distinct-value cumsums, integer D argmax
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

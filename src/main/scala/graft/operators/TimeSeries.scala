@@ -28,8 +28,9 @@ object TimeSeries {
     * (`tsCol`, `idCol`)) and its lag-k shift, computed from exact
     * decimal moments over the (x_i, x_{i-k}) pair set. One window
     * exchange on the key computes ALL lags (lag(v,1)..lag(v,maxLag) in
-    * the same frame), then one hash aggregate on (key, lag) — two
-    * exchanges total regardless of `maxLag`.
+    * the same frame); the (key, lag) hash aggregate REUSES that
+    * exchange (hash(key) already clusters (key, lag)) — ONE exchange
+    * total regardless of `maxLag`, PlanSpec-pinned.
     *
     * NULL values are dropped before lagging (the series is the observed
     * sample sequence). Keys with fewer than `minPairs` pairs at a lag,
@@ -83,8 +84,9 @@ object TimeSeries {
     * The classic one-window formulation: a running max of `end` over
     * strictly-preceding rows (ordered by (start, id)) marks island
     * breaks where `start > cummax`, and a running sum of break flags
-    * numbers the islands — integer-exact, one exchange on the key plus
-    * one aggregate on (key, island). Per-row state is O(1); islands
+    * numbers the islands — integer-exact; the (key, island) aggregate
+    * reuses the window's key exchange, so ONE exchange serves both.
+    * Per-row state is O(1); islands
     * never materialize as arrays, so a key with a million intervals
     * costs the same per-row work as one with ten. */
   def mergeIntervals(

@@ -501,4 +501,55 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("q50_acf/q51_intervals: the grouped aggregate REUSES the window's key exchange") {
+    // hash(key) already clusters (key, lag)/(key, island): one hash
+    // exchange serves the window AND the downstream aggregate; a second
+    // one appearing means the subsumption broke
+    for (name <- Seq("q50_acf", "q51_intervals")) {
+      val plan = executedPlan(name).split("== Initial Plan ==")(0)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx == 1, s"$name: expected 1 reused hash exchange, got $hashEx:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+  }
+
+  test("projections are narrow: ann_pca_project / ann_rp plan zero hash exchanges") {
+    for (name <- Seq("ann_pca_project", "ann_rp")) {
+      val plan = executedPlan(name).split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must be a narrow projection; got:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+  }
+
+  test("q53_cms_topk: the merged artifact broadcasts and the sink is top-k") {
+    val plan = executedPlan("q53_cms_topk").split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+order must plan as top-k sink:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row merged state must ride a broadcast")
+  }
+
+  test("pipeline_nb_classify: model joins are hash joins, never sort-merge on tokens") {
+    val plan = executedPlan("pipeline_nb_classify").split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded count frame must hash-join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "token-side joins must not sort the fan-out:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q56/q58: the only unpartitioned window runs over the distinct-value frame") {
+    // the window input must be the (value, c1, c2) AGGREGATE, never raw
+    // rows: a HashAggregate must appear BELOW the Window in the tree
+    for (name <- Seq("q56_mannwhitney", "q58_ks")) {
+      val plan = executedPlan(name).split("== Initial Plan ==")(0)
+      val lines = plan.linesIterator.toSeq
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      assert(winIdx >= 0, s"$name should plan a Window")
+      assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+        s"$name: the window must consume the per-value aggregate, not raw rows")
+    }
+  }
 }
