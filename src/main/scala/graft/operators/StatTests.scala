@@ -117,6 +117,56 @@ object StatTests {
         (dD(col("n1")) + dD(col("n2")))) * d, 6).as("ks_stat"))
   }
 
+  /** Two-regressor least squares with intercept: y on (1, x2, x3),
+    * solved in closed form from exact decimal moments via Cramer's rule
+    * on the 3×3 normal equations (the builtin regr_* family is
+    * single-feature). Determinants, coefficients and R² are each ONE
+    * fixed-order IEEE expression over the exact moments — no iterative
+    * solver, no residual pass; ONE scalar-aggregate exchange and a
+    * 1-row model regardless of input size.
+    * Output: (n, b0, b1, b2, r2), coefficients round@9. */
+  def ols2(df: DataFrame, x2Col: String, x3Col: String, yCol: String): DataFrame = {
+    val src = df.select(
+      col(x2Col).cast("double").as("x2"),
+      col(x3Col).cast("double").as("x3"),
+      col(yCol).cast("double").as("y"))
+    val m = src.agg(
+      count(lit(1)).cast("double").as("n"),
+      Det.dsum(col("x2")).as("s2"), Det.dsum(col("x3")).as("s3"),
+      Det.dsum(col("x2") * col("x2")).as("s22"),
+      Det.dsum(col("x2") * col("x3")).as("s23"),
+      Det.dsum(col("x3") * col("x3")).as("s33"),
+      Det.dsum(col("y")).as("sy"),
+      Det.dsum(col("x2") * col("y")).as("s2y"),
+      Det.dsum(col("x3") * col("y")).as("s3y"),
+      Det.dsum(col("y") * col("y")).as("syy"))
+    def c(s: String): Column = col(s)
+    val det = c("n") * (c("s22") * c("s33") - c("s23") * c("s23")) -
+      c("s2") * (c("s2") * c("s33") - c("s23") * c("s3")) +
+      c("s3") * (c("s2") * c("s23") - c("s22") * c("s3"))
+    val det1 = c("sy") * (c("s22") * c("s33") - c("s23") * c("s23")) -
+      c("s2") * (c("s2y") * c("s33") - c("s23") * c("s3y")) +
+      c("s3") * (c("s2y") * c("s23") - c("s22") * c("s3y"))
+    val det2 = c("n") * (c("s2y") * c("s33") - c("s23") * c("s3y")) -
+      c("sy") * (c("s2") * c("s33") - c("s23") * c("s3")) +
+      c("s3") * (c("s2") * c("s3y") - c("s2y") * c("s3"))
+    val det3 = c("n") * (c("s22") * c("s3y") - c("s2y") * c("s23")) -
+      c("s2") * (c("s2") * c("s3y") - c("s2y") * c("s3")) +
+      c("sy") * (c("s2") * c("s23") - c("s22") * c("s3"))
+    val b0 = det1 / det
+    val b1 = det2 / det
+    val b2 = det3 / det
+    val sse = c("syy") -
+      lit(2.0) * (b0 * c("sy") + b1 * c("s2y") + b2 * c("s3y")) +
+      (b0 * b0 * c("n") + b1 * b1 * c("s22") + b2 * b2 * c("s33") +
+        lit(2.0) * b0 * b1 * c("s2") + lit(2.0) * b0 * b2 * c("s3") +
+        lit(2.0) * b1 * b2 * c("s23"))
+    val sst = c("syy") - c("sy") * c("sy") / c("n")
+    m.select(c("n").cast("long").as("n"),
+      round(b0, 9).as("b0"), round(b1, 9).as("b1"), round(b2, 9).as("b2"),
+      round(lit(1.0) - sse / sst, 9).as("r2"))
+  }
+
   /** Chi-squared homogeneity over the (rowCol × colCol) contingency
     * table: X² = Σ (O−E)²/E with E = rowTot·colTot/N, over the DENSE
     * grid (an unobserved cell still contributes its E). Observed counts

@@ -145,6 +145,57 @@ object StatsQueries {
        |  CAST(MAX(ntot) AS BIGINT) AS n
        |FROM cell""".stripMargin
 
+  /** q59_ols_multi: MULTIVARIATE least squares — price on (1, quantity,
+    * discount) — solved in closed form from exact decimal moments via
+    * Cramer's rule on the 3×3 normal equations (the builtin regr_*
+    * family is single-feature only; q02g). Every moment is an exact
+    * decimal sum, the determinants and R² are ONE fixed-order IEEE
+    * expression tree each, mirrored verbatim in the oracle — no
+    * iterative solver, no per-row residual pass. One scalar-aggregate
+    * exchange; the model is 1 row no matter the table size. */
+  private def olsQ(s: SparkSession, d: String): DataFrame =
+    StatTests.ols2(Tables.lineitem(s, d),
+      "l_quantity", "l_discount", "l_extendedprice")
+
+  private val olsSql = {
+    val det =
+      """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
+        | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    val det1 =
+      """(sy * (s22 * s33 - s23 * s23) - s2 * (s2y * s33 - s23 * s3y)
+        | + s3 * (s2y * s23 - s22 * s3y))""".stripMargin.replace("\n", "")
+    val det2 =
+      """(n * (s2y * s33 - s23 * s3y) - sy * (s2 * s33 - s23 * s3)
+        | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
+    val det3 =
+      """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
+        | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    s"""WITH src AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x2,
+       |    CAST(l_discount AS DOUBLE) AS x3,
+       |    CAST(l_extendedprice AS DOUBLE) AS y
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${Det.sqlSum("x2")} AS s2, ${Det.sqlSum("x3")} AS s3,
+       |    ${Det.sqlSum("x2 * x2")} AS s22, ${Det.sqlSum("x2 * x3")} AS s23,
+       |    ${Det.sqlSum("x3 * x3")} AS s33, ${Det.sqlSum("y")} AS sy,
+       |    ${Det.sqlSum("x2 * y")} AS s2y, ${Det.sqlSum("x3 * y")} AS s3y,
+       |    ${Det.sqlSum("y * y")} AS syy
+       |  FROM src),
+       |b AS (
+       |  SELECT n, sy, s2y, s3y, syy, s2, s3, s22, s23, s33,
+       |    $det1 / $det AS b0, $det2 / $det AS b1, $det3 / $det AS b2
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  round(b0, 9) AS b0, round(b1, 9) AS b1, round(b2, 9) AS b2,
+       |  round(1.0 - (syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
+       |    (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+       |     2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 + 2.0 * b1 * b2 * s23)) /
+       |    (syy - sy * sy / n), 9) AS r2
+       |FROM b""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -158,5 +209,8 @@ object StatsQueries {
     Capability("q58_ks",
       "two-sample Kolmogorov-Smirnov D (integer-exact numerator, one division)",
       ksQ, Some(ksSql)),
+    Capability("q59_ols_multi",
+      "multivariate OLS: Cramer closed form on exact-moment normal equations + R2",
+      olsQ, Some(olsSql)),
   )
 }

@@ -36,6 +36,19 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
   }
 
+  test("ols2 recovers an exact plane: y = 2 + 3*x2 - 5*x3, R2 = 1") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, 1.0))
+    val df = pts.map { case (x2, x3) => (x2, x3, 2.0 + 3.0 * x2 - 5.0 * x3) }
+      .toDF("x2", "x3", "y")
+    val r = StatTests.ols2(df, "x2", "x3", "y").collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-8, s"b0 = ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-8, s"b1 = ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - (-5.0)) < 1e-8, s"b2 = ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-8, s"r2 = ${r.getDouble(4)}")
+  }
+
   test("kolmogorov-smirnov: separated groups give D = 1, ties stay exact") {
     import spark.implicits._
     val sep = (Seq(1.0, 2.0).map(("x", _)) ++ Seq(3.0, 4.0).map(("y", _)))
