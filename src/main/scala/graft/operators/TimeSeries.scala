@@ -107,6 +107,60 @@ object TimeSeries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Classical additive seasonal decomposition per key over an hourly
+    * grid: level = per-(key, hour-bucket) decimal mean of the raw
+    * values; trend = centered moving average of the level over
+    * ±`half` buckets (NULL until the window is full — the classical
+    * edge convention); seasonal = per-(key, hour-of-day) decimal mean
+    * of the detrended level; residual = level − trend − seasonal.
+    * The level takes ONE division+round into 1e-9-scaled longs and the
+    * rest of the decomposition is exact integer arithmetic between
+    * roundings, so the whole chain replays in SQL bit-for-bit.
+    *
+    * Exchanges: one (key, bucket) aggregate, one key window for the
+    * trend (the seasonal (key, hour) aggregate reuses its exchange),
+    * and a broadcast join of the (key × 24)-row seasonal frame back to
+    * the buckets. Per-row window state is `2·half + 1` longs.
+    *
+    * Output: (key, b, level, trend, seasonal, residual) — b the hour
+    * bucket timestamp-µs; trend/residual NULL at the edges. */
+  def seasonalDecompose(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      half: Int = 12): DataFrame = {
+    require(half >= 1, s"half must be >= 1, got $half")
+    val width = 2 * half + 1
+    // level in 1e-9 units: ONE division+round per bucket, then the whole
+    // decomposition stays in exact long arithmetic between roundings
+    // (re-casting a rounded double to decimal risks tie-direction skew;
+    // integers don't)
+    val buckets = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol),
+        (expr(s"unix_micros(date_trunc('hour', $tsCol))")).as("b"),
+        col(valCol).cast("double").as("__x"))
+      .groupBy(col(keyCol), col("b"))
+      .agg(round(graft.Det.dsum(col("__x")) / count(lit(1)) * 1e9, 0)
+        .cast("long").as("__l9"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+      .rowsBetween(-half, half)
+    val trended = buckets
+      .withColumn("__t9",
+        when(count(lit(1)).over(w) === width,
+          round(sum(col("__l9")).over(w).cast("double") /
+            lit(width.toDouble), 0).cast("long")))
+    val seasonal = trended
+      .filter(col("__t9").isNotNull)
+      .groupBy(col(keyCol), expr("hour(timestamp_micros(b))").as("__h"))
+      .agg(round(sum(col("__l9") - col("__t9")).cast("double") /
+        count(lit(1)).cast("double"), 0).cast("long").as("__s9"))
+    def out9(c: Column) = round(c.cast("double") / 1e9, 9)
+    trended
+      .withColumn("__h", expr("hour(timestamp_micros(b))"))
+      .join(broadcast(seasonal), Seq(keyCol, "__h"), "left")
+      .select(col(keyCol), col("b"), out9(col("__l9")).as("level"),
+        out9(col("__t9")).as("trend"), out9(col("__s9")).as("seasonal"),
+        out9(col("__l9") - col("__t9") - col("__s9")).as("residual"))
+  }
+
   /** CUSUM change-point location per key: with the series x_1..x_n
     * (ordered by (`tsCol`, `idCol`), NULLs dropped) and mean μ, the
     * cumulative sum S_i = Σ_{j≤i}(x_j − μ) peaks in magnitude at the

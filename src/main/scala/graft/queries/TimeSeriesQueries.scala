@@ -147,6 +147,48 @@ object TimeSeriesQueries {
       |  round(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS cusum_stat
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  private val SeasonalHalf = 12
+
+  /** Q60: classical additive seasonal decomposition of the per-type
+    * hourly value series — level / centered-25 trend / hour-of-day
+    * seasonal / residual, all in 1e-9-scaled integer arithmetic between
+    * roundings. */
+  private def seasonalQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.seasonalDecompose(
+        Tables.events(s, d), "event_type", "ts", "value", SeasonalHalf)
+      .orderBy(col("event_type"), col("b"))
+
+  private val seasonalSql = {
+    val width = 2 * SeasonalHalf + 1
+    s"""WITH buckets AS (
+       |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS b,
+       |    CAST(round(${Det.sqlSum("CAST(value AS DOUBLE)")} / COUNT(*) * 1e9, 0)
+       |      AS BIGINT) AS l9
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT event_type, b, l9,
+       |    CASE WHEN COUNT(*) OVER w = $width
+       |         THEN CAST(round(CAST(SUM(l9) OVER w AS DOUBLE) /
+       |           ${width.toDouble}, 0) AS BIGINT) END AS t9
+       |  FROM buckets
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+       |    ROWS BETWEEN $SeasonalHalf PRECEDING AND $SeasonalHalf FOLLOWING)),
+       |se AS (
+       |  SELECT event_type, hour(make_timestamp(b)) AS h,
+       |    CAST(round(CAST(SUM(l9 - t9) AS DOUBLE) /
+       |      CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) AS s9
+       |  FROM tr WHERE t9 IS NOT NULL GROUP BY 1, 2)
+       |SELECT tr.event_type, tr.b,
+       |  round(CAST(tr.l9 AS DOUBLE) / 1e9, 9) AS level,
+       |  round(CAST(tr.t9 AS DOUBLE) / 1e9, 9) AS trend,
+       |  round(CAST(se.s9 AS DOUBLE) / 1e9, 9) AS seasonal,
+       |  round(CAST(tr.l9 - tr.t9 - se.s9 AS DOUBLE) / 1e9, 9) AS residual
+       |FROM tr LEFT JOIN se
+       |  ON se.event_type = tr.event_type AND se.h = hour(make_timestamp(tr.b))
+       |ORDER BY tr.event_type, tr.b""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q50_acf",
       "autocorrelation at lags 1-3 per series: exact-moment guarded Pearson",
@@ -157,5 +199,8 @@ object TimeSeriesQueries {
     Capability("q52_cusum",
       "CUSUM change-point location per series (scaled-long exact argmax)",
       cusumQ, Some(cusumSql)),
+    Capability("q60_seasonal",
+      "additive seasonal decomposition: level/trend/seasonal/residual, integer-exact",
+      seasonalQ, Some(seasonalSql)),
   )
 }

@@ -78,6 +78,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 25.0) < 1e-6)
   }
 
+  test("seasonalDecompose recovers a planted alternating season over a flat base") {
+    import spark.implicits._
+    // 5 days x 24 hourly points, value = 100 ± 5 alternating by hour:
+    // no trend, zero-sum period-24 season
+    val baseUs = 1700000000L * 1000000L
+    val df = (0 until 120).map { i =>
+      ("a", new java.sql.Timestamp((baseUs + i * 3600L * 1000000L) / 1000L),
+        100.0 + (if (i % 2 == 0) 5.0 else -5.0))
+    }.toDF("k", "ts", "v")
+    val out = TimeSeries.seasonalDecompose(df, "k", "ts", "v", half = 12)
+      .orderBy("b").collect()
+    assert(out.length == 120)
+    val full = out.filter(!_.isNullAt(3)) // rows with a full trend window
+    assert(full.length == 120 - 24, "edges must have NULL trend")
+    full.foreach { r =>
+      val (level, trend, seasonal, residual) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // level is the raw value (one event per bucket)
+      assert(math.abs(math.abs(level - 100.0) - 5.0) < 1e-9)
+      // width-25 MA over a zero-sum period-24 season: base + season/25
+      assert(math.abs(trend - 100.0) <= 5.0 / 25.0 + 1e-9,
+        s"trend $trend strays from the flat base")
+      // seasonal carries the planted sign at ~24/25 of the amplitude
+      val planted = if (level > 100.0) 5.0 else -5.0
+      assert(seasonal * planted > 0.0, s"seasonal $seasonal vs planted $planted")
+      assert(math.abs(seasonal) > 4.0 && math.abs(seasonal) < 5.0)
+      // additive identity holds to output rounding
+      assert(math.abs(level - (trend + seasonal + residual)) < 3e-9)
+    }
+  }
+
   test("cusum tie-breaks to the first peak position") {
     import spark.implicits._
     // symmetric bump: 0,10,0 -> S_1 = -10/3*... compute: mean = 10/3
