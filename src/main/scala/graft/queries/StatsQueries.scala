@@ -196,6 +196,35 @@ object StatsQueries {
        |FROM b""".stripMargin
   }
 
+  private val BootstrapR = 32
+
+  /** q61_bootstrap: Poisson-bootstrap uncertainty for the mean event
+    * value — $BootstrapR deterministic replicates whose spread IS the
+    * sampling distribution of the mean. Weight assignment is exact
+    * integer threshold comparison on md5 uniforms; one replicate-keyed
+    * aggregate, no per-replicate pass. */
+  private def bootstrapQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bootstrap.meansCI(
+        Tables.events(s, d), "event_id", "value", BootstrapR)
+      .orderBy(col("r"))
+
+  private val bootstrapSql = {
+    val ts = graft.operators.Bootstrap.Thresholds
+    val wCase = ts.zipWithIndex.reverse.foldLeft(s"${ts.length}") {
+      case (acc, (t, k)) => s"CASE WHEN u < $t THEN $k ELSE $acc END"
+    }
+    s"""WITH fan AS (
+       |  SELECT r.range AS r, CAST(value AS DOUBLE) AS x,
+       |    ('0x' || substring(md5(event_id || '_' || r.range), 1, 12))::BIGINT AS u
+       |  FROM events, range($BootstrapR) r
+       |  WHERE value IS NOT NULL),
+       |w AS (SELECT r, x, CAST($wCase AS BIGINT) AS w FROM fan)
+       |SELECT r, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  round(${Det.sqlSum("CAST(w AS DOUBLE) * x")} /
+       |    CAST(SUM(w) AS DOUBLE), 9) AS mean
+       |FROM w GROUP BY r ORDER BY r""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -212,5 +241,8 @@ object StatsQueries {
     Capability("q59_ols_multi",
       "multivariate OLS: Cramer closed form on exact-moment normal equations + R2",
       olsQ, Some(olsSql)),
+    Capability("q61_bootstrap",
+      s"Poisson bootstrap: $BootstrapR deterministic replicate means (exact integer weights)",
+      bootstrapQ, Some(bootstrapSql)),
   )
 }

@@ -36,6 +36,32 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
   }
 
+  test("poisson bootstrap: deterministic replicates centered on the true mean") {
+    import spark.implicits._
+    val n = 2000
+    // values 1..n: true mean (n+1)/2, sd ~ n/sqrt(12)
+    val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val reps = graft.operators.Bootstrap.meansCI(df, "id", "v", 16)
+      .orderBy("r").collect()
+    assert(reps.length == 16)
+    val trueMean = (n + 1) / 2.0
+    val se = (n / math.sqrt(12.0)) / math.sqrt(n.toDouble) // sd/sqrt(n)
+    reps.foreach { r =>
+      // n_eff ~ Poisson(n): within 5 sigma of n
+      assert(math.abs(r.getLong(1) - n) < 5 * math.sqrt(n.toDouble),
+        s"replicate ${r.getInt(0)} n_eff ${r.getLong(1)}")
+      // each replicate mean within 6 standard errors of the truth
+      assert(math.abs(r.getDouble(2) - trueMean) < 6 * se,
+        s"replicate ${r.getInt(0)} mean ${r.getDouble(2)} vs $trueMean")
+    }
+    // the replicates actually vary (it IS a resampling distribution)...
+    assert(reps.map(_.getDouble(2)).distinct.length > 1)
+    // ...and re-running reproduces them bit-for-bit
+    val again = graft.operators.Bootstrap.meansCI(df, "id", "v", 16)
+      .orderBy("r").collect()
+    assert(reps.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+  }
+
   test("ols2 recovers an exact plane: y = 2 + 3*x2 - 5*x3, R2 = 1") {
     import spark.implicits._
     val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, 1.0))
