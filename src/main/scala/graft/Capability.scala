@@ -30,6 +30,7 @@ object Registry {
       queries.TimeSeriesQueries.caps ++
       queries.SketchQueries.caps ++
       queries.StatsQueries.caps ++
+      queries.BasketQueries.caps ++
       pipeline.DedupQueries.caps ++
       pipeline.SimilarityQueries.caps ++
       pipeline.TextQueries.caps ++
