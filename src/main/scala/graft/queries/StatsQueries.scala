@@ -157,7 +157,9 @@ object StatsQueries {
     StatTests.ols2(Tables.lineitem(s, d),
       "l_quantity", "l_discount", "l_extendedprice")
 
-  private val olsSql = {
+  /** The OLS moment/solve CTE chain (src → m → b) over lineitem rows
+    * matching `where` — shared by the q59 gate and the conformal gate. */
+  private def olsCtes(where: String): String = {
     val det =
       """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
         | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
@@ -174,7 +176,7 @@ object StatsQueries {
        |  SELECT CAST(l_quantity AS DOUBLE) AS x2,
        |    CAST(l_discount AS DOUBLE) AS x3,
        |    CAST(l_extendedprice AS DOUBLE) AS y
-       |  FROM lineitem),
+       |  FROM lineitem$where),
        |m AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |    ${Det.sqlSum("x2")} AS s2, ${Det.sqlSum("x3")} AS s3,
@@ -186,7 +188,11 @@ object StatsQueries {
        |b AS (
        |  SELECT n, sy, s2y, s3y, syy, s2, s3, s22, s23, s33,
        |    $det1 / $det AS b0, $det2 / $det AS b1, $det3 / $det AS b2
-       |  FROM m)
+       |  FROM m)""".stripMargin
+  }
+
+  private lazy val olsSql =
+    s"""${olsCtes("")}
        |SELECT CAST(n AS BIGINT) AS n,
        |  round(b0, 9) AS b0, round(b1, 9) AS b1, round(b2, 9) AS b2,
        |  round(1.0 - (syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
@@ -194,7 +200,71 @@ object StatsQueries {
        |     2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 + 2.0 * b1 * b2 * s23)) /
        |    (syy - sy * sy / n), 9) AS r2
        |FROM b""".stripMargin
+
+  /** q63_conformal: split-conformal prediction interval for the q59 OLS
+    * model — train on even order keys, calibrate on odd: q̂ is the
+    * ⌈0.9·(m+1)⌉-th smallest |residual| (the distribution-free 90 %
+    * coverage guarantee). Residuals rank as 1e-9-scaled longs and the
+    * rank index k = (9(m+1)+9) DIV 10 is pure integer arithmetic (a
+    * float 0.9·(m+1) differs between engines exactly when the true
+    * value is an integer); the trained coefficients ride in as the SAME
+    * round@9 artifact q59 emits. Output: (m, k, qhat, coverage). */
+  private def conformalQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+    val beta = StatTests.ols2(li.filter(col("l_orderkey") % 2 === 0),
+        "l_quantity", "l_discount", "l_extendedprice")
+      .select(col("b0"), col("b1"), col("b2"))
+    val resid = li.filter(col("l_orderkey") % 2 === 1)
+      .select(col("l_quantity").cast("double").as("x2"),
+        col("l_discount").cast("double").as("x3"),
+        col("l_extendedprice").cast("double").as("y"))
+      .crossJoin(broadcast(beta))
+      .select(round(abs(col("y") -
+        (col("b0") + col("b1") * col("x2") + col("b2") * col("x3"))) * 1e9, 0)
+        .cast("long").as("r9"))
+    val vc = resid.groupBy(col("r9")).agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum(col("c")).as("m"))
+    val w = Window.orderBy(col("r9"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", expr("(9 * (m + 1) + 9) DIV 10"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("m"), col("k"))
+      .agg(min(struct(col("r9").as("r"), col("cum").as("cv"))).as("b"))
+      .select(col("m"), col("k"),
+        round(col("b.r").cast("double") / 1e9, 9).as("qhat"),
+        round(col("b.cv").cast("double") / col("m").cast("double"), 9)
+          .as("coverage"))
   }
+
+  private lazy val conformalSql =
+    s"""${olsCtes(" WHERE l_orderkey % 2 = 0")},
+       |calib AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x2,
+       |    CAST(l_discount AS DOUBLE) AS x3,
+       |    CAST(l_extendedprice AS DOUBLE) AS y
+       |  FROM lineitem WHERE l_orderkey % 2 = 1),
+       |res AS (
+       |  SELECT CAST(round(abs(y - (round(b.b0, 9) +
+       |    round(b.b1, 9) * x2 + round(b.b2, 9) * x3)) * 1e9, 0) AS BIGINT) AS r9
+       |  FROM calib, b),
+       |vc AS (SELECT r9, COUNT(*) AS c FROM res GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM vc),
+       |cum AS (
+       |  SELECT r9, SUM(c) OVER (ORDER BY r9
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vc),
+       |sel AS (
+       |  SELECT t.m, (9 * (t.m + 1) + 9) // 10 AS k, c.r9, c.cum,
+       |    row_number() OVER (ORDER BY c.r9) AS rn
+       |  FROM cum c, tot t
+       |  WHERE c.cum >= (9 * (t.m + 1) + 9) // 10)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(k AS BIGINT) AS k,
+       |  round(CAST(r9 AS DOUBLE) / 1e9, 9) AS qhat,
+       |  round(CAST(cum AS DOUBLE) / CAST(m AS DOUBLE), 9) AS coverage
+       |FROM sel WHERE rn = 1""".stripMargin
 
   private val BootstrapR = 32
 
@@ -244,5 +314,8 @@ object StatsQueries {
     Capability("q61_bootstrap",
       s"Poisson bootstrap: $BootstrapR deterministic replicate means (exact integer weights)",
       bootstrapQ, Some(bootstrapSql)),
+    Capability("q63_conformal",
+      "split-conformal 90% prediction interval for the OLS model (integer rank index)",
+      conformalQ, Some(conformalSql)),
   )
 }
