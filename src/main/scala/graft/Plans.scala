@@ -107,7 +107,13 @@ object Plans {
       "q55_welch",               // broadcast moment pairs
       "q56_mannwhitney",         // distinct-value frame window only
       "q57_chisq",               // marginal-bounded dense grid
-      "q58_ks")                  // distinct-value cumsums, integer D argmax
+      "q58_ks",                  // distinct-value cumsums, integer D argmax
+      "q59_ols_multi",           // one scalar-aggregate exchange, 1-row model
+      "q60_seasonal",            // bucket agg + key window reused by seasonal agg
+      "q61_bootstrap",           // R-way narrow fan-out, one replicate aggregate
+      "q62_assoc_rules",         // basket-bounded self-join, broadcast marginals
+      "q63_conformal",           // OLS artifact + integer rank selection
+      "pipeline_nb_eval")        // confusion counts over the composed chain
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
