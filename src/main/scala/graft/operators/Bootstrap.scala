@@ -30,14 +30,17 @@ object Bootstrap {
 
   /** The deterministic 48-bit uniform of (id, replicate) — DuckDB:
     * `('0x' || substring(md5(id || '_' || r), 1, 12))::BIGINT`. */
-  private def u48(id: Column, r: Column): Column =
+  def u48(id: Column, r: Column): Column =
     conv(substring(md5(concat(id.cast("string"), lit("_"),
       r.cast("string"))), 1, 12), 16, 10).cast("long")
 
-  /** Poisson(1) weight of one (id, replicate) pair. */
-  def weight(id: Column, r: Column): Column =
+  /** Poisson(1) weight from an ALREADY-MATERIALIZED uniform column —
+    * keep the md5 in its own projection so the hash computes ONCE per
+    * row, not once per threshold branch (a 6× md5 blow-up otherwise:
+    * the CASE branches defeat common-subexpression elimination). */
+  def weightOf(u: Column): Column =
     Thresholds.zipWithIndex.foldRight(lit(Thresholds.length): Column) {
-      case ((t, k), acc) => when(u48(id, r) < t, lit(k)).otherwise(acc)
+      case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
     }.cast("long")
 
   /** `replicates` bootstrap means of `valCol`: (r, n_eff, mean) with
@@ -51,7 +54,8 @@ object Bootstrap {
       .select(col(idCol).as("__id"), col(valCol).cast("double").as("__x"))
       .select(col("__id"), col("__x"),
         explode(array((0 until replicates).map(lit(_)): _*)).as("r"))
-    fan.select(col("r"), col("__x"), weight(col("__id"), col("r")).as("__w"))
+    fan.select(col("r"), col("__x"), u48(col("__id"), col("r")).as("__u"))
+      .select(col("r"), col("__x"), weightOf(col("__u")).as("__w"))
       .groupBy(col("r"))
       .agg(sum(col("__w")).as("n_eff"),
         round(Det.dsum(col("__w").cast("double") * col("__x")) /
