@@ -84,6 +84,30 @@ object StatTests {
         .as("z"))
   }
 
+  /** Mutual information of the (rowCol, colCol) contingency table in
+    * bits: I = Σ p(r,c)·log2(p(r,c)/(p(r)·p(c))) over OBSERVED cells
+    * (empty cells contribute zero by the 0·log0 = 0 convention, so no
+    * dense grid is needed — unlike [[chiSquared]]). Counts are exact;
+    * each cell term is ONE rounded IEEE expression scaled to a long
+    * (round@9), so the cross-cell sum is exact. Returns 1 row:
+    * (mi_9 = I·1e9 as a long, n). The natural feature-relevance twin
+    * of the chi-squared statistic. */
+  def mutualInfo(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val o = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(col("r")).agg(sum(col("o")).as("rtot"))
+    val ct = o.groupBy(col("c")).agg(sum(col("o")).as("ctot"))
+    val n1 = o.agg(sum(col("o")).as("ntot"))
+    def d(c: Column) = c.cast("double")
+    val term9 = round(d(col("o")) / d(col("ntot")) *
+      log2(d(col("o")) * d(col("ntot")) / (d(col("rtot")) * d(col("ctot")))) *
+      1e9, 0).cast("long")
+    o.join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(n1))
+      .select(term9.as("__t9"), col("ntot"))
+      .agg(sum(col("__t9")).as("mi_9"), max(col("ntot")).as("n"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov: D = max_v |F1(v) − F2(v)| located in
     * PURE INTEGER arithmetic — over per-value counts, the numerator
     * |cum1·n2 − cum2·n1| is an exact long and D divides out once at the

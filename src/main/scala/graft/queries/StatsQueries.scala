@@ -75,6 +75,35 @@ object StatsQueries {
        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6) AS z
        |FROM s""".stripMargin
 
+  /** q64_mutual_info: mutual information (bits) between document source
+    * and md5 token bucket — the feature-relevance twin of q57's X² over
+    * the SAME contingency table (observed cells only: 0·log0 = 0). */
+  private def miQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.TextOps.words(col("text"))).as("__w"))
+      .select(col("source"), graft.pipeline.Drift.bucketOf(col("__w")).as("b"))
+    StatTests.mutualInfo(toks, "source", "b")
+  }
+
+  private val miSql =
+    s"""WITH toks AS (
+       |  SELECT source AS r,
+       |    (('0x' || substring(md5(w), 1, 4))::INT % ${graft.pipeline.Drift.Buckets}) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |o AS (SELECT r, c, COUNT(*) AS o FROM toks GROUP BY 1, 2),
+       |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rtot FROM o GROUP BY 1),
+       |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ctot FROM o GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS ntot FROM o),
+       |cell AS (
+       |  SELECT CAST(round(CAST(o.o AS DOUBLE) / CAST(nn.ntot AS DOUBLE) *
+       |      log2(CAST(o.o AS DOUBLE) * CAST(nn.ntot AS DOUBLE) /
+       |        (CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE))) * 1e9, 0)
+       |    AS BIGINT) AS t9, nn.ntot
+       |  FROM o JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN nn)
+       |SELECT CAST(SUM(t9) AS BIGINT) AS mi_9, CAST(MAX(ntot) AS BIGINT) AS n
+       |FROM cell""".stripMargin
+
   /** q58_ks: two-sample Kolmogorov–Smirnov between the $MwA and $MwB
     * value distributions — the D location is pure integer arithmetic
     * over per-value counts (exact d_num = max|cum1·n2 − cum2·n1|), one
@@ -317,5 +346,8 @@ object StatsQueries {
     Capability("q63_conformal",
       "split-conformal 90% prediction interval for the OLS model (integer rank index)",
       conformalQ, Some(conformalSql)),
+    Capability("q64_mutual_info",
+      "mutual information (bits) of the source x token-bucket table (observed cells)",
+      miQ, Some(miSql)),
   )
 }

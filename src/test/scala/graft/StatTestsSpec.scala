@@ -36,6 +36,18 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
   }
 
+  test("mutual information: 1 bit for a perfect 2x2 dependence, 0 for independence") {
+    import spark.implicits._
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
+    val rd = StatTests.mutualInfo(dep, "r", "c").collect().head
+    assert(math.abs(rd.getLong(0) / 1e9 - 1.0) < 1e-6, s"got ${rd.getLong(0) / 1e9}")
+    assert(rd.getLong(1) == 20L)
+    val ind = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("r", "c")
+    val ri = StatTests.mutualInfo(ind, "r", "c").collect().head
+    assert(ri.getLong(0) == 0L, s"independent table must give MI = 0, got ${ri.getLong(0)}")
+  }
+
   test("poisson bootstrap: deterministic replicates centered on the true mean") {
     import spark.implicits._
     val n = 2000
