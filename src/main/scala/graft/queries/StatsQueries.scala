@@ -324,6 +324,84 @@ object StatsQueries {
        |FROM w GROUP BY r ORDER BY r""".stripMargin
   }
 
+  /** Session gap threshold for the KM subjects: 12 h splits the
+    * synthetic per-user event streams into a real mix of singleton and
+    * multi-event sessions. */
+  private val KmIvUs = 12L * 3600L * 1000000L
+
+  /** q65_kaplan_meier: KM survival of SESSION durations — subjects are
+    * the gaps-and-islands sessions (q51's operator, 12 h gap), duration
+    * = the exact µs event span of the session, right-censored when the
+    * session's last event is within one gap of the global end (the
+    * session is plausibly still open). Composes interval merging into
+    * survival analysis; every duration is an exact integer. */
+  private def kmQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("us"),
+      (expr("unix_micros(ts)") + lit(KmIvUs)).as("e"))
+    val gmax = ev.agg(max(col("us")).as("tmax"))
+    val subjects = graft.operators.TimeSeries
+      .mergeIntervals(ev, "user_id", "event_id", "us", "e")
+      .crossJoin(broadcast(gmax))
+      .select(
+        (col("island_end") - col("island_start") - lit(KmIvUs)).as("dur"),
+        (col("island_end") >= col("tmax")).as("cens"))
+    graft.operators.Survival.kaplanMeier(subjects, "dur", "cens")
+      .orderBy(col("t"))
+  }
+
+  private val kmSql =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |gmax AS (SELECT MAX(us) AS tmax FROM ev),
+      |f AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN MAX(us + $KmIvUs) OVER wp IS NULL
+      |           OR us > MAX(us + $KmIvUs) OVER wp
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM ev WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT user_id, us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f),
+      |subj AS (
+      |  SELECT MAX(i.us) - MIN(i.us) AS dur,
+      |    MAX(i.us) + $KmIvUs >= g.tmax AS cens
+      |  FROM isl i CROSS JOIN gmax g
+      |  GROUP BY i.user_id, i.island, g.tmax),
+      |vc AS (
+      |  SELECT dur AS t,
+      |    COUNT(*) FILTER (NOT cens) AS d, COUNT(*) FILTER (cens) AS cens
+      |  FROM subj GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(d + cens) AS BIGINT) AS n_all FROM vc),
+      |st AS (
+      |  SELECT t, d, cens,
+      |    n_all - coalesce(SUM(d + cens) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM vc CROSS JOIN tot),
+      |lg AS (
+      |  SELECT t, d, n_risk,
+      |    CASE WHEN d > 0 AND d < n_risk
+      |         THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) /
+      |           CAST(n_risk AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |         WHEN d = 0 THEN 0 END AS l9,
+      |    MAX(CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wiped
+      |  FROM st),
+      |acc AS (
+      |  SELECT t, d, n_risk, wiped,
+      |    CASE WHEN wiped = 0 THEN CAST(SUM(l9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    END AS log_surv_9
+      |  FROM lg)
+      |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+      |  log_surv_9,
+      |  CASE WHEN wiped = 1 THEN 0.0
+      |       ELSE round(exp(CAST(log_surv_9 AS DOUBLE) / 1e9), 6) END AS survival
+      |FROM acc WHERE d > 0 ORDER BY t""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -349,5 +427,8 @@ object StatsQueries {
     Capability("q64_mutual_info",
       "mutual information (bits) of the source x token-bucket table (observed cells)",
       miQ, Some(miSql)),
+    Capability("q65_kaplan_meier",
+      "Kaplan-Meier survival of censored user lifetimes (exact log-survival longs)",
+      kmQ, Some(kmSql)),
   )
 }

@@ -36,6 +36,29 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
   }
 
+  test("kaplan-meier matches the textbook curve with censoring and a wipe") {
+    import spark.implicits._
+    // durations: 1 death, 2 death, 3 censored, 4 death
+    // S(1)=3/4, S(2)=3/4*2/3=1/2, S(4)=0 (last subject dies: full wipe)
+    val df = Seq((1L, false), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "cens")
+    val out = graft.operators.Survival.kaplanMeier(df, "dur", "cens")
+      .orderBy("t").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L),
+      "censor times must not create steps")
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 3L, 1L), "risk set sizes")
+    assert(math.abs(out(0).getDouble(4) - 0.75) < 1e-6)
+    assert(math.abs(out(1).getDouble(4) - 0.5) < 1e-6)
+    assert(out(2).getDouble(4) == 0.0 && out(2).isNullAt(3),
+      "full wipe must give exact 0 survival and NULL log")
+    // tied deaths: {1,1 deaths; 2 censored; 3 death} -> S(1) = 2/4
+    val tied = Seq((1L, false), (1L, false), (2L, true), (3L, false))
+      .toDF("dur", "cens")
+    val t0 = graft.operators.Survival.kaplanMeier(tied, "dur", "cens")
+      .orderBy("t").collect().head
+    assert(t0.getLong(2) == 2L && math.abs(t0.getDouble(4) - 0.5) < 1e-6)
+  }
+
   test("mutual information: 1 bit for a perfect 2x2 dependence, 0 for independence") {
     import spark.implicits._
     val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
