@@ -113,7 +113,9 @@ object Plans {
       "q61_bootstrap",           // R-way narrow fan-out, one replicate aggregate
       "q62_assoc_rules",         // basket-bounded self-join, broadcast marginals
       "q63_conformal",           // OLS artifact + integer rank selection
-      "pipeline_nb_eval")        // confusion counts over the composed chain
+      "pipeline_nb_eval",        // confusion counts over the composed chain
+      "q64_mutual_info",         // observed-cell log2 terms, broadcast marginals
+      "q65_kaplan_meier")        // session islands -> distinct-duration window
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)
