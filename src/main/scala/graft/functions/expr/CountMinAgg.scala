@@ -149,15 +149,20 @@ object CountMinAgg {
       best
     }
 
+    /** Byte layout: tier byte, then an (exactCap, depth, width) header —
+      * artifacts persisted with one dimensioning and probed/unioned with
+      * another would silently misalign the element-wise matrix add, so
+      * [[Buf.deserialize]] validates the header and fails fast instead. */
     def serialize(): Array[Byte] = {
       if (map != null) {
-        val bb = ByteBuffer.allocate(1 + 4 + 16 * map.size)
-        bb.put(0.toByte).putInt(map.size)
+        val bb = ByteBuffer.allocate(13 + 4 + 16 * map.size)
+        bb.put(0.toByte).putInt(exactCap).putInt(depth).putInt(width)
+        bb.putInt(map.size)
         map.foreach { case (h, c) => bb.putLong(h).putLong(c) }
         bb.array()
       } else {
-        val bb = ByteBuffer.allocate(1 + 8 * matrix.length)
-        bb.put(1.toByte)
+        val bb = ByteBuffer.allocate(13 + 8 * matrix.length)
+        bb.put(1.toByte).putInt(exactCap).putInt(depth).putInt(width)
         matrix.foreach(bb.putLong)
         bb.array()
       }
@@ -167,8 +172,15 @@ object CountMinAgg {
   object Buf {
     def deserialize(bytes: Array[Byte], exactCap: Int, depth: Int, width: Int): Buf = {
       val bb = ByteBuffer.wrap(bytes)
+      val tier = bb.get()
+      val (ec, d, w) = (bb.getInt, bb.getInt, bb.getInt)
+      require(ec == exactCap && d == depth && w == width,
+        s"graft_count_min: state was built with (exactCap=$ec, depth=$d, " +
+          s"width=$w) but is being read as (exactCap=$exactCap, " +
+          s"depth=$depth, width=$width) — re-dimension the probe/union " +
+          "to match the persisted artifact")
       val buf = new Buf(exactCap, depth, width)
-      if (bb.get() == 0.toByte) {
+      if (tier == 0.toByte) {
         val n = bb.getInt
         var i = 0
         while (i < n) { buf.map.update(bb.getLong, bb.getLong); i += 1 }
@@ -190,10 +202,32 @@ object CountMinAgg {
       Bridge.expression(c), exactCap, depth, width).toAggregateExpression())
 
   /** Static probe for codegen'd expressions: estimated count of the key
-    * whose builtin-`xxhash64`(seed 42) hash is `h`. */
+    * whose builtin-`xxhash64`(seed 42) hash is `h`.
+    *
+    * Probing N rows against ONE state (the q53 broadcast-state shape)
+    * must not re-deserialize the whole sketch per row — a per-thread
+    * one-entry cache reuses the decoded [[Buf]] when the incoming bytes
+    * are the same array (identity) or byte-equal to the last state seen
+    * (Arrays.equals is a vectorized scan, ~an order cheaper than
+    * rebuilding the exact-tier hash map). Distinct states per row still
+    * decode each time — correct, just uncached. */
   def estimateBytes(
-      bytes: Array[Byte], h: Long, exactCap: Int, depth: Int, width: Int): Long =
-    Buf.deserialize(bytes, exactCap, depth, width).estimate(h)
+      bytes: Array[Byte], h: Long, exactCap: Int, depth: Int, width: Int): Long = {
+    val cached = lastDecoded.get()
+    val buf =
+      if (cached != null && cached._2.exactCap == exactCap &&
+          cached._2.depth == depth && cached._2.width == width &&
+          ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
+        cached._2
+      else {
+        val b = Buf.deserialize(bytes, exactCap, depth, width)
+        lastDecoded.set((bytes, b))
+        b
+      }
+    buf.estimate(h)
+  }
+
+  private val lastDecoded = new ThreadLocal[(Array[Byte], Buf)]
 }
 
 /** Union aggregate over SERIALIZED [[CountMinAgg]] states — frequency

@@ -25,9 +25,13 @@ import org.apache.spark.sql.types._
   * 1 + d + d² longs ≈ 33 KB at d = 64 — the bounded exchange a driver-
   * side eigen-solve is allowed to collect ([[graft.pipeline.Pca]]).
   *
-  * No overflow by construction: |term| < 2³⁹, so |G_ij| < n·2³⁹ — longs
-  * hold any n < 2²⁴ rows per final aggregate and the driver widens to
-  * BigInt before the n·2⁴⁰-scaled centering step.
+  * Overflow is ENFORCED, not assumed: every term is range-checked
+  * (finite, |term| < 2⁶²) and every accumulation goes through
+  * `Math.addExact` in both `update` and `merge`, so exceeding the
+  * documented envelope (|x_i·x_j| and n together driving |G_ij| past
+  * 2⁶³) throws loudly instead of silently wrapping — PCA loadings can
+  * be wrong only if the job failed, never quietly. `addExact` is a JIT
+  * intrinsic (branch-on-overflow), so the hot loop stays tight.
   */
 case class GramMatrixAgg(
     child: Expression,
@@ -60,15 +64,20 @@ case class GramMatrixAgg(
       x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
-    buf(0) += 1L
+    buf(0) = Math.addExact(buf(0), 1L)
     i = 0
     while (i < dim) {
-      buf(1 + i) += GramMatrixAgg.rnd(x(i) * GramMatrixAgg.Scale)
+      buf(1 + i) = Math.addExact(buf(1 + i),
+        GramMatrixAgg.rnd(x(i) * GramMatrixAgg.Scale))
       var j = i
       while (j < dim) {
         val t = GramMatrixAgg.rnd(x(i) * x(j) * GramMatrixAgg.Scale)
-        buf(1 + dim + i * dim + j) += t
-        if (j != i) buf(1 + dim + j * dim + i) += t
+        val k = 1 + dim + i * dim + j
+        buf(k) = Math.addExact(buf(k), t)
+        if (j != i) {
+          val k2 = 1 + dim + j * dim + i
+          buf(k2) = Math.addExact(buf(k2), t)
+        }
         j += 1
       }
       i += 1
@@ -78,7 +87,7 @@ case class GramMatrixAgg(
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    while (i < b1.length) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
     b1
   }
 
@@ -108,9 +117,19 @@ object GramMatrixAgg {
   /** 2⁴⁰ — a power of two, so `x·Scale` is IEEE-exact. */
   val Scale: Double = java.lang.Math.scalb(1.0, 40)
 
-  /** Round half away from zero — `round(x, 0)` in both Spark and DuckDB. */
-  def rnd(v: Double): Long =
+  /** Round half away from zero — `round(x, 0)` in both Spark and DuckDB.
+    * Range-checked: NaN/Inf or |v| ≥ 2⁶² (i.e. |x_i·x_j| ≥ 2²²) throws
+    * instead of letting `toLong` saturate silently. */
+  def rnd(v: Double): Long = {
+    if (v.isNaN || math.abs(v) >= MaxTerm)
+      throw new ArithmeticException(
+        s"graft_gram_matrix: term $v outside the exact-long envelope " +
+          s"(non-finite or |x_i*x_j| >= 2^22) — normalize the input vectors")
     (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+  }
+
+  /** 2⁶² — per-term bound leaving one doubling of headroom below 2⁶³. */
+  private val MaxTerm: Double = java.lang.Math.scalb(1.0, 62)
 
   def apply(c: Column, dim: Int): Column =
     Bridge.column(GramMatrixAgg(Bridge.expression(c), dim).toAggregateExpression())

@@ -20,7 +20,10 @@ object StatTests {
     * (group_a < group_b lexicographically) the t statistic and the
     * Welch–Satterthwaite degrees of freedom, both round@6. Moments are
     * exact decimal sums; the moment frame is #groups rows (broadcast
-    * both sides of the pair cross join). NULL values drop per group. */
+    * both sides of the pair cross join). NULL values drop per group.
+    * Degenerate pairs — either side n = 1, or both variances zero — emit
+    * NULL t_stat/t_df instead of NaN/Infinity (the guarded-Pearson
+    * convention [[TimeSeries.acf]] uses). */
   def welchPairs(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val m = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("__x"))
@@ -41,9 +44,12 @@ object StatTests {
     val t = (mean("a") - mean("b")) / sqrt(se2)
     val wdf = (se2 * se2) /
       (vn("a") * vn("a") / (nD("a") - 1.0) + vn("b") * vn("b") / (nD("b") - 1.0))
+    // n = 1 makes (n-1) = 0 a divide-by-zero; two zero-variance groups
+    // make se2 = 0 — both degenerate, both NULL by the guard
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0
     broadcast(side("a")).join(broadcast(side("b")), col("g_a") < col("g_b"))
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
-        round(t, 6).as("t_stat"), round(wdf, 6).as("t_df"))
+        when(ok, round(t, 6)).as("t_stat"), when(ok, round(wdf, 6)).as("t_df"))
   }
 
   /** Mann–Whitney U between groups `ga` and `gb` of `groupCol`: exact

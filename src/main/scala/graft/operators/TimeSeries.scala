@@ -110,8 +110,10 @@ object TimeSeries {
   /** Classical additive seasonal decomposition per key over an hourly
     * grid: level = per-(key, hour-bucket) decimal mean of the raw
     * values; trend = centered moving average of the level over
-    * ±`half` buckets (NULL until the window is full — the classical
-    * edge convention); seasonal = per-(key, hour-of-day) decimal mean
+    * ±`half` buckets (NULL until the window is full AND spans exactly
+    * ±`half` HOURS — the classical edge convention, also enforced
+    * across grid gaps so a missing bucket can never de-center the
+    * average in time); seasonal = per-(key, hour-of-day) decimal mean
     * of the detrended level; residual = level − trend − seasonal.
     * The level takes ONE division+round into 1e-9-scaled longs and the
     * rest of the decomposition is exact integer arithmetic between
@@ -142,9 +144,15 @@ object TimeSeries {
         .cast("long").as("__l9"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("b"))
       .rowsBetween(-half, half)
+    // a full-COUNT window over a gappy hourly grid would silently
+    // de-center the average in TIME (25 rows no longer spanning ±12 h),
+    // so the trend additionally requires the frame to span exactly
+    // (width−1) hours — gaps yield NULL trend, the honest edge behavior
+    val spanOk = max(col("b")).over(w) - min(col("b")).over(w) ===
+      lit((width - 1) * 3600000000L)
     val trended = buckets
       .withColumn("__t9",
-        when(count(lit(1)).over(w) === width,
+        when(count(lit(1)).over(w) === width && spanOk,
           round(sum(col("__l9")).over(w).cast("double") /
             lit(width.toDouble), 0).cast("long")))
     val seasonal = trended

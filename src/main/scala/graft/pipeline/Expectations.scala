@@ -73,9 +73,11 @@ object Expectations {
     * [[graft.operators.Robust]] — median/MAD have a 50 % breakdown
     * point, so a contaminated column cannot mask its own outliers the
     * way a stddev rule lets it). Like [[RefIntegrity]] this is not a
-    * single-pass scalar rule: it costs two exact-quantile passes
-    * ([[graft.operators.Quantiles.exact]]) computed outside the shared
-    * scan and carried as a literal. A zero MAD flags any off-median
+    * pure single-pass rule: it costs two exact-quantile passes
+    * ([[graft.operators.Quantiles.exact]] — median, then MAD, inherently
+    * sequential) over the projected column BEFORE the shared scan; the
+    * cutoffs ride into the shared aggregate as literals, so the
+    * violation count itself is free. A zero MAD flags any off-median
     * value (the Robust convention). */
   final case class Outliers(column: String, k: Double = 6.0,
       threshold: Double = 0.0) extends Rule {
@@ -97,8 +99,14 @@ object Expectations {
     when(denom === 0L, lit(0.0))
       .otherwise(violations.cast("double") / denom.cast("double"))
 
-  // one aggregate column per rule, shared by the global and windowed paths
-  private def aggsFor(rules: Seq[Rule]): Seq[Column] =
+  // one aggregate column per rule, shared by the global and windowed paths.
+  // `outlierCuts(i)` = (median, MAD) computed by check() BEFORE the shared
+  // scan, so the outlier violation count folds into the same single pass
+  // (only the two quantile passes run outside it); RefIntegrity folds its
+  // TOTAL into the scan too — only the anti-join count stays external.
+  private def aggsFor(
+      rules: Seq[Rule],
+      outlierCuts: Map[Int, (Double, Double)] = Map.empty): Seq[Column] =
     count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
       case (r: NotNull, i) =>
         Seq(count(when(col(r.column).isNull, 1)).as(s"__m$i"))
@@ -116,14 +124,20 @@ object Expectations {
         count(col(r.column)).as(s"__c$i"),
         count(when(!col(r.column).isin(r.allowed: _*), 1)).as(s"__m$i"))
       case (_: MinRows, _) => Seq.empty
-      case (_: RefIntegrity, _) => Seq.empty
-      case (_: Outliers, _) => Seq.empty
+      case (r: RefIntegrity, i) =>
+        Seq(count(col(r.column)).as(s"__c$i"))
+      case (r: Outliers, i) =>
+        val (med, mad) = outlierCuts(i)
+        val dev = abs(col(r.column).cast("double") - lit(med))
+        val viol = if (mad == 0.0) dev > 0.0 else dev > lit(r.k * mad)
+        Seq(count(col(r.column)).as(s"__c$i"),
+          count(when(viol, 1)).as(s"__m$i"))
     }
 
-  // metric structs over the aggregate columns; `refMetrics` carries the
-  // join-backed results (empty when those rules are disallowed)
+  // metric structs over the aggregate columns; `refMissing` carries the
+  // anti-join violation counts (empty when those rules are disallowed)
   private def metricsFor(
-      rules: Seq[Rule], refMetrics: Map[Int, (Long, Long)]): Seq[Column] =
+      rules: Seq[Rule], refMissing: Map[Int, Long]): Seq[Column] =
     rules.zipWithIndex.map {
       case (r: NotNull, i) =>
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
@@ -155,15 +169,13 @@ object Expectations {
             .as("metric"),
           lit(r.threshold).as("threshold"))
       case (r: RefIntegrity, i) =>
-        val (missing, total) = refMetrics(i)
-        val m = if (total == 0L) 0.0 else missing.toDouble / total.toDouble
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
-          lit(m).as("metric"), lit(r.threshold).as("threshold"))
+          frac(lit(refMissing(i)), col(s"__c$i")).as("metric"),
+          lit(r.threshold).as("threshold"))
       case (r: Outliers, i) =>
-        val (out, total) = refMetrics(i)
-        val m = if (total == 0L) 0.0 else out.toDouble / total.toDouble
         struct(lit(r.name).as("rule"), lit(r.column).as("column"),
-          lit(m).as("metric"), lit(r.threshold).as("threshold"))
+          frac(col(s"__m$i"), col(s"__c$i")).as("metric"),
+          lit(r.threshold).as("threshold"))
     }
 
   private def report(prefix: Seq[Column]): Seq[Column] =
@@ -171,38 +183,41 @@ object Expectations {
       col("r.metric").as("metric"), col("r.threshold").as("threshold"),
       (col("r.metric") <= col("r.threshold")).as("pass"))
 
-  /** Evaluate `rules` in one pass; see the object doc for the shape. */
+  /** Evaluate `rules` in one pass; see the object doc for the shape.
+    * Rule-conditional extra cost: each [[Outliers]] rule pays its two
+    * exact-quantile passes (median, then MAD — inherently sequential)
+    * over the ONE projected column before the shared scan; each
+    * [[RefIntegrity]] rule pays one LEFT ANTI join count. Everything
+    * else — including the outlier violation count and every rule's
+    * total — folds into the single shared aggregate. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Expectations.check needs at least one rule")
-    val aggs = aggsFor(rules)
-    // join-backed rules: one (violations, total) pair per rule, computed
-    // outside the shared scalar pass and carried as literals
-    val refMetrics: Map[Int, (Long, Long)] = rules.zipWithIndex.collect {
-      case (r: RefIntegrity, i) =>
-        val vals = df.select(col(r.column)).filter(col(r.column).isNotNull)
-        val total = vals.count()
-        val missing = vals
-          .join(r.ref.select(col(r.refCol).as(r.column)).distinct(),
-            Seq(r.column), "left_anti")
-          .count()
-        i -> ((missing, total))
+    // (median, MAD) per outlier rule — the only per-rule passes left;
+    // an all-null column yields no quantile (empty exact() input), cut
+    // at (0,0) with a 0-count shared-scan denominator → metric 0
+    val outlierCuts: Map[Int, (Double, Double)] = rules.zipWithIndex.collect {
       case (r: Outliers, i) =>
         val vals = df.select(col(r.column).cast("double").as("__v"))
           .filter(col("__v").isNotNull)
-        val total = vals.count()
-        if (total == 0L) i -> ((0L, 0L))
+        if (vals.isEmpty) i -> ((0.0, 0.0))
         else {
           val med = graft.operators.Quantiles.exact(vals, "__v", Seq(0.5)).head
           val dev = vals.select(abs(col("__v") - lit(med)).as("__d"))
           val mad = graft.operators.Quantiles.exact(dev, "__d", Seq(0.5)).head
-          val out =
-            if (mad == 0.0) dev.filter(col("__d") > 0.0).count()
-            else dev.filter(col("__d") > lit(r.k) * lit(mad)).count()
-          i -> ((out, total))
+          i -> ((med, mad))
         }
     }.toMap
+    // anti-join violation counts; totals come from the shared scan
+    val refMissing: Map[Int, Long] = rules.zipWithIndex.collect {
+      case (r: RefIntegrity, i) =>
+        i -> df.select(col(r.column)).filter(col(r.column).isNotNull)
+          .join(r.ref.select(col(r.refCol).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
+          .count()
+    }.toMap
+    val aggs = aggsFor(rules, outlierCuts)
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val metrics = metricsFor(rules, refMetrics)
+    val metrics = metricsFor(rules, refMissing)
     one
       .select(explode(array(metrics: _*)).as("r"))
       .select(report(Seq.empty): _*)

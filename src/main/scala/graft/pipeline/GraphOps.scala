@@ -168,10 +168,12 @@ object GraphOps {
     *
     * Scale shape: per round one dst-keyed equi-join over the
     * pre-partitioned persisted edge frame (balls of neighbors flow to
-    * their source), one node-keyed union aggregate, one join against the
-    * previous round for the increment — only (node, ball) pairs ever
-    * shuffle, balls bounded by the tier caps. localCheckpoint truncates
-    * lineage per round exactly as [[pageRank]]. */
+    * their source) and ONE node-keyed union aggregate — the previous
+    * round's (est, h) rides the same union (neighbor rows carry nulls,
+    * `max` folds out the one non-null per node), so there is no second
+    * per-depth join back to the previous frame. Only (node, ball) pairs
+    * ever shuffle, balls bounded by the tier caps. localCheckpoint
+    * truncates lineage per round exactly as [[pageRank]]. */
   def harmonicCentrality(
       edges: DataFrame, srcCol: String, dstCol: String, maxDepth: Int,
       exactCap: Int = graft.functions.expr.DistinctSketchAgg.DefaultExactCap,
@@ -190,16 +192,21 @@ object GraphOps {
       .localCheckpoint()
     var t = 1
     while (t <= maxDepth) {
+      // previous round's (est, h) rides the union as extra columns:
+      // neighbor rows carry nulls, every node has exactly one own row,
+      // so max() recovers (prev, h) inside the ONE node-keyed aggregate
+      // — no second per-depth join back to the previous frame
       val neigh = e
         .join(cur.select(col("node"), col("ball")), e("dst") === cur("node"))
-        .select(e("src").as("node"), col("ball"))
-      val merged = neigh
-        .unionByName(cur.select(col("node"), col("ball")))
+        .select(e("src").as("node"), col("ball"),
+          lit(null).cast("long").as("prev"), lit(null).cast("double").as("h"))
+      cur = neigh
+        .unionByName(cur.select(col("node"), col("ball"),
+          col("est").as("prev"), col("h")))
         .groupBy(col("node"))
-        .agg(SketchUnionAgg(col("ball"), exactCap, lgK).as("ball"))
+        .agg(SketchUnionAgg(col("ball"), exactCap, lgK).as("ball"),
+          max(col("prev")).as("prev"), max(col("h")).as("h"))
         .withColumn("est", DistinctSketchEstimate(col("ball"), exactCap, lgK))
-      cur = merged
-        .join(cur.select(col("node"), col("est").as("prev"), col("h")), Seq("node"))
         .select(col("node"), col("ball"), col("est"),
           (col("h") +
             (col("est") - col("prev")).cast("double") / lit(t.toDouble)).as("h"))

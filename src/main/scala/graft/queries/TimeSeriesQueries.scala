@@ -169,6 +169,7 @@ object TimeSeriesQueries {
        |tr AS (
        |  SELECT event_type, b, l9,
        |    CASE WHEN COUNT(*) OVER w = $width
+       |          AND MAX(b) OVER w - MIN(b) OVER w = ${(width - 1).toLong * 3600000000L}
        |         THEN CAST(round(CAST(SUM(l9) OVER w AS DOUBLE) /
        |           ${width.toDouble}, 0) AS BIGINT) END AS t9
        |  FROM buckets

@@ -104,4 +104,22 @@ class CountMinSpec extends AnyFunSuite {
     (1 to 10).foreach(i =>
       assert(d2.estimate(i.toLong * 7919L) == dense.estimate(i.toLong * 7919L)))
   }
+
+  test("mismatched sketch dimensions fail fast, never misalign") {
+    import CountMinAgg.Buf
+    val a = new Buf(4, 5, 64)
+    (1 to 10).foreach(i => a.add(i.toLong * 7919L, 1L))
+    val bytes = a.serialize()
+    // a state persisted at (4, 5, 64) probed/unioned as (4, 5, 128) would
+    // silently misalign the matrix add without the header check
+    val e = intercept[IllegalArgumentException] {
+      Buf.deserialize(bytes, 4, 5, 128)
+    }
+    assert(e.getMessage.contains("re-dimension"),
+      s"expected the dimension-mismatch rejection, got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Buf.deserialize(bytes, 8, 5, 64)
+    }
+    assert(e2.getMessage.contains("exactCap=4"))
+  }
 }

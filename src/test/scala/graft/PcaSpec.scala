@@ -62,4 +62,29 @@ class PcaSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("overflow throws loudly instead of silently wrapping") {
+    import spark.implicits._
+    // |x_i*x_j| = 2^24 -> term = 2^64 >= the 2^62 per-term envelope:
+    // the range check must fail the job, never emit a wrapped Gram
+    val big = math.pow(2.0, 12).toFloat
+    val df = Seq((1L, Array(big, big))).toDF("id", "v")
+    val e = intercept[Exception] {
+      df.agg(GramMatrixAgg(col("v"), 2)).collect()
+    }
+    assert(e.getMessage.contains("envelope") ||
+      (e.getCause != null && e.getCause.getMessage.contains("envelope")),
+      s"expected the term-envelope rejection, got: ${e.getMessage}")
+    // accumulator overflow across rows: terms individually fine, the
+    // running long sum is not — Math.addExact must throw, not wrap
+    val nearMax = math.pow(2.0, 10.5) // term = 2^61; 4 rows pass 2^63
+    val df2 = (1L to 4L).map(i => (i, Array(nearMax, nearMax))).toDF("id", "v")
+    val e2 = intercept[Exception] {
+      df2.agg(GramMatrixAgg(col("v"), 2)).collect()
+    }
+    val msg2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("overflow") || msg2.contains("envelope"),
+      s"expected loud overflow, got: ${e2.getMessage}")
+  }
 }

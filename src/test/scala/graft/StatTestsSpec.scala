@@ -20,6 +20,22 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 50.0 / 17.0) < 1e-6)
   }
 
+  test("welch t emits NULL, not NaN/Inf, for n=1 and zero-variance pairs") {
+    import spark.implicits._
+    // c has a single observation: (n-1) = 0 would divide by zero
+    val single = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(5.0).map(("c", _)))
+      .toDF("g", "v")
+    val r1 = StatTests.welchPairs(single, "g", "v").collect().head
+    assert(r1.isNullAt(4) && r1.isNullAt(5),
+      "single-observation side must yield NULL t_stat/t_df")
+    // both groups constant: se2 = 0 would make t = x/0
+    val flat = (Seq(2.0, 2.0).map(("a", _)) ++ Seq(3.0, 3.0).map(("b", _)))
+      .toDF("g", "v")
+    val r2 = StatTests.welchPairs(flat, "g", "v").collect().head
+    assert(r2.isNullAt(4) && r2.isNullAt(5),
+      "zero-variance pair must yield NULL t_stat/t_df")
+  }
+
   test("mann-whitney: fully separated groups and tie handling") {
     import spark.implicits._
     val sep = (Seq(1.0, 2.0, 3.0).map(("x", _)) ++ Seq(4.0, 5.0, 6.0).map(("y", _)))

@@ -109,6 +109,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalDecompose trend goes NULL across a grid gap, not de-centered") {
+    import spark.implicits._
+    // same flat±5 grid but hour 60 is MISSING: every ±12-row frame that
+    // covers the gap no longer spans ±12 HOURS and must yield NULL trend
+    val baseUs = 1700000000L * 1000000L
+    val df = (0 until 120).filter(_ != 60).map { i =>
+      ("a", new java.sql.Timestamp((baseUs + i * 3600L * 1000000L) / 1000L),
+        100.0 + (if (i % 2 == 0) 5.0 else -5.0))
+    }.toDF("k", "ts", "v")
+    val out = TimeSeries.seasonalDecompose(df, "k", "ts", "v", half = 12)
+      .orderBy("b").collect()
+    assert(out.length == 119)
+    // bucket index from the first bucket (baseUs itself is not
+    // hour-aligned; date_trunc shifts every bucket by the same offset)
+    val minB = out.map(_.getLong(1)).min
+    val trendAt = out.map(r => (r.getLong(1) - minB) / 3600000000L ->
+      !r.isNullAt(3)).toMap
+    // frames touching the gap: buckets 48..72 (25-row window includes the
+    // hole for any center within ±12 of hour 60) — all NULL
+    ((48 to 59) ++ (61 to 72)).foreach { h =>
+      assert(!trendAt(h), s"bucket $h spans the gap and must have NULL trend")
+    }
+    // far from the gap the full centered trend survives
+    Seq(20, 30, 90, 100).foreach { h =>
+      assert(trendAt(h), s"bucket $h is clear of the gap and must keep trend")
+    }
+  }
+
   test("cusum tie-breaks to the first peak position") {
     import spark.implicits._
     // symmetric bump: 0,10,0 -> S_1 = -10/3*... compute: mean = 10/3
