@@ -130,10 +130,23 @@ object Bench {
     val totalS = num(total)
     val headS = num(headlineTotal)
     val loads = passLoads.map(num).mkString("[", ",", "]")
+    val fullRecord =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
+    // The full record (241 queries ≈ 12 KB) cannot fit a ~2 KB stdout
+    // tail-capture, so it is ALSO written to a file in the working
+    // directory — the self-sufficient artifact the round notes commit
+    // (PROGRESS_BENCH_r{N}.json is a copy of this file).
+    val fullPath = java.nio.file.Paths.get("PROGRESS_BENCH_LATEST.json")
+    try java.nio.file.Files.write(fullPath,
+      (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     // Per-query detail first, short summary LAST: a tail-capture of the
-    // output always holds the complete summary object.
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}""")
+    // output always holds the complete summary object, which names the
+    // full-record file.
+    println(fullRecord)
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries_n":${names.length},"ok_n":${ok.length},"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

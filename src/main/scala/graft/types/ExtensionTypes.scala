@@ -604,6 +604,305 @@ class SparseMatrixType extends UserDefinedType[SparseMatrix] {
 
 case object SparseMatrixType extends SparseMatrixType
 
+/** Compressed sparse fiber (CSF) tensor (reference:
+  * cpp/src/arrow/sparse_tensor.h:621 SparseCSFTensor / SparseCSFIndex —
+  * the N-dimensional generalization of CSR: a prefix TREE over
+  * coordinates). The last member of the declared sparse family next to
+  * COO ([[SparseTensor]]) and CSR/CSC ([[SparseMatrix]]).
+  *
+  * Layout, exactly the reference's: `axisOrder` permutes the dimensions
+  * (axisOrder(0) is the outermost tree level); `indices` has one array
+  * per LEVEL — `indices(l)` holds the axisOrder(l)-coordinate of every
+  * tree node at depth l, in tree order; `indptr` has one array per
+  * NON-LEAF level — node j at level l has children
+  * `indptr(l)(j) until indptr(l)(j+1)` in level l+1. Leaf nodes align
+  * 1:1 with `values` (full-length coordinate prefixes are unique in
+  * canonical data), so `indices(ndim-1).length == nnz`. Shared
+  * coordinate prefixes are stored ONCE — that is the compression: a
+  * (1000×1000×1000) tensor whose nonzeros cluster in a few fibers
+  * stores each outer coordinate once instead of nnz times.
+  *
+  * COO is the interchange hub exactly as for CSR/CSC: CSF↔COO is
+  * O(nnz) both ways for the identity axis order (canonical COO is
+  * already sorted in tree order); any other `axisOrder` pays one
+  * re-sort each way, the CSC precedent. Within-level sibling
+  * coordinates are strictly increasing — the reference's canonical
+  * contract, validated on construction. */
+@SQLUserDefinedType(udt = classOf[SparseCSFTensorType])
+final case class SparseCSFTensor(
+    shape: Seq[Int], axisOrder: Seq[Int],
+    indptr: Seq[Array[Long]], indices: Seq[Array[Long]],
+    values: Array[Double]) {
+  require(shape.nonEmpty, "CSF tensor needs at least one dimension")
+  require(shape.forall(_ >= 0),
+    s"negative extent in shape ${shape.mkString("x")}")
+  require(axisOrder.sorted == shape.indices.toSeq,
+    s"axisOrder ${axisOrder.mkString(",")} is not a permutation of " +
+      s"0..${shape.length - 1}")
+  require(indices.length == shape.length,
+    s"rank-${shape.length} CSF needs ${shape.length} index levels, " +
+      s"got ${indices.length}")
+  require(indptr.length == shape.length - 1,
+    s"rank-${shape.length} CSF needs ${shape.length - 1} indptr levels, " +
+      s"got ${indptr.length}")
+  require(indices.last.length == values.length,
+    s"leaf level has ${indices.last.length} nodes for ${values.length} values")
+  locally {
+    var l = 0
+    while (l < shape.length) {
+      val extent = shape(axisOrder(l))
+      val level = indices(l)
+      // per-level bounds
+      var i = 0
+      while (i < level.length) {
+        require(level(i) >= 0 && level(i) < extent,
+          s"coordinate ${level(i)} out of bounds for axis ${axisOrder(l)} " +
+            s"(extent $extent) at level $l")
+        i += 1
+      }
+      if (l < shape.length - 1) {
+        val ip = indptr(l)
+        require(ip.length == level.length + 1,
+          s"indptr level $l needs ${level.length + 1} entries, got ${ip.length}")
+        require(ip(0) == 0L, s"indptr level $l must start at 0, got ${ip(0)}")
+        require(ip(level.length) == indices(l + 1).length.toLong,
+          s"indptr level $l must end at ${indices(l + 1).length}, " +
+            s"got ${ip(level.length)}")
+        var j = 0
+        while (j < level.length) {
+          require(ip(j) < ip(j + 1),
+            s"CSF node $j at level $l has no children " +
+              "(every non-leaf node must own at least one nonzero)")
+          j += 1
+        }
+      }
+      l += 1
+    }
+    // sibling coordinates strictly increase within each parent range
+    var lvl = 0
+    while (lvl < shape.length) {
+      val level = indices(lvl)
+      val starts: Array[Long] =
+        if (lvl == 0) Array(0L, level.length.toLong) else indptr(lvl - 1)
+      var j = 0
+      while (j < starts.length - 1) {
+        var p = starts(j) + 1
+        while (p < starts(j + 1)) {
+          require(level(p.toInt - 1) < level(p.toInt),
+            s"sibling coordinates must be strictly increasing " +
+              s"(violated at level $lvl position $p)")
+          p += 1
+        }
+        j += 1
+      }
+      lvl += 1
+    }
+  }
+
+  def ndim: Int = shape.length
+  def nnz: Int = values.length
+
+  /** Value at a coordinate: one binary search per level within the
+    * parent's child range — O(ndim · log fanout). Implicit zeros
+    * return 0.0. */
+  def apply(idx: Int*): Double = {
+    require(idx.length == shape.length,
+      s"rank-${shape.length} tensor indexed with ${idx.length} coordinates")
+    idx.indices.foreach { i =>
+      require(idx(i) >= 0 && idx(i) < shape(i),
+        s"index ${idx(i)} out of bounds for dimension $i of extent ${shape(i)}")
+    }
+    var lo = 0
+    var hi = indices(0).length
+    var l = 0
+    while (l < ndim) {
+      val want = idx(axisOrder(l)).toLong
+      val level = indices(l)
+      var a = lo
+      var b = hi - 1
+      var found = -1
+      while (a <= b) {
+        val mid = (a + b) >>> 1
+        val c = level(mid)
+        if (c == want) { found = mid; a = b + 1 }
+        else if (c < want) a = mid + 1
+        else b = mid - 1
+      }
+      if (found < 0) return 0.0
+      if (l == ndim - 1) return values(found)
+      lo = indptr(l)(found).toInt
+      hi = indptr(l)(found + 1).toInt
+      l += 1
+    }
+    0.0 // unreachable
+  }
+
+  /** Expand to canonical (row-major sorted) COO — walk the tree once
+    * (O(nnz · ndim)), then re-sort unless `axisOrder` is the identity
+    * (in which case tree order IS row-major order). */
+  def toCOO: SparseTensor = {
+    val nd = ndim
+    val n = nnz
+    // leaf-order coordinates in AXIS-ORDER space, prefix carried down
+    val coords = Array.ofDim[Long](n, nd)
+    // walk levels iteratively: expand each level's nodes to leaf spans
+    def leafSpan(l: Int, node: Int): (Int, Int) = {
+      var lo = node; var hi = node + 1
+      var lev = l
+      while (lev < nd - 1) {
+        val ip = indptr(lev)
+        lo = ip(lo).toInt; hi = ip(hi).toInt
+        lev += 1
+      }
+      (lo, hi)
+    }
+    var l = 0
+    while (l < nd) {
+      val level = indices(l)
+      var j = 0
+      while (j < level.length) {
+        val (lo, hi) = leafSpan(l, j)
+        var p = lo
+        while (p < hi) { coords(p)(axisOrder(l)) = level(j); p += 1 }
+        j += 1
+      }
+      l += 1
+    }
+    val identity = axisOrder == shape.indices.toSeq
+    val order: Array[Int] =
+      if (identity) Array.range(0, n)
+      else Array.range(0, n).sortWith { (a, b) =>
+        var i = 0
+        while (i < nd && coords(a)(i) == coords(b)(i)) i += 1
+        i < nd && coords(a)(i) < coords(b)(i)
+      }
+    val flat = new Array[Long](n * nd)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val k = order(i)
+      var d = 0
+      while (d < nd) { flat(i * nd + d) = coords(k)(d); d += 1 }
+      vals(i) = values(k)
+      i += 1
+    }
+    SparseTensor(shape, flat, vals)
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case SparseCSFTensor(s, ao, ip, ix, v) =>
+      s == shape && ao == axisOrder &&
+        ip.length == indptr.length &&
+        ip.zip(indptr).forall(p => java.util.Arrays.equals(p._1, p._2)) &&
+        ix.length == indices.length &&
+        ix.zip(indices).forall(p => java.util.Arrays.equals(p._1, p._2)) &&
+        java.util.Arrays.equals(v, values)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (shape, axisOrder, indptr.map(java.util.Arrays.hashCode).toSeq,
+      indices.map(java.util.Arrays.hashCode).toSeq,
+      java.util.Arrays.hashCode(values)).hashCode
+}
+
+object SparseCSFTensor {
+  /** Compress canonical COO into CSF along `axisOrder` (default: the
+    * identity, where canonical row-major order is already tree order —
+    * O(nnz); any other order pays one lexicographic re-sort, the CSC
+    * precedent). One streaming pass: a node at level l opens whenever
+    * any coordinate at level <= l changes between consecutive sorted
+    * nonzeros; opening a node closes the previous one at its level,
+    * emitting the parent-level indptr entry. */
+  def fromCOO(t: SparseTensor,
+      axisOrder: Seq[Int] = Seq.empty): SparseCSFTensor = {
+    val nd = t.ndim
+    val order = if (axisOrder.isEmpty) (0 until nd).toSeq else axisOrder
+    require(order.sorted == (0 until nd).toSeq,
+      s"axisOrder ${order.mkString(",")} is not a permutation of 0..${nd - 1}")
+    val n = t.nnz
+    val perm: Array[Int] =
+      if (order == (0 until nd).toSeq) Array.range(0, n)
+      else Array.range(0, n).sortWith { (a, b) =>
+        var i = 0
+        var cmp = 0
+        while (cmp == 0 && i < nd) {
+          cmp = java.lang.Long.compare(
+            t.indices(a * nd + order(i)), t.indices(b * nd + order(i)))
+          i += 1
+        }
+        cmp < 0
+      }
+    def coord(k: Int, level: Int): Long = t.indices(perm(k) * nd + order(level))
+    val idx = Array.fill(nd)(Array.newBuilder[Long])
+    val ipt = Array.fill(math.max(nd - 1, 0)) {
+      val b = Array.newBuilder[Long]; b += 0L; b
+    }
+    val nodeCount = new Array[Long](nd)
+    var k = 0
+    while (k < n) {
+      var firstChange = 0
+      if (k > 0) {
+        while (firstChange < nd && coord(k, firstChange) == coord(k - 1, firstChange))
+          firstChange += 1
+      }
+      var l = firstChange
+      while (l < nd) {
+        // the previously open node at level l (if any) closes: its child
+        // range ends at the CURRENT level-(l+1) node count
+        if (l < nd - 1 && nodeCount(l) > 0) ipt(l) += nodeCount(l + 1)
+        idx(l) += coord(k, l)
+        nodeCount(l) += 1
+        l += 1
+      }
+      k += 1
+    }
+    // close the final open node at every non-leaf level
+    var l = 0
+    while (l < nd - 1) { ipt(l) += nodeCount(l + 1); l += 1 }
+    val vals = Array.tabulate(n)(k => t.values(perm(k)))
+    SparseCSFTensor(t.shape, order,
+      ipt.map(_.result()).toSeq, idx.map(_.result()).toSeq, vals)
+  }
+}
+
+class SparseCSFTensorType extends UserDefinedType[SparseCSFTensor] {
+  override def sqlType: DataType = StructType(Seq(
+    StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("axis_order", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("indptr", ArrayType(
+      ArrayType(LongType, containsNull = false), containsNull = false), nullable = false),
+    StructField("indices", ArrayType(
+      ArrayType(LongType, containsNull = false), containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def userClass: Class[SparseCSFTensor] = classOf[SparseCSFTensor]
+
+  override def serialize(t: SparseCSFTensor): InternalRow =
+    InternalRow(
+      new GenericArrayData(t.shape.toArray),
+      new GenericArrayData(t.axisOrder.toArray),
+      new GenericArrayData(t.indptr.map(new GenericArrayData(_)).toArray[Any]),
+      new GenericArrayData(t.indices.map(new GenericArrayData(_)).toArray[Any]),
+      new GenericArrayData(t.values))
+
+  override def deserialize(datum: Any): SparseCSFTensor = datum match {
+    case row: InternalRow =>
+      val ipt = row.getArray(2)
+      val idx = row.getArray(3)
+      SparseCSFTensor(
+        row.getArray(0).toIntArray().toSeq,
+        row.getArray(1).toIntArray().toSeq,
+        (0 until ipt.numElements()).map(i =>
+          ipt.getArray(i).toLongArray()),
+        (0 until idx.numElements()).map(i =>
+          idx.getArray(i).toLongArray()),
+        row.getArray(4).toDoubleArray())
+  }
+
+  override def typeName: String = "graft_sparse_csf_tensor"
+}
+
+case object SparseCSFTensorType extends SparseCSFTensorType
+
 /** Time-of-day — closes the §1.2 time32/time64 contract's logical-type
   * loss: the VALUES were always preserved as µs-since-midnight longs
   * ([[TypeBridge.time32ToMicros]]/[[TypeBridge.time64ToMicros]]), but a

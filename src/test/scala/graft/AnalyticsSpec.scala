@@ -622,6 +622,27 @@ class AnalyticsSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("harmonic centrality increments stay exact past depth 3 (depth-5 path)") {
+    import spark.implicits._
+    // 6-node path: H(f) at depth 5 = 1 + 1/2 + 1/3 + 1/4 + 1/5 — each
+    // round past 3 must add exactly (|B_t| − |B_{t−1}|)/t, proving the
+    // single-aggregate increment fold at depths the gate never reaches
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f")
+      .toDF("src", "dst")
+    val reversed = chain.select(col("dst").as("src"), col("src").as("dst"))
+    val out = graft.pipeline.GraphOps
+      .harmonicCentrality(reversed, "src", "dst", maxDepth = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val h = (n: Int) => (1 to n).map(1.0 / _).sum
+    assert(out("a") == ((1L, 0.0)))
+    Seq("b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4, "f" -> 5).foreach {
+      case (node, reach) =>
+        assert(out(node)._1 == reach + 1L, s"$node ball: ${out(node)}")
+        assert(math.abs(out(node)._2 - h(reach)) < 1e-12,
+          s"$node harmonic: ${out(node)._2} vs ${h(reach)}")
+    }
+  }
+
   test("harmonic centrality register tier stays bounded and ranks the hub first") {
     import spark.implicits._
     // star: every leaf points at the hub, so the operator input (REVERSED

@@ -17,6 +17,7 @@ case class OpaqueRec(id: Long, blob: graft.types.Opaque)
 case class VarTensorRec(id: Long, t: graft.types.VarTensor)
 case class SparseTensorRec(id: Long, t: graft.types.SparseTensor)
 case class SparseMatrixRec(id: Long, m: graft.types.SparseMatrix)
+case class SparseCSFRec(id: Long, t: graft.types.SparseCSFTensor)
 case class TimeRec(id: Long, t: graft.types.TimeOfDay)
 
 class ExtensionTypesSpec extends AnyFunSuite {
@@ -207,6 +208,59 @@ class ExtensionTypesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SparseMatrix.csrFromCOO(SparseTensor(Seq(2), Array(0L), Array(1.0)))
     } // rank-1 has no CSR
+  }
+
+  test("CSF sparse tensor UDT: layout contract, parquet round-trip, lookup, COO") {
+    import graft.types.{SparseCSFTensor, SparseTensor}
+    import spark.implicits._
+    // 2x3x4 rank-3 tensor with nonzeros sharing outer fibers:
+    // (0,0,1)=1, (0,0,3)=2, (0,2,0)=3, (1,1,2)=4, (1,1,3)=5
+    val coo = SparseTensor(Seq(2, 3, 4),
+      Array(0L, 0L, 1L, 0L, 0L, 3L, 0L, 2L, 0L, 1L, 1L, 2L, 1L, 1L, 3L),
+      Array(1.0, 2.0, 3.0, 4.0, 5.0))
+    val csf = SparseCSFTensor.fromCOO(coo)
+    // layout contract (the reference's prefix tree): level 0 stores each
+    // outer coordinate ONCE; indptr ranges point at child spans
+    assert(csf.indices(0).toSeq == Seq(0L, 1L))          // outer coords
+    assert(csf.indices(1).toSeq == Seq(0L, 2L, 1L))      // middle per fiber
+    assert(csf.indices(2).toSeq == Seq(1L, 3L, 0L, 2L, 3L)) // leaves = nnz
+    assert(csf.indptr(0).toSeq == Seq(0L, 2L, 3L))
+    assert(csf.indptr(1).toSeq == Seq(0L, 2L, 3L, 5L))
+    assert(csf.values.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // O(nnz) both ways: decompression reproduces canonical COO exactly
+    assert(csf.toCOO == coo)
+    // point lookups agree with COO everywhere, implicit zeros included
+    for (i <- 0 until 2; j <- 0 until 3; k <- 0 until 4)
+      assert(csf(i, j, k) == coo(i, j, k), s"($i,$j,$k)")
+    // non-identity axis order: innermost-first tree, same data back
+    val perm = SparseCSFTensor.fromCOO(coo, Seq(2, 1, 0))
+    assert(perm.indices(0).toSeq == Seq(0L, 1L, 2L, 3L)) // axis-2 outer
+    assert(perm.toCOO == coo, "permuted CSF must round-trip to canonical COO")
+    for (i <- 0 until 2; j <- 0 until 3; k <- 0 until 4)
+      assert(perm(i, j, k) == coo(i, j, k), s"perm ($i,$j,$k)")
+    // parquet round-trip (identity + permuted in one column)
+    val rows = Seq(SparseCSFRec(1L, csf), SparseCSFRec(2L, perm))
+    val out = "/tmp/graft_io/sparse_csf_udt"
+    rows.toDS().write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[SparseCSFRec].collect().sortBy(_.id)
+    assert(back.map(r => (r.id, r.t)).toSeq == rows.map(r => (r.id, r.t)))
+    // contract violations fail loudly
+    intercept[IllegalArgumentException] {
+      SparseCSFTensor(Seq(2, 2), Seq(0, 0), csf.indptr.take(1),
+        csf.indices.take(2), csf.values) // axisOrder not a permutation
+    }
+    intercept[IllegalArgumentException] {
+      SparseCSFTensor(Seq(2, 2), Seq(0, 1),
+        Seq(Array(0L, 0L, 1L)), // empty child range for node 0
+        Seq(Array(0L, 1L), Array(0L)), Array(1.0))
+    }
+    intercept[IllegalArgumentException] {
+      SparseCSFTensor(Seq(2, 2), Seq(0, 1),
+        Seq(Array(0L, 2L)),
+        Seq(Array(0L), Array(1L, 0L)), Array(1.0, 2.0)) // siblings unsorted
+    }
+    intercept[IllegalArgumentException] { csf(0, 0) } // lookup arity
+    intercept[IllegalArgumentException] { csf(0, 0, 4) } // lookup bounds
   }
 
   test("opaque UDT carries foreign payloads losslessly with type/vendor tags") {
