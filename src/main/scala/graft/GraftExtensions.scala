@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, DistinctSketchAgg, DistinctSketchEstimate, MinHashSketch, PolyFingerprint, SimHashAgg, SketchUnionAgg, TDigestAgg, TopKAgg}
+import graft.functions.expr.{CosineSimilarity, DistinctSketchAgg, DistinctSketchEstimate, JaroWinklerExpr, MinHashSketch, PolyFingerprint, SimHashAgg, SketchUnionAgg, TDigestAgg, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[PolyFingerprint].getName, "graft_fingerprint"),
       (exprs: Seq[Expression]) => PolyFingerprint(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerExpr(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_tdigest"),
       new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
@@ -267,6 +271,8 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_fingerprint",
       exprs => PolyFingerprint(exprs.head))
+    Bridge.registerFunction(spark, "graft_jaro_winkler",
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_tdigest", tdigestBuilder)
     Bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     Bridge.registerFunction(spark, "graft_simhash", GraftFunctions.simhashBuilder)

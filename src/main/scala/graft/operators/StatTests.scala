@@ -90,6 +90,91 @@ object StatTests {
         .as("z"))
   }
 
+  /** All-pairs Mann-Whitney z with Benjamini–Hochberg FDR control — the
+    * multiple-testing layer every drift/experiment dashboard needs once
+    * it runs MORE than one comparison: at 10 pairwise tests a naive 0.05
+    * cut expects a false positive every other refresh; BH (1995) keeps
+    * the expected false-discovery RATE at `alpha` by the step-up rule
+    * (reject the `i`-smallest p-values where `p_(i) ≤ i·alpha/m`).
+    *
+    * Per pair the statistic is EXACTLY [[mannWhitney]]'s (per-value
+    * counts, integer 2×U, tie-corrected z round@6). The two-sided p
+    * comes from the Abramowitz–Stegun 26.2.17 tail polynomial emitted
+    * as shared SQL TEXT (the q19b Acklam pattern — both engines
+    * evaluate the identical IEEE expression tree), rounded@9 before any
+    * threshold comparison so a last-ulp `exp` divergence between
+    * engines cannot flip a rejection.
+    *
+    * Shape: one (group, value) count pass; the pair fan-out joins those
+    * counts to the broadcast pair list, so the exchange carries
+    * (pair, value, count) rows bounded by pairs × distinct values — the
+    * documented bounded-frame pattern ([[mannWhitney]], KS); the BH
+    * cutoff is a 1-row broadcast, never a global sort of data.
+    * Output: (g_a, g_b, z, p, bh_rank, bh_thresh, reject). */
+  def mannWhitneyPairsFdr(df: DataFrame, groupCol: String, valCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val vc = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("g"), col("__v"))
+      .agg(count(lit(1)).as("c"))
+    val gs = vc.select(col("g")).distinct()
+    val pairs = broadcast(gs.select(col("g").as("g_a")))
+      .join(broadcast(gs.select(col("g").as("g_b"))), col("g_a") < col("g_b"))
+    val av = vc.select(col("g").as("g_a"), col("__v"), col("c").as("c1"))
+      .join(broadcast(pairs), Seq("g_a"))
+    val bv = vc.select(col("g").as("g_b"), col("__v"), col("c").as("c2"))
+      .join(broadcast(pairs), Seq("g_b"))
+    val pv = av.select(col("g_a"), col("g_b"), col("__v"), col("c1"))
+      .join(bv.select(col("g_a"), col("g_b"), col("__v"), col("c2")),
+        Seq("g_a", "g_b", "__v"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    val w = Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val parts = pv
+      .withColumn("__p2",
+        col("c1") * coalesce(sum(col("c2")).over(w), lit(0L)) * 2 +
+          col("c1") * col("c2"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(sum(col("__p2")).as("u1x2"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum((col("c1") + col("c2")) * (col("c1") + col("c2")) *
+          (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("tsum"))
+    def d(c: Column) = c.cast("double")
+    val nn = d(col("n1")) + d(col("n2"))
+    val sigma = sqrt(d(col("n1")) * d(col("n2")) / 12.0 *
+      ((nn + 1.0) - d(col("tsum")) / (nn * (nn - 1.0))))
+    val scored = parts.select(col("g_a"), col("g_b"),
+      round((d(col("u1x2")) - d(col("n1")) * d(col("n2"))) / (sigma * 2.0), 6)
+        .as("z"))
+      .withColumn("p", expr(StatTests.pTwoSidedSql("z")))
+    // the unpartitioned rank runs over the PAIR frame — C(groups, 2)
+    // rows, bounded by construction (the KM/Mann-Whitney small-frame
+    // convention), never over data rows
+    val ranked = scored
+      .withColumn("bh_rank", row_number().over(
+        Window.orderBy(col("p"), col("g_a"), col("g_b"))))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("__m"))))
+      .withColumn("bh_thresh",
+        d(col("bh_rank")) * lit(alpha) / d(col("__m")))
+    val cutoff = ranked
+      .agg(max(when(col("p") <= col("bh_thresh"), col("bh_rank"))).as("__k"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("g_a"), col("g_b"), col("z"), col("p"),
+        col("bh_rank").cast("long").as("bh_rank"), col("bh_thresh"),
+        (col("__k").isNotNull && col("bh_rank") <= col("__k")).as("reject"))
+  }
+
+  /** Two-sided normal p-value of a z-score column as SQL text — the
+    * Abramowitz–Stegun 26.2.17 five-term tail polynomial (|error| <
+    * 7.5e-8), Horner form, rounded@9: emitted identically into Spark
+    * (`expr`) and the DuckDB oracle so both engines evaluate the same
+    * IEEE tree (the q19b Acklam-PPF precedent). */
+  def pTwoSidedSql(z: String): String = {
+    val t = s"(1.0/(1.0+0.2316419*abs($z)))"
+    s"round(2.0*((exp(-abs($z)*abs($z)/2.0)/2.5066282746310002)*" +
+      s"(((((1.330274429*$t-1.821255978)*$t+1.781477937)*$t-0.356563782)*$t+0.319381530)*$t)), 9)"
+  }
+
   /** Mutual information of the (rowCol, colCol) contingency table in
     * bits: I = Σ p(r,c)·log2(p(r,c)/(p(r)·p(c))) over OBSERVED cells
     * (empty cells contribute zero by the 0·log0 = 0 convention, so no

@@ -74,6 +74,40 @@ object Sharding {
           .otherwise("test"))
   }
 
+  /** EXACT-proportion stratified split: within every stratum (language,
+    * source, domain class) rows are ranked by `md5(id)` and the first
+    * `trainPct`% land in train, the next `valPct`% in val, the rest in
+    * test — integer-exact boundaries (`r·100 ≤ n·pct`), so a 300-row
+    * stratum yields exactly 240/30/30 where [[assignSplit]]'s global
+    * bucket thresholds only hit the ratios in expectation (a rare
+    * language with 40 rows can easily land 33/1/6 there — the skew this
+    * operator exists to kill). Still a pure function of the data: the
+    * md5 order is engine-independent (id tiebreak), no seed, no rand().
+    *
+    * Cost: one stratum-keyed exchange serving both windows (rank and
+    * per-stratum count share the partition key) — 100 TB-safe as long
+    * as no single stratum outweighs an executor; for a corpus that is
+    * 90% one language, split THAT stratum by [[assignSplit]] buckets
+    * and reserve exact ranking for the tail strata where the exactness
+    * matters. */
+  def assignSplitStratified(
+      df: DataFrame, idCol: String, strataCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must satisfy 0 < train, 0 <= val, train+val <= 100; " +
+        s"got train=$trainPct val=$valPct")
+    requireFresh(df.select(col(idCol), col(strataCol)), "split")
+    val byStratum = Window.partitionBy(col(strataCol))
+    val r = row_number().over(
+      byStratum.orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    val n = count(lit(1)).over(byStratum)
+    df.select(col(idCol), col(strataCol))
+      .withColumn("split",
+        when(r * 100 <= n * trainPct, "train")
+          .when(r * 100 <= n * (trainPct + valPct), "val")
+          .otherwise("test"))
+  }
+
   /** Greedy offset-based packing of documents into fixed `ctxTokens`
     * windows, sharded by the first `shardHexChars` md5 hex digits of the
     * id (16^width shards — see [[requireWidth]] for choosing the width

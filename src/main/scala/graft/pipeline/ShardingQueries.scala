@@ -24,6 +24,27 @@ object ShardingQueries {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Exact-proportion stratified split ([[Sharding.assignSplitStratified]]):
+    * every language contributes exactly 80/10/10 (integer-floor
+    * boundaries), killing the per-stratum ratio skew a global bucket
+    * threshold leaves on rare strata. Full per-row membership gated. */
+  private def splitStratified(s: SparkSession, d: String): DataFrame =
+    Sharding.assignSplitStratified(Tables.documents(s, d), "doc_id", "lang")
+      .orderBy(col("doc_id"))
+
+  private val splitStratifiedSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN r * 100 <= n * 80 THEN 'train'
+      |       WHEN r * 100 <= n * 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private def splitLeakFree(s: SparkSession, d: String): DataFrame =
     Sharding.assignSplitLeakFree(Tables.documents(s, d), "doc_id", "source")
       .orderBy(col("doc_id"))
@@ -553,6 +574,9 @@ object ShardingQueries {
       splitLeakFree, Some(splitLeakFreeSql)),
     Capability("pipeline_split", "deterministic md5-bucketed train/val/test split", split,
       Some(splitSql)),
+    Capability("pipeline_split_stratified",
+      "exact-proportion per-stratum split (md5-ranked, integer boundaries)",
+      splitStratified, Some(splitStratifiedSql)),
     Capability("pipeline_e2e", "curation composition: quality filter → dedup → split → stats",
       e2e, Some(e2eSql)),
     Capability("pipeline_mix", "data mixing: deterministic weighted per-language sampling", mix,

@@ -75,6 +75,67 @@ object StatsQueries {
        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6) AS z
        |FROM s""".stripMargin
 
+  private val FdrAlpha = 0.05
+
+  /** q66_fdr: every pairwise Mann–Whitney comparison of the event-type
+    * value distributions under Benjamini–Hochberg FDR control — the
+    * multiple-testing discipline a drift dashboard needs the moment it
+    * runs more than one test. z per pair is exactly q56's statistic;
+    * the two-sided p and the BH step-up run on shared SQL text (the
+    * q19b cross-engine contract). */
+  private def fdrQ(s: SparkSession, d: String): DataFrame =
+    StatTests.mannWhitneyPairsFdr(
+        Tables.events(s, d), "event_type", "value", FdrAlpha)
+      .orderBy(col("g_a"), col("g_b"))
+
+  private val fdrSql = {
+    val zExpr =
+      """round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |    (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
+        |       CAST(tsum AS DOUBLE) /
+        |       ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6)""".stripMargin
+    s"""WITH vc AS (
+       |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, COUNT(*) AS c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |gs AS (SELECT DISTINCT g FROM vc),
+       |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+       |pv AS (
+       |  SELECT p.g_a, p.g_b, v.v,
+       |    SUM(CASE WHEN v.g = p.g_a THEN v.c ELSE 0 END) AS c1,
+       |    SUM(CASE WHEN v.g = p.g_b THEN v.c ELSE 0 END) AS c2
+       |  FROM pairs p JOIN vc v ON v.g IN (p.g_a, p.g_b)
+       |  GROUP BY 1, 2, 3),
+       |pre AS (
+       |  SELECT g_a, g_b, c1, c2,
+       |    c1 * coalesce(SUM(c2) OVER (PARTITION BY g_a, g_b ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+       |      + c1 * c2 AS p2
+       |  FROM pv),
+       |s AS (
+       |  SELECT g_a, g_b, CAST(SUM(p2) AS BIGINT) AS u1x2,
+       |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+       |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT)
+       |      AS tsum
+       |  FROM pre GROUP BY 1, 2),
+       |zz AS (SELECT g_a, g_b, $zExpr AS z FROM s),
+       |pp AS (SELECT g_a, g_b, z, ${StatTests.pTwoSidedSql("z")} AS p FROM zz),
+       |rk AS (
+       |  SELECT g_a, g_b, z, p,
+       |    row_number() OVER (ORDER BY p, g_a, g_b) AS bh_rank,
+       |    COUNT(*) OVER () AS m
+       |  FROM pp),
+       |th AS (
+       |  SELECT g_a, g_b, z, p, bh_rank,
+       |    CAST(bh_rank AS DOUBLE) * $FdrAlpha / CAST(m AS DOUBLE) AS bh_thresh
+       |  FROM rk),
+       |k AS (SELECT MAX(CASE WHEN p <= bh_thresh THEN bh_rank END) AS kk FROM th)
+       |SELECT g_a, g_b, z, p, bh_rank, bh_thresh,
+       |  (k.kk IS NOT NULL AND bh_rank <= k.kk) AS reject
+       |FROM th CROSS JOIN k ORDER BY g_a, g_b""".stripMargin
+  }
+
   /** q64_mutual_info: mutual information (bits) between document source
     * and md5 token bucket — the feature-relevance twin of q57's X² over
     * the SAME contingency table (observed cells only: 0·log0 = 0). */
@@ -430,5 +491,8 @@ object StatsQueries {
     Capability("q65_kaplan_meier",
       "Kaplan-Meier survival of censored user lifetimes (exact log-survival longs)",
       kmQ, Some(kmSql)),
+    Capability("q66_fdr",
+      "all-pairs Mann-Whitney under Benjamini-Hochberg FDR control (shared-text p)",
+      fdrQ, Some(fdrSql)),
   )
 }

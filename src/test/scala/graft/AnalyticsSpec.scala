@@ -677,6 +677,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out2 == out, out2.toString)
   }
 
+  test("jaro-winkler matches the classic fixtures and the engine-probed oracle") {
+    import graft.functions.expr.JaroWinklerExpr.sim
+    // Winkler's published fixtures + values probed from the oracle engine
+    assert(math.abs(sim("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(sim("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(sim("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-15)
+    assert(math.abs(sim("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15)
+    // boost fires only above 0.7: prefix-2 at jaro 2/3 stays unboosted
+    assert(math.abs(sim("aaaa", "aabb") - 0.6666666666666666) < 1e-15)
+    assert(math.abs(sim("ab", "abcdefghijklmnop") - 0.7666666666666667) < 1e-15)
+    // degenerate contracts: either empty → 0; window 0 kills 'ab'/'ba'
+    assert(sim("", "") == 0.0 && sim("", "ABC") == 0.0)
+    assert(sim("ab", "ba") == 0.0)
+    assert(sim("identical", "identical") == 1.0)
+    // SQL registration evaluates through codegen
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS s").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
+  }
+
   test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
     val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 1))

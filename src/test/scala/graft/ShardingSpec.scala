@@ -23,6 +23,35 @@ class ShardingSpec extends AnyFunSuite {
     assert(counts("val") > 0 && counts("test") > 0)
   }
 
+  test("stratified split hits EXACT per-stratum proportions, stable across runs") {
+    import spark.implicits._
+    // uneven strata incl. a 7-row tail where bucket thresholds would skew
+    val rows = (1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 137).map(i => (i.toLong, "fr")) ++
+      (138 to 144).map(i => (i.toLong, "sw"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sharding.assignSplitStratified(df, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exact integer-floor boundaries per stratum: n=100 → 80/10/10,
+    // n=37 → 29/4/4 (r*100 <= 37*80 → r <= 29; <= 37*90 → r <= 33),
+    // n=7 → 5/1/1 (r <= 5.6 → 5; r <= 6.3 → 6)
+    val counts = out.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    assert(counts(("en", "train")) == 80 && counts(("en", "val")) == 10 &&
+      counts(("en", "test")) == 10, counts.toString)
+    assert(counts(("fr", "train")) == 29 && counts(("fr", "val")) == 4 &&
+      counts(("fr", "test")) == 4, counts.toString)
+    assert(counts(("sw", "train")) == 5 && counts(("sw", "val")) == 1 &&
+      counts(("sw", "test")) == 1, counts.toString)
+    // pure function of the data: identical on a re-run and per row
+    val again = Sharding.assignSplitStratified(df, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // degenerate percentages rejected
+    intercept[IllegalArgumentException] {
+      Sharding.assignSplitStratified(df, "doc_id", "lang", 90, 20)
+    }
+  }
+
   test("packing lays shards out contiguously with in-window offsets") {
     val docs = Tables.documents(spark, sf)
     val ctx = 2048

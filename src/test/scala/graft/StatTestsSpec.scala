@@ -52,6 +52,30 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
   }
 
+  test("BH FDR rejects exactly the shifted pairs, step-up rule holds") {
+    import spark.implicits._
+    // a and b share a distribution; c sits far above both — the two
+    // c-pairs must reject, the (a, b) pair must not
+    val rows = (1 to 30).map(i => ("a", i.toDouble)) ++
+      (1 to 30).map(i => ("b", i.toDouble + 0.5)) ++
+      (1 to 30).map(i => ("c", i.toDouble + 1000.0))
+    val out = StatTests.mannWhitneyPairsFdr(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(out.size == 3)
+    assert(out(("a", "c"))._3 && out(("b", "c"))._3,
+      s"shifted pairs must reject: $out")
+    assert(!out(("a", "b"))._3, s"null pair must survive: $out")
+    // step-up contract: rejected ranks form a prefix of the p-order
+    val ranksRejected = out.values.filter(_._3).map(_._2).toSeq.sorted
+    assert(ranksRejected == (1L to ranksRejected.length).toSeq,
+      s"rejections must be the smallest-p prefix: $out")
+    // p-values live in [0, 1] and the separated pairs are extreme
+    assert(out.values.forall(v => v._1 >= 0.0 && v._1 <= 1.0))
+    assert(out(("a", "c"))._1 < 1e-6)
+  }
+
   test("kaplan-meier matches the textbook curve with censoring and a wipe") {
     import spark.implicits._
     // durations: 1 death, 2 death, 3 censored, 4 death
