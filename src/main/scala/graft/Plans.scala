@@ -115,7 +115,10 @@ object Plans {
       "q63_conformal",           // OLS artifact + integer rank selection
       "pipeline_nb_eval",        // confusion counts over the composed chain
       "q64_mutual_info",         // observed-cell log2 terms, broadcast marginals
-      "q65_kaplan_meier")        // session islands -> distinct-duration window
+      "q65_kaplan_meier",        // session islands -> distinct-duration window
+      "q66_fdr",                 // pair-frame BH rank, 1-row broadcast cutoff
+      "dedup_fuzzy_jw",          // same linkage blocks, codegen JW verify
+      "pipeline_split_stratified") // one stratum exchange, two windows
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

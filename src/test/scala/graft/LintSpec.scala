@@ -121,6 +121,25 @@ class LintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("round-11 additions carry no UNJUSTIFIED plan findings") {
+    val justified: Map[String, Set[String]] = Map(
+      // BH machinery runs on the C(groups,2)-row pair frame: the rank
+      // window (and its one-partition exchange) is unpartitioned over
+      // ≤ dozens of rows by construction (the KM/Mann-Whitney
+      // small-frame convention) and the cutoff / pair-count frames
+      // ride 1-row broadcasts
+      "q66_fdr" -> Set("cartesian", "global-window",
+        "single-partition-shuffle"))
+    val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
+      "q66_fdr").flatMap { name =>
+      val cap = Registry.byName(name)
+      val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
+      val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
+      if (bad.isEmpty) None else Some(s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("clean declarative plans produce no findings") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val good = li.filter(col("l_quantity") > 10)
