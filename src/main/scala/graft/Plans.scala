@@ -118,7 +118,8 @@ object Plans {
       "q65_kaplan_meier",        // session islands -> distinct-duration window
       "q66_fdr",                 // pair-frame BH rank, 1-row broadcast cutoff
       "dedup_fuzzy_jw",          // same linkage blocks, codegen JW verify
-      "pipeline_split_stratified") // one stratum exchange, two windows
+      "pipeline_split_stratified", // one stratum exchange, two windows
+      "graph_scc")               // FW-BW peeling, checkpointed rounds
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -935,6 +935,53 @@ object AnalyticsQueries {
        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
   }
 
+  /** Strongly connected components
+    * ([[graft.pipeline.GraphOps.stronglyConnected]]) on the DIRECTED
+    * order-sequence part graph: an edge p→q whenever part q follows
+    * part p on consecutive line numbers of one order. Different orders
+    * list overlapping parts in different sequences, so real multi-node
+    * cycles (and real one-way tendrils) exist — the bow-tie shapes SCC
+    * is for. The oracle computes mutual reachability by transitive
+    * closure (recursive CTE) and takes each node's min mutual partner —
+    * the same scc_id the coloring algorithm provably emits, with no
+    * dependence on either side's iteration structure. Integer-exact. */
+  private def sccQ(s: SparkSession, d: String): DataFrame = {
+    val seq0 = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 300)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("p"))
+    val a = seq0.select(col("o"), col("ln"), col("p").as("src"))
+    val b = seq0.select(col("o"), (col("ln") - 1).as("ln"), col("p").as("dst"))
+    val e = a.join(b, Seq("o", "ln"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    graft.pipeline.GraphOps.stronglyConnected(e, "src", "dst")
+      .orderBy(col("node"))
+  }
+
+  private val sccSql =
+    """WITH seq0 AS (
+      |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+      |  FROM lineitem WHERE l_partkey < 300),
+      |e0 AS (
+      |  SELECT DISTINCT a.p AS src, b.p AS dst
+      |  FROM seq0 a JOIN seq0 b ON b.o = a.o AND b.ln = a.ln + 1
+      |  WHERE a.p <> b.p),
+      |nodes AS (
+      |  SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+      |reach AS (
+      |  WITH RECURSIVE r(src, dst) AS (
+      |    SELECT src, dst FROM e0
+      |    UNION
+      |    SELECT r.src, e.dst FROM r JOIN e0 e ON e.src = r.dst)
+      |  SELECT src, dst FROM r),
+      |mutual AS (
+      |  SELECT a.dst AS v, a.src AS u
+      |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src)
+      |SELECT n.node, LEAST(n.node, coalesce(MIN(m.u), n.node)) AS scc_id
+      |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      |GROUP BY n.node ORDER BY n.node""".stripMargin
+
   /** k-core peeling ([[graft.pipeline.GraphOps.kCore]]) on an
     * md5-SAMPLED part co-occurrence graph — the full graph is a dense
     * supplier-clique union whose min degree sits far above any useful k
@@ -1627,6 +1674,9 @@ object AnalyticsQueries {
     Capability("graph_kcore",
       s"k-core peeling (k=$KcK): $KcRounds cascading rounds on a sampled sparse graph",
       kcoreQ, Some(kcoreSql)),
+    Capability("graph_scc",
+      "strongly connected components (FW-BW coloring) vs a transitive-closure oracle",
+      sccQ, Some(sccSql)),
     Capability("q47_weighted_quantiles",
       "exact weighted quantiles: inverted-CDF rank selection under row mass",
       weightedQuantQ, Some(weightedQuantSql)),

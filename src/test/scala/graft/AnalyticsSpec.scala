@@ -622,6 +622,29 @@ class AnalyticsSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("scc: cycles collapse, one-way bridges and DAG tendrils stay apart") {
+    import spark.implicits._
+    // two 3-cycles joined by a ONE-WAY bridge, plus a dangling tendril:
+    // 1→2→3→1 (SCC 1), 4→5→6→4 (SCC 4), bridge 3→4 (no way back),
+    // tendril 6→7 (7 is a singleton sink)
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L, 6L -> 7L).toDF("s", "d")
+    val out = graft.pipeline.GraphOps.stronglyConnected(e, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L), out.toString)
+    // directed path: every node its own SCC (the worst case still exact)
+    val path = Seq(10L -> 11L, 11L -> 12L, 12L -> 13L).toDF("s", "d")
+    val p = graft.pipeline.GraphOps.stronglyConnected(path, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(10L -> 10L, 11L -> 11L, 12L -> 12L, 13L -> 13L))
+    // one big cycle through ALL nodes: a single component under min id
+    val ring = (1L to 6L).map(i => i -> (i % 6 + 1)).toDF("s", "d")
+    val rOut = graft.pipeline.GraphOps.stronglyConnected(ring, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rOut.values.toSet == Set(1L) && rOut.size == 6)
+  }
+
   test("harmonic centrality increments stay exact past depth 3 (depth-5 path)") {
     import spark.implicits._
     // 6-node path: H(f) at depth 5 = 1 + 1/2 + 1/3 + 1/4 + 1/5 — each
