@@ -119,7 +119,8 @@ object Plans {
       "q66_fdr",                 // pair-frame BH rank, 1-row broadcast cutoff
       "dedup_fuzzy_jw",          // same linkage blocks, codegen JW verify
       "pipeline_split_stratified", // one stratum exchange, two windows
-      "graph_scc")               // FW-BW peeling, checkpointed rounds
+      "graph_scc",               // FW-BW peeling, checkpointed rounds
+      "dedup_containment")       // shared candidate machinery, direction fan-out
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -119,6 +119,49 @@ object Dedup {
     attachJaccard(inter, sizes)
   }
 
+  /** ASYMMETRIC shingle containment `C(A→B) = |S(A)∩S(B)| / |S(A)|` for
+    * every ordered pair sharing ≥1 shingle — the doc-inside-doc signal
+    * Jaccard structurally misses: a short document quoted whole inside a
+    * long one has C(short→long) = 1.0 while its Jaccard is only
+    * |S(short)|/|S(long)| (tiny for a long container), so a
+    * Jaccard-thresholded dedup never sees it. This is the Broder
+    * containment coefficient — the boilerplate-extraction /
+    * quote-detection complement to [[jaccardPairs]].
+    *
+    * Same two-shuffle shape as the Jaccard index (shingle group →
+    * ordered pair → count); each UNordered candidate pair then fans out
+    * to its two directions in a narrow projection. Exact; the hot-shingle
+    * df-cap / prefix-filter scale levers apply unchanged (candidate
+    * generation is shared machinery). Output:
+    * (contained, container, containment) at `containment >= threshold`. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val (inv, sizes) = shingleIndex(shingleDocs(df, idCol, textCol, n))
+    val pairsPerShingle = inv
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            y -> struct(x AS da, y AS db))))""".stripMargin)).as("p"))
+      .select(col("p.da"), col("p.db"))
+    val inter = pairsPerShingle
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .select(explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          (col("inter").cast("double") / col("na")).as("containment")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          (col("inter").cast("double") / col("nb")).as("containment")))).as("r"))
+      .select(col("r.contained"), col("r.container"), col("r.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Jaccard pairs with a document-frequency cap on candidate-generating
     * shingles. A corpus-stopword shingle with document frequency f emits
     * f²/2 candidate pairs from one group — the quadratic term that kills

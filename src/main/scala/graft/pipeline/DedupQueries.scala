@@ -41,6 +41,31 @@ object DedupQueries {
        |       (any_value(sa.n_sh) + any_value(sb.n_sh) - COUNT(*)) >= $minJ
        |ORDER BY da, db""".stripMargin
 
+  /** Asymmetric containment pairs at 0.8 ([[Dedup.containmentPairs]]) —
+    * the doc-inside-doc direction Jaccard misses. */
+  private def containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("contained"), col("container"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("contained"), col("container"))
+
+  private val containmentSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+      |SELECT a.doc_id AS contained, b.doc_id AS container,
+      |  round(COUNT(*)::DOUBLE / any_value(sa.n_sh), 6) AS containment
+      |FROM sh a
+      |JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |JOIN sz sa ON sa.doc_id = a.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(*)::DOUBLE / any_value(sa.n_sh) >= 0.8
+      |ORDER BY contained, container""".stripMargin
+
   /** n-gram Jaccard near-dup pairs (threshold 0.5) via the exact inverted
     * index. */
   private def ngram(s: SparkSession, d: String): DataFrame =
@@ -348,6 +373,9 @@ object DedupQueries {
     // correctness gate, not a headline number; minhash is the scale twin
     Capability("dedup_ngram_jaccard", "n-gram Jaccard near-dup pairs (inverted index)", ngram,
       Some(jaccardPairsSql(0.5))),
+    Capability("dedup_containment",
+      "asymmetric shingle containment pairs (doc-inside-doc, Broder coefficient)",
+      containment, Some(containmentSql)),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
     Capability("dedup_ppjoin",

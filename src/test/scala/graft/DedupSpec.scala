@@ -39,6 +39,31 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh == exact)
   }
 
+  test("containment flags doc-inside-doc ASYMMETRICALLY where jaccard cannot") {
+    import spark.implicits._
+    // doc 1 (core) is quoted WHOLE inside doc 2 (core + long tail);
+    // doc 3 is unrelated. S(1) ⊆ S(2) at the shingle level: every
+    // 3-gram of doc 1 appears in doc 2 (the tail starts after the core,
+    // so the boundary shingles exist in doc 2 as well)
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail = "iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega one two three four five six seven"
+    val df = Seq(
+      (1L, core), (2L, s"$core $tail"), (3L, "cat dog fish bird mouse"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // short-in-long fires at 1.0; the reverse direction must NOT fire
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1.0, out.toString)
+    assert(!out.contains((2L, 1L)), s"containment must stay asymmetric: $out")
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // and jaccard at the same 0.9 bar misses the pair entirely
+    val j = Dedup.jaccardPairs(df, "doc_id", "text")
+      .filter(col("jaccard") >= 0.9).count()
+    assert(j == 0L, "jaccard cannot see the quoted-whole relationship")
+  }
+
   test("df-capped candidates equal the exact pairs on this corpus") {
     val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
       .filter(col("jaccard") >= 0.8)
