@@ -120,7 +120,8 @@ object Plans {
       "dedup_fuzzy_jw",          // same linkage blocks, codegen JW verify
       "pipeline_split_stratified", // one stratum exchange, two windows
       "graph_scc",               // FW-BW peeling, checkpointed rounds
-      "dedup_containment")       // shared candidate machinery, direction fan-out
+      "dedup_containment",       // shared candidate machinery, direction fan-out
+      "q67_theil_sen")           // g-keyed pair join on the thinned frame
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

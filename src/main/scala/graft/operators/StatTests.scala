@@ -164,6 +164,69 @@ object StatTests {
         (col("__k").isNotNull && col("bh_rank") <= col("__k")).as("reject"))
   }
 
+  /** Theil–Sen robust regression per group: slope = the LOWER MEDIAN of
+    * all pairwise slopes (v_j−v_i)/(x_j−x_i) over time-distinct point
+    * pairs, intercept = the lower median of v_i − slope·x_i — the
+    * classical 29.3%-breakdown line fit (Sen 1968), immune to the
+    * outliers that drag OLS ([[q59]]'s Cramer fit) arbitrarily far. The
+    * x axis is HOURS since epoch (µs/3.6e9, one IEEE division).
+    *
+    * Exactness: every slope/residual is ONE rounded IEEE expression
+    * scaled to a 1e-9-unit long (`round(x·1e9, 0)` — the house scaled-
+    * long contract), and the median is rank selection at index
+    * `(m+1) div 2` over those longs — the picked VALUE at a rank is
+    * unique in the sorted multiset, so row_number ties cannot change
+    * the output. Equal-time pairs are excluded (no slope), matching
+    * the classical definition.
+    *
+    * Scale shape: the pairwise frame is quadratic BY DEFINITION, so the
+    * operator samples each group first by a deterministic md5 lottery
+    * (`sampleUpper` two-hex threshold — the pipeline_mix contract; at
+    * '20' a 2000-row group thins to ~250 points / ~31k slopes). The
+    * self-join is g-keyed over the thinned frame (the q62
+    * basket-bounded precedent, never all-rows); the two medians are
+    * group-partitioned rank selections. For full-data robust fits at
+    * scale, the repeated-median / binary-search formulations are the
+    * published successors — this is the exact estimator on a bounded
+    * deterministic sample, which is how Theil-Sen is actually run on
+    * big series. Output: (g, n_pts, n_slopes, slope, intercept). */
+  def theilSen(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, sampleUpper: String = "20"): DataFrame = {
+    val pts = df.filter(col(valCol).isNotNull &&
+        substring(md5(col(idCol).cast("string")), 1, 2) < lit(sampleUpper))
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol)").as("t"),
+        col(idCol).as("i"), col(valCol).cast("double").as("v"))
+    val a = pts.select(col("g"), col("t").as("t1"), col("i").as("i1"),
+      col("v").as("v1"))
+    val b = pts.select(col("g"), col("t").as("t2"), col("i").as("i2"),
+      col("v").as("v2"))
+    val slopes = a.join(b, Seq("g"))
+      .filter(col("t1") < col("t2"))
+      .select(col("g"),
+        round((col("v2") - col("v1")) /
+          ((col("t2") - col("t1")).cast("double") / 3600000000.0) * 1e9, 0)
+          .cast("long").as("s9"))
+    def lowerMedian(f: DataFrame, c: String): DataFrame = f
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col(c))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+    val med = lowerMedian(slopes, "s9")
+      .select(col("g"), col("s9"), col("m").as("n_slopes"))
+    val resid = pts.join(med.select(col("g"), col("s9")), Seq("g"))
+      .select(col("g"),
+        round((col("v") - col("s9").cast("double") / 1e9 *
+          (col("t").cast("double") / 3600000000.0)) * 1e9, 0)
+          .cast("long").as("r9"))
+    val icept = lowerMedian(resid, "r9")
+      .select(col("g"), col("r9"), col("m").as("n_pts"))
+    med.join(icept, Seq("g"))
+      .select(col("g"), col("n_pts"), col("n_slopes"),
+        (col("s9").cast("double") / 1e9).as("slope"),
+        (col("r9").cast("double") / 1e9).as("intercept"))
+  }
+
   /** Two-sided normal p-value of a z-score column as SQL text — the
     * Abramowitz–Stegun 26.2.17 five-term tail polynomial (|error| <
     * 7.5e-8), Horner form, rounded@9: emitted identically into Spark

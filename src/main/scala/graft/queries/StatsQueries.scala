@@ -136,6 +136,47 @@ object StatsQueries {
        |FROM th CROSS JOIN k ORDER BY g_a, g_b""".stripMargin
   }
 
+  /** q67_theil_sen: robust Theil–Sen line fit per event type (lower
+    * medians of 1e-9-scaled pairwise slopes / residuals over the
+    * md5-thinned point set — [[graft.operators.StatTests.theilSen]]).
+    * The 29.3%-breakdown complement to q59's OLS. */
+  private def theilSenQ(s: SparkSession, d: String): DataFrame =
+    StatTests.theilSen(
+        Tables.events(s, d), "event_type", "ts", "event_id", "value")
+      .orderBy(col("g"))
+
+  private val theilSenSql =
+    """WITH pts AS (
+      |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL
+      |    AND substring(md5(event_id::VARCHAR), 1, 2) < '20'),
+      |sl AS (
+      |  SELECT a.g,
+      |    CAST(round((b.v - a.v) /
+      |      (CAST(b.t - a.t AS DOUBLE) / 3600000000.0) * 1e9, 0) AS BIGINT) AS s9
+      |  FROM pts a JOIN pts b ON b.g = a.g AND a.t < b.t),
+      |ms AS (
+      |  SELECT g, s9, row_number() OVER (PARTITION BY g ORDER BY s9) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS m
+      |  FROM sl),
+      |med AS (SELECT g, s9, m AS n_slopes FROM ms WHERE rn = (m + 1) // 2),
+      |res AS (
+      |  SELECT p.g,
+      |    CAST(round((p.v - CAST(med.s9 AS DOUBLE) / 1e9 *
+      |      (CAST(p.t AS DOUBLE) / 3600000000.0)) * 1e9, 0) AS BIGINT) AS r9
+      |  FROM pts p JOIN med ON med.g = p.g),
+      |mr AS (
+      |  SELECT g, r9, row_number() OVER (PARTITION BY g ORDER BY r9) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS m
+      |  FROM res),
+      |ic AS (SELECT g, r9, m AS n_pts FROM mr WHERE rn = (m + 1) // 2)
+      |SELECT med.g, ic.n_pts, med.n_slopes,
+      |  CAST(med.s9 AS DOUBLE) / 1e9 AS slope,
+      |  CAST(ic.r9 AS DOUBLE) / 1e9 AS intercept
+      |FROM med JOIN ic ON ic.g = med.g ORDER BY med.g""".stripMargin
+
   /** q64_mutual_info: mutual information (bits) between document source
     * and md5 token bucket — the feature-relevance twin of q57's X² over
     * the SAME contingency table (observed cells only: 0·log0 = 0). */
@@ -494,5 +535,8 @@ object StatsQueries {
     Capability("q66_fdr",
       "all-pairs Mann-Whitney under Benjamini-Hochberg FDR control (shared-text p)",
       fdrQ, Some(fdrSql)),
+    Capability("q67_theil_sen",
+      "Theil-Sen robust line fit: lower-median pairwise slopes on md5-thinned points",
+      theilSenQ, Some(theilSenSql)),
   )
 }

@@ -131,7 +131,8 @@ class LintSpec extends AnyFunSuite {
       "q66_fdr" -> Set("cartesian", "global-window",
         "single-partition-shuffle"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
-      "q66_fdr", "graph_scc", "dedup_containment").flatMap { name =>
+      "q66_fdr", "graph_scc", "dedup_containment",
+      "q67_theil_sen").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

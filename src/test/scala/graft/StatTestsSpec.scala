@@ -76,6 +76,25 @@ class StatTestsSpec extends AnyFunSuite {
     assert(out(("a", "c"))._1 < 1e-6)
   }
 
+  test("theil-sen ignores a wild outlier that would wreck the OLS line") {
+    import spark.implicits._
+    // points on y = 2x + 1 over x = hours; one wild outlier at the end.
+    // ids chosen so every md5 2-hex prefix is below the 'ff' threshold
+    // (no thinning in the test). ts in µs: hour h -> h * 3.6e9
+    val rows = (0 until 9).map { h =>
+      ("a", new java.sql.Timestamp(h * 3600L * 1000L), h.toLong, 2.0 * h + 1.0)
+    } :+ (("a", new java.sql.Timestamp(9 * 3600L * 1000L), 9L, 1000.0))
+    val df = rows.toDF("g", "ts", "id", "v")
+    val r = StatTests.theilSen(df, "g", "ts", "id", "v", sampleUpper = "ff")
+      .collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 45L,
+      s"10 points, 45 time-distinct pairs: $r")
+    // 36 of 45 pairwise slopes are exactly 2.0 (outlier touches only 9),
+    // so the median slope is 2 and the median residual is 1
+    assert(r.getDouble(3) == 2.0, s"slope must shrug off the outlier: $r")
+    assert(r.getDouble(4) == 1.0, s"intercept from clean residuals: $r")
+  }
+
   test("kaplan-meier matches the textbook curve with censoring and a wipe") {
     import spark.implicits._
     // durations: 1 death, 2 death, 3 censored, 4 death
