@@ -121,7 +121,8 @@ object Plans {
       "pipeline_split_stratified", // one stratum exchange, two windows
       "graph_scc",               // FW-BW peeling, checkpointed rounds
       "dedup_containment",       // shared candidate machinery, direction fan-out
-      "q67_theil_sen")           // g-keyed pair join on the thinned frame
+      "q67_theil_sen",           // g-keyed pair join on the thinned frame
+      "dedup_winnow")            // narrow HOF selection, fp-keyed pairs
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -119,6 +119,51 @@ object Dedup {
     attachJaccard(inter, sizes)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS plagiarism detector's selection scheme): hash every POSITIONAL
+    * word n-gram, slide a window of `w` consecutive hashes, keep each
+    * window's MINIMUM — the selected set is the document fingerprint.
+    * The published guarantee: any shared run of at least `w + n − 1`
+    * words produces at least one shared fingerprint, while only
+    * ~`2/(w+1)` of all hashes are kept. This is the guarantee-bearing
+    * span detector next to [[graft.pipeline.Dedup]]'s fixed-stride
+    * spans: spans can straddle a copied run and miss it, winnowing
+    * cannot.
+    *
+    * Hashes are `conv(md5(gram)[1..15], 16, 10)` longs — 60 bits, and
+    * (unlike xxhash64) REPRODUCIBLE in the DuckDB oracle, which matters
+    * here because the SELECTION depends on hash VALUES, not just
+    * equality. All construction is codegen HOFs (narrow); pairs come
+    * from the same fingerprint-keyed group → ordered-pair machinery as
+    * [[jaccardPairs]] (df-cappable the same way). Output:
+    * (da, db, shared) for pairs sharing ≥ `minShared` fingerprints. */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val hs = transform(graft.functions.TextOps.ngrams(col(textCol), n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val fps = df.select(col(idCol).as("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - lit(w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+    val pairsPerFp = fps
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            y -> struct(x AS da, y AS db))))""".stripMargin)).as("p"))
+      .select(col("p.da"), col("p.db"))
+    pairsPerFp
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** ASYMMETRIC shingle containment `C(A→B) = |S(A)∩S(B)| / |S(A)|` for
     * every ordered pair sharing ≥1 shingle — the doc-inside-doc signal
     * Jaccard structurally misses: a short document quoted whole inside a

@@ -41,6 +41,39 @@ object DedupQueries {
        |       (any_value(sa.n_sh) + any_value(sb.n_sh) - COUNT(*)) >= $minJ
        |ORDER BY da, db""".stripMargin
 
+  private val WinnowW = 4
+  private val WinnowShared = 2
+
+  /** Winnowing fingerprint pairs ([[Dedup.winnowPairs]]): MOSS-style
+    * window-min selection over positional 3-gram md5 hashes. The oracle
+    * replays the SELECTION itself — same md5-prefix longs, same window
+    * mins — which is why the hash is md5-based, not xxhash64. */
+  private def winnow(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, w = WinnowW, minShared = WinnowShared)
+      .orderBy(col("da"), col("db"))
+
+  private val winnowSql =
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(
+       |    list_transform(
+       |      range(1, len(string_split(text, ' ')) - 1),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+       |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT) AS hs
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, f FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+       |      i -> list_min(hs[i:i+${WinnowW - 1}]))) AS f
+       |    FROM hs))
+       |SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+       |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $WinnowShared
+       |ORDER BY da, db""".stripMargin
+
   /** Asymmetric containment pairs at 0.8 ([[Dedup.containmentPairs]]) —
     * the doc-inside-doc direction Jaccard misses. */
   private def containment(s: SparkSession, d: String): DataFrame =
@@ -376,6 +409,9 @@ object DedupQueries {
     Capability("dedup_containment",
       "asymmetric shingle containment pairs (doc-inside-doc, Broder coefficient)",
       containment, Some(containmentSql)),
+    Capability("dedup_winnow",
+      "winnowing fingerprint pairs (MOSS window-min selection, guarantee-bearing)",
+      winnow, Some(winnowSql)),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
     Capability("dedup_ppjoin",

@@ -64,6 +64,32 @@ class DedupSpec extends AnyFunSuite {
     assert(j == 0L, "jaccard cannot see the quoted-whole relationship")
   }
 
+  test("winnowing guarantee: a shared w+n-1 run always yields a shared fingerprint") {
+    import spark.implicits._
+    // n=3, w=4: guarantee threshold = 6 shared words. docs 1/2 share a
+    // 6-word run embedded in otherwise-disjoint text; doc 3 is disjoint
+    val run = "the quick brown fox jumps high"
+    val df = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two $run three four five six"),
+      (3L, "cat dog fish bird mouse horse cow sheep goat"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(df, "doc_id", "text", n = 3, w = 4,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) >= 1L,
+      s"the guaranteed shared run must surface: $out")
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L),
+      s"disjoint text must share nothing: $out")
+    // density: selection keeps far fewer fingerprints than hashes
+    val fullDup = Seq((10L, run + " " + run), (11L, run + " " + run))
+      .toDF("doc_id", "text")
+    val dup = Dedup.winnowPairs(fullDup, "doc_id", "text", n = 3, w = 4,
+        minShared = 1).collect()
+    assert(dup.length == 1 && dup.head.getLong(2) >= 2L,
+      "identical docs share their whole (small) fingerprint set")
+  }
+
   test("df-capped candidates equal the exact pairs on this corpus") {
     val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
       .filter(col("jaccard") >= 0.8)
