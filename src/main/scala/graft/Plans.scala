@@ -122,7 +122,8 @@ object Plans {
       "graph_scc",               // FW-BW peeling, checkpointed rounds
       "dedup_containment",       // shared candidate machinery, direction fan-out
       "q67_theil_sen",           // g-keyed pair join on the thinned frame
-      "dedup_winnow")            // narrow HOF selection, fp-keyed pairs
+      "dedup_winnow",            // narrow HOF selection, fp-keyed pairs
+      "q26q_ipc_fsl")            // fixed-size-list transport round-trip
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

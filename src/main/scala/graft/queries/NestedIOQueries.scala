@@ -648,6 +648,33 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26q: fixed-size-list Arrow IPC round-trip — the embedding column
+    * ships as `fixed_size_list<float, 64>` (type id 32), the layout
+    * reference consumers expect for embeddings (and the one Spark's own
+    * Arrow bridge rejects outright — [[graft.sources.ArrowIpc.writeFsl]]
+    * writes it, [[graft.sources.ArrowIpc]]'s read boundary expands the
+    * implicit offsets back). Gate: per-row dim + first/last element +
+    * scalars vs the source table read directly by DuckDB; IoSpec cracks
+    * the file and asserts the on-disk field REALLY is FixedSizeList and
+    * full arrays survive value-identical. */
+  private def q26q(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_fsl_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.writeFsl(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")),
+      out, fslCols = Map("embedding" -> 64))
+    graft.sources.ArrowIpc.read(s, out)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("e_first"),
+        element_at(col("embedding"), 64).as("e_last"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q26qSql =
+    """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+      |  embedding[1] AS e_first, embedding[64] AS e_last
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Q27a: exact quantiles + exact distinct count — the hash-gated side of
     * the approx-aggregate family (both engines interpolate quantiles at
     * rank (n-1)*q; rounded to absorb last-ulp interpolation differences).
@@ -920,6 +947,9 @@ object NestedIOQueries {
       q26p, Some(q26pSql)),
     Capability("q26o_ipc_view", "view-layout Arrow IPC round-trip (string_view transport)", q26o,
       Some(q26Sql)),
+    Capability("q26q_ipc_fsl",
+      "fixed-size-list Arrow IPC round-trip (the embedding transport layout)", q26q,
+      Some(q26qSql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,

@@ -493,6 +493,117 @@ object ArrowIpc {
     }
   }
 
+  /** Fixed-size-list IPC WRITE — the write half of [[decodeFsl]]: each
+    * declared array column ships as `fixed_size_list<child, size>` (type
+    * id 32), THE Arrow transport reference consumers expect for
+    * embedding columns (and the storage layout of fixed_shape_tensor).
+    * Offsets are implicit, so the on-disk column drops the offset buffer
+    * entirely — 4 bytes/row smaller and aligned for vectorized readers.
+    * Every row must carry exactly `size` elements and no nulls inside
+    * the list (the fixed layout has nowhere to put raggedness) — both
+    * enforced LOUDLY per row. Pure per-batch task-local work like
+    * [[writeViews]]. */
+  def writeFsl(df: DataFrame, dir: String, fslCols: Map[String, Int],
+      batchSize: Int = 4096): Unit = {
+    import scala.jdk.CollectionConverters._
+    require(fslCols.nonEmpty, "writeFsl needs at least one fixed-size column")
+    val schema = df.schema
+    fslCols.foreach { case (c, sz) =>
+      require(sz >= 1, s"fixed size for '$c' must be >= 1, got $sz")
+      require(schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"fixed-size column '$c' must be an array, got ${schema(c).dataType}")
+    }
+    val hconf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    Bridge.toInternalRdd(df).foreachPartition { rows =>
+      if (rows.nonEmpty) {
+        val part = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$part%05d.arrow")
+        val pfs = path.getFileSystem(hconf.value)
+        val allocator = new RootAllocator(Long.MaxValue)
+        val valueSchema = Bridge.toArrowSchema(schema)
+        val valueRoot = VectorSchemaRoot.create(valueSchema, allocator)
+        val loader = new VectorLoader(valueRoot)
+        val outVectors: Seq[FieldVector] = valueSchema.getFields.asScala.toSeq.map { f =>
+          fslCols.get(f.getName) match {
+            case Some(sz) =>
+              new Field(f.getName,
+                new FieldType(f.isNullable, new ArrowType.FixedSizeList(sz), null,
+                  f.getMetadata),
+                f.getChildren)
+                .createVector(allocator)
+            case None => f.createVector(allocator)
+          }
+        }
+        val outRoot = new VectorSchemaRoot(outVectors.asJava)
+        val out = pfs.create(path, true)
+        val writer = new ArrowFileWriter(outRoot, null, Channels.newChannel(out))
+        try {
+          writer.start()
+          Bridge.toArrowBatchIterator(rows, schema, batchSize, TaskContext.get()).foreach { bytes =>
+            val batch = MessageSerializer.deserializeRecordBatch(
+              new org.apache.arrow.vector.ipc.ReadChannel(
+                Channels.newChannel(new java.io.ByteArrayInputStream(bytes))), allocator)
+            try loader.load(batch) finally batch.close()
+            val n = valueRoot.getRowCount
+            schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+              val src = valueRoot.getVector(i)
+              outVectors(i) match {
+                case fv: org.apache.arrow.vector.complex.FixedSizeListVector =>
+                  val sv = src.asInstanceOf[ListVector]
+                  val sz = fv.getListSize
+                  fv.clear()
+                  fv.setInitialCapacity(n)
+                  fv.allocateNew()
+                  val sData = sv.getDataVector
+                  val dData = fv.getDataVector
+                  var r = 0
+                  while (r < n) {
+                    if (sv.isNull(r)) fv.setNull(r)
+                    else {
+                      val s0 = sv.getElementStartIndex(r)
+                      val e0 = sv.getElementEndIndex(r)
+                      require(e0 - s0 == sz,
+                        s"writeFsl: column '$name' row has ${e0 - s0} elements " +
+                          s"but is declared fixed_size_list<$sz>")
+                      var j = s0
+                      while (j < e0) {
+                        require(!sData.isNull(j),
+                          s"writeFsl: column '$name' carries a NULL element — " +
+                            "the fixed layout requires dense values")
+                        j += 1
+                      }
+                      fv.setNotNull(r)
+                      j = s0
+                      while (j < e0) {
+                        dData.copyFromSafe(j, r * sz + (j - s0), sData)
+                        j += 1
+                      }
+                    }
+                    r += 1
+                  }
+                  fv.setValueCount(n)
+                  dData.setValueCount(n * sz)
+                case dst =>
+                  src.makeTransferPair(dst).transfer()
+              }
+            }
+            outRoot.setRowCount(n)
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally {
+          writer.close(); out.close()
+          outRoot.close(); valueRoot.close()
+          allocator.close()
+        }
+      }
+    }
+  }
+
   // --- 64-bit-offset layout variants -------------------------------------
   // LARGE_STRING / LARGE_BINARY / LARGE_LIST (reference type ids 34/35/36,
   // cpp/src/arrow/type.h:442-448) are per SURVEY §1.2 "layout variants,
@@ -754,6 +865,41 @@ object ArrowIpc {
     dst
   }
 
+  // --- fixed-size lists ---------------------------------------------------
+  // FIXED_SIZE_LIST (reference type id 32, type_fwd.h:435) is THE standard
+  // Arrow transport for embedding columns (fixed_size_list<float, d>) and
+  // the storage layout of fixed_shape_tensor — but Spark's Arrow bridge
+  // rejects it outright (UNSUPPORTED_ARROWTYPE). Per SURVEY §1.2 the
+  // logical mapping is a plain ArrayType whose offsets are implicit
+  // (i·size), so the read boundary DECODES each top-level fixed-size-list
+  // column into an ordinary list vector — same stance as dictionaries,
+  // REE and views. The size constraint is layout-only and is dropped
+  // (documented §1.2 contract: enforce per-row width downstream when it
+  // matters).
+
+  private def isFsl(f: Field): Boolean =
+    f.getType.isInstanceOf[ArrowType.FixedSizeList]
+
+  private def hasFsl(s: ArrowSchema): Boolean = {
+    import scala.jdk.CollectionConverters._
+    s.getFields.asScala.exists(isFsl)
+  }
+
+  /** The §1.2 value-typed field: a plain 32-bit list with the same child. */
+  private def fslValueField(f: Field): Field =
+    new Field(f.getName,
+      new FieldType(f.isNullable, ArrowType.List.INSTANCE, null, f.getMetadata),
+      f.getChildren)
+
+  /** Expand implicit (i·size) offsets into a plain list vector (caller
+    * closes the result) — [[decodeListView]] does the element copies. */
+  private def decodeFsl(v: FieldVector, allocator: RootAllocator): FieldVector = {
+    val src = v.asInstanceOf[org.apache.arrow.vector.complex.FixedSizeListVector]
+    val sz = src.getListSize
+    decodeListView(src.getName, src.getValueCount, src.getDataVector,
+      i => src.isNull(i), i => (i * sz, i * sz + sz), allocator)
+  }
+
   private def narrowType(t: ArrowType): ArrowType = t match {
     case _: ArrowType.LargeUtf8   => ArrowType.Utf8.INSTANCE
     case _: ArrowType.LargeBinary => ArrowType.Binary.INSTANCE
@@ -864,7 +1010,7 @@ object ArrowIpc {
     val srcRoot = reader.getVectorSchemaRoot
     requireNoNestedViewsInSchema(srcRoot.getSchema)
     val encoded = hasDictionary(srcRoot.getSchema) || hasRee(srcRoot.getSchema) ||
-      hasView(srcRoot.getSchema)
+      hasView(srcRoot.getSchema) || hasFsl(srcRoot.getSchema)
     val unloader = new VectorUnloader(srcRoot)
     val srcFields = srcRoot.getSchema.getFields.asScala.toSeq
     val narrow = !encoded && hasLargeTypes(srcFields)
@@ -906,6 +1052,10 @@ object ArrowIpc {
                 d
               } else if (isView(v.getField)) {
                 val d = decodeView(v, allocator)
+                decodedVecs.add(d)
+                d
+              } else if (isFsl(v.getField)) {
+                val d = decodeFsl(v, allocator)
                 decodedVecs.add(d)
                 d
               } else v
@@ -1059,7 +1209,11 @@ object ArrowIpc {
           if (!hasView(resolved)) resolved
           else new ArrowSchema(resolved.getFields.asScala
             .map(f => if (isView(f)) viewValueField(f) else f).asJava)
-        Bridge.fromArrowSchema(narrowSchema(unviewed))
+        val unfixed =
+          if (!hasFsl(unviewed)) unviewed
+          else new ArrowSchema(unviewed.getFields.asScala
+            .map(f => if (isFsl(f)) fslValueField(f) else f).asJava)
+        Bridge.fromArrowSchema(narrowSchema(unfixed))
       } finally { reader.close(); allocator.close() }
     }
     val hconf = new SerializableHadoopConf(conf)

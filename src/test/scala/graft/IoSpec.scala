@@ -338,6 +338,47 @@ class IoSpec extends AnyFunSuite {
       s"expected the documented nested-view rejection, got: ${err.getMessage}")
   }
 
+  test("fixed-size-list IPC: write emits REAL FixedSizeList, read expands it; ragged rejected") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.{ArrowFileReader, SeekableReadChannel}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc_fsl").toString
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f, 3.0f))),
+      (2L, Some(Seq(4.0f, 5.0f, 6.0f))),
+      (3L, None)) // a NULL row is representable (only in-list nulls are not)
+      .toDF("id", "emb")
+    graft.sources.ArrowIpc.writeFsl(df, s"$dir/f", fslCols = Map("emb" -> 3))
+    // footer really declares fixed_size_list<3>
+    val allocator = new RootAllocator(Long.MaxValue)
+    val file = new java.io.File(s"$dir/f").listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val fc = new java.io.FileInputStream(file).getChannel
+    val reader = new ArrowFileReader(new SeekableReadChannel(fc), allocator)
+    try {
+      val f = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+        .find(_.getName == "emb").get
+      assert(f.getType == new org.apache.arrow.vector.types.pojo
+        .ArrowType.FixedSizeList(3), f.toString)
+    } finally { reader.close(); allocator.close() }
+    // read expands the implicit offsets back to plain arrays, nulls intact
+    val back = graft.sources.ArrowIpc.read(spark, s"$dir/f").orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0).getSeq[Float](1) == Seq(1.0f, 2.0f, 3.0f))
+    assert(back(1).getSeq[Float](1) == Seq(4.0f, 5.0f, 6.0f))
+    assert(back(2).isNullAt(1))
+    // a ragged row fails loudly at write time
+    val ragged = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "emb")
+    val e = intercept[Exception] {
+      graft.sources.ArrowIpc.writeFsl(ragged, s"$dir/bad", fslCols = Map("emb" -> 3))
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("fixed_size_list") || msg.contains("declared fixed"),
+      s"expected the ragged-row rejection, got: ${e.getMessage}")
+  }
+
   test("writeViews emits a REAL string_view field; long and null values survive") {
     import scala.jdk.CollectionConverters._
     import org.apache.arrow.memory.RootAllocator

@@ -132,7 +132,7 @@ class LintSpec extends AnyFunSuite {
         "single-partition-shuffle"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
-      "q67_theil_sen", "dedup_winnow").flatMap { name =>
+      "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
