@@ -129,7 +129,13 @@ class LintSpec extends AnyFunSuite {
       // small-frame convention) and the cutoff / pair-count frames
       // ride 1-row broadcasts
       "q66_fdr" -> Set("cartesian", "global-window",
-        "single-partition-shuffle"))
+        "single-partition-shuffle"),
+      // md5-lottery thinning / computed-column guards are
+      // parquet-inexpressible by design (the md5-prefix-bucket
+      // precedent): theilSen's sample filter and winnow's
+      // nonempty-hash-array guard evaluate post-scan
+      "q67_theil_sen" -> Set("unpushed-filter"),
+      "dedup_winnow" -> Set("unpushed-filter"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
       "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl").flatMap { name =>
