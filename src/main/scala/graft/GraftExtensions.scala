@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, DistinctSketchAgg, DistinctSketchEstimate, JaroWinklerExpr, MinHashSketch, PolyFingerprint, SimHashAgg, SketchUnionAgg, TDigestAgg, TopKAgg}
+import graft.functions.expr.{CosineSimilarity, DamerauLevenshteinExpr, DistinctSketchAgg, DistinctSketchEstimate, JaroWinklerExpr, MinHashSketch, PolyFingerprint, SimHashAgg, SketchUnionAgg, TDigestAgg, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName,
+        "graft_damerau_levenshtein"),
+      (exprs: Seq[Expression]) => DamerauLevenshteinExpr(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_tdigest"),
       new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
@@ -273,6 +278,8 @@ object GraftFunctions {
       exprs => PolyFingerprint(exprs.head))
     Bridge.registerFunction(spark, "graft_jaro_winkler",
       exprs => JaroWinklerExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "graft_damerau_levenshtein",
+      exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_tdigest", tdigestBuilder)
     Bridge.registerFunction(spark, "graft_minhash", minhashBuilder)
     Bridge.registerFunction(spark, "graft_simhash", GraftFunctions.simhashBuilder)

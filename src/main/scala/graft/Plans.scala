@@ -123,7 +123,13 @@ object Plans {
       "dedup_containment",       // shared candidate machinery, direction fan-out
       "q67_theil_sen",           // g-keyed pair join on the thinned frame
       "dedup_winnow",            // narrow HOF selection, fp-keyed pairs
-      "q26q_ipc_fsl")            // fixed-size-list transport round-trip
+      "q26q_ipc_fsl",            // fixed-size-list transport round-trip
+      "dedup_fuzzy_dl",          // same linkage blocks, codegen full-DL verify
+      "q68_ridge",               // penalized solve on the one-exchange moments
+      "q69_hampel",              // one key exchange, bounded ROWS frame
+      "text_chao1",              // (source,word) partials -> vocab-sized rollup
+      "text_gini",               // reused source exchange: rank window + rollup
+      "text_zipf")               // vocab-frame rank window, exact-moment fit
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

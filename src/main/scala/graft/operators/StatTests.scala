@@ -345,6 +345,68 @@ object StatTests {
       round(lit(1.0) - sse / sst, 9).as("r2"))
   }
 
+  /** Ridge (Tikhonov) regression on the SAME exact-moment normal
+    * equations as [[ols2]], with the penalty λ added to the slope
+    * diagonal only — the matrix is X'X + λ·diag(0, 1, 1), the standard
+    * formulation that leaves the intercept unpenalized (penalizing it
+    * would make the fit depend on the y origin). λ = 0 reproduces
+    * [[ols2]] bit-for-bit (same expression tree, same operand order);
+    * λ → ∞ shrinks both slopes to 0 and the intercept to ȳ. One
+    * scalar-aggregate exchange, Cramer closed form — no iterative
+    * solver, no extra pass over the data vs OLS, which is the point:
+    * regularization at 100 TB costs nothing beyond the moments you
+    * already have. R² is reported for the penalized coefficients (it
+    * can only be ≤ the OLS R²; at large λ it approaches 0). λ is a raw
+    * (unscaled) penalty — callers wanting the per-row convention pass
+    * λ·n themselves. */
+  def ridge2(df: DataFrame, x2Col: String, x3Col: String, yCol: String,
+      lambda: Double): DataFrame = {
+    val src = df.select(
+      col(x2Col).cast("double").as("x2"),
+      col(x3Col).cast("double").as("x3"),
+      col(yCol).cast("double").as("y"))
+    val m = src.agg(
+      count(lit(1)).cast("double").as("n"),
+      Det.dsum(col("x2")).as("s2"), Det.dsum(col("x3")).as("s3"),
+      Det.dsum(col("x2") * col("x2")).as("s22"),
+      Det.dsum(col("x2") * col("x3")).as("s23"),
+      Det.dsum(col("x3") * col("x3")).as("s33"),
+      Det.dsum(col("y")).as("sy"),
+      Det.dsum(col("x2") * col("y")).as("s2y"),
+      Det.dsum(col("x3") * col("y")).as("s3y"),
+      Det.dsum(col("y") * col("y")).as("syy"))
+    def c(s: String): Column = col(s)
+    // the ONLY delta vs ols2: the penalized slope diagonal
+    val p22 = c("s22") + lit(lambda)
+    val p33 = c("s33") + lit(lambda)
+    val det = c("n") * (p22 * p33 - c("s23") * c("s23")) -
+      c("s2") * (c("s2") * p33 - c("s23") * c("s3")) +
+      c("s3") * (c("s2") * c("s23") - p22 * c("s3"))
+    val det1 = c("sy") * (p22 * p33 - c("s23") * c("s23")) -
+      c("s2") * (c("s2y") * p33 - c("s23") * c("s3y")) +
+      c("s3") * (c("s2y") * c("s23") - p22 * c("s3y"))
+    val det2 = c("n") * (c("s2y") * p33 - c("s23") * c("s3y")) -
+      c("sy") * (c("s2") * p33 - c("s23") * c("s3")) +
+      c("s3") * (c("s2") * c("s3y") - c("s2y") * c("s3"))
+    val det3 = c("n") * (p22 * c("s3y") - c("s2y") * c("s23")) -
+      c("s2") * (c("s2") * c("s3y") - c("s2y") * c("s3")) +
+      c("sy") * (c("s2") * c("s23") - p22 * c("s3"))
+    val b0 = det1 / det
+    val b1 = det2 / det
+    val b2 = det3 / det
+    // SSE of the PENALIZED coefficients against the raw (unpenalized)
+    // moments — the fit quality a user of the shrunk model actually gets
+    val sse = c("syy") -
+      lit(2.0) * (b0 * c("sy") + b1 * c("s2y") + b2 * c("s3y")) +
+      (b0 * b0 * c("n") + b1 * b1 * c("s22") + b2 * b2 * c("s33") +
+        lit(2.0) * b0 * b1 * c("s2") + lit(2.0) * b0 * b2 * c("s3") +
+        lit(2.0) * b1 * b2 * c("s23"))
+    val sst = c("syy") - c("sy") * c("sy") / c("n")
+    m.select(c("n").cast("long").as("n"),
+      round(b0, 9).as("b0"), round(b1, 9).as("b1"), round(b2, 9).as("b2"),
+      round(lit(1.0) - sse / sst, 9).as("r2"))
+  }
+
   /** Chi-squared homogeneity over the (rowCol × colCol) contingency
     * table: X² = Σ (O−E)²/E with E = rowTot·colTot/N, over the DENSE
     * grid (an unobserved cell still contributes its E). Observed counts

@@ -187,6 +187,50 @@ object TimeSeries {
     * Output: (key, n, cp_idx, cp_id, cusum_stat) — cp_idx is the
     * 1-based position i maximizing |S_i| (first such position on ties,
     * i < n; the last point is excluded since S_n ≡ 0 by construction). */
+  /** Hampel filter: the rolling-window robust outlier detector (Hampel
+    * 1974; the RECOMMENDED replacement for a rolling z-score, whose
+    * mean AND stddev a single spike corrupts — the median/MAD pair has
+    * a 50% breakdown point per window). Each row is compared against
+    * the median of its ±k ROWS neighborhood; it is an outlier when
+    * |x − med| > 3 · 1.4826 · MAD, the classic 3-sigma rule under the
+    * Gaussian MAD-consistency constant.
+    *
+    * Exactness contract: values scale to 1e9 longs, the window width
+    * 2k+1 is ODD so both the median and the MAD are SINGLE order
+    * statistics (no interpolation, no even-count averaging ambiguity
+    * between engines), and the decision inequality clears denominators
+    * — |x−med|·10⁴ > 44478·MAD in pure long arithmetic (3·1.4826 =
+    * 4.4478 exactly). Every emitted column is integer-exact.
+    *
+    * Shuffle shape: ONE key-partitioned exchange serves the single
+    * bounded ROWS window; the collected frame is 2k+1 longs per row
+    * (fixed memory regardless of series length). Edge rows with an
+    * incomplete window are NOT scored (the documented Hampel edge
+    * convention here) — `size(arr) == 2k+1` filters them. */
+  def hampel(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val width = 2 * k + 1
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-k, k)
+    val v9 = round(col(valCol).cast("double") * 1e9, 0).cast("long")
+    val arr = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(idCol), v9.as("__v9"))
+      .withColumn("__arr", collect_list(col("__v9")).over(win))
+      .filter(size(col("__arr")) === width)
+    val med9 = element_at(array_sort(col("__arr")), k + 1)
+    val mad9 = element_at(
+      array_sort(transform(col("__arr"), e => abs(e - col("__med9")))), k + 1)
+    arr.withColumn("__med9", med9)
+      .withColumn("__mad9", mad9)
+      .select(col(keyCol), col(idCol),
+        col("__med9").as("med9"), col("__mad9").as("mad9"),
+        (abs(col("__v9") - col("__med9")) * lit(10000L) >
+          lit(44478L) * col("__mad9")).cast("int").as("is_out"))
+  }
+
   def cusum(
       df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valCol: String): DataFrame = {

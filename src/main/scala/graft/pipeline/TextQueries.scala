@@ -150,6 +150,164 @@ object TextQueries {
       |WHERE word <> ''
       |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
 
+  /** Chao1 vocabulary-richness estimate per source (Chao 1984, the
+    * standard nonparametric "how many words does this corpus REALLY
+    * have" estimator ecology lends to corpus linguistics): observed
+    * distinct words D plus the unseen-mass correction f1·(f1−1) /
+    * (2·(f2+1)) from the singleton/doubleton counts — a corpus still
+    * producing hapax legomena at a high rate has far more vocabulary
+    * left to see, which is exactly the curation question ("is this
+    * source mined out?") a data-mixing pass asks. The bias-corrected
+    * form stays defined when f2 = 0.
+    *
+    * Scale shape: one (source, word) counted aggregate with map-side
+    * combine, then a source-keyed rollup of the vocabulary-sized count
+    * frame; everything after the first exchange is proportional to
+    * vocabulary, not corpus. All inputs integer-exact; the estimate is
+    * ONE fixed-order IEEE expression, round@6 in both engines. */
+  private def chao1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("d"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("d"), col("f1"), col("f2"),
+        round(col("d").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("f2").cast("double") + lit(1.0))), 6)
+          .as("chao1"))
+      .orderBy(col("source"))
+
+  private val chao1Sql =
+    """WITH wc AS (
+      |  SELECT source, word, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  WHERE word <> '' GROUP BY source, word),
+      |f AS (
+      |  SELECT source, COUNT(*) AS d,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM wc GROUP BY source)
+      |SELECT source, d, f1, f2,
+      |  round(CAST(d AS DOUBLE) +
+      |    CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) /
+      |      (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1
+      |FROM f ORDER BY source""".stripMargin
+
+  /** Gini coefficient of document length (in whitespace tokens) per
+    * source — the inequality readout a mixing/packing pass wants: a
+    * source whose token mass concentrates in a few huge documents packs
+    * and shards very differently from a uniform one, at identical mean
+    * length. Computed by the exact rank formula G = 2·Σ i·x₍ᵢ₎ /
+    * (n·Σx) − (n+1)/n over the ascending sort; tied lengths make the
+    * rank sum permutation-invariant, so no tie-break ambiguity can
+    * reach the result (doc_id ordering is fixed anyway).
+    *
+    * Scale shape: ONE source-keyed exchange serves both the ranking
+    * window and the final rollup (the q50/q51 reused-exchange pattern);
+    * the rank·length products sum as exact longs and the coefficient is
+    * one fixed-order IEEE expression, round@9. */
+  private def gini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("sx"),
+        sum(col("i") * col("n_tok")).as("num"))
+      .select(col("source"), col("n"), col("sx"), col("num"),
+        round(lit(2.0) * col("num").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 9)
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
+  private val giniSql =
+    """WITH lens AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, n_tok, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS i
+      |  FROM lens),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS sx,
+      |    CAST(SUM(i * n_tok) AS BIGINT) AS num
+      |  FROM ranked GROUP BY source)
+      |SELECT source, n, sx, num,
+      |  round(2.0 * CAST(num AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+      |    (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9) AS gini
+      |FROM agg ORDER BY source""".stripMargin
+
+  /** Zipf rank-frequency slope: least-squares fit of ln(freq) on
+    * ln(rank) over the top-100 vocabulary — natural language sits near
+    * slope −1 (Zipf's law) and machine-generated or templated corpora
+    * deviate hard, making the slope a one-number generated-text/
+    * boilerplate alarm next to q57's token-bucket chi-squared. Ranks
+    * come from the vocabulary-sized count frame (the documented
+    * distinct-value-frame convention — the only unpartitioned window
+    * runs over ≤|vocab| rows, never the corpus); the fit reuses the
+    * q55 exact-moment recipe: per-point logs are single IEEE calls,
+    * moments sum as exact decimals, slope/intercept are one fixed-order
+    * expression each, round@9. */
+  private def zipf(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = wc
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("word"))).cast("long"))
+      .filter(col("r") <= 100)
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val m = ranked.agg(count(lit(1)).cast("double").as("n"),
+      graft.Det.dsum(col("x")).as("sx"), graft.Det.dsum(col("y")).as("sy"),
+      graft.Det.dsum(col("x") * col("x")).as("sxx"),
+      graft.Det.dsum(col("x") * col("y")).as("sxy"))
+    def c0(s0: String): Column = col(s0)
+    val slope = (c0("n") * c0("sxy") - c0("sx") * c0("sy")) /
+      (c0("n") * c0("sxx") - c0("sx") * c0("sx"))
+    m.select(c0("n").cast("long").as("n"),
+      round(slope, 9).as("slope"),
+      round((c0("sy") - slope * c0("sx")) / c0("n"), 9).as("intercept"))
+  }
+
+  private val zipfSql = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH wc AS (
+       |  SELECT word, COUNT(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS r, c
+       |  FROM wc),
+       |pts AS (
+       |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+       |  FROM ranked WHERE r <= 100),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${graft.Det.sqlSum("x")} AS sx, ${graft.Det.sqlSum("y")} AS sy,
+       |    ${graft.Det.sqlSum("x * x")} AS sxx,
+       |    ${graft.Det.sqlSum("x * y")} AS sxy
+       |  FROM pts)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  round($slope, 9) AS slope,
+       |  round((sy - $slope * sx) / n, 9) AS intercept
+       |FROM m""".stripMargin
+  }
+
   /** Library form of the decontamination pass: documents whose `isTrain`
     * rows share ≥1 word n-gram with any `isEval` row, with the shared
     * count. `hashKeys` switches the shuffle key from the shingle string
@@ -1274,5 +1432,14 @@ object TextQueries {
     Capability("text_urls",
       "URL extraction + host normalization + per-domain rollup (planted URLs)", urls,
       Some(urlsSql)),
+    Capability("text_chao1",
+      "Chao1 vocabulary-richness estimate per source (singleton/doubleton correction)",
+      chao1, Some(chao1Sql)),
+    Capability("text_gini",
+      "Gini coefficient of per-source document length (exact rank formula)",
+      gini, Some(giniSql)),
+    Capability("text_zipf",
+      "Zipf rank-frequency slope over the top-100 vocabulary (exact-moment fit)",
+      zipf, Some(zipfSql)),
   )
 }

@@ -354,6 +354,50 @@ object AnalyticsQueries {
       |  AND round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.98
       |ORDER BY ca, cb""".stripMargin
 
+  /** Full Damerau–Levenshtein linkage tier
+    * ([[graft.functions.expr.DamerauLevenshteinExpr]]): the same two
+    * complementary equi-join blocks as [[linkagePairs]], priced by the
+    * transposition-aware edit distance — the delta vs `dedup_fuzzy` is
+    * exactly the swapped-adjacent-character typo class (`...012` vs
+    * `...021` is DL 1 but Levenshtein 2), the most common keyboard error
+    * real name/ID data carries. Native codegen expression, no UDF; the
+    * dist ≤ 1 cut therefore returns a strict SUPERSET of the
+    * Levenshtein-1 pairs and the gate's value is the transposition rows.
+    * Both engines run the full Lowrance–Wagner recurrence over UTF-8
+    * bytes (probed: DuckDB's `damerau_levenshtein` matches on 3 000
+    * random pairs), so the integer distances compare exactly. */
+  private def fuzzyDl(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expr.DamerauLevenshteinExpr
+    val c = Tables.customer(s, d)
+      .filter(col("c_custkey") < 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val a = c.select(col("c_custkey").as("ca"), col("c_name").as("na"))
+    val b = c.select(col("c_custkey").as("cb"), col("c_name").as("nb"))
+    def pairsOn(key: Column => Column): DataFrame = {
+      val aa = a.withColumn("blk", key(col("na")))
+      val bb = b.withColumn("blk", key(col("nb")))
+      aa.join(bb, Seq("blk")).filter(col("ca") < col("cb")).drop("blk")
+    }
+    pairsOn(substring(_, 1, 16))
+      .unionByName(pairsOn(right(_, lit(16))))
+      .distinct()
+      .select(col("ca"), col("cb"),
+        DamerauLevenshteinExpr(col("na"), col("nb")).as("dl_dist"))
+      .filter(col("dl_dist") <= 1)
+      .orderBy(col("ca"), col("cb"))
+  }
+
+  private val fuzzyDlSql =
+    """SELECT DISTINCT a.c_custkey AS ca, b.c_custkey AS cb,
+      |       CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER) AS dl_dist
+      |FROM customer a JOIN customer b
+      |  ON (substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+      |      OR right(a.c_name, 16) = right(b.c_name, 16))
+      | AND a.c_custkey < b.c_custkey
+      |WHERE a.c_custkey < 5000 AND b.c_custkey < 5000
+      |  AND damerau_levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY ca, cb""".stripMargin
+
   /** Equal-width 20-bin histogram of `o_totalprice`. The (min, max) bounds
     * ride a broadcast one-row frame into a narrow binning projection —
     * no driver round-trip, and the binning pass shuffles only (bin,
@@ -1632,6 +1676,9 @@ object AnalyticsQueries {
     Capability("dedup_fuzzy_jw",
       "Jaro-Winkler linkage tier (native codegen metric, same blocks)",
       fuzzyJw, Some(fuzzyJwSql)),
+    Capability("dedup_fuzzy_dl",
+      "full Damerau-Levenshtein linkage tier (transposition-aware, same blocks)",
+      fuzzyDl, Some(fuzzyDlSql)),
     Capability("profile_histogram",
       "equal-width histogram via broadcast bounds (no driver round-trip)",
       histogram, Some(histogramSql)),

@@ -332,6 +332,69 @@ object StatsQueries {
        |    (syy - sy * sy / n), 9) AS r2
        |FROM b""".stripMargin
 
+  /** q68_ridge: Tikhonov-regularized least squares on the SAME
+    * exact-moment normal equations as q59 — λ on the slope diagonal
+    * only (intercept unpenalized), Cramer closed form, one
+    * scalar-aggregate exchange. λ = 1e6 sits at the s22-moment scale at
+    * the gate tier so the shrinkage is visible in the gated
+    * coefficients (b1/b2 pulled toward 0, R² strictly below q59's);
+    * λ = 0 reproduces q59 bit-for-bit (StatsSpec pins both ends). The
+    * scale story is the operator's point: regularization costs ZERO
+    * extra passes — the penalty lands in the driver-side solve over
+    * moments the OLS already aggregates. */
+  private def ridgeQ(s: SparkSession, d: String): DataFrame =
+    StatTests.ridge2(Tables.lineitem(s, d),
+      "l_quantity", "l_discount", "l_extendedprice", RidgeLambda)
+
+  private val RidgeLambda = 1e6
+
+  private lazy val ridgeSql = {
+    val lam = "1000000.0"
+    val det =
+      s"""(n * ((s22 + $lam) * (s33 + $lam) - s23 * s23)
+         | - s2 * (s2 * (s33 + $lam) - s23 * s3)
+         | + s3 * (s2 * s23 - (s22 + $lam) * s3))""".stripMargin
+        .replace("\n", "")
+    val det1 =
+      s"""(sy * ((s22 + $lam) * (s33 + $lam) - s23 * s23)
+         | - s2 * (s2y * (s33 + $lam) - s23 * s3y)
+         | + s3 * (s2y * s23 - (s22 + $lam) * s3y))""".stripMargin
+        .replace("\n", "")
+    val det2 =
+      s"""(n * (s2y * (s33 + $lam) - s23 * s3y)
+         | - sy * (s2 * (s33 + $lam) - s23 * s3)
+         | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
+    val det3 =
+      s"""(n * ((s22 + $lam) * s3y - s2y * s23)
+         | - s2 * (s2 * s3y - s2y * s3)
+         | + sy * (s2 * s23 - (s22 + $lam) * s3))""".stripMargin
+        .replace("\n", "")
+    s"""WITH src AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x2,
+       |    CAST(l_discount AS DOUBLE) AS x3,
+       |    CAST(l_extendedprice AS DOUBLE) AS y
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${Det.sqlSum("x2")} AS s2, ${Det.sqlSum("x3")} AS s3,
+       |    ${Det.sqlSum("x2 * x2")} AS s22, ${Det.sqlSum("x2 * x3")} AS s23,
+       |    ${Det.sqlSum("x3 * x3")} AS s33, ${Det.sqlSum("y")} AS sy,
+       |    ${Det.sqlSum("x2 * y")} AS s2y, ${Det.sqlSum("x3 * y")} AS s3y,
+       |    ${Det.sqlSum("y * y")} AS syy
+       |  FROM src),
+       |b AS (
+       |  SELECT n, sy, s2y, s3y, syy, s2, s3, s22, s23, s33,
+       |    $det1 / $det AS b0, $det2 / $det AS b1, $det3 / $det AS b2
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  round(b0, 9) AS b0, round(b1, 9) AS b1, round(b2, 9) AS b2,
+       |  round(1.0 - (syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
+       |    (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+       |     2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 + 2.0 * b1 * b2 * s23)) /
+       |    (syy - sy * sy / n), 9) AS r2
+       |FROM b""".stripMargin
+  }
+
   /** q63_conformal: split-conformal prediction interval for the q59 OLS
     * model — train on even order keys, calibrate on odd: q̂ is the
     * ⌈0.9·(m+1)⌉-th smallest |residual| (the distribution-free 90 %
@@ -538,5 +601,8 @@ object StatsQueries {
     Capability("q67_theil_sen",
       "Theil-Sen robust line fit: lower-median pairwise slopes on md5-thinned points",
       theilSenQ, Some(theilSenSql)),
+    Capability("q68_ridge",
+      "ridge regression: Cramer closed form on penalized exact-moment normal equations",
+      ridgeQ, Some(ridgeSql)),
   )
 }

@@ -190,6 +190,39 @@ object TimeSeriesQueries {
        |ORDER BY tr.event_type, tr.b""".stripMargin
   }
 
+  /** q69_hampel: rolling median/MAD outlier flags over each event
+    * type's value series ([[TimeSeries.hampel]], ±5-row window). The
+    * per-window robust twin of q52's global CUSUM: a spike is flagged
+    * against its LOCAL neighborhood, so a level shift upstream doesn't
+    * mask it. Integer-exact end to end: 1e9-scaled longs, odd window ⇒
+    * single-order-statistic median/MAD, denominator-cleared long
+    * inequality (|x−med|·10⁴ > 44478·MAD). One key exchange. */
+  private def hampelQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.hampel(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value", k = 5)
+      .orderBy(col("event_type"), col("event_id"))
+
+  private val hampelSql =
+    """WITH src AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(round(CAST(value AS DOUBLE) * 1e9, 0) AS BIGINT) AS v9
+      |  FROM events WHERE value IS NOT NULL),
+      |w AS (
+      |  SELECT event_type, event_id, v9,
+      |    list(v9) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS arr
+      |  FROM src),
+      |s AS (
+      |  SELECT event_type, event_id, v9, arr, list_sort(arr)[6] AS med9
+      |  FROM w WHERE len(arr) = 11),
+      |m AS (
+      |  SELECT event_type, event_id, v9, med9,
+      |    list_sort(list_transform(arr, x -> abs(x - med9)))[6] AS mad9
+      |  FROM s)
+      |SELECT event_type, event_id, med9, mad9,
+      |  CAST(abs(v9 - med9) * 10000 > 44478 * mad9 AS INTEGER) AS is_out
+      |FROM m ORDER BY event_type, event_id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q50_acf",
       "autocorrelation at lags 1-3 per series: exact-moment guarded Pearson",
@@ -203,5 +236,8 @@ object TimeSeriesQueries {
     Capability("q60_seasonal",
       "additive seasonal decomposition: level/trend/seasonal/residual, integer-exact",
       seasonalQ, Some(seasonalSql)),
+    Capability("q69_hampel",
+      "Hampel filter: rolling median/MAD outlier flags (odd window, long-exact rule)",
+      hampelQ, Some(hampelSql)),
   )
 }

@@ -720,6 +720,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
   }
 
+  test("damerau-levenshtein matches the probed full-DL fixtures (not OSA)") {
+    import graft.functions.expr.DamerauLevenshteinExpr.dist
+    def d(a: String, b: String): Int = d2(a, b)
+    def d2(a: String, b: String): Int =
+      dist(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // THE full-vs-OSA discriminator: CA→ABC is 2 under Lowrance-Wagner
+    // (transpose CA→AC, insert B), 3 under optimal string alignment —
+    // the probed oracle engine says 2, so we must too
+    assert(d("CA", "ABC") == 2 && d("ABC", "CA") == 2)
+    // adjacent transposition costs 1 (the delta vs levenshtein's 2)
+    assert(d("MARTHA", "MARHTA") == 1)
+    assert(d("teh", "the") == 1 && d("ab", "ba") == 1)
+    // classic edit-distance fixtures unchanged by the transposition rule
+    assert(d("kitten", "sitting") == 3)
+    assert(d("abcdef", "abcfed") == 2)
+    assert(d("", "") == 0 && d("", "x") == 1 && d("abc", "abc") == 0)
+    // byte-level contract: é is two UTF-8 bytes, so the probed oracle
+    // (and we) price the substitution at 2, not 1
+    assert(d("héllo", "hello") == 2)
+    // SQL registration evaluates through codegen
+    val viaSql = spark.sql(
+      "SELECT graft_damerau_levenshtein('MARTHA', 'MARHTA') AS s")
+      .head().getInt(0)
+    assert(viaSql == 1)
+  }
+
+  test("DL linkage is a strict superset of levenshtein-1: transpositions") {
+    import spark.implicits._
+    // (1, 2) is an adjacent-digit transposition: DL 1, levenshtein 2 —
+    // the pair the DL tier exists to find; (3, 4) is a plain
+    // substitution both tiers price at 1
+    val recs = Seq(
+      (1L, "Customer#000000042"),
+      (2L, "Customer#000000024"),
+      (3L, "Customer#000000077"),
+      (4L, "Customer#000000078")).toDF("c_custkey", "c_name")
+    import graft.functions.expr.DamerauLevenshteinExpr
+    val a = recs.select(col("c_custkey").as("ca"), col("c_name").as("na"))
+    val b = recs.select(col("c_custkey").as("cb"), col("c_name").as("nb"))
+    val pairs = a.join(b, col("ca") < col("cb"))
+      .select(col("ca"), col("cb"),
+        DamerauLevenshteinExpr(col("na"), col("nb")).as("dl"),
+        levenshtein(col("na"), col("nb")).as("lev"))
+      .collect()
+    val byPair = pairs.map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(byPair((1L, 2L)) == ((1, 2))) // transposition: DL 1, lev 2
+    assert(byPair((3L, 4L)) == ((1, 1)))
+    // DL never exceeds levenshtein (transpositions only help)
+    assert(pairs.forall(r => r.getInt(2) <= r.getInt(3)))
+  }
+
   test("fuzzy linkage never crosses blocks and distances are symmetric-bounded") {
     val rows = Registry.byName("dedup_fuzzy").run(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 1))

@@ -135,10 +135,16 @@ class LintSpec extends AnyFunSuite {
       // precedent): theilSen's sample filter and winnow's
       // nonempty-hash-array guard evaluate post-scan
       "q67_theil_sen" -> Set("unpushed-filter"),
-      "dedup_winnow" -> Set("unpushed-filter"))
+      "dedup_winnow" -> Set("unpushed-filter"),
+      // the zipf rank window runs over the vocabulary-sized count
+      // frame, never the corpus (the KM/Mann-Whitney distinct-value
+      // convention)
+      "text_zipf" -> Set("global-window", "single-partition-shuffle"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
-      "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl").flatMap { name =>
+      "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl",
+      "dedup_fuzzy_dl", "q68_ridge", "q69_hampel",
+      "text_chao1", "text_gini", "text_zipf").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -169,6 +169,30 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-8, s"r2 = ${r.getDouble(4)}")
   }
 
+  test("ridge2: lambda=0 is OLS bit-for-bit; shrinkage orders slopes and R2") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, 1.0),
+      (2.0, 3.0), (4.0, 1.0))
+    val df = pts.map { case (x2, x3) => (x2, x3, 2.0 + 3.0 * x2 - 5.0 * x3) }
+      .toDF("x2", "x3", "y")
+    val ols = StatTests.ols2(df, "x2", "x3", "y").collect().head
+    val r0 = StatTests.ridge2(df, "x2", "x3", "y", 0.0).collect().head
+    // identical expression tree at lambda = 0 => identical doubles
+    (0 to 4).foreach(i => assert(r0.get(i) == ols.get(i), s"col $i"))
+    // moderate lambda: both slopes shrink toward 0, fit can only degrade
+    val r1 = StatTests.ridge2(df, "x2", "x3", "y", 10.0).collect().head
+    assert(math.abs(r1.getDouble(2)) < math.abs(ols.getDouble(2)), "b1 shrinks")
+    assert(math.abs(r1.getDouble(3)) < math.abs(ols.getDouble(3)), "b2 shrinks")
+    assert(r1.getDouble(4) < ols.getDouble(4), "R2 below the OLS optimum")
+    // extreme lambda: slopes -> 0, intercept -> ybar, R2 -> ~0
+    val r2 = StatTests.ridge2(df, "x2", "x3", "y", 1e12).collect().head
+    val ybar = pts.map { case (x2, x3) => 2.0 + 3.0 * x2 - 5.0 * x3 }
+      .sum / pts.size
+    assert(math.abs(r2.getDouble(2)) < 1e-6 && math.abs(r2.getDouble(3)) < 1e-6)
+    assert(math.abs(r2.getDouble(1) - ybar) < 1e-4, s"b0 -> ybar, got ${r2.getDouble(1)}")
+    assert(math.abs(r2.getDouble(4)) < 1e-3)
+  }
+
   test("kolmogorov-smirnov: separated groups give D = 1, ties stay exact") {
     import spark.implicits._
     val sep = (Seq(1.0, 2.0).map(("x", _)) ++ Seq(3.0, 4.0).map(("y", _)))

@@ -461,6 +461,68 @@ class TextSpec extends AnyFunSuite {
     assert(real.distinct.length > 1)
   }
 
+  test("chao1 estimate matches an independent singleton/doubleton recount") {
+    val rows = Registry.byName("text_chao1").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, f1, f2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected = d.toDouble +
+        f1.toDouble * (f1.toDouble - 1.0) / (2.0 * (f2.toDouble + 1.0))
+      assert(math.abs(r.getDouble(4) - expected) < 1e-5, r.toString)
+      assert(r.getDouble(4) >= d.toDouble, "estimate never below observed")
+    }
+    // independent recount for one source, straight off the table
+    val src = rows.head.getString(0)
+    val counts = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count().collect().map(_.getLong(1))
+    assert(rows.head.getLong(1) == counts.length.toLong, "d")
+    assert(rows.head.getLong(2) == counts.count(_ == 1L).toLong, "f1")
+    assert(rows.head.getLong(3) == counts.count(_ == 2L).toLong, "f2")
+  }
+
+  test("gini: rank-sum numerator matches a host-side sort; bounds hold") {
+    val rows = Registry.byName("text_gini").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0, r.toString)
+    }
+    val src = rows.head.getString(0)
+    val lens = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(size(TextOps.words(col("text"))).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sorted
+    val num = lens.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    assert(rows.head.getLong(3) == num, "rank-sum numerator")
+    assert(rows.head.getLong(1) == lens.length.toLong)
+    assert(rows.head.getLong(2) == lens.sum)
+  }
+
+  test("zipf slope matches a host-side fit of the top-100 vocabulary") {
+    val r = Registry.byName("text_zipf").run(spark, sf).collect().head
+    assert(r.getDouble(1) < 0.0, "rank-frequency slope is negative")
+    val top = Tables.documents(spark, sf)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(100)
+      .collect().map(_.getLong(1))
+    // the test tier's vocabulary can be under 100 — the fit then uses all of it
+    assert(r.getLong(0) == math.min(100, top.length).toLong)
+    val pts = top.zipWithIndex.map { case (c, i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // Det decimal truncation bounds the engine/host delta
+    assert(math.abs(r.getDouble(1) - slope) < 1e-4,
+      s"engine ${r.getDouble(1)} vs host $slope")
+  }
+
   test("URL extraction normalizes hosts: lowercase, www-stripped, path-agnostic") {
     import spark.implicits._
     val df = Seq(

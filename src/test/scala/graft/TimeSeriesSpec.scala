@@ -78,6 +78,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 25.0) < 1e-6)
   }
 
+  test("hampel flags a planted spike against its window, not its neighbors") {
+    import spark.implicits._
+    // flat series with one spike: only the spike row trips the rule;
+    // its neighbors see the spike in THEIR windows but their own
+    // deviation is 0, and edge rows (incomplete window) are unscored
+    val flat = Seq.tabulate(7)(i =>
+      ("a", i.toLong, (i + 1).toLong, if (i == 3) 100.0 else 10.0))
+      .toDF("g", "t", "id", "v")
+    val out = TimeSeries.hampel(flat, "g", "t", "id", "v", k = 2)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L), "scored ids")
+    assert(out.map(_.getInt(4)).toSeq == Seq(0, 1, 0), "only the spike")
+    // nonzero-MAD window: med 3, MAD 1, |100-3| >> 4.4478 * 1
+    val mixed = Seq(("b", 1L, 1L, 1.0), ("b", 2L, 2L, 2.0),
+      ("b", 3L, 3L, 100.0), ("b", 4L, 4L, 3.0), ("b", 5L, 5L, 4.0))
+      .toDF("g", "t", "id", "v")
+    val m = TimeSeries.hampel(mixed, "g", "t", "id", "v", k = 2).collect()
+    assert(m.length == 1 && m.head.getLong(1) == 3L)
+    assert(m.head.getLong(2) == 3000000000L, "med9")
+    assert(m.head.getLong(3) == 1000000000L, "mad9")
+    assert(m.head.getInt(4) == 1)
+    // constant series: MAD 0 and deviation 0 — nothing flagged
+    val const = Seq.tabulate(5)(i => ("c", i.toLong, i.toLong, 7.0))
+      .toDF("g", "t", "id", "v")
+    val c = TimeSeries.hampel(const, "g", "t", "id", "v", k = 2).collect()
+    assert(c.length == 1 && c.head.getInt(4) == 0)
+  }
+
   test("seasonalDecompose recovers a planted alternating season over a flat base") {
     import spark.implicits._
     // 5 days x 24 hourly points, value = 100 ± 5 alternating by hour:
