@@ -129,7 +129,10 @@ object Plans {
       "q69_hampel",              // one key exchange, bounded ROWS frame
       "text_chao1",              // (source,word) partials -> vocab-sized rollup
       "text_gini",               // reused source exchange: rank window + rollup
-      "text_zipf")               // vocab-frame rank window, exact-moment fit
+      "text_zipf",               // vocab-frame rank window, exact-moment fit
+      "q70_isotonic",            // B^2-bounded pair frame, suffix-min window
+      "profile_benford",         // 9-row digit agg, 1-row broadcast total
+      "orders_rfm")              // customer rollup, three rank windows
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

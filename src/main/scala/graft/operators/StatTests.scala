@@ -407,6 +407,64 @@ object StatTests {
       round(lit(1.0) - sse / sst, 9).as("r2"))
   }
 
+  /** Isotonic regression (PAVA fit) of the bucket means per key, via
+    * the MINIMAX closed form: fitted(i) = max_{j≤i} min_{k≥i}
+    * weightedMean(y over buckets j..k) — provably equal to the
+    * pool-adjacent-violators output (Barlow et al. 1972), and unlike
+    * the sequential PAVA sweep it is expressible as pure dataframe
+    * algebra: prefix sums → a per-key pair frame → one suffix-min
+    * window → one max aggregate. The use case is monotone calibration:
+    * "metric never decreases over time/score" fitted exactly.
+    *
+    * Exactness contract: interval means derive from EXACT decimal
+    * prefix-sum differences divided by integer counts — both engines
+    * produce bit-identical doubles, so the min/max lattice resolves
+    * identically and only the OUTPUT is rounded (round@9).
+    *
+    * Scale shape: callers bucket x first (that is the `xCol` contract —
+    * a day/hour bucket, not a raw timestamp), so the pair frame is
+    * B²-bounded PER KEY for B buckets — the q62 basket-bounded
+    * self-join precedent, never corpus×corpus. One key exchange feeds
+    * the prefix window; the pair join is key-equi with the j ≤ k
+    * residual; the suffix-min window rides the pair frame's (key, j)
+    * partitioning. */
+  def isotonic(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val b = df.filter(col(yCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), col(xCol).cast("long").as("x"))
+      .agg(sum(graft.Det.dec(col(yCol))).as("s"), count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // NOTE: running-sum columns must not differ from s/c by case only —
+    // Spark resolves column names case-insensitively, so withColumn("S")
+    // would silently REPLACE "s"
+    val pre = b
+      .withColumn("rs", sum(col("s")).over(w))
+      .withColumn("rc", sum(col("c")).over(w))
+      .withColumn("ps", col("rs") - col("s"))
+      .withColumn("pc", col("rc") - col("c"))
+    val j = pre.select(col("k"), col("x").as("xj"),
+      col("ps").as("sp"), col("pc").as("cp"))
+    val kk = pre.select(col("k"), col("x").as("xk"),
+      col("rs").as("sk"), col("rc").as("ck"))
+    val pairs = j.join(kk, Seq("k")).filter(col("xj") <= col("xk"))
+      .withColumn("mean",
+        (col("sk") - col("sp")).cast("double") /
+          (col("ck") - col("cp")).cast("double"))
+    val sufMin = Window.partitionBy(col("k"), col("xj"))
+      .orderBy(col("xk").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairs.withColumn("m", min(col("mean")).over(sufMin))
+      .groupBy(col("k"), col("xk"))
+      .agg(max(col("m")).as("fitRaw"))
+      .join(pre.select(col("k"), col("x").as("xk"), col("c"),
+        (col("s").cast("double") / col("c").cast("double")).as("rawMean")),
+        Seq("k", "xk"))
+      .select(col("k").as(keyCol), col("xk").as("x"), col("c").as("n"),
+        round(col("rawMean"), 9).as("y_mean"),
+        round(col("fitRaw"), 9).as("y_fit"))
+  }
+
   /** Chi-squared homogeneity over the (rowCol × colCol) contingency
     * table: X² = Σ (O−E)²/E with E = rowTot·colTot/N, over the DENSE
     * grid (an unobserved cell still contributes its E). Observed counts

@@ -406,6 +406,71 @@ object AnalyticsQueries {
     * absorbs the x == max edge. A degenerate single-value domain
     * (hi == lo) would put NaN in every bin identically on both engines —
     * callers histogramming a constant column should notice, not crash. */
+  /** RFM segmentation — the classic CRM scoring: each customer ranked
+    * 1..5 on Recency (latest order date), Frequency (order count) and
+    * Monetary (exact-decimal spend), quintiles by the integer rank
+    * formula score = (5·(rank−1)) DIV n + 1 with a custkey tie-break —
+    * NOT ntile, whose remainder-distribution semantics are an
+    * engine-specific trap; this formula is pure long arithmetic and
+    * identical everywhere. Higher = better (latest/most/biggest ranks
+    * 5).
+    *
+    * Scale shape: the fact table collapses to ONE row per customer
+    * before anything ranks, so the three rank windows run over the
+    * customer-aggregate frame — orders-of-magnitude smaller than the
+    * input, but still global sorts (documented); at the 100 TB tier
+    * swap the exact ranks for Quantiles.exact cutoff literals (the
+    * q27a driver-bracketing path) or t-digest scores and the scoring
+    * becomes a narrow projection. The gate keeps exact ranks because
+    * exactness is what the oracle can replay. */
+  private def rfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // recency ranks on the raw (NTZ) timestamp — ordering is all the
+    // score needs, so no epoch conversion (and no timezone semantics)
+    // ever enters the query
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("r_ts"),
+        count(lit(1)).as("f"),
+        sum(graft.Det.dec(col("o_totalprice"))).as("m6"))
+    val tot = cust.agg(count(lit(1)).as("n"))
+    cust
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("r_ts"), col("o_custkey"))).cast("long"))
+      .withColumn("rf", row_number().over(
+        Window.orderBy(col("f"), col("o_custkey"))).cast("long"))
+      .withColumn("rm", row_number().over(
+        Window.orderBy(col("m6"), col("o_custkey"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("o_custkey"),
+        expr("(5 * (rr - 1)) DIV n + 1").as("r_score"),
+        expr("(5 * (rf - 1)) DIV n + 1").as("f_score"),
+        expr("(5 * (rm - 1)) DIV n + 1").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val rfmSql =
+    """WITH cust AS (
+      |  SELECT o_custkey, max(o_orderdate) AS r_ts,
+      |    COUNT(*) AS f, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS m6
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n FROM cust),
+      |ranked AS (
+      |  SELECT o_custkey,
+      |    CAST(row_number() OVER (ORDER BY r_ts, o_custkey) AS BIGINT) AS rr,
+      |    CAST(row_number() OVER (ORDER BY f, o_custkey) AS BIGINT) AS rf,
+      |    CAST(row_number() OVER (ORDER BY m6, o_custkey) AS BIGINT) AS rm
+      |  FROM cust)
+      |SELECT o_custkey,
+      |  (5 * (rr - 1)) // n + 1 AS r_score,
+      |  (5 * (rf - 1)) // n + 1 AS f_score,
+      |  (5 * (rm - 1)) // n + 1 AS m_score,
+      |  ((5 * (rr - 1)) // n + 1) * 100 + ((5 * (rf - 1)) // n + 1) * 10 +
+      |    ((5 * (rm - 1)) // n + 1) AS rfm
+      |FROM ranked, t ORDER BY o_custkey""".stripMargin
+
   /** Cohort retention — THE product-analytics table: users grouped by
     * first-seen week (the cohort), counted once per week-offset in which
     * they return. Shuffle shape: one user-keyed aggregate for the cohort
@@ -547,6 +612,57 @@ object AnalyticsQueries {
       |ORDER BY event_id""".stripMargin
 
   private val HistBins = 20
+
+  /** Benford first-digit audit of `o_totalprice` — the classic
+    * fabricated-data / broken-ETL alarm: organically grown money
+    * amounts follow P(d) = log10(1 + 1/d), and a generator or a
+    * truncating loader shows up as a flat or spiked digit histogram.
+    * Output: per-digit observed count, Benford-expected count (round@6)
+    * and the (O−E)²/E chi-squared contribution as a 1e9-scaled long
+    * (the q57 cell-term pattern — cross-digit sums stay exact).
+    *
+    * Determinism: the first digit comes from the exact-cents LONG
+    * rendered as a string (integer→string is portable; double→string
+    * is NOT — Spark flips to scientific notation at 1e7), so both
+    * engines bucket identically; the only transcendental is log10 of a
+    * per-digit literal, rounded before comparison. Shape: one narrow
+    * digit projection, a 9-row counted aggregate, a 1-row broadcast
+    * total — nothing scales with anything but 9. */
+  private def benford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(
+        round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val tot = digits.agg(sum(col("obs")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("e", col("n").cast("double") *
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(col("digit"), col("obs"),
+        round(col("e"), 6).as("expected"),
+        round((col("obs").cast("double") - col("e")) *
+          (col("obs").cast("double") - col("e")) / col("e") * 1e9, 0)
+          .cast("long").as("term9"))
+      .orderBy(col("digit"))
+  }
+
+  private val benfordSql =
+    """WITH digits AS (
+      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |o AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+      |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+      |SELECT digit, obs, round(CAST(n AS DOUBLE) *
+      |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
+      |  CAST(round((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) *
+      |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) *
+      |    (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) *
+      |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) /
+      |    (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 1e9,
+      |    0) AS BIGINT) AS term9
+      |FROM o, t ORDER BY digit""".stripMargin
 
   private def histogram(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_totalprice"))
@@ -1682,6 +1798,12 @@ object AnalyticsQueries {
     Capability("profile_histogram",
       "equal-width histogram via broadcast bounds (no driver round-trip)",
       histogram, Some(histogramSql)),
+    Capability("profile_benford",
+      "Benford first-digit audit: exact-cents digit, per-digit chi2 terms",
+      benford, Some(benfordSql)),
+    Capability("orders_rfm",
+      "RFM segmentation: integer-rank quintile scores over the customer rollup",
+      rfm, Some(rfmSql)),
     Capability("profile_outliers",
       "robust per-group outliers: |value - median| > 6 MAD (50% breakdown)",
       outliers, Some(outliersSql)),

@@ -395,6 +395,46 @@ object StatsQueries {
        |FROM b""".stripMargin
   }
 
+  /** q70_isotonic: PAVA-fitted monotone calibration of the per-type
+    * daily mean value ([[StatTests.isotonic]] — minimax closed form,
+    * provably the PAVA output). Day buckets keep the per-key pair
+    * frame B²-bounded (~30 buckets at the gate tier); interval means
+    * are exact-decimal differences over integer counts, so the min/max
+    * lattice resolves identically in both engines and only the output
+    * rounds (round@9). */
+  private def isotonicQ(s: SparkSession, d: String): DataFrame =
+    StatTests.isotonic(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"), col("value")),
+        "event_type", "day", "value")
+      .orderBy(col("event_type"), col("x"))
+
+  private val isotonicSql =
+    """WITH b AS (
+      |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS x,
+      |    SUM(CAST(value AS DECIMAL(25,6))) AS s, COUNT(*) AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT k, x, s, c, SUM(s) OVER w AS rs, SUM(c) OVER w AS rc
+      |  FROM b WINDOW w AS (PARTITION BY k ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pairs AS (
+      |  SELECT a.k, a.x AS xj, p.x AS xk,
+      |    CAST(p.rs - (a.rs - a.s) AS DOUBLE) /
+      |      CAST(p.rc - (a.rc - a.c) AS DOUBLE) AS mean
+      |  FROM pre a JOIN pre p ON a.k = p.k AND a.x <= p.x),
+      |sm AS (
+      |  SELECT k, xj, xk, MIN(mean) OVER (PARTITION BY k, xj ORDER BY xk DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM pairs),
+      |fit AS (SELECT k, xk, MAX(m) AS fitraw FROM sm GROUP BY k, xk)
+      |SELECT f.k AS event_type, f.xk AS x, b.c AS n,
+      |  round(CAST(b.s AS DOUBLE) / CAST(b.c AS DOUBLE), 9) AS y_mean,
+      |  round(f.fitraw, 9) AS y_fit
+      |FROM fit f JOIN b ON f.k = b.k AND f.xk = b.x
+      |ORDER BY event_type, x""".stripMargin
+
   /** q63_conformal: split-conformal prediction interval for the q59 OLS
     * model — train on even order keys, calibrate on odd: q̂ is the
     * ⌈0.9·(m+1)⌉-th smallest |residual| (the distribution-free 90 %
@@ -604,5 +644,8 @@ object StatsQueries {
     Capability("q68_ridge",
       "ridge regression: Cramer closed form on penalized exact-moment normal equations",
       ridgeQ, Some(ridgeSql)),
+    Capability("q70_isotonic",
+      "isotonic (PAVA) calibration of daily means via the exact minimax closed form",
+      isotonicQ, Some(isotonicSql)),
   )
 }

@@ -720,6 +720,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
   }
 
+  test("benford digits: full support, counts conserve, law shape holds") {
+    val rows = Registry.byName("profile_benford").run(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9), "all nine digits")
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n, "observed counts conserve")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - n.toDouble) < 1e-3,
+      "expected counts sum to n")
+    // Benford expectations strictly decrease in the digit
+    val exp = rows.map(_.getDouble(2))
+    assert(exp.zip(exp.tail).forall { case (a, b) => a > b })
+    assert(rows.forall(_.getLong(3) >= 0L), "chi2 terms nonnegative")
+  }
+
+  test("rfm: scores span 1..5 in balanced buckets; extremes score 5") {
+    val rows = Registry.byName("orders_rfm").run(spark, sf).collect()
+    val n = rows.length
+    Seq(1, 2, 3).foreach { i =>
+      val hist = rows.groupBy(_.getLong(i)).map { case (s, rs) => s -> rs.length }
+      assert(hist.keySet == Set(1L, 2L, 3L, 4L, 5L), s"col $i scores")
+      // the integer rank formula balances buckets to within one
+      assert(hist.values.max - hist.values.min <= 1, s"col $i balance: $hist")
+    }
+    assert(rows.forall(r => r.getLong(4) ==
+      r.getLong(1) * 100 + r.getLong(2) * 10 + r.getLong(3)))
+    // the top spender must carry m_score 5
+    val topSpender = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.Det.dec(col("o_totalprice"))).as("m"))
+      .orderBy(col("m").desc).head().getLong(0)
+    assert(rows.find(_.getLong(0) == topSpender).get.getLong(3) == 5L)
+    assert(n == rows.map(_.getLong(0)).distinct.length, "one row per customer")
+  }
+
   test("damerau-levenshtein matches the probed full-DL fixtures (not OSA)") {
     import graft.functions.expr.DamerauLevenshteinExpr.dist
     def d(a: String, b: String): Int = d2(a, b)

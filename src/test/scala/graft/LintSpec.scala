@@ -139,12 +139,21 @@ class LintSpec extends AnyFunSuite {
       // the zipf rank window runs over the vocabulary-sized count
       // frame, never the corpus (the KM/Mann-Whitney distinct-value
       // convention)
-      "text_zipf" -> Set("global-window", "single-partition-shuffle"))
+      "text_zipf" -> Set("global-window", "single-partition-shuffle"),
+      // exact RFM quintiles NEED global ranks; they run over the
+      // one-row-per-customer rollup, orders of magnitude below the
+      // fact table, and the documented 100 TB path swaps them for
+      // Quantiles.exact cutoff literals (q27a); the n total is a 1-row
+      // broadcast (the text_pmi convention), as is benford's
+      "orders_rfm" -> Set("global-window", "single-partition-shuffle",
+        "cartesian"),
+      "profile_benford" -> Set("cartesian"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
       "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl",
       "dedup_fuzzy_dl", "q68_ridge", "q69_hampel",
-      "text_chao1", "text_gini", "text_zipf").flatMap { name =>
+      "text_chao1", "text_gini", "text_zipf",
+      "q70_isotonic", "profile_benford", "orders_rfm").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -193,6 +193,36 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(4)) < 1e-3)
   }
 
+  test("isotonic minimax fit equals the textbook PAVA pooling") {
+    import spark.implicits._
+    // classic violator: bucket means 1, 3, 2 -> PAVA pools the last two
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 2.0))
+      .toDF("g", "x", "v")
+    val fit = StatTests.isotonic(df, "g", "x", "v")
+      .orderBy("x").collect().map(_.getDouble(4)).toSeq
+    assert(fit == Seq(1.0, 2.5, 2.5), fit.toString)
+    // weights via row multiplicity: means 1, 3(x2), 0 -> pool(3,3,0) = 2
+    val wdf = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 2L, 3.0),
+      ("a", 3L, 0.0)).toDF("g", "x", "v")
+    val wfit = StatTests.isotonic(wdf, "g", "x", "v")
+      .orderBy("x").collect().map(_.getDouble(4)).toSeq
+    assert(wfit == Seq(1.0, 2.0, 2.0), wfit.toString)
+    // already monotone input is returned unchanged, and output is
+    // always nondecreasing per key
+    val mono = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 9.0),
+      ("b", 1L, 5.0), ("b", 2L, 4.0)).toDF("g", "x", "v")
+    val out = StatTests.isotonic(mono, "g", "x", "v")
+      .orderBy("g", "x").collect()
+    assert(out.filter(_.getString(0) == "a").map(_.getDouble(4)).toSeq ==
+      Seq(1.0, 2.0, 9.0))
+    assert(out.filter(_.getString(0) == "b").map(_.getDouble(4)).toSeq ==
+      Seq(4.5, 4.5))
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val fs = rows.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(fs.zip(fs.tail).forall { case (p, q) => p <= q })
+    }
+  }
+
   test("kolmogorov-smirnov: separated groups give D = 1, ties stay exact") {
     import spark.implicits._
     val sep = (Seq(1.0, 2.0).map(("x", _)) ++ Seq(3.0, 4.0).map(("y", _)))
