@@ -132,7 +132,9 @@ object Plans {
       "text_zipf",               // vocab-frame rank window, exact-moment fit
       "q70_isotonic",            // B^2-bounded pair frame, suffix-min window
       "profile_benford",         // 9-row digit agg, 1-row broadcast total
-      "orders_rfm")              // customer rollup, three rank windows
+      "orders_rfm",              // customer rollup, three rank windows
+      "q71_anderson",            // broadcast moments, one rank window, term sum
+      "q72_mann_kendall")        // thinned g-keyed pairs, partial sign sums
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

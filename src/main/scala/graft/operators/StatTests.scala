@@ -238,6 +238,72 @@ object StatTests {
       s"(((((1.330274429*$t-1.821255978)*$t+1.781477937)*$t-0.356563782)*$t+0.319381530)*$t)), 9)"
   }
 
+  /** The Anderson–Darling per-row term as SQL text — the full
+    * standardized-normal A² summand for the row at ascending rank `i`
+    * of `n`, REARRANGED to need only one rank per row: substituting
+    * j = n+1−i in the classical Σ(2i−1)[lnΦ(z_i) + ln(1−Φ(z_{n+1−i}))]
+    * gives Σ_i [(2i−1)·lnΦ(z_i) + (2(n−i)+1)·ln(1−Φ(z_i))] — so no
+    * self-join pairing row i with row n+1−i is ever needed. Φ comes
+    * from the same Abramowitz–Stegun 26.2.17 tail polynomial as
+    * [[pTwoSidedSql]]; the whole term is emitted as ONE shared text
+    * into both engines (ln/exp agree only to the ulp, so the identical
+    * IEEE tree + round@6 scaling is what makes the cross-engine sum
+    * exact). Tied values permute only equal terms, so rank tie-breaks
+    * cannot move the sum. */
+  def adTermSql(z: String, i: String, n: String): String = {
+    val az = s"abs($z)"
+    val t = s"(1.0/(1.0+0.2316419*$az))"
+    val tail = s"((exp(-$az*$az/2.0)/2.5066282746310002)*" +
+      s"(((((1.330274429*$t-1.821255978)*$t+1.781477937)*$t-0.356563782)*$t+0.319381530)*$t))"
+    val phi = s"(CASE WHEN $z < 0.0 THEN $tail ELSE 1.0 - $tail END)"
+    val phic = s"(CASE WHEN $z < 0.0 THEN 1.0 - $tail ELSE $tail END)"
+    s"CAST(round(((2*$i-1)*ln($phi) + (2*($n-$i)+1)*ln($phic)) * 1e6, 0) " +
+      "AS BIGINT)"
+  }
+
+  /** Anderson–Darling normality test per group — the stats battery's
+    * distribution-shape member: unlike KS (sup-norm, middle-sensitive),
+    * A² integrates squared CDF distance with 1/(F(1−F)) weighting, so
+    * it is the test that actually notices heavy/thin TAILS. Sample-
+    * standardized (the "case 3" composite-hypothesis form — mean and
+    * variance estimated, the usual d'Agostino table applies).
+    *
+    * Exactness: moments are exact decimals; z, Φ and the per-row term
+    * are the SAME fixed-order IEEE tree in both engines (shared SQL
+    * text, [[adTermSql]]), each term rounds@6 to a long and the
+    * cross-row sum is exact. Groups need n ≥ 8 and positive variance
+    * (degenerate groups are dropped loudly by the documented filter,
+    * the Welch-guard convention).
+    *
+    * Scale shape: one grouped moment aggregate (broadcast back), one
+    * key-partitioned rank window, one grouped sum — two exchanges
+    * total, nothing global. */
+  def andersonDarling(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val m = src.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      graft.Det.dsum(col("v")).as("sx"),
+      graft.Det.dsum(col("v") * col("v")).as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx") / nD
+    val sd = sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0)))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    src.join(broadcast(m), "g")
+      .filter(col("n") >= 8 &&
+        (col("sxx") - col("sx") * col("sx") / nD) > 0.0)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__z", (col("v") - mean) / sd)
+      .withColumn("__t6", expr(adTermSql("__z", "__i", "n")))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("nn"), sum(col("__t6")).as("s6"))
+      .select(col("g"), col("nn").as("n"),
+        round(lit(-1.0) * col("nn").cast("double") -
+          (col("s6").cast("double") / 1e6) / col("nn").cast("double"), 6)
+          .as("a2"))
+  }
+
   /** Mutual information of the (rowCol, colCol) contingency table in
     * bits: I = Σ p(r,c)·log2(p(r,c)/(p(r)·p(c))) over OBSERVED cells
     * (empty cells contribute zero by the 0·log0 = 0 convention, so no
@@ -293,6 +359,55 @@ object StatTests {
       round(d, 9).as("d"),
       round(sqrt(dD(col("n1")) * dD(col("n2")) /
         (dD(col("n1")) + dD(col("n2")))) * d, 6).as("ks_stat"))
+  }
+
+  /** Mann–Kendall trend test per group — the nonparametric "is there a
+    * monotone trend" SIGNIFICANCE companion to [[theilSen]]'s slope
+    * estimate (the two are always published together: MK says whether,
+    * Theil–Sen says how much). S = Σ_{time i<j} sign(v_j − v_i); the
+    * variance carries the standard tie correction
+    * [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and z applies the ±1
+    * continuity correction (0 when S = 0).
+    *
+    * Exactness: S, n and both variance terms are pure long arithmetic;
+    * z is ONE fixed-order IEEE expression round@6; the p-value reuses
+    * the shared-text tail polynomial ([[pTwoSidedSql]]) on the rounded
+    * z. Equal-time pairs are excluded, matching [[theilSen]].
+    *
+    * Scale shape: the SAME md5-lottery thinning and g-keyed
+    * basket-bounded self-join as [[theilSen]] (pairs are quadratic by
+    * definition — the estimator runs exactly on a bounded deterministic
+    * sample); the sign pairs collapse via map-side partial sums, ties
+    * via one (g, v) count pass. */
+  def mannKendall(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, sampleUpper: String = "20"): DataFrame = {
+    val pts = df.filter(col(valCol).isNotNull &&
+        substring(md5(col(idCol).cast("string")), 1, 2) < lit(sampleUpper))
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol)").as("t"),
+        col(valCol).cast("double").as("v"))
+    val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
+    val b = pts.select(col("g"), col("t").as("t2"), col("v").as("v2"))
+    val s = a.join(b, Seq("g")).filter(col("t1") < col("t2"))
+      .select(col("g"),
+        when(col("v2") > col("v1"), 1L)
+          .when(col("v2") < col("v1"), -1L).otherwise(0L).as("sgn"))
+      .groupBy(col("g")).agg(sum(col("sgn")).as("s"))
+    val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ties = pts.groupBy(col("g"), col("v")).agg(count(lit(1)).as("tc"))
+      .groupBy(col("g"))
+      .agg(sum(col("tc") * (col("tc") - 1L) * (lit(2L) * col("tc") + 5L))
+        .as("tcorr"))
+    val varNum = col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+      col("tcorr")
+    val sigma = sqrt(varNum.cast("double") / 18.0)
+    s.join(n, Seq("g")).join(ties, Seq("g"))
+      .withColumn("z", round(
+        when(col("s") > 0, (col("s").cast("double") - 1.0) / sigma)
+          .when(col("s") < 0, (col("s").cast("double") + 1.0) / sigma)
+          .otherwise(0.0), 6))
+      .withColumn("p", expr(pTwoSidedSql("z")))
+      .select(col("g"), col("n"), col("s"), col("z"), col("p"))
   }
 
   /** Two-regressor least squares with intercept: y on (1, x2, x3),

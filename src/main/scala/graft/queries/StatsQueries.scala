@@ -607,6 +607,86 @@ object StatsQueries {
       |       ELSE round(exp(CAST(log_surv_9 AS DOUBLE) / 1e9), 6) END AS survival
       |FROM acc WHERE d > 0 ORDER BY t""".stripMargin
 
+  /** q71_anderson: Anderson–Darling normality per event type
+    * ([[StatTests.andersonDarling]]) — the tail-sensitive
+    * distribution-shape member of the battery (KS is middle-sensitive
+    * by construction). Shared-text Φ polynomial, round@6 long terms,
+    * exact cross-row sum; two exchanges. */
+  private def andersonQ(s: SparkSession, d: String): DataFrame =
+    StatTests.andersonDarling(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val andersonSql = {
+    val term = StatTests.adTermSql("zz", "i", "n")
+    s"""WITH src AS (
+       |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |m AS (
+       |  SELECT g, COUNT(*) AS n, ${Det.sqlSum("v")} AS sx,
+       |    ${Det.sqlSum("v * v")} AS sxx
+       |  FROM src GROUP BY g),
+       |r AS (
+       |  SELECT s.g, s.v, m.n, m.sx, m.sxx,
+       |    CAST(row_number() OVER (PARTITION BY s.g ORDER BY s.v)
+       |      AS BIGINT) AS i
+       |  FROM src s JOIN m USING (g)
+       |  WHERE m.n >= 8 AND (m.sxx - m.sx * m.sx / CAST(m.n AS DOUBLE)) > 0.0),
+       |z AS (
+       |  SELECT g, n, i,
+       |    (v - sx / CAST(n AS DOUBLE)) /
+       |      sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) /
+       |        (CAST(n AS DOUBLE) - 1.0)) AS zz
+       |  FROM r),
+       |t AS (SELECT g, n, $term AS t6 FROM z)
+       |SELECT g AS event_type, n,
+       |  round(-1.0 * CAST(n AS DOUBLE) -
+       |    (CAST(SUM(t6) AS DOUBLE) / 1e6) / CAST(n AS DOUBLE), 6) AS a2
+       |FROM t GROUP BY g, n ORDER BY event_type""".stripMargin
+  }
+
+  /** q72_mann_kendall: monotone-trend significance per event type
+    * ([[StatTests.mannKendall]]) — the classical companion to q67's
+    * Theil–Sen slope, on the SAME md5-thinned points so the two
+    * operators describe one estimator/test pair. Integer-exact S and
+    * tie-corrected variance; z round@6; shared-text p. */
+  private def mkQ(s: SparkSession, d: String): DataFrame =
+    StatTests.mannKendall(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val mkSql = {
+    val p = StatTests.pTwoSidedSql("z")
+    s"""WITH pts AS (
+       |  SELECT event_type AS g, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE value IS NOT NULL
+       |    AND substring(md5(event_id::VARCHAR), 1, 2) < '20'),
+       |sp AS (
+       |  SELECT a.g, CAST(SUM(CASE WHEN b.v > a.v THEN 1
+       |    WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM pts a JOIN pts b ON b.g = a.g AND a.t < b.t
+       |  GROUP BY a.g),
+       |np AS (SELECT g, COUNT(*) AS n FROM pts GROUP BY g),
+       |tp AS (
+       |  SELECT g, CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tcorr
+       |  FROM (SELECT g, v, COUNT(*) AS tc FROM pts GROUP BY g, v)
+       |  GROUP BY g),
+       |zf AS (
+       |  SELECT sp.g, np.n, sp.s,
+       |    round(CASE WHEN sp.s > 0 THEN (CAST(sp.s AS DOUBLE) - 1.0) /
+       |        sqrt(CAST(np.n * (np.n - 1) * (2 * np.n + 5) - tp.tcorr
+       |          AS DOUBLE) / 18.0)
+       |      WHEN sp.s < 0 THEN (CAST(sp.s AS DOUBLE) + 1.0) /
+       |        sqrt(CAST(np.n * (np.n - 1) * (2 * np.n + 5) - tp.tcorr
+       |          AS DOUBLE) / 18.0)
+       |      ELSE 0.0 END, 6) AS z
+       |  FROM sp JOIN np USING (g) JOIN tp USING (g))
+       |SELECT g AS event_type, n, s, z, $p AS p
+       |FROM zf ORDER BY event_type""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -647,5 +727,11 @@ object StatsQueries {
     Capability("q70_isotonic",
       "isotonic (PAVA) calibration of daily means via the exact minimax closed form",
       isotonicQ, Some(isotonicSql)),
+    Capability("q71_anderson",
+      "Anderson-Darling normality per group (shared-text Phi, exact term sum)",
+      andersonQ, Some(andersonSql)),
+    Capability("q72_mann_kendall",
+      "Mann-Kendall trend test on the Theil-Sen points (exact S, tie-corrected z)",
+      mkQ, Some(mkSql)),
   )
 }

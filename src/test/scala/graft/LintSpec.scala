@@ -147,13 +147,16 @@ class LintSpec extends AnyFunSuite {
       // broadcast (the text_pmi convention), as is benford's
       "orders_rfm" -> Set("global-window", "single-partition-shuffle",
         "cartesian"),
-      "profile_benford" -> Set("cartesian"))
+      "profile_benford" -> Set("cartesian"),
+      // q72 shares q67's md5-lottery thinning — parquet-inexpressible
+      "q72_mann_kendall" -> Set("unpushed-filter"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
       "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl",
       "dedup_fuzzy_dl", "q68_ridge", "q69_hampel",
       "text_chao1", "text_gini", "text_zipf",
-      "q70_isotonic", "profile_benford", "orders_rfm").flatMap { name =>
+      "q70_isotonic", "profile_benford", "orders_rfm",
+      "q71_anderson", "q72_mann_kendall").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -95,6 +95,88 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0, s"intercept from clean residuals: $r")
   }
 
+  test("mann-kendall: monotone series max out S, ties correct the variance") {
+    import spark.implicits._
+    def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, h) => (g, new java.sql.Timestamp(h * 3600L * 1000L), h.toLong, v)
+    }
+    val df = (series("up", (0 until 10).map(_.toDouble)) ++
+      series("down", (0 until 10).map(i => -i.toDouble)) ++
+      series("flat", Seq.fill(10)(7.0)))
+      .toDF("g", "ts", "id", "v")
+    val r = StatTests.mannKendall(df, "g", "ts", "id", "v",
+        sampleUpper = "zz")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // strictly increasing: every one of the 45 pairs is concordant
+    assert(r("up").getLong(2) == 45L && r("down").getLong(2) == -45L)
+    assert(r("up").getDouble(3) > 0 && r("down").getDouble(3) ==
+      -r("up").getDouble(3), "symmetric z")
+    // var = n(n-1)(2n+5)/18 = 10*9*25/18 = 125; z = 44/sqrt(125)
+    assert(math.abs(r("up").getDouble(3) - 44.0 / math.sqrt(125.0)) < 1e-6)
+    assert(r("up").getDouble(4) < 0.001, "trend is significant")
+    // all-tied series: S = 0, z = 0, p = 1
+    assert(r("flat").getLong(2) == 0L && r("flat").getDouble(3) == 0.0)
+    // the A&S polynomial carries |error| < 7.5e-8, so p(z=0) is 1
+    // only to that accuracy
+    assert(r("flat").getDouble(4) > 0.999999)
+    // tie correction: 5 pairs of tied values -> tcorr = 5*2*1*9 = 90,
+    // var = (10*9*25 - 90)/18 = 120; S counts only strict rises
+    val tied = series("t", Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4)
+      .map(_.toDouble)).toDF("g", "ts", "id", "v")
+    val rt = StatTests.mannKendall(tied, "g", "ts", "id", "v",
+      sampleUpper = "zz").collect().head
+    assert(rt.getLong(2) == 40L, s"concordant minus tied: $rt")
+    assert(math.abs(rt.getDouble(3) - 39.0 / math.sqrt(120.0)) < 1e-6)
+  }
+
+  test("anderson-darling matches a host-side recomputation and ranks tails") {
+    import spark.implicits._
+    // deterministic pseudo-normal sample (inverse-CDF-free: sums of
+    // uniforms) vs a heavy-tailed one; both n = 60
+    val rng = (1 to 180).map(i => ((i * 2654435761L) % 1000).toDouble / 1000.0)
+    val normish = rng.grouped(3).map(_.sum).toSeq // Irwin-Hall(3): bell-ish
+    val heavy = (1 to 60).map(i => if (i % 11 == 0) i * 5.0 else i % 7 * 0.1)
+    val df = (normish.zipWithIndex.map { case (v, i) => ("n", i.toLong, v) } ++
+      heavy.zipWithIndex.map { case (v, i) => ("h", i.toLong, v) })
+      .map { case (g, i, v) =>
+        (g, new java.sql.Timestamp(i * 1000L), i, v) }
+      .toDF("g", "ts", "id", "v")
+    val out = StatTests.andersonDarling(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("n").getLong(1) == 60L)
+    // the bell-ish sample must look far more normal than the spiky one
+    assert(out("n").getDouble(2) < out("h").getDouble(2))
+    // host-side recomputation of A2 for the bell-ish group (same
+    // formula, independent code path: plain Scala over sorted values)
+    val xs = normish.sorted
+    val n = xs.length
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    def tail(az: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      (math.exp(-az * az / 2.0) / 2.5066282746310002) *
+        (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t -
+          0.356563782) * t + 0.319381530) * t)
+    }
+    def phi(z: Double): Double = if (z < 0) tail(-z) else 1.0 - tail(z)
+    val s6 = xs.zipWithIndex.map { case (x, i0) =>
+      val z = (x - mean) / sd
+      val i = i0 + 1
+      math.round(((2 * i - 1) * math.log(phi(z)) +
+        (2 * (n - i) + 1) * math.log(1.0 - phi(z))) * 1e6)
+    }.sum
+    val a2Host = -n.toDouble - (s6.toDouble / 1e6) / n
+    assert(math.abs(out("n").getDouble(2) - a2Host) < 1e-5,
+      s"engine ${out("n").getDouble(2)} vs host $a2Host")
+    // degenerate guards: tiny and constant groups are dropped
+    val bad = Seq(("s", 1L, 1.0), ("s", 2L, 2.0),
+      ("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0), ("c", 4L, 5.0),
+      ("c", 5L, 5.0), ("c", 6L, 5.0), ("c", 7L, 5.0), ("c", 8L, 5.0))
+      .map { case (g, i, v) => (g, new java.sql.Timestamp(i), i, v) }
+      .toDF("g", "ts", "id", "v")
+    assert(StatTests.andersonDarling(bad, "g", "v").count() == 0L)
+  }
+
   test("kaplan-meier matches the textbook curve with censoring and a wipe") {
     import spark.implicits._
     // durations: 1 death, 2 death, 3 censored, 4 death
