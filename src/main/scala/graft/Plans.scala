@@ -134,7 +134,10 @@ object Plans {
       "profile_benford",         // 9-row digit agg, 1-row broadcast total
       "orders_rfm",              // customer rollup, three rank windows
       "q71_anderson",            // broadcast moments, one rank window, term sum
-      "q72_mann_kendall")        // thinned g-keyed pairs, partial sign sums
+      "q72_mann_kendall",        // thinned g-keyed pairs, partial sign sums
+      "pipeline_nb_auc",         // per-score counts, distinct-score window
+      "pipeline_nb_kappa",       // class-sized marginals, 1-row broadcasts
+      "q73_cramers_v")           // chisq dense grid + one effect-size row
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

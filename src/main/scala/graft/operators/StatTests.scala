@@ -522,6 +522,67 @@ object StatTests {
       round(lit(1.0) - sse / sst, 9).as("r2"))
   }
 
+  /** AUC by the exact rank-sum identity (AUC = U/(n₁·n₀) — the
+    * Mann–Whitney connection), NOT trapezoid-integrating an ROC curve:
+    * over per-score counts, U×2 = Σ_scores c₁·(2·cumNeg_below + c₀)
+    * counts ties at half, all in exact longs; ONE division at the end
+    * (round@9). Input: (scoreCol: long-or-orderable, labelCol: 1/0
+    * long). The distinct-score cumsum window is score-cardinality-
+    * bounded (the KM/MW small-frame convention). All-tied scores give
+    * exactly 0.5; perfect separation exactly 1.0. */
+  def aucRankSum(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val vc = df
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol)).as("c1"),
+        sum(lit(1L) - col(labelCol)).as("c0"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("cum0", sum(col("c0")).over(w))
+      .agg(sum(col("c1")).as("n_pos"), sum(col("c0")).as("n_neg"),
+        sum(col("c1") * (lit(2L) * (col("cum0") - col("c0")) + col("c0")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 9).as("auc"))
+  }
+
+  /** Cramér's V (and Pearson's contingency coefficient) — the EFFECT
+    * SIZE companion to [[chiSquared]]: X² grows linearly with n, so at
+    * 100 TB every association is "significant"; V = √(X²/(n·min(r−1,
+    * c−1))) ∈ [0,1] is what actually says whether the association is
+    * big. Same dense-grid cell terms as chiSquared (exact long X²
+    * sum); V and CC are one rounded IEEE expression each (round@6). */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val o = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(col("r")).agg(sum(col("o")).as("rtot"))
+    val ct = o.groupBy(col("c")).agg(sum(col("o")).as("ctot"))
+    val n1 = o.agg(sum(col("o")).as("ntot"))
+    val e = col("rtot").cast("double") * col("ctot").cast("double") /
+      col("ntot").cast("double")
+    val oD = coalesce(col("o"), lit(0L)).cast("double")
+    val cell9 = round((oD - e) * (oD - e) / e * 1e9, 0).cast("long")
+    // marginal cardinalities from the (already tiny) marginal frames —
+    // NOT countDistinct in the cell aggregate, which would plan an
+    // Expand over the grid
+    val dims = broadcast(rt.agg(count(lit(1)).as("r_cats")))
+      .crossJoin(broadcast(ct.agg(count(lit(1)).as("c_cats"))))
+    val agg = broadcast(rt).crossJoin(broadcast(ct))
+      .join(o, Seq("r", "c"), "left")
+      .crossJoin(broadcast(n1))
+      .select(cell9.as("__c9"), col("ntot"))
+      .agg(sum(col("__c9")).as("x2_9"), max(col("ntot")).as("n"))
+      .crossJoin(dims)
+    val x2 = col("x2_9").cast("double") / 1e9
+    val nD = col("n").cast("double")
+    val minDim = least(col("r_cats") - 1, col("c_cats") - 1).cast("double")
+    agg.select(col("x2_9"), col("n"), col("r_cats"), col("c_cats"),
+      round(sqrt(x2 / (nD * minDim)), 6).as("v"),
+      round(sqrt(x2 / (x2 + nD)), 6).as("cc"))
+  }
+
   /** Isotonic regression (PAVA fit) of the bucket means per key, via
     * the MINIMAX closed form: fitted(i) = max_{j≤i} min_{k≥i}
     * weightedMean(y over buckets j..k) — provably equal to the

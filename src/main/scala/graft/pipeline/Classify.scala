@@ -46,6 +46,25 @@ object Classify {
       train: DataFrame, test: DataFrame,
       labelCol: String, textCol: String, idCol: String,
       numFeatures: Int): DataFrame = {
+    val lbl = col(labelCol)
+    val scored = naiveBayesScores(train, test, labelCol, textCol, idCol,
+      numFeatures).withColumnRenamed("score9", "__score9")
+    scored.groupBy(col(idCol))
+      .agg(min(struct((col("__score9") * lit(-1L)).as("neg"), lbl.as("l"))).as("b"))
+      .select(col(idCol), col("b.l").as(s"pred_$labelCol"),
+        (col("b.neg") * lit(-1L)).as("score9"))
+  }
+
+  /** The full per-(doc, label) posterior frame behind [[naiveBayes]] —
+    * (idCol, labelCol, score9) for EVERY candidate label, which is what
+    * threshold-free evaluation (ROC/AUC, calibration) needs: the argmax
+    * keeps only the winner, but a ranking metric ranks the positive
+    * class's score across all docs. Same exactness contract: score9 is
+    * an exact long (sum of rounded@9 ln terms plus the rounded prior). */
+  def naiveBayesScores(
+      train: DataFrame, test: DataFrame,
+      labelCol: String, textCol: String, idCol: String,
+      numFeatures: Int): DataFrame = {
     require(numFeatures >= 2 && numFeatures <= 65536,
       s"numFeatures must be in [2, 65536], got $numFeatures")
     val lbl = col(labelCol)
@@ -67,7 +86,7 @@ object Classify {
     val testToks = test.select(col(idCol),
       explode(graft.functions.TextOps.words(col(textCol))).as("__w"))
       .select(col(idCol), featureOf(col("__w"), numFeatures).as("__f"))
-    val scored = testToks
+    testToks
       .crossJoin(broadcast(labels))
       .join(cnt, Seq(labelCol, "__f"), "left")
       .select(col(idCol), lbl, col("__p9"),
@@ -75,10 +94,6 @@ object Classify {
           (col("__t") + lit(numFeatures.toLong)).cast("double")).as("__t9"))
       .groupBy(col(idCol), lbl, col("__p9"))
       .agg(sum(col("__t9")).as("__s9"))
-      .select(col(idCol), lbl, (col("__s9") + col("__p9")).as("__score9"))
-    scored.groupBy(col(idCol))
-      .agg(min(struct((col("__score9") * lit(-1L)).as("neg"), lbl.as("l"))).as("b"))
-      .select(col(idCol), col("b.l").as(s"pred_$labelCol"),
-        (col("b.neg") * lit(-1L)).as("score9"))
+      .select(col(idCol), lbl, (col("__s9") + col("__p9")).as("score9"))
   }
 }

@@ -130,6 +130,117 @@ object ClassifyQueries {
        |FROM tf LEFT JOIN fpt USING (lang)
        |ORDER BY tf.lang""".stripMargin
 
+  /** pipeline_nb_auc: threshold-free ranking quality of the classifier
+    * as a one-vs-rest detector for 'en' — AUC computed by the exact
+    * rank-sum identity (AUC = U/(n₁·n₀), the Mann–Whitney connection),
+    * NOT by trapezoid-integrating an ROC curve: over per-score counts,
+    * U×2 = Σ_scores c₁·(2·cumNeg_below + c₀) counts ties at half, all
+    * in exact longs; ONE division at the end (round@9). The ranking
+    * score is the exact per-doc MARGIN s_en − max_{l≠en} s_l from
+    * [[Classify.naiveBayesScores]] — raw log-posteriors scale with
+    * document length (every token adds a negative term), so they rank
+    * short docs above long English ones; the margin cancels the length
+    * term and is exactly what the argmax thresholds at 0. The
+    * distinct-score frame is test-set-bounded (the KM/MW small-frame
+    * convention). */
+  private def nbAucQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val sc = Classify
+      .naiveBayesScores(train, test, "lang", "text", "doc_id", NumFeatures)
+    // the ranking score is the MARGIN s_en − max_{l≠en} s_l, not the raw
+    // posterior: absolute log-likelihoods scale with document LENGTH
+    // (every token adds a negative term), so raw s_en ranks short docs
+    // above long English ones; the margin cancels the length term and is
+    // exactly the quantity the argmax thresholds at 0
+    val en = sc.filter(col("lang") === "en")
+      .select(col("doc_id"), col("score9").as("s_en"))
+    val other = sc.filter(col("lang") =!= "en")
+      .groupBy(col("doc_id")).agg(max(col("score9")).as("s_o"))
+    val lab = test.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    graft.operators.StatTests.aucRankSum(
+      en.join(other, "doc_id")
+        .select(col("doc_id"), (col("s_en") - col("s_o")).as("m9"))
+        .join(lab, "doc_id"),
+      "m9", "y")
+  }
+
+  private lazy val nbAucSql =
+    s"""$nbCtes,
+       |en AS (SELECT doc_id, score9 AS s_en FROM sc WHERE lang = 'en'),
+       |oth AS (
+       |  SELECT doc_id, CAST(MAX(score9) AS BIGINT) AS s_o
+       |  FROM sc WHERE lang <> 'en' GROUP BY doc_id),
+       |pos AS (
+       |  SELECT en.doc_id, en.s_en - oth.s_o AS m9,
+       |    CASE WHEN te.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM en JOIN oth USING (doc_id) JOIN te USING (doc_id)),
+       |vc AS (
+       |  SELECT m9, CAST(SUM(y) AS BIGINT) AS c1,
+       |    CAST(SUM(1 - y) AS BIGINT) AS c0
+       |  FROM pos GROUP BY m9),
+       |cum AS (
+       |  SELECT m9, c1, c0, SUM(c0) OVER (ORDER BY m9
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+       |  FROM vc),
+       |agg AS (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+       |    CAST(SUM(c0) AS BIGINT) AS n_neg,
+       |    CAST(SUM(c1 * (2 * (cum0 - c0) + c0)) AS BIGINT) AS u2
+       |  FROM cum)
+       |SELECT n_pos, n_neg, u2,
+       |  round(CAST(u2 AS DOUBLE) /
+       |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9) AS auc
+       |FROM agg""".stripMargin
+
+  /** pipeline_nb_kappa: Cohen's kappa of predictions vs truth —
+    * chance-corrected agreement, the metric that exposes an "accurate"
+    * classifier that merely predicts the majority class. Cleared of
+    * divisions: κ = (n·a − Σ_c rt_c·ct_c) / (n² − Σ_c rt_c·ct_c) with
+    * a = agreement count, rt/ct the true/predicted marginals — exact
+    * longs into ONE rounded division (round@9). Marginal frames are
+    * #classes-sized. */
+  private def nbKappaQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val preds = Classify
+      .naiveBayes(train, test, "lang", "text", "doc_id", NumFeatures)
+      .join(test.select(col("doc_id"), col("lang")), "doc_id")
+    val rt = preds.groupBy(col("lang").as("c")).agg(count(lit(1)).as("rt"))
+    val ct = preds.groupBy(col("pred_lang").as("c"))
+      .agg(count(lit(1)).as("ct"))
+    val marg = rt.join(ct, Seq("c"))
+      .agg(sum(col("rt") * col("ct")).as("rc"))
+    preds.agg(count(lit(1)).as("n"),
+        count(when(col("pred_lang") === col("lang"), 1)).as("agree"))
+      .crossJoin(broadcast(marg))
+      .select(col("n"), col("agree"), col("rc"),
+        round((col("n") * col("agree") - col("rc")).cast("double") /
+          (col("n") * col("n") - col("rc")).cast("double"), 9).as("kappa"))
+  }
+
+  private lazy val nbKappaSql =
+    s"""$nbCtes,
+       |preds AS (
+       |  SELECT b.doc_id, te.lang, b.pred_lang
+       |  FROM best b JOIN te USING (doc_id) WHERE b.rn = 1),
+       |rt AS (SELECT lang AS c, COUNT(*) AS rt FROM preds GROUP BY 1),
+       |ct AS (SELECT pred_lang AS c, COUNT(*) AS ct FROM preds GROUP BY 1),
+       |marg AS (
+       |  SELECT CAST(SUM(rt.rt * ct.ct) AS BIGINT) AS rc
+       |  FROM rt JOIN ct USING (c)),
+       |agg AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(COUNT(*) FILTER (pred_lang = lang) AS BIGINT) AS agree
+       |  FROM preds)
+       |SELECT n, agree, rc,
+       |  round(CAST(n * agree - rc AS DOUBLE) /
+       |    CAST(n * n - rc AS DOUBLE), 9) AS kappa
+       |FROM agg, marg""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("pipeline_nb_classify",
       "hashed-feature Naive Bayes: in-engine train + score, exact scaled posteriors",
@@ -137,5 +248,11 @@ object ClassifyQueries {
     Capability("pipeline_nb_eval",
       "classifier evaluation: per-class confusion counts + precision/recall/F1",
       nbEvalQ, Some(nbEvalSql)),
+    Capability("pipeline_nb_auc",
+      "one-vs-rest AUC by the exact rank-sum identity over per-score counts",
+      nbAucQ, Some(nbAucSql)),
+    Capability("pipeline_nb_kappa",
+      "Cohen's kappa: chance-corrected agreement, denominator-cleared exact longs",
+      nbKappaQ, Some(nbKappaSql)),
   )
 }

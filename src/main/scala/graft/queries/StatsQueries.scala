@@ -276,6 +276,56 @@ object StatsQueries {
        |  CAST(MAX(ntot) AS BIGINT) AS n
        |FROM cell""".stripMargin
 
+  /** q73_cramers_v: effect size over the q57 contingency table
+    * ([[StatTests.cramersV]]) — X² scales with n, so at corpus scale
+    * everything is "significant"; V ∈ [0,1] says whether the
+    * source↔token-bucket association is actually BIG. Same exact-long
+    * cell sum; V and the contingency coefficient are one rounded IEEE
+    * expression each. */
+  private def cramersQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.TextOps.words(col("text"))).as("__w"))
+      .select(col("source"), graft.pipeline.Drift.bucketOf(col("__w")).as("b"))
+    StatTests.cramersV(toks, "source", "b")
+  }
+
+  private val cramersSql =
+    s"""WITH toks AS (
+       |  SELECT source AS r,
+       |    (('0x' || substring(md5(w), 1, 4))::INT % ${graft.pipeline.Drift.Buckets}) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |o AS (SELECT r, c, COUNT(*) AS o FROM toks GROUP BY 1, 2),
+       |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rtot FROM o GROUP BY 1),
+       |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ctot FROM o GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS ntot FROM o),
+       |grid AS (
+       |  SELECT rt.r, ct.c, rt.rtot, ct.ctot, coalesce(o.o, 0) AS o
+       |  FROM rt CROSS JOIN ct LEFT JOIN o USING (r, c)),
+       |cell AS (
+       |  SELECT g.r, g.c,
+       |    CAST(round((CAST(g.o AS DOUBLE) -
+       |        CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE) / CAST(nn.ntot AS DOUBLE)) *
+       |      (CAST(g.o AS DOUBLE) -
+       |        CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE) / CAST(nn.ntot AS DOUBLE)) /
+       |      (CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE) / CAST(nn.ntot AS DOUBLE))
+       |      * 1e9, 0) AS BIGINT) AS c9,
+       |    nn.ntot
+       |  FROM grid g, nn),
+       |agg AS (
+       |  SELECT CAST(SUM(c9) AS BIGINT) AS x2_9,
+       |    CAST(COUNT(DISTINCT r) AS BIGINT) AS r_cats,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS c_cats,
+       |    CAST(MAX(ntot) AS BIGINT) AS n
+       |  FROM cell)
+       |SELECT x2_9, n, r_cats, c_cats,
+       |  round(sqrt(CAST(x2_9 AS DOUBLE) / 1e9 /
+       |    (CAST(n AS DOUBLE) *
+       |     CAST(least(r_cats - 1, c_cats - 1) AS DOUBLE))), 6) AS v,
+       |  round(sqrt(CAST(x2_9 AS DOUBLE) / 1e9 /
+       |    (CAST(x2_9 AS DOUBLE) / 1e9 + CAST(n AS DOUBLE))), 6) AS cc
+       |FROM agg""".stripMargin
+
   /** q59_ols_multi: MULTIVARIATE least squares — price on (1, quantity,
     * discount) — solved in closed form from exact decimal moments via
     * Cramer's rule on the 3×3 normal equations (the builtin regr_*
@@ -733,5 +783,8 @@ object StatsQueries {
     Capability("q72_mann_kendall",
       "Mann-Kendall trend test on the Theil-Sen points (exact S, tie-corrected z)",
       mkQ, Some(mkSql)),
+    Capability("q73_cramers_v",
+      "Cramer's V + contingency coefficient: effect size over the q57 table",
+      cramersQ, Some(cramersSql)),
   )
 }

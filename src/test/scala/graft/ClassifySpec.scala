@@ -30,6 +30,65 @@ class ClassifySpec extends AnyFunSuite {
     assert(out(1).getString(1) == "spam")
   }
 
+  test("auc and kappa gates match independent host-side recomputations") {
+    val sf = TestSpark.sf
+    // AUC: collect the per-doc 'en' scores + labels and recompute the
+    // midrank AUC in plain Scala
+    val aucRow = Registry.byName("pipeline_nb_auc").run(spark, sf)
+      .collect().head
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test0 = docs.filter(col("doc_id") % 2 === 1)
+    val sc = Classify
+      .naiveBayesScores(train, test0, "lang", "text", "doc_id", 4096)
+    val en = sc.filter(col("lang") === "en")
+      .select(col("doc_id"), col("score9").as("s_en"))
+    val oth = sc.filter(col("lang") =!= "en")
+      .groupBy(col("doc_id")).agg(max(col("score9")).as("s_o"))
+    val pairs = en.join(oth, "doc_id")
+      .join(test0.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+      .select((col("s_en") - col("s_o")).as("m9"),
+        (col("truth") === "en").cast("int").as("y"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val pos = pairs.filter(_._2 == 1).map(_._1)
+    val neg = pairs.filter(_._2 == 0).map(_._1)
+    val u2 = (for (p <- pos; q <- neg) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    assert(aucRow.getLong(0) == pos.length.toLong)
+    assert(aucRow.getLong(1) == neg.length.toLong)
+    assert(aucRow.getLong(2) == u2, "exact 2-scaled U")
+    val aucHost = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(aucRow.getDouble(3) - aucHost) < 1e-8)
+    // the synthetic corpus carries no real language signal in the text
+    // (max token lift ≈ 1.2), so chance-level AUC is the TRUE readout —
+    // the metric's value here is honesty, verified exactly above;
+    // separable-data closed forms live in StatTestsSpec.aucRankSum
+    assert(aucRow.getDouble(3) >= 0.0 && aucRow.getDouble(3) <= 1.0)
+
+    // kappa: recompute from the collected predictions
+    val kRow = Registry.byName("pipeline_nb_kappa").run(spark, sf)
+      .collect().head
+    val preds = Classify
+      .naiveBayes(train, test0, "lang", "text", "doc_id", 4096)
+      .join(test0.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("pred_lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = preds.length.toLong
+    val agree = preds.count { case (a, b) => a == b }.toLong
+    val rt = preds.groupBy(_._1).map { case (_, v) => v.length.toLong }
+    val ct = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rc = preds.groupBy(_._1).map { case (c, v) =>
+      v.length.toLong * ct.getOrElse(c, 0L) }.sum
+    assert(kRow.getLong(0) == n && kRow.getLong(1) == agree &&
+      kRow.getLong(2) == rc)
+    val kHost = (n * agree - rc).toDouble / (n * n - rc).toDouble
+    assert(math.abs(kRow.getDouble(3) - kHost) < 1e-8)
+    // kappa is below raw accuracy whenever agreement beats chance
+    assert(kRow.getDouble(3) <= agree.toDouble / n)
+    assert(rt.sum == n)
+  }
+
   test("all-unseen tokens reduce to the prior: majority class wins") {
     import spark.implicits._
     // 3 "big" docs vs 1 "small" -> prior favors big; test text shares no

@@ -149,14 +149,26 @@ class LintSpec extends AnyFunSuite {
         "cartesian"),
       "profile_benford" -> Set("cartesian"),
       // q72 shares q67's md5-lottery thinning — parquet-inexpressible
-      "q72_mann_kendall" -> Set("unpushed-filter"))
+      "q72_mann_kendall" -> Set("unpushed-filter"),
+      // NB chain: broadcast label fan-out + 1-row totals (the
+      // nb_classify shapes); the doc_id % 2 train/test split is
+      // parquet-inexpressible (dedup_incremental precedent); AUC's rank
+      // cumsum runs over the distinct-SCORE frame (MW convention)
+      "pipeline_nb_auc" -> Set("cartesian", "unpushed-filter",
+        "global-window", "single-partition-shuffle"),
+      "pipeline_nb_kappa" -> Set("cartesian", "unpushed-filter"),
+      // the chi-squared dense grid is a broadcast NLJ over the two
+      // marginal frames by design (q57's documented shape)
+      "q73_cramers_v" -> Set("cartesian"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
       "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl",
       "dedup_fuzzy_dl", "q68_ridge", "q69_hampel",
       "text_chao1", "text_gini", "text_zipf",
       "q70_isotonic", "profile_benford", "orders_rfm",
-      "q71_anderson", "q72_mann_kendall").flatMap { name =>
+      "q71_anderson", "q72_mann_kendall",
+      "pipeline_nb_auc", "pipeline_nb_kappa", "q73_cramers_v")
+      .flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -321,6 +321,41 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rm.getDouble(3) == 0.5)
   }
 
+  test("aucRankSum closed forms: separation 1.0, reversal 0.0, ties 0.5") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): Double =
+      StatTests.aucRankSum(rows.toDF("s", "y"), "s", "y")
+        .collect().head.getDouble(3)
+    val pos = (11L to 15L).map((_, 1L))
+    val neg = (1L to 5L).map((_, 0L))
+    assert(auc(pos ++ neg) == 1.0)
+    assert(auc(pos.map { case (s, _) => (s, 0L) } ++
+      neg.map { case (s, _) => (s, 1L) }) == 0.0)
+    // every score tied: U counts all pairs at half
+    assert(auc(Seq.fill(4)((7L, 1L)) ++ Seq.fill(6)((7L, 0L))) == 0.5)
+    // hand case: pos {3, 1}, neg {2, 1}: pairs (3>2)=2,(3>1)=2,(1<2)=0,
+    // (1=1)=1 -> u2 = 5, auc = 5/8
+    val r = StatTests.aucRankSum(
+      Seq((3L, 1L), (1L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "y"), "s", "y")
+      .collect().head
+    assert(r.getLong(2) == 5L && r.getDouble(3) == 0.625, r.toString)
+  }
+
+  test("cramers V: 1.0 for perfect association, near 0 for independence") {
+    import spark.implicits._
+    val perfect = (Seq.fill(20)(("a", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("r", "c")
+    val p = StatTests.cramersV(perfect, "r", "c").collect().head
+    assert(p.getDouble(4) == 1.0, s"perfect 2x2 association: $p")
+    // exact independence: every (r, c) cell at its expected count
+    val indep = (for {
+      r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 10
+    } yield (r, c)).toDF("r", "c")
+    val i = StatTests.cramersV(indep, "r", "c").collect().head
+    assert(i.getDouble(4) == 0.0 && i.getDouble(5) == 0.0, i.toString)
+    assert(i.getLong(2) == 2L && i.getLong(3) == 2L && i.getLong(1) == 40L)
+  }
+
   test("chi-squared matches the hand-computed 2x2 statistic incl. zero cells") {
     import spark.implicits._
     // counts: (a,x)=10 (a,y)=20 (b,x)=20 (b,y)=10 -> E=15 everywhere,
