@@ -137,7 +137,10 @@ object Plans {
       "q72_mann_kendall",        // thinned g-keyed pairs, partial sign sums
       "pipeline_nb_auc",         // per-score counts, distinct-score window
       "pipeline_nb_kappa",       // class-sized marginals, 1-row broadcasts
-      "q73_cramers_v")           // chisq dense grid + one effect-size row
+      "q73_cramers_v",           // chisq dense grid + one effect-size row
+      "q74_ccf",                 // hourly mean frames, one bucket equi-join
+      "q75_dispersion",          // (key,bucket) counts -> key rollup
+      "text_source_overlap")     // distinct vocab, word-keyed set join
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

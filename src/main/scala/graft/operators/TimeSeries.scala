@@ -76,6 +76,74 @@ object TimeSeries {
           sqrt(varx * vary), 9)).as("acf"))
   }
 
+  /** Cross-correlation function between two keys' bucketed series —
+    * [[acf]]'s two-series sibling, THE lead/lag question ("do clicks
+    * predict purchases an hour later?"): CCF(k) = corr(x_t, y_{t+k})
+    * over hourly bucket means, lags 0..maxLag. Bucket means come from
+    * exact decimal sums over integer counts (identical doubles in both
+    * engines); each lag's Pearson is the [[acf]] guarded-moment
+    * recipe, round@9.
+    *
+    * Scale shape: the raw series collapse to hourly (bucket, mean)
+    * frames FIRST — everything after is bounded by the time span, not
+    * the row count; the lag fan-out is a narrow (maxLag+1)-way explode
+    * on the y frame and ONE bucket-keyed equi-join aligns the pairs. */
+  def ccf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      keyA: String, keyB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val hourUs = 3600000000L
+    def series(k: String, out: String): DataFrame =
+      df.filter(col(keyCol) === k && col(valCol).isNotNull)
+        .groupBy(expr(s"unix_micros(date_trunc('hour', $tsCol))").as("b"))
+        .agg((sum(graft.Det.dec(col(valCol))).cast("double") /
+          count(lit(1)).cast("double")).as(out))
+    val xs = series(keyA, "x")
+    val ys = series(keyB, "y")
+      .select(explode(array((0 to maxLag).map(lit): _*)).as("lag"),
+        col("b"), col("y"))
+      .select(col("lag"), (col("b") - col("lag") * hourUs).as("b"), col("y"))
+    val pairs = xs.join(ys, "b")
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      graft.Det.dsum(col("x")).as("sx"), graft.Det.dsum(col("y")).as("sy"),
+      graft.Det.dsum(col("x") * col("x")).as("sxx"),
+      graft.Det.dsum(col("y") * col("y")).as("syy"),
+      graft.Det.dsum(col("x") * col("y")).as("sxy"))
+    val n = col("n_pairs").cast("double")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    m.select(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && varx > 0.0 && vary > 0.0,
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varx * vary), 9)).as("ccf"))
+  }
+
+  /** Index of dispersion (variance-to-mean ratio of the hourly event
+    * counts) + the Goh–Barabási burstiness coefficient (σ−μ)/(σ+μ) per
+    * key — the "is this traffic Poisson or bursty" readout: D ≈ 1 is
+    * Poisson, D ≫ 1 is bursty/clumped, D < 1 is regular; B ∈ (−1, 1)
+    * normalizes the same contrast. Counts and their squares are exact
+    * longs; mean/variance/ratios are fixed-order IEEE over them,
+    * round@9. One (key, bucket) count pass + one key rollup. */
+  def dispersion(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val c = df
+      .groupBy(col(keyCol),
+        expr(s"unix_micros(date_trunc('hour', $tsCol))").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val m = c.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+    val n = col("n_buckets").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / (n - lit(1.0))
+    val sigma = sqrt(variance)
+    m.filter(col("n_buckets") >= 2)
+      .select(col(keyCol), col("n_buckets"), col("s1"), col("s2"),
+        round(variance / mean, 9).as("dispersion"),
+        round((sigma - mean) / (sigma + mean), 9).as("burstiness"))
+  }
+
   /** Gaps-and-islands interval merge: each input row is an interval
     * [`startCol`, `endCol`] (µs-long columns); overlapping or touching
     * intervals within a key merge into islands. Returns one row per

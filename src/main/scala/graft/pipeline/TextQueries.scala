@@ -308,6 +308,63 @@ object TextQueries {
        |FROM m""".stripMargin
   }
 
+  /** Pairwise vocabulary overlap between sources — the corpus-level
+    * Jaccard matrix a mixing pass reads before blending ("are these
+    * two crawls the same text distribution or complementary?"):
+    * J(A,B) = |V_A ∩ V_B| / |V_A ∪ V_B| over the distinct-word sets,
+    * with the containment coefficients |∩|/|V_A| and |∩|/|V_B| (the
+    * asymmetric pair — a small source fully inside a big one has tiny
+    * J but containment 1.0, the dedup_containment lesson at corpus
+    * granularity).
+    *
+    * Scale shape: one (source, word) distinct pass, then a word-keyed
+    * self-join of the vocabulary frames — everything is bounded by
+    * vocabulary × sources, never by corpus rows; counts are exact
+    * longs into one rounded division each. */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val vw = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val sizes = vw.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val a = vw.select(col("source").as("sa"), col("w"))
+    val b = vw.select(col("source").as("sb"), col("w"))
+    a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("sa"), col("nv").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("nv").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 9)
+          .as("jaccard"),
+        round(col("inter").cast("double") / col("na").cast("double"), 9)
+          .as("cont_a"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 9)
+          .as("cont_b"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH vw AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |sizes AS (SELECT source, COUNT(*) AS nv FROM vw GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+      |  FROM vw a JOIN vw b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.sa, p.sb, p.inter, x.nv AS na, y.nv AS nb,
+      |  round(CAST(p.inter AS DOUBLE) /
+      |    CAST(x.nv + y.nv - p.inter AS DOUBLE), 9) AS jaccard,
+      |  round(CAST(p.inter AS DOUBLE) / CAST(x.nv AS DOUBLE), 9) AS cont_a,
+      |  round(CAST(p.inter AS DOUBLE) / CAST(y.nv AS DOUBLE), 9) AS cont_b
+      |FROM pairs p JOIN sizes x ON x.source = p.sa
+      |JOIN sizes y ON y.source = p.sb
+      |ORDER BY sa, sb""".stripMargin
+
   /** Library form of the decontamination pass: documents whose `isTrain`
     * rows share ≥1 word n-gram with any `isEval` row, with the shared
     * count. `hashKeys` switches the shuffle key from the shingle string
@@ -1441,5 +1498,8 @@ object TextQueries {
     Capability("text_zipf",
       "Zipf rank-frequency slope over the top-100 vocabulary (exact-moment fit)",
       zipf, Some(zipfSql)),
+    Capability("text_source_overlap",
+      "pairwise source vocabulary Jaccard + containment (word-keyed set join)",
+      sourceOverlap, Some(sourceOverlapSql)),
   )
 }

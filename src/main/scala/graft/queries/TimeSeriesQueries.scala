@@ -223,6 +223,78 @@ object TimeSeriesQueries {
       |  CAST(abs(v9 - med9) * 10000 > 44478 * mad9 AS INTEGER) AS is_out
       |FROM m ORDER BY event_type, event_id""".stripMargin
 
+  /** q74_ccf: lead/lag cross-correlation click→purchase at lags 0..3
+    * hours ([[TimeSeries.ccf]]) — the two-series sibling of q50's ACF,
+    * answering "does click volume predict purchase value an hour
+    * later". Hourly means from exact decimal sums; guarded Pearson per
+    * lag, round@9. */
+  private def ccfQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ccf(Tables.events(s, d),
+        "event_type", "ts", "value", "click", "purchase", maxLag = 3)
+      .orderBy(col("lag"))
+
+  private val ccfSql = {
+    def ser(t: String) =
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS b,
+         |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM events WHERE event_type = '$t' AND value IS NOT NULL
+         |  GROUP BY 1""".stripMargin
+    val varx = "(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)"
+    val vary = "(CAST(n_pairs AS DOUBLE) * syy - sy * sy)"
+    s"""WITH xs AS (
+       |  ${ser("click").replace("AS v", "AS x")}),
+       |ys0 AS (
+       |  ${ser("purchase").replace("AS v", "AS y")}),
+       |ys AS (
+       |  SELECT l.lag, ys0.b - l.lag * 3600000000 AS b, ys0.y
+       |  FROM ys0 CROSS JOIN (SELECT unnest(range(0, 4)) AS lag) l),
+       |p AS (SELECT ys.lag, xs.x, ys.y FROM xs JOIN ys USING (b)),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n_pairs,
+       |    ${graft.Det.sqlSum("x")} AS sx, ${graft.Det.sqlSum("y")} AS sy,
+       |    ${graft.Det.sqlSum("x * x")} AS sxx,
+       |    ${graft.Det.sqlSum("y * y")} AS syy,
+       |    ${graft.Det.sqlSum("x * y")} AS sxy
+       |  FROM p GROUP BY lag)
+       |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       |  CASE WHEN n_pairs >= 2 AND $varx > 0.0 AND $vary > 0.0
+       |    THEN round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+       |      sqrt($varx * $vary), 9) END AS ccf
+       |FROM m ORDER BY lag""".stripMargin
+  }
+
+  /** q75_dispersion: variance-to-mean ratio + Goh–Barabási burstiness
+    * of the hourly event counts per type ([[TimeSeries.dispersion]]) —
+    * the Poisson-or-bursty traffic readout that decides whether rate
+    * alerts need a clumping correction. Integer-exact count moments. */
+  private def dispersionQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.dispersion(Tables.events(s, d), "event_type", "ts")
+      .orderBy(col("event_type"))
+
+  private val dispersionSql =
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS b,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_buckets,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n_buckets, s1, s2,
+      |  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+      |      CAST(n_buckets AS DOUBLE)) / (CAST(n_buckets AS DOUBLE) - 1.0)) /
+      |    (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 9) AS dispersion,
+      |  round((sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |      CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)) /
+      |      (CAST(n_buckets AS DOUBLE) - 1.0)) -
+      |    CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)) /
+      |    (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |      CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)) /
+      |      (CAST(n_buckets AS DOUBLE) - 1.0)) +
+      |    CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 9) AS burstiness
+      |FROM m WHERE n_buckets >= 2 ORDER BY event_type""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q50_acf",
       "autocorrelation at lags 1-3 per series: exact-moment guarded Pearson",
@@ -239,5 +311,11 @@ object TimeSeriesQueries {
     Capability("q69_hampel",
       "Hampel filter: rolling median/MAD outlier flags (odd window, long-exact rule)",
       hampelQ, Some(hampelSql)),
+    Capability("q74_ccf",
+      "cross-correlation click->purchase at hour lags (exact-moment Pearson)",
+      ccfQ, Some(ccfSql)),
+    Capability("q75_dispersion",
+      "index of dispersion + burstiness of hourly counts (exact count moments)",
+      dispersionQ, Some(dispersionSql)),
   )
 }

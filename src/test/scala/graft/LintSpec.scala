@@ -167,7 +167,8 @@ class LintSpec extends AnyFunSuite {
       "text_chao1", "text_gini", "text_zipf",
       "q70_isotonic", "profile_benford", "orders_rfm",
       "q71_anderson", "q72_mann_kendall",
-      "pipeline_nb_auc", "pipeline_nb_kappa", "q73_cramers_v")
+      "pipeline_nb_auc", "pipeline_nb_kappa", "q73_cramers_v",
+      "q74_ccf", "q75_dispersion", "text_source_overlap")
       .flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))

@@ -523,6 +523,28 @@ class TextSpec extends AnyFunSuite {
       s"engine ${r.getDouble(1)} vs host $slope")
   }
 
+  test("source overlap matches a host-side set recount for one pair") {
+    val rows = Registry.byName("text_source_overlap").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(inter <= math.min(na, nb), r.toString)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      // jaccard <= both containments by construction
+      assert(r.getDouble(5) <= r.getDouble(6) + 1e-9 &&
+        r.getDouble(5) <= r.getDouble(7) + 1e-9)
+    }
+    val h = rows.head
+    def vocab(src: String): Set[String] = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    val (va, vb) = (vocab(h.getString(0)), vocab(h.getString(1)))
+    assert(h.getLong(2) == (va & vb).size.toLong, "intersection")
+    assert(h.getLong(3) == va.size.toLong && h.getLong(4) == vb.size.toLong)
+  }
+
   test("URL extraction normalizes hosts: lowercase, www-stripped, path-agnostic") {
     import spark.implicits._
     val df = Seq(

@@ -78,6 +78,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 25.0) < 1e-6)
   }
 
+  test("ccf: a planted 1-hour lead gives exactly 1.0 at lag 1") {
+    import spark.implicits._
+    val hourMs = 3600L * 1000L
+    // x series on hours 0..9 with real variance; y = x delayed one hour
+    val xs = (0 until 10).map(h =>
+      ("a", new java.sql.Timestamp(h * hourMs), (h % 4 + 1).toDouble))
+    val ys = (0 until 10).map(h =>
+      ("b", new java.sql.Timestamp((h + 1) * hourMs), (h % 4 + 1).toDouble))
+    val df = (xs ++ ys).toDF("k", "ts", "v")
+    val r = TimeSeries.ccf(df, "k", "ts", "v", "a", "b", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(r(1).getDouble(2) == 1.0, s"perfect lag-1 echo: ${r(1)}")
+    assert(r(0).getDouble(2) < 1.0, "lag 0 is misaligned")
+    // pair counts shrink with the lag window overlap
+    assert(r(0).getLong(1) == 9L && r(1).getLong(1) == 10L)
+  }
+
+  test("dispersion: constant counts give D=0/B=-1, a planted burst raises both") {
+    import spark.implicits._
+    val hourMs = 3600L * 1000L
+    val even = (0 until 5).map(h => ("a", new java.sql.Timestamp(h * hourMs)))
+    // counts 1,1,1,9: mean 3, var 16 -> D = 16/3, sigma 4 -> B = 1/7
+    val bursty = (0 until 3).map(h => ("b", new java.sql.Timestamp(h * hourMs))) ++
+      Seq.fill(9)(("b", new java.sql.Timestamp(3 * hourMs)))
+    val df = (even ++ bursty).toDF("k", "ts")
+    val r = TimeSeries.dispersion(df, "k", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(4) == 0.0 && r("a").getDouble(5) == -1.0)
+    assert(math.abs(r("b").getDouble(4) - 16.0 / 3.0) < 1e-8, r("b").toString)
+    assert(math.abs(r("b").getDouble(5) - 1.0 / 7.0) < 1e-8)
+    assert(r("b").getLong(1) == 4L && r("b").getLong(2) == 12L &&
+      r("b").getLong(3) == 84L)
+  }
+
   test("hampel flags a planted spike against its window, not its neighbors") {
     import spark.implicits._
     // flat series with one spike: only the spike row trips the rule;
