@@ -140,7 +140,9 @@ object Plans {
       "q73_cramers_v",           // chisq dense grid + one effect-size row
       "q74_ccf",                 // hourly mean frames, one bucket equi-join
       "q75_dispersion",          // (key,bucket) counts -> key rollup
-      "text_source_overlap")     // distinct vocab, word-keyed set join
+      "text_source_overlap",     // distinct vocab, word-keyed set join
+      "q76_two_proportion",      // user rollup -> 2-row variant aggregate
+      "q77_cohens_d")            // broadcast moment pairs (the q55 shape)
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

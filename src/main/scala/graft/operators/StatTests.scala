@@ -52,6 +52,72 @@ object StatTests {
         when(ok, round(t, 6)).as("t_stat"), when(ok, round(wdf, 6)).as("t_df"))
   }
 
+  /** Cohen's d + Hedges' g between all group pairs — the EFFECT SIZE
+    * companion to [[welchPairs]]: t grows with √n, so at corpus scale
+    * every difference is "significant"; d = (m̄_a − m̄_b)/s_pooled is
+    * what says whether it is BIG (0.2/0.5/0.8 small/medium/large), and
+    * g applies the small-sample bias correction 1 − 3/(4(n_a+n_b)−9).
+    * Same exact-decimal moment frame as Welch; d and g are one
+    * fixed-order IEEE expression each, round@6; the Welch degenerate
+    * guard applies (NULL for n ≤ 1 sides or zero pooled variance). */
+  def cohensD(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val m = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("__x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("__x")).as("sx"),
+        Det.dsum(col("__x") * col("__x")).as("sxx"))
+    def side(s: String) = m.select(
+      col("g").as(s"g_$s"), col("n").as(s"n_$s"),
+      col("sx").as(s"sx_$s"), col("sxx").as(s"sxx_$s"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"sx_$s") / nD(s)
+    def ss(s: String) =
+      col(s"sxx_$s") - col(s"sx_$s") * col(s"sx_$s") / nD(s)
+    val pooled = (ss("a") + ss("b")) / (nD("a") + nD("b") - 2.0)
+    val d = (mean("a") - mean("b")) / sqrt(pooled)
+    val corr = lit(1.0) - lit(3.0) / (lit(4.0) * (nD("a") + nD("b")) - 9.0)
+    val ok = col("n_a") > 1 && col("n_b") > 1 && pooled > 0.0
+    broadcast(side("a")).join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        when(ok, round(d, 6)).as("cohens_d"),
+        when(ok, round(d * corr, 6)).as("hedges_g"))
+  }
+
+  /** Two-proportion z-test (A/B conversion): the product-analytics
+    * primitive — variant assignment vs a binary outcome, pooled-SE z,
+    * shared-text p, and the UNPOOLED-SE 95% Wald interval for the
+    * difference. Counts (n per variant, k converters) are exact longs;
+    * z and the CI bounds are one fixed-order IEEE expression each,
+    * round@6, with the p-value from [[pTwoSidedSql]] on the rounded z.
+    * Input: one row per unit with (variantCol, successCol 1/0). One
+    * 2-row aggregate; the compare is a broadcast self-pair. */
+  def twoProportion(df: DataFrame, variantCol: String,
+      successCol: String): DataFrame = {
+    val m = df.groupBy(col(variantCol).as("v"))
+      .agg(count(lit(1)).as("n"), sum(col(successCol)).as("k"))
+    def side(s: String) = m.select(col("v").as(s"v_$s"),
+      col("n").as(s"n_$s"), col("k").as(s"k_$s"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def p(s: String) = col(s"k_$s").cast("double") / nD(s)
+    val pPool = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val sePool = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / nD("a") + lit(1.0) / nD("b")))
+    val seUnpooled = sqrt(p("a") * (lit(1.0) - p("a")) / nD("a") +
+      p("b") * (lit(1.0) - p("b")) / nD("b"))
+    val diff = p("a") - p("b")
+    val ok = col("n_a") > 0 && col("n_b") > 0 && pPool > 0.0 && pPool < 1.0
+    broadcast(side("a")).join(broadcast(side("b")), col("v_a") < col("v_b"))
+      .select(col("v_a"), col("v_b"), col("n_a"), col("k_a"),
+        col("n_b"), col("k_b"),
+        round(p("a"), 6).as("p_a"), round(p("b"), 6).as("p_b"),
+        when(ok, round(diff / sePool, 6)).as("z"),
+        when(ok, round(diff - lit(1.959963985) * seUnpooled, 6)).as("ci_lo"),
+        when(ok, round(diff + lit(1.959963985) * seUnpooled, 6)).as("ci_hi"))
+      .withColumn("p_value", expr(pTwoSidedSql("z")))
+  }
+
   /** Mann–Whitney U between groups `ga` and `gb` of `groupCol`: exact
     * U statistics kept ×2 so tie half-ranks stay integers (`u1x2 =
     * 2·U1`), plus the tie-corrected normal z round@6.

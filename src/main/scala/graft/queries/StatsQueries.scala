@@ -737,6 +737,81 @@ object StatsQueries {
        |FROM zf ORDER BY event_type""".stripMargin
   }
 
+  /** q76_two_proportion: A/B conversion test ([[StatTests
+    * .twoProportion]]) — users split by id parity, success = a
+    * power-user purchase pattern (≥ 12 purchase events; the ≥ 1 bar
+    * saturates at 100% in this corpus, which would make the test
+    * degenerate by construction). Exact counts; pooled-SE z +
+    * shared-text p + unpooled Wald CI. */
+  private def twoPropQ(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("pc"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("pc") >= 12, 1L).otherwise(0L).as("converted"))
+    StatTests.twoProportion(users, "variant", "converted")
+  }
+
+  private lazy val twoPropSql = {
+    val pa = "(CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE))"
+    val pb = "(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    val pp = "(CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))"
+    val seU = s"sqrt($pa * (1.0 - $pa) / CAST(a.n AS DOUBLE) + " +
+      s"$pb * (1.0 - $pb) / CAST(b.n AS DOUBLE))"
+    val p = StatTests.pTwoSidedSql("z")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT user_id % 2 AS v, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN pc >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM u GROUP BY 1),
+       |pair AS (
+       |  SELECT a.v AS v_a, b.v AS v_b, a.n AS n_a, a.k AS k_a,
+       |    b.n AS n_b, b.k AS k_b,
+       |    round($pa, 6) AS p_a, round($pb, 6) AS p_b,
+       |    round(($pa - $pb) / sqrt($pp * (1.0 - $pp) *
+       |      (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))), 6) AS z,
+       |    round(($pa - $pb) - 1.959963985 * $seU, 6) AS ci_lo,
+       |    round(($pa - $pb) + 1.959963985 * $seU, 6) AS ci_hi
+       |  FROM m a JOIN m b ON a.v < b.v)
+       |SELECT v_a, v_b, n_a, k_a, n_b, k_b, p_a, p_b, z, ci_lo, ci_hi,
+       |  $p AS p_value
+       |FROM pair""".stripMargin
+  }
+
+  /** q77_cohens_d: effect sizes over the q55 Welch pairs
+    * ([[StatTests.cohensD]]) — t grows with √n, so significance says
+    * nothing about SIZE at corpus scale; d (pooled-SD standardized
+    * difference) and the bias-corrected Hedges' g are the readouts a
+    * dashboard should alert on. Same exact-moment frame as q55. */
+  private def cohensQ(s: SparkSession, d: String): DataFrame =
+    StatTests.cohensD(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("g_a"), col("g_b"))
+
+  private val cohensSql =
+    s"""WITH m AS (
+       |  SELECT event_type AS g, COUNT(*) AS n,
+       |    ${Det.sqlSum("CAST(value AS DOUBLE)")} AS sx,
+       |    ${Det.sqlSum("CAST(value AS DOUBLE) * CAST(value AS DOUBLE)")} AS sxx
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+       |SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+       |  round((a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE)) /
+       |    sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
+       |      (b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))) /
+       |      (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)), 6)
+       |    AS cohens_d,
+       |  round((a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE)) /
+       |    sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
+       |      (b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))) /
+       |      (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)) *
+       |    (1.0 - 3.0 / (4.0 * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE))
+       |      - 9.0)), 6) AS hedges_g
+       |FROM m a JOIN m b ON a.g < b.g
+       |ORDER BY g_a, g_b""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -786,5 +861,11 @@ object StatsQueries {
     Capability("q73_cramers_v",
       "Cramer's V + contingency coefficient: effect size over the q57 table",
       cramersQ, Some(cramersSql)),
+    Capability("q76_two_proportion",
+      "A/B two-proportion z-test + Wald CI on a power-user conversion",
+      twoPropQ, Some(twoPropSql)),
+    Capability("q77_cohens_d",
+      "Cohen's d + Hedges' g effect sizes over the Welch pairs",
+      cohensQ, Some(cohensSql)),
   )
 }

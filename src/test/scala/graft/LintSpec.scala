@@ -159,7 +159,11 @@ class LintSpec extends AnyFunSuite {
       "pipeline_nb_kappa" -> Set("cartesian", "unpushed-filter"),
       // the chi-squared dense grid is a broadcast NLJ over the two
       // marginal frames by design (q57's documented shape)
-      "q73_cramers_v" -> Set("cartesian"))
+      "q73_cramers_v" -> Set("cartesian"),
+      // the q55-welch convention: group-pair theta joins over
+      // broadcast moment frames (#groups / #variants rows)
+      "q76_two_proportion" -> Set("cartesian"),
+      "q77_cohens_d" -> Set("cartesian"))
     val offenders = Seq("dedup_fuzzy_jw", "pipeline_split_stratified",
       "q66_fdr", "graph_scc", "dedup_containment",
       "q67_theil_sen", "dedup_winnow", "q26q_ipc_fsl",
@@ -168,7 +172,8 @@ class LintSpec extends AnyFunSuite {
       "q70_isotonic", "profile_benford", "orders_rfm",
       "q71_anderson", "q72_mann_kendall",
       "pipeline_nb_auc", "pipeline_nb_kappa", "q73_cramers_v",
-      "q74_ccf", "q75_dispersion", "text_source_overlap")
+      "q74_ccf", "q75_dispersion", "text_source_overlap",
+      "q76_two_proportion", "q77_cohens_d")
       .flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))

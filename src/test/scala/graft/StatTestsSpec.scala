@@ -321,6 +321,45 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rm.getDouble(3) == 0.5)
   }
 
+  test("cohens d: pooled closed form, bias correction, degenerate NULL") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = StatTests.cohensD(df, "g", "v").collect().head
+    // means 2 vs 5, ss 2 each, pooled var (2+2)/4 = 1 -> d = -3;
+    // g = d * (1 - 3/(4*6-9)) = -3 * 0.8 = -2.4
+    assert(r.getDouble(4) == -3.0 && r.getDouble(5) == -2.4, r.toString)
+    // zero pooled variance -> NULL, the Welch guard convention
+    val const = (Seq(5.0, 5.0).map(("a", _)) ++ Seq(5.0, 5.0).map(("b", _)))
+      .toDF("g", "v")
+    val c = StatTests.cohensD(const, "g", "v").collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
+
+  test("two-proportion z and CI match the hand-computed A/B case") {
+    import spark.implicits._
+    val units = (Seq.fill(5)((0L, 1L)) ++ Seq.fill(5)((0L, 0L)) ++
+      Seq.fill(2)((1L, 1L)) ++ Seq.fill(8)((1L, 0L)))
+      .toDF("variant", "converted")
+    val r = StatTests.twoProportion(units, "variant", "converted")
+      .collect().head
+    assert(r.getLong(2) == 10L && r.getLong(3) == 5L &&
+      r.getLong(4) == 10L && r.getLong(5) == 2L)
+    val (pa, pb) = (0.5, 0.2)
+    val pp = 7.0 / 20.0
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / 10 + 1.0 / 10))
+    assert(math.abs(r.getDouble(8) - z) < 1e-6, s"z = ${r.getDouble(8)}")
+    val seU = math.sqrt(pa * (1 - pa) / 10 + pb * (1 - pb) / 10)
+    assert(math.abs(r.getDouble(9) - ((pa - pb) - 1.959963985 * seU)) < 1e-6)
+    assert(math.abs(r.getDouble(10) - ((pa - pb) + 1.959963985 * seU)) < 1e-6)
+    assert(r.getDouble(11) > 0.0 && r.getDouble(11) < 1.0)
+    // saturated variants (pPool = 1) are degenerate -> NULL z
+    val sat = (Seq.fill(3)((0L, 1L)) ++ Seq.fill(3)((1L, 1L)))
+      .toDF("variant", "converted")
+    assert(StatTests.twoProportion(sat, "variant", "converted")
+      .collect().head.isNullAt(8))
+  }
+
   test("aucRankSum closed forms: separation 1.0, reversal 0.0, ties 0.5") {
     import spark.implicits._
     def auc(rows: Seq[(Long, Long)]): Double =
