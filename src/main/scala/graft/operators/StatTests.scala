@@ -248,7 +248,9 @@ object StatTests {
     * Scale shape: the pairwise frame is quadratic BY DEFINITION, so the
     * operator samples each group first by a deterministic md5 lottery
     * (`sampleUpper` two-hex threshold — the pipeline_mix contract; at
-    * '20' a 2000-row group thins to ~250 points / ~31k slopes). The
+    * '08' a 12k-row group thins to ~375 points / ~70k slopes, and the
+    * slope frame is the ONE cost quadratic in scale factor — the
+    * lottery is the lever that keeps it bounded). The
     * self-join is g-keyed over the thinned frame (the q62
     * basket-bounded precedent, never all-rows); the two medians are
     * group-partitioned rank selections. For full-data robust fits at

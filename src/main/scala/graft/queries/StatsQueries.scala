@@ -139,10 +139,17 @@ object StatsQueries {
   /** q67_theil_sen: robust Theil–Sen line fit per event type (lower
     * medians of 1e-9-scaled pairwise slopes / residuals over the
     * md5-thinned point set — [[graft.operators.StatTests.theilSen]]).
-    * The 29.3%-breakdown complement to q59's OLS. */
+    * The 29.3%-breakdown complement to q59's OLS. The lottery is '08'
+    * (keep ≈ 1/32): the first sf0.1 bench at '20' showed the sorted
+    * slope frame is the one cost that grows QUADRATICALLY with scale
+    * factor (87 s at sf0.1) — '08' keeps a ~375-point/70k-slope gate at
+    * sf0.01 and a bounded ~7M-slope frame at sf0.1; the estimator's
+    * statistical contract is unchanged (Theil–Sen on a deterministic
+    * sample IS the published big-series practice). */
   private def theilSenQ(s: SparkSession, d: String): DataFrame =
     StatTests.theilSen(
-        Tables.events(s, d), "event_type", "ts", "event_id", "value")
+        Tables.events(s, d), "event_type", "ts", "event_id", "value",
+        sampleUpper = "08")
       .orderBy(col("g"))
 
   private val theilSenSql =
@@ -151,7 +158,7 @@ object StatsQueries {
       |    CAST(value AS DOUBLE) AS v
       |  FROM events
       |  WHERE value IS NOT NULL
-      |    AND substring(md5(event_id::VARCHAR), 1, 2) < '20'),
+      |    AND substring(md5(event_id::VARCHAR), 1, 2) < '08'),
       |sl AS (
       |  SELECT a.g,
       |    CAST(round((b.v - a.v) /
@@ -702,7 +709,7 @@ object StatsQueries {
     * tie-corrected variance; z round@6; shared-text p. */
   private def mkQ(s: SparkSession, d: String): DataFrame =
     StatTests.mannKendall(Tables.events(s, d),
-        "event_type", "ts", "event_id", "value")
+        "event_type", "ts", "event_id", "value", sampleUpper = "08")
       .orderBy(col("g"))
       .withColumnRenamed("g", "event_type")
 
@@ -712,7 +719,7 @@ object StatsQueries {
        |  SELECT event_type AS g, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
        |  FROM events
        |  WHERE value IS NOT NULL
-       |    AND substring(md5(event_id::VARCHAR), 1, 2) < '20'),
+       |    AND substring(md5(event_id::VARCHAR), 1, 2) < '08'),
        |sp AS (
        |  SELECT a.g, CAST(SUM(CASE WHEN b.v > a.v THEN 1
        |    WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
