@@ -142,7 +142,9 @@ object Plans {
       "q75_dispersion",          // (key,bucket) counts -> key rollup
       "text_source_overlap",     // distinct vocab, word-keyed set join
       "q76_two_proportion",      // user rollup -> 2-row variant aggregate
-      "q77_cohens_d")            // broadcast moment pairs (the q55 shape)
+      "q77_cohens_d",            // broadcast moment pairs (the q55 shape)
+      "pipeline_k_anonymity",    // two-level QI aggregate, 1-row summary
+      "text_simpson")            // (source,word) partials -> source rollup
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -365,6 +365,92 @@ object TextQueries {
       |JOIN sizes y ON y.source = p.sb
       |ORDER BY sa, sb""".stripMargin
 
+  /** k-anonymity / l-diversity audit — the privacy gate a dataset
+    * release runs next to [[text_pii]]'s scrubbing: with quasi-
+    * identifiers (source, length bucket) and `lang` as the sensitive
+    * attribute, k-anonymity is the SMALLEST QI-group size (an attacker
+    * knowing someone's QI values can narrow them to k records) and
+    * l-diversity the smallest number of distinct sensitive values
+    * inside any group (k-anonymous data still leaks when a group is
+    * sensitive-homogeneous). Reports the minima plus how much data a
+    * k = 10 bar would flag.
+    *
+    * Scale shape: one (QI, sensitive) counted aggregate → one QI
+    * rollup → one summary row; distinct-sensitive counts come from the
+    * two-level aggregate, NOT countDistinct next to count (the
+    * q73 Expand lesson). All outputs exact longs. */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val g1 = Tables.documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 500").as("len_b"),
+        col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val g2 = g1.groupBy(col("source"), col("len_b"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("l"))
+    g2.agg(count(lit(1)).as("n_groups"),
+      min(col("n")).as("k_anon"),
+      min(col("l")).as("l_div"),
+      sum(when(col("n") < 10, 1L).otherwise(0L)).as("violating_10"),
+      sum(when(col("n") < 10, col("n")).otherwise(0L)).as("rows_at_risk_10"))
+  }
+
+  private val kAnonymitySql =
+    """WITH g1 AS (
+      |  SELECT source, n_chars // 500 AS len_b, lang, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3),
+      |g2 AS (
+      |  SELECT source, len_b, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS l
+      |  FROM g1 GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_groups,
+      |  CAST(MIN(n) AS BIGINT) AS k_anon,
+      |  CAST(MIN(l) AS BIGINT) AS l_div,
+      |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violating_10,
+      |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk_10
+      |FROM g2""".stripMargin
+
+  /** Simpson diversity of the token distribution per source — the
+    * "probability two random tokens differ" index, INTEGER-EXACT by
+    * construction (unlike Shannon entropy's per-term logs): λ =
+    * Σ c_i(c_i−1) / (N(N−1)) from raw counts, D = 1 − λ, and the
+    * inverse-Simpson effective vocabulary 1/λ. A template-spam source
+    * (few tokens dominating) scores low D; complements [[text_chao1]]'s
+    * richness estimate with an EVENNESS readout. One (source, word)
+    * count pass + one source rollup. */
+  private def simpson(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * (col("c") - 1L)).as("s2"))
+      .select(col("source"), col("n"), col("s2"),
+        round(lit(1.0) - col("s2").cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double"), 9).as("simpson"),
+        when(col("s2") > 0,
+          round((col("n") * (col("n") - 1L)).cast("double") /
+            col("s2").cast("double"), 6)).as("inv_simpson"))
+      .orderBy(col("source"))
+
+  private val simpsonSql =
+    """WITH wc AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+      |  FROM wc GROUP BY 1)
+      |SELECT source, n, s2,
+      |  round(1.0 - CAST(s2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 9)
+      |    AS simpson,
+      |  CASE WHEN s2 > 0 THEN round(CAST(n * (n - 1) AS DOUBLE) /
+      |    CAST(s2 AS DOUBLE), 6) END AS inv_simpson
+      |FROM m ORDER BY source""".stripMargin
+
   /** Library form of the decontamination pass: documents whose `isTrain`
     * rows share ≥1 word n-gram with any `isEval` row, with the shared
     * count. `hashKeys` switches the shuffle key from the shingle string
@@ -1501,5 +1587,11 @@ object TextQueries {
     Capability("text_source_overlap",
       "pairwise source vocabulary Jaccard + containment (word-keyed set join)",
       sourceOverlap, Some(sourceOverlapSql)),
+    Capability("pipeline_k_anonymity",
+      "k-anonymity / l-diversity privacy audit over QI groups (exact minima)",
+      kAnonymity, Some(kAnonymitySql)),
+    Capability("text_simpson",
+      "Simpson diversity + effective vocabulary per source (integer-exact)",
+      simpson, Some(simpsonSql)),
   )
 }

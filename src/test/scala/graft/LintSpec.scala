@@ -173,7 +173,8 @@ class LintSpec extends AnyFunSuite {
       "q71_anderson", "q72_mann_kendall",
       "pipeline_nb_auc", "pipeline_nb_kappa", "q73_cramers_v",
       "q74_ccf", "q75_dispersion", "text_source_overlap",
-      "q76_two_proportion", "q77_cohens_d")
+      "q76_two_proportion", "q77_cohens_d",
+      "pipeline_k_anonymity", "text_simpson")
       .flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))

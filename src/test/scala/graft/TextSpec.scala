@@ -545,6 +545,49 @@ class TextSpec extends AnyFunSuite {
     assert(h.getLong(3) == va.size.toLong && h.getLong(4) == vb.size.toLong)
   }
 
+  test("k-anonymity summary matches a host-side QI-group recount") {
+    val r = Registry.byName("pipeline_k_anonymity").run(spark, sf)
+      .collect().head
+    // NOTE: .values before .map — mapping a Map to (size, ldiv) PAIRS
+    // would rebuild a Map keyed on size and silently collapse groups
+    val groups = Tables.documents(spark, sf)
+      .select(col("source"), expr("n_chars div 500").as("b"), col("lang"))
+      .collect()
+      .groupBy(row => (row.getString(0), row.getLong(1)))
+      .values.toSeq
+      .map(rows =>
+        (rows.length.toLong, rows.map(_.getString(2)).distinct.length.toLong))
+    assert(r.getLong(0) == groups.length.toLong, "n_groups")
+    assert(r.getLong(1) == groups.map(_._1).min, "k_anon = min group size")
+    assert(r.getLong(2) == groups.map(_._2).min, "l_div = min distinct langs")
+    assert(r.getLong(3) == groups.count(_._1 < 10).toLong)
+    assert(r.getLong(4) == groups.filter(_._1 < 10).map(_._1).sum)
+    // the audit's invariants: l-diversity never exceeds k-anonymity
+    assert(r.getLong(2) <= r.getLong(1))
+  }
+
+  test("simpson diversity matches a host-side recount; bounds hold") {
+    val rows = Registry.byName("text_simpson").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, r.toString)
+    }
+    val h = rows.head
+    val counts = Tables.documents(spark, sf)
+      .filter(col("source") === h.getString(0))
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count().collect().map(_.getLong(1))
+    val n = counts.sum
+    val s2 = counts.map(c => c * (c - 1)).sum
+    assert(h.getLong(1) == n && h.getLong(2) == s2)
+    assert(math.abs(h.getDouble(3) -
+      (1.0 - s2.toDouble / (n.toDouble * (n - 1)))) < 1e-8)
+    // lambda <= 1 always (all-one-token is the most concentrated case),
+    // so the effective vocabulary is at least 1
+    assert(h.getDouble(4) >= 1.0)
+  }
+
   test("URL extraction normalizes hosts: lowercase, www-stripped, path-agnostic") {
     import spark.implicits._
     val df = Seq(
