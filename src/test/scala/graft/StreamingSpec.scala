@@ -424,6 +424,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming hampel equals the batch centered window bit-for-bit") {
+    // the centered +/-k window forces a k-row emission delay on a
+    // stream; the trailing-buffer processor must reproduce the batch
+    // verdicts exactly, including across a micro-batch boundary
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val split = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hampel_stream").toFile
+    ev.filter(expr("unix_micros(ts)") < split)
+      .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    ev.filter(expr("unix_micros(ts)") >= split)
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        ev.schema("ts").dataType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+      val flagged = graft.streaming.StreamingHampel.hampelStream(
+        spark, stream, "event_type", "ts", "event_id", "value", k = 5)
+      val query = flagged.writeStream
+        .format("memory").queryName("graft_hampel_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        val streamed = spark.table("graft_hampel_stream")
+          .collect()
+          .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
+          .toMap
+        val batch = graft.operators.TimeSeries.hampel(
+            ev, "event_type", "ts", "event_id", "value", k = 5)
+          .collect()
+          .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
+          .toMap
+        assert(batch.nonEmpty)
+        assert(streamed.size == batch.size,
+          s"stream ${streamed.size} rows vs batch ${batch.size}")
+        val diff = batch.collect {
+          case (id, v) if streamed.get(id) != Some(v) =>
+            id -> (v, streamed.get(id))
+        }
+        assert(diff.isEmpty, s"first diffs: ${diff.take(5)}")
+        // the flags are not all zero (the corpus has spikes to find)
+        assert(streamed.values.exists(_._3 == 1))
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming EWMA equals the batch windowed smoother bit-for-bit") {
     // two TIME-SLICED files written sequentially → two micro-batches in
     // event-time order (the operator's cross-batch ordering contract);
