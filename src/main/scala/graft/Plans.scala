@@ -144,7 +144,8 @@ object Plans {
       "q76_two_proportion",      // user rollup -> 2-row variant aggregate
       "q77_cohens_d",            // broadcast moment pairs (the q55 shape)
       "pipeline_k_anonymity",    // two-level QI aggregate, 1-row summary
-      "text_simpson")            // (source,word) partials -> source rollup
+      "text_simpson",            // (source,word) partials -> source rollup
+      "dedup_winnow_capped")     // df-capped candidates, exact re-verify
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

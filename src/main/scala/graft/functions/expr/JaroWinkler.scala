@@ -19,7 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the classic Winkler fixtures: MARTHA/MARHTA = 0.961111,
   * DIXON/DICKSONX = 0.813333, boost only when jaro > 0.7, either input
   * empty → 0.0), which is what lets a query over this expression gate
-  * hash-for-hash against the DuckDB oracle.
+  * hash-for-hash against the DuckDB oracle. Like
+  * [[DamerauLevenshteinExpr]] — and like the oracle engine — the metric
+  * runs over UTF-8 BYTES, not UTF-16 code units: match window,
+  * transposition count and the Winkler prefix all see bytes (probed:
+  * héllo/hello = 0.84, 日本/日本語 = 0.9333…), so non-ASCII input
+  * gates too. The byte contract is also why `sim` takes the raw
+  * `UTF8String` buffers — no decode, no copy.
   *
   * Spark has no builtin (SPARK-48498 class of gaps); a Scala UDF would
   * leave whole-stage codegen — this is a static-call BinaryExpression,
@@ -35,12 +41,12 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinklerExpr.sim(
-      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.expr.JaroWinklerExpr.sim(" +
-        s"$a.toString(), $b.toString());")
+        s"$a.getBytes(), $b.getBytes());")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
@@ -54,8 +60,11 @@ object JaroWinklerExpr {
   private val MaxPrefix = 4
   private val PrefixScale = 0.1
 
-  /** Jaro-Winkler similarity in [0, 1]; either input empty → 0.0. */
-  def sim(s1: String, s2: String): Double = {
+  /** Jaro-Winkler similarity in [0, 1] over UTF-8 bytes; either input
+    * empty → 0.0. Byte-level (not codepoint-level) is the oracle
+    * engine's contract — window, transpositions and prefix all count
+    * bytes. */
+  def sim(s1: Array[Byte], s2: Array[Byte]): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -70,7 +79,7 @@ object JaroWinklerExpr {
       var j = lo
       var found = false
       while (!found && j < hi) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -78,14 +87,14 @@ object JaroWinklerExpr {
       i += 1
     }
     if (matches == 0) return 0.0
-    // transpositions: matched characters compared in order
+    // transpositions: matched bytes compared in order
     var t = 0
     var k = 0
     i = 0
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -97,9 +106,15 @@ object JaroWinklerExpr {
     if (jaro <= BoostThreshold) return jaro
     var prefix = 0
     val maxP = math.min(MaxPrefix, math.min(l1, l2))
-    while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    while (prefix < maxP && s1(prefix) == s2(prefix)) prefix += 1
     jaro + prefix * PrefixScale * (1.0 - jaro)
   }
+
+  /** String convenience (specs/fixtures): routes through the UTF-8
+    * byte metric — identical to what the expression computes. */
+  def sim(s1: String, s2: String): Double =
+    sim(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   def apply(a: Column, b: Column): Column =
     Bridge.column(JaroWinklerExpr(Bridge.expression(a), Bridge.expression(b)))

@@ -259,12 +259,64 @@ object StatTests {
     * deterministic sample, which is how Theil-Sen is actually run on
     * big series. Output: (g, n_pts, n_slopes, slope, intercept). */
   def theilSen(df: DataFrame, groupCol: String, tsCol: String,
-      idCol: String, valCol: String, sampleUpper: String = "20"): DataFrame = {
-    val pts = df.filter(col(valCol).isNotNull &&
+      idCol: String, valCol: String, sampleUpper: String = "20"): DataFrame =
+    theilSenOn(lotteryPoints(df, groupCol, tsCol, idCol, valCol, sampleUpper))
+
+  /** [[theilSen]] with a SCALE-ADAPTIVE lottery: instead of a
+    * hand-picked two-hex threshold (which must be re-tuned per scale
+    * factor — the q67 '20'→'08' lesson), the keep threshold derives
+    * from a target per-group POINT budget via [[budgetPoints]], so a
+    * 10× corpus keeps the same ~`targetPoints` sample and the quadratic
+    * slope frame stays the same size at ANY scale factor. Same md5
+    * determinism, same oracle replay (the threshold formula is pure
+    * integer arithmetic over the group count, expressible in the gate
+    * SQL verbatim). */
+  def theilSenBudget(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, targetPoints: Int = 400): DataFrame =
+    theilSenOn(budgetPoints(df, groupCol, tsCol, idCol, valCol, targetPoints))
+
+  /** The fixed-threshold md5 lottery both pairwise estimators
+    * historically run on: keep rows whose two-hex md5(id) prefix is
+    * below `sampleUpper` (expected keep fraction = 0x`sampleUpper`/256
+    * — the pipeline_mix contract). */
+  private def lotteryPoints(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, sampleUpper: String): DataFrame =
+    df.filter(col(valCol).isNotNull &&
         substring(md5(col(idCol).cast("string")), 1, 2) < lit(sampleUpper))
       .select(col(groupCol).as("g"),
         expr(s"unix_micros($tsCol)").as("t"),
         col(idCol).as("i"), col(valCol).cast("double").as("v"))
+
+  /** Budget-adaptive md5 lottery: each group's keep threshold is
+    * τ = clamp(⌊65536·targetPoints / n⌋, 1, 65536) over the FOUR-hex
+    * md5(id) prefix read as an integer, so the expected kept sample is
+    * ~targetPoints per group at any corpus size — the lever that makes
+    * quadratic-by-definition pair frames (Theil–Sen slopes,
+    * Mann–Kendall sign pairs) scale-factor-invariant without manual
+    * re-tuning. Pure integer threshold arithmetic + md5 determinism =
+    * the oracle replays the identical selection (count CTE + the same
+    * clamp). One cheap count pass; the 1-row-per-group count frame is
+    * broadcast. Groups at or under budget keep everything except the
+    * τ = 65536 boundary's measure-zero complement (τ is clamped, never
+    * 0, so no group empties). */
+  private def budgetPoints(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, targetPoints: Int): DataFrame = {
+    require(targetPoints >= 2, s"targetPoints must be >= 2, got $targetPoints")
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol)").as("t"),
+        col(idCol).as("i"), col(valCol).cast("double").as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long").as("__lot"))
+    val cnt = base.groupBy(col("g")).agg(count(lit(1)).as("__n_all"))
+    base.join(broadcast(cnt), Seq("g"))
+      .filter(col("__lot") < least(lit(65536L), greatest(lit(1L),
+        expr(s"CAST(65536 AS BIGINT) * CAST($targetPoints AS BIGINT)" +
+          " div __n_all"))))
+      .drop("__lot", "__n_all")
+  }
+
+  private def theilSenOn(pts: DataFrame): DataFrame = {
     val a = pts.select(col("g"), col("t").as("t1"), col("i").as("i1"),
       col("v").as("v1"))
     val b = pts.select(col("g"), col("t").as("t2"), col("i").as("i2"),
@@ -448,12 +500,20 @@ object StatTests {
     * sample); the sign pairs collapse via map-side partial sums, ties
     * via one (g, v) count pass. */
   def mannKendall(df: DataFrame, groupCol: String, tsCol: String,
-      idCol: String, valCol: String, sampleUpper: String = "20"): DataFrame = {
-    val pts = df.filter(col(valCol).isNotNull &&
-        substring(md5(col(idCol).cast("string")), 1, 2) < lit(sampleUpper))
-      .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol)").as("t"),
-        col(valCol).cast("double").as("v"))
+      idCol: String, valCol: String, sampleUpper: String = "20"): DataFrame =
+    mannKendallOn(lotteryPoints(df, groupCol, tsCol, idCol, valCol,
+      sampleUpper))
+
+  /** [[mannKendall]] on the scale-adaptive [[budgetPoints]] lottery —
+    * see [[theilSenBudget]]: same ~targetPoints per group at any scale
+    * factor, same determinism/replay contract. */
+  def mannKendallBudget(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, targetPoints: Int = 400): DataFrame =
+    mannKendallOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
+      targetPoints))
+
+  private def mannKendallOn(pts0: DataFrame): DataFrame = {
+    val pts = pts0.select(col("g"), col("t"), col("v"))
     val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
     val b = pts.select(col("g"), col("t").as("t2"), col("v").as("v2"))
     val s = a.join(b, Seq("g")).filter(col("t1") < col("t2"))

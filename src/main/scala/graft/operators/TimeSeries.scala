@@ -267,8 +267,13 @@ object TimeSeries {
     * 2k+1 is ODD so both the median and the MAD are SINGLE order
     * statistics (no interpolation, no even-count averaging ambiguity
     * between engines), and the decision inequality clears denominators
-    * — |x−med|·10⁴ > 44478·MAD in pure long arithmetic (3·1.4826 =
-    * 4.4478 exactly). Every emitted column is integer-exact.
+    * — |x−med|·10⁴ > 44478·MAD (3·1.4826 = 4.4478 exactly) — in
+    * decimal(38,0) integer arithmetic (HUGEINT on the oracle side), so
+    * the ×10⁴ multiply can NEVER wrap a long: the rule is exact over
+    * the whole 1e9-scaled envelope |value| < ~9.2e9, where the scaling
+    * cast itself is the loud boundary (ANSI double→long overflow in
+    * Spark, Out of Range in the oracle — both raise, neither wraps).
+    * Every emitted column is integer-exact.
     *
     * Shuffle shape: ONE key-partitioned exchange serves the single
     * bounded ROWS window; the collected frame is 2k+1 longs per row
@@ -295,8 +300,10 @@ object TimeSeries {
       .withColumn("__mad9", mad9)
       .select(col(keyCol), col(idCol),
         col("__med9").as("med9"), col("__mad9").as("mad9"),
-        (abs(col("__v9") - col("__med9")) * lit(10000L) >
-          lit(44478L) * col("__mad9")).cast("int").as("is_out"))
+        (abs(col("__v9").cast("decimal(38,0)") - col("__med9")) *
+          lit(10000L) >
+          lit(44478L) * col("__mad9").cast("decimal(38,0)"))
+          .cast("int").as("is_out"))
   }
 
   def cusum(

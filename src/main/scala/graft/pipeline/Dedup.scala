@@ -140,15 +140,7 @@ object Dedup {
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
-    require(w >= 1, s"window must be >= 1, got $w")
-    val hs = transform(graft.functions.TextOps.ngrams(col(textCol), n),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
-    val fps = df.select(col(idCol).as("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) >= 1)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - lit(w - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+    val fps = winnowFingerprints(df, idCol, textCol, n, w)
     val pairsPerFp = fps
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -159,6 +151,63 @@ object Dedup {
           |            y -> struct(x AS da, y AS db))))""".stripMargin)).as("p"))
       .select(col("p.da"), col("p.db"))
     pairsPerFp
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** The selected winnowing fingerprints: one (doc_id, fp) row per
+    * DISTINCT selected fingerprint per document. Shared by the exact
+    * and df-capped pair generators so both see the same selection. */
+  private def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val hs = transform(graft.functions.TextOps.ngrams(col(textCol), n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    df.select(col(idCol).as("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - lit(w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+  }
+
+  /** [[winnowPairs]] with a document-frequency cap on candidate-generating
+    * fingerprints — the scale lever the exact generator lacks: a
+    * boilerplate run (license header, templated page) selected as a hot
+    * fingerprint with document frequency f emits f²/2 pairs from ONE
+    * group, the same quadratic term [[jaccardPairsCapped]] caps for
+    * shingles. Fingerprints in more than `maxDf` docs are excluded from
+    * CANDIDATE GENERATION only; the `shared` count is then re-verified
+    * per candidate pair over ALL fingerprints (hot ones included), so
+    * reported counts equal the exact generator's for every surviving
+    * pair. The only misses are pairs whose shared fingerprints are ALL
+    * hotter than the cap — winnowing selects window-MINIMA of 60-bit
+    * hashes, so two documents sharing a w+n−1 run share its (rare)
+    * min-hash fingerprint, and at a sane cap the miss set is empty
+    * (DedupSpec asserts capped ≡ uncapped on the gate corpus, plus a
+    * planted hot-fingerprint fixture where the cap provably bounds the
+    * emitted group). */
+  def winnowPairsCapped(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 100): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val fps = winnowFingerprints(df, idCol, textCol, n, w)
+    val cands = fps
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            y -> struct(x AS da, y AS db))))""".stripMargin)).as("p"))
+      .select(col("p.da"), col("p.db"))
+      .distinct()
+    cands
+      .join(fps.select(col("doc_id").as("da"), col("fp")), "da")
+      .join(fps.select(col("doc_id").as("db"), col("fp")), Seq("db", "fp"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -74,6 +74,18 @@ object DedupQueries {
        |HAVING COUNT(*) >= $WinnowShared
        |ORDER BY da, db""".stripMargin
 
+  private val WinnowMaxDf = 64
+
+  /** Df-capped winnowing pairs ([[Dedup.winnowPairsCapped]]): same
+    * window-min selection, candidate generation only from fingerprints
+    * in ≤ [[WinnowMaxDf]] documents, `shared` re-verified over ALL
+    * fingerprints per candidate pair. Shares the EXACT generator's
+    * oracle — the gate proves the cap loses nothing on this corpus. */
+  private def winnowCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairsCapped(Tables.documents(s, d), "doc_id", "text",
+        n = 3, w = WinnowW, minShared = WinnowShared, maxDf = WinnowMaxDf)
+      .orderBy(col("da"), col("db"))
+
   /** Asymmetric containment pairs at 0.8 ([[Dedup.containmentPairs]]) —
     * the doc-inside-doc direction Jaccard misses. */
   private def containment(s: SparkSession, d: String): DataFrame =
@@ -412,6 +424,9 @@ object DedupQueries {
     Capability("dedup_winnow",
       "winnowing fingerprint pairs (MOSS window-min selection, guarantee-bearing)",
       winnow, Some(winnowSql)),
+    Capability("dedup_winnow_capped",
+      "df-capped winnowing pairs (hot-fingerprint cap on candidates, exact re-verify)",
+      winnowCapped, Some(winnowSql)),
     Capability("dedup_minhash_lsh", "MinHash+LSH candidates, exact-verified at 0.8", minhash,
       Some(jaccardPairsSql(0.8)), bench = true),
     Capability("dedup_ppjoin",

@@ -184,6 +184,59 @@ object StatsQueries {
       |  CAST(ic.r9 AS DOUBLE) / 1e9 AS intercept
       |FROM med JOIN ic ON ic.g = med.g ORDER BY med.g""".stripMargin
 
+  /** q67b_theil_sen_budget: the same Theil–Sen fit on the
+    * SCALE-ADAPTIVE lottery ([[StatTests.theilSenBudget]]): instead of
+    * a hand-tuned hex constant, each group keeps
+    * ~[[TheilSenBudgetPts]] points via the integer threshold
+    * τ = clamp(⌊65536·T/n⌋, 1, 65536) over the 4-hex md5 prefix — a
+    * 10× corpus keeps the SAME sample size, so the quadratic slope
+    * frame never needs a re-tune (the q67 '20'→'08' lesson, made
+    * automatic). The oracle replays the count CTE and the clamp
+    * verbatim. */
+  private def theilSenBudgetQ(s: SparkSession, d: String): DataFrame =
+    StatTests.theilSenBudget(
+        Tables.events(s, d), "event_type", "ts", "event_id", "value",
+        targetPoints = TheilSenBudgetPts)
+      .orderBy(col("g"))
+
+  private val TheilSenBudgetPts = 400
+
+  private lazy val theilSenBudgetSql =
+    s"""WITH allp AS (
+       |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
+       |    CAST(value AS DOUBLE) AS v,
+       |    ('0x' || substring(md5(event_id::VARCHAR), 1, 4))::BIGINT AS lot
+       |  FROM events WHERE value IS NOT NULL),
+       |cnt AS (SELECT g, COUNT(*) AS n_all FROM allp GROUP BY g),
+       |pts AS (
+       |  SELECT allp.g, t, i, v FROM allp JOIN cnt USING (g)
+       |  WHERE lot < least(65536, greatest(1,
+       |    65536 * $TheilSenBudgetPts // n_all))),
+       |sl AS (
+       |  SELECT a.g,
+       |    CAST(round((b.v - a.v) /
+       |      (CAST(b.t - a.t AS DOUBLE) / 3600000000.0) * 1e9, 0) AS BIGINT) AS s9
+       |  FROM pts a JOIN pts b ON b.g = a.g AND a.t < b.t),
+       |ms AS (
+       |  SELECT g, s9, row_number() OVER (PARTITION BY g ORDER BY s9) AS rn,
+       |    COUNT(*) OVER (PARTITION BY g) AS m
+       |  FROM sl),
+       |med AS (SELECT g, s9, m AS n_slopes FROM ms WHERE rn = (m + 1) // 2),
+       |res AS (
+       |  SELECT p.g,
+       |    CAST(round((p.v - CAST(med.s9 AS DOUBLE) / 1e9 *
+       |      (CAST(p.t AS DOUBLE) / 3600000000.0)) * 1e9, 0) AS BIGINT) AS r9
+       |  FROM pts p JOIN med ON med.g = p.g),
+       |mr AS (
+       |  SELECT g, r9, row_number() OVER (PARTITION BY g ORDER BY r9) AS rn,
+       |    COUNT(*) OVER (PARTITION BY g) AS m
+       |  FROM res),
+       |ic AS (SELECT g, r9, m AS n_pts FROM mr WHERE rn = (m + 1) // 2)
+       |SELECT med.g, ic.n_pts, med.n_slopes,
+       |  CAST(med.s9 AS DOUBLE) / 1e9 AS slope,
+       |  CAST(ic.r9 AS DOUBLE) / 1e9 AS intercept
+       |FROM med JOIN ic ON ic.g = med.g ORDER BY med.g""".stripMargin
+
   /** q64_mutual_info: mutual information (bits) between document source
     * and md5 token bucket — the feature-relevance twin of q57's X² over
     * the SAME contingency table (observed cells only: 0·log0 = 0). */
@@ -778,15 +831,24 @@ object StatsQueries {
        |pair AS (
        |  SELECT a.v AS v_a, b.v AS v_b, a.n AS n_a, a.k AS k_a,
        |    b.n AS n_b, b.k AS k_b,
-       |    round($pa, 6) AS p_a, round($pb, 6) AS p_b,
-       |    round(($pa - $pb) / sqrt($pp * (1.0 - $pp) *
-       |      (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))), 6) AS z,
-       |    round(($pa - $pb) - 1.959963985 * $seU, 6) AS ci_lo,
-       |    round(($pa - $pb) + 1.959963985 * $seU, 6) AS ci_hi
-       |  FROM m a JOIN m b ON a.v < b.v)
+       |    $pa AS pa, $pb AS pb, $pp AS pp,
+       |    sqrt($pp * (1.0 - $pp) *
+       |      (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))) AS sep,
+       |    $seU AS seu
+       |  FROM m a JOIN m b ON a.v < b.v),
+       |gz AS (
+       |  SELECT v_a, v_b, n_a, k_a, n_b, k_b,
+       |    round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       |    CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0
+       |      THEN round((pa - pb) / sep, 6) END AS z,
+       |    CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0
+       |      THEN round((pa - pb) - 1.959963985 * seu, 6) END AS ci_lo,
+       |    CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0
+       |      THEN round((pa - pb) + 1.959963985 * seu, 6) END AS ci_hi
+       |  FROM pair)
        |SELECT v_a, v_b, n_a, k_a, n_b, k_b, p_a, p_b, z, ci_lo, ci_hi,
        |  $p AS p_value
-       |FROM pair""".stripMargin
+       |FROM gz""".stripMargin
   }
 
   /** q77_cohens_d: effect sizes over the q55 Welch pairs
@@ -798,26 +860,32 @@ object StatsQueries {
     StatTests.cohensD(Tables.events(s, d), "event_type", "value")
       .orderBy(col("g_a"), col("g_b"))
 
+  // The pair CTE carries mean-difference / pooled-variance / correction
+  // as columns so the degenerate guard (either side n <= 1, or pooled
+  // variance 0 — the Spark-side `ok` in StatTests.cohensD) can gate the
+  // readouts as CASE WHEN, mirroring the welchPairs convention: a
+  // degenerate pair is NULL in BOTH engines, never NaN-vs-NULL.
   private val cohensSql =
     s"""WITH m AS (
        |  SELECT event_type AS g, COUNT(*) AS n,
        |    ${Det.sqlSum("CAST(value AS DOUBLE)")} AS sx,
        |    ${Det.sqlSum("CAST(value AS DOUBLE) * CAST(value AS DOUBLE)")} AS sxx
-       |  FROM events WHERE value IS NOT NULL GROUP BY 1)
-       |SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
-       |  round((a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE)) /
-       |    sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |pair AS (
+       |  SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+       |    a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE) AS md,
+       |    ((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
        |      (b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))) /
-       |      (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)), 6)
-       |    AS cohens_d,
-       |  round((a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE)) /
-       |    sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
-       |      (b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))) /
-       |      (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)) *
-       |    (1.0 - 3.0 / (4.0 * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE))
-       |      - 9.0)), 6) AS hedges_g
-       |FROM m a JOIN m b ON a.g < b.g
-       |ORDER BY g_a, g_b""".stripMargin
+       |      (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0) AS pooled,
+       |    1.0 - 3.0 / (4.0 * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE))
+       |      - 9.0) AS corr
+       |  FROM m a JOIN m b ON a.g < b.g)
+       |SELECT g_a, g_b, n_a, n_b,
+       |  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0.0
+       |    THEN round(md / sqrt(pooled), 6) END AS cohens_d,
+       |  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0.0
+       |    THEN round(md / sqrt(pooled) * corr, 6) END AS hedges_g
+       |FROM pair ORDER BY g_a, g_b""".stripMargin
 
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
@@ -853,6 +921,9 @@ object StatsQueries {
     Capability("q67_theil_sen",
       "Theil-Sen robust line fit: lower-median pairwise slopes on md5-thinned points",
       theilSenQ, Some(theilSenSql)),
+    Capability("q67b_theil_sen_budget",
+      "Theil-Sen on the scale-adaptive per-group point-budget lottery (auto-tuned)",
+      theilSenBudgetQ, Some(theilSenBudgetSql)),
     Capability("q68_ridge",
       "ridge regression: Cramer closed form on penalized exact-moment normal equations",
       ridgeQ, Some(ridgeSql)),

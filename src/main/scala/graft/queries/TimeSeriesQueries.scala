@@ -195,8 +195,9 @@ object TimeSeriesQueries {
     * per-window robust twin of q52's global CUSUM: a spike is flagged
     * against its LOCAL neighborhood, so a level shift upstream doesn't
     * mask it. Integer-exact end to end: 1e9-scaled longs, odd window ⇒
-    * single-order-statistic median/MAD, denominator-cleared long
-    * inequality (|x−med|·10⁴ > 44478·MAD). One key exchange. */
+    * single-order-statistic median/MAD, denominator-cleared
+    * decimal/HUGEINT inequality (|x−med|·10⁴ > 44478·MAD — wide
+    * integers so the ×10⁴ can never wrap a long). One key exchange. */
   private def hampelQ(s: SparkSession, d: String): DataFrame =
     TimeSeries.hampel(Tables.events(s, d),
         "event_type", "ts", "event_id", "value", k = 5)
@@ -220,7 +221,8 @@ object TimeSeriesQueries {
       |    list_sort(list_transform(arr, x -> abs(x - med9)))[6] AS mad9
       |  FROM s)
       |SELECT event_type, event_id, med9, mad9,
-      |  CAST(abs(v9 - med9) * 10000 > 44478 * mad9 AS INTEGER) AS is_out
+      |  CAST(abs(CAST(v9 AS HUGEINT) - med9) * 10000 >
+      |    44478 * CAST(mad9 AS HUGEINT) AS INTEGER) AS is_out
       |FROM m ORDER BY event_type, event_id""".stripMargin
 
   /** q74_ccf: lead/lag cross-correlation click→purchase at lags 0..3

@@ -17,9 +17,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   *
   * Arithmetic is the batch operator verbatim: values scale to 1e9
   * longs with the same HALF_UP rounding the batch `round(x·1e9, 0)`
-  * applies, the odd window makes median and MAD single order
-  * statistics, and the decision rule |x−med|·10⁴ > 44478·MAD is pure
-  * long arithmetic — parity is bit-exact (StreamingSpec asserts it).
+  * applies (and the same LOUD overflow contract — `longValueExact`
+  * here, ANSI double→long there), the odd window makes median and MAD
+  * single order statistics, and the decision rule |x−med|·10⁴ >
+  * 44478·MAD runs in BigInt exactly like the batch side's
+  * decimal(38,0) — the ×10⁴ can never silently wrap a long; the MAD
+  * subtraction uses subtractExact/absExact so an out-of-envelope
+  * window fails loudly like ANSI does. Parity is bit-exact
+  * (StreamingSpec asserts it).
   *
   * Ordering contract mirrors [[StreamingEwma]]: rows sort within a
   * micro-batch by (ts, id); across batches the operator assumes
@@ -36,7 +41,8 @@ object StreamingHampel {
 
   private[streaming] def v9Of(value: Double): Long =
     BigDecimal(value * 1e9)
-      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .underlying.longValueExact()
 
   class HampelProcessor(k: Int)
       extends StatefulProcessor[String, HEv, HFlag] {
@@ -60,12 +66,16 @@ object StreamingHampel {
         v9s = (v9s :+ v9Of(e.value)).takeRight(width)
         if (v9s.length == width) {
           // the batch operator's arithmetic verbatim: single order
-          // statistics at rank k+1, denominator-cleared long rule
+          // statistics at rank k+1, denominator-cleared wide-integer
+          // rule (BigInt ≡ the batch decimal(38,0)); exact subtraction
+          // so overflow is loud, never a wrapped flag
           val med9 = v9s.sorted.apply(k)
-          val mad9 = v9s.map(x => math.abs(x - med9)).sorted.apply(k)
+          val mad9 = v9s.map(x =>
+            Math.absExact(Math.subtractExact(x, med9))).sorted.apply(k)
           val center = v9s(k)
+          val diff = Math.absExact(Math.subtractExact(center, med9))
           val isOut =
-            if (math.abs(center - med9) * 10000L > 44478L * mad9) 1 else 0
+            if (BigInt(diff) * 10000 > BigInt(44478) * BigInt(mad9)) 1 else 0
           out += HFlag(key, ids(k), med9, mad9, isOut)
         }
       }

@@ -714,6 +714,13 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sim("", "") == 0.0 && sim("", "ABC") == 0.0)
     assert(sim("ab", "ba") == 0.0)
     assert(sim("identical", "identical") == 1.0)
+    // UTF-8 BYTE semantics (the oracle engine's contract): non-ASCII
+    // values probed from the oracle — a UTF-16 implementation gets
+    // héllo/hello = 0.88 and 日本/日本語 = 0.9111… instead
+    assert(math.abs(sim("héllo", "hello") - 0.8400000000000001) < 1e-15)
+    assert(math.abs(sim("MÜLLER", "MULLER") - 0.8642857142857143) < 1e-15)
+    assert(math.abs(sim("naïve", "naive") - 0.8577777777777779) < 1e-15)
+    assert(math.abs(sim("日本", "日本語") - 0.9333333333333333) < 1e-15)
     // SQL registration evaluates through codegen
     val viaSql = spark.sql(
       "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS s").head().getDouble(0)

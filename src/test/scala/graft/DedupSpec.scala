@@ -90,6 +90,46 @@ class DedupSpec extends AnyFunSuite {
       "identical docs share their whole (small) fingerprint set")
   }
 
+  test("capped winnowing equals the exact generator on this corpus") {
+    val exact = Dedup.winnowPairs(Tables.documents(spark, sf),
+        "doc_id", "text", n = 3, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.winnowPairsCapped(Tables.documents(spark, sf),
+        "doc_id", "text", n = 3, w = 4, minShared = 2, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical pairs AND identical shared counts — the cap prunes
+    // candidate generation only; verification re-counts ALL fingerprints
+    assert(capped == exact)
+    assert(capped.nonEmpty)
+  }
+
+  test("winnow df-cap bounds the hot-fingerprint group provably") {
+    import spark.implicits._
+    // a boilerplate license header shared by EVERY doc (the hot
+    // fingerprint: df = 12 > maxDf = 4) plus one genuinely-duplicated
+    // body pair whose fingerprints are rare (df = 2)
+    val header = "permission is hereby granted free of charge to any person"
+    val body = "the unique payload sentence that actually repeats verbatim"
+    val docs = (1L to 10L).map(i =>
+      (i, s"$header filler$i alpha$i beta$i gamma$i delta$i")) ++
+      Seq((11L, s"$header $body"), (12L, s"$header $body"))
+    val df = docs.toDF("doc_id", "text")
+    val capped = Dedup.winnowPairsCapped(df, "doc_id", "text",
+        n = 3, w = 4, minShared = 1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real duplicate pair survives via its rare body fingerprints,
+    // and NO header-only pair is emitted: the 12-doc-hot fingerprints
+    // are excluded from candidate generation, so the f²/2 = 66-pair
+    // boilerplate blowup never happens — every other pair's shared
+    // fingerprints are all header-hot by construction
+    assert(capped == Set((11L, 12L)), capped.toString)
+    // the exact generator on the same fixture DOES emit all 66 pairs —
+    // that is precisely the group the cap exists to bound
+    val exact = Dedup.winnowPairs(df, "doc_id", "text",
+        n = 3, w = 4, minShared = 1).count()
+    assert(exact == 66L, s"exact generator emits the full blowup: $exact")
+  }
+
   test("df-capped candidates equal the exact pairs on this corpus") {
     val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
       .filter(col("jaccard") >= 0.8)

@@ -95,6 +95,38 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0, s"intercept from clean residuals: $r")
   }
 
+  test("budget lottery keeps ~the same point count at two corpus sizes") {
+    import spark.implicits._
+    // the scale-adaptive lever: a 1x corpus and its 8x replica must thin
+    // to roughly the SAME kept sample (the hand-tuned hex constant would
+    // keep 8x the points and square the slope-frame cost)
+    def corpus(n: Int) = (0 until n).map { k =>
+      ("g", new java.sql.Timestamp(k * 3600L * 1000L), k.toLong,
+        math.sin(k * 0.37) * 10.0 + k * 0.01)
+    }.toDF("g", "ts", "id", "v")
+    val target = 100
+    val small = StatTests.theilSenBudget(corpus(800), "g", "ts", "id", "v",
+      targetPoints = target).collect().head
+    val big = StatTests.theilSenBudget(corpus(6400), "g", "ts", "id", "v",
+      targetPoints = target).collect().head
+    val (nSmall, nBig) = (small.getLong(1), big.getLong(1))
+    // both within a generous binomial band around the budget...
+    assert(nSmall > target / 2 && nSmall < target * 2, s"small kept $nSmall")
+    assert(nBig > target / 2 && nBig < target * 2, s"big kept $nBig")
+    // ...and the 8x corpus does NOT keep 8x the points
+    assert(nBig < nSmall * 3,
+      s"budget must hold across scale: $nSmall -> $nBig at 8x rows")
+    // groups under budget keep (essentially) everything: tau clamps at
+    // the full 4-hex range
+    val tiny = StatTests.theilSenBudget(corpus(40), "g", "ts", "id", "v",
+      targetPoints = target).collect().head
+    assert(tiny.getLong(1) == 40L, s"under-budget group kept ${tiny.getLong(1)}")
+    // mann-kendall rides the same lottery: kept n agrees with theil-sen
+    val mk = StatTests.mannKendallBudget(corpus(6400), "g", "ts", "id", "v",
+      targetPoints = target).collect().head
+    assert(mk.getLong(1) == nBig, s"same selection both estimators: $mk")
+  }
+
   test("mann-kendall: monotone series max out S, ties correct the variance") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
