@@ -523,8 +523,10 @@ object Dedup {
     *
     * Scale: every round is one hash shuffle of (id, label) pairs keyed by
     * vertex id — never the documents themselves. Each round's labels are
-    * materialized with an eager `localCheckpoint`, which truncates the
-    * growing lineage (round N's plan does not re-analyze rounds 1..N-1);
+    * materialized through [[Checkpointer]] (default: eager
+    * `localCheckpoint`, which truncates the growing lineage — round N's
+    * plan does not re-analyze rounds 1..N-1 — but is NOT executor-loss
+    * safe; set `spark.graft.checkpoint.dir` for the durable mode);
     * superseded label RDDs are dropped by the ContextCleaner once
     * unreferenced. Convergence is detected with a
     * single scalar aggregate (labels only ever decrease, so an unchanged
@@ -539,7 +541,7 @@ object Dedup {
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_, 0))
     // sum over an empty frame is null — an empty pair graph has no
     // vertices and is already converged
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -560,7 +562,7 @@ object Dedup {
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate(_, iter + 1))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -625,7 +627,7 @@ object Dedup {
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
 
-    var edges = rawEdges.localCheckpoint(true)
+    var edges = Checkpointer.truncate(rawEdges, 0)
     var prev = fingerprint(edges)
     var iter = 0
     var converged = edges.isEmpty
@@ -652,7 +654,7 @@ object Dedup {
       val next = smallOut.union(selfOut)
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate(_, iter + 1))
       val cur = fingerprint(next)
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
@@ -664,7 +666,7 @@ object Dedup {
     val labels = vertices
       .join(nonRoot, Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_, 0))
     // one verification propagation round over the ORIGINAL edges
     val dirAll = rawEdges.select(col("lo").as("src"), col("hi").as("dst"))
       .union(rawEdges.select(col("hi").as("src"), col("lo").as("dst")))

@@ -34,9 +34,13 @@ object GraphOps {
     * sinks are a narrow `deg IS NULL` filter of the small rank frame —
     * no per-iteration degree join, no anti-join). The node count is
     * the op's single bounded driver exchange (one long). Ranks are
-    * localCheckpoint-ed every round — including the last, so the cached
-    * edge and node/degree frames can be unpersisted before returning
-    * instead of leaking blocks for the session's lifetime. */
+    * lineage-truncated every round via [[Checkpointer]] — including the
+    * last, so the cached edge and node/degree frames can be unpersisted
+    * before returning instead of leaking blocks for the session's
+    * lifetime. Fault tolerance: the default localCheckpoint mode dies
+    * with a lost executor; set `spark.graft.checkpoint.dir` for the
+    * durable-checkpoint mode a real cluster run needs (contract in
+    * [[Checkpointer]]). */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
@@ -52,7 +56,8 @@ object GraphOps {
       // unboundedly — the same localCheckpoint policy as the CC loop. The
       // FINAL round checkpoints too (ranks is just (node, deg, rank)) so
       // the returned frame no longer references the cached inputs.
-      ranks = iterate(g, ranks, damping, roundContrib).localCheckpoint()
+      ranks = Checkpointer.truncate(
+        iterate(g, ranks, damping, roundContrib), it)
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist()
@@ -78,7 +83,8 @@ object GraphOps {
     var ranks = g.nd.withColumn("rank", lit(1.0 / g.n))
     var it = 0
     while (it < iterations) {
-      ranks = iterate(g, ranks, damping, roundContrib).localCheckpoint()
+      ranks = Checkpointer.truncate(
+        iterate(g, ranks, damping, roundContrib), it)
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist()
@@ -110,10 +116,10 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nt = seedSet.count() // bounded driver exchange: one long
     require(nt > 0, "no seed node is present in the graph")
-    val flagged = g.nd.join(
+    val flagged = Checkpointer.truncate(g.nd.join(
       seedSet.withColumn("__t", lit(1)), Seq("node"), "left")
-      .select(col("node"), col("deg"), coalesce(col("__t"), lit(0)).as("__t"))
-      .localCheckpoint()
+      .select(col("node"), col("deg"), coalesce(col("__t"), lit(0)).as("__t")),
+      0)
     def exactSum(c: Column): Column =
       coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
     var ranks = flagged.select(col("node"), col("deg"),
@@ -138,7 +144,7 @@ object GraphOps {
             lit(damping) *
               (col("csum") +
                 col("__t") * round(col("dm") / nt, roundContrib))).as("rank"))
-        .localCheckpoint()
+        .transform(Checkpointer.truncate(_, it + 1))
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist(); seedSet.unpersist()
@@ -189,7 +195,7 @@ object GraphOps {
     var cur = nodes.select(col("node"),
         DistinctSketchSingleton(xxhash64(col("node")), exactCap, lgK).as("ball"),
         lit(1L).as("est"), lit(0.0).as("h"))
-      .localCheckpoint()
+      .transform(Checkpointer.truncate(_, 0))
     var t = 1
     while (t <= maxDepth) {
       // previous round's (est, h) rides the union as extra columns:
@@ -210,7 +216,7 @@ object GraphOps {
         .select(col("node"), col("ball"), col("est"),
           (col("h") +
             (col("est") - col("prev")).cast("double") / lit(t.toDouble)).as("h"))
-        .localCheckpoint()
+        .transform(Checkpointer.truncate(_, t))
       t += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -260,7 +266,7 @@ object GraphOps {
     def fixpoint(nodes: DataFrame, ed: DataFrame,
         fromCol: String, toCol: String): DataFrame = {
       var lab = nodes.select(col("node"), col("node").as("lab"))
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate(_, 0))
       var prev = labelSum(lab)
       var it = 0
       var converged = lab.isEmpty
@@ -273,7 +279,7 @@ object GraphOps {
           .unionByName(lab)
           .groupBy(col("node"))
           .agg(min(col("lab")).as("lab"))
-          .localCheckpoint(true)
+          .transform(Checkpointer.truncate(_, it + 1))
         val ns = labelSum(next)
         converged = ns.compareTo(prev) == 0
         prev = ns
@@ -289,7 +295,7 @@ object GraphOps {
       .persist(lvl)
     var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_, 0))
     var result: DataFrame = null
     var outer = 0
     while (!nodes.isEmpty) {
@@ -302,10 +308,10 @@ object GraphOps {
       val done = f.join(b, "node")
         .filter(col("flab") === col("blab"))
         .select(col("node"), col("flab").as("scc_id"))
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate(_, 0))
       result = if (result == null) done else result.unionByName(done)
       nodes = nodes.join(done.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate(_, 0))
       val e2 = e
         .join(done.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(done.select(col("node").as("dst")), Seq("dst"), "left_anti")
@@ -423,11 +429,12 @@ object GraphOps {
       // half-step and the final join — left live, its whole subtree
       // would be embedded (and computed) in both consumers, doubling
       // the per-iteration work and growing the plan superlinearly
-      val auth = hitsHalfStep(e, nodes, cur, "hub", "src", "dst", "auth",
-        roundContrib).localCheckpoint()
+      val auth = Checkpointer.truncate(
+        hitsHalfStep(e, nodes, cur, "hub", "src", "dst", "auth",
+          roundContrib), it + 1)
       val hub = hitsHalfStep(e, nodes, auth, "auth", "dst", "src", "hub",
         roundContrib)
-      cur = hub.join(auth, Seq("node")).localCheckpoint()
+      cur = Checkpointer.truncate(hub.join(auth, Seq("node")), it + 1)
       it += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -494,7 +501,7 @@ object GraphOps {
       .select(col("node"), col("node").as("label"))
     var r = 0
     while (r < rounds) {
-      lab = lpaRound(sym, lab).localCheckpoint()
+      lab = Checkpointer.truncate(lpaRound(sym, lab), r + 1)
       r += 1
     }
     sym.unpersist()
@@ -619,7 +626,7 @@ object GraphOps {
     var e = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpointer.truncate(_, 0))
     var r = 0
     while (r < rounds) {
       val keep = e.groupBy(col("src").as("node"))
@@ -630,7 +637,7 @@ object GraphOps {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .transform(Checkpointer.truncate(_, r + 1))
       r += 1
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

@@ -259,6 +259,58 @@ object IngestQueries {
     """SELECT doc_id, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The multiline-record fixture: quoted fields carrying the delimiter,
+    * doubled-quote escapes AND embedded NEWLINES — the messy-ingest shape
+    * a naive line-splitting reader silently shreds (one logical record
+    * becomes several physical garbage rows). Byte-stable literal. */
+  private val multilineCsv = Seq(
+    "id|title|body|score",
+    "1|intro|\"first line\nsecond line\nthird|with pipe\"|0.5",
+    "2|\"quote \"\"x\"\" title\"|\"body with | pipe only\"|1.25",
+    "3|plain|\"a\nb\"|NA",
+    "4|last|simple|2.0",
+  ).mkString("", "\n", "\n")
+
+  private def writeMultilineFixture(): String = {
+    val path = java.nio.file.Paths.get("/tmp/graft_io/q26r_multiline.csv")
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, multilineCsv.getBytes("UTF-8"))
+    path.toString
+  }
+
+  /** Q26r: quoted MULTILINE records (reference ParseOptions
+    * newlines_in_values, csv/options.h:61) — `multiLine = true` is what
+    * makes Spark parse the whole file as records instead of lines; the
+    * oracle is DuckDB reading THE SAME file (its quote parser handles
+    * embedded newlines natively). IngestSpec asserts the loud complement:
+    * the DEFAULT line-split read on this fixture fails under FAILFAST
+    * rather than silently shredding records. */
+  private def q26r(s: SparkSession, d: String): DataFrame = {
+    val path = writeMultilineFixture()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("title", StringType),
+      StructField("body", StringType),
+      StructField("score", DoubleType)))
+    s.read
+      .option("sep", "|").option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "NA")
+      .option("multiLine", "true")
+      .schema(schema)
+      .csv(path)
+      .orderBy(col("id"))
+  }
+
+  private val q26rSql =
+    """SELECT id, title, body, score
+      |FROM read_csv('/tmp/graft_io/q26r_multiline.csv',
+      |  delim = '|', header = true, quote = '"', escape = '"',
+      |  nullstr = 'NA',
+      |  types = {'id': 'BIGINT', 'title': 'VARCHAR',
+      |           'body': 'VARCHAR', 'score': 'DOUBLE'})
+      |ORDER BY id""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q26e_csv_infer", "CSV schema inference round-trip", q26e, Some(q26eSql)),
     Capability("q26f_csv_options", "CSV delimiter/null-marker/date-format parity on shared files",
@@ -270,5 +322,7 @@ object IngestQueries {
       q26j, Some(q26jSql)),
     Capability("q26k_corrupt_skip", "corrupt parquet file skipped, good rows intact (ignoreCorruptFiles)",
       q26k, Some(q26kSql)),
+    Capability("q26r_csv_multiline", "quoted multiline CSV records parsed identically by both engines",
+      q26r, Some(q26rSql)),
   )
 }

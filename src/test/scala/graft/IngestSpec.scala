@@ -113,6 +113,60 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("multiline CSV: multiLine parses records; the line-split default is loud, not silent") {
+    // the gated q26r fixture: 4 logical records, 3 embedded newlines
+    val rows = Registry.byName("q26r_csv_multiline").run(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows(0).getString(2) == "first line\nsecond line\nthird|with pipe")
+    assert(rows(1).getString(1) == "quote \"x\" title")
+    assert(rows(2).isNullAt(3), "NA null marker inside a multiline file")
+    // WITHOUT multiLine the reader splits on raw newlines — records shred.
+    // Under FAILFAST that must be a loud parse error, never silent garbage
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("title", StringType),
+      StructField("body", StringType),
+      StructField("score", DoubleType)))
+    intercept[org.apache.spark.SparkException] {
+      spark.read
+        .option("sep", "|").option("header", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .option("mode", "FAILFAST")
+        .schema(schema)
+        .csv("/tmp/graft_io/q26r_multiline.csv")
+        .collect()
+    }
+  }
+
+  test("parquet mergeSchema: sibling type conflict is loud; per-file cast union recovers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    // sibling files that agree on the column NAME but not its TYPE — the
+    // schema-drift shape a long-lived 100 TB dataset actually develops
+    // (a producer changed `v` from long to string mid-stream)
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/old")
+    Seq((3L, "thirty"), (4L, "forty")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/new")
+    // mergeSchema must REFUSE to guess between LONG and STRING
+    val ex = intercept[Exception] {
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/old", s"$dir/new").collect()
+    }
+    val msg = (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase
+    assert(msg.contains("merge") || msg.contains("incompatible"), msg)
+    // the recovery recipe: per-file reads, explicit cast, unionByName —
+    // the caller CHOOSES the unified type instead of the engine guessing
+    val unified = spark.read.parquet(s"$dir/old")
+      .select(col("id"), col("v").cast("string").as("v"))
+      .unionByName(spark.read.parquet(s"$dir/new"))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(unified.toSeq == Seq(
+      (1L, "10"), (2L, "20"), (3L, "thirty"), (4L, "forty")))
+  }
+
   test("FAILFAST mode raises on the first malformed row") {
     val path = corruptCsv()
     val schema = StructType(Seq(
