@@ -327,19 +327,33 @@ object StatTests {
         round((col("v2") - col("v1")) /
           ((col("t2") - col("t1")).cast("double") / 3600000000.0) * 1e9, 0)
           .cast("long").as("s9"))
-    def lowerMedian(f: DataFrame, c: String): DataFrame = f
+    // Group sizes come from the THINNED POINT frame, never from a
+    // whole-partition count window over the slopes: `count(*) OVER
+    // (PARTITION BY g)` has an unordered frame, so it BUFFERS the entire
+    // quadratic slope partition per task — at the sf1 rehearsal that was
+    // an OOM, not a slowdown. The slope count is exact from the points
+    // ((k² − Σ_t tc²)/2 = time-distinct ordered pairs), 1 row per group,
+    // broadcast into the rank filter; the row_number sort itself spills
+    // gracefully, so memory stays bounded at any slope-frame size.
+    val mSlopes = pts.groupBy(col("g"), col("t"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("g"))
+      .agg(sum(col("tc")).as("k"), sum(col("tc") * col("tc")).as("t2"))
+      .select(col("g"), expr("(k * k - t2) div 2").as("m"))
+    val mPts = pts.groupBy(col("g")).agg(count(lit(1)).as("m"))
+    def lowerMedian(f: DataFrame, c: String, m: DataFrame): DataFrame = f
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("g")).orderBy(col(c))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .join(broadcast(m), Seq("g"))
       .filter(col("rn") === expr("(m + 1) div 2"))
-    val med = lowerMedian(slopes, "s9")
+    val med = lowerMedian(slopes, "s9", mSlopes)
       .select(col("g"), col("s9"), col("m").as("n_slopes"))
     val resid = pts.join(med.select(col("g"), col("s9")), Seq("g"))
       .select(col("g"),
         round((col("v") - col("s9").cast("double") / 1e9 *
           (col("t").cast("double") / 3600000000.0)) * 1e9, 0)
           .cast("long").as("r9"))
-    val icept = lowerMedian(resid, "r9")
+    val icept = lowerMedian(resid, "r9", mPts)
       .select(col("g"), col("r9"), col("m").as("n_pts"))
     med.join(icept, Seq("g"))
       .select(col("g"), col("n_pts"), col("n_slopes"),

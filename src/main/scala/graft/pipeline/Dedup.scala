@@ -158,19 +158,25 @@ object Dedup {
 
   /** The selected winnowing fingerprints: one (doc_id, fp) row per
     * DISTINCT selected fingerprint per document. Shared by the exact
-    * and df-capped pair generators so both see the same selection. */
+    * and df-capped pair generators so both see the same selection.
+    * [[tracked]]-persisted like [[shingleDocs]]: the capped generator
+    * derives THREE branches from it (candidate groups + both sides of
+    * the re-verify join), and without the cache the per-ngram md5
+    * selection of the whole corpus runs once per branch — 3× the
+    * dominant cost (measured: 88 s → in-family at the sf1 rehearsal).
+    * Same CacheManager plan-match reuse + [[unpersistAll]] bound. */
   private def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1, got $w")
     val hs = transform(graft.functions.TextOps.ngrams(col(textCol), n),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
-    df.select(col(idCol).as("doc_id"), hs.as("hs"))
+    tracked(df.select(col(idCol).as("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) >= 1)
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), greatest(size(col("hs")) - lit(w - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp")))
   }
 
   /** [[winnowPairs]] with a document-frequency cap on candidate-generating

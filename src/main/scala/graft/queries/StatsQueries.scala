@@ -137,28 +137,50 @@ object StatsQueries {
   }
 
   /** q67_theil_sen: robust Theil–Sen line fit per event type (lower
-    * medians of 1e-9-scaled pairwise slopes / residuals over the
-    * md5-thinned point set — [[graft.operators.StatTests.theilSen]]).
-    * The 29.3%-breakdown complement to q59's OLS. The lottery is '08'
-    * (keep ≈ 1/32): the first sf0.1 bench at '20' showed the sorted
-    * slope frame is the one cost that grows QUADRATICALLY with scale
-    * factor (87 s at sf0.1) — '08' keeps a ~375-point/70k-slope gate at
-    * sf0.01 and a bounded ~7M-slope frame at sf0.1; the estimator's
-    * statistical contract is unchanged (Theil–Sen on a deterministic
-    * sample IS the published big-series practice). */
+    * medians of 1e-9-scaled pairwise slopes / residuals over a
+    * budget-thinned point set —
+    * [[graft.operators.StatTests.theilSenBudget]]). The
+    * 29.3%-breakdown complement to q59's OLS.
+    *
+    * Lottery history — the operator's scale lesson in two rounds: the
+    * first sf0.1 bench at the '20' hand constant measured 87 s (the
+    * sorted slope frame is quadratic in the kept sample), round 11
+    * re-tuned to '08' (5 s at sf0.1) — and the round-12 sf1 rehearsal
+    * showed '08' itself blowing the envelope at the next decade (453 s
+    * at 10×; before the bounded-memory median fix it OOMed outright).
+    * The gate therefore runs the SCALE-ADAPTIVE lottery: each group
+    * keeps ~[[TheilSenBudgetPts]] points via the integer threshold
+    * τ = clamp(⌊65536·T/n⌋, 1, 65536) over the 4-hex md5 prefix, so a
+    * 10× corpus keeps the SAME sample and the rehearsal measures 6.6 s
+    * at sf1 — flat by construction, no per-SF re-tuning ever again.
+    * The oracle replays the count CTE and the clamp verbatim. The
+    * fixed-threshold `theilSen(sampleUpper)` API remains for callers
+    * who want an explicit keep fraction. */
   private def theilSenQ(s: SparkSession, d: String): DataFrame =
-    StatTests.theilSen(
+    StatTests.theilSenBudget(
         Tables.events(s, d), "event_type", "ts", "event_id", "value",
-        sampleUpper = "08")
+        targetPoints = TheilSenBudgetPts)
       .orderBy(col("g"))
 
-  private val theilSenSql =
-    """WITH pts AS (
-      |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
-      |    CAST(value AS DOUBLE) AS v
-      |  FROM events
-      |  WHERE value IS NOT NULL
-      |    AND substring(md5(event_id::VARCHAR), 1, 2) < '08'),
+  private val TheilSenBudgetPts = 400
+
+  /** The budget-lottery point selection as oracle SQL — shared by the
+    * Theil–Sen and Mann–Kendall gates so the two run on the SAME
+    * points (one estimator/test pair, the published pairing). */
+  private lazy val budgetPtsSql =
+    s"""allp AS (
+       |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
+       |    CAST(value AS DOUBLE) AS v,
+       |    ('0x' || substring(md5(event_id::VARCHAR), 1, 4))::BIGINT AS lot
+       |  FROM events WHERE value IS NOT NULL),
+       |cnt AS (SELECT g, COUNT(*) AS n_all FROM allp GROUP BY g),
+       |pts AS (
+       |  SELECT allp.g, t, i, v FROM allp JOIN cnt USING (g)
+       |  WHERE lot < least(65536, greatest(1,
+       |    65536 * $TheilSenBudgetPts // n_all)))""".stripMargin
+
+  private lazy val theilSenSql =
+    s"""WITH $budgetPtsSql,
       |sl AS (
       |  SELECT a.g,
       |    CAST(round((b.v - a.v) /
@@ -183,59 +205,6 @@ object StatsQueries {
       |  CAST(med.s9 AS DOUBLE) / 1e9 AS slope,
       |  CAST(ic.r9 AS DOUBLE) / 1e9 AS intercept
       |FROM med JOIN ic ON ic.g = med.g ORDER BY med.g""".stripMargin
-
-  /** q67b_theil_sen_budget: the same Theil–Sen fit on the
-    * SCALE-ADAPTIVE lottery ([[StatTests.theilSenBudget]]): instead of
-    * a hand-tuned hex constant, each group keeps
-    * ~[[TheilSenBudgetPts]] points via the integer threshold
-    * τ = clamp(⌊65536·T/n⌋, 1, 65536) over the 4-hex md5 prefix — a
-    * 10× corpus keeps the SAME sample size, so the quadratic slope
-    * frame never needs a re-tune (the q67 '20'→'08' lesson, made
-    * automatic). The oracle replays the count CTE and the clamp
-    * verbatim. */
-  private def theilSenBudgetQ(s: SparkSession, d: String): DataFrame =
-    StatTests.theilSenBudget(
-        Tables.events(s, d), "event_type", "ts", "event_id", "value",
-        targetPoints = TheilSenBudgetPts)
-      .orderBy(col("g"))
-
-  private val TheilSenBudgetPts = 400
-
-  private lazy val theilSenBudgetSql =
-    s"""WITH allp AS (
-       |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
-       |    CAST(value AS DOUBLE) AS v,
-       |    ('0x' || substring(md5(event_id::VARCHAR), 1, 4))::BIGINT AS lot
-       |  FROM events WHERE value IS NOT NULL),
-       |cnt AS (SELECT g, COUNT(*) AS n_all FROM allp GROUP BY g),
-       |pts AS (
-       |  SELECT allp.g, t, i, v FROM allp JOIN cnt USING (g)
-       |  WHERE lot < least(65536, greatest(1,
-       |    65536 * $TheilSenBudgetPts // n_all))),
-       |sl AS (
-       |  SELECT a.g,
-       |    CAST(round((b.v - a.v) /
-       |      (CAST(b.t - a.t AS DOUBLE) / 3600000000.0) * 1e9, 0) AS BIGINT) AS s9
-       |  FROM pts a JOIN pts b ON b.g = a.g AND a.t < b.t),
-       |ms AS (
-       |  SELECT g, s9, row_number() OVER (PARTITION BY g ORDER BY s9) AS rn,
-       |    COUNT(*) OVER (PARTITION BY g) AS m
-       |  FROM sl),
-       |med AS (SELECT g, s9, m AS n_slopes FROM ms WHERE rn = (m + 1) // 2),
-       |res AS (
-       |  SELECT p.g,
-       |    CAST(round((p.v - CAST(med.s9 AS DOUBLE) / 1e9 *
-       |      (CAST(p.t AS DOUBLE) / 3600000000.0)) * 1e9, 0) AS BIGINT) AS r9
-       |  FROM pts p JOIN med ON med.g = p.g),
-       |mr AS (
-       |  SELECT g, r9, row_number() OVER (PARTITION BY g ORDER BY r9) AS rn,
-       |    COUNT(*) OVER (PARTITION BY g) AS m
-       |  FROM res),
-       |ic AS (SELECT g, r9, m AS n_pts FROM mr WHERE rn = (m + 1) // 2)
-       |SELECT med.g, ic.n_pts, med.n_slopes,
-       |  CAST(med.s9 AS DOUBLE) / 1e9 AS slope,
-       |  CAST(ic.r9 AS DOUBLE) / 1e9 AS intercept
-       |FROM med JOIN ic ON ic.g = med.g ORDER BY med.g""".stripMargin
 
   /** q64_mutual_info: mutual information (bits) between document source
     * and md5 token bucket — the feature-relevance twin of q57's X² over
@@ -756,23 +725,24 @@ object StatsQueries {
   }
 
   /** q72_mann_kendall: monotone-trend significance per event type
-    * ([[StatTests.mannKendall]]) — the classical companion to q67's
-    * Theil–Sen slope, on the SAME md5-thinned points so the two
-    * operators describe one estimator/test pair. Integer-exact S and
-    * tie-corrected variance; z round@6; shared-text p. */
+    * ([[StatTests.mannKendallBudget]]) — the classical companion to
+    * q67's Theil–Sen slope, on the SAME budget-lottery points
+    * ([[budgetPtsSql]]) so the two operators describe one
+    * estimator/test pair at every scale factor (the sf1 rehearsal
+    * measured the '08' hand constant at 4× — inside the envelope, but
+    * the pairing with q67's adaptive lottery is the contract worth
+    * keeping). Integer-exact S and tie-corrected variance; z round@6;
+    * shared-text p. */
   private def mkQ(s: SparkSession, d: String): DataFrame =
-    StatTests.mannKendall(Tables.events(s, d),
-        "event_type", "ts", "event_id", "value", sampleUpper = "08")
+    StatTests.mannKendallBudget(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value",
+        targetPoints = TheilSenBudgetPts)
       .orderBy(col("g"))
       .withColumnRenamed("g", "event_type")
 
   private lazy val mkSql = {
     val p = StatTests.pTwoSidedSql("z")
-    s"""WITH pts AS (
-       |  SELECT event_type AS g, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
-       |  FROM events
-       |  WHERE value IS NOT NULL
-       |    AND substring(md5(event_id::VARCHAR), 1, 2) < '08'),
+    s"""WITH $budgetPtsSql,
        |sp AS (
        |  SELECT a.g, CAST(SUM(CASE WHEN b.v > a.v THEN 1
        |    WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
@@ -919,11 +889,8 @@ object StatsQueries {
       "all-pairs Mann-Whitney under Benjamini-Hochberg FDR control (shared-text p)",
       fdrQ, Some(fdrSql)),
     Capability("q67_theil_sen",
-      "Theil-Sen robust line fit: lower-median pairwise slopes on md5-thinned points",
+      "Theil-Sen robust line fit: lower-median slopes on the budget-lottery points",
       theilSenQ, Some(theilSenSql)),
-    Capability("q67b_theil_sen_budget",
-      "Theil-Sen on the scale-adaptive per-group point-budget lottery (auto-tuned)",
-      theilSenBudgetQ, Some(theilSenBudgetSql)),
     Capability("q68_ridge",
       "ridge regression: Cramer closed form on penalized exact-moment normal equations",
       ridgeQ, Some(ridgeSql)),

@@ -184,6 +184,25 @@ class LintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("round-12 additions carry no UNJUSTIFIED plan findings") {
+    val justified: Map[String, Set[String]] = Map(
+      // same parquet-inexpressible guards as the exact winnow (md5
+      // fingerprint selection + nonempty-hash-array filter)
+      "dedup_winnow_capped" -> Set("unpushed-filter"),
+      // budget lottery: the keep threshold is a computed column over
+      // the broadcast per-group count — post-scan by design
+      "q67_theil_sen" -> Set("unpushed-filter"),
+      "q72_mann_kendall" -> Set("unpushed-filter"))
+    val offenders = Seq("dedup_winnow_capped", "q26r_csv_multiline",
+      "q67_theil_sen", "q72_mann_kendall").flatMap { name =>
+      val cap = Registry.byName(name)
+      val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
+      val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
+      if (bad.isEmpty) None else Some(s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("clean declarative plans produce no findings") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val good = li.filter(col("l_quantity") > 10)
