@@ -145,7 +145,8 @@ object Plans {
       "q77_cohens_d",            // broadcast moment pairs (the q55 shape)
       "pipeline_k_anonymity",    // two-level QI aggregate, 1-row summary
       "text_simpson",            // (source,word) partials -> source rollup
-      "dedup_winnow_capped")     // df-capped candidates, exact re-verify
+      "dedup_winnow_capped",     // df-capped candidates, exact re-verify
+      "pipeline_e2e_v4")         // five-stage release chain, one lazy plan
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1288,6 +1288,155 @@ object TextQueries {
        |FROM sel JOIN jmscore j ON j.doc_id = sel.doc_id
        |ORDER BY j.avg_lp10 DESC, sel.doc_id LIMIT $E2eV3Keep""".stripMargin
 
+  /** Curation composition v4 — the round-11/12 families threaded as ONE
+    * lazy plan, end to end the way a dataset release actually runs:
+    *  1. privacy screen: keep only documents whose (source, length-
+    *     bucket) quasi-identifier group has ≥ 10 members (the
+    *     k-anonymity audit's per-row ACTION form — release nothing an
+    *     attacker could narrow below k = 10);
+    *  2. winnowing dedup tier: drop the higher id of every
+    *     [[Dedup.winnowPairsCapped]] pair (df-capped candidates, exact
+    *     re-verified shared counts) over the SURVIVORS;
+    *  3. containment tier: additionally drop higher-id documents
+    *     quoted ≥ 90 % inside a surviving lower-id one
+    *     ([[Dedup.containmentPairs]] — the direction Jaccard misses);
+    *  4. decontamination: of what remains, the md5-bucket ≥ 'e6' slice
+    *     is the held-out benchmark; train candidates (< 'cc') sharing
+    *     any 8-gram with it are removed ([[decontaminate]]);
+    *  5. stratified release split: exact 80/10/10 per lang
+    *     ([[Sharding.assignSplitStratified]]) over the final pool;
+    *  6. drift readout: (lang, split) document and character counts —
+    *     the distribution monitor a release pipeline alerts on.
+    * Every stage is the library operator, not a re-implementation; the
+    * oracle mirrors the chain CTE-for-CTE. Plan shape: each tier is
+    * banded/keyed exactly as its standalone gate (no exchange blowup
+    * from composition — PlansSpec-style pinning via the Lint sweep). */
+  private def e2eV4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qiOk = docs
+      .groupBy(col("source"), expr("n_chars div 500").as("len_b"))
+      .agg(count(lit(1)).as("qn"))
+      .filter(col("qn") >= 10)
+      .select(col("source"), col("len_b"))
+    val keep0 = docs.withColumn("len_b", expr("n_chars div 500"))
+      .join(qiOk, Seq("source", "len_b"), "left_semi")
+      .drop("len_b")
+    val wdrop = graft.pipeline.Dedup
+      .winnowPairsCapped(keep0, "doc_id", "text",
+        n = 3, w = WinnowW, minShared = WinnowShared, maxDf = 64)
+      .select(col("db").as("doc_id")).distinct()
+    val keep1 = keep0.join(wdrop, Seq("doc_id"), "left_anti")
+    val cdrop = graft.pipeline.Dedup
+      .containmentPairs(keep1, "doc_id", "text", threshold = 0.9)
+      .filter(col("contained") > col("container"))
+      .select(col("contained").as("doc_id")).distinct()
+    val keep2 = keep1.join(cdrop, Seq("doc_id"), "left_anti")
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val contam = decontaminate(keep2, "doc_id", "text",
+        isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8)
+      .select(col("doc_id"))
+    val pool = keep2.filter(bucket < "cc")
+      .join(contam, Seq("doc_id"), "left_anti")
+    val split = graft.pipeline.Sharding
+      .assignSplitStratified(pool, "doc_id", "lang")
+    split.join(pool.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  // winnow parameters shared with the dedup gates (DedupQueries pins the
+  // same values); duplicated here as literals so the oracle text below
+  // stays self-contained
+  private val WinnowW = 4
+  private val WinnowShared = 2
+
+  private val e2eV4Sql =
+    s"""WITH qi AS (
+       |  SELECT source, n_chars // 500 AS len_b, COUNT(*) AS qn
+       |  FROM documents GROUP BY 1, 2),
+       |keep0 AS (
+       |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |  FROM documents d
+       |  JOIN qi ON qi.source = d.source AND qi.len_b = d.n_chars // 500
+       |  WHERE qi.qn >= 10),
+       |whs AS (
+       |  SELECT doc_id, list_transform(
+       |    list_transform(
+       |      range(1, len(string_split(text, ' ')) - 1),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+       |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT) AS hs
+       |  FROM keep0
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |wfp AS (
+       |  SELECT DISTINCT doc_id, f FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+       |      i -> list_min(hs[i:i+${WinnowW - 1}]))) AS f
+       |    FROM whs)),
+       |wdf AS (SELECT f, COUNT(*) AS df FROM wfp GROUP BY f),
+       |wcand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM wfp a JOIN wfp b ON b.f = a.f AND a.doc_id < b.doc_id
+       |  JOIN wdf ON wdf.f = a.f WHERE wdf.df <= 64),
+       |wshared AS (
+       |  SELECT c.da, c.db, COUNT(*) AS shared
+       |  FROM wcand c
+       |  JOIN wfp x ON x.doc_id = c.da
+       |  JOIN wfp y ON y.doc_id = c.db AND y.f = x.f
+       |  GROUP BY 1, 2),
+       |wdrop AS (
+       |  SELECT DISTINCT db AS doc_id FROM wshared
+       |  WHERE shared >= $WinnowShared),
+       |keep1 AS (
+       |  SELECT * FROM keep0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM wdrop)),
+       |csh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(string_split(text, ' ')) - 1),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+       |  FROM keep1),
+       |csz AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+       |cdrop AS (
+       |  SELECT DISTINCT a.doc_id FROM csh a
+       |  JOIN csh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  JOIN csz ON csz.doc_id = a.doc_id
+       |  WHERE a.doc_id > b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, csz.n_sh
+       |  HAVING COUNT(*)::DOUBLE / csz.n_sh >= 0.9),
+       |keep2 AS (
+       |  SELECT * FROM keep1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+       |db2 AS (
+       |  SELECT *, substring(md5(doc_id::VARCHAR), 1, 2) AS bucket,
+       |    string_split(text, ' ') AS ws
+       |  FROM keep2),
+       |dsh AS (
+       |  SELECT doc_id, bucket,
+       |    unnest(list_distinct(list_transform(generate_series(1, len(ws) - 7),
+       |      i -> array_to_string(ws[i:i+7], ' ')))) AS sh
+       |  FROM db2 WHERE len(ws) >= 8),
+       |ev AS (SELECT DISTINCT sh FROM dsh WHERE bucket >= 'e6'),
+       |contam AS (
+       |  SELECT DISTINCT dsh.doc_id FROM dsh JOIN ev USING (sh)
+       |  WHERE bucket < 'cc'),
+       |pool AS (
+       |  SELECT doc_id, lang, n_chars FROM db2
+       |  WHERE bucket < 'cc'
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |spl AS (
+       |  SELECT lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS r,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM pool)
+       |SELECT lang,
+       |  CASE WHEN r * 100 <= n * 80 THEN 'train'
+       |       WHEN r * 100 <= n * 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM spl GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   private val bigramLmSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1572,6 +1721,9 @@ object TextQueries {
     Capability("pipeline_e2e_v3",
       "curation composition v3: DSIR target selection re-ranked by the JM LM",
       e2eV3, Some(e2eV3Sql)),
+    Capability("pipeline_e2e_v4",
+      "curation composition v4: k-anon screen > winnow+containment dedup > decontam > stratified split > drift readout",
+      e2eV4, Some(e2eV4Sql)),
     Capability("text_urls",
       "URL extraction + host normalization + per-domain rollup (planted URLs)", urls,
       Some(urlsSql)),

@@ -192,9 +192,14 @@ class LintSpec extends AnyFunSuite {
       // budget lottery: the keep threshold is a computed column over
       // the broadcast per-group count — post-scan by design
       "q67_theil_sen" -> Set("unpushed-filter"),
-      "q72_mann_kendall" -> Set("unpushed-filter"))
+      "q72_mann_kendall" -> Set("unpushed-filter"),
+      // the composed release chain inherits its stages' justified
+      // findings: winnow/decontam md5 + computed-column guards are
+      // parquet-inexpressible; the stratified-split windows partition
+      // by lang (never global) and any 1-row totals broadcast
+      "pipeline_e2e_v4" -> Set("unpushed-filter"))
     val offenders = Seq("dedup_winnow_capped", "q26r_csv_multiline",
-      "q67_theil_sen", "q72_mann_kendall").flatMap { name =>
+      "q67_theil_sen", "q72_mann_kendall", "pipeline_e2e_v4").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
