@@ -56,10 +56,22 @@ object ScaleUp {
     // narrow factor-way fan-out, never a shuffle
     val reps = broadcast(
       spark.range(factor).select(col("id").cast("long").as("__r")))
-    def shiftKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    // key shifts collide SILENTLY if any source key reaches the offset
+    // (e.g. chaining ScaleUp over its own output) — fail loudly instead
+    def requireKeyRange(df: DataFrame, table: String,
+        keys: Seq[String]): Unit = keys.foreach { k =>
+      val mx = df.agg(max(col(k))).head
+      val bad = !mx.isNullAt(0) && mx.getLong(0) >= KeyOffset
+      require(!bad, s"$table.$k has keys >= $KeyOffset — replicas would " +
+        "collide; scale up from the ORIGINAL testdata, not ScaleUp output")
+    }
+    def shiftKeys(df: DataFrame, table: String,
+        keys: Seq[String]): DataFrame = {
+      requireKeyRange(df, table, keys)
       keys.foldLeft(df.crossJoin(reps)) { (d, k) =>
         d.withColumn(k, col(k) + col("__r") * KeyOffset)
       }.drop("__r")
+    }
 
     def copy(table: String): Unit =
       spark.read.parquet(s"$src/$table.parquet")
@@ -73,27 +85,35 @@ object ScaleUp {
       spark.read.parquet(s"$src/$table.parquet")
 
     copy("region"); copy("nation") // dimensions do not scale
-    write("customer", shiftKeys(read("customer"), Seq("c_custkey")))
-    write("supplier", shiftKeys(read("supplier"), Seq("s_suppkey")))
-    write("part", shiftKeys(read("part"), Seq("p_partkey")))
-    write("orders", shiftKeys(read("orders"), Seq("o_orderkey", "o_custkey")))
-    write("lineitem", shiftKeys(read("lineitem"),
+    write("customer", shiftKeys(read("customer"), "customer", Seq("c_custkey")))
+    write("supplier", shiftKeys(read("supplier"), "supplier", Seq("s_suppkey")))
+    write("part", shiftKeys(read("part"), "part", Seq("p_partkey")))
+    write("orders", shiftKeys(read("orders"), "orders",
+      Seq("o_orderkey", "o_custkey")))
+    write("lineitem", shiftKeys(read("lineitem"), "lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
     // events.parquet carries TIMESTAMP(NANOS) — read through the session
     // flag the engine itself uses, write back as micros (Tables.events
     // normalizes either way)
-    write("events", shiftKeys(read("events"), Seq("event_id", "user_id")))
+    write("events", shiftKeys(read("events"), "events",
+      Seq("event_id", "user_id")))
+    requireKeyRange(read("documents"), "documents", Seq("doc_id"))
     val docs = read("documents").crossJoin(reps)
       .withColumn("doc_id", col("doc_id") + col("__r") * KeyOffset)
+      // NULL/empty text keeps its shape in EVERY replica: suffixing a
+      // null array would silently turn NULL into '' (and '' into a
+      // nonempty '_rN' token) — a row shape the source corpus never had
       .withColumn("text",
-        when(col("__r") === 0L, col("text"))
+        when(col("__r") === 0L || col("text").isNull || col("text") === "",
+          col("text"))
           .otherwise(concat_ws(" ",
             transform(split(col("text"), " "),
               w => concat(w, lit("_r"), col("__r"))))))
       .withColumn("n_chars", length(col("text")))
       .drop("__r")
     write("documents", docs)
-    write("embeddings", shiftKeys(read("embeddings"), Seq("vec_id")))
+    write("embeddings", shiftKeys(read("embeddings"), "embeddings",
+      Seq("vec_id")))
     spark.stop()
   }
 }

@@ -288,17 +288,22 @@ object StatTests {
         col(idCol).as("i"), col(valCol).cast("double").as("v"))
 
   /** Budget-adaptive md5 lottery: each group's keep threshold is
-    * τ = clamp(⌊65536·targetPoints / n⌋, 1, 65536) over the FOUR-hex
+    * τ = clamp(⌊2³²·targetPoints / n⌋, 1, 2³²) over the EIGHT-hex
     * md5(id) prefix read as an integer, so the expected kept sample is
     * ~targetPoints per group at any corpus size — the lever that makes
     * quadratic-by-definition pair frames (Theil–Sen slopes,
     * Mann–Kendall sign pairs) scale-factor-invariant without manual
-    * re-tuning. Pure integer threshold arithmetic + md5 determinism =
-    * the oracle replays the identical selection (count CTE + the same
-    * clamp). One cheap count pass; the 1-row-per-group count frame is
-    * broadcast. Groups at or under budget keep everything except the
-    * τ = 65536 boundary's measure-zero complement (τ is clamped, never
-    * 0, so no group empties). */
+    * re-tuning. The 2³² granularity matters: a 4-hex lottery floors
+    * τ to its clamp at n > 65536·targetPoints and the kept sample
+    * would grow as n/65536 again — at the default budget the 8-hex
+    * threshold keeps the contract exact to n ≈ 1.7e12 rows per group
+    * (beyond any per-group cardinality this engine targets; the clamp
+    * at τ = 1 then degrades GRACEFULLY to a n/2³² keep, never to the
+    * raw quadratic). Pure integer threshold arithmetic + md5
+    * determinism = the oracle replays the identical selection (count
+    * CTE + the same clamp). One cheap count pass; the 1-row-per-group
+    * count frame is broadcast. Groups at or under budget keep
+    * everything (τ clamps high, never 0, so no group empties). */
   private def budgetPoints(df: DataFrame, groupCol: String, tsCol: String,
       idCol: String, valCol: String, targetPoints: Int): DataFrame = {
     require(targetPoints >= 2, s"targetPoints must be >= 2, got $targetPoints")
@@ -306,12 +311,12 @@ object StatTests {
       .select(col(groupCol).as("g"),
         expr(s"unix_micros($tsCol)").as("t"),
         col(idCol).as("i"), col(valCol).cast("double").as("v"),
-        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long").as("__lot"))
     val cnt = base.groupBy(col("g")).agg(count(lit(1)).as("__n_all"))
     base.join(broadcast(cnt), Seq("g"))
-      .filter(col("__lot") < least(lit(65536L), greatest(lit(1L),
-        expr(s"CAST(65536 AS BIGINT) * CAST($targetPoints AS BIGINT)" +
+      .filter(col("__lot") < least(lit(4294967296L), greatest(lit(1L),
+        expr(s"CAST(4294967296 AS BIGINT) * CAST($targetPoints AS BIGINT)" +
           " div __n_all"))))
       .drop("__lot", "__n_all")
   }

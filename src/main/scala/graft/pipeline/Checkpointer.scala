@@ -1,10 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.storage.StorageLevel
 
 /** Lineage-truncation policy for iterative fixpoints (PageRank rounds, CC
-  * label propagation, LPA, HITS, k-core peeling, SCC coloring, HyperBall).
+  * label propagation, LPA, k-core peeling, HITS, SCC coloring, HyperBall).
   *
   * Default (no config): eager `localCheckpoint` — lineage truncates into
   * EXECUTOR-LOCAL cached blocks. Fast (no durable write), and exactly
@@ -14,41 +13,48 @@ import org.apache.spark.storage.StorageLevel
   * recompute).
   *
   * Reliable mode — the 100 TB story: set `spark.graft.checkpoint.dir` to
-  * a durable path (HDFS / object store) and every
-  * `spark.graft.checkpoint.every`-th round (default 1 = every round) goes
-  * through `Dataset.checkpoint(eager = true)` instead: the round frame is
-  * written durably and the job survives executor loss. The frames these
-  * loops truncate are (node, score/label) pairs — ids and scalars, never
-  * text or adjacency payloads — so the per-round write is small by
-  * construction. Rounds BETWEEN reliable checkpoints (when `every` > 1)
-  * persist WITH lineage intact — never `localCheckpoint`, whose volatile
-  * truncation would make the chain unrecoverable — so a lost executor
-  * recomputes at most `every − 1` rounds from the last durable frame.
+  * a durable path (HDFS / object store) and EVERY round goes through
+  * `Dataset.checkpoint(eager = true)` instead: each round frame is
+  * written durably and the job survives executor loss at any point. The
+  * frames these loops truncate are (node, score/label) pairs — ids and
+  * scalars, never text or adjacency payloads — so the per-round write is
+  * small by construction. Every round (not every K-th) is deliberate:
+  * a sparser cadence would need the skipped rounds to persist WITH
+  * lineage, which (a) pins un-collectable cache entries for the session
+  * lifetime (CacheManager holds plans strongly, unlike localCheckpoint
+  * RDDs, which the ContextCleaner reclaims) and (b) can hand the caller
+  * a LAZY final frame whose inputs the loop already unpersisted — both
+  * measured-for classes of bug, neither worth the write savings on
+  * frames this small.
   *
   * Output values are policy-independent: both paths materialize the same
   * deterministic frame, only its storage changes (CheckpointSpec asserts
-  * bit-identical PageRank/CC output under a checkpoint dir).
+  * bit-identical PageRank/CC/SCC output under a checkpoint dir).
   */
 object Checkpointer {
   /** Durable checkpoint directory; empty/unset = localCheckpoint mode. */
   val DirKey = "spark.graft.checkpoint.dir"
-  /** Reliable-checkpoint cadence in rounds (>= 1), default 1. */
-  val EveryKey = "spark.graft.checkpoint.every"
 
-  /** Truncate/materialize one round's frame under the session policy.
-    * `roundNo` is the loop counter — only its spacing matters (init
-    * frames pass 0, which always checkpoints durably in reliable mode,
-    * so the chain's root is durable too). */
-  def truncate(df: DataFrame, roundNo: Int): DataFrame = {
+  // The dir last installed via setCheckpointDir. SparkContext stores a
+  // QUALIFIED path with a fresh UUID subdirectory (file:/dir/<uuid>), so
+  // neither equality nor prefix tests against the configured value can
+  // detect "already set" — remember what we installed instead, or every
+  // round would mint a new subdir (per-iteration fs.mkdirs latency and
+  // unbounded directory sprawl on an object store).
+  @volatile private var installedDir: String = null
+
+  /** Truncate/materialize one round's frame under the session policy. */
+  def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val dir = spark.conf.getOption(DirKey).filter(_.trim.nonEmpty)
-    dir match {
+    spark.conf.getOption(DirKey).filter(_.trim.nonEmpty) match {
       case Some(d) =>
-        val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-        val every = math.max(1, spark.conf.get(EveryKey, "1").toInt)
-        if (roundNo % every == 0) df.checkpoint(true)
-        else df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (installedDir != d) synchronized {
+          if (installedDir != d) {
+            spark.sparkContext.setCheckpointDir(d)
+            installedDir = d
+          }
+        }
+        df.checkpoint(true)
       case None => df.localCheckpoint(true)
     }
   }

@@ -547,7 +547,7 @@ object Dedup {
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .transform(Checkpointer.truncate(_, 0))
+      .transform(Checkpointer.truncate)
     // sum over an empty frame is null — an empty pair graph has no
     // vertices and is already converged
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -568,7 +568,7 @@ object Dedup {
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .transform(Checkpointer.truncate(_, iter + 1))
+        .transform(Checkpointer.truncate)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -633,7 +633,7 @@ object Dedup {
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
 
-    var edges = Checkpointer.truncate(rawEdges, 0)
+    var edges = Checkpointer.truncate(rawEdges)
     var prev = fingerprint(edges)
     var iter = 0
     var converged = edges.isEmpty
@@ -660,7 +660,7 @@ object Dedup {
       val next = smallOut.union(selfOut)
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .transform(Checkpointer.truncate(_, iter + 1))
+        .transform(Checkpointer.truncate)
       val cur = fingerprint(next)
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
@@ -672,7 +672,7 @@ object Dedup {
     val labels = vertices
       .join(nonRoot, Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
-      .transform(Checkpointer.truncate(_, 0))
+      .transform(Checkpointer.truncate)
     // one verification propagation round over the ORIGINAL edges
     val dirAll = rawEdges.select(col("lo").as("src"), col("hi").as("dst"))
       .union(rawEdges.select(col("hi").as("src"), col("lo").as("dst")))

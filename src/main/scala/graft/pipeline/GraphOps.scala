@@ -57,7 +57,7 @@ object GraphOps {
       // FINAL round checkpoints too (ranks is just (node, deg, rank)) so
       // the returned frame no longer references the cached inputs.
       ranks = Checkpointer.truncate(
-        iterate(g, ranks, damping, roundContrib), it)
+        iterate(g, ranks, damping, roundContrib))
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist()
@@ -84,7 +84,7 @@ object GraphOps {
     var it = 0
     while (it < iterations) {
       ranks = Checkpointer.truncate(
-        iterate(g, ranks, damping, roundContrib), it)
+        iterate(g, ranks, damping, roundContrib))
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist()
@@ -118,8 +118,7 @@ object GraphOps {
     require(nt > 0, "no seed node is present in the graph")
     val flagged = Checkpointer.truncate(g.nd.join(
       seedSet.withColumn("__t", lit(1)), Seq("node"), "left")
-      .select(col("node"), col("deg"), coalesce(col("__t"), lit(0)).as("__t")),
-      0)
+      .select(col("node"), col("deg"), coalesce(col("__t"), lit(0)).as("__t")))
     def exactSum(c: Column): Column =
       coalesce(sum(c.cast("decimal(38,18)")).cast("double"), lit(0.0))
     var ranks = flagged.select(col("node"), col("deg"),
@@ -144,7 +143,7 @@ object GraphOps {
             lit(damping) *
               (col("csum") +
                 col("__t") * round(col("dm") / nt, roundContrib))).as("rank"))
-        .transform(Checkpointer.truncate(_, it + 1))
+        .transform(Checkpointer.truncate)
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist(); seedSet.unpersist()
@@ -195,7 +194,7 @@ object GraphOps {
     var cur = nodes.select(col("node"),
         DistinctSketchSingleton(xxhash64(col("node")), exactCap, lgK).as("ball"),
         lit(1L).as("est"), lit(0.0).as("h"))
-      .transform(Checkpointer.truncate(_, 0))
+      .transform(Checkpointer.truncate)
     var t = 1
     while (t <= maxDepth) {
       // previous round's (est, h) rides the union as extra columns:
@@ -216,7 +215,7 @@ object GraphOps {
         .select(col("node"), col("ball"), col("est"),
           (col("h") +
             (col("est") - col("prev")).cast("double") / lit(t.toDouble)).as("h"))
-        .transform(Checkpointer.truncate(_, t))
+        .transform(Checkpointer.truncate)
       t += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -266,7 +265,7 @@ object GraphOps {
     def fixpoint(nodes: DataFrame, ed: DataFrame,
         fromCol: String, toCol: String): DataFrame = {
       var lab = nodes.select(col("node"), col("node").as("lab"))
-        .transform(Checkpointer.truncate(_, 0))
+        .transform(Checkpointer.truncate)
       var prev = labelSum(lab)
       var it = 0
       var converged = lab.isEmpty
@@ -279,7 +278,7 @@ object GraphOps {
           .unionByName(lab)
           .groupBy(col("node"))
           .agg(min(col("lab")).as("lab"))
-          .transform(Checkpointer.truncate(_, it + 1))
+          .transform(Checkpointer.truncate)
         val ns = labelSum(next)
         converged = ns.compareTo(prev) == 0
         prev = ns
@@ -295,7 +294,7 @@ object GraphOps {
       .persist(lvl)
     var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .transform(Checkpointer.truncate(_, 0))
+      .transform(Checkpointer.truncate)
     var result: DataFrame = null
     var outer = 0
     while (!nodes.isEmpty) {
@@ -308,10 +307,10 @@ object GraphOps {
       val done = f.join(b, "node")
         .filter(col("flab") === col("blab"))
         .select(col("node"), col("flab").as("scc_id"))
-        .transform(Checkpointer.truncate(_, 0))
+        .transform(Checkpointer.truncate)
       result = if (result == null) done else result.unionByName(done)
       nodes = nodes.join(done.select("node"), Seq("node"), "left_anti")
-        .transform(Checkpointer.truncate(_, 0))
+        .transform(Checkpointer.truncate)
       val e2 = e
         .join(done.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(done.select(col("node").as("dst")), Seq("dst"), "left_anti")
@@ -431,10 +430,10 @@ object GraphOps {
       // the per-iteration work and growing the plan superlinearly
       val auth = Checkpointer.truncate(
         hitsHalfStep(e, nodes, cur, "hub", "src", "dst", "auth",
-          roundContrib), it + 1)
+          roundContrib))
       val hub = hitsHalfStep(e, nodes, auth, "auth", "dst", "src", "hub",
         roundContrib)
-      cur = Checkpointer.truncate(hub.join(auth, Seq("node")), it + 1)
+      cur = Checkpointer.truncate(hub.join(auth, Seq("node")))
       it += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -501,7 +500,7 @@ object GraphOps {
       .select(col("node"), col("node").as("label"))
     var r = 0
     while (r < rounds) {
-      lab = Checkpointer.truncate(lpaRound(sym, lab), r + 1)
+      lab = Checkpointer.truncate(lpaRound(sym, lab))
       r += 1
     }
     sym.unpersist()
@@ -626,7 +625,7 @@ object GraphOps {
     var e = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .transform(Checkpointer.truncate(_, 0))
+      .transform(Checkpointer.truncate)
     var r = 0
     while (r < rounds) {
       val keep = e.groupBy(col("src").as("node"))
@@ -637,7 +636,7 @@ object GraphOps {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .transform(Checkpointer.truncate(_, r + 1))
+        .transform(Checkpointer.truncate)
       r += 1
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

@@ -1323,7 +1323,7 @@ object TextQueries {
       .drop("len_b")
     val wdrop = graft.pipeline.Dedup
       .winnowPairsCapped(keep0, "doc_id", "text",
-        n = 3, w = WinnowW, minShared = WinnowShared, maxDf = 64)
+        n = 3, w = WinnowW, minShared = WinnowShared, maxDf = WinnowMaxDf)
       .select(col("db").as("doc_id")).distinct()
     val keep1 = keep0.join(wdrop, Seq("doc_id"), "left_anti")
     val cdrop = graft.pipeline.Dedup
@@ -1346,10 +1346,11 @@ object TextQueries {
   }
 
   // winnow parameters shared with the dedup gates (DedupQueries pins the
-  // same values); duplicated here as literals so the oracle text below
-  // stays self-contained
+  // same values); duplicated here as named constants so the Scala chain
+  // and the oracle text below stay in lockstep
   private val WinnowW = 4
   private val WinnowShared = 2
+  private val WinnowMaxDf = 64
 
   private val e2eV4Sql =
     s"""WITH qi AS (
@@ -1378,7 +1379,7 @@ object TextQueries {
        |wcand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM wfp a JOIN wfp b ON b.f = a.f AND a.doc_id < b.doc_id
-       |  JOIN wdf ON wdf.f = a.f WHERE wdf.df <= 64),
+       |  JOIN wdf ON wdf.f = a.f WHERE wdf.df <= $WinnowMaxDf),
        |wshared AS (
        |  SELECT c.da, c.db, COUNT(*) AS shared
        |  FROM wcand c

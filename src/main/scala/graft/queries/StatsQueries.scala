@@ -150,7 +150,7 @@ object StatsQueries {
     * at 10×; before the bounded-memory median fix it OOMed outright).
     * The gate therefore runs the SCALE-ADAPTIVE lottery: each group
     * keeps ~[[TheilSenBudgetPts]] points via the integer threshold
-    * τ = clamp(⌊65536·T/n⌋, 1, 65536) over the 4-hex md5 prefix, so a
+    * τ = clamp(⌊2³²·T/n⌋, 1, 2³²) over the 8-hex md5 prefix, so a
     * 10× corpus keeps the SAME sample and the rehearsal measures 6.6 s
     * at sf1 — flat by construction, no per-SF re-tuning ever again.
     * The oracle replays the count CTE and the clamp verbatim. The
@@ -171,13 +171,13 @@ object StatsQueries {
     s"""allp AS (
        |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
        |    CAST(value AS DOUBLE) AS v,
-       |    ('0x' || substring(md5(event_id::VARCHAR), 1, 4))::BIGINT AS lot
+       |    ('0x' || substring(md5(event_id::VARCHAR), 1, 8))::BIGINT AS lot
        |  FROM events WHERE value IS NOT NULL),
        |cnt AS (SELECT g, COUNT(*) AS n_all FROM allp GROUP BY g),
        |pts AS (
        |  SELECT allp.g, t, i, v FROM allp JOIN cnt USING (g)
-       |  WHERE lot < least(65536, greatest(1,
-       |    65536 * $TheilSenBudgetPts // n_all)))""".stripMargin
+       |  WHERE lot < least(4294967296, greatest(1,
+       |    4294967296 * $TheilSenBudgetPts // n_all)))""".stripMargin
 
   private lazy val theilSenSql =
     s"""WITH $budgetPtsSql,

@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The reliable-checkpoint lever ([[graft.pipeline.Checkpointer]]): with
-  * `spark.graft.checkpoint.dir` set, the iterative loops write durable
-  * round frames instead of executor-local blocks — the fault-tolerance
-  * mode a real cluster run needs. Output must be BIT-IDENTICAL under
-  * every policy: only storage changes, never values.
+  * `spark.graft.checkpoint.dir` set, the iterative loops write EVERY
+  * round frame durably instead of into executor-local blocks — the
+  * fault-tolerance mode a real cluster run needs. Output must be
+  * BIT-IDENTICAL under both policies: only storage changes, never
+  * values.
   */
 class CheckpointSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -29,44 +30,35 @@ class CheckpointSpec extends AnyFunSuite {
 
   /** Run `f` with the reliable-checkpoint config set, restoring the
     * default (unset) policy afterwards even on failure. */
-  private def withCheckpointDir[A](every: Int)(f: => A): A = {
+  private def withCheckpointDir[A](f: => A): A = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt").toString
     spark.conf.set(Checkpointer.DirKey, dir)
-    spark.conf.set(Checkpointer.EveryKey, every.toString)
-    try f finally {
-      spark.conf.unset(Checkpointer.DirKey)
-      spark.conf.unset(Checkpointer.EveryKey)
-    }
+    try f finally spark.conf.unset(Checkpointer.DirKey)
   }
 
   test("pagerank output is bit-identical under a reliable checkpoint dir") {
     val base = collectSorted(GraphOps.pageRank(edges, "src", "dst", 5))
-    val durable = withCheckpointDir(every = 1) {
+    val durable = withCheckpointDir {
       collectSorted(GraphOps.pageRank(edges, "src", "dst", 5))
     }
     assert(durable == base)
-    // cadence > 1: intermediate rounds persist WITH lineage; same output
-    val spaced = withCheckpointDir(every = 3) {
-      collectSorted(GraphOps.pageRank(edges, "src", "dst", 5))
-    }
-    assert(spaced == base)
   }
 
   test("connected components are bit-identical under a reliable checkpoint dir") {
     val base = collectSorted(Dedup.connectedComponents(edges, "src", "dst"))
     assert(base.nonEmpty)
-    val durable = withCheckpointDir(every = 1) {
+    val durable = withCheckpointDir {
       collectSorted(Dedup.connectedComponents(edges, "src", "dst"))
     }
     assert(durable == base)
-    val stars = withCheckpointDir(every = 2) {
+    val stars = withCheckpointDir {
       collectSorted(Dedup.connectedComponentsStars(edges, "src", "dst"))
     }
     assert(stars == base, "stars variant shares the output contract")
   }
 
-  test("scc and the checkpoint dir actually receives durable round frames") {
+  test("scc matches; durable frames land; the checkpoint dir installs ONCE") {
     val base = collectSorted(GraphOps.stronglyConnected(edges, "src", "dst"))
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt-scc").toString
@@ -75,14 +67,25 @@ class CheckpointSpec extends AnyFunSuite {
       val durable = collectSorted(
         GraphOps.stronglyConnected(edges, "src", "dst"))
       assert(durable == base)
+      val root = java.nio.file.Paths.get(dir)
       // the mode is real: round frames were written under the dir
       def countFiles(p: java.nio.file.Path): Long = {
         val s = java.nio.file.Files.walk(p)
         try s.filter(java.nio.file.Files.isRegularFile(_)).count()
         finally s.close()
       }
-      assert(countFiles(java.nio.file.Paths.get(dir)) > 0,
+      assert(countFiles(root) > 0,
         s"no checkpoint files under $dir — reliable mode did not engage")
+      // setCheckpointDir mints one UUID subdirectory per call; the
+      // installed-dir memo must prevent a fresh subdir per ROUND (the
+      // qualified-path trap: getCheckpointDir returns file:/..., so
+      // neither equality nor prefix tests against the conf value work)
+      val subdirs = {
+        val s = java.nio.file.Files.list(root)
+        try s.count() finally s.close()
+      }
+      assert(subdirs == 1L,
+        s"expected ONE uuid subdir (installed once), found $subdirs")
     } finally spark.conf.unset(Checkpointer.DirKey)
   }
 }

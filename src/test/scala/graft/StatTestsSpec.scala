@@ -117,7 +117,7 @@ class StatTestsSpec extends AnyFunSuite {
     assert(nBig < nSmall * 3,
       s"budget must hold across scale: $nSmall -> $nBig at 8x rows")
     // groups under budget keep (essentially) everything: tau clamps at
-    // the full 4-hex range
+    // the full 8-hex range
     val tiny = StatTests.theilSenBudget(corpus(40), "g", "ts", "id", "v",
       targetPoints = target).collect().head
     assert(tiny.getLong(1) == 40L, s"under-budget group kept ${tiny.getLong(1)}")
