@@ -814,4 +814,215 @@ object StatTests {
         ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1)).as("dof"),
         max(col("ntot")).as("n"))
   }
+
+  /** G-test (likelihood-ratio) of independence over the SAME contingency
+    * table as [[chiSquared]]: G = 2·Σ O·ln(O/E). Unlike Pearson's X²,
+    * the statistic needs NO dense grid — an absent cell (O = 0)
+    * contributes exactly 0 in the limit, so only OBSERVED cells flow
+    * (at 100 TB a sparse high-cardinality table never materializes the
+    * r×c grid this way). Each cell term O·ln(O/E) is one fixed-order
+    * IEEE expression rounded@9 to a scaled long (the [[mutualInfo]]
+    * log-term convention), summed exactly; marginal cardinalities come
+    * from the already-aggregated marginal frames, never a countDistinct
+    * beside the cell sum (the q73 Expand lesson).
+    * Output: 1 row (n, dof, g_stat round@6). */
+  def gTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val o = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(col("r")).agg(sum(col("o")).as("rtot"))
+    val ct = o.groupBy(col("c")).agg(sum(col("o")).as("ctot"))
+    val n1 = o.agg(sum(col("o")).as("ntot"))
+    val rk = rt.agg(count(lit(1)).as("r_card"))
+    val ck = ct.agg(count(lit(1)).as("c_card"))
+    val e = col("rtot").cast("double") * col("ctot").cast("double") /
+      col("ntot").cast("double")
+    val t9 = round(col("o").cast("double") *
+      log(col("o").cast("double") / e) * 1e9, 0).cast("long")
+    o.join(broadcast(rt), Seq("r")).join(broadcast(ct), Seq("c"))
+      .crossJoin(broadcast(n1))
+      .select(t9.as("__t9"), col("ntot"))
+      .groupBy(col("ntot")).agg(sum(col("__t9")).as("g9"))
+      .crossJoin(broadcast(rk)).crossJoin(broadcast(ck))
+      .select(col("ntot").as("n"),
+        ((col("r_card") - 1) * (col("c_card") - 1)).as("dof"),
+        round(col("g9").cast("double") * 2.0 / 1e9, 6).as("g_stat"))
+  }
+
+  /** Kruskal–Wallis H — the k-group rank ANOVA ([[mannWhitney]]'s
+    * extension past two groups; Kruskal & Wallis 1952). Ranks are
+    * midranks over the distinct-VALUE frame: per distinct value the
+    * ×2-scaled midrank 2·(count below) + (count at) + 1 is an exact
+    * long, so per-group rank sums are integer-exact and no data row is
+    * ever globally sorted (the [[mannWhitney]]/KS bounded-frame
+    * convention — the lone unpartitioned window runs over distinct
+    * values, which the 2-decimal event measure bounds at any corpus
+    * size). H = 12/(N(N+1))·Σ n_g(r̄_g − r̄)² from per-group terms that
+    * are one fixed-order IEEE expression each, rounded to 1e6-scaled
+    * decimal(38,0) (magnitudes reach ~1e21 at sf1 — past long range,
+    * inside decimal exactly) and summed exactly; the tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) divides once at the end.
+    * Output: one row per group (g, n_g, r2sum, mean_rank round@9) with
+    * the global h / h_corr round@6 on every row. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val gv = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vt = gv.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val rk = vt
+      .withColumn("cb", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .select(col("v"),
+        (lit(2L) * col("cb") + col("ct") + lit(1L)).as("r2"))
+    val gr = gv.join(rk, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c") * col("r2")).as("r2sum"), sum(col("c")).as("n_g"))
+    val tot = gr.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"))
+    val tie = vt.agg(
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tsum"))
+    val nD = col("n_tot").cast("double")
+    val rbar = col("r2sum").cast("double") / (col("n_g").cast("double") * 2.0)
+    val dev = rbar - (nD + 1.0) / 2.0
+    val t6 = round(col("n_g").cast("double") * dev * dev * 1e6, 0)
+      .cast("decimal(38,0)")
+    val s = gr.crossJoin(broadcast(tot))
+      .select(t6.as("__t6"))
+      .agg(sum(col("__t6")).cast("double").as("s6"))
+    val h = lit(12.0) / (nD * (nD + 1.0)) * (col("s6") / 1e6)
+    val corr = lit(1.0) - col("tsum").cast("double") / (nD * nD * nD - nD)
+    // every value tied (tsum = N³−N) zeroes the correction: H is 0 there
+    // and h_corr is 0/0 — NULL by the integer-exact guard, not NaN
+    val corrOk =
+      col("tsum") < col("n_tot") * col("n_tot") * col("n_tot") - col("n_tot")
+    gr.crossJoin(broadcast(tot)).crossJoin(broadcast(s))
+      .crossJoin(broadcast(tie))
+      .select(col("g"), col("n_g"), col("r2sum"),
+        round(rbar, 9).as("mean_rank"),
+        round(h, 6).as("h"),
+        when(corrOk, round(h / corr, 6)).as("h_corr"))
+  }
+
+  /** Brown–Forsythe test for equality of group variances — Levene's
+    * test with MEDIAN centering (Brown & Forsythe 1974), the robust
+    * form the practice defaults to: z = |x − med_g| per row, then the
+    * one-way ANOVA F on z. Group medians come from the distributed
+    * rank-selection path ([[Quantiles.exactGrouped]], linear
+    * interpolation — DuckDB `quantile_cont` parity proven by q27g) and
+    * ride back as a #groups-row broadcast, so the data makes TWO narrow
+    * passes total (median brackets, then z moments). Per-group F terms
+    * (between: n_g(z̄_g − z̄)²; within: Σz² − (Σz)²/n_g) are each one
+    * fixed-order IEEE expression over exact decimal z-moments, rounded
+    * to 1e6-scaled decimal(38,0) and summed exactly.
+    * Output: one row per group (g, n_g, med, z_mean round@9) with the
+    * global f_bf round@6 / df1 / df2 on every row; degenerate inputs
+    * (k < 2 or zero within-group spread) emit NULL f_bf. */
+  def brownForsythe(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val med = Quantiles.exactGrouped(base, "g", "v", Seq(0.5))
+      .select(col("g"), col("q0").as("med"))
+    val z = base.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("med"), abs(col("v") - col("med")).as("z"))
+    val m = z.groupBy(col("g")).agg(
+      count(lit(1)).as("n_g"), min(col("med")).as("med"),
+      sum(Det.dec(col("z"))).as("szd"),
+      sum(Det.dec(col("z") * col("z"))).as("szzd"))
+    val tot = m.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"),
+      sum(col("szd")).cast("double").as("szall"))
+    val nGD = col("n_g").cast("double")
+    val zbarG = col("szd").cast("double") / nGD
+    val zbar = col("szall") / col("n_tot").cast("double")
+    val num6 = round(nGD * (zbarG - zbar) * (zbarG - zbar) * 1e6, 0)
+      .cast("decimal(38,0)")
+    val den6 = round((col("szzd").cast("double") -
+      col("szd").cast("double") * col("szd").cast("double") / nGD) * 1e6, 0)
+      .cast("decimal(38,0)")
+    val s = m.crossJoin(broadcast(tot))
+      .select(num6.as("__n6"), den6.as("__d6"))
+      .agg(sum(col("__n6")).cast("double").as("sn"),
+        sum(col("__d6")).cast("double").as("sd"))
+    val kD = col("k").cast("double")
+    val f = (col("n_tot").cast("double") - kD) / (kD - 1.0) *
+      (col("sn") / col("sd"))
+    val ok = col("k") > 1 && col("sd") > 0.0
+    m.crossJoin(broadcast(tot)).crossJoin(broadcast(s))
+      .select(col("g"), col("n_g"),
+        round(col("med"), 9).as("med"),
+        round(zbarG, 9).as("z_mean"),
+        when(ok, round(f, 6)).as("f_bf"),
+        (col("k") - 1L).as("df1"),
+        (col("n_tot") - col("k")).as("df2"))
+  }
+
+  /** Durbin–Watson statistic per group: d = Σ(e_t − e_{t−1})² / Σe_t²
+    * over residuals in a deterministic within-group time order — THE
+    * serial-correlation diagnostic for a fitted regression (d ≈ 2 means
+    * independent residuals; → 0 positive, → 4 negative autocorrelation;
+    * an OLS R² is untrustworthy without it on time-ordered data).
+    * Takes an already-computed residual column so any model composes
+    * (the gate feeds q59's OLS artifact). ONE key-partitioned exchange
+    * serves the lag window; both quadratic sums accumulate as exact
+    * decimals ([[graft.Det]]) so the division happens once, round@6.
+    * Ties left by `orderCols` are broken by the residual VALUE itself
+    * as the final sort key: rows that still tie then carry equal
+    * residuals, and equal residuals commute under Σ(e_t − e_{t−1})² —
+    * so d is exactly order-invariant (and engine-independent) even when
+    * the caller's key is not unique. */
+  def durbinWatson(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      residCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "durbinWatson needs a time order")
+    val w = Window.partitionBy(col("g"))
+      .orderBy(orderCols.map(col) :+ col("e"): _*)
+    val l = df
+      .select(col(groupCol).as("g") +: orderCols.map(col) :+
+        col(residCol).cast("double").as("e"): _*)
+      .withColumn("de", col("e") - lag(col("e"), 1).over(w))
+    l.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(Det.dec(col("de") * col("de"))).cast("double").as("__num"),
+        sum(Det.dec(col("e") * col("e"))).cast("double").as("__den"))
+      .select(col("g"), col("n"),
+        round(col("__num") / col("__den"), 6).as("dw"))
+  }
+
+  /** Kendall's τ-b on the budget-lottery points — the rank-CORRELATION
+    * companion of [[mannKendallBudget]]'s significance test (the same
+    * S = Σ sign pairs over the SAME sample, the published pairing):
+    * τ-b = S / √((n₀−T_t)(n₀−T_v)) with n₀ = n(n−1)/2 and the tie sums
+    * T = Σ t(t−1)/2 per axis, all exact longs until the one final
+    * division (round@6). Pairs tied on t are excluded from S by the
+    * strict t₁ < t₂ join and priced by T_t — exactly the τ-b
+    * convention. Quadratic by definition ⇒ the same scale-adaptive
+    * budget lottery as Theil–Sen bounds the pair frame at any scale
+    * factor. Output: (g, n, s, tau_b). */
+  def kendallTauBudget(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, targetPoints: Int = 400): DataFrame =
+    kendallTauOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
+      targetPoints))
+
+  private def kendallTauOn(pts0: DataFrame): DataFrame = {
+    val pts = pts0.select(col("g"), col("t"), col("v"))
+    val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
+    val b = pts.select(col("g"), col("t").as("t2"), col("v").as("v2"))
+    val s = a.join(b, Seq("g")).filter(col("t1") < col("t2"))
+      .select(col("g"),
+        when(col("v2") > col("v1"), 1L)
+          .when(col("v2") < col("v1"), -1L).otherwise(0L).as("sgn"))
+      .groupBy(col("g")).agg(sum(col("sgn")).as("s"))
+    val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    def tieSum(c: String, out: String) = pts
+      .groupBy(col("g"), col(c)).agg(count(lit(1)).as("tc"))
+      .groupBy(col("g"))
+      .agg(sum(expr("tc * (tc - 1) DIV 2")).as(out))
+    val n0 = expr("n * (n - 1) DIV 2")
+    val denomT = col("__n0") - col("tt")
+    val denomV = col("__n0") - col("tv")
+    s.join(n, Seq("g"))
+      .join(tieSum("t", "tt"), Seq("g")).join(tieSum("v", "tv"), Seq("g"))
+      .withColumn("__n0", n0)
+      .select(col("g"), col("n"), col("s"),
+        when(denomT > 0L && denomV > 0L,
+          round(col("s").cast("double") /
+            sqrt(denomT.cast("double") * denomV.cast("double")), 6))
+          .as("tau_b"))
+  }
 }

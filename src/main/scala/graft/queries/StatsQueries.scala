@@ -857,6 +857,234 @@ object StatsQueries {
        |    THEN round(md / sqrt(pooled) * corr, 6) END AS hedges_g
        |FROM pair ORDER BY g_a, g_b""".stripMargin
 
+  /** q78_kruskal_wallis: the k-group rank ANOVA ([[StatTests
+    * .kruskalWallis]]) across ALL event-type value distributions — the
+    * omnibus question q56/q66 answer pairwise ("is ANY group shifted?"
+    * before "which pairs?"). Midranks stay ×2-scaled exact longs over
+    * the distinct-value frame (2-decimal measure ⇒ bounded at any
+    * corpus size); per-group H terms round to 1e6-scaled decimal(38,0)
+    * and sum exactly; the tie correction divides once. */
+  private def kwQ(s: SparkSession, d: String): DataFrame =
+    StatTests.kruskalWallis(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val kwSql = {
+    val rbar = "CAST(r2sum AS DOUBLE) / (CAST(n_g AS DOUBLE) * 2.0)"
+    val dev = s"($rbar - (CAST(n_tot AS DOUBLE) + 1.0) / 2.0)"
+    val h = "12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))" +
+      " * (s6 / 1e6)"
+    val corr = "(1.0 - CAST(tsum AS DOUBLE) / (CAST(n_tot AS DOUBLE) * " +
+      "CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)))"
+    s"""WITH gv AS (
+       |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, COUNT(*) AS c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM gv GROUP BY v),
+       |rk AS (
+       |  SELECT v, 2 * coalesce(SUM(ct) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1
+       |    AS r2
+       |  FROM vt),
+       |gr AS (
+       |  SELECT gv.g, CAST(SUM(gv.c * rk.r2) AS BIGINT) AS r2sum,
+       |    CAST(SUM(gv.c) AS BIGINT) AS n_g
+       |  FROM gv JOIN rk ON gv.v = rk.v GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k
+       |  FROM gr),
+       |tie AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tsum FROM vt),
+       |term AS (
+       |  SELECT CAST(round(CAST(n_g AS DOUBLE) * $dev * $dev * 1e6, 0)
+       |    AS HUGEINT) AS t6
+       |  FROM gr, tot),
+       |s AS (SELECT CAST(SUM(t6) AS DOUBLE) AS s6 FROM term)
+       |SELECT g AS event_type, n_g, r2sum,
+       |  round($rbar, 9) AS mean_rank,
+       |  round($h, 6) AS h,
+       |  CASE WHEN tsum < n_tot * n_tot * n_tot - n_tot
+       |    THEN round($h / $corr, 6) END AS h_corr
+       |FROM gr, tot, s, tie ORDER BY event_type""".stripMargin
+  }
+
+  /** q79_brown_forsythe: equality-of-VARIANCES test ([[StatTests
+    * .brownForsythe]]) across the event-type value distributions —
+    * Levene with median centering, the check Welch/ANOVA readouts
+    * lean on ("is the spread itself drifting?"). Group medians ride
+    * the q27g-proven exact rank-selection path; z-moments are exact
+    * decimals; per-group F terms round to 1e6-scaled decimal(38,0)
+    * and sum exactly. */
+  private def bfQ(s: SparkSession, d: String): DataFrame =
+    StatTests.brownForsythe(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val bfSql = {
+    val zbarG = "CAST(szd AS DOUBLE) / CAST(n_g AS DOUBLE)"
+    val devE = s"($zbarG - szall / CAST(n_tot AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g),
+       |z AS (
+       |  SELECT base.g, med.med, abs(v - med.med) AS z
+       |  FROM base JOIN med ON base.g = med.g),
+       |m AS (
+       |  SELECT g, COUNT(*) AS n_g, MIN(med) AS med,
+       |    SUM(CAST(z AS DECIMAL(25,6))) AS szd,
+       |    SUM(CAST(z * z AS DECIMAL(25,6))) AS szzd
+       |  FROM z GROUP BY g),
+       |tot AS (
+       |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k,
+       |    CAST(SUM(szd) AS DOUBLE) AS szall
+       |  FROM m),
+       |term AS (
+       |  SELECT
+       |    CAST(round(CAST(n_g AS DOUBLE) * $devE * $devE * 1e6, 0)
+       |      AS HUGEINT) AS n6,
+       |    CAST(round((CAST(szzd AS DOUBLE) - CAST(szd AS DOUBLE) *
+       |      CAST(szd AS DOUBLE) / CAST(n_g AS DOUBLE)) * 1e6, 0)
+       |      AS HUGEINT) AS d6
+       |  FROM m, tot),
+       |s AS (SELECT CAST(SUM(n6) AS DOUBLE) AS sn,
+       |  CAST(SUM(d6) AS DOUBLE) AS sd FROM term)
+       |SELECT g AS event_type, n_g, round(med, 9) AS med,
+       |  round($zbarG, 9) AS z_mean,
+       |  CASE WHEN k > 1 AND sd > 0.0 THEN
+       |    round((CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)) /
+       |      (CAST(k AS DOUBLE) - 1.0) * (sn / sd), 6) END AS f_bf,
+       |  CAST(k - 1 AS BIGINT) AS df1,
+       |  CAST(n_tot - k AS BIGINT) AS df2
+       |FROM m, tot, s ORDER BY event_type""".stripMargin
+  }
+
+  /** q80_gtest: likelihood-ratio independence test ([[StatTests
+    * .gTest]]) over q57's source × token-bucket table — the statistic
+    * information theory prefers (G = 2n·MI·ln2, additive across
+    * partitions) and the one that needs NO dense grid: absent cells
+    * contribute exactly 0, so a sparse high-cardinality table never
+    * materializes r×c rows. Cell terms O·ln(O/E) round@9 to longs (the
+    * q64 log-term convention) and sum exactly. */
+  private def gtestQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.TextOps.words(col("text"))).as("__w"))
+      .select(col("source"), graft.pipeline.Drift.bucketOf(col("__w")).as("b"))
+    StatTests.gTest(toks, "source", "b")
+  }
+
+  private lazy val gtestSql =
+    s"""WITH toks AS (
+       |  SELECT source AS r,
+       |    (('0x' || substring(md5(w), 1, 4))::INT % ${graft.pipeline.Drift.Buckets}) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |o AS (SELECT r, c, COUNT(*) AS o FROM toks GROUP BY 1, 2),
+       |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rtot FROM o GROUP BY 1),
+       |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ctot FROM o GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS ntot FROM o),
+       |cell AS (
+       |  SELECT CAST(round(CAST(o.o AS DOUBLE) * ln(CAST(o.o AS DOUBLE) /
+       |      (CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE) /
+       |       CAST(nn.ntot AS DOUBLE))) * 1e9, 0) AS BIGINT) AS t9
+       |  FROM o JOIN rt USING (r) JOIN ct USING (c), nn),
+       |sg AS (SELECT CAST(SUM(t9) AS BIGINT) AS g9 FROM cell),
+       |rk AS (SELECT COUNT(*) AS r_card FROM rt),
+       |ck AS (SELECT COUNT(*) AS c_card FROM ct)
+       |SELECT nn.ntot AS n, (rk.r_card - 1) * (ck.c_card - 1) AS dof,
+       |  round(CAST(g9 AS DOUBLE) * 2.0 / 1e9, 6) AS g_stat
+       |FROM sg, nn, rk, ck""".stripMargin
+
+  /** q81_durbin_watson: serial-correlation diagnostic ([[StatTests
+    * .durbinWatson]]) on the q59 OLS residuals in per-returnflag
+    * ship-date order — the check that says whether q59's R² can be
+    * trusted on time-ordered data (d ≈ 2 independent; → 0/4 positive/
+    * negative autocorrelation). A COMPOSITION gate like q63: the
+    * round@9 model artifact q59 emits rides in as a 1-row broadcast,
+    * residuals are one narrow IEEE expression per row, and the lag
+    * window runs on ONE key-partitioned exchange ordered by
+    * (shipdate, orderkey, linenumber) — a key this synthetic table does
+    * NOT keep unique, which is exactly why [[StatTests.durbinWatson]]
+    * appends the residual value as the tie-breaking last sort key
+    * (equal residuals commute under the lag difference, so d stays
+    * order-invariant). */
+  private def dwQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val beta = StatTests.ols2(li,
+        "l_quantity", "l_discount", "l_extendedprice")
+      .select(col("b0"), col("b1"), col("b2"))
+    val resid = li.select(col("l_returnflag").as("g"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("x2"),
+        col("l_discount").cast("double").as("x3"),
+        col("l_extendedprice").cast("double").as("y"))
+      .crossJoin(broadcast(beta))
+      .select(col("g"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        (col("y") - (col("b0") + col("b1") * col("x2") +
+          col("b2") * col("x3"))).as("e"))
+    StatTests.durbinWatson(resid, "g",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"), "e")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
+  private lazy val dwSql =
+    s"""${olsCtes("")},
+       |bq AS (SELECT round(b0, 9) AS b0, round(b1, 9) AS b1,
+       |  round(b2, 9) AS b2 FROM b),
+       |r AS (
+       |  SELECT l_returnflag AS g, l_shipdate, l_orderkey, l_linenumber,
+       |    CAST(l_extendedprice AS DOUBLE) -
+       |      (b0 + b1 * CAST(l_quantity AS DOUBLE) +
+       |       b2 * CAST(l_discount AS DOUBLE)) AS e
+       |  FROM lineitem, bq),
+       |l AS (
+       |  SELECT g, e, e - lag(e) OVER (PARTITION BY g
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber, e) AS de
+       |  FROM r),
+       |s AS (
+       |  SELECT g, COUNT(*) AS n,
+       |    CAST(SUM(CAST(de * de AS DECIMAL(25,6))) AS DOUBLE) AS num,
+       |    CAST(SUM(CAST(e * e AS DECIMAL(25,6))) AS DOUBLE) AS den
+       |  FROM l GROUP BY g)
+       |SELECT g AS l_returnflag, n, round(num / den, 6) AS dw
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** q82_kendall_tau: Kendall's τ-b ([[StatTests.kendallTauBudget]]) on
+    * the SAME budget-lottery points as q67/q72 — the rank-correlation
+    * EFFECT SIZE next to Mann–Kendall's significance (the d-vs-t
+    * pattern: at corpus scale z says "a trend exists", τ says how
+    * strong). S, n₀ and both tie sums are exact longs; one division,
+    * round@6. */
+  private def ktQ(s: SparkSession, d: String): DataFrame =
+    StatTests.kendallTauBudget(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value",
+        targetPoints = TheilSenBudgetPts)
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val ktSql = {
+    val n0 = "np.n * (np.n - 1) // 2"
+    s"""WITH $budgetPtsSql,
+       |sp AS (
+       |  SELECT a.g, CAST(SUM(CASE WHEN b.v > a.v THEN 1
+       |    WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM pts a JOIN pts b ON b.g = a.g AND a.t < b.t
+       |  GROUP BY a.g),
+       |np AS (SELECT g, COUNT(*) AS n FROM pts GROUP BY g),
+       |tt AS (SELECT g, CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS tt
+       |  FROM (SELECT g, t, COUNT(*) AS tc FROM pts GROUP BY g, t)
+       |  GROUP BY g),
+       |tv AS (SELECT g, CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS tv
+       |  FROM (SELECT g, v, COUNT(*) AS tc FROM pts GROUP BY g, v)
+       |  GROUP BY g)
+       |SELECT np.g AS event_type, np.n, sp.s,
+       |  CASE WHEN ($n0 - tt.tt) > 0 AND ($n0 - tv.tv) > 0 THEN
+       |    round(CAST(sp.s AS DOUBLE) /
+       |      sqrt(CAST($n0 - tt.tt AS DOUBLE) *
+       |           CAST($n0 - tv.tv AS DOUBLE)), 6) END AS tau_b
+       |FROM np JOIN sp USING (g) JOIN tt USING (g) JOIN tv USING (g)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -912,5 +1140,20 @@ object StatsQueries {
     Capability("q77_cohens_d",
       "Cohen's d + Hedges' g effect sizes over the Welch pairs",
       cohensQ, Some(cohensSql)),
+    Capability("q78_kruskal_wallis",
+      "Kruskal-Wallis k-group rank ANOVA (exact x2-scaled midranks, tie-corrected H)",
+      kwQ, Some(kwSql)),
+    Capability("q79_brown_forsythe",
+      "Brown-Forsythe variance-equality test (median-centered Levene, exact z-moments)",
+      bfQ, Some(bfSql)),
+    Capability("q80_gtest",
+      "G-test of independence: observed-cells-only likelihood ratio (rounded ln terms)",
+      gtestQ, Some(gtestSql)),
+    Capability("q81_durbin_watson",
+      "Durbin-Watson serial-correlation diagnostic on the q59 OLS residuals",
+      dwQ, Some(dwSql)),
+    Capability("q82_kendall_tau",
+      "Kendall's tau-b on the q67/q72 budget-lottery points (exact tie sums)",
+      ktQ, Some(ktSql)),
   )
 }

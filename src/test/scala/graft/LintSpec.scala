@@ -208,6 +208,32 @@ class LintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("round-12 stats battery carries no UNJUSTIFIED plan findings") {
+    val justified: Map[String, Set[String]] = Map(
+      // KW midranks run over the distinct-VALUE frame (the
+      // Mann-Whitney/KM bounded-frame convention: the 2-decimal event
+      // measure bounds it at any corpus size); the per-group/total/tie
+      // frames are 1-row-to-#groups broadcasts
+      "q78_kruskal_wallis" -> Set("global-window",
+        "single-partition-shuffle", "cartesian"),
+      // #groups-row medians/moments/totals ride broadcasts (q55 shape)
+      "q79_brown_forsythe" -> Set("cartesian"),
+      // marginal-cardinality and total frames are 1-row broadcasts
+      "q80_gtest" -> Set("cartesian"),
+      // the 1-row OLS model broadcast (the q63 composition shape)
+      "q81_durbin_watson" -> Set("cartesian"),
+      // shares q67/q72's md5-lottery thinning — parquet-inexpressible
+      "q82_kendall_tau" -> Set("unpushed-filter"))
+    val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
+      "q80_gtest", "q81_durbin_watson", "q82_kendall_tau").flatMap { name =>
+      val cap = Registry.byName(name)
+      val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
+      val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
+      if (bad.isEmpty) None else Some(s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("clean declarative plans produce no findings") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val good = li.filter(col("l_quantity") > 10)

@@ -448,4 +448,119 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(rz.getLong(0) / 1e9 - expect) < 1e-6,
       s"got ${rz.getLong(0) / 1e9}, want $expect")
   }
+
+  test("kruskal-wallis: textbook separation H = 7.2, midrank tie correction") {
+    import spark.implicits._
+    // fully separated thirds: rank sums 6/15/24, H = 12/90 * 279/3 - 30 = 7.2
+    val sep = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _)) ++
+      Seq(7.0, 8.0, 9.0).map(("c", _))).toDF("g", "v")
+    val r = StatTests.kruskalWallis(sep, "g", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(2) == 12L && r("c").getLong(2) == 48L) // 2x rank sums
+    assert(math.abs(r("a").getDouble(4) - 7.2) < 1e-6)
+    assert(r("a").getDouble(5) == r("a").getDouble(4), "no ties -> h_corr = h")
+    // ties: a={1,1} b={1,2}: midranks 2,2 | 2,4 -> H = 0.6, C = 0.6, Hc = 1.0
+    val tied = (Seq(1.0, 1.0).map(("a", _)) ++ Seq(1.0, 2.0).map(("b", _)))
+      .toDF("g", "v")
+    val rt = StatTests.kruskalWallis(tied, "g", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rt("a").getLong(2) == 8L && rt("b").getLong(2) == 12L)
+    assert(math.abs(rt("a").getDouble(4) - 0.6) < 1e-6)
+    assert(math.abs(rt("a").getDouble(5) - 1.0) < 1e-6)
+    // one shared value everywhere: H exactly 0, and the tie correction
+    // degenerates (tsum = N³−N) -> h_corr NULL by the guard, never NaN
+    val flat = (Seq(5.0, 5.0).map(("a", _)) ++ Seq(5.0, 5.0).map(("b", _)))
+      .toDF("g", "v")
+    assert(StatTests.kruskalWallis(flat, "g", "v")
+      .collect().forall(x => x.getDouble(4) == 0.0 && x.isNullAt(5)))
+  }
+
+  test("brown-forsythe: hand-computed F, degenerate spread is NULL") {
+    import spark.implicits._
+    // a={1,2,3}: med 2, z={1,0,1}; b={2,4,6,8}: med 5, z={3,1,1,3}
+    // zbar = 10/7; between = 1344/441; within = 2/3 + 4 = 14/3
+    // F = 5 * (1344/441)/(14/3) = 3.265306
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = StatTests.brownForsythe(df, "g", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(2) == 2.0 && r("b").getDouble(2) == 5.0)
+    assert(math.abs(r("a").getDouble(3) - 2.0 / 3.0) < 1e-8)
+    assert(math.abs(r("a").getDouble(4) - 3.265306) < 1e-5)
+    assert(r("a").getLong(5) == 1L && r("a").getLong(6) == 5L)
+    // equal-spread groups score lower than a planted variance blowup
+    val calm = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    val wild = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(-88.0, 12.0, 112.0).map(("b", _))).toDF("g", "v")
+    val fCalm = StatTests.brownForsythe(calm, "g", "v").collect().head.getDouble(4)
+    val fWild = StatTests.brownForsythe(wild, "g", "v").collect().head.getDouble(4)
+    // a location SHIFT alone reads exactly 0 (medians absorb it); a
+    // spread blowup reads near the k=2,n=3 saturation F ≈ 3.9
+    assert(fCalm == 0.0 && fWild > 3.0, s"$fCalm vs $fWild")
+    // both groups constant: zero within-spread -> NULL by the guard
+    val flat = (Seq(2.0, 2.0).map(("a", _)) ++ Seq(9.0, 9.0).map(("b", _)))
+      .toDF("g", "v")
+    assert(StatTests.brownForsythe(flat, "g", "v").collect().forall(_.isNullAt(4)))
+  }
+
+  test("g-test: zero for independence, 40*ln2 for the diagonal 2x2") {
+    import spark.implicits._
+    // perfectly independent table: E = O everywhere -> G = 0
+    val indep = (for {
+      r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 10
+    } yield (r, c)).toDF("r", "c")
+    val ri = StatTests.gTest(indep, "r", "c").collect().head
+    assert(ri.getLong(0) == 40L && ri.getLong(1) == 1L)
+    assert(ri.getDouble(2) == 0.0)
+    // diagonal-only: O = 10 on (a,x),(b,y); E = 5 -> G = 40*ln2
+    // (the zero cells never materialize — observed-cells-only shape)
+    val diag = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
+    val rd = StatTests.gTest(diag, "r", "c").collect().head
+    assert(math.abs(rd.getDouble(2) - 40.0 * math.log(2.0)) < 1e-5)
+  }
+
+  test("durbin-watson: alternation reads ~4, trend reads ~0, ties commute") {
+    import spark.implicits._
+    def mk(g: String, es: Seq[Double]) =
+      es.zipWithIndex.map { case (e, i) => (g, i.toLong, e) }
+    // e = +1,-1,+1,-1: num = 3*4 = 12, den = 4 -> d = 3.0 (→4 as n grows)
+    // e = 1,2,3,4: num = 3, den = 30 -> d = 0.1; constant e -> d = 0
+    val df = (mk("alt", Seq(1.0, -1.0, 1.0, -1.0)) ++
+      mk("trend", Seq(1.0, 2.0, 3.0, 4.0)) ++
+      mk("flat", Seq(3.0, 3.0, 3.0, 3.0))).toDF("g", "t", "e")
+    val r = StatTests.durbinWatson(df, "g", Seq("t"), "e")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("alt").getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(r("trend").getDouble(2) - 0.1) < 1e-9)
+    assert(r("flat").getDouble(2) == 0.0)
+    // a non-unique order key whose ties carry EQUAL residuals leaves d
+    // well-defined: the residual tie-break makes any input order agree
+    val tied = Seq(("g", 1L, 5.0), ("g", 1L, 5.0), ("g", 2L, 1.0),
+      ("g", 2L, 1.0), ("g", 3L, 5.0)).toDF("g", "t", "e")
+    val rt = StatTests.durbinWatson(tied, "g", Seq("t"), "e").collect().head
+    // e-sequence 5,5,1,1,5: num = 0+16+0+16 = 32; den = 77
+    assert(math.abs(rt.getDouble(2) - 32.0 / 77.0) < 1e-6)
+  }
+
+  test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
+    import spark.implicits._
+    def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, h) => (g, new java.sql.Timestamp(h * 3600L * 1000L), h.toLong, v)
+    }
+    val df = (series("up", (0 until 10).map(_.toDouble)) ++
+      series("down", (0 until 10).map(i => -i.toDouble)) ++
+      series("flat", Seq.fill(10)(7.0)) ++
+      // t=0..3, v=1,1,2,2: S = 4, T_v = 2 -> tau = 4/sqrt(6*4) = 0.816497
+      series("tv", Seq(1.0, 1.0, 2.0, 2.0)))
+      .toDF("g", "ts", "id", "v")
+    val r = StatTests.kendallTauBudget(df, "g", "ts", "id", "v",
+        targetPoints = 1000)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("up").getDouble(3) == 1.0 && r("down").getDouble(3) == -1.0)
+    assert(r("flat").isNullAt(3), "all-tied v: tau undefined -> NULL")
+    assert(r("up").getLong(2) == 45L && r("down").getLong(2) == -45L)
+    assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
+  }
 }
