@@ -146,7 +146,14 @@ object Plans {
       "pipeline_k_anonymity",    // two-level QI aggregate, 1-row summary
       "text_simpson",            // (source,word) partials -> source rollup
       "dedup_winnow_capped",     // df-capped candidates, exact re-verify
-      "pipeline_e2e_v4")         // five-stage release chain, one lazy plan
+      "pipeline_e2e_v4",         // five-stage release chain, one lazy plan
+      "q78_kruskal_wallis",      // distinct-value midranks -> group rollup
+      "q79_brown_forsythe",      // broadcast medians, two narrow passes
+      "q80_gtest",               // observed-cells-only likelihood ratio
+      "q81_durbin_watson",       // 1-row model broadcast + one lag window
+      "q82_kendall_tau",         // budget-lottery pair frame, exact ties
+      "graph_link_predict",      // capped wedge candidates, exact re-verify
+      "q28c_grouping_sets")      // one Expand pass, three summaries
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -719,4 +719,67 @@ object GraphOps {
         (base + lit(damping) *
           (col("csum") + round(col("dm") / g.n, roundContrib))).as("rank"))
   }
+
+  /** Link-prediction scores over a BIPARTITE incidence (node, via) — the
+    * classical candidate-generation battery for "which nodes are about
+    * to be connected" (Liben-Nowell & Kleinberg 2003): per node pair
+    * sharing at least `minShared` vias,
+    *
+    *   - `cn`             common-neighbor count |Γ(a)∩Γ(b)| (exact long),
+    *   - `adamic_adar`    Σ 1/ln(deg(via)) — rare shared vias weigh more,
+    *   - `resource_alloc` Σ 1/deg(via) — the harsher hub discount,
+    *   - `jaccard`        |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|.
+    *
+    * Candidate generation is the via-keyed self-join, so a HOT via (a
+    * supplier selling every part, a user touching every item) emits
+    * deg²/2 pairs from one group — `maxDeg` is the df-cap scale lever
+    * (the [[Dedup.jaccardPairsCapped]] machinery): only vias with
+    * deg ≤ maxDeg GENERATE candidates, while every score is re-verified
+    * EXACTLY over ALL shared vias of the surviving pairs (the hub still
+    * counts in cn/aa/ra — capping trades candidate recall only, never
+    * score fidelity). A shared via has deg ≥ 2 by construction, so
+    * 1/ln(deg) is always finite. Per-wedge float terms round@9 to longs
+    * and sum exactly (oracle-identical); the divisions happen once per
+    * pair, round@9 — the scaled-long quotients carry EXACTLY 9 decimals,
+    * so a @6 rounding would sit on a tie whenever the sum ends in 500
+    * (caught by the gate on resource_alloc's first run), while @9 can
+    * never tie: a terminating quotient k/1e9 IS a 9-decimal value, and a
+    * half-tie at the 10th place needs a 2^10 factor in the denominator —
+    * impossible at bounded degree.
+    *
+    * Scale shape: one distinct pass, one via-keyed degree aggregate
+    * (broadcast back), the capped self-join, then the candidate-bounded
+    * re-verify join — ids only on the wire throughout; the node-degree
+    * frame joins by key (never broadcast-dependent on node count). */
+  def adamicAdar(edges: DataFrame, nodeCol: String, viaCol: String,
+      maxDeg: Long, minShared: Long = 2L): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    val inc = edges.select(col(nodeCol).as("__n"), col(viaCol).as("__via"))
+      .distinct()
+    val vdeg = inc.groupBy(col("__via")).agg(count(lit(1)).as("d"))
+    val ndeg = inc.groupBy(col("__n")).agg(count(lit(1)).as("dn"))
+    val keep = inc.join(vdeg.filter(col("d") <= maxDeg), Seq("__via"))
+    val cand = keep.select(col("__via"), col("__n").as("pa"))
+      .join(keep.select(col("__via"), col("__n").as("pb")), Seq("__via"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val shared = cand
+      .join(inc.select(col("__n").as("pa"), col("__via")), Seq("pa"))
+      .join(inc.select(col("__n").as("pb"), col("__via")), Seq("pb", "__via"))
+      .join(vdeg, Seq("__via"))
+    val aa9 = round(lit(1.0) / log(col("d").cast("double")) * 1e9, 0)
+      .cast("long")
+    val ra9 = round(lit(1.0) / col("d").cast("double") * 1e9, 0).cast("long")
+    val sc = shared.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("cn"), sum(aa9).as("aa9"), sum(ra9).as("ra9"))
+      .filter(col("cn") >= minShared)
+    sc.join(ndeg.select(col("__n").as("pa"), col("dn").as("deg_a")), Seq("pa"))
+      .join(ndeg.select(col("__n").as("pb"), col("dn").as("deg_b")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
+        round(col("aa9").cast("double") / 1e9, 9).as("adamic_adar"),
+        round(col("ra9").cast("double") / 1e9, 9).as("resource_alloc"),
+        round(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"), 9)
+          .as("jaccard"))
+  }
 }

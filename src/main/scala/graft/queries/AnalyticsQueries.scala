@@ -968,6 +968,61 @@ object AnalyticsQueries {
       .orderBy(col("node"))
   }
 
+  /** graph_link_predict: the Liben-Nowell/Kleinberg link-prediction
+    * battery ([[graft.pipeline.GraphOps.adamicAdar]]) over the part–part
+    * co-supplier incidence — common neighbors, Adamic–Adar,
+    * resource-allocation and neighborhood Jaccard per candidate pair.
+    * The gate runs UNCAPPED (the `l_partkey < 300` slice bounds the
+    * frame — this synthetic incidence flips density with SF: ~10 dense
+    * suppliers at sf0.001, ~1000 sparse ones at sf0.1, so no one
+    * absolute df-cap is meaningful at gate tier); `maxDeg` is the
+    * production scale lever, proven by AnalyticsSpec's planted-hub
+    * fixture (hub drops from candidate generation, still counts in the
+    * re-verified scores). Per-wedge 1/ln(d) and 1/d terms round@9 to
+    * longs and sum exactly; final quotients round@9 (a @6 rounding
+    * ties on the exactly-9-decimal scaled sums — gate-caught). */
+  private def linkPredictQ(s: SparkSession, d: String): DataFrame = {
+    val inc = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 300)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+    graft.pipeline.GraphOps
+      .adamicAdar(inc, "p", "sk", maxDeg = 200000L, minShared = 2L)
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  private val linkPredictSql =
+    """WITH pp AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+      |  WHERE l_partkey < 300),
+      |vdeg AS (SELECT sk, COUNT(*) AS d FROM pp GROUP BY sk),
+      |ndeg AS (SELECT p, COUNT(*) AS dn FROM pp GROUP BY p),
+      |keep AS (SELECT pp.p, pp.sk FROM pp JOIN vdeg USING (sk)
+      |  WHERE d <= 200000),
+      |cand AS (
+      |  SELECT DISTINCT a.p AS pa, b.p AS pb
+      |  FROM keep a JOIN keep b ON a.sk = b.sk AND a.p < b.p),
+      |shared AS (
+      |  SELECT cand.pa, cand.pb, vdeg.d
+      |  FROM cand
+      |  JOIN pp ia ON ia.p = cand.pa
+      |  JOIN pp ib ON ib.p = cand.pb AND ib.sk = ia.sk
+      |  JOIN vdeg ON vdeg.sk = ia.sk),
+      |sc AS (
+      |  SELECT pa, pb, COUNT(*) AS cn,
+      |    CAST(SUM(CAST(round(1.0 / ln(CAST(d AS DOUBLE)) * 1e9, 0)
+      |      AS BIGINT)) AS BIGINT) AS aa9,
+      |    CAST(SUM(CAST(round(1.0 / CAST(d AS DOUBLE) * 1e9, 0)
+      |      AS BIGINT)) AS BIGINT) AS ra9
+      |  FROM shared GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT sc.pa, sc.pb, sc.cn, na.dn AS deg_a, nb.dn AS deg_b,
+      |  round(CAST(aa9 AS DOUBLE) / 1e9, 9) AS adamic_adar,
+      |  round(CAST(ra9 AS DOUBLE) / 1e9, 9) AS resource_alloc,
+      |  round(CAST(cn AS DOUBLE) / CAST(na.dn + nb.dn - cn AS DOUBLE), 9)
+      |    AS jaccard
+      |FROM sc JOIN ndeg na ON na.p = sc.pa JOIN ndeg nb ON nb.p = sc.pb
+      |ORDER BY pa, pb""".stripMargin
+
   private val trianglesSql =
     """WITH pp AS (
       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
@@ -1825,6 +1880,9 @@ object AnalyticsQueries {
     Capability("graph_triangles",
       "per-node triangle counts via degree-ordered orientation (hub-safe wedges)",
       trianglesQ, Some(trianglesSql)),
+    Capability("graph_link_predict",
+      "link prediction: common-neighbor/Adamic-Adar/resource-alloc/Jaccard pairs",
+      linkPredictQ, Some(linkPredictSql)),
     Capability("graph_hits",
       "HITS hubs & authorities: 2 L1-normalized mutual-recursion iterations",
       hitsQ, Some(hitsSql)),

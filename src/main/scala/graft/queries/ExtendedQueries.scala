@@ -58,6 +58,45 @@ object ExtendedQueries {
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Q28c: explicit GROUPING SETS — an IRREGULAR set list no rollup or
+    * cube can express ((flag, status) detail, a (ship-year) slice,
+    * and the grand total, but NOT the intermediate (flag) level): the
+    * reporting shape that computes several independent summaries in ONE
+    * pass over the fact table instead of three. Spark plans it as a
+    * single Expand + one aggregate — at 100 TB that is one scan and one
+    * shuffle where three UNION'd queries would pay three. grouping_id()
+    * disambiguates the set each output row belongs to (same bit order
+    * as DuckDB's GROUPING()); null ordering pinned like q28/q28b. */
+  private def q28c(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("ship_year", year(col("l_shipdate")))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("ship_year").asc_nulls_first)
+  }
+
+  private val q28cSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n,
+       |  GROUPING(l_returnflag, l_linestatus, year(l_shipdate)) AS gid
+       |FROM lineitem
+       |GROUP BY GROUPING SETS
+       |  ((l_returnflag, l_linestatus), (year(l_shipdate)), ())
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+       |  l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin
+
   /** Q27e: approx_top_k frequent-items sketch (Spark 4 builtin). Gated
     * exactly: `event_type` has 5 distinct values, far below the sketch's
     * tracked-item capacity, so the "approximate" counts are provably
@@ -604,6 +643,9 @@ object ExtendedQueries {
   val caps: Seq[Capability] = Seq(
     Capability("q28_rollup", "rollup subtotals with grouping_id", q28, Some(q28Sql)),
     Capability("q28b_cube", "cube over both grouping dimensions", q28b, Some(q28bSql)),
+    Capability("q28c_grouping_sets",
+      "irregular GROUPING SETS: three independent summaries in one Expand pass",
+      q28c, Some(q28cSql)),
     Capability("q27e_approx_topk", "approx_top_k frequent-items sketch (exact at this cardinality)", q27e, Some(q27eSql)),
     Capability("q42_grouped_topk", "grouped top-k via bounded-heap mergeable aggregate (select_k)", q42,
       Some(q42Sql)),

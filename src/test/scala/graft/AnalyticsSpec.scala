@@ -835,4 +835,40 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 1), (3L, 4L, 1)), pairs.toString)
   }
+
+  test("link prediction: closed-form scores; the df-cap drops the hub from " +
+      "candidate generation but never from the re-verified scores") {
+    import spark.implicits._
+    // hub touches everyone (deg 4); v1 joins a,b; v2 joins c,d
+    val inc = Seq(
+      ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+      ("a", "v1"), ("b", "v1"), ("c", "v2"), ("d", "v2"))
+      .toDF("n", "via")
+    def rows(maxDeg: Long, minShared: Long) =
+      graft.pipeline.GraphOps.adamicAdar(inc, "n", "via", maxDeg, minShared)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+        .toMap
+    val full = rows(100L, 1L)
+    assert(full.size == 6, s"all pairs share at least the hub: $full")
+    val (cn, da, db, aa, ra, jc) = full(("a", "b"))
+    assert(cn == 2L && da == 2L && db == 2L)
+    // aa = 1/ln4 + 1/ln2 (terms round@9); ra = 1/4 + 1/2; jacc = 2/2
+    assert(math.abs(aa - (1.0 / math.log(4.0) + 1.0 / math.log(2.0))) < 1e-8)
+    assert(ra == 0.75 && jc == 1.0)
+    val (cnAc, _, _, aaAc, raAc, jcAc) = full(("a", "c"))
+    assert(cnAc == 1L && raAc == 0.25 && math.abs(jcAc - 1.0 / 3.0) < 1e-9)
+    assert(math.abs(aaAc - 1.0 / math.log(4.0)) < 1e-8)
+    // cap at 3: the hub generates NO candidates (its 6 wedge pairs are
+    // the boilerplate blowup the lever bounds) — only v1/v2 pairs
+    // survive, and their scores still COUNT the hub exactly
+    val capped = rows(3L, 1L)
+    assert(capped.keySet == Set(("a", "b"), ("c", "d")), capped.toString)
+    assert(capped(("a", "b")) == full(("a", "b")),
+      "capping must not change a surviving pair's exact scores")
+    // minShared prunes hub-only pairs from the uncapped run too
+    assert(rows(100L, 2L).keySet == Set(("a", "b"), ("c", "d")))
+  }
 }

@@ -223,9 +223,15 @@ class LintSpec extends AnyFunSuite {
       // the 1-row OLS model broadcast (the q63 composition shape)
       "q81_durbin_watson" -> Set("cartesian"),
       // shares q67/q72's md5-lottery thinning — parquet-inexpressible
-      "q82_kendall_tau" -> Set("unpushed-filter"))
+      "q82_kendall_tau" -> Set("unpushed-filter"),
+      // the Expand IS the operator here: GROUPING SETS deliberately
+      // multiplies rows once (3 sets) to buy one scan + one shuffle
+      // where three UNION'd aggregates would pay three — not the
+      // accidental multi-distinct shape the rule hunts
+      "q28c_grouping_sets" -> Set("expand-distinct"))
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
-      "q80_gtest", "q81_durbin_watson", "q82_kendall_tau").flatMap { name =>
+      "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
+      "graph_link_predict", "q28c_grouping_sets").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
