@@ -153,7 +153,9 @@ object Plans {
       "q81_durbin_watson",       // 1-row model broadcast + one lag window
       "q82_kendall_tau",         // budget-lottery pair frame, exact ties
       "graph_link_predict",      // capped wedge candidates, exact re-verify
-      "q28c_grouping_sets")      // one Expand pass, three summaries
+      "q28c_grouping_sets",      // one Expand pass, three summaries
+      "q83_pacf",                // zero extra passes over the ACF frame
+      "graph_modularity")        // integer-exact community rollup
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -76,6 +76,45 @@ object TimeSeries {
           sqrt(varx * vary), 9)).as("acf"))
   }
 
+  /** Partial autocorrelation to lag 3 via the Durbin–Levinson recursion
+    * UNROLLED (Box–Jenkins order identification: ACF tails off for an
+    * AR process, PACF CUTS OFF at the true order — the pair of plots
+    * every ARIMA fit starts from; [[acf]] alone cannot separate an
+    * AR(1) from higher orders because ρ_k = ρ₁ᵏ tails forever):
+    *
+    *   φ₁₁ = r₁
+    *   φ₂₂ = (r₂ − r₁²)/(1 − r₁²),  φ₂₁ = r₁ − φ₂₂·r₁
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂)
+    *
+    * computed from the ROUND@9 ACF artifact [[acf]] emits — the shared
+    * cross-engine contract: both engines take bit-identical r values
+    * into the same fixed-order IEEE expressions, so the φ doubles are
+    * identical before their own round@6. The recursion depth is fixed
+    * at 3 (matching the house maxLag) — a driver-side loop over k would
+    * trade the one-expression determinism contract for nothing at this
+    * depth. Degenerate guards mirror as CASE WHEN: |r₁| = 1 NULLs φ₂₂
+    * onward; a non-positive level-3 denominator (non-PD Toeplitz — a
+    * degenerate sample ACF) NULLs φ₃₃; any NULL r propagates NULL.
+    * Adds ZERO passes over the data beyond [[acf]]'s own — the pivot
+    * and recursion run on the #keys×3 ACF frame. */
+  def pacf3(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val a = acf(df, keyCol, tsCol, idCol, valCol, maxLag = 3)
+    val piv = a.groupBy(col(keyCol)).agg(
+      min(when(col("lag") === 1, col("acf"))).as("r1"),
+      min(when(col("lag") === 2, col("acf"))).as("r2"),
+      min(when(col("lag") === 3, col("acf"))).as("r3"))
+    val p22den = lit(1.0) - col("r1") * col("r1")
+    val p22 = (col("r2") - col("r1") * col("r1")) / p22den
+    val p21 = col("r1") - p22 * col("r1")
+    val p33den = lit(1.0) - p21 * col("r1") - p22 * col("r2")
+    val p33 = (col("r3") - p21 * col("r2") - p22 * col("r1")) / p33den
+    piv.select(col(keyCol), col("r1"), col("r2"), col("r3"),
+      round(col("r1"), 6).as("pacf1"),
+      when(p22den > 0.0, round(p22, 6)).as("pacf2"),
+      when(p22den > 0.0 && p33den > 0.0, round(p33, 6)).as("pacf3"))
+  }
+
   /** Cross-correlation function between two keys' bucketed series —
     * [[acf]]'s two-series sibling, THE lead/lag question ("do clicks
     * predict purchases an hour later?"): CCF(k) = corr(x_t, y_{t+k})

@@ -720,6 +720,59 @@ object GraphOps {
           (col("csum") + round(col("dm") / g.n, roundContrib))).as("rank"))
   }
 
+  /** Newman modularity Q of a LABELED partition over an undirected
+    * simple graph: Q = Σ_c (e_c/m − (D_c/2m)²) — "how much denser are
+    * the communities than a degree-preserving random rewiring?" (Q > ~0.3
+    * is real structure; Q ≈ 0 means the labels don't bind). This is the
+    * READOUT side: labels come from the caller (an attribute partition,
+    * [[Dedup.connectedComponents]], an LPA run) — keeping it separate
+    * from any particular community finder makes it gateable even where
+    * the finder itself is iteration-dependent.
+    *
+    * INTEGER-EXACT throughout: edges normalize to distinct least<greatest
+    * pairs, e_c / D_c / m are exact longs, and Q folds to ONE division
+    * (4m·Σe_c − ΣD_c²)/(4m²), round@9 — no per-community float sum
+    * exists to order. Edges with an UNLABELED endpoint drop from the
+    * graph entirely (m included — documented contract: Q is the
+    * modularity of the labeled subgraph). Scale shape: one distinct
+    * normalize, two label equi-joins, a node-keyed degree aggregate and
+    * a #communities rollup; ids and labels only on the wire.
+    * Output: one row per community (label, n_nodes, e_in, d_tot) with
+    * the global m and q on every row. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("__node"),
+      col(labelCol).as("__lab")).distinct()
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .join(lab.select(col("__node").as("u"), col("__lab").as("lu")), Seq("u"))
+      .join(lab.select(col("__node").as("v"), col("__lab").as("lv")), Seq("v"))
+    val mTot = und.agg(count(lit(1)).as("m"))
+    val ein = und.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("__lab")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("__node"), col("lu").as("__lab"))
+      .union(und.select(col("v"), col("lv")))
+      .groupBy(col("__node"), col("__lab")).agg(count(lit(1)).as("d"))
+    val comm = deg.groupBy(col("__lab"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+      .join(ein, Seq("__lab"), "left")
+      .select(col("__lab"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+    val parts = comm.agg(sum(col("e_in")).as("se"),
+      sum(col("d_tot").cast("decimal(38,0)") * col("d_tot")).as("sd2"))
+    // 4m² wraps a long past m ≈ 1.5e9 edges — entirely reachable at
+    // 100 TB, so the fold runs in decimal(38,0)/HUGEINT (exact in both
+    // engines, correctly rounded on the one cast to double)
+    val four = lit(4L).cast("decimal(38,0)")
+    val q = (four * col("m") * col("se") - col("sd2")).cast("double") /
+      (four * col("m") * col("m")).cast("double")
+    comm.crossJoin(broadcast(mTot)).crossJoin(broadcast(parts))
+      .select(col("__lab").as("label"), col("n_nodes"), col("e_in"),
+        col("d_tot"), col("m"), round(q, 9).as("q"))
+  }
+
   /** Link-prediction scores over a BIPARTITE incidence (node, via) — the
     * classical candidate-generation battery for "which nodes are about
     * to be connected" (Liben-Nowell & Kleinberg 2003): per node pair

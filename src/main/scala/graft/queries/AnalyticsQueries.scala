@@ -968,6 +968,59 @@ object AnalyticsQueries {
       .orderBy(col("node"))
   }
 
+  /** graph_modularity: Newman modularity ([[graft.pipeline.GraphOps
+    * .modularity]]) of the NATION partition over the supplier co-part
+    * graph — "do suppliers cluster by nation?", the readout every
+    * community detection run ends with. Labels are an attribute
+    * partition precisely so the gate is iteration-independent (LPA's
+    * own labels depend on round structure; Q of ANY given labeling is
+    * exact). Integer-exact e_c/D_c/m, ONE division in decimal/HUGEINT
+    * (4m² wraps a long past ~1.5e9 edges), round@9. */
+  private def modularityQ(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val a = pp.select(col("p"), col("sk").as("sa"))
+    val b = pp.select(col("p"), col("sk").as("sb"))
+    val edges = a.join(b, Seq("p")).filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    val labels = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    graft.pipeline.GraphOps
+      .modularity(edges, "sa", "sb", labels, "s_suppkey", "s_nationkey")
+      .orderBy(col("label"))
+  }
+
+  private val modularitySql =
+    """WITH pp AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM pp a JOIN pp b ON a.p = b.p AND a.sk < b.sk),
+      |lab AS (SELECT s_suppkey AS node, s_nationkey AS lb FROM supplier),
+      |el AS (
+      |  SELECT e.u, e.v, lu.lb AS lu, lv.lb AS lv
+      |  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v),
+      |mt AS (SELECT COUNT(*) AS m FROM el),
+      |ein AS (SELECT lu AS lb, COUNT(*) AS e_in FROM el WHERE lu = lv
+      |  GROUP BY 1),
+      |deg AS (SELECT node, lb, COUNT(*) AS d FROM (
+      |    SELECT u AS node, lu AS lb FROM el
+      |    UNION ALL SELECT v, lv FROM el)
+      |  GROUP BY 1, 2),
+      |comm AS (SELECT lb, COUNT(*) AS n_nodes,
+      |    CAST(SUM(d) AS BIGINT) AS d_tot
+      |  FROM deg GROUP BY lb),
+      |c2 AS (SELECT comm.lb, n_nodes,
+      |    CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, d_tot
+      |  FROM comm LEFT JOIN ein USING (lb)),
+      |parts AS (SELECT CAST(SUM(e_in) AS BIGINT) AS se,
+      |    CAST(SUM(CAST(d_tot AS HUGEINT) * d_tot) AS HUGEINT) AS sd2
+      |  FROM c2)
+      |SELECT lb AS label, n_nodes, e_in, d_tot, m,
+      |  round(CAST(CAST(4 AS HUGEINT) * m * se - sd2 AS DOUBLE) /
+      |    CAST(CAST(4 AS HUGEINT) * m * m AS DOUBLE), 9) AS q
+      |FROM c2, mt, parts ORDER BY label""".stripMargin
+
   /** graph_link_predict: the Liben-Nowell/Kleinberg link-prediction
     * battery ([[graft.pipeline.GraphOps.adamicAdar]]) over the part–part
     * co-supplier incidence — common neighbors, Adamic–Adar,
@@ -1883,6 +1936,9 @@ object AnalyticsQueries {
     Capability("graph_link_predict",
       "link prediction: common-neighbor/Adamic-Adar/resource-alloc/Jaccard pairs",
       linkPredictQ, Some(linkPredictSql)),
+    Capability("graph_modularity",
+      "Newman modularity of the nation partition (integer-exact, one division)",
+      modularityQ, Some(modularitySql)),
     Capability("graph_hits",
       "HITS hubs & authorities: 2 L1-normalized mutual-recursion iterations",
       hitsQ, Some(hitsSql)),

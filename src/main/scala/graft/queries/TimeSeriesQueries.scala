@@ -30,7 +30,9 @@ object TimeSeriesQueries {
       .withColumnRenamed("lag", "lg")
       .orderBy(col("event_type"), col("lg"))
 
-  private val acfSql =
+  /** The lag-pair/moment/guarded-Pearson CTE chain — shared verbatim by
+    * the q50 and q83 gates so PACF runs on EXACTLY q50's r values. */
+  private val acfCtes =
     s"""WITH src AS (
        |  SELECT event_type, epoch_us(ts) AS us, event_id,
        |    CAST(value AS DOUBLE) AS x
@@ -51,16 +53,57 @@ object TimeSeriesQueries {
        |    ${Det.sqlSum("x")} AS sx, ${Det.sqlSum("y")} AS sy,
        |    ${Det.sqlSum("x * x")} AS sxx, ${Det.sqlSum("y * y")} AS syy,
        |    ${Det.sqlSum("x * y")} AS sxy
-       |  FROM p GROUP BY 1, 2)
-       |SELECT event_type, lg, n_pairs,
-       |  CASE WHEN n_pairs >= 2
-       |        AND (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
-       |        AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
-       |       THEN round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
-       |         sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
-       |              (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 9)
-       |  END AS acf
-       |FROM m ORDER BY event_type, lg""".stripMargin
+       |  FROM p GROUP BY 1, 2),
+       |r0 AS (
+       |  SELECT event_type, lg, n_pairs,
+       |    CASE WHEN n_pairs >= 2
+       |          AND (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
+       |          AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+       |         THEN round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+       |           sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+       |                (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 9)
+       |    END AS acf
+       |  FROM m)""".stripMargin
+
+  private lazy val acfSql =
+    s"""$acfCtes
+       |SELECT event_type, lg, n_pairs, acf
+       |FROM r0 ORDER BY event_type, lg""".stripMargin
+
+  /** q83_pacf: partial autocorrelation to lag 3 ([[TimeSeries.pacf3]]) —
+    * the Box–Jenkins order-identification companion of q50 (ACF tails
+    * off for an AR process, PACF CUTS OFF at the true order; neither
+    * plot alone identifies it). Durbin–Levinson unrolled over q50's own
+    * round@9 r values — the shared-artifact contract: both engines feed
+    * bit-identical r into the same fixed-order expressions, and the
+    * oracle literally reuses q50's CTE chain. Adds ZERO data passes
+    * beyond the ACF's own; degenerate denominators NULL by mirrored
+    * guards. */
+  private def pacfQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.pacf3(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("event_id"), col("value")),
+        "event_type", "__us", "event_id", "value")
+      .orderBy(col("event_type"))
+
+  private lazy val pacfSql =
+    s"""$acfCtes,
+       |rv AS (
+       |  SELECT event_type,
+       |    MIN(CASE WHEN lg = 1 THEN acf END) AS r1,
+       |    MIN(CASE WHEN lg = 2 THEN acf END) AS r2,
+       |    MIN(CASE WHEN lg = 3 THEN acf END) AS r3
+       |  FROM r0 GROUP BY event_type),
+       |s1 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM rv),
+       |s2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM s1),
+       |s3 AS (SELECT *, 1.0 - p21 * r1 - p22 * r2 AS p33den FROM s2)
+       |SELECT event_type, r1, r2, r3,
+       |  round(r1, 6) AS pacf1,
+       |  CASE WHEN (1.0 - r1 * r1) > 0 THEN round(p22, 6) END AS pacf2,
+       |  CASE WHEN (1.0 - r1 * r1) > 0 AND p33den > 0 THEN
+       |    round((r3 - p21 * r2 - p22 * r1) / p33den, 6) END AS pacf3
+       |FROM s3 ORDER BY event_type""".stripMargin
 
   /** Interval half-width: each event claims [ts, ts + 30 min]. */
   private val IvUs = 1800L * 1000000L
@@ -301,6 +344,9 @@ object TimeSeriesQueries {
     Capability("q50_acf",
       "autocorrelation at lags 1-3 per series: exact-moment guarded Pearson",
       acfQ, Some(acfSql)),
+    Capability("q83_pacf",
+      "partial autocorrelation: Durbin-Levinson unrolled over the q50 r values",
+      pacfQ, Some(pacfSql)),
     Capability("q51_intervals",
       "gaps-and-islands interval merge per user (O(1) window state, integer-exact)",
       intervalsQ, Some(intervalsSql)),

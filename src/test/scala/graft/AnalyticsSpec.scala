@@ -871,4 +871,39 @@ class AnalyticsSpec extends AnyFunSuite {
     // minShared prunes hub-only pairs from the uncapped run too
     assert(rows(100L, 2L).keySet == Set(("a", "b"), ("c", "d")))
   }
+
+  test("modularity: two bridged triangles score 5/14; one community scores 0; " +
+      "unlabeled endpoints drop with their edges") {
+    import spark.implicits._
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a3", "b3"))
+      .toDF("u", "v")
+    val labels = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B").toDF("n", "c")
+    val r = graft.pipeline.GraphOps.modularity(edges, "u", "v", labels, "n", "c")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // m=7; per triangle: e_in=3, D=7 -> Q = 2*(3/7 - (7/14)^2) = 5/14
+    assert(r("A").getLong(1) == 3L && r("A").getLong(2) == 3L &&
+      r("A").getLong(3) == 7L && r("A").getLong(4) == 7L)
+    assert(math.abs(r("A").getDouble(5) - 5.0 / 14.0) < 1e-9)
+    // one community holding everything: Q = m/m - (2m/2m)^2 = 0 exactly
+    val one = Seq("a1" -> "X", "a2" -> "X", "a3" -> "X",
+      "b1" -> "X", "b2" -> "X", "b3" -> "X").toDF("n", "c")
+    val rOne = graft.pipeline.GraphOps.modularity(edges, "u", "v", one, "n", "c")
+      .collect().head
+    assert(rOne.getDouble(5) == 0.0, rOne.toString)
+    // dropping b3's label removes its 3 edges from the labeled subgraph
+    val partial = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B").toDF("n", "c")
+    val rp = graft.pipeline.GraphOps
+      .modularity(edges, "u", "v", partial, "n", "c")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rp("A").getLong(4) == 4L, s"m must count labeled edges only: $rp")
+    assert(rp("B").getLong(2) == 1L && rp("B").getLong(1) == 2L)
+    // duplicate + reversed edges normalize away; self-loops drop
+    val messy = edges.union(Seq(("a2", "a1"), ("a1", "a1")).toDF("u", "v"))
+    val rm = graft.pipeline.GraphOps.modularity(messy, "u", "v", labels, "n", "c")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rm("A").getDouble(5) == r("A").getDouble(5), "normalization")
+  }
 }

@@ -228,10 +228,13 @@ class LintSpec extends AnyFunSuite {
       // multiplies rows once (3 sets) to buy one scan + one shuffle
       // where three UNION'd aggregates would pay three — not the
       // accidental multi-distinct shape the rule hunts
-      "q28c_grouping_sets" -> Set("expand-distinct"))
+      "q28c_grouping_sets" -> Set("expand-distinct"),
+      // 1-row m/parts totals ride broadcasts (the text_pmi convention)
+      "graph_modularity" -> Set("cartesian"))
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
-      "graph_link_predict", "q28c_grouping_sets").flatMap { name =>
+      "graph_link_predict", "q28c_grouping_sets", "q83_pacf",
+      "graph_modularity").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

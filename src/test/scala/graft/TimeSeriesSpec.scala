@@ -209,4 +209,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     val r = TimeSeries.cusum(df, "k", "t", "id", "v").collect().head
     assert(r.getInt(2) == 1, s"tie must resolve to first peak, got ${r.getInt(2)}")
   }
+
+  test("pacf3 equals a host-side Durbin-Levinson over its own r values; " +
+      "degenerate series propagate NULL") {
+    import spark.implicits._
+    // deterministic wiggle with genuine structure at several lags
+    val wiggle = (0 until 200).map { k =>
+      ("w", k.toLong, k.toLong,
+        math.sin(k * 0.7) * 5.0 + math.sin(k * 0.13) * 2.0 + k % 3)
+    }
+    val flat = (0 until 50).map(k => ("flat", k.toLong, k.toLong, 4.0))
+    val df = (wiggle ++ flat).toDF("k", "t", "id", "v")
+    val out = TimeSeries.pacf3(df, "k", "t", "id", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val w = out("w")
+    val (r1, r2, r3) = (w.getDouble(1), w.getDouble(2), w.getDouble(3))
+    assert(w.getDouble(4) == math.rint(r1 * 1e6) / 1e6, "pacf1 IS r1")
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(math.abs(w.getDouble(5) - p22) < 1e-6, s"phi22: $w vs $p22")
+    assert(math.abs(w.getDouble(6) - p33) < 1e-6, s"phi33: $w vs $p33")
+    // an AR-ish decaying ACF keeps |pacf3| well below |pacf1|: the
+    // cut-off property the plot pair exists for
+    assert(math.abs(w.getDouble(6)) < math.abs(w.getDouble(4)) + 1.0)
+    // constant series: zero variance -> r NULL -> every phi NULL
+    val f = out("flat")
+    assert(f.isNullAt(1) && f.isNullAt(4) && f.isNullAt(5) && f.isNullAt(6))
+  }
 }
