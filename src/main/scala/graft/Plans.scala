@@ -155,7 +155,8 @@ object Plans {
       "graph_link_predict",      // capped wedge candidates, exact re-verify
       "q28c_grouping_sets",      // one Expand pass, three summaries
       "q83_pacf",                // zero extra passes over the ACF frame
-      "graph_modularity")        // integer-exact community rollup
+      "graph_modularity",        // integer-exact community rollup
+      "q84_hodges_lehmann")      // budget-bounded cross pairs, rank pick
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -999,6 +999,50 @@ object StatTests {
     kendallTauOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
       targetPoints))
 
+  /** Hodges–Lehmann two-sample shift estimator: the LOWER MEDIAN of all
+    * cross-pair differences x_a − x_b — the robust "by HOW MUCH is the
+    * distribution shifted" companion to [[mannWhitney]]'s "is it
+    * shifted" (the published pairing, and the estimator whose breakdown
+    * point beats the difference-of-means the moment either tail is
+    * heavy). The pair frame is m = n_a·n_b — quadratic by definition —
+    * so both samples thin through the same scale-adaptive
+    * [[budgetPoints]] lottery as Theil–Sen (per-group thresholds depend
+    * only on per-group counts, so restricting to the two groups keeps
+    * the selection identical to the other estimators'). Differences
+    * live as 1e9-scaled exact longs; the median is the ⌈m/2⌉-th
+    * smallest via the distinct-difference cumsum frame (the
+    * [[mannWhitney]]/q63 rank-selection shape — the pair frame itself
+    * never sorts globally). Lower-median convention matches
+    * [[theilSen]]: the picked value at a rank is unique in the sorted
+    * multiset, so ties cannot flip it.
+    * Output: 1 row (n_a, n_b, m, hl_shift round@9). */
+  def hodgesLehmannBudget(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, ga: String, gb: String,
+      targetPoints: Int = 400): DataFrame = {
+    val pts = budgetPoints(
+      df.filter(col(groupCol) === ga || col(groupCol) === gb),
+      groupCol, tsCol, idCol, valCol, targetPoints)
+    val a = pts.filter(col("g") === lit(ga))
+      .select(round(col("v") * 1e9, 0).cast("long").as("va"))
+    val b = pts.filter(col("g") === lit(gb))
+      .select(round(col("v") * 1e9, 0).cast("long").as("vb"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val vc = a.crossJoin(b).select((col("va") - col("vb")).as("d9"))
+      .groupBy(col("d9")).agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum(col("c")).as("m"))
+    val w = Window.orderBy(col("d9"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(m + 1) DIV 2"))
+      .groupBy(col("m"))
+      .agg(min(col("d9")).as("d9"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"), col("m"),
+        round(col("d9").cast("double") / 1e9, 9).as("hl_shift"))
+  }
+
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
     val pts = pts0.select(col("g"), col("t"), col("v"))
     val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))

@@ -1085,6 +1085,37 @@ object StatsQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q84_hodges_lehmann: the robust shift MAGNITUDE between the $MwA and
+    * $MwB value distributions ([[StatTests.hodgesLehmannBudget]]) — q56
+    * says whether they differ, HL says by how much in VALUE units
+    * (lower median of all cross-pair differences, 29%-breakdown-per-side
+    * where the difference of means has zero). Same budget lottery as
+    * q67/q72/q82 (per-group thresholds depend only on per-group counts,
+    * so the kept points are identical across the estimator family);
+    * 1e9-scaled exact differences, rank-selected median. */
+  private def hlQ(s: SparkSession, d: String): DataFrame =
+    StatTests.hodgesLehmannBudget(Tables.events(s, d),
+      "event_type", "ts", "event_id", "value", MwA, MwB,
+      targetPoints = TheilSenBudgetPts)
+
+  private lazy val hlSql =
+    s"""WITH $budgetPtsSql,
+       |a AS (SELECT CAST(round(v * 1e9, 0) AS BIGINT) AS va FROM pts
+       |  WHERE g = '$MwA'),
+       |b AS (SELECT CAST(round(v * 1e9, 0) AS BIGINT) AS vb FROM pts
+       |  WHERE g = '$MwB'),
+       |na AS (SELECT COUNT(*) AS n_a FROM a),
+       |nb AS (SELECT COUNT(*) AS n_b FROM b),
+       |vc AS (SELECT va - vb AS d9, COUNT(*) AS c FROM a, b GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM vc),
+       |cum AS (SELECT d9, SUM(c) OVER (ORDER BY d9
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vc),
+       |pick AS (SELECT MIN(d9) AS d9 FROM cum, tot
+       |  WHERE cum >= (m + 1) // 2)
+       |SELECT n_a, n_b, m, round(CAST(d9 AS DOUBLE) / 1e9, 9) AS hl_shift
+       |FROM pick, na, nb, tot""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1155,5 +1186,8 @@ object StatsQueries {
     Capability("q82_kendall_tau",
       "Kendall's tau-b on the q67/q72 budget-lottery points (exact tie sums)",
       ktQ, Some(ktSql)),
+    Capability("q84_hodges_lehmann",
+      "Hodges-Lehmann shift: lower-median cross-pair difference (budget lottery)",
+      hlQ, Some(hlSql)),
   )
 }

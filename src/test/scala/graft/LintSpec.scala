@@ -230,11 +230,17 @@ class LintSpec extends AnyFunSuite {
       // accidental multi-distinct shape the rule hunts
       "q28c_grouping_sets" -> Set("expand-distinct"),
       // 1-row m/parts totals ride broadcasts (the text_pmi convention)
-      "graph_modularity" -> Set("cartesian"))
+      "graph_modularity" -> Set("cartesian"),
+      // the HL pair frame is a deliberate cross of two budget-bounded
+      // (~400-row) lottery samples; the md5 lottery is
+      // parquet-inexpressible; the median cumsum runs over the
+      // distinct-DIFFERENCE frame (MW convention)
+      "q84_hodges_lehmann" -> Set("cartesian", "unpushed-filter",
+        "global-window", "single-partition-shuffle"))
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
       "graph_link_predict", "q28c_grouping_sets", "q83_pacf",
-      "graph_modularity").flatMap { name =>
+      "graph_modularity", "q84_hodges_lehmann").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -544,6 +544,34 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(rt.getDouble(2) - 32.0 / 77.0) < 1e-6)
   }
 
+  test("hodges-lehmann: closed-form lower median, exact under a pure shift, " +
+      "immune to a wild outlier that wrecks the mean difference") {
+    import spark.implicits._
+    def rows(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) =>
+        (g, new java.sql.Timestamp(i * 1000L), (g.hashCode * 100 + i).toLong, v)
+    }
+    // a={1,2,3}, b={0,1}: diffs sorted {0,1,1,2,2,3}, m=6, k=3 -> 1.0
+    val df = (rows("a", Seq(1.0, 2.0, 3.0)) ++ rows("b", Seq(0.0, 1.0)))
+      .toDF("g", "ts", "id", "v")
+    val r = StatTests.hodgesLehmannBudget(df, "g", "ts", "id", "v",
+      "a", "b", targetPoints = 1000).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 1.0, r.toString)
+    // pure shift: b = a + 5 -> every difference is exactly -5
+    val shift = (rows("a", Seq(1.0, 2.0, 3.0, 4.0)) ++
+      rows("b", Seq(6.0, 7.0, 8.0, 9.0))).toDF("g", "ts", "id", "v")
+    val rs = StatTests.hodgesLehmannBudget(shift, "g", "ts", "id", "v",
+      "a", "b", targetPoints = 1000).collect().head
+    assert(rs.getDouble(3) == -5.0)
+    // one wild outlier moves the mean difference by ~250 but HL not at all
+    val wild = (rows("a", Seq(1.0, 2.0, 3.0, 4.0, 1000.0)) ++
+      rows("b", Seq(6.0, 7.0, 8.0, 9.0))).toDF("g", "ts", "id", "v")
+    val rw = StatTests.hodgesLehmannBudget(wild, "g", "ts", "id", "v",
+      "a", "b", targetPoints = 1000).collect().head
+    assert(rw.getDouble(3) == -5.0, s"outlier-immune: $rw")
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
