@@ -156,7 +156,8 @@ object Plans {
       "q28c_grouping_sets",      // one Expand pass, three summaries
       "q83_pacf",                // zero extra passes over the ACF frame
       "graph_modularity",        // integer-exact community rollup
-      "q84_hodges_lehmann")      // budget-bounded cross pairs, rank pick
+      "q84_hodges_lehmann",      // budget-bounded cross pairs, rank pick
+      "q85_welch_anova")         // one grouped pass, broadcast reductions
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -999,6 +999,81 @@ object StatTests {
     kendallTauOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
       targetPoints))
 
+  /** One-way ANOVA, CLASSIC and WELCH in one pass — the k-group mean
+    * test completing the battery ([[welchPairs]] is pairwise,
+    * [[kruskalWallis]] is the rank form, [[brownForsythe]] tests the
+    * variances this test's classic form assumes equal; Welch's F
+    * (1951) drops that assumption and is the practice default).
+    *
+    *   classic: F = [Σn_g(x̄_g−x̄)²/(k−1)] / [Σss_g/(N−k)]
+    *   Welch:   w_g = n_g/s²_g, W = Σw, x̄_w = Σw_g x̄_g / W,
+    *            λ = Σ(1−w_g/W)²/(n_g−1),
+    *            F* = [Σw_g(x̄_g−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·λ],
+    *            df2 = (k²−1)/(3λ)
+    *
+    * Groups with n < 2 or zero variance are EXCLUDED from both
+    * statistics (w_g is infinite there; the classic form would carry
+    * them, but one test over one group set is the honest contract —
+    * documented, spec-pinned). Determinism ladder: per-group moments
+    * are exact decimals; every cross-group sum (w, w·x̄, both F
+    * numerators, both denominators, λ) is a per-group IEEE term rounded
+    * to a scaled decimal(38,0) and summed exactly — the [[kruskalWallis]]
+    * convention, mirrored in the oracle term for term. ONE grouped
+    * exchange over the data; everything after runs on #groups-row
+    * broadcast frames. Output: 1 row (k, n, f_anova, f_welch,
+    * df2_welch round@6; df1 = k−1 exact). */
+  def oneWayAnova(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val m0 = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(Det.dec(col("x"))).as("sxd"),
+        sum(Det.dec(col("x") * col("x"))).as("sxxd"))
+    val nD = col("n_g").cast("double")
+    val mean = col("sxd").cast("double") / nD
+    val ss = col("sxxd").cast("double") -
+      col("sxd").cast("double") * col("sxd").cast("double") / nD
+    val m = m0.filter(col("n_g") >= 2 && ss > 0.0)
+    val w = nD / (ss / (nD - 1.0))
+    val t1 = m.select(col("g"), col("n_g"), col("sxd"), col("sxxd"),
+      round(w * 1e6, 0).cast("decimal(38,0)").as("w6"),
+      round(w * mean * 1e6, 0).cast("decimal(38,0)").as("wx6"))
+    val s1 = t1.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"),
+      sum(col("sxd")).cast("double").as("sxall"),
+      sum(col("w6")).as("w6t"), sum(col("wx6")).as("wx6t"))
+    val bigW = col("w6t").cast("double") / 1e6
+    val xw = (col("wx6t").cast("double") / 1e6) / bigW
+    val meanAll = col("sxall") / col("n_tot").cast("double")
+    val terms = t1.crossJoin(broadcast(s1)).select(
+      round(nD * (mean - meanAll) * (mean - meanAll) * 1e6, 0)
+        .cast("decimal(38,0)").as("cb6"),
+      round(ss * 1e6, 0).cast("decimal(38,0)").as("cw6"),
+      round(w * (mean - xw) * (mean - xw) * 1e6, 0)
+        .cast("decimal(38,0)").as("wb6"),
+      round((lit(1.0) - w / bigW) * (lit(1.0) - w / bigW) / (nD - 1.0) * 1e9,
+        0).cast("decimal(38,0)").as("lam9"))
+    val s2 = terms.agg(
+      sum(col("cb6")).cast("double").as("scb"),
+      sum(col("cw6")).cast("double").as("scw"),
+      sum(col("wb6")).cast("double").as("swb"),
+      sum(col("lam9")).cast("double").as("slam"))
+    val kD = col("k").cast("double")
+    val nTD = col("n_tot").cast("double")
+    val lambda = col("slam") / 1e9
+    val fClassic = (nTD - kD) / (kD - 1.0) * ((col("scb") / 1e6) /
+      (col("scw") / 1e6))
+    val fWelch = (col("swb") / 1e6) / (kD - 1.0) /
+      (lit(1.0) + lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) * lambda)
+    val df2w = (kD * kD - 1.0) / (lit(3.0) * lambda)
+    val ok = col("k") > 1 && col("scw") > 0.0
+    val okW = col("k") > 1 && col("slam") > 0.0
+    s1.crossJoin(broadcast(s2)).select(
+      col("k"), col("n_tot").as("n"),
+      when(ok, round(fClassic, 6)).as("f_anova"),
+      when(okW, round(fWelch, 6)).as("f_welch"),
+      when(okW, round(df2w, 6)).as("df2_welch"))
+  }
+
   /** Hodges–Lehmann two-sample shift estimator: the LOWER MEDIAN of all
     * cross-pair differences x_a − x_b — the robust "by HOW MUCH is the
     * distribution shifted" companion to [[mannWhitney]]'s "is it

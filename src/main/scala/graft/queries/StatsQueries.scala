@@ -1116,6 +1116,75 @@ object StatsQueries {
        |SELECT n_a, n_b, m, round(CAST(d9 AS DOUBLE) / 1e9, 9) AS hl_shift
        |FROM pick, na, nb, tot""".stripMargin
 
+  /** q85_welch_anova: classic AND Welch one-way F across the event-type
+    * value distributions in one pass ([[StatTests.oneWayAnova]]) —
+    * completes the k-group battery: q78 ranks, q79 variances, q85
+    * means (classic assumes what q79 tests; Welch doesn't). Exact
+    * decimal moments; every cross-group reduction is a rounded-scaled
+    * decimal sum, mirrored term for term in the oracle. */
+  private def anovaQ(s: SparkSession, d: String): DataFrame =
+    StatTests.oneWayAnova(Tables.events(s, d), "event_type", "value")
+
+  private lazy val anovaSql = {
+    val nD = "CAST(n_g AS DOUBLE)"
+    val mean = s"(CAST(sxd AS DOUBLE) / $nD)"
+    val ss = s"(CAST(sxxd AS DOUBLE) - CAST(sxd AS DOUBLE) * " +
+      s"CAST(sxd AS DOUBLE) / $nD)"
+    val w = s"($nD / ($ss / ($nD - 1.0)))"
+    val bigW = "(CAST(w6t AS DOUBLE) / 1e6)"
+    val xw = s"((CAST(wx6t AS DOUBLE) / 1e6) / $bigW)"
+    val meanAll = "(sxall / CAST(n_tot AS DOUBLE))"
+    s"""WITH m0 AS (
+       |  SELECT event_type AS g, COUNT(*) AS n_g,
+       |    SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS sxd,
+       |    SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+       |      AS DECIMAL(25,6))) AS sxxd
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |m AS (SELECT * FROM m0 WHERE n_g >= 2 AND $ss > 0.0),
+       |t1 AS (
+       |  SELECT g, n_g, sxd, sxxd,
+       |    CAST(round($w * 1e6, 0) AS HUGEINT) AS w6,
+       |    CAST(round($w * $mean * 1e6, 0) AS HUGEINT) AS wx6
+       |  FROM m),
+       |s1 AS (
+       |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k,
+       |    CAST(SUM(sxd) AS DOUBLE) AS sxall,
+       |    SUM(w6) AS w6t, SUM(wx6) AS wx6t
+       |  FROM t1),
+       |term AS (
+       |  SELECT
+       |    CAST(round($nD * ($mean - $meanAll) * ($mean - $meanAll) * 1e6, 0)
+       |      AS HUGEINT) AS cb6,
+       |    CAST(round($ss * 1e6, 0) AS HUGEINT) AS cw6,
+       |    CAST(round($w * ($mean - $xw) * ($mean - $xw) * 1e6, 0)
+       |      AS HUGEINT) AS wb6,
+       |    CAST(round((1.0 - $w / $bigW) * (1.0 - $w / $bigW) /
+       |      ($nD - 1.0) * 1e9, 0) AS HUGEINT) AS lam9
+       |  FROM t1, s1),
+       |s2 AS (
+       |  SELECT CAST(SUM(cb6) AS DOUBLE) AS scb,
+       |    CAST(SUM(cw6) AS DOUBLE) AS scw,
+       |    CAST(SUM(wb6) AS DOUBLE) AS swb,
+       |    CAST(SUM(lam9) AS DOUBLE) AS slam
+       |  FROM term)
+       |SELECT k, n_tot AS n,
+       |  CASE WHEN k > 1 AND scw > 0.0 THEN
+       |    round((CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)) /
+       |      (CAST(k AS DOUBLE) - 1.0) * ((scb / 1e6) / (scw / 1e6)), 6)
+       |  END AS f_anova,
+       |  CASE WHEN k > 1 AND slam > 0.0 THEN
+       |    round((swb / 1e6) / (CAST(k AS DOUBLE) - 1.0) /
+       |      (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0) /
+       |        (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * (slam / 1e9)),
+       |      6)
+       |  END AS f_welch,
+       |  CASE WHEN k > 1 AND slam > 0.0 THEN
+       |    round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) /
+       |      (3.0 * (slam / 1e9)), 6)
+       |  END AS df2_welch
+       |FROM s1, s2""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1189,5 +1258,8 @@ object StatsQueries {
     Capability("q84_hodges_lehmann",
       "Hodges-Lehmann shift: lower-median cross-pair difference (budget lottery)",
       hlQ, Some(hlSql)),
+    Capability("q85_welch_anova",
+      "one-way ANOVA, classic + Welch heteroscedastic F in one grouped pass",
+      anovaQ, Some(anovaSql)),
   )
 }

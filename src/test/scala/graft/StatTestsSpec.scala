@@ -544,6 +544,30 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(rt.getDouble(2) - 32.0 / 77.0) < 1e-6)
   }
 
+  test("one-way anova: classic F = 27 and Welch F* = 162/7 on the textbook " +
+      "thirds; degenerate groups are excluded from both") {
+    import spark.implicits._
+    // a={1,2,3} b={4,5,6} c={7,8,9}: between 54, within 6 -> F = 27;
+    // equal variances make w_g = 3, lambda = 2/3 -> F* = 27/(7/6) = 162/7,
+    // df2 = (k^2-1)/(3*lambda) = 4
+    val base = Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _)) ++ Seq(7.0, 8.0, 9.0).map(("c", _))
+    val r = StatTests.oneWayAnova(base.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    assert(math.abs(r.getDouble(2) - 27.0) < 1e-4, r.toString)
+    assert(math.abs(r.getDouble(3) - 162.0 / 7.0) < 1e-4, r.toString)
+    assert(math.abs(r.getDouble(4) - 4.0) < 1e-4, r.toString)
+    // a singleton group and a zero-variance group drop from BOTH forms:
+    // w_g is infinite there, and one statistic over one group set is
+    // the honest contract
+    val noisy = base ++ Seq(("single", 99.0), ("const", 5.0), ("const", 5.0))
+    val rn = StatTests.oneWayAnova(noisy.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(rn.getLong(0) == 3L && rn.getLong(1) == 9L, rn.toString)
+    assert(rn.getDouble(2) == r.getDouble(2) && rn.getDouble(3) == r.getDouble(3))
+  }
+
   test("hodges-lehmann: closed-form lower median, exact under a pure shift, " +
       "immune to a wild outlier that wrecks the mean difference") {
     import spark.implicits._
