@@ -157,7 +157,9 @@ object Plans {
       "q83_pacf",                // zero extra passes over the ACF frame
       "graph_modularity",        // integer-exact community rollup
       "q84_hodges_lehmann",      // budget-bounded cross pairs, rank pick
-      "q85_welch_anova")         // one grouped pass, broadcast reductions
+      "q85_welch_anova",         // one grouped pass, broadcast reductions
+      "q86_runs_test",           // broadcast medians + one lag window
+      "q87_mcnemar")             // user rollup -> one 2x2 aggregate
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

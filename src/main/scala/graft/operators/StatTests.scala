@@ -999,6 +999,83 @@ object StatTests {
     kendallTauOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
       targetPoints))
 
+  /** Wald–Wolfowitz runs test per group: is the above/below-median sign
+    * SEQUENCE random in time, or does it clump (regimes, level shifts)
+    * / alternate (overcorrection)? The randomness check that needs no
+    * distributional assumption at all — the natural partner of
+    * [[durbinWatson]] (which sees only lag-1 linear correlation).
+    * Values EQUAL to the group median drop (the classical convention);
+    * runs count over the remaining sign sequence, R = 1 + #changes.
+    * R/n1/n0 are exact longs; z uses the exact first two moments
+    * μ = 2n₁n₀/n + 1, σ² = 2n₁n₀(2n₁n₀−n)/(n²(n−1)), one fixed-order
+    * expression round@6 (degenerate n₁ = 0 or n₀ = 0 → NULL). The
+    * median rides the [[Quantiles.exactGrouped]] broadcast (q79
+    * pattern); ONE key-partitioned lag window over (tsCol, idCol) —
+    * `idCol` must make the order total.
+    * Output: per group (g, n1, n0, runs, z round@6). */
+  def runsTest(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(tsCol).as("t"), col(idCol).as("i"),
+        col(valCol).cast("double").as("v"))
+    val med = Quantiles.exactGrouped(base, "g", "v", Seq(0.5))
+      .select(col("g"), col("q0").as("med"))
+    val signs = base.join(broadcast(med), Seq("g"))
+      .filter(col("v") =!= col("med"))
+      .select(col("g"), col("t"), col("i"),
+        when(col("v") > col("med"), 1L).otherwise(0L).as("s"))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("i"))
+    val r = signs
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull, 0L)
+          .when(lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(col("g"))
+      .agg(sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n0"),
+        (sum(col("chg")) + 1L).as("runs"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n1")) + d(col("n0"))
+    val p2 = lit(2.0) * d(col("n1")) * d(col("n0"))
+    val mu = p2 / n + 1.0
+    val sg = sqrt(p2 * (p2 - n) / (n * n * (n - 1.0)))
+    // 2n1n0 = n collapses sigma to 0 (exactly the {1,1} and {0,k}
+    // shapes) — NULL by an integer-exact guard, never Inf-vs-NULL
+    val ok = col("n1") > 0L && col("n0") > 0L &&
+      (col("n1") + col("n0")) > 1L &&
+      lit(2L) * col("n1") * col("n0") > col("n1") + col("n0")
+    r.select(col("g"), col("n1"), col("n0"), col("runs"),
+      when(ok, round((d(col("runs")) - mu) / sg, 6)).as("z"))
+  }
+
+  /** McNemar's test for PAIRED binary outcomes — the A/B primitive when
+    * both conditions are observed on the SAME subject (did behavior
+    * change between two exposures?), where [[twoProportion]]'s
+    * independent-samples z is simply wrong. Only the DISCORDANT pairs
+    * carry information: b = (yes, no), c = (no, yes);
+    * χ² = (b−c)²/(b+c), and the Edwards continuity-corrected form
+    * (|b−c|−1)²/(b+c) — both EXACT integer ratios until one division
+    * (round@9; b + c = 0 → NULL). One subject rollup, one 2×2 count
+    * aggregate; nothing else touches the data.
+    * Output: 1 row (n_pairs, b, c, chi2, chi2_cc). */
+  def mcNemar(df: DataFrame, subjectCol: String, firstCol: String,
+      secondCol: String): DataFrame = {
+    val p = df.groupBy(col(subjectCol).as("s"))
+      .agg(max(col(firstCol).cast("long")).as("a1"),
+        max(col(secondCol).cast("long")).as("a2"))
+    val agg = p.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("a1") === 1L && col("a2") === 0L, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("a1") === 0L && col("a2") === 1L, 1L).otherwise(0L))
+        .as("c"))
+    def d(c: Column) = c.cast("double")
+    val diff = d(col("b")) - d(col("c"))
+    val tot = d(col("b")) + d(col("c"))
+    val cc = abs(d(col("b")) - d(col("c"))) - 1.0
+    agg.select(col("n_pairs"), col("b"), col("c"),
+      when(col("b") + col("c") > 0L, round(diff * diff / tot, 9)).as("chi2"),
+      when(col("b") + col("c") > 0L, round(cc * cc / tot, 9)).as("chi2_cc"))
+  }
+
   /** One-way ANOVA, CLASSIC and WELCH in one pass — the k-group mean
     * test completing the battery ([[welchPairs]] is pairwise,
     * [[kruskalWallis]] is the rank form, [[brownForsythe]] tests the

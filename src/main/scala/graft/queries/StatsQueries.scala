@@ -1185,6 +1185,93 @@ object StatsQueries {
        |FROM s1, s2""".stripMargin
   }
 
+  /** q86_runs_test: Wald–Wolfowitz runs on the above/below-median sign
+    * sequence per event type ([[StatTests.runsTest]]) — regimes clump
+    * the signs, overcorrection alternates them; the assumption-free
+    * randomness partner of q81's lag-1 Durbin–Watson. */
+  private def runsQ(s: SparkSession, d: String): DataFrame =
+    StatTests.runsTest(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("event_id"), col("value")),
+        "event_type", "__us", "event_id", "value")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val runsSql = {
+    val n1 = "CAST(n1 AS DOUBLE)"
+    val n0 = "CAST(n0 AS DOUBLE)"
+    val n = s"($n1 + $n0)"
+    val p2 = s"(2.0 * $n1 * $n0)"
+    s"""WITH base AS (
+       |  SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g),
+       |signs AS (
+       |  SELECT base.g, t, i, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+       |  FROM base JOIN med ON base.g = med.g WHERE v <> med),
+       |ch AS (
+       |  SELECT g, s,
+       |    CASE WHEN lag(s) OVER (PARTITION BY g ORDER BY t, i) IS NULL
+       |      THEN 0
+       |      WHEN lag(s) OVER (PARTITION BY g ORDER BY t, i) <> s THEN 1
+       |      ELSE 0 END AS chg
+       |  FROM signs),
+       |r AS (
+       |  SELECT g, CAST(SUM(s) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - s) AS BIGINT) AS n0,
+       |    CAST(SUM(chg) + 1 AS BIGINT) AS runs
+       |  FROM ch GROUP BY g)
+       |SELECT g AS event_type, n1, n0, runs,
+       |  CASE WHEN n1 > 0 AND n0 > 0 AND (n1 + n0) > 1
+       |      AND 2 * n1 * n0 > n1 + n0 THEN
+       |    round((CAST(runs AS DOUBLE) - ($p2 / $n + 1.0)) /
+       |      sqrt($p2 * ($p2 - $n) / ($n * $n * ($n - 1.0))), 6)
+       |  END AS z
+       |FROM r ORDER BY event_type""".stripMargin
+  }
+
+  /** q87_mcnemar: paired conversion change ([[StatTests.mcNemar]]) —
+    * each user observed under BOTH exposures (purchases among even vs
+    * odd event ids), where q76's independent-samples z is simply the
+    * wrong test. Only discordant pairs carry information; both χ²
+    * forms are exact integer ratios until one division. */
+  private def mcnemarQ(s: SparkSession, d: String): DataFrame = {
+    val flags = Tables.events(s, d).select(col("user_id"),
+      when(col("event_type") === "purchase" && col("event_id") % 2 === 0,
+        1L).otherwise(0L).as("f1"),
+      when(col("event_type") === "purchase" && col("event_id") % 2 === 1,
+        1L).otherwise(0L).as("f2"))
+    StatTests.mcNemar(flags, "user_id", "f1", "f2")
+  }
+
+  private lazy val mcnemarSql = {
+    val bD = "CAST(b AS DOUBLE)"
+    val cD = "CAST(c AS DOUBLE)"
+    s"""WITH f AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND event_id % 2 = 0
+       |      THEN 1 ELSE 0 END) AS a1,
+       |    MAX(CASE WHEN event_type = 'purchase' AND event_id % 2 = 1
+       |      THEN 1 ELSE 0 END) AS a2
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT COUNT(*) AS n_pairs,
+       |    CAST(SUM(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c
+       |  FROM f)
+       |SELECT n_pairs, b, c,
+       |  CASE WHEN b + c > 0 THEN
+       |    round(($bD - $cD) * ($bD - $cD) / ($bD + $cD), 9) END AS chi2,
+       |  CASE WHEN b + c > 0 THEN
+       |    round((abs($bD - $cD) - 1.0) * (abs($bD - $cD) - 1.0) /
+       |      ($bD + $cD), 9) END AS chi2_cc
+       |FROM m""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1261,5 +1348,11 @@ object StatsQueries {
     Capability("q85_welch_anova",
       "one-way ANOVA, classic + Welch heteroscedastic F in one grouped pass",
       anovaQ, Some(anovaSql)),
+    Capability("q86_runs_test",
+      "Wald-Wolfowitz runs: above/below-median sign-sequence randomness per type",
+      runsQ, Some(runsSql)),
+    Capability("q87_mcnemar",
+      "McNemar paired-binary test: discordant-pair chi2, plain + continuity form",
+      mcnemarQ, Some(mcnemarSql)),
   )
 }

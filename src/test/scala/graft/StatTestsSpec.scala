@@ -596,6 +596,54 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rw.getDouble(3) == -5.0, s"outlier-immune: $rw")
   }
 
+  test("runs test: alternation and clumping score ±(R-mu)/sigma symmetrically; " +
+      "median-equal values drop; sigma=0 shapes are NULL") {
+    import spark.implicits._
+    def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (g, i.toLong, i.toLong, v)
+    }
+    // median 5 drops nothing; alternation R=6, clumping R=2:
+    // mu = 2*9/6 + 1 = 4, sigma^2 = 18*12/(36*5) = 1.2
+    val df = (series("alt", Seq(10.0, 0.0, 10.0, 0.0, 10.0, 0.0)) ++
+      series("clump", Seq(10.0, 10.0, 10.0, 0.0, 0.0, 0.0)) ++
+      // med = 5 -> the 5 drops; signs {0,1}: 2n1n0 = n -> sigma 0 -> NULL
+      series("deg", Seq(1.0, 5.0, 9.0)))
+      .toDF("g", "t", "id", "v")
+    val r = StatTests.runsTest(df, "g", "t", "id", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("alt").getLong(3) == 6L && r("clump").getLong(3) == 2L)
+    val z = 2.0 / math.sqrt(1.2)
+    assert(math.abs(r("alt").getDouble(4) - z) < 1e-6)
+    assert(math.abs(r("clump").getDouble(4) + z) < 1e-6, "symmetric")
+    assert(r("deg").getLong(1) == 1L && r("deg").getLong(2) == 1L &&
+      r("deg").isNullAt(4), r("deg").toString)
+  }
+
+  test("mcnemar: discordant-pair closed forms, concordant pairs carry nothing") {
+    import spark.implicits._
+    // 6 users flip yes->no, 2 flip no->yes, 12 concordant
+    val rows =
+      (1 to 6).map(u => (u.toLong, 1L, 0L)) ++
+        (7 to 8).map(u => (u.toLong, 0L, 1L)) ++
+        (9 to 14).map(u => (u.toLong, 1L, 1L)) ++
+        (15 to 20).map(u => (u.toLong, 0L, 0L))
+    val r = StatTests.mcNemar(rows.toDF("u", "f1", "f2"), "u", "f1", "f2")
+      .collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0, s"chi2 = 16/8: $r")
+    assert(r.getDouble(4) == 1.125, s"cc = 9/8: $r")
+    // doubling the concordant pairs changes NOTHING
+    val more = rows ++ (21 to 40).map(u => (u.toLong, 1L, 1L))
+    val rm = StatTests.mcNemar(more.toDF("u", "f1", "f2"), "u", "f1", "f2")
+      .collect().head
+    assert(rm.getDouble(3) == 2.0 && rm.getDouble(4) == 1.125)
+    // all-concordant: b + c = 0 -> NULL, never 0/0
+    val flat = (1 to 5).map(u => (u.toLong, 1L, 1L))
+    val rf = StatTests.mcNemar(flat.toDF("u", "f1", "f2"), "u", "f1", "f2")
+      .collect().head
+    assert(rf.isNullAt(3) && rf.isNullAt(4))
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
