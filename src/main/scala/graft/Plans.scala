@@ -159,7 +159,8 @@ object Plans {
       "q84_hodges_lehmann",      // budget-bounded cross pairs, rank pick
       "q85_welch_anova",         // one grouped pass, broadcast reductions
       "q86_runs_test",           // broadcast medians + one lag window
-      "q87_mcnemar")             // user rollup -> one 2x2 aggregate
+      "q87_mcnemar",             // user rollup -> one 2x2 aggregate
+      "q88_logrank")             // distinct-duration risk-set cumsums
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -60,4 +60,61 @@ object Survival {
           .otherwise(round(exp(col("log_surv_9").cast("double") / 1e9), 6))
           .as("survival"))
   }
+
+  /** Two-sample log-rank test (Mantel–Cox) — THE comparison that goes
+    * with a [[kaplanMeier]] curve pair: "do cohort A's lifetimes differ
+    * from cohort B's?", censoring-correct where a t-test on durations
+    * is simply wrong (censored subjects are neither short nor long —
+    * they're unfinished). Groups are 0/1 in `groupCol`.
+    *
+    * At each pooled death time: E₁ += d_j·n₁ⱼ/n_j and
+    * V += d_j·(n₁ⱼ/n_j)(1−n₁ⱼ/n_j)(n_j−d_j)/(n_j−1); the statistic is
+    * (O₁−E₁)²/V ~ χ²₁. Every per-time term is one IEEE expression over
+    * EXACT integer counts, rounded@9 to a scaled long and summed
+    * exactly (the KM ln-term pattern); risk sets come from cumulative
+    * counts over the distinct-duration frame — the Mann–Whitney shape,
+    * no subject row is ever sorted globally. Single-subject risk sets
+    * (n_j = 1) contribute zero variance by the guard; V = 0 overall
+    * (no comparable death time) → NULL χ².
+    * Output: 1 row (n_times, o1, e1, v round@6, chi2 round@6). */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+      censoredCol: String): DataFrame = {
+    val s = df.select(col(groupCol).cast("long").as("g"),
+        col(durationCol).cast("long").as("t"),
+        col(censoredCol).cast("boolean").as("c"))
+      .filter(col("t").isNotNull && (col("g") === 0L || col("g") === 1L))
+    val vc = s.groupBy(col("t")).agg(
+      count(when(col("g") === 0L && !col("c"), 1)).as("d1"),
+      count(when(col("g") === 1L && !col("c"), 1)).as("d2"),
+      count(when(col("g") === 0L, 1)).as("a1"),
+      count(when(col("g") === 1L, 1)).as("a2"))
+    val tot = vc.agg(sum(col("a1")).as("t1"), sum(col("a2")).as("t2"))
+    val wb = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = vc
+      .withColumn("cb1", coalesce(sum(col("a1")).over(wb), lit(0L)))
+      .withColumn("cb2", coalesce(sum(col("a2")).over(wb), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n1", col("t1") - col("cb1"))
+      .withColumn("n2", col("t2") - col("cb2"))
+      .filter(col("d1") + col("d2") > 0L)
+    def dd(c: Column) = c.cast("double")
+    val nj = dd(col("n1")) + dd(col("n2"))
+    val dj = dd(col("d1")) + dd(col("d2"))
+    val frac = dd(col("n1")) / nj
+    val e9 = round(dj * frac * 1e9, 0).cast("long")
+    val v9 = when(col("n1") + col("n2") > 1L,
+      round(dj * frac * (lit(1.0) - frac) * (nj - dj) / (nj - 1.0) * 1e9, 0)
+        .cast("long")).otherwise(0L)
+    val sums = r.select(col("d1"), e9.as("__e9"), v9.as("__v9"))
+      .agg(count(lit(1)).as("n_times"), sum(col("d1")).as("o1"),
+        sum(col("__e9")).as("se9"), sum(col("__v9")).as("sv9"))
+    val e1 = col("se9").cast("double") / 1e9
+    val v = col("sv9").cast("double") / 1e9
+    val chi = (col("o1").cast("double") - e1) *
+      (col("o1").cast("double") - e1) / v
+    sums.select(col("n_times"), col("o1"),
+      round(e1, 6).as("e1"), round(v, 6).as("v"),
+      when(col("sv9") > 0L, round(chi, 6)).as("chi2"))
+  }
 }

@@ -1272,6 +1272,77 @@ object StatsQueries {
        |FROM m""".stripMargin
   }
 
+  /** Censoring horizon for q88: a user whose last event falls within
+    * 24 h of the corpus end may still be active — right-censored. */
+  private val LrHorizonUs = 86400000000L
+
+  /** q88_logrank: Mantel–Cox log-rank between the even/odd user cohorts'
+    * lifetimes ([[graft.operators.Survival.logRank]]) — the
+    * censoring-correct "do the cohorts' survival curves differ?" a
+    * t-test on durations gets wrong (censored users are neither short
+    * nor long — they're unfinished). Lifetime = last − first event µs;
+    * censored at the 24 h corpus-end horizon. */
+  private def logrankQ(s: SparkSession, d: String): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(us).as("mx"))
+    val subj = ev.groupBy(col("user_id"))
+      .agg(min(us).as("f"), max(us).as("l"))
+      .crossJoin(broadcast(mx))
+      .select((col("user_id") % 2).as("g"), (col("l") - col("f")).as("dur"),
+        (col("l") > col("mx") - lit(LrHorizonUs)).as("cens"))
+    graft.operators.Survival.logRank(subj, "g", "dur", "cens")
+  }
+
+  private lazy val logrankSql = {
+    val n1 = "CAST(n1 AS DOUBLE)"
+    val nj = s"($n1 + CAST(n2 AS DOUBLE))"
+    val dj = "(CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE))"
+    val frac = s"($n1 / $nj)"
+    s"""WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+       |subj AS (
+       |  SELECT user_id % 2 AS g,
+       |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS t,
+       |    MAX(epoch_us(ts)) > (SELECT mx FROM mx) - $LrHorizonUs AS c
+       |  FROM events GROUP BY user_id),
+       |vc AS (
+       |  SELECT t,
+       |    COUNT(*) FILTER (g = 0 AND NOT c) AS d1,
+       |    COUNT(*) FILTER (g = 1 AND NOT c) AS d2,
+       |    COUNT(*) FILTER (g = 0) AS a1,
+       |    COUNT(*) FILTER (g = 1) AS a2
+       |  FROM subj GROUP BY t),
+       |tot AS (SELECT CAST(SUM(a1) AS BIGINT) AS t1,
+       |  CAST(SUM(a2) AS BIGINT) AS t2 FROM vc),
+       |r AS (
+       |  SELECT d1, d2,
+       |    t1 - coalesce(SUM(a1) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+       |    t2 - coalesce(SUM(a2) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+       |  FROM vc, tot),
+       |dt AS (
+       |  SELECT d1,
+       |    CAST(round($dj * $frac * 1e9, 0) AS BIGINT) AS e9,
+       |    CASE WHEN n1 + n2 > 1 THEN
+       |      CAST(round($dj * $frac * (1.0 - $frac) * ($nj - $dj) /
+       |        ($nj - 1.0) * 1e9, 0) AS BIGINT)
+       |    ELSE 0 END AS v9
+       |  FROM r WHERE d1 + d2 > 0),
+       |sums AS (
+       |  SELECT COUNT(*) AS n_times, CAST(SUM(d1) AS BIGINT) AS o1,
+       |    CAST(SUM(e9) AS BIGINT) AS se9, CAST(SUM(v9) AS BIGINT) AS sv9
+       |  FROM dt)
+       |SELECT n_times, o1,
+       |  round(CAST(se9 AS DOUBLE) / 1e9, 6) AS e1,
+       |  round(CAST(sv9 AS DOUBLE) / 1e9, 6) AS v,
+       |  CASE WHEN sv9 > 0 THEN
+       |    round((CAST(o1 AS DOUBLE) - CAST(se9 AS DOUBLE) / 1e9) *
+       |      (CAST(o1 AS DOUBLE) - CAST(se9 AS DOUBLE) / 1e9) /
+       |      (CAST(sv9 AS DOUBLE) / 1e9), 6) END AS chi2
+       |FROM sums""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1354,5 +1425,8 @@ object StatsQueries {
     Capability("q87_mcnemar",
       "McNemar paired-binary test: discordant-pair chi2, plain + continuity form",
       mcnemarQ, Some(mcnemarSql)),
+    Capability("q88_logrank",
+      "Mantel-Cox log-rank between cohort survival curves (censoring-correct)",
+      logrankQ, Some(logrankSql)),
   )
 }

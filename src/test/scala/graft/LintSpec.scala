@@ -238,13 +238,18 @@ class LintSpec extends AnyFunSuite {
       "q84_hodges_lehmann" -> Set("cartesian", "unpushed-filter",
         "global-window", "single-partition-shuffle"),
       // #groups-row term frames and 1-row sums ride broadcasts
-      "q85_welch_anova" -> Set("cartesian"))
+      "q85_welch_anova" -> Set("cartesian"),
+      // risk sets cumulate over the distinct-DURATION frame (the
+      // KM/MW convention); subject totals ride a 1-row broadcast
+      "q88_logrank" -> Set("cartesian", "global-window",
+        "single-partition-shuffle"))
       // (q86 medians broadcast-join; q87 is two aggregates — both clean)
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
       "graph_link_predict", "q28c_grouping_sets", "q83_pacf",
       "graph_modularity", "q84_hodges_lehmann",
-      "q85_welch_anova", "q86_runs_test", "q87_mcnemar").flatMap { name =>
+      "q85_welch_anova", "q86_runs_test", "q87_mcnemar",
+      "q88_logrank").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

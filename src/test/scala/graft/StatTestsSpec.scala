@@ -644,6 +644,44 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rf.isNullAt(3) && rf.isNullAt(4))
   }
 
+  test("log-rank: hand-computed 49/17 separation, identical curves score 0, " +
+      "censoring removes subjects without creating deaths") {
+    import spark.implicits._
+    // g0 dies at 1,2; g1 at 3,4: O1=2, E1 = 1/2 + 1/3 = 5/6,
+    // V = 1/4 + 2/9 = 17/36 (the t=3,4 times have n1=0 / nj=1 -> no V)
+    // chi2 = (2 - 5/6)^2 / (17/36) = 49/17
+    val sep = Seq((0L, 1L, false), (0L, 2L, false),
+      (1L, 3L, false), (1L, 4L, false)).toDF("g", "dur", "c")
+    val r = graft.operators.Survival.logRank(sep, "g", "dur", "c")
+      .collect().head
+    assert(r.getLong(1) == 2L, r.toString)
+    assert(math.abs(r.getDouble(2) - 5.0 / 6.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 17.0 / 36.0) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 49.0 / 17.0) < 1e-5)
+    // mirrored cohorts: O1 = E1 at every time -> chi2 exactly 0
+    val same = Seq((0L, 1L, false), (1L, 1L, false),
+      (0L, 2L, false), (1L, 2L, false)).toDF("g", "dur", "c")
+    val rs = graft.operators.Survival.logRank(same, "g", "dur", "c")
+      .collect().head
+    assert(rs.getDouble(4) == 0.0, rs.toString)
+    // a censored g1 subject at t=1 shrinks later risk sets but adds no
+    // death: O1 stays 2, E1 at t=2 becomes 1/2 (n1=1, n2=1)
+    val cens = Seq((0L, 1L, false), (0L, 2L, false),
+      (1L, 1L, true), (1L, 2L, false)).toDF("g", "dur", "c")
+    val rc = graft.operators.Survival.logRank(cens, "g", "dur", "c")
+      .collect().head
+    assert(rc.getLong(1) == 2L)
+    // E1 = 2/4 (t=1: n1=2,n2=2,d=1) + 1/2 (t=2: n1=1,n2=1,d=2... d=2?
+    // both remaining die at 2) -> t=2: d1=1,d2=1,dj=2,E1 += 2*(1/2)=1
+    assert(math.abs(rc.getDouble(2) - 1.5) < 1e-6, rc.toString)
+    // no jointly-at-risk death time (g1 censors out before g0's only
+    // death): every death's risk set is single-group -> V=0 -> NULL
+    val lone = Seq((0L, 5L, false), (1L, 1L, true)).toDF("g", "dur", "c")
+    val rl = graft.operators.Survival.logRank(lone, "g", "dur", "c")
+      .collect().head
+    assert(rl.isNullAt(4), rl.toString)
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
