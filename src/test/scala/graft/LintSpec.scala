@@ -240,9 +240,12 @@ class LintSpec extends AnyFunSuite {
       // #groups-row term frames and 1-row sums ride broadcasts
       "q85_welch_anova" -> Set("cartesian"),
       // risk sets cumulate over the distinct-DURATION frame (the
-      // KM/MW convention); subject totals ride a 1-row broadcast
+      // KM/MW convention); subject totals ride a 1-row broadcast; the
+      // operator's g IN {0,1} domain guard folds to a user_id % 2
+      // predicate at the scan — parquet-inexpressible by design (the
+      // dedup_incremental precedent)
       "q88_logrank" -> Set("cartesian", "global-window",
-        "single-partition-shuffle"))
+        "single-partition-shuffle", "unpushed-filter"))
       // (q86 medians broadcast-join; q87 is two aggregates — both clean)
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
