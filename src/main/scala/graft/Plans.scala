@@ -160,7 +160,8 @@ object Plans {
       "q85_welch_anova",         // one grouped pass, broadcast reductions
       "q86_runs_test",           // broadcast medians + one lag window
       "q87_mcnemar",             // user rollup -> one 2x2 aggregate
-      "q88_logrank")             // distinct-duration risk-set cumsums
+      "q88_logrank",             // distinct-duration risk-set cumsums
+      "q89_friedman")            // per-block rank windows, cond rollup
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

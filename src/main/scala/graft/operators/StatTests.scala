@@ -901,6 +901,67 @@ object StatTests {
         when(corrOk, round(h / corr, 6)).as("h_corr"))
   }
 
+  /** Friedman test — the REPEATED-MEASURES rank ANOVA: k conditions
+    * observed on the SAME blocks (users), ranked WITHIN each block, so
+    * between-block level differences cancel entirely ([[kruskalWallis]]
+    * pools across groups and would read block effects as treatment
+    * effects). Only COMPLETE blocks participate (a block missing a
+    * condition has no k-ranking — the classical requirement, enforced
+    * against the global condition count). Midranks are ×2-scaled exact
+    * longs from min-rank + tie counts (the [[kruskalWallis]] integer
+    * convention, per block); χ²_F = 12/(nk(k+1))·ΣR²ⱼ − 3n(k+1) with
+    * per-condition terms as rounded-scaled decimal(38,0) sums, and the
+    * tie correction C = 1 − Σ(t³−t)/(nk(k²−1)) divides once (all-tied
+    * blocks everywhere → C = 0 → NULL by an integer-exact guard).
+    * Scale shape: one (block, condition) aggregate, per-block rank
+    * windows over ≤k-row partitions, a #conditions rollup.
+    * Output: one row per condition (cond, r2sum, mean_rank round@9)
+    * with n_blocks / k / chi2 / chi2_corr round@6 on every row. */
+  def friedman(df: DataFrame, blockCol: String, condCol: String,
+      valCol: String): DataFrame = {
+    val cell = df.filter(col(valCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(condCol).as("cond"))
+      .agg(Det.davg(col(valCol).cast("double")).as("v"))
+    val kTot = cell.select(col("cond")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = cell
+      .withColumn("__bc",
+        count(lit(1)).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("__bc") === col("k"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+    val wbv = Window.partitionBy(col("b"), col("v"))
+    val ranked = complete
+      .withColumn("__mr", rank().over(wb))
+      .withColumn("__tc", count(lit(1)).over(wbv))
+      .withColumn("r2",
+        lit(2L) * col("__mr") + col("__tc") - lit(1L))
+    val byCond = ranked.groupBy(col("cond"))
+      .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("n_blocks"))
+    val ties = ranked.groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("tc"))
+      .agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tsum"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k").cast("double")
+    val t6 = round(col("r2sum").cast("double") / 2.0 *
+      (col("r2sum").cast("double") / 2.0) * 1e6, 0).cast("decimal(38,0)")
+    val s = byCond.crossJoin(broadcast(kTot))
+      .select(t6.as("__t6"))
+      .agg(sum(col("__t6")).cast("double").as("s6"))
+    val chi = lit(12.0) / (nD * kD * (kD + 1.0)) * (col("s6") / 1e6) -
+      lit(3.0) * nD * (kD + 1.0)
+    val corrDen = col("n_blocks") * col("k") *
+      (col("k") * col("k") - lit(1L))
+    val corr = lit(1.0) - col("tsum").cast("double") / corrDen.cast("double")
+    val corrOk = col("tsum") < corrDen
+    byCond.crossJoin(broadcast(kTot)).crossJoin(broadcast(s))
+      .crossJoin(broadcast(ties))
+      .select(col("cond"), col("n_blocks"), col("k"), col("r2sum"),
+        round(col("r2sum").cast("double") / (nD * 2.0), 9).as("mean_rank"),
+        round(chi, 6).as("chi2"),
+        when(corrOk, round(chi / corr, 6)).as("chi2_corr"))
+  }
+
   /** Brown–Forsythe test for equality of group variances — Levene's
     * test with MEDIAN centering (Brown & Forsythe 1974), the robust
     * form the practice defaults to: z = |x − med_g| per row, then the

@@ -1343,6 +1343,56 @@ object StatsQueries {
        |FROM sums""".stripMargin
   }
 
+  /** q89_friedman: repeated-measures rank ANOVA ([[StatTests.friedman]])
+    * — blocks = users, conditions = event types, value = the user's
+    * mean value per type. Ranking WITHIN each user cancels between-user
+    * level differences entirely (q78 pools and would read user effects
+    * as type effects); only users observing all k types participate. */
+  private def friedmanQ(s: SparkSession, d: String): DataFrame =
+    StatTests.friedman(Tables.events(s, d), "user_id", "event_type", "value")
+      .orderBy(col("cond"))
+      .withColumnRenamed("cond", "event_type")
+
+  private lazy val friedmanSql = {
+    val nD = "CAST(n_blocks AS DOUBLE)"
+    val kD = "CAST(k AS DOUBLE)"
+    val chi = s"(12.0 / ($nD * $kD * ($kD + 1.0)) * (s6 / 1e6) - " +
+      s"3.0 * $nD * ($kD + 1.0))"
+    val corr = s"(1.0 - CAST(tsum AS DOUBLE) / " +
+      "CAST(n_blocks * k * (k * k - 1) AS DOUBLE))"
+    s"""WITH cell AS (
+       |  SELECT user_id AS b, event_type AS cond,
+       |    ${Det.sqlAvg("CAST(value AS DOUBLE)")} AS v
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |kt AS (SELECT COUNT(DISTINCT cond) AS k FROM cell),
+       |bc AS (SELECT b, COUNT(*) AS c FROM cell GROUP BY b),
+       |complete AS (
+       |  SELECT cell.b, cond, v FROM cell JOIN bc USING (b), kt
+       |  WHERE bc.c = kt.k),
+       |ranked AS (
+       |  SELECT b, cond, v,
+       |    rank() OVER (PARTITION BY b ORDER BY v) AS mr,
+       |    COUNT(*) OVER (PARTITION BY b, v) AS tc
+       |  FROM complete),
+       |bycond AS (
+       |  SELECT cond, CAST(SUM(2 * mr + tc - 1) AS BIGINT) AS r2sum,
+       |    COUNT(*) AS n_blocks
+       |  FROM ranked GROUP BY cond),
+       |ties AS (SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tsum
+       |  FROM (SELECT b, v, COUNT(*) AS tc FROM complete GROUP BY 1, 2)),
+       |term AS (
+       |  SELECT CAST(round(CAST(r2sum AS DOUBLE) / 2.0 *
+       |    (CAST(r2sum AS DOUBLE) / 2.0) * 1e6, 0) AS HUGEINT) AS t6
+       |  FROM bycond),
+       |s AS (SELECT CAST(SUM(t6) AS DOUBLE) AS s6 FROM term)
+       |SELECT cond AS event_type, n_blocks, k, r2sum,
+       |  round(CAST(r2sum AS DOUBLE) / ($nD * 2.0), 9) AS mean_rank,
+       |  round($chi, 6) AS chi2,
+       |  CASE WHEN tsum < n_blocks * k * (k * k - 1) THEN
+       |    round($chi / $corr, 6) END AS chi2_corr
+       |FROM bycond, kt, s, ties ORDER BY event_type""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1428,5 +1478,8 @@ object StatsQueries {
     Capability("q88_logrank",
       "Mantel-Cox log-rank between cohort survival curves (censoring-correct)",
       logrankQ, Some(logrankSql)),
+    Capability("q89_friedman",
+      "Friedman repeated-measures rank ANOVA over complete user blocks",
+      friedmanQ, Some(friedmanSql)),
   )
 }

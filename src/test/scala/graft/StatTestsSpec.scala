@@ -682,6 +682,38 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rl.isNullAt(4), rl.toString)
   }
 
+  test("friedman: saturated chi2 = 8, midrank ties correct to 6.0, " +
+      "incomplete blocks drop, all-tied blocks NULL the correction") {
+    import spark.implicits._
+    def block(b: Long, vs: (Double, Double, Double)) =
+      Seq((b, "A", vs._1), (b, "B", vs._2), (b, "C", vs._3))
+    // consistent A<B<C in 4 blocks (block levels differ wildly — the
+    // within-block ranking cancels them): R = 4,8,12 -> chi2 = 8 (max)
+    val consistent = (1L to 4L).flatMap(b =>
+      block(b, (b * 100.0 + 1, b * 100.0 + 2, b * 100.0 + 3)))
+    val r = StatTests.friedman(consistent.toDF("b", "c", "v"), "b", "c", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("A").getLong(3) == 8L && r("C").getLong(3) == 24L) // 2x R_j
+    assert(r("A").getDouble(5) == 8.0 && r("A").getDouble(6) == 8.0)
+    // one fully-tied block: midranks 2,2,2 -> chi2 = 4.5, C = 0.75 -> 6.0
+    val tied = (1L to 3L).flatMap(b => block(b, (1.0, 2.0, 3.0))) ++
+      block(4L, (7.0, 7.0, 7.0))
+    val rt = StatTests.friedman(tied.toDF("b", "c", "v"), "b", "c", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(rt("A").getDouble(5) - 4.5) < 1e-6, rt("A").toString)
+    assert(math.abs(rt("A").getDouble(6) - 6.0) < 1e-6)
+    // a block missing condition C is excluded entirely
+    val partial = consistent ++ Seq((9L, "A", 1.0), (9L, "B", 2.0))
+    val rp = StatTests.friedman(partial.toDF("b", "c", "v"), "b", "c", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rp("A").getLong(1) == 4L && rp("A").getDouble(5) == 8.0)
+    // every block constant: chi2 exactly 0 and the correction is NULL
+    val flat = (1L to 3L).flatMap(b => block(b, (5.0, 5.0, 5.0)))
+    val rf = StatTests.friedman(flat.toDF("b", "c", "v"), "b", "c", "v")
+      .collect().head
+    assert(rf.getDouble(5) == 0.0 && rf.isNullAt(6), rf.toString)
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
