@@ -483,6 +483,34 @@ object NestedIOQueries {
     graft.sources.ArrowIpc.read(s, out).orderBy(col("o_orderkey"))
   }
 
+  /** Q26s: MAP-layout Arrow IPC round-trip — the reference's
+    * `MapType`/`MapArray` (cpp/src/arrow/array/array_nested.h): a
+    * map<string,string> column survives write → read with entry order
+    * and key→value association intact. The gate explodes the read-back
+    * entries so the oracle (two UNION'd projections of the source
+    * table) gates every key and value positionally — a map the reader
+    * mangled (offsets, dictionary of the entries struct) cannot hash
+    * back. */
+  private def q26s(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_io/q26_ipc_map_${Tables.scratchKey(d)}"
+    graft.sources.ArrowIpc.write(
+      Tables.orders(s, d).select(col("o_orderkey"),
+        map(lit("prio"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus")).as("m")),
+      out)
+    graft.sources.ArrowIpc.read(s, out)
+      .select(col("o_orderkey"), explode(col("m")))
+      .select(col("o_orderkey"), col("key").as("k"), col("value").as("v"))
+      .orderBy(col("o_orderkey"), col("k"))
+  }
+
+  private val q26sSql =
+    """SELECT o_orderkey, k, v FROM (
+      |  SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'status', o_orderstatus FROM orders)
+      |ORDER BY o_orderkey, k""".stripMargin
+
   /** Q26p: HIVE-PARTITIONED Arrow IPC dataset round-trip — the
     * reference's `FileSystemDataset` + `HivePartitioning` layout
     * (cpp/src/arrow/dataset/partition.h) over IPC files: one
@@ -950,6 +978,9 @@ object NestedIOQueries {
     Capability("q26q_ipc_fsl",
       "fixed-size-list Arrow IPC round-trip (the embedding transport layout)", q26q,
       Some(q26qSql)),
+    Capability("q26s_ipc_map",
+      "map-layout Arrow IPC round-trip (entries exploded, every key/value gated)",
+      q26s, Some(q26sSql)),
     Capability("q27a_quantiles", "exact quantiles + distinct count", q27a, Some(q27aSql)),
     Capability("q27f_quantile_interp", "all five quantile interpolation modes", q27f, Some(q27fSql)),
     Capability("q27g_grouped_quantiles", "exact grouped quantiles, single-shuffle window rank selection", q27g,
