@@ -1027,7 +1027,16 @@ object StatTests {
     * as the final sort key: rows that still tie then carry equal
     * residuals, and equal residuals commute under Σ(e_t − e_{t−1})² —
     * so d is exactly order-invariant (and engine-independent) even when
-    * the caller's key is not unique. */
+    * the caller's key is not unique.
+    *
+    * Scale note: parallelism equals the GROUP count — the within-group
+    * total order is the statistic itself, so one task sorts each
+    * group's full series (the sf1 rehearsal measured 4.4× at 10× data
+    * over 3 groups: sublinear in wall time, but the per-task series
+    * grows linearly). At cluster scale pick a finer grouping (per
+    * series-shard, per month) — d is a per-series diagnostic, not a
+    * corpus aggregate, so finer keys are the natural usage, not a
+    * workaround. */
   def durbinWatson(df: DataFrame, groupCol: String, orderCols: Seq[String],
       residCol: String): DataFrame = {
     require(orderCols.nonEmpty, "durbinWatson needs a time order")
