@@ -161,7 +161,8 @@ object Plans {
       "q86_runs_test",           // broadcast medians + one lag window
       "q87_mcnemar",             // user rollup -> one 2x2 aggregate
       "q88_logrank",             // distinct-duration risk-set cumsums
-      "q89_friedman")            // per-block rank windows, cond rollup
+      "q89_friedman",            // per-block rank windows, cond rollup
+      "q90_qn_scale")            // lottery pairs, per-group rank pick
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

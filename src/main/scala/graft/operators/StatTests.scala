@@ -1265,6 +1265,42 @@ object StatTests {
         round(col("d9").cast("double") / 1e9, 9).as("hl_shift"))
   }
 
+  /** Rousseeuw–Croux Qn robust SCALE estimator: the k-th smallest of
+    * all C(n,2) pairwise absolute differences, k = C(h,2), h = ⌊n/2⌋+1
+    * — 50% breakdown and ~82% Gaussian efficiency WITHOUT needing any
+    * location estimate first (the MAD needs the median; Qn needs
+    * nothing), the robust-spread companion of [[hodgesLehmannBudget]]'s
+    * robust shift. `qn` applies the 2.2219 Gaussian-consistency
+    * constant; `qn_raw` is the bare order statistic. Pairwise by
+    * definition ⇒ the same scale-adaptive [[budgetPoints]] lottery;
+    * differences are 1e9-scaled longs (IEEE-identical both engines)
+    * and the order statistic is a per-group distinct-difference cumsum
+    * rank pick — the pair frame never sorts globally. Groups with
+    * n < 2 drop (no pair exists).
+    * Output: per group (g, n, k, qn_raw round@9, qn round@6). */
+  def qnScaleBudget(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, targetPoints: Int = 400): DataFrame = {
+    val pts = budgetPoints(df, groupCol, tsCol, idCol, valCol, targetPoints)
+    val a = pts.select(col("g"), col("i").as("i1"), col("v").as("v1"))
+    val b = pts.select(col("g"), col("i").as("i2"), col("v").as("v2"))
+    val d = a.join(b, Seq("g")).filter(col("i1") < col("i2"))
+      .select(col("g"),
+        round(abs(col("v1") - col("v2")) * 1e9, 0).cast("long").as("d9"))
+    val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val vc = d.groupBy(col("g"), col("d9")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("d9"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(n.filter(col("n") >= 2)), Seq("g"))
+      .withColumn("k", expr("((n DIV 2 + 1) * (n DIV 2)) DIV 2"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g"), col("n"), col("k"))
+      .agg(min(col("d9")).as("d9"))
+      .select(col("g"), col("n"), col("k"),
+        round(col("d9").cast("double") / 1e9, 9).as("qn_raw"),
+        round(lit(2.2219) * (col("d9").cast("double") / 1e9), 6).as("qn"))
+  }
+
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
     val pts = pts0.select(col("g"), col("t"), col("v"))
     val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))

@@ -1393,6 +1393,41 @@ object StatsQueries {
        |FROM bycond, kt, s, ties ORDER BY event_type""".stripMargin
   }
 
+  /** q90_qn_scale: Rousseeuw–Croux Qn per event type ([[StatTests
+    * .qnScaleBudget]]) — 50%-breakdown spread with no location estimate
+    * needed (MAD requires the median first; Qn doesn't), the robust-
+    * scale companion of q84's robust shift. Same budget lottery; the
+    * order statistic is a per-group distinct-difference rank pick. */
+  private def qnQ(s: SparkSession, d: String): DataFrame =
+    StatTests.qnScaleBudget(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value",
+        targetPoints = TheilSenBudgetPts)
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val qnSql =
+    s"""WITH $budgetPtsSql,
+       |d AS (
+       |  SELECT a.g, CAST(round(abs(a.v - b.v) * 1e9, 0) AS BIGINT) AS d9
+       |  FROM pts a JOIN pts b ON b.g = a.g AND a.i < b.i),
+       |np AS (SELECT g, COUNT(*) AS n FROM pts GROUP BY g),
+       |vc AS (SELECT g, d9, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, d9, SUM(c) OVER (PARTITION BY g ORDER BY d9
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vc),
+       |kf AS (
+       |  SELECT g, n, ((n // 2 + 1) * (n // 2)) // 2 AS k
+       |  FROM np WHERE n >= 2),
+       |pick AS (
+       |  SELECT kf.g, n, k, MIN(d9) AS d9
+       |  FROM cum JOIN kf ON kf.g = cum.g AND cum.cum >= kf.k
+       |  GROUP BY 1, 2, 3)
+       |SELECT g AS event_type, n, k,
+       |  round(CAST(d9 AS DOUBLE) / 1e9, 9) AS qn_raw,
+       |  round(2.2219 * (CAST(d9 AS DOUBLE) / 1e9), 6) AS qn
+       |FROM pick ORDER BY event_type""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1481,5 +1516,8 @@ object StatsQueries {
     Capability("q89_friedman",
       "Friedman repeated-measures rank ANOVA over complete user blocks",
       friedmanQ, Some(friedmanSql)),
+    Capability("q90_qn_scale",
+      "Rousseeuw-Croux Qn robust scale: rank-picked pairwise |difference|",
+      qnQ, Some(qnSql)),
   )
 }

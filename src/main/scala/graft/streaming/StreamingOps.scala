@@ -59,6 +59,25 @@ object StreamingOps {
         col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("nd_users"))
 
+  /** Streaming PAIRED-CONVERSION state — the ingest half of a live
+    * McNemar A/B monitor ([[graft.operators.StatTests.mcNemar]]): one
+    * streaming aggregation keyed by subject maintains the pair of
+    * binary outcomes as two max-flags (max is order-insensitive and
+    * merge-exact, so the state equals the batch rollup bit-for-bit at
+    * any micro-batch cut). The χ² itself is a 4-counter fold over this
+    * frame — the batch operator runs on the sink table (the q39/CMS
+    * persisted-state convention: stream maintains the mergeable state,
+    * the statistic reads it), asserted equal to the all-batch path by
+    * StreamingSpec. `firstFlag`/`secondFlag` are 0/1 expressions over
+    * the raw event columns. */
+  def pairedConversionState(events: DataFrame, subjectCol: String,
+      firstFlag: org.apache.spark.sql.Column,
+      secondFlag: org.apache.spark.sql.Column): DataFrame =
+    events
+      .groupBy(col(subjectCol))
+      .agg(max(firstFlag.cast("long")).as("f1"),
+        max(secondFlag.cast("long")).as("f2"))
+
   /** Windowed streaming quantiles via the merging t-digest
     * ([[graft.functions.expr.TDigestAgg]]) — per (hour, event_type) the
     * ONLY state is one O(δ)-centroid digest, incrementally merged across

@@ -248,14 +248,16 @@ class LintSpec extends AnyFunSuite {
         "single-partition-shuffle", "unpushed-filter"),
       // k-count / term / tie frames ride 1-row-to-#conditions
       // broadcasts; ranks partition per block (never global)
-      "q89_friedman" -> Set("cartesian"))
+      "q89_friedman" -> Set("cartesian"),
+      // the md5 lottery is parquet-inexpressible (q67 precedent)
+      "q90_qn_scale" -> Set("unpushed-filter"))
       // (q86 medians broadcast-join; q87 is two aggregates — both clean)
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
       "graph_link_predict", "q28c_grouping_sets", "q83_pacf",
       "graph_modularity", "q84_hodges_lehmann",
       "q85_welch_anova", "q86_runs_test", "q87_mcnemar",
-      "q88_logrank", "q89_friedman").flatMap { name =>
+      "q88_logrank", "q89_friedman", "q90_qn_scale").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -714,6 +714,29 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rf.getDouble(5) == 0.0 && rf.isNullAt(6), rf.toString)
   }
 
+  test("qn scale: closed-form order statistic, outlier-immune, " +
+      "constant series read 0, singleton groups drop") {
+    import spark.implicits._
+    def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (g, new java.sql.Timestamp(i * 1000L), i.toLong, v)
+    }
+    // {1,2,4,8}: |diffs| sorted {1,2,3,4,6,7}; h=3, k=3 -> 3rd = 3.0
+    val df = (series("a", Seq(1.0, 2.0, 4.0, 8.0)) ++
+      // one wild outlier: diffs {1,1,1,2,2,3, 996..999}; k=3 -> still 1.0
+      series("wild", Seq(1.0, 2.0, 3.0, 4.0, 1000.0)) ++
+      series("flat", Seq(5.0, 5.0, 5.0)) ++
+      series("lone", Seq(42.0)))
+      .toDF("g", "ts", "id", "v")
+    val r = StatTests.qnScaleBudget(df, "g", "ts", "id", "v",
+        targetPoints = 1000)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(2) == 3L && r("a").getDouble(3) == 3.0)
+    assert(math.abs(r("a").getDouble(4) - 2.2219 * 3.0) < 1e-6)
+    assert(r("wild").getDouble(3) == 1.0, s"outlier-immune: ${r("wild")}")
+    assert(r("flat").getDouble(3) == 0.0 && r("flat").getDouble(4) == 0.0)
+    assert(!r.contains("lone"), "no pair exists for a singleton group")
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {

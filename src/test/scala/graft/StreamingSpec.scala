@@ -36,6 +36,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming paired-conversion state feeds McNemar to exact batch parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mcn").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    def f1 = col("event_type") === "purchase" && col("event_id") % 2 === 0
+    def f2 = col("event_type") === "purchase" && col("event_id") % 2 === 1
+    val stream = spark.readStream
+      .schema(StreamingOps.rawEventSchema)
+      .parquet(dir.getAbsolutePath)
+    val state = StreamingOps.pairedConversionState(
+      StreamingOps.withEventTime(stream), "user_id", f1, f2)
+    val query = state.writeStream
+      .format("memory").queryName("graft_stream_mcnemar")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      // the statistic reads the maintained state (the persisted-sketch
+      // convention): max-flag state is merge-exact, so the chain equals
+      // the all-batch q87 path bit-for-bit
+      val streamed = graft.operators.StatTests
+        .mcNemar(spark.table("graft_stream_mcnemar"), "user_id", "f1", "f2")
+        .collect().toSeq
+      val batch = Registry.byName("q87_mcnemar").run(spark, sf).collect().toSeq
+      assert(streamed == batch)
+    } finally {
+      query.stop()
+    }
+  }
+
   test("streaming windowed HLL distinct-count equals the batch sketch exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toFile
     java.nio.file.Files.copy(
