@@ -162,7 +162,8 @@ object Plans {
       "q87_mcnemar",             // user rollup -> one 2x2 aggregate
       "q88_logrank",             // distinct-duration risk-set cumsums
       "q89_friedman",            // per-block rank windows, cond rollup
-      "q90_qn_scale")            // lottery pairs, per-group rank pick
+      "q90_qn_scale",            // lottery pairs, per-group rank pick
+      "q91_nelson_aalen")        // exact-long hazard cumsum
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

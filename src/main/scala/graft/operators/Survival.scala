@@ -61,6 +61,45 @@ object Survival {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin:
+    * H(t) = Σ_{tⱼ≤t} dⱼ/nⱼ. Where KM multiplies survival factors, NA
+    * sums hazard increments — which is exactly why it's the
+    * engine-exact formulation of choice: each increment dⱼ/nⱼ is one
+    * IEEE division over exact integers, rounded@9 to a long, and the
+    * cumulative sum is an EXACT LONG at every step (no ln/exp bridge
+    * needed at all — `h9` hash-gates directly; the Fleming–Harrington
+    * survival exp(−H) is one rounded readout on top). Full-wipe times
+    * (d = n) are fine here — the hazard increment is 1, not a log of
+    * zero. Same distinct-duration frame and censoring rule as KM.
+    * Output: one row per death time (t, n_risk, d, h9, cum_hazard
+    * round@6, s_fh round@6). */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    val vc = df.select(col(durationCol).cast("long").as("t"),
+        col(censoredCol).cast("boolean").as("__c"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t"))
+      .agg(count(when(!col("__c"), 1)).as("d"),
+        count(when(col("__c"), 1)).as("cens"))
+    val tot = vc.agg(sum(col("d") + col("cens")).as("n_all"))
+    val before = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_all") - coalesce(sum(col("d") + col("cens")).over(before),
+          lit(0L)))
+      .withColumn("__i9",
+        round(col("d").cast("double") / col("n_risk").cast("double") * 1e9,
+          0).cast("long"))
+      .withColumn("h9", sum(col("__i9")).over(upTo))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("h9"),
+        round(col("h9").cast("double") / 1e9, 6).as("cum_hazard"),
+        round(exp(col("h9").cast("double") / -1e9), 6).as("s_fh"))
+  }
+
   /** Two-sample log-rank test (Mantel–Cox) — THE comparison that goes
     * with a [[kaplanMeier]] curve pair: "do cohort A's lifetimes differ
     * from cohort B's?", censoring-correct where a t-test on durations

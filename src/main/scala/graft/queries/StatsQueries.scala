@@ -1428,6 +1428,52 @@ object StatsQueries {
        |  round(2.2219 * (CAST(d9 AS DOUBLE) / 1e9), 6) AS qn
        |FROM pick ORDER BY event_type""".stripMargin
 
+  /** q91_nelson_aalen: cumulative hazard of the user lifetimes
+    * ([[graft.operators.Survival.nelsonAalen]], the q88 subjects) —
+    * KM's additive twin and the engine-exact formulation: hazard
+    * increments d/n round@9 to longs, so the cumulative H is an EXACT
+    * LONG at every step (`h9` hash-gates directly, no ln/exp bridge);
+    * Fleming–Harrington survival is one rounded readout on top. */
+  private def naQ(s: SparkSession, d: String): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(us).as("mx"))
+    val subj = ev.groupBy(col("user_id"))
+      .agg(min(us).as("f"), max(us).as("l"))
+      .crossJoin(broadcast(mx))
+      .select((col("l") - col("f")).as("dur"),
+        (col("l") > col("mx") - lit(LrHorizonUs)).as("cens"))
+    graft.operators.Survival.nelsonAalen(subj, "dur", "cens")
+      .orderBy(col("t"))
+  }
+
+  private lazy val naSql =
+    s"""WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+       |subj AS (
+       |  SELECT MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS t,
+       |    MAX(epoch_us(ts)) > (SELECT mx FROM mx) - $LrHorizonUs AS c
+       |  FROM events GROUP BY user_id),
+       |vc AS (
+       |  SELECT t, COUNT(*) FILTER (NOT c) AS d, COUNT(*) FILTER (c) AS cens
+       |  FROM subj GROUP BY t),
+       |tot AS (SELECT CAST(SUM(d + cens) AS BIGINT) AS n_all FROM vc),
+       |staged AS (
+       |  SELECT t, d,
+       |    n_all - coalesce(SUM(d + cens) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM vc, tot),
+       |acc AS (
+       |  SELECT t, n_risk, d,
+       |    SUM(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9,
+       |      0) AS BIGINT)) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h9
+       |  FROM staged)
+       |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       |  CAST(h9 AS BIGINT) AS h9,
+       |  round(CAST(h9 AS DOUBLE) / 1e9, 6) AS cum_hazard,
+       |  round(exp(CAST(h9 AS DOUBLE) / -1e9), 6) AS s_fh
+       |FROM acc WHERE d > 0 ORDER BY t""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1519,5 +1565,8 @@ object StatsQueries {
     Capability("q90_qn_scale",
       "Rousseeuw-Croux Qn robust scale: rank-picked pairwise |difference|",
       qnQ, Some(qnSql)),
+    Capability("q91_nelson_aalen",
+      "Nelson-Aalen cumulative hazard: exact-long h9 steps, FH survival readout",
+      naQ, Some(naSql)),
   )
 }

@@ -250,14 +250,19 @@ class LintSpec extends AnyFunSuite {
       // broadcasts; ranks partition per block (never global)
       "q89_friedman" -> Set("cartesian"),
       // the md5 lottery is parquet-inexpressible (q67 precedent)
-      "q90_qn_scale" -> Set("unpushed-filter"))
+      "q90_qn_scale" -> Set("unpushed-filter"),
+      // hazard steps cumulate over the distinct-duration frame (the
+      // KM convention); the subject total rides a 1-row broadcast
+      "q91_nelson_aalen" -> Set("cartesian", "global-window",
+        "single-partition-shuffle"))
       // (q86 medians broadcast-join; q87 is two aggregates — both clean)
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
       "graph_link_predict", "q28c_grouping_sets", "q83_pacf",
       "graph_modularity", "q84_hodges_lehmann",
       "q85_welch_anova", "q86_runs_test", "q87_mcnemar",
-      "q88_logrank", "q89_friedman", "q90_qn_scale").flatMap { name =>
+      "q88_logrank", "q89_friedman", "q90_qn_scale",
+      "q91_nelson_aalen").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -232,6 +232,31 @@ class StatTestsSpec extends AnyFunSuite {
     assert(t0.getLong(2) == 2L && math.abs(t0.getDouble(4) - 0.5) < 1e-6)
   }
 
+  test("nelson-aalen: textbook hazard steps as exact longs; censoring shrinks " +
+      "risk sets; a full wipe is a finite increment, not a NULL") {
+    import spark.implicits._
+    // {1,2,3} all dead: H = 1/3, 1/3+1/2, +1 -> h9 exact longs
+    val plain = Seq((1L, false), (2L, false), (3L, false)).toDF("dur", "c")
+    val r = graft.operators.Survival.nelsonAalen(plain, "dur", "c")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(3) == 333333333L)
+    assert(r(2L).getLong(3) == 333333333L + 500000000L)
+    assert(r(3L).getLong(3) == 833333333L + 1000000000L)
+    assert(r(3L).getDouble(4) == 1.833333)
+    // censored at 2: leaves the risk set silently; t=3 jumps by 1/1
+    val cens = Seq((1L, false), (2L, true), (3L, false)).toDF("dur", "c")
+    val rc = graft.operators.Survival.nelsonAalen(cens, "dur", "c")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(rc.keySet == Set(1L, 3L), "censor-only times emit no step")
+    assert(rc(3L).getLong(3) == 333333333L + 1000000000L)
+    // whole risk set dies: increment is exactly 1 — KM logs NULL there,
+    // NA stays finite (the additive formulation's advantage)
+    val wipe = Seq((7L, false), (7L, false)).toDF("dur", "c")
+    val rw = graft.operators.Survival.nelsonAalen(wipe, "dur", "c")
+      .collect().head
+    assert(rw.getLong(3) == 1000000000L && rw.getDouble(4) == 1.0)
+  }
+
   test("mutual information: 1 bit for a perfect 2x2 dependence, 0 for independence") {
     import spark.implicits._
     val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
