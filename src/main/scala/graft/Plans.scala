@@ -163,7 +163,8 @@ object Plans {
       "q88_logrank",             // distinct-duration risk-set cumsums
       "q89_friedman",            // per-block rank windows, cond rollup
       "q90_qn_scale",            // lottery pairs, per-group rank pick
-      "q91_nelson_aalen")        // exact-long hazard cumsum
+      "q91_nelson_aalen",        // exact-long hazard cumsum
+      "q26s_ipc_map")            // map-layout IPC round-trip scan
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -531,15 +531,23 @@ object StatTests {
     mannKendallOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
       targetPoints))
 
-  private def mannKendallOn(pts0: DataFrame): DataFrame = {
-    val pts = pts0.select(col("g"), col("t"), col("v"))
+  /** The Kendall S frame both [[mannKendallOn]] and [[kendallTauOn]]
+    * read: per group, Σ sign(v₂−v₁) over strict t₁ < t₂ pairs. One
+    * definition, used by the test AND the correlation — the published
+    * pairing holds by construction, not by parallel maintenance. */
+  private def kendallSFrame(pts: DataFrame): DataFrame = {
     val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
     val b = pts.select(col("g"), col("t").as("t2"), col("v").as("v2"))
-    val s = a.join(b, Seq("g")).filter(col("t1") < col("t2"))
+    a.join(b, Seq("g")).filter(col("t1") < col("t2"))
       .select(col("g"),
         when(col("v2") > col("v1"), 1L)
           .when(col("v2") < col("v1"), -1L).otherwise(0L).as("sgn"))
       .groupBy(col("g")).agg(sum(col("sgn")).as("s"))
+  }
+
+  private def mannKendallOn(pts0: DataFrame): DataFrame = {
+    val pts = pts0.select(col("g"), col("t"), col("v"))
+    val s = kendallSFrame(pts)
     val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val ties = pts.groupBy(col("g"), col("v")).agg(count(lit(1)).as("tc"))
       .groupBy(col("g"))
@@ -838,10 +846,12 @@ object StatTests {
       col("ntot").cast("double")
     val t9 = round(col("o").cast("double") *
       log(col("o").cast("double") / e) * 1e9, 0).cast("long")
+    // ungrouped aggregate: ONE row even on an empty table (NULL n/g9),
+    // the oracle's FROM sg, nn, rk, ck cardinality
     o.join(broadcast(rt), Seq("r")).join(broadcast(ct), Seq("c"))
       .crossJoin(broadcast(n1))
       .select(t9.as("__t9"), col("ntot"))
-      .groupBy(col("ntot")).agg(sum(col("__t9")).as("g9"))
+      .agg(max(col("ntot")).as("ntot"), sum(col("__t9")).as("g9"))
       .crossJoin(broadcast(rk)).crossJoin(broadcast(ck))
       .select(col("ntot").as("n"),
         ((col("r_card") - 1) * (col("c_card") - 1)).as("dof"),
@@ -877,8 +887,11 @@ object StatTests {
       .groupBy(col("g"))
       .agg(sum(col("c") * col("r2")).as("r2sum"), sum(col("c")).as("n_g"))
     val tot = gr.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"))
+    // ct³ and N³ wrap a long past ~2^21 rows (ANSI exception, not a
+    // wrong answer) — the tie fold and its guard run in decimal(38,0)
     val tie = vt.agg(
-      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tsum"))
+      sum(col("ct").cast("decimal(38,0)") * col("ct") * col("ct") -
+        col("ct")).as("tsum"))
     val nD = col("n_tot").cast("double")
     val rbar = col("r2sum").cast("double") / (col("n_g").cast("double") * 2.0)
     val dev = rbar - (nD + 1.0) / 2.0
@@ -891,8 +904,8 @@ object StatTests {
     val corr = lit(1.0) - col("tsum").cast("double") / (nD * nD * nD - nD)
     // every value tied (tsum = N³−N) zeroes the correction: H is 0 there
     // and h_corr is 0/0 — NULL by the integer-exact guard, not NaN
-    val corrOk =
-      col("tsum") < col("n_tot") * col("n_tot") * col("n_tot") - col("n_tot")
+    val nTotDec = col("n_tot").cast("decimal(38,0)")
+    val corrOk = col("tsum") < nTotDec * nTotDec * nTotDec - nTotDec
     gr.crossJoin(broadcast(tot)).crossJoin(broadcast(s))
       .crossJoin(broadcast(tie))
       .select(col("g"), col("n_g"), col("r2sum"),
@@ -950,10 +963,12 @@ object StatTests {
       .agg(sum(col("__t6")).cast("double").as("s6"))
     val chi = lit(12.0) / (nD * kD * (kD + 1.0)) * (col("s6") / 1e6) -
       lit(3.0) * nD * (kD + 1.0)
-    val corrDen = col("n_blocks") * col("k") *
+    // n·k·(k²−1) in decimal(38,0): block counts at 100 TB would wrap
+    // a long under ANSI (the KW-guard convention)
+    val corrDen = col("n_blocks").cast("decimal(38,0)") * col("k") *
       (col("k") * col("k") - lit(1L))
     val corr = lit(1.0) - col("tsum").cast("double") / corrDen.cast("double")
-    val corrOk = col("tsum") < corrDen
+    val corrOk = col("tsum").cast("decimal(38,0)") < corrDen
     byCond.crossJoin(broadcast(kTot)).crossJoin(broadcast(s))
       .crossJoin(broadcast(ties))
       .select(col("cond"), col("n_blocks"), col("k"), col("r2sum"),
@@ -1109,10 +1124,13 @@ object StatTests {
     val mu = p2 / n + 1.0
     val sg = sqrt(p2 * (p2 - n) / (n * n * (n - 1.0)))
     // 2n1n0 = n collapses sigma to 0 (exactly the {1,1} and {0,k}
-    // shapes) — NULL by an integer-exact guard, never Inf-vs-NULL
+    // shapes) — NULL by an integer-exact guard, never Inf-vs-NULL;
+    // the product runs in decimal(38,0) so it cannot wrap a long at
+    // 100 TB group sizes (ANSI would throw, DuckDB would error)
     val ok = col("n1") > 0L && col("n0") > 0L &&
       (col("n1") + col("n0")) > 1L &&
-      lit(2L) * col("n1") * col("n0") > col("n1") + col("n0")
+      lit(2L).cast("decimal(38,0)") * col("n1") * col("n0") >
+        (col("n1") + col("n0")).cast("decimal(38,0)")
     r.select(col("g"), col("n1"), col("n0"), col("runs"),
       when(ok, round((d(col("runs")) - mu) / sg, 6)).as("z"))
   }
@@ -1255,11 +1273,13 @@ object StatTests {
     val tot = vc.agg(sum(col("c")).as("m"))
     val w = Window.orderBy(col("d9"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // GROUP-BY-less aggregate: exactly ONE row even when a cohort is
+    // empty (m NULL, hl NULL) — matching the oracle's cardinality,
+    // which also cross-joins ungrouped aggregates
     vc.withColumn("cum", sum(col("c")).over(w))
       .crossJoin(broadcast(tot))
-      .filter(col("cum") >= expr("(m + 1) DIV 2"))
-      .groupBy(col("m"))
-      .agg(min(col("d9")).as("d9"))
+      .agg(max(col("m")).as("m"),
+        min(when(col("cum") >= expr("(m + 1) DIV 2"), col("d9"))).as("d9"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("n_a"), col("n_b"), col("m"),
         round(col("d9").cast("double") / 1e9, 9).as("hl_shift"))
@@ -1303,13 +1323,7 @@ object StatTests {
 
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
     val pts = pts0.select(col("g"), col("t"), col("v"))
-    val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
-    val b = pts.select(col("g"), col("t").as("t2"), col("v").as("v2"))
-    val s = a.join(b, Seq("g")).filter(col("t1") < col("t2"))
-      .select(col("g"),
-        when(col("v2") > col("v1"), 1L)
-          .when(col("v2") < col("v1"), -1L).otherwise(0L).as("sgn"))
-      .groupBy(col("g")).agg(sum(col("sgn")).as("s"))
+    val s = kendallSFrame(pts)
     val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
     def tieSum(c: String, out: String) = pts
       .groupBy(col("g"), col(c)).agg(count(lit(1)).as("tc"))

@@ -741,8 +741,12 @@ object GraphOps {
     * the global m and q on every row. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    // conflicting labels for one node resolve DETERMINISTICALLY to the
+    // minimum (a bare distinct would keep both rows and silently
+    // double-count every incident edge in m, e_in and the degrees)
     val lab = labels.select(col(nodeCol).as("__node"),
-      col(labelCol).as("__lab")).distinct()
+      col(labelCol).as("__lab"))
+      .groupBy(col("__node")).agg(min(col("__lab")).as("__lab"))
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))

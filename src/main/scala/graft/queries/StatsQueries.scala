@@ -891,7 +891,8 @@ object StatsQueries {
        |  FROM gv JOIN rk ON gv.v = rk.v GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k
        |  FROM gr),
-       |tie AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tsum FROM vt),
+       |tie AS (SELECT CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct)
+       |  AS HUGEINT) AS tsum FROM vt),
        |term AS (
        |  SELECT CAST(round(CAST(n_g AS DOUBLE) * $dev * $dev * 1e6, 0)
        |    AS HUGEINT) AS t6
@@ -900,7 +901,7 @@ object StatsQueries {
        |SELECT g AS event_type, n_g, r2sum,
        |  round($rbar, 9) AS mean_rank,
        |  round($h, 6) AS h,
-       |  CASE WHEN tsum < n_tot * n_tot * n_tot - n_tot
+       |  CASE WHEN tsum < CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot
        |    THEN round($h / $corr, 6) END AS h_corr
        |FROM gr, tot, s, tie ORDER BY event_type""".stripMargin
   }
@@ -1225,7 +1226,7 @@ object StatsQueries {
        |  FROM ch GROUP BY g)
        |SELECT g AS event_type, n1, n0, runs,
        |  CASE WHEN n1 > 0 AND n0 > 0 AND (n1 + n0) > 1
-       |      AND 2 * n1 * n0 > n1 + n0 THEN
+       |      AND CAST(2 AS HUGEINT) * n1 * n0 > n1 + n0 THEN
        |    round((CAST(runs AS DOUBLE) - ($p2 / $n + 1.0)) /
        |      sqrt($p2 * ($p2 - $n) / ($n * $n * ($n - 1.0))), 6)
        |  END AS z
@@ -1359,7 +1360,7 @@ object StatsQueries {
     val chi = s"(12.0 / ($nD * $kD * ($kD + 1.0)) * (s6 / 1e6) - " +
       s"3.0 * $nD * ($kD + 1.0))"
     val corr = s"(1.0 - CAST(tsum AS DOUBLE) / " +
-      "CAST(n_blocks * k * (k * k - 1) AS DOUBLE))"
+      "CAST(CAST(n_blocks AS HUGEINT) * k * (k * k - 1) AS DOUBLE))"
     s"""WITH cell AS (
        |  SELECT user_id AS b, event_type AS cond,
        |    ${Det.sqlAvg("CAST(value AS DOUBLE)")} AS v
@@ -1388,7 +1389,7 @@ object StatsQueries {
        |SELECT cond AS event_type, n_blocks, k, r2sum,
        |  round(CAST(r2sum AS DOUBLE) / ($nD * 2.0), 9) AS mean_rank,
        |  round($chi, 6) AS chi2,
-       |  CASE WHEN tsum < n_blocks * k * (k * k - 1) THEN
+       |  CASE WHEN tsum < CAST(n_blocks AS HUGEINT) * k * (k * k - 1) THEN
        |    round($chi / $corr, 6) END AS chi2_corr
        |FROM bycond, kt, s, ties ORDER BY event_type""".stripMargin
   }

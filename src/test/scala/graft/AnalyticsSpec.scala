@@ -905,5 +905,12 @@ class AnalyticsSpec extends AnyFunSuite {
     val rm = graft.pipeline.GraphOps.modularity(messy, "u", "v", labels, "n", "c")
       .collect().map(x => x.getString(0) -> x).toMap
     assert(rm("A").getDouble(5) == r("A").getDouble(5), "normalization")
+    // a node labeled TWICE resolves deterministically to the MIN label
+    // instead of double-counting its edges (self-review finding)
+    val dup = labels.union(Seq("a1" -> "Z").toDF("n", "c"))
+    val rd = graft.pipeline.GraphOps.modularity(edges, "u", "v", dup, "n", "c")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rd("A").getLong(4) == 7L && rd("A") == r("A") && !rd.contains("Z"),
+      s"conflicting labels must not inflate m: $rd")
   }
 }
