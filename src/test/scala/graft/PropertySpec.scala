@@ -608,4 +608,108 @@ class PropertySpec extends AnyFunSuite {
       assert(got.length == expected.size, s"duplicate pairs at seed $seed width $binWidth")
     }
   }
+
+  // shared fixture shape for the budget-lottery estimator family: a
+  // (g, ts, id, v) frame where targetPoints is far above the sample
+  // size, so the lottery provably keeps everything (budget spec) and
+  // the operators are exact over the generated data
+  private def estimatorDf(as: Seq[Double], bs: Seq[Double]) = {
+    import spark.implicits._
+    def rows(g: String, off: Int, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) =>
+        (g, new java.sql.Timestamp((i + 1) * 1000L), (off + i).toLong, v)
+    }
+    (rows("a", 0, as) ++ rows("b", 1000, bs)).toDF("g", "ts", "id", "v")
+  }
+
+  // quarter-step values: exact in double AND at the 1e9 long scaling
+  private def qGen(n: Int) =
+    Gen.listOfN(n, Gen.choose(0, 1200).map(_ / 4.0))
+
+  test("hodges-lehmann equals the brute sorted-pair lower median on random data") {
+    val gen = Gen.zip(qGen(12), qGen(9))
+    val prop = Prop.forAll(gen) { case (as, bs) =>
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val got = graft.operators.StatTests
+          .hodgesLehmannBudget(estimatorDf(as, bs), "g", "ts", "id", "v",
+            "a", "b", targetPoints = 100000)
+          .collect().head.getDouble(3)
+        val diffs = (for (x <- as; y <- bs) yield x - y).sorted
+        val want = diffs((diffs.length + 1) / 2 - 1)
+        math.abs(got - want) < 1e-9
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("qn scale equals the brute pairwise order statistic on random data") {
+    val prop = Prop.forAll(qGen(11)) { vs =>
+      (vs.length >= 2) ==> {
+        val got = graft.operators.StatTests
+          .qnScaleBudget(estimatorDf(vs, Seq(0.0)), "g", "ts", "id", "v",
+            targetPoints = 100000)
+          .collect().map(r => r.getString(0) -> r).toMap
+        val diffs = (for {
+          i <- vs.indices; j <- vs.indices if i < j
+        } yield math.abs(vs(i) - vs(j))).sorted
+        val h = vs.length / 2 + 1
+        val want = diffs(h * (h - 1) / 2 - 1)
+        math.abs(got("a").getDouble(3) - want) < 1e-9
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kendall tau-b equals the brute index-pair count on random data") {
+    val prop = Prop.forAll(qGen(14)) { vs =>
+      (vs.length >= 3 && vs.distinct.length > 1) ==> {
+        val got = graft.operators.StatTests
+          .kendallTauBudget(estimatorDf(vs, Seq(0.0, 1.0)), "g", "ts", "id",
+            "v", targetPoints = 100000)
+          .collect().map(r => r.getString(0) -> r).toMap
+        val n = vs.length
+        var s = 0L
+        for (i <- 0 until n; j <- i + 1 until n)
+          s += java.lang.Double.compare(vs(j), vs(i)).sign
+        val n0 = n.toLong * (n - 1) / 2
+        val tv = vs.groupBy(identity).values
+          .map(g => g.length.toLong * (g.length - 1) / 2).sum
+        val want = s.toDouble / math.sqrt(n0.toDouble * (n0 - tv))
+        got("a").getLong(2) == s &&
+          math.abs(got("a").getDouble(3) - want) < 1e-5
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kruskal-wallis H equals a brute midrank recomputation on random groups") {
+    import spark.implicits._
+    val gen = Gen.zip(qGen(10), qGen(8), qGen(6))
+    val prop = Prop.forAll(gen) { case (as, bs, cs) =>
+      (as.nonEmpty && bs.nonEmpty && cs.nonEmpty) ==> {
+        val df = (as.map(("a", _)) ++ bs.map(("b", _)) ++ cs.map(("c", _)))
+          .toDF("g", "v")
+        val got = graft.operators.StatTests.kruskalWallis(df, "g", "v")
+          .collect().head.getDouble(4)
+        val all = (as ++ bs ++ cs).sorted
+        def midrank(v: Double): Double = {
+          val lo = all.indexOf(v); val hi = all.lastIndexOf(v)
+          (lo + hi) / 2.0 + 1.0
+        }
+        val n = all.length.toDouble
+        val groups = Seq(as, bs, cs)
+        val sumTerm = groups.map { g =>
+          val rbar = g.map(midrank).sum / g.length
+          g.length * (rbar - (n + 1) / 2) * (rbar - (n + 1) / 2)
+        }.sum
+        val want = 12.0 / (n * (n + 1)) * sumTerm
+        math.abs(got - want) < 1e-4
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
 }
