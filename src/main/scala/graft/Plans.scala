@@ -164,7 +164,9 @@ object Plans {
       "q89_friedman",            // per-block rank windows, cond rollup
       "q90_qn_scale",            // lottery pairs, per-group rank pick
       "q91_nelson_aalen",        // exact-long hazard cumsum
-      "q26s_ipc_map")            // map-layout IPC round-trip scan
+      "q26s_ipc_map",            // map-layout IPC round-trip scan
+      "q92_wilson_ci",           // user rollup -> 2-row interval math
+      "q93_chapman")             // one narrow flag aggregate
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1164,6 +1164,63 @@ object StatTests {
       when(col("b") + col("c") > 0L, round(cc * cc / tot, 9)).as("chi2_cc"))
   }
 
+  /** Wilson score interval per group — the binomial CI that actually
+    * holds its coverage at extreme p̂ and small n, where the Wald
+    * interval [[twoProportion]] reports collapses to a point at
+    * p̂ ∈ {0,1} and can stray outside [0,1] (Brown/Cai/DasGupta 2001:
+    * Wald is "persistently chaotic"; Wilson is the recommended
+    * default). Center (p̂ + z²/2n)/(1 + z²/n), half-width
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — one fixed-order IEEE
+    * expression each over exact (n, k) longs, round@6; z is a literal
+    * (same double both engines). Output: per group (g, n, k, p_hat
+    * round@9, wilson_lo, wilson_hi round@6); n = 0 groups drop at the
+    * aggregate (no trials, no interval). */
+  def wilsonCi(df: DataFrame, groupCol: String, successCol: String,
+      z: Double = 1.96): DataFrame = {
+    val m = df.select(col(groupCol).as("g"),
+        col(successCol).cast("long").as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    m.select(col("g"), col("n"), col("k"),
+      round(p, 9).as("p_hat"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
+  /** Chapman capture–recapture estimator: how big is the POPULATION two
+    * overlapping samples were drawn from? N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * with SE² = (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)) — the
+    * bias-corrected Lincoln–Petersen form that stays finite at m = 0.
+    * The corpus question it answers: two crawls/dedup passes share m
+    * documents — how many documents exist in total (how much is still
+    * uncrawled)? All counts exact longs folded in ONE narrow aggregate
+    * over membership flags (no join — each row carries its own in-A /
+    * in-B bits); the two divisions happen once, round@6.
+    * Output: 1 row (n1, n2, m, n_hat, se). */
+  def chapman(df: DataFrame, inACol: String, inBCol: String): DataFrame = {
+    val agg = df.select(col(inACol).cast("boolean").as("a"),
+        col(inBCol).cast("boolean").as("b"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("m"))
+    def d(c: Column) = c.cast("double")
+    val nHat = (d(col("n1")) + 1.0) * (d(col("n2")) + 1.0) /
+      (d(col("m")) + 1.0) - 1.0
+    val se = sqrt((d(col("n1")) + 1.0) * (d(col("n2")) + 1.0) *
+      (d(col("n1")) - d(col("m"))) * (d(col("n2")) - d(col("m"))) /
+      ((d(col("m")) + 1.0) * (d(col("m")) + 1.0) * (d(col("m")) + 2.0)))
+    agg.select(col("n1"), col("n2"), col("m"),
+      round(nHat, 6).as("n_hat"), round(se, 6).as("se"))
+  }
+
   /** One-way ANOVA, CLASSIC and WELCH in one pass — the k-group mean
     * test completing the battery ([[welchPairs]] is pairwise,
     * [[kruskalWallis]] is the rank form, [[brownForsythe]] tests the

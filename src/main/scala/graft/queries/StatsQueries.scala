@@ -1475,6 +1475,82 @@ object StatsQueries {
        |  round(exp(CAST(h9 AS DOUBLE) / -1e9), 6) AS s_fh
        |FROM acc WHERE d > 0 ORDER BY t""".stripMargin
 
+  /** q92_wilson_ci: Wilson score intervals for the q76 conversion per
+    * variant ([[StatTests.wilsonCi]]) — the binomial CI that holds
+    * coverage where q76's Wald interval collapses at p̂ ∈ {0,1}
+    * (Brown/Cai/DasGupta 2001). Same user rollup as q76. */
+  private def wilsonQ(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("pc"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("pc") >= 12, 1L).otherwise(0L).as("converted"))
+    StatTests.wilsonCi(users, "variant", "converted")
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "variant")
+  }
+
+  private lazy val wilsonSql = {
+    val nD = "CAST(n AS DOUBLE)"
+    val p = s"(CAST(k AS DOUBLE) / $nD)"
+    val z2 = "3.8415999999999997"
+    val denom = s"(1.0 + $z2 / $nD)"
+    val center = s"(($p + $z2 / (2.0 * $nD)) / $denom)"
+    val half = s"(1.96 * sqrt($p * (1.0 - $p) / $nD + " +
+      s"$z2 / (4.0 * $nD * $nD)) / $denom)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN pc >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM u GROUP BY 1)
+       |SELECT variant, n, k,
+       |  round($p, 9) AS p_hat,
+       |  round($center - $half, 6) AS wilson_lo,
+       |  round($center + $half, 6) AS wilson_hi
+       |FROM m ORDER BY variant""".stripMargin
+  }
+
+  /** q93_chapman: capture–recapture population estimate ([[StatTests
+    * .chapman]]) over two deterministic document "crawls" (doc_id % 3
+    * ≠ 0 and doc_id % 2 = 0) — "two passes share m docs: how big is
+    * the whole corpus?", the mark-recapture question a crawl-coverage
+    * dashboard asks. The slices are independent by construction
+    * (mod-3 vs mod-2 residues), so N̂ lands near the true count — and
+    * the TRUE count is gated right beside it (n_true), making the
+    * estimator's accuracy part of the oracle check. */
+  private def chapmanQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      (col("doc_id") % 3 =!= 0).as("in_a"),
+      (col("doc_id") % 2 === 0).as("in_b"))
+    StatTests.chapman(docs, "in_a", "in_b")
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("n_true"))))
+  }
+
+  private lazy val chapmanSql = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val nHat = s"((${d("n1")} + 1.0) * (${d("n2")} + 1.0) / " +
+      s"(${d("m")} + 1.0) - 1.0)"
+    val se = s"sqrt((${d("n1")} + 1.0) * (${d("n2")} + 1.0) * " +
+      s"(${d("n1")} - ${d("m")}) * (${d("n2")} - ${d("m")}) / " +
+      s"((${d("m")} + 1.0) * (${d("m")} + 1.0) * (${d("m")} + 2.0)))"
+    s"""WITH f AS (
+       |  SELECT doc_id % 3 <> 0 AS a, doc_id % 2 = 0 AS b FROM documents),
+       |agg AS (
+       |  SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM f),
+       |t AS (SELECT COUNT(*) AS n_true FROM documents)
+       |SELECT n1, n2, m, round($nHat, 6) AS n_hat, round($se, 6) AS se,
+       |  n_true
+       |FROM agg, t""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1569,5 +1645,11 @@ object StatsQueries {
     Capability("q91_nelson_aalen",
       "Nelson-Aalen cumulative hazard: exact-long h9 steps, FH survival readout",
       naQ, Some(naSql)),
+    Capability("q92_wilson_ci",
+      "Wilson score intervals: the binomial CI that holds where Wald collapses",
+      wilsonQ, Some(wilsonSql)),
+    Capability("q93_chapman",
+      "Chapman capture-recapture corpus-size estimate from two crawl slices",
+      chapmanQ, Some(chapmanSql)),
   )
 }

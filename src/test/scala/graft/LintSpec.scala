@@ -254,7 +254,10 @@ class LintSpec extends AnyFunSuite {
       // hazard steps cumulate over the distinct-duration frame (the
       // KM convention); the subject total rides a 1-row broadcast
       "q91_nelson_aalen" -> Set("cartesian", "global-window",
-        "single-partition-shuffle"))
+        "single-partition-shuffle"),
+      // the true-count frame rides a 1-row broadcast next to the
+      // estimate (the gate exposes accuracy, not just determinism)
+      "q93_chapman" -> Set("cartesian"))
       // (q86 medians broadcast-join; q87 is two aggregates — both clean)
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
@@ -262,7 +265,7 @@ class LintSpec extends AnyFunSuite {
       "graph_modularity", "q84_hodges_lehmann",
       "q85_welch_anova", "q86_runs_test", "q87_mcnemar",
       "q88_logrank", "q89_friedman", "q90_qn_scale",
-      "q91_nelson_aalen").flatMap { name =>
+      "q91_nelson_aalen", "q92_wilson_ci", "q93_chapman").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

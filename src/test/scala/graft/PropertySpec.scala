@@ -685,6 +685,67 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("log-rank O1/E1/V equal a brute risk-set walk on random censored data") {
+    import spark.implicits._
+    val subjGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 1L), Gen.choose(1L, 12L), Gen.oneOf(true, false)))
+    val prop = Prop.forAll(subjGen) { subj =>
+      subj.exists(s => !s._3) ==> {
+        val got = graft.operators.Survival
+          .logRank(subj.toDF("g", "dur", "c"), "g", "dur", "c")
+          .collect().head
+        // brute: walk pooled death times ascending, risk set = dur >= t
+        val deathTimes = subj.filter(!_._3).map(_._2).distinct.sorted
+        var o1 = 0L; var e1 = 0.0; var v = 0.0
+        for (t <- deathTimes) {
+          val n1 = subj.count(s => s._1 == 0L && s._2 >= t)
+          val n2 = subj.count(s => s._1 == 1L && s._2 >= t)
+          val d1 = subj.count(s => s._1 == 0L && s._2 == t && !s._3)
+          val d2 = subj.count(s => s._1 == 1L && s._2 == t && !s._3)
+          val (nj, dj) = (n1 + n2, d1 + d2)
+          o1 += d1
+          // mirror the operator's round@9 term ladder exactly
+          e1 += math.rint(dj.toDouble * n1 / nj * 1e9) / 1e9
+          if (nj > 1)
+            v += math.rint(dj.toDouble * (n1.toDouble / nj) *
+              (1.0 - n1.toDouble / nj) * (nj - dj) / (nj - 1.0) * 1e9) / 1e9
+        }
+        got.getLong(1) == o1 &&
+          math.abs(got.getDouble(2) - e1) < 1e-5 &&
+          math.abs(got.getDouble(3) - v) < 1e-5
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("runs test R/n1/n0 equal a brute sign-walk on random odd-length series") {
+    import spark.implicits._
+    // odd length -> the interpolated median IS a sample value, so the
+    // drop-equals rule and the brute reference agree with no
+    // interpolation ambiguity
+    val gen = Gen.listOfN(21, Gen.choose(0, 40).map(_ / 2.0))
+    val prop = Prop.forAll(gen) { vs =>
+      vs.distinct.length > 1 ==> {
+        val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, i.toLong, v) }
+          .toDF("g", "t", "id", "v")
+        val got = graft.operators.StatTests.runsTest(df, "g", "t", "id", "v")
+          .collect().head
+        val med = vs.sorted.apply(vs.length / 2)
+        val signs = vs.filter(_ != med).map(_ > med)
+        val runs = 1 + signs.sliding(2).count {
+          case Seq(a, b) => a != b
+          case _ => false
+        }
+        got.getLong(1) == signs.count(identity) &&
+          got.getLong(2) == signs.count(!_) &&
+          got.getLong(3) == runs
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kruskal-wallis H equals a brute midrank recomputation on random groups") {
     import spark.implicits._
     val gen = Gen.zip(qGen(10), qGen(8), qGen(6))

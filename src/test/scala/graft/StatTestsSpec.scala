@@ -762,6 +762,48 @@ class StatTestsSpec extends AnyFunSuite {
     assert(!r.contains("lone"), "no pair exists for a singleton group")
   }
 
+  test("wilson ci: symmetric closed form at p=1/2; stays inside [0,1] at the " +
+      "edge where Wald collapses to a point") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("half", if (i <= 5) 1L else 0L)) ++
+      (1 to 10).map(_ => ("none", 0L)) ++
+      (1 to 10).map(_ => ("all", 1L))).toDF("g", "s")
+    val r = StatTests.wilsonCi(df, "g", "s")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // 5/10: center exactly 1/2, half = 1.96*sqrt(.0346604)/1.38416
+    val denom = 1.0 + 1.96 * 1.96 / 10.0
+    val half = 1.96 * math.sqrt(0.025 + 1.96 * 1.96 / 400.0) / denom
+    assert(r("half").getDouble(3) == 0.5)
+    assert(math.abs(r("half").getDouble(4) - (0.5 - half)) < 1e-6)
+    assert(math.abs(r("half").getDouble(5) - (0.5 + half)) < 1e-6)
+    // 0/10: Wald reads [0,0]; Wilson reads [0, ~0.2775] — the point
+    assert(r("none").getDouble(4) == 0.0 && r("none").getDouble(5) > 0.25)
+    // 10/10 mirrors by symmetry
+    assert(r("all").getDouble(5) == 1.0 &&
+      math.abs(r("all").getDouble(4) - (1.0 - r("none").getDouble(5))) < 1e-6)
+  }
+
+  test("chapman: closed-form estimate, finite at zero overlap, near-truth " +
+      "on independent slices of a known population") {
+    import spark.implicits._
+    // n1=60, n2=50, m=20: N = 61*51/21 - 1
+    val planted = (1 to 100).map(i => (i >= 1 && i <= 60, i >= 41 && i <= 90))
+      .toDF("a", "b")
+    val r = StatTests.chapman(planted, "a", "b").collect().head
+    assert(r.getLong(0) == 60L && r.getLong(1) == 50L && r.getLong(2) == 20L)
+    assert(math.abs(r.getDouble(3) - (61.0 * 51.0 / 21.0 - 1.0)) < 1e-6)
+    // disjoint samples: the +1 correction keeps the estimate finite
+    val disjoint = (1 to 100).map(i => (i <= 50, i > 50)).toDF("a", "b")
+    val rd = StatTests.chapman(disjoint, "a", "b").collect().head
+    assert(rd.getDouble(3) == 51.0 * 51.0 - 1.0 && !rd.getDouble(4).isNaN)
+    // independent residue-class slices of 6000 ids: estimate lands
+    // within 3 SE of the truth (deterministic data, not a flaky bound)
+    val pop = (1 to 6000).map(i => (i % 3 != 0, i % 2 == 0)).toDF("a", "b")
+    val rp = StatTests.chapman(pop, "a", "b").collect().head
+    assert(math.abs(rp.getDouble(3) - 6000.0) <= 3.0 * rp.getDouble(4),
+      rp.toString)
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
