@@ -166,7 +166,8 @@ object Plans {
       "q91_nelson_aalen",        // exact-long hazard cumsum
       "q26s_ipc_map",            // map-layout IPC round-trip scan
       "q92_wilson_ci",           // user rollup -> 2-row interval math
-      "q93_chapman")             // one narrow flag aggregate
+      "q93_chapman",             // one narrow flag aggregate
+      "q94_poisson_rate")        // user rollup -> 2-row rate sides
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1164,6 +1164,48 @@ object StatTests {
       when(col("b") + col("c") > 0L, round(cc * cc / tot, 9)).as("chi2_cc"))
   }
 
+  /** Two-sample Poisson RATE test, conditional (binomial) form — the
+    * A/B primitive when the outcome is a COUNT over an EXPOSURE
+    * (events per user-hour, errors per machine-day), where
+    * [[twoProportion]]'s per-user binary collapses all intensity
+    * information: under H₀ (equal rates), k₁ given K = k₁+k₂ is
+    * Binomial(K, p) with p = t₁/(t₁+t₂) — the classical conditional
+    * test that needs NO rate variance estimate, only exact counts and
+    * exposures. z = (k₁ − K·p)/√(K·p(1−p)), round@6; degenerate
+    * exposure splits (p ∉ (0,1)) or K = 0 emit NULL. Everything until
+    * the p division is exact longs; rates per hour are one rounded
+    * readout each. One group aggregate over (variant, count, exposure)
+    * rows — callers roll up subjects first.
+    * Output: 1 row (k1, k2, t1_us, t2_us, rate1_h, rate2_h, z). */
+  def poissonRate(df: DataFrame, variantCol: String, countCol: String,
+      exposureUsCol: String): DataFrame = {
+    val m = df.select(col(variantCol).cast("long").as("v"),
+        col(countCol).cast("long").as("k"),
+        col(exposureUsCol).cast("long").as("t"))
+      .groupBy(col("v"))
+      .agg(sum(col("k")).as("k"), sum(col("t")).as("t"))
+    def side(s: String, vv: Long) = m.filter(col("v") === vv)
+      .select(col("k").as(s"k_$s"), col("t").as(s"t_$s"))
+    val j = broadcast(side("a", 0L)).crossJoin(broadcast(side("b", 1L)))
+    def d(c: Column) = c.cast("double")
+    val bigK = d(col("k_a")) + d(col("k_b"))
+    val p = d(col("t_a")) / (d(col("t_a")) + d(col("t_b")))
+    val z = (d(col("k_a")) - bigK * p) /
+      sqrt(bigK * p * (lit(1.0) - p))
+    val usPerHour = 3600000000L
+    val ok = col("k_a") + col("k_b") > 0L &&
+      col("t_a") > 0L && col("t_b") > 0L
+    j.select(col("k_a").as("k1"), col("k_b").as("k2"),
+      col("t_a").as("t1_us"), col("t_b").as("t2_us"),
+      when(col("t_a") > 0L,
+        round(d(col("k_a")) / (d(col("t_a")) / usPerHour.toDouble), 6))
+        .as("rate1_h"),
+      when(col("t_b") > 0L,
+        round(d(col("k_b")) / (d(col("t_b")) / usPerHour.toDouble), 6))
+        .as("rate2_h"),
+      when(ok, round(z, 6)).as("z"))
+  }
+
   /** Wilson score interval per group — the binomial CI that actually
     * holds its coverage at extreme p̂ and small n, where the Wald
     * interval [[twoProportion]] reports collapses to a point at

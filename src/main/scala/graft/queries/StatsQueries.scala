@@ -1551,6 +1551,48 @@ object StatsQueries {
        |FROM agg, t""".stripMargin
   }
 
+  /** q94_poisson_rate: purchases per observed user-hour, even vs odd
+    * cohorts ([[StatTests.poissonRate]]) — the A/B for INTENSITY, where
+    * q76's per-user binary collapses "how often" to "whether". Exposure
+    * = each user's observed lifetime (last − first event µs), the q88
+    * subjects; the conditional binomial form needs no rate variance
+    * estimate: k₁ | K ~ Bin(K, t₁/(t₁+t₂)) under equal rates. */
+  private def poissonQ(s: SparkSession, d: String): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val subj = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("k"),
+        (max(us) - min(us)).as("t"))
+      .select((col("user_id") % 2).as("variant"), col("k"), col("t"))
+    StatTests.poissonRate(subj, "variant", "k", "t")
+  }
+
+  private lazy val poissonSql = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val bigK = s"(${d("k_a")} + ${d("k_b")})"
+    val p = s"(${d("t_a")} / (${d("t_a")} + ${d("t_b")}))"
+    s"""WITH subj AS (
+       |  SELECT user_id % 2 AS v,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k,
+       |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS t
+       |  FROM events GROUP BY user_id),
+       |m AS (SELECT v, CAST(SUM(k) AS BIGINT) AS k,
+       |  CAST(SUM(t) AS BIGINT) AS t FROM subj GROUP BY v),
+       |j AS (
+       |  SELECT a.k AS k_a, a.t AS t_a, b.k AS k_b, b.t AS t_b
+       |  FROM (SELECT k, t FROM m WHERE v = 0) a,
+       |       (SELECT k, t FROM m WHERE v = 1) b)
+       |SELECT k_a AS k1, k_b AS k2, t_a AS t1_us, t_b AS t2_us,
+       |  CASE WHEN t_a > 0 THEN
+       |    round(${d("k_a")} / (${d("t_a")} / 3.6E9), 6) END AS rate1_h,
+       |  CASE WHEN t_b > 0 THEN
+       |    round(${d("k_b")} / (${d("t_b")} / 3.6E9), 6) END AS rate2_h,
+       |  CASE WHEN k_a + k_b > 0 AND t_a > 0 AND t_b > 0 THEN
+       |    round((${d("k_a")} - $bigK * $p) /
+       |      sqrt($bigK * $p * (1.0 - $p)), 6) END AS z
+       |FROM j""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
@@ -1651,5 +1693,8 @@ object StatsQueries {
     Capability("q93_chapman",
       "Chapman capture-recapture corpus-size estimate from two crawl slices",
       chapmanQ, Some(chapmanSql)),
+    Capability("q94_poisson_rate",
+      "two-sample Poisson rate test: conditional binomial on exact exposures",
+      poissonQ, Some(poissonSql)),
   )
 }

@@ -257,7 +257,11 @@ class LintSpec extends AnyFunSuite {
         "single-partition-shuffle"),
       // the true-count frame rides a 1-row broadcast next to the
       // estimate (the gate exposes accuracy, not just determinism)
-      "q93_chapman" -> Set("cartesian"))
+      "q93_chapman" -> Set("cartesian"),
+      // the 1-row variant sides cross as broadcasts (q76 shape); the
+      // v = 0/1 side filters fold to user_id % 2 scan predicates —
+      // parquet-inexpressible (the q88 precedent)
+      "q94_poisson_rate" -> Set("cartesian", "unpushed-filter"))
       // (q86 medians broadcast-join; q87 is two aggregates — both clean)
     val offenders = Seq("q78_kruskal_wallis", "q79_brown_forsythe",
       "q80_gtest", "q81_durbin_watson", "q82_kendall_tau",
@@ -265,7 +269,8 @@ class LintSpec extends AnyFunSuite {
       "graph_modularity", "q84_hodges_lehmann",
       "q85_welch_anova", "q86_runs_test", "q87_mcnemar",
       "q88_logrank", "q89_friedman", "q90_qn_scale",
-      "q91_nelson_aalen", "q92_wilson_ci", "q93_chapman").flatMap { name =>
+      "q91_nelson_aalen", "q92_wilson_ci", "q93_chapman",
+      "q94_poisson_rate").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

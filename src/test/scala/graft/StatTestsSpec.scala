@@ -804,6 +804,27 @@ class StatTestsSpec extends AnyFunSuite {
       rp.toString)
   }
 
+  test("poisson rate: conditional-binomial closed form, equal rates read 0, " +
+      "degenerate exposure is NULL") {
+    import spark.implicits._
+    // equal exposures, k = 30 vs 10: p = 1/2, z = (30-20)/sqrt(40/4)
+    val df = Seq((0L, 30L, 7200000000L), (1L, 10L, 7200000000L))
+      .toDF("v", "k", "t")
+    val r = StatTests.poissonRate(df, "v", "k", "t").collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 10L)
+    assert(r.getDouble(4) == 15.0 && r.getDouble(5) == 5.0) // per-hour rates
+    assert(math.abs(r.getDouble(6) - 10.0 / math.sqrt(10.0)) < 1e-6)
+    // rates proportional to exposure: k1 = K*p exactly -> z = 0
+    val prop = Seq((0L, 20L, 7200000000L), (1L, 10L, 3600000000L))
+      .toDF("v", "k", "t")
+    val rp = StatTests.poissonRate(prop, "v", "k", "t").collect().head
+    assert(rp.getDouble(6) == 0.0, rp.toString)
+    // zero exposure on one side: rate and z NULL, never Inf
+    val zt = Seq((0L, 5L, 3600000000L), (1L, 0L, 0L)).toDF("v", "k", "t")
+    val rz = StatTests.poissonRate(zt, "v", "k", "t").collect().head
+    assert(rz.isNullAt(5) && rz.isNullAt(6), rz.toString)
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
