@@ -35,20 +35,20 @@ import org.apache.spark.sql.functions._
   */
 object ClusterOps {
 
-  /** Squared L2 distance between an array column and a literal centroid,
-    * folded sequentially in array order, rounded at 6 dp. */
-  private def dist2(vec: Column, centroid: Array[Double]): Column = {
-    val c = array(centroid.map(lit): _*)
-    round(aggregate(
-      zip_with(vec, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0),
-      (acc, v) => acc + v), 6)
-  }
+  /** Rounded squared-L2 distances to every centroid as ONE fused codegen
+    * loop ([[graft.functions.expr.MatVecFold]]) — bit-identical to the k
+    * separate `aggregate(zip_with(...))` folds it replaced (sequential
+    * in-array-order accumulation, 6 dp round per element) but compiled
+    * once per JVM: the centroid matrix rides in `references`, so Lloyd
+    * iterations reuse the same generated class instead of re-deriving k
+    * literal subtrees per pass (the r12 ann_kmeans bench-swing fix). */
+  private def dist2All(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.expr.MatVecFold.distances2(vec, centroids)
 
-  /** Nearest-centroid id (argmin of [[dist2]], ties to the lower cid) as
-    * a narrow literal-folded projection — no join, no shuffle. */
+  /** Nearest-centroid id (argmin of [[dist2All]], ties to the lower cid)
+    * as a narrow literal-folded projection — no join, no shuffle. */
   private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val ds = array(centroids.map(c => dist2(vec, c)): _*)
+    val ds = dist2All(vec, centroids)
     (array_position(ds, array_min(ds)) - 1).cast("int")
   }
 
@@ -138,7 +138,8 @@ object ClusterOps {
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.length >= 2, "silhouette needs at least 2 centroids")
-    val ds = centroids.map(c => sqrt(dist2(col(vecCol), c)))
+    val d2 = dist2All(col(vecCol), centroids)
+    val ds = centroids.indices.map(i => sqrt(element_at(d2, i + 1)))
     val own = assignExpr(col(vecCol), centroids)
     // distance to own centroid, and min over the others
     val a = ds.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (d, i)) =>
@@ -156,17 +157,12 @@ object ClusterOps {
         round(graft.Det.dsum(col("__s")) / count(lit(1)), 6).as("mean_silhouette"))
   }
 
-  /** Sequential-fold cosine between two array columns, rounded at 6 dp —
-    * the engine-deterministic within-row formulation (each of the three
-    * sums folds in array order). */
-  private def cosine6(a: Column, b: Column): Column = {
-    def fold(arr: Column): Column =
-      aggregate(arr, lit(0.0), (acc, v) => acc + v)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
-    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
-    round(dot / (sqrt(na) * sqrt(nb)), 6)
-  }
+  /** Sequential-fold cosine between two array<float> columns, rounded at
+    * 6 dp — [[graft.functions.expr.CosineSimilarity]] accumulates its
+    * three sums in array order (bit-identical to the HOF formulation,
+    * fused codegen loop). */
+  private def cosine6(a: Column, b: Column): Column =
+    round(graft.functions.expr.CosineSimilarity(a, b), 6)
 
   /** SemDeDup: k-means the corpus, keep each cluster's representative
     * (the lowest id), drop every other member whose cosine to its

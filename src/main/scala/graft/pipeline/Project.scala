@@ -24,21 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Project {
 
-  /** Sequential within-row dot product of a vector column against a
-    * literal array, in ascending index order. */
-  private def dotLit(vec: Column, w: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, lit(w), (x, c) => x.cast("double") * c),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential within-row dot products of a vector column against each
+    * row of a literal matrix, in ascending index order —
+    * [[graft.functions.expr.MatVecFold]]'s fused codegen loop,
+    * bit-identical to the `aggregate(zip_with(...))` folds it replaced
+    * (and compiled once per JVM regardless of the matrix values). */
+  private def dotsLit(vec: Column, w: Array[Array[Double]]): Column =
+    graft.functions.expr.MatVecFold.dots(vec, w)
 
   /** Projection of each row onto one trained component: (idCol, proj)
     * with proj = Σ_j vec_j·w_j rounded at 6 dp. The component rides in
-    * as literals — the plan is a narrow projection over the scan. */
+    * as a reference constant — the plan is a narrow projection over the
+    * scan. */
   def pcaProject(
       df: DataFrame, idCol: String, vecCol: String,
       loadings: Array[Double]): DataFrame =
     df.select(col(idCol),
-      round(dotLit(col(vecCol), loadings), 6).as("proj"))
+      round(element_at(dotsLit(col(vecCol), Array(loadings)), 1), 6).as("proj"))
 
   /** JL sign of matrix cell (j, k): +1 when the first hex digit of
     * md5("j_k") is even — `('0x' || substring(md5(j || '_' || k), 1, 1))
@@ -61,11 +63,9 @@ object Project {
     require(k >= 1 && (k & (k - 1)) == 0 && (Integer.numberOfTrailingZeros(k) % 2 == 0),
       s"k must be an even power of two (1, 4, 16, 64...), got $k")
     val rootK = math.sqrt(k.toDouble) // exact for even powers of two
-    val projs = (0 until k).map { kk =>
-      val signs = Array.tabulate(dim)(j => jlSign(j, kk))
-      round(dotLit(col(vecCol), signs) / rootK, 6)
-    }
-    df.select(col(idCol), posexplode(array(projs: _*)))
-      .select(col(idCol), col("pos").cast("int").as("k"), col("col").as("proj"))
+    val signs = Array.tabulate(k, dim)((kk, j) => jlSign(j, kk))
+    df.select(col(idCol), posexplode(dotsLit(col(vecCol), signs)))
+      .select(col(idCol), col("pos").cast("int").as("k"),
+        round(col("col") / rootK, 6).as("proj"))
   }
 }
