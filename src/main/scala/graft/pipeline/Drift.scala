@@ -57,37 +57,27 @@ object Drift {
     require(ref.length == Buckets, s"ref must have $Buckets entries")
     val aggs = (0 until Buckets).map(i =>
       count(when(col("__b") === i, 1)).as(s"__c$i"))
-    val n = (0 until Buckets).map(i => col(s"__c$i")).reduce(_ + _)
     // Σ over buckets of 0.5·p·log2(2p/(p+g)) + 0.5·g·log2(2g/(p+g)),
-    // each term guarded (p = 0 or g = 0 degenerate cleanly) and rounded
-    // at 9 dp — a FIXED 64-term sum in deterministic textual order
-    val jsd = (0 until Buckets).map { i =>
-      val p = col(s"__c$i").cast("double") / col("__n")
-      val g = lit(ref(i))
-      val pTerm = when(col(s"__c$i") > 0,
-        lit(0.5) * p * log2(lit(2.0) * p / (p + g))).otherwise(lit(0.0))
-      val gTerm = if (ref(i) > 0)
-        lit(0.5) * g * log2(lit(2.0) * g / (when(col(s"__c$i") > 0, p)
-          .otherwise(lit(0.0)) + g))
-      else lit(0.0)
-      // each term scales to an exact 1e-9-unit LONG so the 64-term sum
-      // is order-independent integer arithmetic — NOT a decimal chain:
-      // Spark's (38,12)+(38,12) addition overflows precision 38 and
-      // silently REDUCES the scale toward 6 on every chained add, which
-      // rounded this very sum at 6 dp before the fix
-      round((pTerm + gTerm) * lit(1e9), 0).cast("long")
-    }.reduce(_ + _).cast("double") / lit(1e9)
+    // each term guarded (p = 0 or g = 0 degenerate cleanly), scaled to
+    // an exact 1e-9-unit LONG (order-independent integer sum — NOT a
+    // decimal chain: Spark's (38,12)+(38,12) addition overflows
+    // precision 38 and silently reduces scale toward 6 per chained add)
+    // and NOT re-rounded at the end (a round(x, 6) can land exactly on
+    // a .5 tie where engines round differently — this bit the gate).
+    // The 64 terms run as ONE fused generated loop
+    // ([[graft.functions.expr.BucketedJsd]]): the inlined 64-term CASE
+    // tree this replaces overflowed janino's 64 KB method limit and
+    // silently dropped the projection out of whole-stage codegen
+    // (r12 verdict #2); bit-parity with that tree is pinned in
+    // DriftJsdSpec. An empty group (n = 0) yields a NULL jsd.
+    val jsd = graft.functions.expr.BucketedJsd(
+      array((0 until Buckets).map(i => col(s"__c$i")): _*), ref)
     df.select(groupCols.map(col) :+
         explode(graft.functions.TextOps.words(col(textCol))).as("w"): _*)
       .withColumn("__b", bucketOf(col("w")))
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("__n", n)
-      // NO final rounding: the 64-term decimal sum is exact at 9 dp, so
-      // a round(x, 6) can land exactly on a .5 tie where engines round
-      // differently (this bit the gate); the exact-decimal→double cast
-      // is identical everywhere
-      .withColumn("jsd", when(col("__n") > 0, jsd))
-      .drop((0 until Buckets).map(i => s"__c$i") :+ "__n": _*)
+      .withColumn("jsd", jsd)
+      .drop((0 until Buckets).map(i => s"__c$i"): _*)
   }
 }
