@@ -1002,12 +1002,28 @@ object ArrowIpc {
     }
   }
 
+  /** Re-throw malformed-input failures with a diagnostic naming the file
+    * and framing — arrow-java surfaces some corruptions as bare
+    * message-less exceptions (e.g. an IndexOutOfBounds from a lying
+    * framing length), which is loud but undiagnosable at dataset scale
+    * (IpcFuzzSpec pins that every corruption case carries a message).
+    * Intentional IllegalArgumentExceptions (our own schema-shape
+    * rejections) pass through untouched. */
+  private def loud[T](file: String, stream: Boolean)(body: => T): T =
+    try body catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new java.io.IOException(
+          s"malformed Arrow IPC ${if (stream) "stream" else "file"} input $file: " +
+            s"${e.getClass.getSimpleName}${Option(e.getMessage).fold("")(m => s": $m")}", e)
+    }
+
   private def batchBytes(
       conf: Configuration, file: String, stream: Boolean): Iterator[Array[Byte]] = {
     import scala.jdk.CollectionConverters._
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = openReader(conf, file, stream, allocator)
-    val srcRoot = reader.getVectorSchemaRoot
+    val srcRoot = loud(file, stream)(reader.getVectorSchemaRoot)
     requireNoNestedViewsInSchema(srcRoot.getSchema)
     val encoded = hasDictionary(srcRoot.getSchema) || hasRee(srcRoot.getSchema) ||
       hasView(srcRoot.getSchema) || hasFsl(srcRoot.getSchema)
@@ -1021,7 +1037,7 @@ object ArrowIpc {
       private var advanced = false
       private var hasBatch = false
       private def advance(): Unit = if (!advanced) {
-        hasBatch = !closed && reader.loadNextBatch()
+        hasBatch = !closed && loud(file, stream)(reader.loadNextBatch())
         if (!hasBatch) closeAll()
         advanced = true
       }
@@ -1190,7 +1206,7 @@ object ArrowIpc {
       // large-offset layout variants map to the same Spark types (§1.2)
       // and dictionary-encoded columns map to their VALUE types;
       // batchBytes narrows/decodes the buffers to match
-      try {
+      try loud(files.head, stream) {
         val raw = reader.getVectorSchemaRoot.getSchema
         requireNoNestedViewsInSchema(raw)
         val withDict =
