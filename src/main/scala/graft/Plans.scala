@@ -151,6 +151,7 @@ object Plans {
       "q79_brown_forsythe",      // broadcast medians, two narrow passes
       "q80_gtest",               // observed-cells-only likelihood ratio
       "q81_durbin_watson",       // 1-row model broadcast + one lag window
+      "q81b_durbin_watson_fine", // same chain, per-(flag,year) bounded sorts
       "q82_kendall_tau",         // budget-lottery pair frame, exact ties
       "graph_link_predict",      // capped wedge candidates, exact re-verify
       "q28c_grouping_sets",      // one Expand pass, three summaries

@@ -1053,20 +1053,36 @@ object StatTests {
     * corpus aggregate, so finer keys are the natural usage, not a
     * workaround. */
   def durbinWatson(df: DataFrame, groupCol: String, orderCols: Seq[String],
-      residCol: String): DataFrame = {
+      residCol: String): DataFrame =
+    durbinWatsonKeys(
+      df.withColumn("g", col(groupCol)), Seq("g"), orderCols, residCol)
+
+  /** [[durbinWatson]] under a COMPOUND series key — the executable form
+    * of its scale note: parallelism equals the group count because the
+    * within-group total order IS the statistic, so at cluster scale the
+    * caller picks a finer per-series key (per shard, per month) and
+    * gets one bounded sort per series instead of one giant sort per
+    * coarse group. Same contract otherwise: deterministic
+    * `orderCols :+ residual` order (equal residuals commute under
+    * Σ(Δe)², so d is order-invariant on non-unique keys), exact-decimal
+    * quadratic sums, one division round@6. Output: groupCols ++
+    * (n, dw). */
+  def durbinWatsonKeys(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], residCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "durbinWatsonKeys needs group keys")
     require(orderCols.nonEmpty, "durbinWatson needs a time order")
-    val w = Window.partitionBy(col("g"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(col) :+ col("e"): _*)
     val l = df
-      .select(col(groupCol).as("g") +: orderCols.map(col) :+
+      .select(groupCols.map(col) ++ orderCols.map(col) :+
         col(residCol).cast("double").as("e"): _*)
       .withColumn("de", col("e") - lag(col("e"), 1).over(w))
-    l.groupBy(col("g")).agg(
+    l.groupBy(groupCols.map(col): _*).agg(
         count(lit(1)).as("n"),
         sum(Det.dec(col("de") * col("de"))).cast("double").as("__num"),
         sum(Det.dec(col("e") * col("e"))).cast("double").as("__den"))
-      .select(col("g"), col("n"),
-        round(col("__num") / col("__den"), 6).as("dw"))
+      .select(groupCols.map(col) :+ col("n") :+
+        round(col("__num") / col("__den"), 6).as("dw"): _*)
   }
 
   /** Kendall's τ-b on the budget-lottery points — the rank-CORRELATION

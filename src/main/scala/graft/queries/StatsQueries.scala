@@ -1049,6 +1049,59 @@ object StatsQueries {
        |SELECT g AS l_returnflag, n, round(num / den, 6) AS dw
        |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** q81b_durbin_watson_fine: the SAME diagnostic under the finer
+    * (returnflag, ship-year) series key — the executable form of
+    * [[StatTests.durbinWatson]]'s scale note (the q27a/RFM precedent:
+    * scale advice as a gated query, not prose). Parallelism rises from
+    * the 3 coarse groups to 3×|years| bounded per-year sorts while
+    * every other contract (deterministic order + residual tie-break,
+    * exact-decimal sums, round@6) is identical — at 100 TB this is the
+    * variant you run, reading d per series-shard. */
+  private def dwFineQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val beta = StatTests.ols2(li,
+        "l_quantity", "l_discount", "l_extendedprice")
+      .select(col("b0"), col("b1"), col("b2"))
+    val resid = li.select(col("l_returnflag").as("g"),
+        year(col("l_shipdate")).as("l_year"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("x2"),
+        col("l_discount").cast("double").as("x3"),
+        col("l_extendedprice").cast("double").as("y"))
+      .crossJoin(broadcast(beta))
+      .select(col("g"), col("l_year"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        (col("y") - (col("b0") + col("b1") * col("x2") +
+          col("b2") * col("x3"))).as("e"))
+    StatTests.durbinWatsonKeys(resid, Seq("g", "l_year"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"), "e")
+      .orderBy(col("g"), col("l_year"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
+  private lazy val dwFineSql =
+    s"""${olsCtes("")},
+       |bq AS (SELECT round(b0, 9) AS b0, round(b1, 9) AS b1,
+       |  round(b2, 9) AS b2 FROM b),
+       |r AS (
+       |  SELECT l_returnflag AS g, CAST(year(l_shipdate) AS INT) AS l_year,
+       |    l_shipdate, l_orderkey, l_linenumber,
+       |    CAST(l_extendedprice AS DOUBLE) -
+       |      (b0 + b1 * CAST(l_quantity AS DOUBLE) +
+       |       b2 * CAST(l_discount AS DOUBLE)) AS e
+       |  FROM lineitem, bq),
+       |l AS (
+       |  SELECT g, l_year, e, e - lag(e) OVER (PARTITION BY g, l_year
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber, e) AS de
+       |  FROM r),
+       |s AS (
+       |  SELECT g, l_year, COUNT(*) AS n,
+       |    CAST(SUM(CAST(de * de AS DECIMAL(25,6))) AS DOUBLE) AS num,
+       |    CAST(SUM(CAST(e * e AS DECIMAL(25,6))) AS DOUBLE) AS den
+       |  FROM l GROUP BY g, l_year)
+       |SELECT g AS l_returnflag, l_year, n, round(num / den, 6) AS dw
+       |FROM s ORDER BY l_returnflag, l_year""".stripMargin
+
   /** q82_kendall_tau: Kendall's τ-b ([[StatTests.kendallTauBudget]]) on
     * the SAME budget-lottery points as q67/q72 — the rank-correlation
     * EFFECT SIZE next to Mann–Kendall's significance (the d-vs-t
@@ -1660,6 +1713,9 @@ object StatsQueries {
     Capability("q81_durbin_watson",
       "Durbin-Watson serial-correlation diagnostic on the q59 OLS residuals",
       dwQ, Some(dwSql)),
+    Capability("q81b_durbin_watson_fine",
+      "Durbin-Watson under the finer (returnflag, ship-year) series key (scale path)",
+      dwFineQ, Some(dwFineSql)),
     Capability("q82_kendall_tau",
       "Kendall's tau-b on the q67/q72 budget-lottery points (exact tie sums)",
       ktQ, Some(ktSql)),

@@ -569,6 +569,26 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(rt.getDouble(2) - 32.0 / 77.0) < 1e-6)
   }
 
+  test("durbin-watson compound key: constant subkey reproduces the coarse d; " +
+      "a real subkey splits each series independently") {
+    import spark.implicits._
+    val df = Seq(("a", 0, 1L, 1.0), ("a", 0, 2L, -1.0), ("a", 0, 3L, 1.0),
+      ("a", 0, 4L, -1.0), ("b", 0, 1L, 1.0), ("b", 0, 2L, 2.0),
+      ("b", 0, 3L, 3.0), ("b", 0, 4L, 4.0)).toDF("g", "k", "t", "e")
+    val coarse = StatTests.durbinWatson(df, "g", Seq("t"), "e")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val fine = StatTests.durbinWatsonKeys(df, Seq("g", "k"), Seq("t"), "e")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(coarse == fine) // a constant subkey changes nothing
+    // a real subkey restarts the lag at each boundary: alt-alt halves
+    // score as two independent 2-point alternations (num 4+4, den 2+2)
+    val split = Seq(("a", 1, 1L, 1.0), ("a", 1, 2L, -1.0),
+      ("a", 2, 3L, 1.0), ("a", 2, 4L, -1.0)).toDF("g", "k", "t", "e")
+    val out = StatTests.durbinWatsonKeys(split, Seq("g", "k"), Seq("t"), "e")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out(("a", 1)) == 2.0 && out(("a", 2)) == 2.0)
+  }
+
   test("one-way anova: classic F = 27 and Welch F* = 162/7 on the textbook " +
       "thirds; degenerate groups are excluded from both") {
     import spark.implicits._
