@@ -287,64 +287,28 @@ object StatTests {
         expr(s"unix_micros($tsCol)").as("t"),
         col(idCol).as("i"), col(valCol).cast("double").as("v"))
 
-  /** Budget-adaptive md5 lottery: each group's keep threshold is
-    * τ = clamp(⌊2³²·targetPoints / n⌋, 1, 2³²) over the EIGHT-hex
-    * md5(id) prefix read as an integer, so the expected kept sample is
-    * ~targetPoints per group at any corpus size — the lever that makes
-    * quadratic-by-definition pair frames (Theil–Sen slopes,
-    * Mann–Kendall sign pairs) scale-factor-invariant without manual
-    * re-tuning. The 2³² granularity matters: a 4-hex lottery floors
-    * τ to its clamp at n > 65536·targetPoints and the kept sample
-    * would grow as n/65536 again — at the default budget the 8-hex
-    * threshold keeps the contract exact to n ≈ 1.7e12 rows per group
-    * (beyond any per-group cardinality this engine targets; the clamp
-    * at τ = 1 then degrades GRACEFULLY to a n/2³² keep, never to the
-    * raw quadratic). Pure integer threshold arithmetic + md5
-    * determinism = the oracle replays the identical selection (count
-    * CTE + the same clamp). One cheap count pass; the 1-row-per-group
-    * count frame is broadcast. Groups at or under budget keep
-    * everything (τ clamps high, never 0, so no group empties). */
+  /** The scale-adaptive lottery every quadratic estimator here thins
+    * through — now the SHARED public operator [[Budget.points]] (see its
+    * scaladoc for the constant-size-by-construction guarantee and the
+    * oracle-replay contract); this alias keeps the family's internal
+    * call sites uniform. */
   private def budgetPoints(df: DataFrame, groupCol: String, tsCol: String,
-      idCol: String, valCol: String, targetPoints: Int): DataFrame = {
-    require(targetPoints >= 2, s"targetPoints must be >= 2, got $targetPoints")
-    val base = df.filter(col(valCol).isNotNull)
-      .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol)").as("t"),
-        col(idCol).as("i"), col(valCol).cast("double").as("v"),
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long").as("__lot"))
-    val cnt = base.groupBy(col("g")).agg(count(lit(1)).as("__n_all"))
-    base.join(broadcast(cnt), Seq("g"))
-      .filter(col("__lot") < least(lit(4294967296L), greatest(lit(1L),
-        expr(s"CAST(4294967296 AS BIGINT) * CAST($targetPoints AS BIGINT)" +
-          " div __n_all"))))
-      .drop("__lot", "__n_all")
-  }
+      idCol: String, valCol: String, targetPoints: Int): DataFrame =
+    Budget.points(df, groupCol, tsCol, idCol, valCol, targetPoints)
 
   private def theilSenOn(pts: DataFrame): DataFrame = {
-    val a = pts.select(col("g"), col("t").as("t1"), col("i").as("i1"),
-      col("v").as("v1"))
-    val b = pts.select(col("g"), col("t").as("t2"), col("i").as("i2"),
-      col("v").as("v2"))
-    val slopes = a.join(b, Seq("g"))
-      .filter(col("t1") < col("t2"))
+    val slopes = Budget.orderedPairs(pts, "t")
       .select(col("g"),
         round((col("v2") - col("v1")) /
           ((col("t2") - col("t1")).cast("double") / 3600000000.0) * 1e9, 0)
           .cast("long").as("s9"))
     // Group sizes come from the THINNED POINT frame, never from a
-    // whole-partition count window over the slopes: `count(*) OVER
-    // (PARTITION BY g)` has an unordered frame, so it BUFFERS the entire
-    // quadratic slope partition per task — at the sf1 rehearsal that was
-    // an OOM, not a slowdown. The slope count is exact from the points
-    // ((k² − Σ_t tc²)/2 = time-distinct ordered pairs), 1 row per group,
-    // broadcast into the rank filter; the row_number sort itself spills
-    // gracefully, so memory stays bounded at any slope-frame size.
-    val mSlopes = pts.groupBy(col("g"), col("t"))
-      .agg(count(lit(1)).as("tc"))
-      .groupBy(col("g"))
-      .agg(sum(col("tc")).as("k"), sum(col("tc") * col("tc")).as("t2"))
-      .select(col("g"), expr("(k * k - t2) div 2").as("m"))
+    // whole-partition count window over the slopes — Budget.pairCount's
+    // scaladoc records why (the unordered-frame OOM from the sf1
+    // rehearsal); 1 row per group, broadcast into the rank filter; the
+    // row_number sort itself spills gracefully, so memory stays bounded
+    // at any slope-frame size.
+    val mSlopes = Budget.pairCount(pts, "t")
     val mPts = pts.groupBy(col("g")).agg(count(lit(1)).as("m"))
     def lowerMedian(f: DataFrame, c: String, m: DataFrame): DataFrame = f
       .withColumn("rn", row_number().over(
@@ -536,9 +500,7 @@ object StatTests {
     * definition, used by the test AND the correlation — the published
     * pairing holds by construction, not by parallel maintenance. */
   private def kendallSFrame(pts: DataFrame): DataFrame = {
-    val a = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
-    val b = pts.select(col("g"), col("t").as("t2"), col("v").as("v2"))
-    a.join(b, Seq("g")).filter(col("t1") < col("t2"))
+    Budget.orderedPairs(pts, "t")
       .select(col("g"),
         when(col("v2") > col("v1"), 1L)
           .when(col("v2") < col("v1"), -1L).otherwise(0L).as("sgn"))
@@ -546,7 +508,7 @@ object StatTests {
   }
 
   private def mannKendallOn(pts0: DataFrame): DataFrame = {
-    val pts = pts0.select(col("g"), col("t"), col("v"))
+    val pts = pts0.select(col("g"), col("t"), col("i"), col("v"))
     val s = kendallSFrame(pts)
     val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val ties = pts.groupBy(col("g"), col("v")).agg(count(lit(1)).as("tc"))
@@ -1416,9 +1378,7 @@ object StatTests {
   def qnScaleBudget(df: DataFrame, groupCol: String, tsCol: String,
       idCol: String, valCol: String, targetPoints: Int = 400): DataFrame = {
     val pts = budgetPoints(df, groupCol, tsCol, idCol, valCol, targetPoints)
-    val a = pts.select(col("g"), col("i").as("i1"), col("v").as("v1"))
-    val b = pts.select(col("g"), col("i").as("i2"), col("v").as("v2"))
-    val d = a.join(b, Seq("g")).filter(col("i1") < col("i2"))
+    val d = Budget.orderedPairs(pts, "i")
       .select(col("g"),
         round(abs(col("v1") - col("v2")) * 1e9, 0).cast("long").as("d9"))
     val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
@@ -1437,7 +1397,7 @@ object StatTests {
   }
 
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
-    val pts = pts0.select(col("g"), col("t"), col("v"))
+    val pts = pts0.select(col("g"), col("t"), col("i"), col("v"))
     val s = kendallSFrame(pts)
     val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
     def tieSum(c: String, out: String) = pts
