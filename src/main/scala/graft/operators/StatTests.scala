@@ -1154,17 +1154,28 @@ object StatTests {
     * the p division is exact longs; rates per hour are one rounded
     * readout each. One group aggregate over (variant, count, exposure)
     * rows — callers roll up subjects first.
-    * Output: 1 row (k1, k2, t1_us, t2_us, rate1_h, rate2_h, z). */
+    * Output: ALWAYS exactly 1 row (k1, k2, t1_us, t2_us, rate1_h,
+    * rate2_h, z) — a missing variant side (or an entirely empty input)
+    * yields that row with the absent side's counts/exposure NULL and a
+    * NULL z, never 0 rows (StatTestsSpec pins it; the oracle's
+    * ungrouped-aggregate form has the same cardinality). */
   def poissonRate(df: DataFrame, variantCol: String, countCol: String,
       exposureUsCol: String): DataFrame = {
+    // both sides as conditional sums of ONE ungrouped aggregate (the
+    // hodgesLehmannBudget pattern): exactly one output row even when a
+    // variant side is absent or the input is empty — the missing side's
+    // sums are NULL, so its rate and z degrade to NULL instead of the
+    // row vanishing (the r12 ADVICE finding: the old per-side filter +
+    // crossJoin emptied the output when one side had no rows, against
+    // the documented 1-row contract)
     val m = df.select(col(variantCol).cast("long").as("v"),
         col(countCol).cast("long").as("k"),
         col(exposureUsCol).cast("long").as("t"))
-      .groupBy(col("v"))
-      .agg(sum(col("k")).as("k"), sum(col("t")).as("t"))
-    def side(s: String, vv: Long) = m.filter(col("v") === vv)
-      .select(col("k").as(s"k_$s"), col("t").as(s"t_$s"))
-    val j = broadcast(side("a", 0L)).crossJoin(broadcast(side("b", 1L)))
+    val j = m.agg(
+      sum(when(col("v") === 0L, col("k"))).as("k_a"),
+      sum(when(col("v") === 0L, col("t"))).as("t_a"),
+      sum(when(col("v") === 1L, col("k"))).as("k_b"),
+      sum(when(col("v") === 1L, col("t"))).as("t_b"))
     def d(c: Column) = c.cast("double")
     val bigK = d(col("k_a")) + d(col("k_b"))
     val p = d(col("t_a")) / (d(col("t_a")) + d(col("t_b")))
@@ -1253,17 +1264,22 @@ object StatTests {
     *            F* = [Σw_g(x̄_g−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·λ],
     *            df2 = (k²−1)/(3λ)
     *
-    * Groups with n < 2 or zero variance are EXCLUDED from both
-    * statistics (w_g is infinite there; the classic form would carry
-    * them, but one test over one group set is the honest contract —
-    * documented, spec-pinned). Determinism ladder: per-group moments
+    * Group-set convention (the r12 ADVICE fix, matching R oneway.test /
+    * scipy f_oneway): the CLASSIC F spans ALL groups — a singleton adds
+    * between-group SS and a df, a zero-variance group adds its mass to
+    * SSB — while WELCH's F excludes n < 2 / zero-variance groups (w_g
+    * is infinite there, by construction, in every reference
+    * implementation). `k`/`n` describe the full group set, `k_welch`
+    * the Welch-eligible subset; all-singleton or zero-within-variance
+    * inputs degrade the classic F to NULL via integer-exact guards
+    * (N > k, SSW > 0). Determinism ladder: per-group moments
     * are exact decimals; every cross-group sum (w, w·x̄, both F
     * numerators, both denominators, λ) is a per-group IEEE term rounded
     * to a scaled decimal(38,0) and summed exactly — the [[kruskalWallis]]
     * convention, mirrored in the oracle term for term. ONE grouped
     * exchange over the data; everything after runs on #groups-row
-    * broadcast frames. Output: 1 row (k, n, f_anova, f_welch,
-    * df2_welch round@6; df1 = k−1 exact). */
+    * broadcast frames. Output: 1 row (k, n, k_welch, f_anova, f_welch,
+    * df2_welch round@6; classic df1 = k−1, Welch df1 = k_welch−1). */
   def oneWayAnova(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val m0 = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
@@ -1275,45 +1291,56 @@ object StatTests {
     val mean = col("sxd").cast("double") / nD
     val ss = col("sxxd").cast("double") -
       col("sxd").cast("double") * col("sxd").cast("double") / nD
+    // CLASSIC F spans ALL groups — the textbook (and R oneway.test /
+    // scipy f_oneway) convention: a singleton adds between-group SS and
+    // a df, a zero-variance group adds its mass to SSB; only WELCH's
+    // reciprocal-variance weights need n_g >= 2 and ss > 0, so only the
+    // Welch path filters (the r12 ADVICE finding: excluding degenerate
+    // groups from the classic F diverged from external references).
+    val s1c = m0.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"),
+      sum(col("sxd")).cast("double").as("sxall"))
+    val meanAll = col("sxall") / col("n_tot").cast("double")
+    val termsC = m0.crossJoin(broadcast(s1c)).select(
+      round(nD * (mean - meanAll) * (mean - meanAll) * 1e6, 0)
+        .cast("decimal(38,0)").as("cb6"),
+      round(ss * 1e6, 0).cast("decimal(38,0)").as("cw6"))
+    val s2c = termsC.agg(
+      sum(col("cb6")).cast("double").as("scb"),
+      sum(col("cw6")).cast("double").as("scw"))
     val m = m0.filter(col("n_g") >= 2 && ss > 0.0)
     val w = nD / (ss / (nD - 1.0))
     val t1 = m.select(col("g"), col("n_g"), col("sxd"), col("sxxd"),
       round(w * 1e6, 0).cast("decimal(38,0)").as("w6"),
       round(w * mean * 1e6, 0).cast("decimal(38,0)").as("wx6"))
-    val s1 = t1.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"),
-      sum(col("sxd")).cast("double").as("sxall"),
+    val s1w = t1.agg(count(lit(1)).as("kw"),
       sum(col("w6")).as("w6t"), sum(col("wx6")).as("wx6t"))
     val bigW = col("w6t").cast("double") / 1e6
     val xw = (col("wx6t").cast("double") / 1e6) / bigW
-    val meanAll = col("sxall") / col("n_tot").cast("double")
-    val terms = t1.crossJoin(broadcast(s1)).select(
-      round(nD * (mean - meanAll) * (mean - meanAll) * 1e6, 0)
-        .cast("decimal(38,0)").as("cb6"),
-      round(ss * 1e6, 0).cast("decimal(38,0)").as("cw6"),
+    val termsW = t1.crossJoin(broadcast(s1w)).select(
       round(w * (mean - xw) * (mean - xw) * 1e6, 0)
         .cast("decimal(38,0)").as("wb6"),
       round((lit(1.0) - w / bigW) * (lit(1.0) - w / bigW) / (nD - 1.0) * 1e9,
         0).cast("decimal(38,0)").as("lam9"))
-    val s2 = terms.agg(
-      sum(col("cb6")).cast("double").as("scb"),
-      sum(col("cw6")).cast("double").as("scw"),
+    val s2w = termsW.agg(
       sum(col("wb6")).cast("double").as("swb"),
       sum(col("lam9")).cast("double").as("slam"))
     val kD = col("k").cast("double")
+    val kwD = col("kw").cast("double")
     val nTD = col("n_tot").cast("double")
     val lambda = col("slam") / 1e9
     val fClassic = (nTD - kD) / (kD - 1.0) * ((col("scb") / 1e6) /
       (col("scw") / 1e6))
-    val fWelch = (col("swb") / 1e6) / (kD - 1.0) /
-      (lit(1.0) + lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) * lambda)
-    val df2w = (kD * kD - 1.0) / (lit(3.0) * lambda)
-    val ok = col("k") > 1 && col("scw") > 0.0
-    val okW = col("k") > 1 && col("slam") > 0.0
-    s1.crossJoin(broadcast(s2)).select(
-      col("k"), col("n_tot").as("n"),
-      when(ok, round(fClassic, 6)).as("f_anova"),
-      when(okW, round(fWelch, 6)).as("f_welch"),
-      when(okW, round(df2w, 6)).as("df2_welch"))
+    val fWelch = (col("swb") / 1e6) / (kwD - 1.0) /
+      (lit(1.0) + lit(2.0) * (kwD - 2.0) / (kwD * kwD - 1.0) * lambda)
+    val df2w = (kwD * kwD - 1.0) / (lit(3.0) * lambda)
+    val ok = col("k") > 1 && col("n_tot") > col("k") && col("scw") > 0.0
+    val okW = col("kw") > 1 && col("slam") > 0.0
+    s1c.crossJoin(broadcast(s2c)).crossJoin(broadcast(s1w))
+      .crossJoin(broadcast(s2w))
+      .select(col("k"), col("n_tot").as("n"), col("kw").as("k_welch"),
+        when(ok, round(fClassic, 6)).as("f_anova"),
+        when(okW, round(fWelch, 6)).as("f_welch"),
+        when(okW, round(df2w, 6)).as("df2_welch"))
   }
 
   /** Hodges–Lehmann two-sample shift estimator: the LOWER MEDIAN of all

@@ -1194,49 +1194,56 @@ object StatsQueries {
        |    SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
        |      AS DECIMAL(25,6))) AS sxxd
        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |s1c AS (
+       |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k,
+       |    CAST(SUM(sxd) AS DOUBLE) AS sxall
+       |  FROM m0),
+       |termc AS (
+       |  SELECT
+       |    CAST(round($nD * ($mean - $meanAll) * ($mean - $meanAll) * 1e6, 0)
+       |      AS HUGEINT) AS cb6,
+       |    CAST(round($ss * 1e6, 0) AS HUGEINT) AS cw6
+       |  FROM m0, s1c),
+       |s2c AS (
+       |  SELECT CAST(SUM(cb6) AS DOUBLE) AS scb,
+       |    CAST(SUM(cw6) AS DOUBLE) AS scw
+       |  FROM termc),
        |m AS (SELECT * FROM m0 WHERE n_g >= 2 AND $ss > 0.0),
        |t1 AS (
        |  SELECT g, n_g, sxd, sxxd,
        |    CAST(round($w * 1e6, 0) AS HUGEINT) AS w6,
        |    CAST(round($w * $mean * 1e6, 0) AS HUGEINT) AS wx6
        |  FROM m),
-       |s1 AS (
-       |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k,
-       |    CAST(SUM(sxd) AS DOUBLE) AS sxall,
-       |    SUM(w6) AS w6t, SUM(wx6) AS wx6t
+       |s1w AS (
+       |  SELECT COUNT(*) AS kw, SUM(w6) AS w6t, SUM(wx6) AS wx6t
        |  FROM t1),
-       |term AS (
+       |termw AS (
        |  SELECT
-       |    CAST(round($nD * ($mean - $meanAll) * ($mean - $meanAll) * 1e6, 0)
-       |      AS HUGEINT) AS cb6,
-       |    CAST(round($ss * 1e6, 0) AS HUGEINT) AS cw6,
        |    CAST(round($w * ($mean - $xw) * ($mean - $xw) * 1e6, 0)
        |      AS HUGEINT) AS wb6,
        |    CAST(round((1.0 - $w / $bigW) * (1.0 - $w / $bigW) /
        |      ($nD - 1.0) * 1e9, 0) AS HUGEINT) AS lam9
-       |  FROM t1, s1),
-       |s2 AS (
-       |  SELECT CAST(SUM(cb6) AS DOUBLE) AS scb,
-       |    CAST(SUM(cw6) AS DOUBLE) AS scw,
-       |    CAST(SUM(wb6) AS DOUBLE) AS swb,
+       |  FROM t1, s1w),
+       |s2w AS (
+       |  SELECT CAST(SUM(wb6) AS DOUBLE) AS swb,
        |    CAST(SUM(lam9) AS DOUBLE) AS slam
-       |  FROM term)
-       |SELECT k, n_tot AS n,
-       |  CASE WHEN k > 1 AND scw > 0.0 THEN
+       |  FROM termw)
+       |SELECT k, n_tot AS n, kw AS k_welch,
+       |  CASE WHEN k > 1 AND n_tot > k AND scw > 0.0 THEN
        |    round((CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)) /
        |      (CAST(k AS DOUBLE) - 1.0) * ((scb / 1e6) / (scw / 1e6)), 6)
        |  END AS f_anova,
-       |  CASE WHEN k > 1 AND slam > 0.0 THEN
-       |    round((swb / 1e6) / (CAST(k AS DOUBLE) - 1.0) /
-       |      (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0) /
-       |        (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * (slam / 1e9)),
+       |  CASE WHEN kw > 1 AND slam > 0.0 THEN
+       |    round((swb / 1e6) / (CAST(kw AS DOUBLE) - 1.0) /
+       |      (1.0 + 2.0 * (CAST(kw AS DOUBLE) - 2.0) /
+       |        (CAST(kw AS DOUBLE) * CAST(kw AS DOUBLE) - 1.0) * (slam / 1e9)),
        |      6)
        |  END AS f_welch,
-       |  CASE WHEN k > 1 AND slam > 0.0 THEN
-       |    round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) /
+       |  CASE WHEN kw > 1 AND slam > 0.0 THEN
+       |    round((CAST(kw AS DOUBLE) * CAST(kw AS DOUBLE) - 1.0) /
        |      (3.0 * (slam / 1e9)), 6)
        |  END AS df2_welch
-       |FROM s1, s2""".stripMargin
+       |FROM s1c, s2c, s1w, s2w""".stripMargin
   }
 
   /** q86_runs_test: Wald–Wolfowitz runs on the above/below-median sign
@@ -1629,12 +1636,12 @@ object StatsQueries {
        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k,
        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS t
        |  FROM events GROUP BY user_id),
-       |m AS (SELECT v, CAST(SUM(k) AS BIGINT) AS k,
-       |  CAST(SUM(t) AS BIGINT) AS t FROM subj GROUP BY v),
        |j AS (
-       |  SELECT a.k AS k_a, a.t AS t_a, b.k AS k_b, b.t AS t_b
-       |  FROM (SELECT k, t FROM m WHERE v = 0) a,
-       |       (SELECT k, t FROM m WHERE v = 1) b)
+       |  SELECT CAST(SUM(CASE WHEN v = 0 THEN k END) AS BIGINT) AS k_a,
+       |         CAST(SUM(CASE WHEN v = 0 THEN t END) AS BIGINT) AS t_a,
+       |         CAST(SUM(CASE WHEN v = 1 THEN k END) AS BIGINT) AS k_b,
+       |         CAST(SUM(CASE WHEN v = 1 THEN t END) AS BIGINT) AS t_b
+       |  FROM subj)
        |SELECT k_a AS k1, k_b AS k2, t_a AS t1_us, t_b AS t2_us,
        |  CASE WHEN t_a > 0 THEN
        |    round(${d("k_a")} / (${d("t_a")} / 3.6E9), 6) END AS rate1_h,

@@ -590,7 +590,7 @@ class StatTestsSpec extends AnyFunSuite {
   }
 
   test("one-way anova: classic F = 27 and Welch F* = 162/7 on the textbook " +
-      "thirds; degenerate groups are excluded from both") {
+      "thirds; classic spans ALL groups, Welch excludes degenerates") {
     import spark.implicits._
     // a={1,2,3} b={4,5,6} c={7,8,9}: between 54, within 6 -> F = 27;
     // equal variances make w_g = 3, lambda = 2/3 -> F* = 27/(7/6) = 162/7,
@@ -599,18 +599,34 @@ class StatTestsSpec extends AnyFunSuite {
       Seq(4.0, 5.0, 6.0).map(("b", _)) ++ Seq(7.0, 8.0, 9.0).map(("c", _))
     val r = StatTests.oneWayAnova(base.toDF("g", "v"), "g", "v")
       .collect().head
-    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
-    assert(math.abs(r.getDouble(2) - 27.0) < 1e-4, r.toString)
-    assert(math.abs(r.getDouble(3) - 162.0 / 7.0) < 1e-4, r.toString)
-    assert(math.abs(r.getDouble(4) - 4.0) < 1e-4, r.toString)
-    // a singleton group and a zero-variance group drop from BOTH forms:
-    // w_g is infinite there, and one statistic over one group set is
-    // the honest contract
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 27.0) < 1e-4, r.toString)
+    assert(math.abs(r.getDouble(4) - 162.0 / 7.0) < 1e-4, r.toString)
+    assert(math.abs(r.getDouble(5) - 4.0) < 1e-4, r.toString)
+    // a singleton group and a zero-variance group COUNT in the classic F
+    // (the R oneway.test / scipy f_oneway convention: they add
+    // between-group SS and dfs) but drop from Welch, whose w_g = n/s^2
+    // is infinite there
     val noisy = base ++ Seq(("single", 99.0), ("const", 5.0), ("const", 5.0))
     val rn = StatTests.oneWayAnova(noisy.toDF("g", "v"), "g", "v")
       .collect().head
-    assert(rn.getLong(0) == 3L && rn.getLong(1) == 9L, rn.toString)
-    assert(rn.getDouble(2) == r.getDouble(2) && rn.getDouble(3) == r.getDouble(3))
+    assert(rn.getLong(0) == 5L && rn.getLong(1) == 12L && rn.getLong(2) == 3L,
+      rn.toString)
+    // hand classic F over all 5 groups: grand = 154/12, SSW = 6, k = 5
+    val grand = 154.0 / 12.0
+    val ssb = 3 * math.pow(2.0 - grand, 2) + 3 * math.pow(5.0 - grand, 2) +
+      3 * math.pow(8.0 - grand, 2) + math.pow(99.0 - grand, 2) +
+      2 * math.pow(5.0 - grand, 2)
+    val fAll = (ssb / 4.0) / (6.0 / 7.0)
+    assert(math.abs(rn.getDouble(3) - fAll) < 1e-3, s"$rn vs $fAll")
+    // Welch statistics are untouched by the degenerate groups
+    assert(rn.getDouble(4) == r.getDouble(4) && rn.getDouble(5) == r.getDouble(5))
+    // all-singleton input: classic F has no within-variance -> NULL, not
+    // a 0/0 NaN; Welch set is empty -> NULL
+    val singletons = Seq(("x", 1.0), ("y", 2.0), ("z", 3.0)).toDF("g", "v")
+    val rs = StatTests.oneWayAnova(singletons, "g", "v").collect().head
+    assert(rs.getLong(0) == 3L && rs.getLong(2) == 0L &&
+      rs.isNullAt(3) && rs.isNullAt(4), rs.toString)
   }
 
   test("hodges-lehmann: closed-form lower median, exact under a pure shift, " +
@@ -843,6 +859,19 @@ class StatTestsSpec extends AnyFunSuite {
     val zt = Seq((0L, 5L, 3600000000L), (1L, 0L, 0L)).toDF("v", "k", "t")
     val rz = StatTests.poissonRate(zt, "v", "k", "t").collect().head
     assert(rz.isNullAt(5) && rz.isNullAt(6), rz.toString)
+    // the 1-row contract holds when a variant side is ABSENT (the r12
+    // ADVICE finding): the missing side's counts/exposure and z are
+    // NULL, the present side's rate still reads
+    val oneSide = Seq((0L, 5L, 3600000000L)).toDF("v", "k", "t")
+    val ro = StatTests.poissonRate(oneSide, "v", "k", "t").collect()
+    assert(ro.length == 1, s"expected 1 row, got ${ro.length}")
+    assert(ro.head.getLong(0) == 5L && ro.head.isNullAt(1) &&
+      ro.head.isNullAt(3) && ro.head.getDouble(4) == 5.0 &&
+      ro.head.isNullAt(5) && ro.head.isNullAt(6), ro.head.toString)
+    // ...and on an entirely EMPTY input (all-NULL row, not 0 rows)
+    val re = StatTests.poissonRate(oneSide.filter("k < 0"),
+      "v", "k", "t").collect()
+    assert(re.length == 1 && re.head.isNullAt(0) && re.head.isNullAt(6))
   }
 
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
