@@ -168,7 +168,8 @@ object Plans {
       "q26s_ipc_map",            // map-layout IPC round-trip scan
       "q92_wilson_ci",           // user rollup -> 2-row interval math
       "q93_chapman",             // one narrow flag aggregate
-      "q94_poisson_rate")        // user rollup -> 2-row rate sides
+      "q94_poisson_rate",        // user rollup -> one 2-sided aggregate
+      "q19c_rank_ties")          // one exchange serves every rank window
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -120,6 +120,50 @@ object WindowQueries {
        |  round(${normalPpfSql("q")}, 6) AS rank_normal
        |FROM r ORDER BY o_orderkey""".stripMargin
 
+  /** Q19c: the q19b mid-rank convention under HIGH tie density — the r12
+    * verdict's optional robustness gate: l_quantity takes ~50 distinct
+    * integer values over tens of thousands of rows per returnflag, so
+    * virtually EVERY row sits in a fat peer group and the
+    * (rank − 1 + 0.5·peers)/n mid-rank formula is what the whole output
+    * hinges on (q19b's o_totalprice is nearly unique — ties are the
+    * exception there; here they are the rule). Same single-exchange
+    * window stack, same shared-text normal PPF. */
+  private def q19c(s: SparkSession, d: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ordered = byFlag.orderBy(col("l_quantity"))
+    val peers = ordered.rangeBetween(Window.currentRow, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        ((rank().over(ordered) - 1 + lit(0.5) * count(lit(1)).over(peers))
+          / count(lit(1)).over(byFlag)).as("q"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        col("q").as("rank_quantile"),
+        round(expr(normalPpfSql("q")), 6).as("rank_normal"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic table
+      // (~14k duplicate pairs at sf0.01): the remaining tie-break columns
+      // are exactly the inputs q depends on, so rows still tied after all
+      // four keys carry identical output and any engine order agrees
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"))
+  }
+
+  private val q19cSql =
+    s"""WITH r AS (
+       |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       |    (rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1
+       |     + 0.5 * COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity))
+       |    / COUNT(*) OVER (PARTITION BY l_returnflag) AS q
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       |  q AS rank_quantile,
+       |  round(${normalPpfSql("q")}, 6) AS rank_normal
+       |FROM r ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity"""
+      .stripMargin
+
   /** Q20: cumulative sum, pairwise diff, forward fill per user ordered by
     * event time. Forward fill = `last(ignoreNulls)` over an unbounded-
     * preceding row frame; nulls synthesized from 'error' events. */
@@ -600,6 +644,7 @@ object WindowQueries {
       q44, Some(q44Sql)),
     Capability("q19_ranking", "rank/dense_rank/percent_rank/row_number/ntile/lag/lead", q19, Some(q19Sql)),
     Capability("q19b_rank_normal", "rank_quantile / rank_normal (mid-rank + normal PPF)", q19b, Some(q19bSql)),
+    Capability("q19c_rank_ties", "grouped rank_quantile/rank_normal at high tie density (mid-rank pinned)", q19c, Some(q19cSql)),
     Capability("q20_cumulative", "cumulative sum, pairwise diff, forward fill", q20, Some(q20Sql)),
     Capability("q20b_cumulative2", "cumulative min/max + windowed product", q20b, Some(q20bSql)),
     Capability("q21_asof_join", "backward as-of join with tolerance", q21, Some(q21Sql), bench = true),
