@@ -159,39 +159,52 @@ object Bench {
     println(fullRecord)
     val headMed = med.filter { case (n, _) => headline(n) }
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(headMed)},"queries_n":${names.length},"ok_n":${ok.length},"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
-    // LAST act (r12 verdict #3): when this was a FULL-registry pass,
-    // also write the complete record as the ROUND artifact BENCH_r{N}
-    // .json, so `json.load(open('BENCH_r13.json'))['queries']` yields
-    // every per-query median without depending on any stdout
-    // tail-capture. N resolves as: SPARK_GRAFT_ROUND if set; else the
-    // highest existing BENCH_r{k}.json — reused when that file carries
-    // our `graft_full_record` marker (an earlier full pass of the SAME
-    // round), advanced by one when it is a foreign (tail-capture)
-    // artifact from the previous round. Targeted SPARK_GRAFT_BENCH_ONLY
-    // passes never touch the round artifact.
-    if (only.isEmpty) {
+    // LAST act (r12 verdict #3): when this was a FULL-registry pass at
+    // the driver's bench scale, also write the complete record as the
+    // ROUND artifact BENCH_r{N}.json, so `json.load(open('BENCH_r13
+    // .json'))['queries']` yields every per-query median without
+    // depending on any stdout tail-capture. N resolves as:
+    // SPARK_GRAFT_ROUND if set; else VERDICT.md's round + 1 (the judge
+    // writes "# VERDICT — round K" at round K+1's START and it stays
+    // fixed all round, so this is stable across any same-round rerun —
+    // unlike inferring from BENCH_r{k}.json files, which self-defeats
+    // once this code has written one); else the highest existing
+    // BENCH/CORRECTNESS artifact + 1. Guards: targeted BENCH_ONLY
+    // passes and scale-replica runs (sf1/sf10 live outside
+    // /root/testdata, or a non-sf0.1 dir) never touch the round
+    // artifact — a 10× rehearsal must not clobber the round record.
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
-        val cwd = java.nio.file.Paths.get(".")
-        val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-        val existing = java.nio.file.Files.list(cwd).iterator()
-        var kmax = -1
-        var kmaxPath: java.nio.file.Path = null
-        while (existing.hasNext) {
-          val p = existing.next()
-          val m = pat.matcher(p.getFileName.toString)
-          if (m.matches() && m.group(1).toInt > kmax) {
-            kmax = m.group(1).toInt; kmaxPath = p
-          }
+        def maxArtifact(pattern: String): Int = {
+          val pat = java.util.regex.Pattern.compile(pattern)
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          try {
+            val it = s.iterator()
+            var kmax = -1
+            while (it.hasNext) {
+              val m = pat.matcher(it.next().getFileName.toString)
+              if (m.matches() && m.group(1).toInt > kmax) kmax = m.group(1).toInt
+            }
+            kmax
+          } finally s.close()
         }
-        val n = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-          if (kmax < 0) 1
-          else {
-            val ours = new String(java.nio.file.Files.readAllBytes(kmaxPath),
-              java.nio.charset.StandardCharsets.UTF_8)
-              .contains("\"graft_full_record\":true")
-            if (ours) kmax else kmax + 1
-          }
-        }
+        def verdictRound(): Option[Int] =
+          try {
+            val p = java.nio.file.Paths.get("VERDICT.md")
+            if (!java.nio.file.Files.exists(p)) None
+            else {
+              val head = new String(java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8).linesIterator
+                .take(3).mkString("\n")
+              val m = java.util.regex.Pattern.compile("round\\s+(\\d+)").matcher(head)
+              if (m.find()) Some(m.group(1).toInt + 1) else None
+            }
+          } catch { case _: Throwable => None }
+        val n = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+          .orElse(verdictRound())
+          .getOrElse(math.max(1, math.max(
+            maxArtifact("BENCH_r(\\d+)\\.json"),
+            maxArtifact("CORRECTNESS_r(\\d+)\\.json")) + 1))
         val roundPath = java.nio.file.Paths.get(s"BENCH_r$n.json")
         val roundRecord =
           s"""{"n":$n,"graft_full_record":true,"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""

@@ -159,8 +159,13 @@ object ClusterOps {
 
   /** Sequential-fold cosine between two array<float> columns, rounded at
     * 6 dp — [[graft.functions.expr.CosineSimilarity]] accumulates its
-    * three sums in array order (bit-identical to the HOF formulation,
-    * fused codegen loop). */
+    * three sums in array order (same fold order as the HOF formulation,
+    * fused codegen loop). One DOCUMENTED divergence from the HOF form on
+    * degenerate input: a NULL element inside an array reads as 0.0
+    * (the expression's dense-embedding contract) instead of nulling the
+    * score — SemDedup's inputs are dense by contract ([[semanticDedup]]
+    * feeds raw embedding columns), and NULL inputs / length mismatches
+    * still yield NULL. */
   private def cosine6(a: Column, b: Column): Column =
     round(graft.functions.expr.CosineSimilarity(a, b), 6)
 

@@ -64,7 +64,14 @@ object Project {
       s"k must be an even power of two (1, 4, 16, 64...), got $k")
     val rootK = math.sqrt(k.toDouble) // exact for even powers of two
     val signs = Array.tabulate(k, dim)((kk, j) => jlSign(j, kk))
-    df.select(col(idCol), posexplode(dotsLit(col(vecCol), signs)))
+    // an invalid vector (NULL, wrong length, NULL element) folds to a
+    // NULL array — coalesce to k NULL projections so posexplode still
+    // emits the row's k output rows with NULL proj (the cardinality the
+    // pre-fused per-component formulation had; a silent row drop would
+    // hide the degenerate input from the caller)
+    val dots = coalesce(dotsLit(col(vecCol), signs),
+      array_repeat(lit(null).cast("double"), k))
+    df.select(col(idCol), posexplode(dots))
       .select(col(idCol), col("pos").cast("int").as("k"),
         round(col("col") / rootK, 6).as("proj"))
   }

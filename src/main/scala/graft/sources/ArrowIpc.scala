@@ -1008,10 +1008,13 @@ object ArrowIpc {
     * framing length), which is loud but undiagnosable at dataset scale
     * (IpcFuzzSpec pins that every corruption case carries a message).
     * Intentional IllegalArgumentExceptions (our own schema-shape
-    * rejections) pass through untouched. */
+    * rejections — always message-carrying, and what IoSpec intercepts)
+    * pass through untouched; a MESSAGE-LESS IAE is arrow-java's own
+    * (a bare Preconditions check tripped by corrupt metadata) and gets
+    * wrapped like any other corruption signal. */
   private def loud[T](file: String, stream: Boolean)(body: => T): T =
     try body catch {
-      case e: IllegalArgumentException => throw e
+      case e: IllegalArgumentException if e.getMessage != null => throw e
       case scala.util.control.NonFatal(e) =>
         throw new java.io.IOException(
           s"malformed Arrow IPC ${if (stream) "stream" else "file"} input $file: " +

@@ -40,9 +40,13 @@ class IpcFuzzSpec extends AnyFunSuite {
     ArrowIpc.write(df, fDir.toString)
     ArrowIpc.writeStream(df, sDir.toString)
     def only(dir: JPath, ext: String): Array[Byte] = {
-      val f = Files.list(dir).iterator()
-      var found: JPath = null
-      while (f.hasNext) { val p = f.next(); if (p.toString.endsWith(ext)) found = p }
+      val s = Files.list(dir)
+      val found = try {
+        val f = s.iterator()
+        var hit: JPath = null
+        while (f.hasNext) { val p = f.next(); if (p.toString.endsWith(ext)) hit = p }
+        hit
+      } finally s.close()
       assert(found != null, s"no $ext under $dir")
       Files.readAllBytes(found)
     }

@@ -32,6 +32,21 @@ class ProjectSpec extends AnyFunSuite {
     assert(Project.jlSign(3, 7) == Project.jlSign(3, 7))
   }
 
+  test("randomProject keeps k NULL-proj rows for an invalid vector " +
+      "(no silent row drop)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(9.0f)))
+      .toDF("id", "v") // id 2 is short: its folds are NULL, not absent
+    val out = Project.randomProject(df, "id", "v", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out.size == 8, s"expected 2 ids x 4 dims, got ${out.size}")
+    (0 until 4).foreach { kk =>
+      assert(out((1L, kk)) != null, s"valid row lost proj at k=$kk")
+      assert(out((2L, kk)) == null, s"short row should be NULL at k=$kk")
+    }
+  }
+
   test("randomProject rejects non-even-power-of-two k") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f))).toDF("id", "v")
