@@ -184,6 +184,70 @@ class IpcFuzzSpec extends AnyFunSuite {
     stillHealthy()
   }
 
+  test("stream: record batch referencing a SPLICED-OUT dictionary fails loudly") {
+    // write a real dictionary-encoded stream with ArrowIpc.writeDict's
+    // machinery at the arrow-java level, then remove the dictionary
+    // batch message (message #2) by byte surgery: the record batch
+    // still declares dictionary id 1 but no dictionary ever arrives
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{IntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val alloc = new RootAllocator(Long.MaxValue)
+    val bytes = try {
+      val dictVec = new VarCharVector("dict", alloc)
+      dictVec.allocateNew()
+      Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (s, i) =>
+        dictVec.setSafe(i, s.getBytes("UTF-8"))
+      }
+      dictVec.setValueCount(3)
+      val enc = new DictionaryEncoding(1L, false, null)
+      val dict = new Dictionary(dictVec, enc)
+      val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+      val indexed = new IntVector(org.apache.arrow.vector.types.pojo.Field
+        .nullable("w", new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true))
+        .getName, new org.apache.arrow.vector.types.pojo.FieldType(
+          true, new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true), enc),
+        alloc)
+      indexed.allocateNew(4)
+      (0 until 4).foreach(i => indexed.setSafe(i, i % 3))
+      indexed.setValueCount(4)
+      val root = new VectorSchemaRoot(java.util.List.of(indexed.getField),
+        java.util.List.of[org.apache.arrow.vector.FieldVector](indexed), 4)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new ArrowStreamWriter(root, provider, bos)
+      w.start(); w.writeBatch(); w.end(); w.close()
+      root.close(); dictVec.close()
+      bos.toByteArray
+    } finally alloc.close()
+    // framing walk: msg1 = schema (no body); msg2 = dictionary batch
+    def metaLen(off: Int): Int = {
+      assert(ByteBuffer.wrap(bytes, off, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt == -1, s"no continuation at $off")
+      ByteBuffer.wrap(bytes, off + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    }
+    val msg2 = 8 + metaLen(0)
+    val msg2MetaEnd = msg2 + 8 + metaLen(msg2)
+    // the dictionary batch body follows its metadata, 8-byte aligned; the
+    // next continuation marker is the record batch message — scan for it
+    var msg3 = msg2MetaEnd
+    while (msg3 < bytes.length - 8 && ByteBuffer.wrap(bytes, msg3, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt != -1) {
+      msg3 += 8
+    }
+    assert(msg3 < bytes.length - 8, "record batch message not found")
+    assert(msg3 > msg2MetaEnd, "dictionary batch had no body?")
+    val spliced = bytes.take(msg2) ++ bytes.drop(msg3)
+    val t = mustFail("s_missing_dict", spliced, stream = true)
+    stillHealthy()
+    // and the unspliced original still reads (the surgery, not the
+    // writer, is what broke it)
+    val ok = freshDir("s_dict_ok")
+    Files.write(ok.resolve("part-00000.arrows"), bytes)
+    assert(ArrowIpc.readStream(spark, ok.toString).count() == 4)
+  }
+
   test("stream: empty input fails loudly") {
     mustFail("s_empty", Array.emptyByteArray, stream = true)
     stillHealthy()
