@@ -169,7 +169,9 @@ object Plans {
       "q92_wilson_ci",           // user rollup -> 2-row interval math
       "q93_chapman",             // one narrow flag aggregate
       "q94_poisson_rate",        // user rollup -> one 2-sided aggregate
-      "q19c_rank_ties")          // one exchange serves every rank window
+      "q19c_rank_ties",          // one exchange serves every rank window
+      "q95_tukey_hsd",           // k-row moment frame, broadcast pairs
+      "q96_cochran_armitage")    // one count pass -> 1-row reduction
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -120,7 +120,10 @@ object StatTests {
 
   /** Mann–Whitney U between groups `ga` and `gb` of `groupCol`: exact
     * U statistics kept ×2 so tie half-ranks stay integers (`u1x2 =
-    * 2·U1`), plus the tie-corrected normal z round@6.
+    * 2·U1`), the tie-corrected normal z round@6, and the directional
+    * rank-biserial correlation (≡ Cliff's delta, 2U₁/(n₁n₂) − 1,
+    * round@9) — the effect size the test needs at corpus scale, where
+    * n makes everything "significant" and only r says if it matters.
     *
     * The rank sum never ranks rows: U1 = Σ_v c1(v)·C2(<v) + c1·c2/2
     * over per-VALUE counts, so the only window runs over the
@@ -153,7 +156,16 @@ object StatTests {
     parts.select(col("n1"), col("n2"), col("u1x2"),
       (col("n1") * col("n2") * 2 - col("u1x2")).as("u2x2"),
       round((d(col("u1x2")) - d(col("n1")) * d(col("n2"))) / (sigma * 2.0), 6)
-        .as("z"))
+        .as("z"),
+      // directional rank-biserial correlation ≡ Cliff's delta:
+      // r = 2U₁/(n₁n₂) − 1 = (#(a>b) − #(a<b))/(n₁n₂) — the EFFECT SIZE
+      // a significance-only U hides (at corpus scale everything is
+      // "significant"; r says whether it matters). u1x2 is the exact
+      // integer 2U₁ (ties counted once), so r is one division, round@9;
+      // n₁n₂ in decimal(38,0) per the 100 TB product-wrap rule.
+      round((d(col("u1x2")) /
+        (col("n1").cast("decimal(38,0)") * col("n2")).cast("double")) -
+        lit(1.0), 9).as("rank_biserial"))
   }
 
   /** All-pairs Mann-Whitney z with Benjamini–Hochberg FDR control — the
@@ -1195,6 +1207,49 @@ object StatTests {
       when(ok, round(z, 6)).as("z"))
   }
 
+  /** Cochran–Armitage trend test: is a binary outcome's proportion
+    * MONOTONE in an ordered integer dose (exposure tier, day index,
+    * bucket)? The 2×k companion [[chiSquared]] cannot give — chi² asks
+    * "any difference", CA asks "a trend in dose order", which is the
+    * question behind ramp-ups, dose-response and time-ordered cohorts.
+    * With integer scores w_i, successes r_i and totals n_i:
+    * Z = (N·Σw_i r_i − Σw_i n_i·R) · √N /
+    *     (√(R(N−R)) · √(N·Σw_i²n_i − (Σw_i n_i)²)) — positive Z means
+    * the proportion rises with the dose.
+    *
+    * Exactness: every sum and product runs in decimal(38,0)/HUGEINT
+    * (the 100 TB wrap rule: R(N−R) alone passes a long at ~3e9 rows);
+    * the variance product is SPLIT across two √ factors so neither
+    * decimal intermediate can overflow 38 digits at any corpus size;
+    * Z is one fixed-order IEEE expression round@6. Degenerates (R = 0,
+    * R = N, single dose level) → NULL by integer-exact guards. One
+    * grouped count pass + one ungrouped k-row reduction — ALWAYS
+    * exactly 1 output row (the poissonRate cardinality contract).
+    * Output: (k, n, r, z). */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+      successCol: String): DataFrame = {
+    val m = df.select(col(doseCol).cast("long").as("w"),
+        col(successCol).cast("long").as("s"))
+      .filter(col("w").isNotNull && col("s").isNotNull)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("r"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agg = m.agg(count(lit(1)).as("k"),
+      sum(col("n")).as("n_tot"), sum(col("r")).as("r_tot"),
+      sum(dec(col("w")) * col("n")).as("wn"),
+      sum(dec(col("w")) * col("r")).as("wr"),
+      sum(dec(col("w")) * col("w") * col("n")).as("w2n"))
+    def d(c: Column) = c.cast("double")
+    val num = dec(col("n_tot")) * col("wr") - col("wn") * col("r_tot")
+    val vA = dec(col("r_tot")) * (dec(col("n_tot")) - col("r_tot"))
+    val vB = dec(col("n_tot")) * col("w2n") - col("wn") * col("wn")
+    val z = d(num) * sqrt(d(col("n_tot"))) / (sqrt(d(vA)) * sqrt(d(vB)))
+    val ok = col("r_tot") > 0L && col("r_tot") < col("n_tot") &&
+      vB > lit(0L).cast("decimal(38,0)")
+    agg.select(col("k"), col("n_tot").as("n"), col("r_tot").as("r"),
+      when(ok, round(z, 6)).as("z"))
+  }
+
   /** Wilson score interval per group — the binomial CI that actually
     * holds its coverage at extreme p̂ and small n, where the Wald
     * interval [[twoProportion]] reports collapses to a point at
@@ -1341,6 +1396,54 @@ object StatTests {
         when(ok, round(fClassic, 6)).as("f_anova"),
         when(okW, round(fWelch, 6)).as("f_welch"),
         when(okW, round(df2w, 6)).as("df2_welch"))
+  }
+
+  /** Tukey–Kramer HSD: the post-hoc step every practitioner runs the
+    * moment [[oneWayAnova]]'s omnibus F rejects — WHICH pairs differ?
+    * Per ordered pair (a < b lexically):
+    * q = (x̄_a − x̄_b) / √(MSW/2 · (1/n_a + 1/n_b)), the studentized
+    * range statistic (Kramer's unequal-n form), against MSW = SSW/(N−k)
+    * from the SAME all-groups classic decomposition as the ANOVA (df =
+    * N−k). The caller compares |q| to the studentized-range critical
+    * value for (k, N−k) — emitting q rather than a p keeps the operator
+    * free of the q-distribution's nonelementary CDF while giving the
+    * exact number every table and library consumes.
+    *
+    * Determinism: per-group moments are exact decimals; SSW is the
+    * [[oneWayAnova]] 1e6-scaled decimal sum; means, the diff, and q are
+    * each ONE fixed-order IEEE expression (diff round@9, q round@6).
+    * Shape: ONE grouped exchange over the data; the pair frame is the
+    * k-row moment frame self-joined under a < b — k(k−1)/2 rows, always
+    * broadcast-sized (groups, not rows). Degenerate MSW = 0 or N = k →
+    * NULL q; singleton groups still get pairs (Kramer's form only needs
+    * the OTHER side's variance through pooled MSW).
+    * Output: per pair (g_a, g_b, n_a, n_b, mean_diff, q_stat). */
+  def tukeyHsd(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val m0 = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(Det.dec(col("x"))).as("sxd"),
+        sum(Det.dec(col("x") * col("x"))).as("sxxd"))
+    val nD = col("n_g").cast("double")
+    val mean = col("sxd").cast("double") / nD
+    val ss = col("sxxd").cast("double") -
+      col("sxd").cast("double") * col("sxd").cast("double") / nD
+    val withSs = m0.select(col("g"), col("n_g"),
+      mean.as("m"), round(ss * 1e6, 0).cast("decimal(38,0)").as("cw6"))
+    val tot = withSs.agg(sum(col("n_g")).as("n_tot"), count(lit(1)).as("k"),
+      (sum(col("cw6")).cast("double") / 1e6).as("ssw"))
+    def side(s: String) = withSs.select(col("g").as(s"g_$s"),
+      col("n_g").as(s"n_$s"), col("m").as(s"m_$s"))
+    val msw = col("ssw") / (col("n_tot") - col("k")).cast("double")
+    val se = sqrt(msw / 2.0 * (lit(1.0) / col("n_a").cast("double") +
+      lit(1.0) / col("n_b").cast("double")))
+    val ok = col("n_tot") > col("k") && col("ssw") > 0.0
+    broadcast(side("a")).join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("m_a") - col("m_b"), 9).as("mean_diff"),
+        when(ok, round((col("m_a") - col("m_b")) / se, 6)).as("q_stat"))
   }
 
   /** Hodges–Lehmann two-sample shift estimator: the LOWER MEDIAN of all

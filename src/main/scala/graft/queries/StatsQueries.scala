@@ -72,7 +72,10 @@ object StatsQueries {
        |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
        |       CAST(tsum AS DOUBLE) /
        |       ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
-       |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6) AS z
+       |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) * 2.0), 6) AS z,
+       |  round(CAST(u1x2 AS DOUBLE) /
+       |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) - 1.0, 9)
+       |    AS rank_biserial
        |FROM s""".stripMargin
 
   private val FdrAlpha = 0.05
@@ -1246,6 +1249,80 @@ object StatsQueries {
        |FROM s1c, s2c, s1w, s2w""".stripMargin
   }
 
+  /** q96_cochran_armitage: is the purchase PROPORTION monotone across
+    * the week ([[StatTests.cochranArmitage]])? Dose = 0-based weekday of
+    * the event (Spark `dayofweek(ts) − 1` ≡ DuckDB's 0-based
+    * `dayofweek`), success = the event being a purchase — the trend
+    * question q57's "any difference" chi² cannot answer. */
+  private def caQ(s: SparkSession, d: String): DataFrame =
+    StatTests.cochranArmitage(
+      Tables.events(s, d).select(
+        (dayofweek(col("ts")) - 1).as("dose"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit")),
+      "dose", "hit")
+
+  private lazy val caSql =
+    """WITH m AS (
+      |  SELECT dayofweek(ts) AS w, COUNT(*) AS n,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT COUNT(*) AS k,
+      |    CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(r) AS BIGINT) AS r_tot,
+      |    SUM(CAST(w AS HUGEINT) * n) AS wn,
+      |    SUM(CAST(w AS HUGEINT) * r) AS wr,
+      |    SUM(CAST(w AS HUGEINT) * w * n) AS w2n
+      |  FROM m)
+      |SELECT k, n_tot AS n, r_tot AS r,
+      |  CASE WHEN r_tot > 0 AND r_tot < n_tot
+      |    AND CAST(n_tot AS HUGEINT) * w2n - wn * wn > 0 THEN
+      |    round(CAST(CAST(n_tot AS HUGEINT) * wr - wn * r_tot AS DOUBLE) *
+      |      sqrt(CAST(n_tot AS DOUBLE)) /
+      |      (sqrt(CAST(CAST(r_tot AS HUGEINT) *
+      |         (CAST(n_tot AS HUGEINT) - r_tot) AS DOUBLE)) *
+      |       sqrt(CAST(CAST(n_tot AS HUGEINT) * w2n - wn * wn AS DOUBLE))), 6)
+      |  END AS z
+      |FROM a""".stripMargin
+
+  /** q95_tukey_hsd: Tukey–Kramer studentized-range statistics for every
+    * event-type pair ([[StatTests.tukeyHsd]]) — the post-hoc "WHICH
+    * groups differ" that q85's omnibus F only gates; same all-groups
+    * MSW as the classic decomposition, k(k−1)/2 broadcast-sized pairs. */
+  private def tukeyQ(s: SparkSession, d: String): DataFrame =
+    StatTests.tukeyHsd(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("g_a"), col("g_b"))
+
+  private lazy val tukeySql = {
+    val nD = "CAST(n_g AS DOUBLE)"
+    val mean = s"(CAST(sxd AS DOUBLE) / $nD)"
+    val ss = s"(CAST(sxxd AS DOUBLE) - CAST(sxd AS DOUBLE) * " +
+      s"CAST(sxd AS DOUBLE) / $nD)"
+    s"""WITH m0 AS (
+       |  SELECT event_type AS g, COUNT(*) AS n_g,
+       |    SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS sxd,
+       |    SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+       |      AS DECIMAL(25,6))) AS sxxd
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |ws AS (
+       |  SELECT g, n_g, $mean AS m,
+       |    CAST(round($ss * 1e6, 0) AS HUGEINT) AS cw6
+       |  FROM m0),
+       |tot AS (
+       |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k,
+       |    CAST(SUM(cw6) AS DOUBLE) / 1e6 AS ssw
+       |  FROM ws)
+       |SELECT a.g AS g_a, b.g AS g_b,
+       |  a.n_g AS n_a, b.n_g AS n_b,
+       |  round(a.m - b.m, 9) AS mean_diff,
+       |  CASE WHEN n_tot > k AND ssw > 0.0 THEN
+       |    round((a.m - b.m) / sqrt(ssw /
+       |      (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)) / 2.0 *
+       |      (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))), 6)
+       |  END AS q_stat
+       |FROM ws a JOIN ws b ON a.g < b.g, tot
+       |ORDER BY g_a, g_b""".stripMargin
+  }
+
   /** q86_runs_test: Wald–Wolfowitz runs on the above/below-median sign
     * sequence per event type ([[StatTests.runsTest]]) — regimes clump
     * the signs, overcorrection alternates them; the assumption-free
@@ -1732,6 +1809,12 @@ object StatsQueries {
     Capability("q85_welch_anova",
       "one-way ANOVA, classic + Welch heteroscedastic F in one grouped pass",
       anovaQ, Some(anovaSql)),
+    Capability("q96_cochran_armitage",
+      "Cochran-Armitage dose-trend z for purchase proportion across weekdays",
+      caQ, Some(caSql)),
+    Capability("q95_tukey_hsd",
+      "Tukey-Kramer HSD studentized-range q per pair (post-hoc to q85's omnibus F)",
+      tukeyQ, Some(tukeySql)),
     Capability("q86_runs_test",
       "Wald-Wolfowitz runs: above/below-median sign-sequence randomness per type",
       runsQ, Some(runsSql)),

@@ -46,10 +46,73 @@ class StatTestsSpec extends AnyFunSuite {
     // z = -9 / (2*sqrt(9*7/12))
     assert(math.abs(r.getDouble(4) - (-9.0 / (2.0 * math.sqrt(5.25)))) < 1e-6)
 
+    // rank-biserial ≡ Cliff's delta: all x below all y -> r = -1
+    assert(r.getDouble(5) == -1.0, r.toString)
+
     val tied = (Seq(1.0, 1.0).map(("x", _)) ++ Seq(1.0, 2.0).map(("y", _)))
       .toDF("g", "v")
     val rt = StatTests.mannWhitney(tied, "g", "v", "x", "y").collect().head
     assert(rt.getLong(2) == 2L, s"U1 must be 1 (x2 scale 2), got ${rt.getLong(2)}")
+    // U1 = 1 of n1*n2 = 4 -> r = 2*1/4 - 1 = -0.5
+    assert(rt.getDouble(5) == -0.5, rt.toString)
+  }
+
+  test("tukey hsd: q = -3*sqrt(3) on the textbook thirds; Kramer handles a " +
+      "singleton via pooled MSW; zero within-variance is NULL") {
+    import spark.implicits._
+    val base = Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _)) ++ Seq(7.0, 8.0, 9.0).map(("c", _))
+    // MSW = 6/(9-3) = 1; pair (a,b): diff -3, se = sqrt(1/2*(2/3)) ->
+    // q = -3*sqrt(3)
+    val r = StatTests.tukeyHsd(base.toDF("g", "v"), "g", "v")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size == 3)
+    assert(math.abs(r(("a", "b")).getDouble(5) - (-3.0 * math.sqrt(3.0))) < 1e-5)
+    assert(math.abs(r(("a", "c")).getDouble(5) - (-6.0 * math.sqrt(3.0))) < 1e-5)
+    assert(r(("a", "b")).getDouble(4) == -3.0) // mean_diff
+    // Kramer form: a singleton group still pairs (pooled MSW carries it)
+    val withSingle = base ++ Seq(("s", 99.0))
+    val rs = StatTests.tukeyHsd(withSingle.toDF("g", "v"), "g", "v")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(rs.size == 6)
+    // MSW = 6/(10-4) = 1; (a,s): diff -97, se = sqrt(1/2*(1/3+1))
+    assert(math.abs(rs(("a", "s")).getDouble(5) -
+      (-97.0 / math.sqrt(2.0 / 3.0))) < 1e-4, rs(("a", "s")).toString)
+    // all groups constant -> SSW = 0 -> q NULL, pairs still emitted
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+    val rf = StatTests.tukeyHsd(flat.toDF("g", "v"), "g", "v").collect()
+    assert(rf.length == 1 && rf.head.isNullAt(5) &&
+      rf.head.getDouble(4) == -1.0)
+  }
+
+  test("cochran-armitage: z = 1.6*sqrt(5) on the linear-dose table, sign " +
+      "flips with the trend, degenerates are NULL") {
+    import spark.implicits._
+    def level(w: Long, n: Int, r: Int) =
+      (0 until n).map(i => (w, if (i < r) 1L else 0L))
+    // (w, n, r) = (0,10,1), (1,10,5), (2,10,9): closed form 1.6*sqrt(5)
+    val up = (level(0, 10, 1) ++ level(1, 10, 5) ++ level(2, 10, 9))
+      .toDF("w", "s")
+    val r = StatTests.cochranArmitage(up, "w", "s").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 30L && r.getLong(2) == 15L)
+    assert(math.abs(r.getDouble(3) - 1.6 * math.sqrt(5.0)) < 1e-6, r.toString)
+    // reversed dose order flips the sign exactly
+    val down = (level(2, 10, 1) ++ level(1, 10, 5) ++ level(0, 10, 9))
+      .toDF("w", "s")
+    val rd = StatTests.cochranArmitage(down, "w", "s").collect().head
+    assert(math.abs(rd.getDouble(3) + 1.6 * math.sqrt(5.0)) < 1e-6, rd.toString)
+    // flat proportions -> z = 0
+    val flat = (level(0, 10, 4) ++ level(1, 10, 4) ++ level(2, 10, 4))
+      .toDF("w", "s")
+    assert(StatTests.cochranArmitage(flat, "w", "s")
+      .collect().head.getDouble(3) == 0.0)
+    // all failures / single dose level -> NULL, 1 row
+    val zeroes = level(0, 5, 0) ++ level(1, 5, 0)
+    assert(StatTests.cochranArmitage(zeroes.toDF("w", "s"), "w", "s")
+      .collect().head.isNullAt(3))
+    val oneLevel = level(3, 10, 5)
+    assert(StatTests.cochranArmitage(oneLevel.toDF("w", "s"), "w", "s")
+      .collect().head.isNullAt(3))
   }
 
   test("BH FDR rejects exactly the shifted pairs, step-up rule holds") {
