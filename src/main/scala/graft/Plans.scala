@@ -171,7 +171,9 @@ object Plans {
       "q94_poisson_rate",        // user rollup -> one 2-sided aggregate
       "q19c_rank_ties",          // one exchange serves every rank window
       "q95_tukey_hsd",           // k-row moment frame, broadcast pairs
-      "q96_cochran_armitage")    // one count pass -> 1-row reduction
+      "q96_cochran_armitage",    // one count pass -> 1-row reduction
+      "q97_cuped",               // user rollup -> one 2-sided aggregate
+      "q98_ratio_metric")        // user rollup -> one 2-sided aggregate
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

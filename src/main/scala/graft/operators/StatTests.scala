@@ -1207,6 +1207,135 @@ object StatTests {
       when(ok, round(z, 6)).as("z"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM 2013):
+    * adjust each unit's experiment metric y by its PRE-period covariate
+    * x, y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled over all
+    * units (randomization makes x independent of assignment, so the
+    * adjustment is unbiased), shrinking metric variance by ρ² — the
+    * single highest-leverage trick in industrial A/B testing: the same
+    * experiment detects ~1/(1−ρ²)× smaller effects at equal traffic.
+    *
+    * Output: ALWAYS exactly 1 row (the [[poissonRate]] cardinality
+    * contract) — (n_a, n_b, theta round@9, diff_raw, diff_adj, z_raw,
+    * z_adj, var_reduction round@6), variant 0 minus variant 1. All
+    * moments are exact decimal sums folded in ONE ungrouped
+    * conditional-sum aggregate; θ is rounded@9 and the ROUNDED value
+    * feeds every downstream expression (the q59 model-artifact
+    * convention), each of which is one fixed-order IEEE tree the oracle
+    * replays verbatim. Degenerates (a side with n < 2, zero covariate
+    * variance, zero adjusted variance) → NULL z's, never Inf.
+    * Callers roll up to one (variant, x, y) row per unit first. */
+  def cuped(df: DataFrame, variantCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val m = df.select(col(variantCol).cast("long").as("v"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    def sums(vv: Long, suffix: String) = Seq(
+      sum(when(col("v") === vv, 1L)).as(s"n$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x")))).cast("double").as(s"sx$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("y")))).cast("double").as(s"sy$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x") * col("x")))).cast("double").as(s"sxx$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("y") * col("y")))).cast("double").as(s"syy$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x") * col("y")))).cast("double").as(s"sxy$suffix"))
+    val agg0 = sums(0L, "a") ++ sums(1L, "b")
+    val agg = m.agg(agg0.head, agg0.tail: _*)
+    def d(c: Column) = c.cast("double")
+    def nD(s: String) = d(col(s"n$s"))
+    // pooled theta over ALL units: (N·Sxy − Sx·Sy) / (N·Sxx − Sx²)
+    val nT = nD("a") + nD("b")
+    val sxT = col("sxa") + col("sxb")
+    val syT = col("sya") + col("syb")
+    val sxxT = col("sxxa") + col("sxxb")
+    val sxyT = col("sxya") + col("sxyb")
+    // every division carries its own when-guard: under ANSI a double
+    // division by zero THROWS in Spark where DuckDB yields NULL, and
+    // when()'s predicate does not short-circuit vectorized evaluation —
+    // so the guard must null the NUMERATOR expression, not just wrap
+    // the final output (the q94 rate-guard convention)
+    val thetaRaw = when((nT * sxxT - sxT * sxT) > 0.0,
+      (nT * sxyT - sxT * syT) / (nT * sxxT - sxT * sxT))
+    val okTheta = col("na") >= 2L && col("nb") >= 2L &&
+      (nT * sxxT - sxT * sxT) > 0.0
+    val theta = when(okTheta, round(thetaRaw, 9))
+    def mean(s: String, c: String) =
+      when(col(s"n$s") >= 1L, col(s"$c$s") / nD(s))
+    def varOf(s: String, cc: String, c: String) = when(col(s"n$s") >= 2L,
+      (col(s"$cc$s") - col(s"$c$s") * col(s"$c$s") / nD(s)) / (nD(s) - 1.0))
+    def covOf(s: String) = when(col(s"n$s") >= 2L,
+      (col(s"sxy$s") - col(s"sx$s") * col(s"sy$s") / nD(s)) / (nD(s) - 1.0))
+    def varAdj(s: String) = varOf(s, "syy", "sy") -
+      lit(2.0) * theta * covOf(s) + theta * theta * varOf(s, "sxx", "sx")
+    val diffRaw = mean("a", "sy") - mean("b", "sy")
+    val diffAdj = diffRaw - theta * (mean("a", "sx") - mean("b", "sx"))
+    val seRaw = sqrt(varOf("a", "syy", "sy") / nD("a") +
+      varOf("b", "syy", "sy") / nD("b"))
+    val seAdj = sqrt(varAdj("a") / nD("a") + varAdj("b") / nD("b"))
+    // pooled variance-reduction factor = ρ² = θ²·var(x)/var(y), all-unit
+    val syyT = col("syya") + col("syyb")
+    val varXT = (sxxT - sxT * sxT / nT) / (nT - 1.0)
+    val varYT = (syyT - syT * syT / nT) / (nT - 1.0)
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      theta.as("theta"),
+      when(col("na") >= 1L && col("nb") >= 1L, round(diffRaw, 9)).as("diff_raw"),
+      round(diffAdj, 9).as("diff_adj"),
+      when(okTheta && seRaw > 0.0, round(diffRaw / seRaw, 6)).as("z_raw"),
+      when(okTheta && seAdj > 0.0, round(diffAdj / seAdj, 6)).as("z_adj"),
+      when(okTheta && varYT > 0.0,
+        round(theta * theta * varXT / varYT, 6)).as("var_reduction"))
+  }
+
+  /** Delta-method ratio-metric A/B test (Deng, Knoblich, Lu — KDD 2018):
+    * the z-test for metrics that are a RATIO of per-unit sums —
+    * revenue per session, clicks per impression — where the naive
+    * per-unit-mean t-test answers a different question and the ratio's
+    * sampling variance needs the first-order Taylor expansion:
+    * R = ΣY/ΣX, Var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x) / (n·x̄²).
+    * The practitioner's standard companion to [[cuped]] in every
+    * experimentation platform.
+    *
+    * Output: ALWAYS exactly 1 row — (n_a, n_b, r_a, r_b round@9, diff
+    * round@9, z round@6), variant 0 minus variant 1. Exact decimal
+    * moment sums in ONE ungrouped conditional aggregate; each R is
+    * rounded@9 and the ROUNDED value feeds the variance and diff (the
+    * q59 artifact convention); degenerates (a side with n < 2 or
+    * ΣX ≤ 0, zero combined variance) → NULL z, never Inf. Callers roll
+    * up to one (variant, num, den) row per unit first. */
+  def ratioMetric(df: DataFrame, variantCol: String, numCol: String,
+      denCol: String): DataFrame = {
+    val m = df.select(col(variantCol).cast("long").as("v"),
+      col(numCol).cast("double").as("y"), col(denCol).cast("double").as("x"))
+    def sums(vv: Long, suffix: String) = Seq(
+      sum(when(col("v") === vv, 1L)).as(s"n$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x")))).cast("double").as(s"sx$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("y")))).cast("double").as(s"sy$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x") * col("x")))).cast("double").as(s"sxx$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("y") * col("y")))).cast("double").as(s"syy$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x") * col("y")))).cast("double").as(s"sxy$suffix"))
+    val agg0 = sums(0L, "a") ++ sums(1L, "b")
+    val agg = m.agg(agg0.head, agg0.tail: _*)
+    def nD(s: String) = col(s"n$s").cast("double")
+    def okSide(s: String) = col(s"n$s") >= 2L && col(s"sx$s") > 0.0
+    def r(s: String) = when(okSide(s), round(col(s"sy$s") / col(s"sx$s"), 9))
+    def varR(s: String) = {
+      val n = nD(s)
+      // n >= 2 guards on every (n-1) division: ANSI Spark throws on a
+      // double divide-by-zero that DuckDB nulls, and when() predicates
+      // do not short-circuit vectorized evaluation
+      val xbar = when(col(s"n$s") >= 1L, col(s"sx$s") / n)
+      def v(cc: String, c1: String, c2: String) = when(col(s"n$s") >= 2L,
+        (col(cc) - col(c1) * col(c2) / n) / (n - 1.0))
+      val vy = v(s"syy$s", s"sy$s", s"sy$s")
+      val vx = v(s"sxx$s", s"sx$s", s"sx$s")
+      val cxy = v(s"sxy$s", s"sx$s", s"sy$s")
+      when(okSide(s),
+        (vy - lit(2.0) * r(s) * cxy + r(s) * r(s) * vx) / (n * xbar * xbar))
+    }
+    val se = sqrt(varR("a") + varR("b"))
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      r("a").as("r_a"), r("b").as("r_b"),
+      round(r("a") - r("b"), 9).as("diff"),
+      when(se > 0.0, round((r("a") - r("b")) / se, 6)).as("z"))
+  }
+
   /** Cochran–Armitage trend test: is a binary outcome's proportion
     * MONOTONE in an ordered integer dose (exposure tier, day index,
     * bucket)? The 2×k companion [[chiSquared]] cannot give — chi² asks

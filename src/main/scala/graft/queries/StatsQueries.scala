@@ -1249,6 +1249,140 @@ object StatsQueries {
        |FROM s1c, s2c, s1w, s2w""".stripMargin
   }
 
+  // experiment period split for CUPED: pre-period covariate before
+  // 2024-01-16T00:00:00Z, experiment metric from then on (the events
+  // table spans 2024-01-01..30)
+  private val CupedCutUs = 1705363200000000L
+
+  /** q97_cuped: CUPED variance-reduced A/B readout
+    * ([[StatTests.cuped]]) — each user's first-half activity is the
+    * pre-period covariate for their second-half metric, variant =
+    * user_id parity; the synthetic corpus has correlated user activity
+    * levels, so the gate exercises a real ρ² > 0 reduction. */
+  private def cupedQ(s: SparkSession, d: String): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val subj = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(Det.dec(when(us < CupedCutUs, col("value"))))
+          .cast("double"), lit(0.0)).as("x"),
+        coalesce(sum(Det.dec(when(us >= CupedCutUs, col("value"))))
+          .cast("double"), lit(0.0)).as("y"))
+      .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+    StatTests.cuped(subj, "variant", "x", "y")
+  }
+
+  private lazy val cupedSql = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    def s6(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
+    def side(vv: Int, sfx: String) = Seq(
+      s"CAST(SUM(CASE WHEN v = $vv THEN 1 END) AS BIGINT) AS n$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN x END")} AS sx$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN y END")} AS sy$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN x * x END")} AS sxx$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN y * y END")} AS syy$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN x * y END")} AS sxy$sfx").mkString(",\n    ")
+    val nT = s"(${d("na")} + ${d("nb")})"
+    val sxT = "(sxa + sxb)"
+    val syT = "(sya + syb)"
+    val sxxT = "(sxxa + sxxb)"
+    val sxyT = "(sxya + sxyb)"
+    val syyT = "(syya + syyb)"
+    val theta = s"round(($nT * $sxyT - $sxT * $syT) / ($nT * $sxxT - $sxT * $sxT), 9)"
+    def mean(c: String, sfx: String) = s"($c$sfx / ${d(s"n$sfx")})"
+    def varOf(cc: String, c: String, sfx: String) =
+      s"(($cc$sfx - $c$sfx * $c$sfx / ${d(s"n$sfx")}) / (${d(s"n$sfx")} - 1.0))"
+    def covOf(sfx: String) =
+      s"((sxy$sfx - sx$sfx * sy$sfx / ${d(s"n$sfx")}) / (${d(s"n$sfx")} - 1.0))"
+    def varAdj(sfx: String) = s"(${varOf("syy", "sy", sfx)} - 2.0 * th * ${covOf(sfx)}" +
+      s" + th * th * ${varOf("sxx", "sx", sfx)})"
+    val diffRaw = s"(${mean("sy", "a")} - ${mean("sy", "b")})"
+    val diffAdj = s"($diffRaw - th * (${mean("sx", "a")} - ${mean("sx", "b")}))"
+    val seRaw = s"sqrt(${varOf("syy", "sy", "a")} / ${d("na")} + ${varOf("syy", "sy", "b")} / ${d("nb")})"
+    val seAdj = s"sqrt(${varAdj("a")} / ${d("na")} + ${varAdj("b")} / ${d("nb")})"
+    val varXT = s"(($sxxT - $sxT * $sxT / $nT) / ($nT - 1.0))"
+    val varYT = s"(($syyT - $syT * $syT / $nT) / ($nT - 1.0))"
+    s"""WITH subj AS (
+       |  SELECT user_id % 2 AS v,
+       |    COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) < $CupedCutUs
+       |      THEN CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS x,
+       |    COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) >= $CupedCutUs
+       |      THEN CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS y
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT
+       |    ${side(0, "a")},
+       |    ${side(1, "b")}
+       |  FROM subj),
+       |t AS (
+       |  SELECT a.*, CASE WHEN na >= 2 AND nb >= 2
+       |    AND ($nT * $sxxT - $sxT * $sxT) > 0.0 THEN $theta END AS th
+       |  FROM a)
+       |SELECT na AS n_a, nb AS n_b, th AS theta,
+       |  CASE WHEN na >= 1 AND nb >= 1 THEN round($diffRaw, 9) END AS diff_raw,
+       |  round($diffAdj, 9) AS diff_adj,
+       |  CASE WHEN th IS NOT NULL AND $seRaw > 0.0 THEN
+       |    round($diffRaw / $seRaw, 6) END AS z_raw,
+       |  CASE WHEN th IS NOT NULL AND $seAdj > 0.0 THEN
+       |    round($diffAdj / $seAdj, 6) END AS z_adj,
+       |  CASE WHEN th IS NOT NULL AND $varYT > 0.0 THEN
+       |    round(th * th * $varXT / $varYT, 6) END AS var_reduction
+       |FROM t""".stripMargin
+  }
+
+  /** q98_ratio_metric: delta-method A/B on revenue per EVENT
+    * ([[StatTests.ratioMetric]]) — the ratio-of-sums metric whose
+    * variance the naive per-user t-test gets wrong; same cohorts as
+    * q94/q97. */
+  private def ratioQ(s: SparkSession, d: String): DataFrame = {
+    val subj = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(Det.dec(when(col("event_type") === "purchase",
+          col("value")))).cast("double"), lit(0.0)).as("rev"),
+        count(lit(1)).cast("double").as("cnt"))
+      .select((col("user_id") % 2).as("variant"), col("rev"), col("cnt"))
+    StatTests.ratioMetric(subj, "variant", "rev", "cnt")
+  }
+
+  private lazy val ratioSql = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    def s6(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
+    def side(vv: Int, sfx: String) = Seq(
+      s"CAST(SUM(CASE WHEN v = $vv THEN 1 END) AS BIGINT) AS n$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN x END")} AS sx$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN y END")} AS sy$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN x * x END")} AS sxx$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN y * y END")} AS syy$sfx",
+      s"${s6(s"CASE WHEN v = $vv THEN x * y END")} AS sxy$sfx").mkString(",\n    ")
+    def r(sfx: String) = s"(CASE WHEN n$sfx >= 2 AND sx$sfx > 0.0 THEN " +
+      s"round(sy$sfx / sx$sfx, 9) END)"
+    def varR(sfx: String) = {
+      val n = d(s"n$sfx")
+      val xbar = s"(sx$sfx / $n)"
+      val vy = s"((syy$sfx - sy$sfx * sy$sfx / $n) / ($n - 1.0))"
+      val vx = s"((sxx$sfx - sx$sfx * sx$sfx / $n) / ($n - 1.0))"
+      val cxy = s"((sxy$sfx - sx$sfx * sy$sfx / $n) / ($n - 1.0))"
+      s"(($vy - 2.0 * ${r(sfx)} * $cxy + ${r(sfx)} * ${r(sfx)} * $vx) / ($n * $xbar * $xbar))"
+    }
+    val se = s"sqrt(${varR("a")} + ${varR("b")})"
+    s"""WITH subj AS (
+       |  SELECT user_id % 2 AS v,
+       |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS y,
+       |    CAST(COUNT(*) AS DOUBLE) AS x
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT
+       |    ${side(0, "a")},
+       |    ${side(1, "b")}
+       |  FROM subj)
+       |SELECT na AS n_a, nb AS n_b,
+       |  ${r("a")} AS r_a, ${r("b")} AS r_b,
+       |  round(${r("a")} - ${r("b")}, 9) AS diff,
+       |  CASE WHEN $se > 0.0 THEN
+       |    round((${r("a")} - ${r("b")}) / $se, 6) END AS z
+       |FROM a""".stripMargin
+  }
+
   /** q96_cochran_armitage: is the purchase PROPORTION monotone across
     * the week ([[StatTests.cochranArmitage]])? Dose = 0-based weekday of
     * the event (Spark `dayofweek(ts) − 1` ≡ DuckDB's 0-based
@@ -1809,6 +1943,12 @@ object StatsQueries {
     Capability("q85_welch_anova",
       "one-way ANOVA, classic + Welch heteroscedastic F in one grouped pass",
       anovaQ, Some(anovaSql)),
+    Capability("q97_cuped",
+      "CUPED variance-reduced A/B: pooled theta, adjusted diff/z, rho^2 reduction",
+      cupedQ, Some(cupedSql)),
+    Capability("q98_ratio_metric",
+      "delta-method ratio-metric A/B (revenue per event): R, diff, z",
+      ratioQ, Some(ratioSql)),
     Capability("q96_cochran_armitage",
       "Cochran-Armitage dose-trend z for purchase proportion across weekdays",
       caQ, Some(caSql)),

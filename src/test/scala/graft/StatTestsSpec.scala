@@ -937,6 +937,53 @@ class StatTestsSpec extends AnyFunSuite {
     assert(re.length == 1 && re.head.isNullAt(0) && re.head.isNullAt(6))
   }
 
+  test("cuped: exact theta=2 on a planted linear covariate, adjusted " +
+      "variance collapses to 0, rho^2 = 32/35") {
+    import spark.implicits._
+    // y = 2x + shift(variant): theta = cov/var = 2 exactly; y - 2x is
+    // constant per variant -> adjusted variance 0 -> z_adj NULL by guard
+    val df = Seq((0L, 1.0, 3.0), (0L, 2.0, 5.0), (0L, 3.0, 7.0),
+      (1L, 1.0, 2.0), (1L, 2.0, 4.0), (1L, 3.0, 6.0)).toDF("v", "x", "y")
+    val r = StatTests.cuped(df, "v", "x", "y").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0, s"theta ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0) // raw/adj diff
+    assert(math.abs(r.getDouble(5) - 1.0 / math.sqrt(8.0 / 3.0)) < 1e-6)
+    assert(r.isNullAt(6), "zero adjusted variance must NULL z_adj")
+    assert(math.abs(r.getDouble(7) - 4.0 * 0.8 / 3.5) < 1e-6) // 32/35
+    // uncorrelated covariate: theta ~ 0, z_adj ~ z_raw, reduction ~ 0
+    val rnd = new scala.util.Random(7)
+    val noisy = (0 until 200).map { i =>
+      (i.toLong % 2, rnd.nextDouble() * 10, rnd.nextGaussian() * 3 + 5)
+    }.toDF("v", "x", "y")
+    val rn = StatTests.cuped(noisy, "v", "x", "y").collect().head
+    assert(math.abs(rn.getDouble(7)) < 0.05, s"vr ${rn.getDouble(7)}")
+    // degenerate: a single-unit side -> NULL theta and z's, 1 row
+    val tiny = Seq((0L, 1.0, 2.0), (1L, 1.0, 2.0), (1L, 2.0, 3.0))
+      .toDF("v", "x", "y")
+    val rt = StatTests.cuped(tiny, "v", "x", "y").collect()
+    assert(rt.length == 1 && rt.head.isNullAt(2) && rt.head.isNullAt(5))
+  }
+
+  test("ratio metric: delta-method z on a hand-computed pair of cohorts, " +
+      "degenerates are NULL") {
+    import spark.implicits._
+    // A: (y,x) = (10,2),(20,3) -> R = 6, varR = 0.64
+    // B: (12,2),(12,3) -> R = 4.8, varR = 0.9216
+    val df = Seq((0L, 10.0, 2.0), (0L, 20.0, 3.0),
+      (1L, 12.0, 2.0), (1L, 12.0, 3.0)).toDF("v", "y", "x")
+    val r = StatTests.ratioMetric(df, "v", "y", "x").collect().head
+    assert(r.getDouble(2) == 6.0 && r.getDouble(3) == 4.8)
+    assert(math.abs(r.getDouble(4) - 1.2) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 1.2 / math.sqrt(1.5616)) < 1e-5,
+      r.toString)
+    // zero denominator sum on one side -> NULL ratio and z, 1 row
+    val zx = Seq((0L, 10.0, 0.0), (0L, 20.0, 0.0),
+      (1L, 12.0, 2.0), (1L, 12.0, 3.0)).toDF("v", "y", "x")
+    val rz = StatTests.ratioMetric(zx, "v", "y", "x").collect()
+    assert(rz.length == 1 && rz.head.isNullAt(2) && rz.head.isNullAt(5))
+  }
+
   test("kendall tau-b: monotone ±1, tie-priced denominator, degenerate NULL") {
     import spark.implicits._
     def series(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
