@@ -173,7 +173,8 @@ object Plans {
       "q95_tukey_hsd",           // k-row moment frame, broadcast pairs
       "q96_cochran_armitage",    // one count pass -> 1-row reduction
       "q97_cuped",               // user rollup -> one 2-sided aggregate
-      "q98_ratio_metric")        // user rollup -> one 2-sided aggregate
+      "q98_ratio_metric",        // user rollup -> one 2-sided aggregate
+      "q99_sprt")                // one cumulative window + group rollup
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1207,6 +1207,74 @@ object StatTests {
       when(ok, round(z, 6)).as("z"))
   }
 
+  /** Wald SPRT trajectory for a Bernoulli outcome (Wald 1945): the
+    * sequential test that lets an experiment STOP at the first moment
+    * the evidence suffices instead of a fixed horizon. Per group, over
+    * events in time order, the cumulative log-likelihood ratio
+    * LLR_t = k_t·ln(p1/p0) + (n_t − k_t)·ln((1−p1)/(1−p0)) against
+    * H0: rate = p0 vs H1: rate = p1, with the classical decision bands
+    * A = ln((1−β)/α) (accept H1 above) and B = ln(β/(1−α)) (accept H0
+    * below). Output per group: final n/k/LLR, the band constants, the
+    * decision at the data's end, and the FIRST-crossing index and
+    * decision — the "when could we have stopped" readout a fixed-
+    * horizon z-test (q76) cannot give.
+    *
+    * Determinism: k_t/n_t are exact window counts over the caller's
+    * total order; ln(p) terms are LITERAL doubles computed once on the
+    * driver and folded in, so each LLR_t is one IEEE
+    * multiply-add of exact longs round@9 — the crossing comparison runs
+    * on the rounded value (the q66 threshold convention: an ulp can't
+    * flip a decision across engines). One key-partitioned window (the
+    * q20 cumulative shape) + one grouped aggregate; nothing global.
+    * Scale note (the [[durbinWatson]] shape): parallelism equals the
+    * COHORT count because the within-cohort event order IS the
+    * trajectory — at cluster scale run per finer arm/segment keys, or
+    * pre-aggregate to per-interval (k, n) increments and SPRT the
+    * interval series (the trajectory only needs order, not row grain).
+    * Output: (g, n, k, llr round@9, upper_a, lower_b round@9,
+    * decision, first_cross_n, first_cross_decision). */
+  def sprtBernoulli(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, successCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need distinct p0, p1 in (0,1), got $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need alpha, beta in (0,1), got $alpha, $beta")
+    val lWin = math.log(p1 / p0)
+    val lLose = math.log((1.0 - p1) / (1.0 - p0))
+    val a = math.log((1.0 - beta) / alpha)
+    val b = math.log(beta / (1.0 - alpha))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("t"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(groupCol).as("g"), col(tsCol).as("t"),
+        col(idCol).as("i"), col(successCol).cast("long").as("s"))
+      .withColumn("k", sum(col("s")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("llr", round(col("k").cast("double") * lWin +
+        (col("n") - col("k")).cast("double") * lLose, 9))
+    val agg = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(col("s")).as("k"),
+      min(when(col("llr") >= a, col("n"))).as("__up_n"),
+      min(when(col("llr") <= b, col("n"))).as("__dn_n"))
+    val finalLlr = round(col("k").cast("double") * lWin +
+      (col("n") - col("k")).cast("double") * lLose, 9)
+    val firstN = least(col("__up_n"), col("__dn_n"))
+    agg.select(col("g"), col("n"), col("k"),
+      finalLlr.as("llr"),
+      lit(BigDecimal(a).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).as("upper_a"),
+      lit(BigDecimal(b).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).as("lower_b"),
+      when(finalLlr >= a, "accept_h1").when(finalLlr <= b, "accept_h0")
+        .otherwise("continue").as("decision"),
+      firstN.as("first_cross_n"),
+      when(firstN.isNull, "continue")
+        .when(col("__up_n") <= coalesce(col("__dn_n"), lit(Long.MaxValue)),
+          "accept_h1")
+        .otherwise("accept_h0").as("first_cross_decision"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM 2013):
     * adjust each unit's experiment metric y by its PRE-period covariate
     * x, y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled over all

@@ -1329,6 +1329,73 @@ object StatsQueries {
        |FROM t""".stripMargin
   }
 
+  // SPRT gate hypotheses: purchase share ~0.198 in the synthetic events;
+  // test H0 p=0.18 vs H1 p=0.22 so the trajectory genuinely wanders
+  // before deciding
+  private val SprtP0 = 0.18
+  private val SprtP1 = 0.22
+  private val SprtAlpha = 0.05
+  private val SprtBeta = 0.2
+
+  /** q99_sprt: Wald sequential probability-ratio trajectory of the
+    * purchase rate per variant cohort ([[StatTests.sprtBernoulli]]) —
+    * the "when could we have stopped" readout a fixed-horizon z (q76)
+    * cannot give. All ln() terms are DRIVER-computed double literals
+    * emitted verbatim into both engines (the shared-text convention:
+    * engine ln agrees only to the ulp, a literal is bit-identical). */
+  private def sprtQ(s: SparkSession, d: String): DataFrame =
+    StatTests.sprtBernoulli(
+      Tables.events(s, d).select((col("user_id") % 2).as("variant"),
+        col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit")),
+      "variant", "ts", "event_id", "hit",
+      SprtP0, SprtP1, SprtAlpha, SprtBeta)
+      .orderBy(col("g"))
+
+  private lazy val sprtSql = {
+    val lWin = math.log(SprtP1 / SprtP0)
+    val lLose = math.log((1.0 - SprtP1) / (1.0 - SprtP0))
+    val a = math.log((1.0 - SprtBeta) / SprtAlpha)
+    val b = math.log(SprtBeta / (1.0 - SprtAlpha))
+    val a9 = BigDecimal(a).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b9 = BigDecimal(b).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    s"""WITH base AS (
+       |  SELECT user_id % 2 AS g, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+       |  FROM events),
+       |traj AS (
+       |  SELECT g,
+       |    SUM(s) OVER w AS k, COUNT(*) OVER w AS n,
+       |    round(CAST(SUM(s) OVER w AS DOUBLE) * $lWin +
+       |      CAST(COUNT(*) OVER w - SUM(s) OVER w AS DOUBLE) * $lLose, 9)
+       |      AS llr
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |agg AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+       |    MIN(CASE WHEN llr >= $a THEN n END) AS up_n,
+       |    MIN(CASE WHEN llr <= $b THEN n END) AS dn_n
+       |  FROM traj GROUP BY g),
+       |tot AS (
+       |  SELECT g, CAST(SUM(s) AS BIGINT) AS k FROM base GROUP BY g)
+       |SELECT agg.g, agg.n, tot.k,
+       |  round(CAST(tot.k AS DOUBLE) * $lWin +
+       |    CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) AS llr,
+       |  $a9 AS upper_a, $b9 AS lower_b,
+       |  CASE WHEN round(CAST(tot.k AS DOUBLE) * $lWin +
+       |      CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) >= $a THEN 'accept_h1'
+       |    WHEN round(CAST(tot.k AS DOUBLE) * $lWin +
+       |      CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) <= $b THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision,
+       |  CASE WHEN up_n IS NULL THEN dn_n WHEN dn_n IS NULL THEN up_n
+       |    ELSE least(up_n, dn_n) END AS first_cross_n,
+       |  CASE WHEN up_n IS NULL AND dn_n IS NULL THEN 'continue'
+       |    WHEN up_n <= coalesce(dn_n, 9223372036854775807) THEN 'accept_h1'
+       |    ELSE 'accept_h0' END AS first_cross_decision
+       |FROM agg JOIN tot USING (g) ORDER BY g""".stripMargin
+  }
+
   /** q98_ratio_metric: delta-method A/B on revenue per EVENT
     * ([[StatTests.ratioMetric]]) — the ratio-of-sums metric whose
     * variance the naive per-user t-test gets wrong; same cohorts as
@@ -1943,6 +2010,9 @@ object StatsQueries {
     Capability("q85_welch_anova",
       "one-way ANOVA, classic + Welch heteroscedastic F in one grouped pass",
       anovaQ, Some(anovaSql)),
+    Capability("q99_sprt",
+      "Wald SPRT trajectory per variant: LLR bands, end decision, first crossing",
+      sprtQ, Some(sprtSql)),
     Capability("q97_cuped",
       "CUPED variance-reduced A/B: pooled theta, adjusted diff/z, rho^2 reduction",
       cupedQ, Some(cupedSql)),

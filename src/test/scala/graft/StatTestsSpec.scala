@@ -937,6 +937,34 @@ class StatTestsSpec extends AnyFunSuite {
     assert(re.length == 1 && re.head.isNullAt(0) && re.head.isNullAt(6))
   }
 
+  test("sprt: all-success crosses the H1 band at exactly ceil(A/lnWin) " +
+      "steps, all-failure at the H0 band, alternating never decides") {
+    import spark.implicits._
+    def seq(g: String, bits: Seq[Int]) = bits.zipWithIndex.map {
+      case (s, i) => (g, new java.sql.Timestamp(i * 1000L), i.toLong, s.toLong)
+    }
+    // symmetric p0 = 0.4, p1 = 0.6: each win adds ln(1.5), each loss
+    // subtracts it; A = ln(16) -> 7 wins cross, |B| = ln(19/20*4) ->
+    // 4 losses cross; a strict win/loss alternation returns to 0 forever
+    val df = (seq("win", Seq.fill(10)(1)) ++ seq("lose", Seq.fill(10)(0)) ++
+      seq("alt", (0 until 10).map(_ % 2))).toDF("g", "ts", "id", "s")
+    val r = StatTests.sprtBernoulli(df, "g", "ts", "id", "s",
+        p0 = 0.4, p1 = 0.6)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val lWin = math.log(1.5)
+    assert(r("win").getLong(7) == math.ceil(math.log(16.0) / lWin).toLong)
+    assert(r("win").getString(8) == "accept_h1" &&
+      r("win").getString(6) == "accept_h1")
+    assert(r("lose").getLong(7) ==
+      math.ceil(-math.log(0.2 / 0.95) / lWin).toLong)
+    assert(r("lose").getString(8) == "accept_h0")
+    assert(r("alt").isNullAt(7) && r("alt").getString(8) == "continue" &&
+      r("alt").getString(6) == "continue")
+    intercept[IllegalArgumentException] {
+      StatTests.sprtBernoulli(df, "g", "ts", "id", "s", p0 = 0.5, p1 = 0.5)
+    }
+  }
+
   test("cuped: exact theta=2 on a planted linear covariate, adjusted " +
       "variance collapses to 0, rho^2 = 32/35") {
     import spark.implicits._
