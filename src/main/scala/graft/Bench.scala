@@ -173,7 +173,13 @@ object Bench {
     // passes and scale-replica runs (sf1/sf10 live outside
     // /root/testdata, or a non-sf0.1 dir) never touch the round
     // artifact — a 10× rehearsal must not clobber the round record.
-    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+    // canonical-path basename, not a string suffix: a trailing slash
+    // must not skip a legit pass, and "/tmp/replica-sf0.1" must not
+    // masquerade as the bench-scale directory
+    val atBenchScale =
+      try new java.io.File(sfDir).getCanonicalFile.getName == "sf0.1"
+      catch { case _: Throwable => false }
+    if (only.isEmpty && atBenchScale) {
       try {
         def maxArtifact(pattern: String): Int = {
           val pat = java.util.regex.Pattern.compile(pattern)
@@ -202,9 +208,23 @@ object Bench {
           } catch { case _: Throwable => None }
         val n = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
           .orElse(verdictRound())
-          .getOrElse(math.max(1, math.max(
-            maxArtifact("BENCH_r(\\d+)\\.json"),
-            maxArtifact("CORRECTNESS_r(\\d+)\\.json")) + 1))
+          .getOrElse {
+            // no VERDICT.md (round 1, or renamed at close): infer from
+            // artifacts, REUSING a same-round file of our own (the
+            // graft_full_record marker) so repeated full passes cannot
+            // mint a new spurious round each run
+            val bmax = maxArtifact("BENCH_r(\\d+)\\.json")
+            val cmax = maxArtifact("CORRECTNESS_r(\\d+)\\.json")
+            val bOurs = bmax >= 0 && {
+              try new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(s"BENCH_r$bmax.json")),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .contains("\"graft_full_record\":true")
+              catch { case _: Throwable => false }
+            }
+            val fromBench = if (bOurs) bmax else bmax + 1
+            math.max(1, math.max(fromBench, cmax + 1))
+          }
         val roundPath = java.nio.file.Paths.get(s"BENCH_r$n.json")
         val roundRecord =
           s"""{"n":$n,"graft_full_record":true,"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""

@@ -1207,6 +1207,23 @@ object StatTests {
       when(ok, round(z, 6)).as("z"))
   }
 
+  /** The shared two-cohort moment aggregate behind [[cuped]] and
+    * [[ratioMetric]]: per variant side (0 → "a", 1 → "b"), (n, Σx, Σy,
+    * Σx², Σy², Σxy) as exact-decimal conditional sums in ONE ungrouped
+    * aggregate — always exactly 1 output row, absent sides NULL (the
+    * [[poissonRate]] cardinality pattern). Input columns: (v, x, y). */
+  private def twoSidedMoments(m: DataFrame): DataFrame = {
+    def sums(vv: Long, suffix: String) = Seq(
+      sum(when(col("v") === vv, 1L)).as(s"n$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x")))).cast("double").as(s"sx$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("y")))).cast("double").as(s"sy$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x") * col("x")))).cast("double").as(s"sxx$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("y") * col("y")))).cast("double").as(s"syy$suffix"),
+      sum(when(col("v") === vv, Det.dec(col("x") * col("y")))).cast("double").as(s"sxy$suffix"))
+    val agg0 = sums(0L, "a") ++ sums(1L, "b")
+    m.agg(agg0.head, agg0.tail: _*)
+  }
+
   /** Wald SPRT trajectory for a Bernoulli outcome (Wald 1945): the
     * sequential test that lets an experiment STOP at the first moment
     * the evidence suffices instead of a fixed horizon. Per group, over
@@ -1297,15 +1314,7 @@ object StatTests {
       yCol: String): DataFrame = {
     val m = df.select(col(variantCol).cast("long").as("v"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-    def sums(vv: Long, suffix: String) = Seq(
-      sum(when(col("v") === vv, 1L)).as(s"n$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("x")))).cast("double").as(s"sx$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("y")))).cast("double").as(s"sy$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("x") * col("x")))).cast("double").as(s"sxx$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("y") * col("y")))).cast("double").as(s"syy$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("x") * col("y")))).cast("double").as(s"sxy$suffix"))
-    val agg0 = sums(0L, "a") ++ sums(1L, "b")
-    val agg = m.agg(agg0.head, agg0.tail: _*)
+    val agg = twoSidedMoments(m)
     def d(c: Column) = c.cast("double")
     def nD(s: String) = d(col(s"n$s"))
     // pooled theta over ALL units: (N·Sxy − Sx·Sy) / (N·Sxx − Sx²)
@@ -1371,15 +1380,7 @@ object StatTests {
       denCol: String): DataFrame = {
     val m = df.select(col(variantCol).cast("long").as("v"),
       col(numCol).cast("double").as("y"), col(denCol).cast("double").as("x"))
-    def sums(vv: Long, suffix: String) = Seq(
-      sum(when(col("v") === vv, 1L)).as(s"n$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("x")))).cast("double").as(s"sx$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("y")))).cast("double").as(s"sy$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("x") * col("x")))).cast("double").as(s"sxx$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("y") * col("y")))).cast("double").as(s"syy$suffix"),
-      sum(when(col("v") === vv, Det.dec(col("x") * col("y")))).cast("double").as(s"sxy$suffix"))
-    val agg0 = sums(0L, "a") ++ sums(1L, "b")
-    val agg = m.agg(agg0.head, agg0.tail: _*)
+    val agg = twoSidedMoments(m)
     def nD(s: String) = col(s"n$s").cast("double")
     def okSide(s: String) = col(s"n$s") >= 2L && col(s"sx$s") > 0.0
     def r(s: String) = when(okSide(s), round(col(s"sy$s") / col(s"sx$s"), 9))

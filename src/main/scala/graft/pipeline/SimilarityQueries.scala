@@ -683,11 +683,19 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("k"))
 
   private val rpSql =
+    // the degenerate-vector guard mirrors MatVecFold's NULL contract:
+    // Spark nulls ALL 16 projections when the embedding is NULL, the
+    // wrong length, or carries a NULL element, whereas a bare list_sum
+    // would SKIP the null terms (SUM semantics) and emit a partial sum
     s"""SELECT e.vec_id, k.k::INT AS k,
-       |  round(list_sum(list_transform(range($PcaDim), j ->
-       |    e.embedding[j+1]::DOUBLE *
-       |    (CASE WHEN ('0x' || substring(md5(j || '_' || k.k), 1, 1))::INT % 2 = 0
-       |          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) / 4.0, 6) AS proj
+       |  CASE WHEN e.embedding IS NULL OR len(e.embedding) <> $PcaDim
+       |         OR len(list_filter(e.embedding, x -> x IS NULL)) > 0
+       |    THEN NULL
+       |    ELSE round(list_sum(list_transform(range($PcaDim), j ->
+       |      e.embedding[j+1]::DOUBLE *
+       |      (CASE WHEN ('0x' || substring(md5(j || '_' || k.k), 1, 1))::INT % 2 = 0
+       |            THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) / 4.0, 6)
+       |  END AS proj
        |FROM embeddings e, range($RpK) k(k)
        |ORDER BY e.vec_id, k""".stripMargin
 

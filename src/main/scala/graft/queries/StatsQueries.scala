@@ -1271,16 +1271,23 @@ object StatsQueries {
     StatTests.cuped(subj, "variant", "x", "y")
   }
 
-  private lazy val cupedSql = {
-    def d(x: String) = s"CAST($x AS DOUBLE)"
+  /** Shared SQL builder for the two-cohort moment aggregates (q97/q98):
+    * per side, (n, Sx, Sy, Sxx, Syy, Sxy) as DECIMAL(25,6) conditional
+    * sums — must stay in lock-step with StatTests.twoSidedMoments. */
+  private def twoSidedMomentsSql(vv: Int, sfx: String): String = {
     def s6(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
-    def side(vv: Int, sfx: String) = Seq(
+    Seq(
       s"CAST(SUM(CASE WHEN v = $vv THEN 1 END) AS BIGINT) AS n$sfx",
       s"${s6(s"CASE WHEN v = $vv THEN x END")} AS sx$sfx",
       s"${s6(s"CASE WHEN v = $vv THEN y END")} AS sy$sfx",
       s"${s6(s"CASE WHEN v = $vv THEN x * x END")} AS sxx$sfx",
       s"${s6(s"CASE WHEN v = $vv THEN y * y END")} AS syy$sfx",
       s"${s6(s"CASE WHEN v = $vv THEN x * y END")} AS sxy$sfx").mkString(",\n    ")
+  }
+
+  private lazy val cupedSql = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    def side(vv: Int, sfx: String) = twoSidedMomentsSql(vv, sfx)
     val nT = s"(${d("na")} + ${d("nb")})"
     val sxT = "(sxa + sxb)"
     val syT = "(sya + syb)"
@@ -1378,22 +1385,23 @@ object StatsQueries {
        |    MIN(CASE WHEN llr <= $b THEN n END) AS dn_n
        |  FROM traj GROUP BY g),
        |tot AS (
-       |  SELECT g, CAST(SUM(s) AS BIGINT) AS k FROM base GROUP BY g)
-       |SELECT agg.g, agg.n, tot.k,
-       |  round(CAST(tot.k AS DOUBLE) * $lWin +
-       |    CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) AS llr,
+       |  SELECT g, CAST(SUM(s) AS BIGINT) AS k FROM base GROUP BY g),
+       |fin AS (
+       |  SELECT agg.g, agg.n, tot.k, agg.up_n, agg.dn_n,
+       |    round(CAST(tot.k AS DOUBLE) * $lWin +
+       |      CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) AS llr
+       |  FROM agg JOIN tot USING (g))
+       |SELECT g, n, k, llr,
        |  $a9 AS upper_a, $b9 AS lower_b,
-       |  CASE WHEN round(CAST(tot.k AS DOUBLE) * $lWin +
-       |      CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) >= $a THEN 'accept_h1'
-       |    WHEN round(CAST(tot.k AS DOUBLE) * $lWin +
-       |      CAST(agg.n - tot.k AS DOUBLE) * $lLose, 9) <= $b THEN 'accept_h0'
+       |  CASE WHEN llr >= $a THEN 'accept_h1'
+       |    WHEN llr <= $b THEN 'accept_h0'
        |    ELSE 'continue' END AS decision,
        |  CASE WHEN up_n IS NULL THEN dn_n WHEN dn_n IS NULL THEN up_n
        |    ELSE least(up_n, dn_n) END AS first_cross_n,
        |  CASE WHEN up_n IS NULL AND dn_n IS NULL THEN 'continue'
        |    WHEN up_n <= coalesce(dn_n, 9223372036854775807) THEN 'accept_h1'
        |    ELSE 'accept_h0' END AS first_cross_decision
-       |FROM agg JOIN tot USING (g) ORDER BY g""".stripMargin
+       |FROM fin ORDER BY g""".stripMargin
   }
 
   /** q98_ratio_metric: delta-method A/B on revenue per EVENT
@@ -1412,14 +1420,7 @@ object StatsQueries {
 
   private lazy val ratioSql = {
     def d(x: String) = s"CAST($x AS DOUBLE)"
-    def s6(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
-    def side(vv: Int, sfx: String) = Seq(
-      s"CAST(SUM(CASE WHEN v = $vv THEN 1 END) AS BIGINT) AS n$sfx",
-      s"${s6(s"CASE WHEN v = $vv THEN x END")} AS sx$sfx",
-      s"${s6(s"CASE WHEN v = $vv THEN y END")} AS sy$sfx",
-      s"${s6(s"CASE WHEN v = $vv THEN x * x END")} AS sxx$sfx",
-      s"${s6(s"CASE WHEN v = $vv THEN y * y END")} AS syy$sfx",
-      s"${s6(s"CASE WHEN v = $vv THEN x * y END")} AS sxy$sfx").mkString(",\n    ")
+    def side(vv: Int, sfx: String) = twoSidedMomentsSql(vv, sfx)
     def r(sfx: String) = s"(CASE WHEN n$sfx >= 2 AND sx$sfx > 0.0 THEN " +
       s"round(sy$sfx / sx$sfx, 9) END)"
     def varR(sfx: String) = {
@@ -1466,7 +1467,10 @@ object StatsQueries {
     """WITH m AS (
       |  SELECT dayofweek(ts) AS w, COUNT(*) AS n,
       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
-      |  FROM events GROUP BY 1),
+      |  -- NULL-ts rows drop, mirroring the operator's NULL-dose filter:
+      |  -- a NULL dose group would count into k/n/r while its w-terms
+      |  -- silently vanished from the trend sums
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |a AS (
       |  SELECT COUNT(*) AS k,
       |    CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(r) AS BIGINT) AS r_tot,

@@ -240,6 +240,11 @@ class IpcFuzzSpec extends AnyFunSuite {
     assert(msg3 > msg2MetaEnd, "dictionary batch had no body?")
     val spliced = bytes.take(msg2) ++ bytes.drop(msg3)
     val t = mustFail("s_missing_dict", spliced, stream = true)
+    // the loud-error contract: a diagnostic message exists somewhere in
+    // the chain (arrow-java's "missing dictionary" or our own require)
+    val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(e => Option(e.getMessage)).toSeq
+    assert(msgs.nonEmpty, s"no diagnostic in ${t.getClass}")
     stillHealthy()
     // and the unspliced original still reads (the surgery, not the
     // writer, is what broke it)
