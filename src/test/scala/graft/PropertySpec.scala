@@ -773,4 +773,158 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(scParams, prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("tukey hsd q equals a brute moment recomputation on random groups") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 400)))
+    val prop = Prop.forAll(gen) { pairs =>
+      val byG = pairs.groupMap(_._1)(_._2.toDouble / 4.0)
+      (byG.size >= 2 && byG.values.map(_.toSet).exists(_.size > 1)) ==> {
+        val df = pairs.map { case (g, v) => (s"g$g", v / 4.0) }.toDF("g", "v")
+        val got = graft.operators.StatTests.tukeyHsd(df, "g", "v")
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+        val n = pairs.length
+        val k = byG.size
+        val ssw = byG.values.map { vs =>
+          val m = vs.sum / vs.length; vs.map(x => (x - m) * (x - m)).sum
+        }.sum
+        val msw = ssw / (n - k)
+        got.forall { case ((ga, gb), q) =>
+          val a = byG(ga.drop(1).toInt); val b = byG(gb.drop(1).toInt)
+          if (msw <= 0) q.isNaN
+          else {
+            val se = math.sqrt(msw / 2.0 * (1.0 / a.length + 1.0 / b.length))
+            math.abs(q - (a.sum / a.length - b.sum / b.length) / se) < 1e-4
+          }
+        }
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cochran-armitage z equals a brute closed form on random dose tables") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 1)))
+    val prop = Prop.forAll(gen) { rows =>
+      val byW = rows.groupMap(_._1)(_._2)
+      val bigR = rows.map(_._2).sum
+      (byW.size >= 2 && bigR > 0 && bigR < rows.length) ==> {
+        val df = rows.map { case (w, y) => (w.toLong, y.toLong) }.toDF("w", "s")
+        val got = graft.operators.StatTests.cochranArmitage(df, "w", "s")
+          .collect().head.getDouble(3)
+        val n = rows.length.toDouble
+        val swr = byW.map { case (w, ys) => w.toDouble * ys.sum }.sum
+        val swn = byW.map { case (w, ys) => w.toDouble * ys.length }.sum
+        val sw2n = byW.map { case (w, ys) => w.toDouble * w * ys.length }.sum
+        val num = n * swr - swn * bigR
+        val vb = n * sw2n - swn * swn
+        val want = num * math.sqrt(n) / (math.sqrt(bigR * (n - bigR)) * math.sqrt(vb))
+        vb <= 0 || math.abs(got - want) < 1e-4
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cuped theta and adjusted diff equal a brute covariance fit on random units") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 1), Gen.choose(0, 400),
+      Gen.choose(0, 400)))
+    val prop = Prop.forAll(gen) { rows =>
+      val sides = rows.groupBy(_._1)
+      (sides.size == 2 && sides.values.forall(_.length >= 2) &&
+        rows.map(_._2).toSet.size > 1) ==> {
+        val df = rows.map { case (v, x, y) =>
+          (v.toLong, x / 4.0, y / 4.0) }.toDF("v", "x", "y")
+        val r = graft.operators.StatTests.cuped(df, "v", "x", "y")
+          .collect().head
+        val xs = rows.map(_._2 / 4.0); val ys = rows.map(_._3 / 4.0)
+        val n = rows.length.toDouble
+        val xm = xs.sum / n; val ym = ys.sum / n
+        val cov = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+        val vx = xs.map(x => (x - xm) * (x - xm)).sum
+        val theta = cov / vx
+        def m(v: Int, f: ((Int, Int, Int)) => Double) = {
+          val g = sides(v); g.map(f).sum / g.length
+        }
+        val diffAdj = (m(0, _._3 / 4.0) - m(1, _._3 / 4.0)) -
+          theta * (m(0, _._2 / 4.0) - m(1, _._2 / 4.0))
+        math.abs(r.getDouble(2) - theta) < 1e-6 &&
+          math.abs(r.getDouble(4) - diffAdj) < 1e-5
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ratio metric R and z equal a brute delta-method recomputation") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 1), Gen.choose(0, 400),
+      Gen.choose(1, 400)))
+    val prop = Prop.forAll(gen) { rows =>
+      val sides = rows.groupBy(_._1)
+      (sides.size == 2 && sides.values.forall(_.length >= 2)) ==> {
+        val df = rows.map { case (v, y, x) =>
+          (v.toLong, y / 4.0, x / 4.0) }.toDF("v", "y", "x")
+        val r = graft.operators.StatTests.ratioMetric(df, "v", "y", "x")
+          .collect().head
+        def stats(v: Int): (Double, Double) = {
+          val g = sides(v)
+          val ys = g.map(_._2 / 4.0); val xs = g.map(_._3 / 4.0)
+          val n = g.length.toDouble
+          // the operator feeds the ROUNDED@9 ratio into the variance
+          val rr = BigDecimal(ys.sum / xs.sum)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val xm = xs.sum / n; val ym = ys.sum / n
+          val vy = ys.map(y => (y - ym) * (y - ym)).sum / (n - 1)
+          val vx = xs.map(x => (x - xm) * (x - xm)).sum / (n - 1)
+          val cxy = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum / (n - 1)
+          (rr, (vy - 2 * rr * cxy + rr * rr * vx) / (n * xm * xm))
+        }
+        val (r0, v0) = stats(0); val (r1, v1) = stats(1)
+        math.abs(r.getDouble(2) - r0) < 1e-7 &&
+          math.abs(r.getDouble(3) - r1) < 1e-7 &&
+          (v0 + v1 <= 0 ||
+            math.abs(r.getDouble(5) - (r0 - r1) / math.sqrt(v0 + v1)) < 1e-4)
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sprt first crossing equals a brute trajectory walk on random sequences") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.choose(0, 1))
+    val prop = Prop.forAll(gen) { bits =>
+      bits.nonEmpty ==> {
+        val df = bits.zipWithIndex.map { case (b, i) =>
+          ("g", new java.sql.Timestamp(i * 1000L), i.toLong, b.toLong)
+        }.toDF("g", "ts", "id", "s")
+        val r = graft.operators.StatTests
+          .sprtBernoulli(df, "g", "ts", "id", "s", p0 = 0.3, p1 = 0.6)
+          .collect().head
+        val lW = math.log(0.6 / 0.3); val lL = math.log(0.4 / 0.7)
+        val a = math.log((1 - 0.2) / 0.05); val b = math.log(0.2 / 0.95)
+        var k = 0L; var cross: Option[(Int, String)] = None
+        bits.zipWithIndex.foreach { case (s0, i) =>
+          k += s0
+          val llr = BigDecimal(k * lW + (i + 1 - k) * lL)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cross.isEmpty) {
+            if (llr >= a) cross = Some((i + 1, "accept_h1"))
+            else if (llr <= b) cross = Some((i + 1, "accept_h0"))
+          }
+        }
+        cross match {
+          case None => r.isNullAt(7) && r.getString(8) == "continue"
+          case Some((n, dec)) =>
+            r.getLong(7) == n.toLong && r.getString(8) == dec
+        }
+      }
+    }
+    val res = SCTest.check(scParams, prop)
+    assert(res.passed, res.status.toString)
+  }
 }
