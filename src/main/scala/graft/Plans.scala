@@ -174,7 +174,8 @@ object Plans {
       "q96_cochran_armitage",    // one count pass -> 1-row reduction
       "q97_cuped",               // user rollup -> one 2-sided aggregate
       "q98_ratio_metric",        // user rollup -> one 2-sided aggregate
-      "q99_sprt")                // one cumulative window + group rollup
+      "q99_sprt",                // one cumulative window + group rollup
+      "q99b_sprt_hourly")        // interval rollup -> bounded window
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

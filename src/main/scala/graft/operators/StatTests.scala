@@ -1292,6 +1292,61 @@ object StatTests {
         .otherwise("accept_h0").as("first_cross_decision"))
   }
 
+  /** [[sprtBernoulli]] over PRE-AGGREGATED interval increments — the
+    * executable form of its scale note (the q81b precedent): each row
+    * is one interval's (successes k, trials n) for a cohort, the
+    * cumulative LLR is checked once per interval boundary, and the
+    * trajectory needs only the INTERVAL order — so the per-cohort
+    * window runs over #intervals rows (bounded: hours, days) instead
+    * of every event, and the event stream itself reduces with an
+    * ordinary map-side-combined aggregate. Coarsening can only delay a
+    * crossing to the next boundary, never invent one (the LLR at a
+    * boundary equals the row-level LLR at that same prefix — same
+    * exact counts, same literal terms). `first_cross_n` reports the
+    * cumulative TRIALS at the crossing boundary, comparable to the
+    * row-level variant's. Output: identical schema to
+    * [[sprtBernoulli]]. */
+  def sprtIncrements(df: DataFrame, groupCol: String, orderCol: String,
+      kCol: String, nCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need distinct p0, p1 in (0,1), got $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need alpha, beta in (0,1), got $alpha, $beta")
+    val lWin = math.log(p1 / p0)
+    val lLose = math.log((1.0 - p1) / (1.0 - p0))
+    val a = math.log((1.0 - beta) / alpha)
+    val b = math.log(beta / (1.0 - alpha))
+    val w = Window.partitionBy(col("g")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(groupCol).as("g"), col(orderCol).as("o"),
+        col(kCol).cast("long").as("ik"), col(nCol).cast("long").as("in"))
+      .withColumn("k", sum(col("ik")).over(w))
+      .withColumn("n", sum(col("in")).over(w))
+      .withColumn("llr", round(col("k").cast("double") * lWin +
+        (col("n") - col("k")).cast("double") * lLose, 9))
+    val agg = base.groupBy(col("g")).agg(
+      sum(col("in")).as("n"), sum(col("ik")).as("k"),
+      min(when(col("llr") >= a, col("n"))).as("__up_n"),
+      min(when(col("llr") <= b, col("n"))).as("__dn_n"))
+    val finalLlr = round(col("k").cast("double") * lWin +
+      (col("n") - col("k")).cast("double") * lLose, 9)
+    val firstN = least(col("__up_n"), col("__dn_n"))
+    agg.select(col("g"), col("n"), col("k"),
+      finalLlr.as("llr"),
+      lit(BigDecimal(a).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).as("upper_a"),
+      lit(BigDecimal(b).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).as("lower_b"),
+      when(finalLlr >= a, "accept_h1").when(finalLlr <= b, "accept_h0")
+        .otherwise("continue").as("decision"),
+      firstN.as("first_cross_n"),
+      when(firstN.isNull, "continue")
+        .when(col("__up_n") <= coalesce(col("__dn_n"), lit(Long.MaxValue)),
+          "accept_h1")
+        .otherwise("accept_h0").as("first_cross_decision"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM 2013):
     * adjust each unit's experiment metric y by its PRE-period covariate
     * x, y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled over all

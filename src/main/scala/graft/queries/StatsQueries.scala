@@ -1404,6 +1404,72 @@ object StatsQueries {
        |FROM fin ORDER BY g""".stripMargin
   }
 
+  /** q99b_sprt_hourly: the SAME sequential test over PRE-AGGREGATED
+    * hourly (k, n) increments ([[StatTests.sprtIncrements]]) — the
+    * scale note made executable (the q81b precedent): the trajectory
+    * window runs over ~720 interval rows per cohort instead of every
+    * event, so at 100 TB the event stream reduces with one ordinary
+    * aggregate and only interval rows sort. Coarsening can only delay
+    * a crossing to its interval boundary, never invent one. */
+  private def sprtHourlyQ(s: SparkSession, d: String): DataFrame =
+    StatTests.sprtIncrements(
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 2).as("variant"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ik"), count(lit(1)).as("n_i")),
+      "variant", "h", "ik", "n_i", SprtP0, SprtP1, SprtAlpha, SprtBeta)
+      .orderBy(col("g"))
+
+  private lazy val sprtHourlySql = {
+    val lWin = math.log(SprtP1 / SprtP0)
+    val lLose = math.log((1.0 - SprtP1) / (1.0 - SprtP0))
+    val a = math.log((1.0 - SprtBeta) / SprtAlpha)
+    val b = math.log(SprtBeta / (1.0 - SprtAlpha))
+    val a9 = BigDecimal(a).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b9 = BigDecimal(b).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    s"""WITH inc AS (
+       |  SELECT user_id % 2 AS g, date_trunc('hour', ts) AS o,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ik,
+       |    COUNT(*) AS n_i
+       |  FROM events GROUP BY 1, 2),
+       |traj AS (
+       |  -- windowed SUM is HUGEINT in DuckDB: pin BIGINT so the MIN'd
+       |  -- crossing column dtype-matches Spark's long
+       |  SELECT g, CAST(SUM(ik) OVER w AS BIGINT) AS k,
+       |    CAST(SUM(n_i) OVER w AS BIGINT) AS n,
+       |    round(CAST(SUM(ik) OVER w AS DOUBLE) * $lWin +
+       |      CAST(SUM(n_i) OVER w - SUM(ik) OVER w AS DOUBLE) * $lLose, 9)
+       |      AS llr
+       |  FROM inc
+       |  WINDOW w AS (PARTITION BY g ORDER BY o
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |agg AS (
+       |  SELECT g,
+       |    MIN(CASE WHEN llr >= $a THEN n END) AS up_n,
+       |    MIN(CASE WHEN llr <= $b THEN n END) AS dn_n
+       |  FROM traj GROUP BY g),
+       |tot AS (
+       |  SELECT g, CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(ik) AS BIGINT) AS k
+       |  FROM inc GROUP BY g),
+       |fin AS (
+       |  SELECT tot.g, tot.n, tot.k, agg.up_n, agg.dn_n,
+       |    round(CAST(tot.k AS DOUBLE) * $lWin +
+       |      CAST(tot.n - tot.k AS DOUBLE) * $lLose, 9) AS llr
+       |  FROM tot JOIN agg USING (g))
+       |SELECT g, n, k, llr,
+       |  $a9 AS upper_a, $b9 AS lower_b,
+       |  CASE WHEN llr >= $a THEN 'accept_h1'
+       |    WHEN llr <= $b THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision,
+       |  CASE WHEN up_n IS NULL THEN dn_n WHEN dn_n IS NULL THEN up_n
+       |    ELSE least(up_n, dn_n) END AS first_cross_n,
+       |  CASE WHEN up_n IS NULL AND dn_n IS NULL THEN 'continue'
+       |    WHEN up_n <= coalesce(dn_n, 9223372036854775807) THEN 'accept_h1'
+       |    ELSE 'accept_h0' END AS first_cross_decision
+       |FROM fin ORDER BY g""".stripMargin
+  }
+
   /** q98_ratio_metric: delta-method A/B on revenue per EVENT
     * ([[StatTests.ratioMetric]]) — the ratio-of-sums metric whose
     * variance the naive per-user t-test gets wrong; same cohorts as
@@ -2014,6 +2080,9 @@ object StatsQueries {
     Capability("q85_welch_anova",
       "one-way ANOVA, classic + Welch heteroscedastic F in one grouped pass",
       anovaQ, Some(anovaSql)),
+    Capability("q99b_sprt_hourly",
+      "SPRT over pre-aggregated hourly increments (the scale-path twin of q99)",
+      sprtHourlyQ, Some(sprtHourlySql)),
     Capability("q99_sprt",
       "Wald SPRT trajectory per variant: LLR bands, end decision, first crossing",
       sprtQ, Some(sprtSql)),

@@ -965,6 +965,32 @@ class StatTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("sprt increments: interval coarsening can only delay a crossing to " +
+      "its boundary, never invent or flip one") {
+    import spark.implicits._
+    // 20 events: 10 wins then 10 losses; row-level crossing at 7 wins
+    // (see the row-level spec); 5-event intervals check the LLR only at
+    // n = 5, 10, 15, 20 -> the H1 crossing lands at the n = 10 boundary
+    val bits = Seq.fill(10)(1) ++ Seq.fill(10)(0)
+    val rows = bits.zipWithIndex.map { case (s, i) =>
+      ("g", new java.sql.Timestamp(i * 1000L), i.toLong, s.toLong)
+    }.toDF("g", "ts", "id", "s")
+    val rowLevel = StatTests.sprtBernoulli(rows, "g", "ts", "id", "s",
+      p0 = 0.4, p1 = 0.6).collect().head
+    val inc = bits.grouped(5).zipWithIndex.map { case (chunk, i) =>
+      ("g", i.toLong, chunk.sum.toLong, chunk.length.toLong)
+    }.toSeq.toDF("g", "o", "ik", "ni")
+    val coarse = StatTests.sprtIncrements(inc, "g", "o", "ik", "ni",
+      p0 = 0.4, p1 = 0.6).collect().head
+    assert(rowLevel.getLong(7) == 7L && coarse.getLong(7) == 10L)
+    assert(coarse.getString(8) == rowLevel.getString(8))
+    // totals and the final LLR/decision are grain-independent
+    assert(coarse.getLong(1) == rowLevel.getLong(1) &&
+      coarse.getLong(2) == rowLevel.getLong(2))
+    assert(coarse.getDouble(3) == rowLevel.getDouble(3))
+    assert(coarse.getString(6) == rowLevel.getString(6))
+  }
+
   test("cuped: exact theta=2 on a planted linear covariate, adjusted " +
       "variance collapses to 0, rho^2 = 32/35") {
     import spark.implicits._
