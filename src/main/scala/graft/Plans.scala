@@ -175,7 +175,9 @@ object Plans {
       "q97_cuped",               // user rollup -> one 2-sided aggregate
       "q98_ratio_metric",        // user rollup -> one 2-sided aggregate
       "q99_sprt",                // one cumulative window + group rollup
-      "q99b_sprt_hourly")        // interval rollup -> bounded window
+      "q99b_sprt_hourly",        // interval rollup -> bounded window
+      "q100_page_hinkley",       // one key exchange serves all cum windows
+      "q100b_page_hinkley_hourly") // hourly rollup -> bounded window
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -345,6 +345,77 @@ object TimeSeries {
           .cast("int").as("is_out"))
   }
 
+  /** Page–Hinkley drift detector per key (Page 1954; the sequential
+    * mean-INCREASE monitor the online drift-detection literature — MOA,
+    * river — ships as the default): over the series x_1..x_n ordered by
+    * (`tsCol`, `idCol`), maintain m_t = Σ_{i≤t} (x_i − x̄_i − δ) where
+    * x̄_i is the running mean up to i, and alarm the first time
+    * m_t − min_{j≤t} m_j exceeds λ. Where [[cusum]] LOCATES the single
+    * most likely change point retrospectively, Page–Hinkley answers the
+    * monitoring question — "has the mean drifted up yet, and when could
+    * we first have said so" — the same when-could-we-stop readout the
+    * SPRT gives for rates (q99 precedent).
+    *
+    * Determinism contract: values become exact 1e6-scaled longs; each
+    * deviation term (x_i − CS_i/i − δ) is ONE fixed-shape IEEE
+    * expression over those exact longs (the cast long→double and the
+    * divide are IEEE round-to-nearest in both engines, so the term is
+    * bit-identical unconditionally — below ~2^53/1e6 rows·units per key
+    * it is also exact), rounded to a 1e-9-unit long (the Kaplan–Meier
+    * scaled-long-sum-of-rounded-terms idiom); the running sum, running
+    * min and the λ comparison are then pure integer arithmetic —
+    * engine-exact, order-independent given the total order. The alarm
+    * inequality runs on scaled longs (`ph9 > round(λ·1e9)`), so an ulp
+    * can never flip a decision across engines (the q66 threshold
+    * convention).
+    *
+    * Shuffle shape: ONE key-partitioned exchange serves all three
+    * cumulative windows (same ordering, same frame) plus the final
+    * grouped rollup — the q20 cumulative shape; per-row state is O(1),
+    * no series ever materializes in one buffer. Scale note (the
+    * [[graft.operators.StatTests.sprtIncrements]] precedent): the
+    * trajectory only needs ORDER, so at cluster scale feed per-interval
+    * pre-aggregated means — the per-key window then runs over #intervals
+    * bounded rows and the event stream reduces map-side first.
+    *
+    * Output per key: (key, n, ph_stat round@9 — the final
+    * m_n − min m_j, first_alarm_n, first_alarm_id — first row index/id
+    * where the statistic exceeded λ, NULL when it never did, alarmed). */
+  def pageHinkley(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, delta: Double, lambda: Double): DataFrame = {
+    require(lambda > 0.0, s"lambda must be > 0, got $lambda")
+    require(delta >= 0.0, s"delta must be >= 0, got $delta")
+    val ord = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__i"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(idCol).as("__i"),
+        (graft.Det.dec(col(valCol)) * lit(1000000L)).cast("long").as("__v6"))
+    val run = src
+      .withColumn("__n", row_number().over(ord))
+      .withColumn("__cs6", sum(col("__v6")).over(cum))
+    // one IEEE expression per row over exact longs, then a scaled long
+    val term9 = round((col("__v6").cast("double") / 1e6 -
+      col("__cs6").cast("double") / (col("__n").cast("double") * 1e6) -
+      lit(delta)) * 1e9, 0).cast("long")
+    val lambda9 = math.round(lambda * 1e9)
+    val m = run.withColumn("__term9", term9)
+      .withColumn("__m9", sum(col("__term9")).over(cum))
+      .withColumn("__min9", min(col("__m9")).over(cum))
+      .withColumn("__ph9", col("__m9") - col("__min9"))
+    m.groupBy(col("__k")).agg(
+        count(lit(1)).as("n"),
+        max(struct(col("__n").as("rn"), col("__ph9").as("ph9"))).as("__last"),
+        min(when(col("__ph9") > lambda9,
+          struct(col("__n").as("rn"), col("__i").as("id")))).as("__first"))
+      .select(col("__k").as(keyCol), col("n"),
+        round(col("__last.ph9").cast("double") / 1e9, 9).as("ph_stat"),
+        col("__first.rn").as("first_alarm_n"),
+        col("__first.id").as("first_alarm_id"),
+        col("__first").isNotNull.as("alarmed"))
+  }
+
   def cusum(
       df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valCol: String): DataFrame = {

@@ -190,6 +190,131 @@ object TimeSeriesQueries {
       |  round(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS cusum_stat
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  private val PhDelta = 0.05
+  private val PhLambda = 2000.0
+
+  /** Q100: Page–Hinkley mean-drift monitor per event type — the
+    * sequential "has the mean drifted up yet, and when could we first
+    * have said so" readout over the per-type value series ([[TimeSeries
+    * .pageHinkley]]; q52's CUSUM locates a change retrospectively, this
+    * one monitors). δ=0.05, λ=2000 — at the gate's sf0.01 three of the
+    * five types alarm and two do not, so both decision branches are
+    * oracle-exercised. */
+  private def pageHinkleyQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.pageHinkley(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("event_id"), col("value")),
+        "event_type", "__us", "event_id", "value",
+        delta = PhDelta, lambda = PhLambda)
+      .select(col("event_type"), col("n"), col("ph_stat"),
+        col("first_alarm_n").cast("long").as("first_alarm_n"),
+        col("first_alarm_id"), col("alarmed"))
+      .orderBy(col("event_type"))
+
+  private val pageHinkleySql =
+    s"""WITH src AS (
+       |  SELECT event_type, epoch_us(ts) AS us, event_id,
+       |    CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v6
+       |  FROM events WHERE value IS NOT NULL),
+       |run AS (
+       |  SELECT event_type, event_id,
+       |    row_number() OVER w AS i,
+       |    sum(v6) OVER (PARTITION BY event_type ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs6, v6
+       |  FROM src WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+       |term AS (
+       |  SELECT event_type, event_id, i,
+       |    CAST(round((CAST(v6 AS DOUBLE)/1e6 -
+       |      CAST(cs6 AS DOUBLE)/(CAST(i AS DOUBLE)*1e6) -
+       |      $PhDelta)*1e9, 0) AS BIGINT) AS t9
+       |  FROM run),
+       |mm AS (
+       |  SELECT event_type, event_id, i, sum(t9) OVER w AS m9
+       |  FROM term WINDOW w AS (PARTITION BY event_type ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ph AS (
+       |  SELECT event_type, event_id, i, m9,
+       |    m9 - min(m9) OVER w AS ph9
+       |  FROM mm WINDOW w AS (PARTITION BY event_type ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, count(*) AS n,
+       |  round(CAST(arg_max(ph9, i) AS DOUBLE) / 1e9, 9) AS ph_stat,
+       |  min(CASE WHEN ph9 > ${math.round(PhLambda * 1e9)} THEN i END)
+       |    AS first_alarm_n,
+       |  arg_min(event_id, CASE WHEN ph9 > ${math.round(PhLambda * 1e9)}
+       |    THEN i END) AS first_alarm_id,
+       |  count(CASE WHEN ph9 > ${math.round(PhLambda * 1e9)} THEN 1 END) > 0
+       |    AS alarmed
+       |FROM ph GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  private val PhHourlyLambda = 700.0
+
+  /** Q100b: the executable form of [[TimeSeries.pageHinkley]]'s scale
+    * note (the q99b precedent) — the monitor runs over per-HOUR mean
+    * values, so the per-key cumulative window covers #hours bounded
+    * rows (720 at sf0.1) while the event stream reduces with an
+    * ordinary map-side-combined aggregate first; parallelism no longer
+    * degrades to the key count as rows grow. This is the standard
+    * metric-monitoring deployment: the statistic is Page–Hinkley ON THE
+    * HOURLY-MEAN SERIES (each bucket one observation) — a coarser,
+    * variance-damped signal than q100's row-level trajectory, hence its
+    * own λ. Bucket means round@6 before the 1e6 scaling so both engines
+    * feed the detector identical longs. */
+  private def pageHinkleyHourlyQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.pageHinkley(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(date_trunc('hour', ts))").as("b"))
+          .agg(round(graft.Det.dsum(col("value")) / count(lit(1)), 6)
+            .as("mv")),
+        "event_type", "b", "b", "mv",
+        delta = PhDelta, lambda = PhHourlyLambda)
+      .select(col("event_type"), col("n"), col("ph_stat"),
+        col("first_alarm_n").cast("long").as("first_alarm_n"),
+        col("first_alarm_id").as("first_alarm_bucket"), col("alarmed"))
+      .orderBy(col("event_type"))
+
+  private val pageHinkleyHourlySql =
+    s"""WITH buckets AS (
+       |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS b,
+       |    round(${Det.sqlSum("CAST(value AS DOUBLE)")} / COUNT(*), 6) AS mv
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |src AS (
+       |  SELECT event_type, b,
+       |    CAST(CAST(mv AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v6
+       |  FROM buckets),
+       |run AS (
+       |  SELECT event_type, b, row_number() OVER w AS i,
+       |    sum(v6) OVER (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs6, v6
+       |  FROM src WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+       |term AS (
+       |  SELECT event_type, b, i,
+       |    CAST(round((CAST(v6 AS DOUBLE)/1e6 -
+       |      CAST(cs6 AS DOUBLE)/(CAST(i AS DOUBLE)*1e6) -
+       |      $PhDelta)*1e9, 0) AS BIGINT) AS t9
+       |  FROM run),
+       |mm AS (
+       |  SELECT event_type, b, i, sum(t9) OVER w AS m9
+       |  FROM term WINDOW w AS (PARTITION BY event_type ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ph AS (
+       |  SELECT event_type, b, i, m9,
+       |    m9 - min(m9) OVER w AS ph9
+       |  FROM mm WINDOW w AS (PARTITION BY event_type ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, count(*) AS n,
+       |  round(CAST(arg_max(ph9, i) AS DOUBLE) / 1e9, 9) AS ph_stat,
+       |  min(CASE WHEN ph9 > ${math.round(PhHourlyLambda * 1e9)} THEN i END)
+       |    AS first_alarm_n,
+       |  arg_min(b, CASE WHEN ph9 > ${math.round(PhHourlyLambda * 1e9)}
+       |    THEN i END) AS first_alarm_bucket,
+       |  count(CASE WHEN ph9 > ${math.round(PhHourlyLambda * 1e9)} THEN 1 END)
+       |    > 0 AS alarmed
+       |FROM ph GROUP BY 1 ORDER BY event_type""".stripMargin
+
   private val SeasonalHalf = 12
 
   /** Q60: classical additive seasonal decomposition of the per-type
@@ -353,6 +478,12 @@ object TimeSeriesQueries {
     Capability("q52_cusum",
       "CUSUM change-point location per series (scaled-long exact argmax)",
       cusumQ, Some(cusumSql)),
+    Capability("q100_page_hinkley",
+      "Page-Hinkley mean-drift monitor per series: first-alarm index, scaled-long exact",
+      pageHinkleyQ, Some(pageHinkleySql)),
+    Capability("q100b_page_hinkley_hourly",
+      "Page-Hinkley over hourly mean increments: bounded window, the scale path",
+      pageHinkleyHourlyQ, Some(pageHinkleyHourlySql)),
     Capability("q60_seasonal",
       "additive seasonal decomposition: level/trend/seasonal/residual, integer-exact",
       seasonalQ, Some(seasonalSql)),

@@ -78,6 +78,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 25.0) < 1e-6)
   }
 
+  test("pageHinkley alarms at the first post-shift point, hand-exact") {
+    import spark.implicits._
+    // key a: 4 points at 0 then 4 at 10 (upward shift); delta=0, lambda=5.
+    // Terms x_i - mean_i: 0,0,0,0, 8, 20/3, 40/7, 5 -> m_5 = 8 > 5 first.
+    // m_8 = 8 + 6.666666667 + 5.714285714 + 5 = 25.380952381 (round@9 each,
+    // summed exactly); running min stays 0, so ph_stat = m_8.
+    // key b: constant -> every term 0, never alarms.
+    // key c: DOWNWARD shift -> terms negative, running min tracks m,
+    // ph stays 0: the detector is one-sided by design.
+    val rows =
+      (1 to 8).map(i => ("a", i.toLong, i.toLong, if (i <= 4) 0.0 else 10.0)) ++
+      (1 to 4).map(i => ("b", i.toLong, i.toLong, 7.5)) ++
+      (1 to 8).map(i => ("c", i.toLong, i.toLong, if (i <= 4) 10.0 else 0.0))
+    val out = TimeSeries.pageHinkley(rows.toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", delta = 0.0, lambda = 5.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 8L)
+    assert(math.abs(a.getDouble(2) - 25.380952381) < 1e-12)
+    assert(a.getInt(3) == 5 && a.getLong(4) == 5L && a.getBoolean(5))
+    val b = out("b")
+    assert(b.getDouble(2) == 0.0 && b.isNullAt(3) && b.isNullAt(4) &&
+      !b.getBoolean(5))
+    val c = out("c")
+    assert(c.getDouble(2) == 0.0 && !c.getBoolean(5),
+      "downward shift must not trip the one-sided increase detector")
+  }
+
   test("ccf: a planted 1-hour lead gives exactly 1.0 at lag 1") {
     import spark.implicits._
     val hourMs = 3600L * 1000L
