@@ -177,7 +177,8 @@ object Plans {
       "q99_sprt",                // one cumulative window + group rollup
       "q99b_sprt_hourly",        // interval rollup -> bounded window
       "q100_page_hinkley",       // one key exchange serves all cum windows
-      "q100b_page_hinkley_hourly") // hourly rollup -> bounded window
+      "q100b_page_hinkley_hourly", // hourly rollup -> bounded window
+      "q101_psi")                // ref-decile edges join, cell partials
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1779,6 +1779,80 @@ object StatTests {
         round(lit(2.2219) * (col("d9").cast("double") / 1e9), 6).as("qn"))
   }
 
+  /** Population Stability Index per key — THE scorecard-monitoring
+    * drift metric (credit-risk model governance's standard readout;
+    * the numeric-column sibling of the token-distribution JSD in
+    * [[graft.pipeline.Drift]]): the series splits at the global time
+    * midpoint into a reference and a current window, the reference
+    * window's deciles become 10 bins, and
+    * PSI = Σ_bins (p'_b − q'_b)·ln(p'_b/q'_b) with p = reference share,
+    * q = current share, both floored at `eps` (the standard
+    * zero-count convention — a bin empty on BOTH sides contributes
+    * ln(1) = 0, so only observed (key, bin) rows ever materialize; no
+    * dense grid). The conventional reading bands are emitted as a
+    * label: < 0.1 stable, < 0.25 moderate, else shifted — compared on
+    * the round@6 value so an ulp cannot flip the label (q66
+    * convention).
+    *
+    * Determinism: bin edges are OBSERVED reference values
+    * ([[Quantiles.exactGrouped]] at lower interpolation — no
+    * interpolation arithmetic), binning is an exact double comparison
+    * fold (`#edges ≤ v`, ties go up), shares are one IEEE division of
+    * exact counts, each PSI term rounds to a 1e-9 long before the
+    * exact sum (the q65/q71 rounded-transcendental-term idiom — ln
+    * agrees only to an ulp across engines, the rounded term is what
+    * both sum). Midpoint is exact integer µs arithmetic.
+    *
+    * Scale shape: one key-window rank exchange for the edges (the
+    * exactGrouped single-exchange contract), one broadcast 1-row
+    * midpoint, one edges join (1 row per key), one (key, side, bin)
+    * aggregate with map-side combine, one key rollup. Keys whose
+    * reference window is EMPTY drop (no edges — callers own window
+    * placement); a key with an empty CURRENT window still emits (its
+    * q floors to eps in every observed bin).
+    * Output: (key, n_ref, n_cur, psi round@6, shift). */
+  def psi(df: DataFrame, keyCol: String, usCol: String, valCol: String,
+      eps: Double = 1e-4): DataFrame = {
+    require(eps > 0.0 && eps < 0.1, s"eps in (0, 0.1), got $eps")
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(usCol).cast("long").as("__us"),
+        col(valCol).cast("double").as("__v"))
+    val mid = src.agg(
+      expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val sided = src.crossJoin(broadcast(mid))
+      .withColumn("__ref", (col("__us") <= col("__mid")).cast("int"))
+    val deciles = (1 to 9).map(_ / 10.0)
+    val edges = Quantiles.exactGrouped(
+        sided.filter(col("__ref") === 1).select(col("__k"), col("__v")),
+        "__k", "__v", deciles, interpolation = "lower")
+      .select(col("__k"),
+        array((0 until 9).map(i => col(s"q$i")): _*).as("__edges"))
+    val binned = sided.join(edges, Seq("__k"))
+      .withColumn("__bin",
+        size(filter(col("__edges"), e => e <= col("__v"))))
+    val cells = binned.groupBy(col("__k"), col("__bin")).agg(
+      sum(col("__ref")).as("cr"),
+      sum(lit(1L) - col("__ref")).as("cc"))
+    val totals = cells.groupBy(col("__k"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    val p = greatest(col("cr").cast("double") / col("n_ref").cast("double"),
+      lit(eps))
+    val q = when(col("n_cur") > 0L,
+      greatest(col("cc").cast("double") / col("n_cur").cast("double"),
+        lit(eps))).otherwise(lit(eps))
+    val term9 = round((p - q) * log(p / q) * 1e9, 0).cast("long")
+    // 1-row-per-key totals join — AQE broadcasts it (the cusum shape)
+    cells.join(totals, Seq("__k"))
+      .withColumn("__t9", term9)
+      .groupBy(col("__k"), col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("psi"))
+      .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
+        col("psi"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted").as("shift"))
+  }
+
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
     val pts = pts0.select(col("g"), col("t"), col("i"), col("v"))
     val s = kendallSFrame(pts)

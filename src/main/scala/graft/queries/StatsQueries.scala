@@ -2001,7 +2001,79 @@ object StatsQueries {
        |FROM j""".stripMargin
   }
 
+  /** q101_psi: Population Stability Index of the per-type value
+    * distribution, first half of the time range (reference) vs second
+    * (current) — the scorecard-governance drift readout
+    * ([[StatTests.psi]]): reference deciles become 10 bins, PSI =
+    * Σ (p'−q')·ln(p'/q') with the 1e-4 zero-count floor, banded
+    * stable/moderate/shifted on the round@6 value. The synthetic
+    * stream is stationary so all five types read stable at the gate —
+    * the planted-shift label branches are spec-pinned
+    * (StatTestsSpec). */
+  private def psiQ(s: SparkSession, d: String): DataFrame =
+    StatTests.psi(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("value")),
+        "event_type", "__us", "value")
+      .orderBy(col("event_type"))
+
+  private val psiSql = {
+    val edges = (1 to 9).map { k =>
+      s"""min(CASE WHEN rn = CAST(floor((n-1)*0.$k) AS BIGINT)+1
+         |      THEN v END) AS e$k""".stripMargin
+    }.mkString(",\n    ")
+    def share(c: String, n: String) =
+      s"greatest(CAST($c AS DOUBLE)/CAST($n AS DOUBLE), 0.0001)"
+    val pS = share("c.cr", "t.n_ref")
+    val qS = s"(CASE WHEN t.n_cur > 0 THEN ${share("c.cc", "t.n_cur")}" +
+      " ELSE 0.0001 END)"
+    s"""WITH src AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS us,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
+       |sided AS (
+       |  SELECT k, v,
+       |    CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END AS ref
+       |  FROM src),
+       |ranked AS (
+       |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY k) AS n
+       |  FROM sided WHERE ref = 1),
+       |edges AS (
+       |  SELECT k,
+       |    $edges
+       |  FROM ranked GROUP BY 1),
+       |binned AS (
+       |  SELECT s.k, s.ref,
+       |    len(list_filter([e.e1,e.e2,e.e3,e.e4,e.e5,e.e6,e.e7,e.e8,e.e9],
+       |      x -> x <= s.v)) AS bin
+       |  FROM sided s JOIN edges e USING (k)),
+       |cells AS (
+       |  SELECT k, bin, CAST(SUM(ref) AS BIGINT) AS cr,
+       |    CAST(SUM(1-ref) AS BIGINT) AS cc
+       |  FROM binned GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT k, CAST(SUM(cr) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cc) AS BIGINT) AS n_cur
+       |  FROM cells GROUP BY 1),
+       |agg AS (
+       |  SELECT c.k, t.n_ref, t.n_cur,
+       |    round(CAST(SUM(CAST(round(($pS - $qS) * ln($pS / $qS) * 1e9, 0)
+       |      AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
+       |  FROM cells c JOIN tot t USING (k) GROUP BY 1, 2, 3)
+       |SELECT k AS event_type, n_ref, n_cur, psi,
+       |  CASE WHEN psi < 0.1 THEN 'stable'
+       |       WHEN psi < 0.25 THEN 'moderate'
+       |       ELSE 'shifted' END AS shift
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
+    Capability("q101_psi",
+      "Population Stability Index per series: ref-decile bins, banded drift label",
+      psiQ, Some(psiSql)),
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
       welchQ, Some(welchSql)),

@@ -20,6 +20,37 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 50.0 / 17.0) < 1e-6)
   }
 
+  test("psi: identical halves read exactly 0/stable; a total shift reads shifted") {
+    import spark.implicits._
+    // key "same": the current window repeats the reference values exactly
+    // -> every bin's p = q, every term 0, psi = 0.0.
+    // key "move": reference 1..100 (decile edges 10,20,...,90), current
+    // 1001..1100 — all current mass lands in bin 9 (p_9 = 11/100: values
+    // 90..100), the other bins' q floors at 1e-4.
+    val same = (1 to 100).map(i => ("same", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("same", 100L + i, i.toDouble))
+    val move = (1 to 100).map(i => ("move", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("move", 100L + i, 1000.0 + i))
+    val out = StatTests.psi((same ++ move).toDF("k", "us", "v"),
+      "k", "us", "v").collect().map(r => r.getString(0) -> r).toMap
+    val s = out("same")
+    assert(s.getLong(1) == 100L && s.getLong(2) == 100L)
+    assert(s.getDouble(3) == 0.0 && s.getString(4) == "stable")
+    // mirror the operator's exact arithmetic: per-term round to a 1e-9
+    // long, exact sum, final round@6
+    def term9(p: Double, q: Double): Long = {
+      val p2 = math.max(p, 1e-4); val q2 = math.max(q, 1e-4)
+      math.round((p2 - q2) * math.log(p2 / q2) * 1e9)
+    }
+    val expected = BigDecimal(
+      (term9(0.09, 0.0) + (1 to 8).map(_ => term9(0.10, 0.0)).sum +
+        term9(0.11, 1.0)).toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = out("move")
+    assert(m.getDouble(3) == expected, s"psi ${m.getDouble(3)} != $expected")
+    assert(m.getDouble(3) > 2.0 && m.getString(4) == "shifted")
+  }
+
   test("welch t emits NULL, not NaN/Inf, for n=1 and zero-variance pairs") {
     import spark.implicits._
     // c has a single observation: (n-1) = 0 would divide by zero
