@@ -178,7 +178,8 @@ object Plans {
       "q99b_sprt_hourly",        // interval rollup -> bounded window
       "q100_page_hinkley",       // one key exchange serves all cum windows
       "q100b_page_hinkley_hourly", // hourly rollup -> bounded window
-      "q101_psi")                // ref-decile edges join, cell partials
+      "q101_psi",                // ref-decile edges join, cell partials
+      "q102_energy")             // budget-bounded cross pairs (q84 shape)
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1745,6 +1745,66 @@ object StatTests {
         round(col("d9").cast("double") / 1e9, 9).as("hl_shift"))
   }
 
+  /** Energy distance between two cohorts' value distributions (Székely
+    * & Rizzo 2004): D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — zero iff the
+    * DISTRIBUTIONS are equal, consistent against every alternative,
+    * where q56's Mann–Whitney sees location and q84's Hodges–Lehmann
+    * measures shift: this is the whole-distribution readout of the
+    * same cohort pair. V-statistic convention for the within terms
+    * (2·Σ_{i<j}/n² — the i=j zeros included in the denominator, the
+    * form Székely's energy TEST statistic uses): D² is then a true
+    * squared metric — always ≥ 0 and EXACTLY 0 on identical samples
+    * (spec-pinned), where the unbiased U-form goes negative on finite
+    * null samples.
+    *
+    * Pairwise by definition ⇒ the SAME scale-adaptive [[budgetPoints]]
+    * lottery as q67/q72/q82/q84/q90 (per-group thresholds depend only
+    * on per-group counts, so kept points are identical across the
+    * family and the oracle replays the selection exactly). Values
+    * become 1e9-scaled integers BEFORE pairing, every |Δ| and its sum
+    * is exact decimal, each E-term is ONE fixed-order IEEE division
+    * rounded@9, and D² composes from the three ROUNDED terms — an ulp
+    * cannot diverge the engines. The cross frame is expected
+    * O(targetPoints²) by the [[Budget]] guarantee; the within frames
+    * ride [[Budget.orderedPairs]]. Always exactly ONE output row (the
+    * [[poissonRate]] cardinality pattern): a missing cohort yields
+    * NULL count/terms; a singleton cohort's within term is 0 (no
+    * pairs over n² = 1).
+    * Output: (n_a, n_b, e_xy, e_xx, e_yy round@9, energy_d2 round@9). */
+  def energyDistanceBudget(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valCol: String, ga: String, gb: String,
+      targetPoints: Int = 400): DataFrame = {
+    val pts = budgetPoints(
+        df.filter(col(groupCol) === ga || col(groupCol) === gb),
+        groupCol, tsCol, idCol, valCol, targetPoints)
+      .withColumn("v", round(col("v") * 1e9, 0))
+    val sides = pts.agg(
+      sum(when(col("g") === ga, 1L)).as("n_a"),
+      sum(when(col("g") === gb, 1L)).as("n_b"))
+    val within = Budget.orderedPairs(pts, "i")
+      .groupBy(col("g"))
+      .agg(sum(abs(col("v1") - col("v2")).cast("decimal(38,0)")).as("s"))
+      .agg(max(when(col("g") === ga, col("s"))).as("s_aa"),
+        max(when(col("g") === gb, col("s"))).as("s_bb"))
+    val cross = pts.filter(col("g") === ga).select(col("v").as("va"))
+      .crossJoin(pts.filter(col("g") === gb).select(col("v").as("vb")))
+      .agg(sum(abs(col("va") - col("vb")).cast("decimal(38,0)")).as("s_ab"))
+    def d(c: Column) = c.cast("double")
+    val eXy = when(col("n_a") > 0L && col("n_b") > 0L,
+      round(d(col("s_ab")) / (d(col("n_a")) * d(col("n_b"))) / 1e9, 9))
+    def eWithin(s: Column, n: Column) = when(n >= 1L,
+      round(d(coalesce(s, lit(0))) * 2.0 / (d(n) * d(n)) / 1e9, 9))
+    sides.crossJoin(broadcast(within)).crossJoin(broadcast(cross))
+      .select(col("n_a"), col("n_b"),
+        eXy.as("e_xy"),
+        eWithin(col("s_aa"), col("n_a")).as("e_xx"),
+        eWithin(col("s_bb"), col("n_b")).as("e_yy"))
+      .withColumn("energy_d2",
+        when(col("e_xy").isNotNull && col("e_xx").isNotNull &&
+          col("e_yy").isNotNull,
+          round(lit(2.0) * col("e_xy") - col("e_xx") - col("e_yy"), 9)))
+  }
+
   /** Rousseeuw–Croux Qn robust SCALE estimator: the k-th smallest of
     * all C(n,2) pairwise absolute differences, k = C(h,2), h = ⌊n/2⌋+1
     * — 50% breakdown and ~82% Gaussian efficiency WITHOUT needing any

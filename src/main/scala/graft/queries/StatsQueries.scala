@@ -1173,6 +1173,58 @@ object StatsQueries {
        |SELECT n_a, n_b, m, round(CAST(d9 AS DOUBLE) / 1e9, 9) AS hl_shift
        |FROM pick, na, nb, tot""".stripMargin
 
+  /** q102_energy: energy distance between the $MwA and $MwB value
+    * distributions ([[StatTests.energyDistanceBudget]]) — completes the
+    * cohort-pair battery: q56 says WHETHER they differ (ranks), q84 by
+    * HOW MUCH (robust shift), q102 how different the WHOLE
+    * distributions are (D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|, zero iff
+    * equal, V-statistic convention). Same budget lottery as
+    * q67/q72/q82/q84/q90; exact 1e9-long pair sums, three rounded IEEE
+    * divisions, D² composed from the rounded terms. */
+  private def energyQ(s: SparkSession, d: String): DataFrame =
+    StatTests.energyDistanceBudget(Tables.events(s, d),
+      "event_type", "ts", "event_id", "value", MwA, MwB,
+      targetPoints = TheilSenBudgetPts)
+
+  private lazy val energySql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    s"""WITH $budgetPtsSql,
+       |p AS (SELECT g, i, round(v * 1e9, 0) AS v9 FROM pts
+       |  WHERE g IN ('$MwA', '$MwB')),
+       |sides AS (
+       |  SELECT CAST(SUM(CASE WHEN g = '$MwA' THEN 1 END) AS BIGINT) AS n_a,
+       |         CAST(SUM(CASE WHEN g = '$MwB' THEN 1 END) AS BIGINT) AS n_b
+       |  FROM p),
+       |wg AS (
+       |  SELECT a.g, SUM(CAST(abs(a.v9 - b.v9) AS HUGEINT)) AS s
+       |  FROM p a JOIN p b ON b.g = a.g AND a.i < b.i GROUP BY a.g),
+       |w AS (
+       |  SELECT MAX(CASE WHEN g = '$MwA' THEN s END) AS s_aa,
+       |         MAX(CASE WHEN g = '$MwB' THEN s END) AS s_bb
+       |  FROM wg),
+       |x AS (
+       |  SELECT SUM(CAST(abs(a.v9 - b.v9) AS HUGEINT)) AS s_ab
+       |  FROM (SELECT v9 FROM p WHERE g = '$MwA') a,
+       |       (SELECT v9 FROM p WHERE g = '$MwB') b),
+       |e AS (
+       |  SELECT n_a, n_b,
+       |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |      round(${dd("s_ab")} / (${dd("n_a")} * ${dd("n_b")}) / 1e9, 9)
+       |    END AS e_xy,
+       |    CASE WHEN n_a >= 1 THEN
+       |      round(${dd("COALESCE(s_aa, 0)")} * 2.0 /
+       |        (${dd("n_a")} * ${dd("n_a")}) / 1e9, 9) END AS e_xx,
+       |    CASE WHEN n_b >= 1 THEN
+       |      round(${dd("COALESCE(s_bb, 0)")} * 2.0 /
+       |        (${dd("n_b")} * ${dd("n_b")}) / 1e9, 9) END AS e_yy
+       |  FROM sides, w, x)
+       |SELECT n_a, n_b, e_xy, e_xx, e_yy,
+       |  CASE WHEN e_xy IS NOT NULL AND e_xx IS NOT NULL
+       |        AND e_yy IS NOT NULL THEN
+       |    round(2.0 * e_xy - e_xx - e_yy, 9) END AS energy_d2
+       |FROM e""".stripMargin
+  }
+
   /** q85_welch_anova: classic AND Welch one-way F across the event-type
     * value distributions in one pass ([[StatTests.oneWayAnova]]) —
     * completes the k-group battery: q78 ranks, q79 variances, q85
@@ -2074,6 +2126,9 @@ object StatsQueries {
     Capability("q101_psi",
       "Population Stability Index per series: ref-decile bins, banded drift label",
       psiQ, Some(psiSql)),
+    Capability("q102_energy",
+      "energy distance between two cohorts (whole-distribution two-sample readout)",
+      energyQ, Some(energySql)),
     Capability("q55_welch",
       "pairwise Welch's t-test between group value distributions (exact moments)",
       welchQ, Some(welchSql)),

@@ -751,6 +751,39 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rw.getDouble(3) == -5.0, s"outlier-immune: $rw")
   }
 
+  test("energy distance: exactly 0 on identical samples, 2*shift on point " +
+      "masses, one NULL row when a cohort is missing") {
+    import spark.implicits._
+    def rows(g: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) =>
+        (g, new java.sql.Timestamp(i * 1000L), (g.hashCode * 100 + i).toLong, v)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StatTests.energyDistanceBudget(df, "g", "ts", "id", "v", "a", "b",
+        targetPoints = 1000).collect().head
+    // identical samples: e_xy = 8/9, e_xx = e_yy = 2*4/9 — all three round
+    // to the same 0.888888889, so the V-statistic D2 is EXACTLY 0
+    val same = run((rows("a", Seq(1.0, 2.0, 3.0)) ++
+      rows("b", Seq(1.0, 2.0, 3.0))).toDF("g", "ts", "id", "v"))
+    assert(same.getLong(0) == 3L && same.getLong(1) == 3L)
+    assert(same.getDouble(2) == 0.888888889 &&
+      same.getDouble(3) == 0.888888889 && same.getDouble(4) == 0.888888889)
+    assert(same.getDouble(5) == 0.0, same.toString)
+    // point masses at 0 and 10: D2 = 2*10 - 0 - 0 = 20
+    val shift = run((rows("a", Seq(0.0, 0.0)) ++
+      rows("b", Seq(10.0, 10.0))).toDF("g", "ts", "id", "v"))
+    assert(shift.getDouble(2) == 10.0 && shift.getDouble(3) == 0.0 &&
+      shift.getDouble(4) == 0.0 && shift.getDouble(5) == 20.0)
+    // missing cohort: still exactly one row, absent side NULL through
+    val out = StatTests.energyDistanceBudget(
+      rows("a", Seq(1.0, 2.0)).toDF("g", "ts", "id", "v"),
+      "g", "ts", "id", "v", "a", "b", targetPoints = 1000).collect()
+    assert(out.length == 1)
+    val m = out.head
+    assert(m.getLong(0) == 2L && m.isNullAt(1) && m.isNullAt(2) &&
+      m.getDouble(3) == 0.5 && m.isNullAt(4) && m.isNullAt(5), m.toString)
+  }
+
   test("runs test: alternation and clumping score ±(R-mu)/sigma symmetrically; " +
       "median-equal values drop; sigma=0 shapes are NULL") {
     import spark.implicits._
