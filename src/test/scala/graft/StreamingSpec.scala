@@ -586,6 +586,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Page-Hinkley equals the batch monitor bit-for-bit, " +
+      "including the first-alarm event") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val split = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph_stream").toFile
+    ev.filter(expr("unix_micros(ts)") < split)
+      .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    ev.filter(expr("unix_micros(ts)") >= split)
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        ev.schema("ts").dataType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+      // lambda low enough that SOME keys alarm at this SF (sf0.001
+      // max_ph spans ~300-1230) — the parity must cover both branches
+      val monitored = graft.streaming.StreamingPageHinkley.monitorStream(
+        spark, stream, "event_type", "ts", "event_id", "value",
+        delta = 0.05, lambda = 800.0)
+      val query = monitored.writeStream
+        .format("memory").queryName("graft_ph_stream")
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        // the LAST emitted row per key is the full-prefix readout
+        val streamed = spark.table("graft_ph_stream")
+          .collect().groupBy(_.getString(0))
+          .map { case (k, rows) =>
+            val last = rows.maxBy(_.getLong(2))
+            k -> ((last.getLong(2), last.getDouble(3),
+              Option(last.get(4)).map(_.asInstanceOf[Long]),
+              Option(last.get(5)).map(_.asInstanceOf[Long]),
+              last.getBoolean(6)))
+          }
+        val batch = graft.operators.TimeSeries.pageHinkley(
+            ev.withColumn("__us", expr("unix_micros(ts)")),
+            "event_type", "__us", "event_id", "value",
+            delta = 0.05, lambda = 800.0)
+          .collect().map { r =>
+            r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+              Option(r.get(3)).map(_.asInstanceOf[Int].toLong),
+              Option(r.get(4)).map(_.asInstanceOf[Long]),
+              r.getBoolean(5)))
+          }.toMap
+        assert(batch.nonEmpty && streamed.size == batch.size)
+        assert(batch.values.exists(_._5) && batch.values.exists(!_._5),
+          s"fixture must exercise both branches: $batch")
+        val diff = batch.collect {
+          case (k, v) if streamed.get(k) != Some(v) =>
+            k -> (v, streamed.get(k))
+        }
+        assert(diff.isEmpty, s"diffs: $diff")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming EWMA anomalies equal the batch rule across batch boundaries") {
     val ev = Tables.events(spark, sf)
       .filter(col("value").isNotNull)
