@@ -179,7 +179,8 @@ object Plans {
       "q100_page_hinkley",       // one key exchange serves all cum windows
       "q100b_page_hinkley_hourly", // hourly rollup -> bounded window
       "q101_psi",                // ref-decile edges join, cell partials
-      "q102_energy")             // budget-bounded cross pairs (q84 shape)
+      "q102_energy",             // budget-bounded cross pairs (q84 shape)
+      "q101b_psi_fixed")         // min/max bounds agg, narrow binning, no sort
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1913,6 +1913,64 @@ object StatTests {
           .otherwise("shifted").as("shift"))
   }
 
+  /** [[psi]] with EQUI-WIDTH bins from the reference window's (min,
+    * max) instead of its deciles — the executable form of the decile
+    * variant's scale note (the q81b/q100b precedent): decile edges
+    * need a per-key rank window (a per-key SORT of the reference
+    * half — parallelism degrades to the key count as rows grow, q101
+    * measured 15.6× at 100×), while (min, max) is ONE map-side-combined
+    * aggregate and binning is narrow arithmetic — no sort anywhere,
+    * the shape that survives any corpus size. Fixed-width binning is
+    * the other standard PSI deployment (scorecard implementations ship
+    * both). Contract: bin = min(nBins−1, ⌊(v − lo)/w⌋), w = (hi −
+    * lo)/nBins — one IEEE expression both engines compute identically;
+    * values outside [lo, hi] in the CURRENT window clamp to the edge
+    * bins (floor < 0 → 0 via greatest, the standard convention for
+    * out-of-reference-range drift mass); a zero-width reference
+    * (constant values) puts everything in bin 0 on both sides. Same
+    * eps floor, rounded ln terms, bands and output schema as [[psi]]. */
+  def psiFixed(df: DataFrame, keyCol: String, usCol: String,
+      valCol: String, nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(eps > 0.0 && eps < 0.1, s"eps in (0, 0.1), got $eps")
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(usCol).cast("long").as("__us"),
+        col(valCol).cast("double").as("__v"))
+    val mid = src.agg(
+      expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val sided = src.crossJoin(broadcast(mid))
+      .withColumn("__ref", (col("__us") <= col("__mid")).cast("int"))
+    val bounds = sided.filter(col("__ref") === 1)
+      .groupBy(col("__k"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val w = (col("__hi") - col("__lo")) / nBins.toDouble
+    val binned = sided.join(bounds, Seq("__k"))
+      .withColumn("__bin",
+        when(col("__hi") === col("__lo"), 0)
+          .otherwise(least(lit(nBins - 1), greatest(lit(0),
+            floor((col("__v") - col("__lo")) / w).cast("int")))))
+    val cells = binned.groupBy(col("__k"), col("__bin")).agg(
+      sum(col("__ref")).as("cr"),
+      sum(lit(1L) - col("__ref")).as("cc"))
+    val totals = cells.groupBy(col("__k"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    val p = greatest(col("cr").cast("double") / col("n_ref").cast("double"),
+      lit(eps))
+    val q = when(col("n_cur") > 0L,
+      greatest(col("cc").cast("double") / col("n_cur").cast("double"),
+        lit(eps))).otherwise(lit(eps))
+    val term9 = round((p - q) * log(p / q) * 1e9, 0).cast("long")
+    cells.join(totals, Seq("__k"))
+      .withColumn("__t9", term9)
+      .groupBy(col("__k"), col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("psi"))
+      .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
+        col("psi"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted").as("shift"))
+  }
+
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
     val pts = pts0.select(col("g"), col("t"), col("i"), col("v"))
     val s = kendallSFrame(pts)

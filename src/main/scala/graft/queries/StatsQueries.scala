@@ -1173,6 +1173,65 @@ object StatsQueries {
        |SELECT n_a, n_b, m, round(CAST(d9 AS DOUBLE) / 1e9, 9) AS hl_shift
        |FROM pick, na, nb, tot""".stripMargin
 
+  /** q101b_psi_fixed: [[StatTests.psiFixed]] — the executable scale
+    * path of q101 (the q81b/q100b precedent): equi-width bins from the
+    * reference window's (min, max) replace the decile edges, so the
+    * per-key SORT disappears — one map-side-combined aggregate + narrow
+    * binning arithmetic, the shape that holds at any corpus size. Same
+    * eps floor, rounded ln terms and bands. */
+  private def psiFixedQ(s: SparkSession, d: String): DataFrame =
+    StatTests.psiFixed(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("value")),
+        "event_type", "__us", "value")
+      .orderBy(col("event_type"))
+
+  private lazy val psiFixedSql = {
+    def share(c: String, n: String) =
+      s"greatest(CAST($c AS DOUBLE)/CAST($n AS DOUBLE), 0.0001)"
+    val pS = share("c.cr", "t.n_ref")
+    val qS = s"(CASE WHEN t.n_cur > 0 THEN ${share("c.cc", "t.n_cur")}" +
+      " ELSE 0.0001 END)"
+    s"""WITH src AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS us,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
+       |sided AS (
+       |  SELECT k, v,
+       |    CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END AS ref
+       |  FROM src),
+       |bounds AS (
+       |  SELECT k, min(v) AS lo, max(v) AS hi
+       |  FROM sided WHERE ref = 1 GROUP BY 1),
+       |binned AS (
+       |  SELECT s.k, s.ref,
+       |    CASE WHEN b.hi = b.lo THEN 0
+       |      ELSE least(9, greatest(0,
+       |        CAST(floor((s.v - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT)))
+       |    END AS bin
+       |  FROM sided s JOIN bounds b USING (k)),
+       |cells AS (
+       |  SELECT k, bin, CAST(SUM(ref) AS BIGINT) AS cr,
+       |    CAST(SUM(1-ref) AS BIGINT) AS cc
+       |  FROM binned GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT k, CAST(SUM(cr) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cc) AS BIGINT) AS n_cur
+       |  FROM cells GROUP BY 1),
+       |agg AS (
+       |  SELECT c.k, t.n_ref, t.n_cur,
+       |    round(CAST(SUM(CAST(round(($pS - $qS) * ln($pS / $qS) * 1e9, 0)
+       |      AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
+       |  FROM cells c JOIN tot t USING (k) GROUP BY 1, 2, 3)
+       |SELECT k AS event_type, n_ref, n_cur, psi,
+       |  CASE WHEN psi < 0.1 THEN 'stable'
+       |       WHEN psi < 0.25 THEN 'moderate'
+       |       ELSE 'shifted' END AS shift
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   /** q102_energy: energy distance between the $MwA and $MwB value
     * distributions ([[StatTests.energyDistanceBudget]]) — completes the
     * cohort-pair battery: q56 says WHETHER they differ (ranks), q84 by
@@ -2126,6 +2185,9 @@ object StatsQueries {
     Capability("q101_psi",
       "Population Stability Index per series: ref-decile bins, banded drift label",
       psiQ, Some(psiSql)),
+    Capability("q101b_psi_fixed",
+      "PSI with equi-width reference bins: no per-key sort, the scale path",
+      psiFixedQ, Some(psiFixedSql)),
     Capability("q102_energy",
       "energy distance between two cohorts (whole-distribution two-sample readout)",
       energyQ, Some(energySql)),

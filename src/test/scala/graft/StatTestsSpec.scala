@@ -49,6 +49,21 @@ class StatTestsSpec extends AnyFunSuite {
     val m = out("move")
     assert(m.getDouble(3) == expected, s"psi ${m.getDouble(3)} != $expected")
     assert(m.getDouble(3) > 2.0 && m.getString(4) == "shifted")
+
+    // the fixed-bin scale path on the same fixtures: identical halves are
+    // exactly 0; the shift clamps all current mass into edge bin 9 —
+    // ref 1..100 spreads exactly 10 per 9.9-wide bin, so p = 0.1 each
+    val fx = StatTests.psiFixed((same ++ move).toDF("k", "us", "v"),
+      "k", "us", "v").collect().map(r => r.getString(0) -> r).toMap
+    assert(fx("same").getDouble(3) == 0.0 &&
+      fx("same").getString(4) == "stable")
+    val expectedFx = BigDecimal(
+      ((1 to 9).map(_ => term9(0.10, 0.0)).sum +
+        term9(0.10, 1.0)).toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fx("move").getDouble(3) == expectedFx,
+      s"psiFixed ${fx("move").getDouble(3)} != $expectedFx")
+    assert(fx("move").getString(4) == "shifted")
   }
 
   test("welch t emits NULL, not NaN/Inf, for n=1 and zero-variance pairs") {
