@@ -1874,13 +1874,7 @@ object StatTests {
   def psi(df: DataFrame, keyCol: String, usCol: String, valCol: String,
       eps: Double = 1e-4): DataFrame = {
     require(eps > 0.0 && eps < 0.1, s"eps in (0, 0.1), got $eps")
-    val src = df.filter(col(valCol).isNotNull)
-      .select(col(keyCol).as("__k"), col(usCol).cast("long").as("__us"),
-        col(valCol).cast("double").as("__v"))
-    val mid = src.agg(
-      expr("(min(__us) + max(__us)) div 2").as("__mid"))
-    val sided = src.crossJoin(broadcast(mid))
-      .withColumn("__ref", (col("__us") <= col("__mid")).cast("int"))
+    val sided = psiSided(df, keyCol, usCol, valCol)
     val deciles = (1 to 9).map(_ / 10.0)
     val edges = Quantiles.exactGrouped(
         sided.filter(col("__ref") === 1).select(col("__k"), col("__v")),
@@ -1890,6 +1884,30 @@ object StatTests {
     val binned = sided.join(edges, Seq("__k"))
       .withColumn("__bin",
         size(filter(col("__edges"), e => e <= col("__v"))))
+    psiFromBins(binned, keyCol, eps)
+  }
+
+  /** The midpoint split both PSI variants read: (__k, __v, __ref) with
+    * __ref = 1 on the first half of the GLOBAL time range (exact
+    * integer µs midpoint, 1-row broadcast). */
+  private def psiSided(df: DataFrame, keyCol: String, usCol: String,
+      valCol: String): DataFrame = {
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(usCol).cast("long").as("__us"),
+        col(valCol).cast("double").as("__v"))
+    val mid = src.agg(
+      expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    src.crossJoin(broadcast(mid))
+      .withColumn("__ref", (col("__us") <= col("__mid")).cast("int"))
+  }
+
+  /** The shared PSI tail over a binned (__k, __bin, __ref) frame: the
+    * eps floor, the rounded-1e-9-long ln terms, the exact sum and the
+    * stable/moderate/shifted bands — ONE definition for both the
+    * decile and the fixed-width bin variants, so the conventions can
+    * never fork. */
+  private def psiFromBins(binned: DataFrame, keyCol: String,
+      eps: Double): DataFrame = {
     val cells = binned.groupBy(col("__k"), col("__bin")).agg(
       sum(col("__ref")).as("cr"),
       sum(lit(1L) - col("__ref")).as("cc"))
@@ -1922,53 +1940,31 @@ object StatTests {
     * aggregate and binning is narrow arithmetic — no sort anywhere,
     * the shape that survives any corpus size. Fixed-width binning is
     * the other standard PSI deployment (scorecard implementations ship
-    * both). Contract: bin = min(nBins−1, ⌊(v − lo)/w⌋), w = (hi −
-    * lo)/nBins — one IEEE expression both engines compute identically;
-    * values outside [lo, hi] in the CURRENT window clamp to the edge
-    * bins (floor < 0 → 0 via greatest, the standard convention for
-    * out-of-reference-range drift mass); a zero-width reference
-    * (constant values) puts everything in bin 0 on both sides. Same
-    * eps floor, rounded ln terms, bands and output schema as [[psi]]. */
+    * both). Contract: bin = ⌊clamp((v − lo)/w, 0, nBins−1)⌋, w = (hi −
+    * lo)/nBins — one IEEE expression both engines compute identically,
+    * with the CLAMP ON THE DOUBLE RATIO before any floor/cast so an
+    * arbitrarily-far-out-of-range current value (ratio overflowing to
+    * ±Inf included) lands in an edge bin instead of overflowing an
+    * integer cast (ANSI would throw); a zero-width reference (constant
+    * values) puts everything in bin 0 on both sides. Same eps floor,
+    * rounded ln terms, bands and output schema as [[psi]] — literally:
+    * both variants share the same tail. */
   def psiFixed(df: DataFrame, keyCol: String, usCol: String,
       valCol: String, nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(eps > 0.0 && eps < 0.1, s"eps in (0, 0.1), got $eps")
-    val src = df.filter(col(valCol).isNotNull)
-      .select(col(keyCol).as("__k"), col(usCol).cast("long").as("__us"),
-        col(valCol).cast("double").as("__v"))
-    val mid = src.agg(
-      expr("(min(__us) + max(__us)) div 2").as("__mid"))
-    val sided = src.crossJoin(broadcast(mid))
-      .withColumn("__ref", (col("__us") <= col("__mid")).cast("int"))
+    val sided = psiSided(df, keyCol, usCol, valCol)
     val bounds = sided.filter(col("__ref") === 1)
       .groupBy(col("__k"))
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     val w = (col("__hi") - col("__lo")) / nBins.toDouble
+    val ratio = (col("__v") - col("__lo")) / w
     val binned = sided.join(bounds, Seq("__k"))
       .withColumn("__bin",
         when(col("__hi") === col("__lo"), 0)
-          .otherwise(least(lit(nBins - 1), greatest(lit(0),
-            floor((col("__v") - col("__lo")) / w).cast("int")))))
-    val cells = binned.groupBy(col("__k"), col("__bin")).agg(
-      sum(col("__ref")).as("cr"),
-      sum(lit(1L) - col("__ref")).as("cc"))
-    val totals = cells.groupBy(col("__k"))
-      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
-    val p = greatest(col("cr").cast("double") / col("n_ref").cast("double"),
-      lit(eps))
-    val q = when(col("n_cur") > 0L,
-      greatest(col("cc").cast("double") / col("n_cur").cast("double"),
-        lit(eps))).otherwise(lit(eps))
-    val term9 = round((p - q) * log(p / q) * 1e9, 0).cast("long")
-    cells.join(totals, Seq("__k"))
-      .withColumn("__t9", term9)
-      .groupBy(col("__k"), col("n_ref"), col("n_cur"))
-      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("psi"))
-      .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
-        col("psi"),
-        when(col("psi") < 0.1, "stable")
-          .when(col("psi") < 0.25, "moderate")
-          .otherwise("shifted").as("shift"))
+          .otherwise(floor(least(lit((nBins - 1).toDouble),
+            greatest(lit(0.0), ratio))).cast("int")))
+    psiFromBins(binned, keyCol, eps)
   }
 
   private def kendallTauOn(pts0: DataFrame): DataFrame = {

@@ -1187,50 +1187,22 @@ object StatsQueries {
         "event_type", "__us", "value")
       .orderBy(col("event_type"))
 
-  private lazy val psiFixedSql = {
-    def share(c: String, n: String) =
-      s"greatest(CAST($c AS DOUBLE)/CAST($n AS DOUBLE), 0.0001)"
-    val pS = share("c.cr", "t.n_ref")
-    val qS = s"(CASE WHEN t.n_cur > 0 THEN ${share("c.cc", "t.n_cur")}" +
-      " ELSE 0.0001 END)"
-    s"""WITH src AS (
-       |  SELECT event_type AS k, epoch_us(ts) AS us,
-       |    CAST(value AS DOUBLE) AS v
-       |  FROM events WHERE value IS NOT NULL),
-       |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
-       |sided AS (
-       |  SELECT k, v,
-       |    CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END AS ref
-       |  FROM src),
+  private lazy val psiFixedSql =
+    // clamp on the DOUBLE ratio before floor/cast (mirrors psiFixed): a
+    // far-out-of-range current value must land in an edge bin, never
+    // overflow an integer cast
+    s"""WITH $psiSqlHead,
        |bounds AS (
        |  SELECT k, min(v) AS lo, max(v) AS hi
        |  FROM sided WHERE ref = 1 GROUP BY 1),
        |binned AS (
        |  SELECT s.k, s.ref,
        |    CASE WHEN b.hi = b.lo THEN 0
-       |      ELSE least(9, greatest(0,
-       |        CAST(floor((s.v - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT)))
+       |      ELSE CAST(floor(least(9.0, greatest(0.0,
+       |        (s.v - b.lo) / ((b.hi - b.lo) / 10.0)))) AS INT)
        |    END AS bin
        |  FROM sided s JOIN bounds b USING (k)),
-       |cells AS (
-       |  SELECT k, bin, CAST(SUM(ref) AS BIGINT) AS cr,
-       |    CAST(SUM(1-ref) AS BIGINT) AS cc
-       |  FROM binned GROUP BY 1, 2),
-       |tot AS (
-       |  SELECT k, CAST(SUM(cr) AS BIGINT) AS n_ref,
-       |    CAST(SUM(cc) AS BIGINT) AS n_cur
-       |  FROM cells GROUP BY 1),
-       |agg AS (
-       |  SELECT c.k, t.n_ref, t.n_cur,
-       |    round(CAST(SUM(CAST(round(($pS - $qS) * ln($pS / $qS) * 1e9, 0)
-       |      AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
-       |  FROM cells c JOIN tot t USING (k) GROUP BY 1, 2, 3)
-       |SELECT k AS event_type, n_ref, n_cur, psi,
-       |  CASE WHEN psi < 0.1 THEN 'stable'
-       |       WHEN psi < 0.25 THEN 'moderate'
-       |       ELSE 'shifted' END AS shift
-       |FROM agg ORDER BY event_type""".stripMargin
-  }
+       |$psiSqlTail""".stripMargin
 
   /** q102_energy: energy distance between the $MwA and $MwB value
     * distributions ([[StatTests.energyDistanceBudget]]) — completes the
@@ -2129,39 +2101,28 @@ object StatsQueries {
         "event_type", "__us", "value")
       .orderBy(col("event_type"))
 
-  private val psiSql = {
-    val edges = (1 to 9).map { k =>
-      s"""min(CASE WHEN rn = CAST(floor((n-1)*0.$k) AS BIGINT)+1
-         |      THEN v END) AS e$k""".stripMargin
-    }.mkString(",\n    ")
+  /** The shared oracle head (midpoint split) and tail (eps floor,
+    * rounded ln terms, bands) both PSI variants compose — one
+    * definition, mirroring the operators' shared psiSided/psiFromBins
+    * so the conventions cannot fork on either engine. */
+  private val psiSqlHead =
+    """src AS (
+      |  SELECT event_type AS k, epoch_us(ts) AS us,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
+      |sided AS (
+      |  SELECT k, v,
+      |    CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END AS ref
+      |  FROM src)""".stripMargin
+
+  private val psiSqlTail = {
     def share(c: String, n: String) =
       s"greatest(CAST($c AS DOUBLE)/CAST($n AS DOUBLE), 0.0001)"
     val pS = share("c.cr", "t.n_ref")
     val qS = s"(CASE WHEN t.n_cur > 0 THEN ${share("c.cc", "t.n_cur")}" +
       " ELSE 0.0001 END)"
-    s"""WITH src AS (
-       |  SELECT event_type AS k, epoch_us(ts) AS us,
-       |    CAST(value AS DOUBLE) AS v
-       |  FROM events WHERE value IS NOT NULL),
-       |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
-       |sided AS (
-       |  SELECT k, v,
-       |    CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END AS ref
-       |  FROM src),
-       |ranked AS (
-       |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
-       |    count(*) OVER (PARTITION BY k) AS n
-       |  FROM sided WHERE ref = 1),
-       |edges AS (
-       |  SELECT k,
-       |    $edges
-       |  FROM ranked GROUP BY 1),
-       |binned AS (
-       |  SELECT s.k, s.ref,
-       |    len(list_filter([e.e1,e.e2,e.e3,e.e4,e.e5,e.e6,e.e7,e.e8,e.e9],
-       |      x -> x <= s.v)) AS bin
-       |  FROM sided s JOIN edges e USING (k)),
-       |cells AS (
+    s"""cells AS (
        |  SELECT k, bin, CAST(SUM(ref) AS BIGINT) AS cr,
        |    CAST(SUM(1-ref) AS BIGINT) AS cc
        |  FROM binned GROUP BY 1, 2),
@@ -2179,6 +2140,32 @@ object StatsQueries {
        |       WHEN psi < 0.25 THEN 'moderate'
        |       ELSE 'shifted' END AS shift
        |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  private lazy val psiSql = {
+    // (n-1)*0.k must multiply in DOUBLE: a bare 0.7 literal is DECIMAL in
+    // DuckDB and floor((91-1)*0.7) = 63 exact vs 62 in IEEE — the edge
+    // rank would silently diverge from Quantiles.exactGrouped's double
+    // arithmetic on ~2% of reference sizes
+    val edges = (1 to 9).map { k =>
+      s"""min(CASE WHEN rn = CAST(floor((n-1)*CAST(0.$k AS DOUBLE))
+         |      AS BIGINT)+1 THEN v END) AS e$k""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH $psiSqlHead,
+       |ranked AS (
+       |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY k) AS n
+       |  FROM sided WHERE ref = 1),
+       |edges AS (
+       |  SELECT k,
+       |    $edges
+       |  FROM ranked GROUP BY 1),
+       |binned AS (
+       |  SELECT s.k, s.ref,
+       |    len(list_filter([e.e1,e.e2,e.e3,e.e4,e.e5,e.e6,e.e7,e.e8,e.e9],
+       |      x -> x <= s.v)) AS bin
+       |  FROM sided s JOIN edges e USING (k)),
+       |$psiSqlTail""".stripMargin
   }
 
   val caps: Seq[Capability] = Seq(

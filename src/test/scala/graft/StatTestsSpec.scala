@@ -64,6 +64,17 @@ class StatTestsSpec extends AnyFunSuite {
     assert(fx("move").getDouble(3) == expectedFx,
       s"psiFixed ${fx("move").getDouble(3)} != $expectedFx")
     assert(fx("move").getString(4) == "shifted")
+
+    // overflow guard: near-constant reference (w = 1e-7) with a current
+    // value ~3e9 bin-widths out of range — the clamp runs on the double
+    // ratio BEFORE any integer cast, so this lands in bin 9 instead of
+    // throwing ANSI CAST_OVERFLOW
+    val wild = Seq(("w", 1L, 0.0), ("w", 2L, 1e-6), ("w", 3L, 0.0),
+      ("w", 4L, 1e-6), ("w", 5L, 300.0), ("w", 6L, 300.0))
+    val fw = StatTests.psiFixed(wild.toDF("k", "us", "v"), "k", "us", "v")
+      .collect()
+    assert(fw.length == 1 && fw.head.getString(4) == "shifted",
+      fw.mkString(","))
   }
 
   test("welch t emits NULL, not NaN/Inf, for n=1 and zero-variance pairs") {
