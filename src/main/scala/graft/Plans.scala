@@ -180,7 +180,8 @@ object Plans {
       "q100b_page_hinkley_hourly", // hourly rollup -> bounded window
       "q101_psi",                // ref-decile edges join, cell partials
       "q102_energy",             // budget-bounded cross pairs (q84 shape)
-      "q101b_psi_fixed")         // min/max bounds agg, narrow binning, no sort
+      "q101b_psi_fixed",         // min/max bounds agg, narrow binning, no sort
+      "q103_drift_console")      // three 5-row monitoring frames, key joins
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -1187,7 +1187,8 @@ object StatsQueries {
         "event_type", "__us", "value")
       .orderBy(col("event_type"))
 
-  private lazy val psiFixedSql =
+  // exposed to TimeSeriesQueries' drift-console composition (q103)
+  private[queries] lazy val psiFixedSql =
     // clamp on the DOUBLE ratio before floor/cast (mirrors psiFixed): a
     // far-out-of-range current value must land in an edge bin, never
     // overflow an integer cast

@@ -315,6 +315,46 @@ object TimeSeriesQueries {
        |    > 0 AS alarmed
        |FROM ph GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Q103: the drift CONSOLE — the monitoring composition gate (the
+    * pipeline_e2e_v4 discipline applied to the time-series family):
+    * per event type, in ONE lazy plan, the three complementary drift
+    * readouts a metric owner actually pages on — HOW MUCH the
+    * distribution moved (q101b's fixed-bin PSI + band), WHEN the mean
+    * drift became detectable (q100's Page–Hinkley first alarm) and
+    * WHERE the single most likely level shift sits (q52's CUSUM
+    * argmax). Each component keeps its standalone gated shape; the
+    * console is three key-aligned joins of 5-row frames. The oracle
+    * composes the three components' own CTE chains verbatim. */
+  private def driftConsoleQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+        col("event_id"), col("value"))
+    val psiF = graft.operators.StatTests.psiFixed(
+      ev.select(col("event_type"), col("__us"), col("value")),
+      "event_type", "__us", "value")
+    val ph = TimeSeries.pageHinkley(ev,
+        "event_type", "__us", "event_id", "value",
+        delta = PhDelta, lambda = PhLambda)
+      .select(col("event_type"), col("n").as("n_events"),
+        col("ph_stat"), col("first_alarm_n").cast("long").as("first_alarm_n"),
+        col("alarmed"))
+    val cp = TimeSeries.cusum(ev, "event_type", "__us", "event_id", "value")
+      .select(col("event_type"), col("cp_idx"), col("cp_id"),
+        col("cusum_stat"))
+    psiF.join(ph, Seq("event_type")).join(cp, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  private lazy val driftConsoleSql =
+    s"""WITH psi AS (${StatsQueries.psiFixedSql}),
+       |ph AS ($pageHinkleySql),
+       |cp AS ($cusumSql)
+       |SELECT p.event_type, p.n_ref, p.n_cur, p.psi, p.shift,
+       |  h.n AS n_events, h.ph_stat, h.first_alarm_n, h.alarmed,
+       |  c.cp_idx, c.cp_id, c.cusum_stat
+       |FROM psi p JOIN ph h USING (event_type) JOIN cp c USING (event_type)
+       |ORDER BY p.event_type""".stripMargin
+
   private val SeasonalHalf = 12
 
   /** Q60: classical additive seasonal decomposition of the per-type
@@ -484,6 +524,9 @@ object TimeSeriesQueries {
     Capability("q100b_page_hinkley_hourly",
       "Page-Hinkley over hourly mean increments: bounded window, the scale path",
       pageHinkleyHourlyQ, Some(pageHinkleyHourlySql)),
+    Capability("q103_drift_console",
+      "monitoring composition: PSI amount + PH onset + CUSUM location, one lazy plan",
+      driftConsoleQ, Some(driftConsoleSql)),
     Capability("q60_seasonal",
       "additive seasonal decomposition: level/trend/seasonal/residual, integer-exact",
       seasonalQ, Some(seasonalSql)),
