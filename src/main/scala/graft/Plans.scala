@@ -181,7 +181,9 @@ object Plans {
       "q101_psi",                // ref-decile edges join, cell partials
       "q102_energy",             // budget-bounded cross pairs (q84 shape)
       "q101b_psi_fixed",         // min/max bounds agg, narrow binning, no sort
-      "q103_drift_console")      // three 5-row monitoring frames, key joins
+      "q103_drift_console",      // three 5-row monitoring frames, key joins
+      "q104_wasserstein",        // distinct-value cell frame, per-key CDF window
+      "q104b_wasserstein_fixed") // union-bounds agg, <=10-row key windows
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

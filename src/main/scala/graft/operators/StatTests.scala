@@ -1967,6 +1967,120 @@ object StatTests {
     psiFromBins(binned, keyCol, eps)
   }
 
+  /** 1-D Wasserstein-1 (earth-mover) distance per key between the
+    * reference and current halves of the series — the drift readout
+    * with METRIC UNITS: where [[psi]]'s divergence says "the shares
+    * moved", W1 = ∫|F_ref(x) − F_cur(x)|dx says "the distribution
+    * moved this many dollars/seconds/tokens" (Ramdas–Trillos–Cuturi
+    * 2017 survey form; for 1-D empirical CDFs the integral is exact —
+    * no optimal-transport solver enters). Same global-µs-midpoint
+    * split as the PSI pair ([[psiSided]] — one shared definition).
+    *
+    * Exact form: F_ref/F_cur step only at OBSERVED values, so
+    * W1 = Σ over sorted distinct values |F_ref(v) − F_cur(v)| ·
+    * (next(v) − v) — the per-(key, value) count frame (the q56
+    * Mann–Whitney shape, map-side combined) with ONE per-key-order
+    * window over its distinct values.
+    *
+    * Determinism: CDF fractions are one IEEE division of exact longs,
+    * each segment term rounds to a 1e-9 long before the exact sum
+    * (the q65/q71 rounded-term idiom), final round@6. A key with an
+    * empty reference OR current half emits NULL w1 (a distance to an
+    * empty sample is undefined — never 0, never Inf), with both
+    * counts still reported.
+    *
+    * Scale shape: one (key, value) aggregate with map-side combine,
+    * one 1-row broadcast midpoint, one k-row totals join, one per-key
+    * rank window over the DISTINCT-value frame — per-key parallelism
+    * bounds at the distinct-value count (continuous metrics ≈ row
+    * count: the q101 per-key-sort family). The executable scale lever
+    * is [[wasserstein1Fixed]].
+    * Output: (key, n_ref, n_cur, w1 round@6). */
+  def wasserstein1(df: DataFrame, keyCol: String, usCol: String,
+      valCol: String): DataFrame = {
+    val sided = psiSided(df, keyCol, usCol, valCol)
+    val cells = sided.groupBy(col("__k"), col("__v")).agg(
+      sum(col("__ref")).as("cr"),
+      sum(lit(1L) - col("__ref")).as("cc"))
+    val totals = cells.groupBy(col("__k"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 1-row-per-key totals join — AQE broadcasts it (the cusum shape)
+    val seg = cells.join(totals, Seq("__k"))
+      .withColumn("__fr", sum(col("cr")).over(cum))
+      .withColumn("__fc", sum(col("cc")).over(cum))
+      .withColumn("__w", lead(col("__v"), 1).over(w) - col("__v"))
+    val term9 = round(abs(
+      col("__fr").cast("double") / col("n_ref").cast("double") -
+        col("__fc").cast("double") / col("n_cur").cast("double")) *
+      col("__w") * 1e9, 0).cast("long")
+    seg
+      .withColumn("__t9",
+        when(col("n_ref") > 0L && col("n_cur") > 0L &&
+          col("__w").isNotNull, term9).otherwise(lit(0L)))
+      .groupBy(col("__k"), col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("__w1"))
+      .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L, col("__w1"))
+          .as("w1"))
+  }
+
+  /** [[wasserstein1]] over FIXED-WIDTH bins — the executable scale
+    * lever (the [[psiFixed]]/q81b precedent): the per-key sort over
+    * the distinct-value frame disappears; binning is narrow
+    * arithmetic off one map-side-combined (min, max) aggregate and
+    * the CDF window runs over ≤ nBins rows per key. Unlike psiFixed
+    * the bounds span the UNION of both halves (W1 integrates over the
+    * union support — clamping current mass to the reference range
+    * would silently discard its displacement), so no value is ever
+    * out of range and |W1_binned − W1| ≤ binwidth by the CDF-integral
+    * bound. Bin = ⌊clamp((v − lo)/w, 0, nBins−1)⌋ (the psiFixed
+    * clamp-on-the-double-ratio contract); empty interior bins need no
+    * dense grid — a missing bin's segments fold into the previous
+    * materialized bin's gap term (gap = next bin index − bin index).
+    * A zero-width support (all values equal) reads exactly 0. Same
+    * NULL-on-empty-side guard and output schema as the exact form. */
+  def wasserstein1Fixed(df: DataFrame, keyCol: String, usCol: String,
+      valCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val sided = psiSided(df, keyCol, usCol, valCol)
+    val bounds = sided.groupBy(col("__k"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val bw = (col("__hi") - col("__lo")) / nBins.toDouble
+    val ratio = (col("__v") - col("__lo")) / bw
+    val cells = sided.join(bounds, Seq("__k"))
+      .withColumn("__bin",
+        when(col("__hi") === col("__lo"), 0)
+          .otherwise(floor(least(lit((nBins - 1).toDouble),
+            greatest(lit(0.0), ratio))).cast("int")))
+      .groupBy(col("__k"), col("__bin"), col("__lo"), col("__hi")).agg(
+        sum(col("__ref")).as("cr"),
+        sum(lit(1L) - col("__ref")).as("cc"))
+    val totals = cells.groupBy(col("__k"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__bin"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = cells.join(totals, Seq("__k"))
+      .withColumn("__fr", sum(col("cr")).over(cum))
+      .withColumn("__fc", sum(col("cc")).over(cum))
+      .withColumn("__gap",
+        (lead(col("__bin"), 1).over(w) - col("__bin")).cast("double"))
+    val term9 = round(abs(
+      col("__fr").cast("double") / col("n_ref").cast("double") -
+        col("__fc").cast("double") / col("n_cur").cast("double")) *
+      (col("__gap") * bw) * 1e9, 0).cast("long")
+    seg
+      .withColumn("__t9",
+        when(col("n_ref") > 0L && col("n_cur") > 0L &&
+          col("__gap").isNotNull, term9).otherwise(lit(0L)))
+      .groupBy(col("__k"), col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("__w1"))
+      .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L, col("__w1"))
+          .as("w1"))
+  }
+
   private def kendallTauOn(pts0: DataFrame): DataFrame = {
     val pts = pts0.select(col("g"), col("t"), col("i"), col("v"))
     val s = kendallSFrame(pts)

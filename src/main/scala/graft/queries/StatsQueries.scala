@@ -2169,6 +2169,96 @@ object StatsQueries {
        |$psiSqlTail""".stripMargin
   }
 
+  /** q104_wasserstein: 1-D Wasserstein-1 distance of the per-type
+    * value distribution, first half of the time range vs second
+    * ([[StatTests.wasserstein1]]) — the drift readout in METRIC UNITS
+    * next to q101's unitless divergence: "the purchase-value
+    * distribution moved W1 dollars". Exact CDF-difference integral
+    * over the per-(type, value) count frame; rounded 1e-9 segment
+    * terms, final round@6. */
+  private def wassersteinQ(s: SparkSession, d: String): DataFrame =
+    StatTests.wasserstein1(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("value")),
+        "event_type", "__us", "value")
+      .orderBy(col("event_type"))
+
+  /** The shared W1 tail both variants compose: the cumulative-CDF
+    * window, the per-segment rounded 1e-9 term (guarded per ROW so an
+    * empty side can never push NaN/Inf into the BIGINT cast on either
+    * engine), the exact sum and the NULL-on-empty-side readout — one
+    * definition, the psiSqlHead/psiSqlTail convention. `binCol` orders
+    * the window; `segW` is the segment-width SQL expression. */
+  private def w1SqlTail(binCol: String, segW: String) = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val diff = s"abs(${dd("fr")} / ${dd("n_ref")} - ${dd("fc")} / ${dd("n_cur")})"
+    s"""tot AS (
+       |  SELECT k, CAST(SUM(cr) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cc) AS BIGINT) AS n_cur
+       |  FROM cells GROUP BY 1),
+       |seg AS (
+       |  SELECT c.k, t.n_ref, t.n_cur,
+       |    SUM(cr) OVER (PARTITION BY c.k ORDER BY $binCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr,
+       |    SUM(cc) OVER (PARTITION BY c.k ORDER BY $binCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc,
+       |    $segW AS wseg
+       |  FROM cells c JOIN tot t USING (k)),
+       |agg AS (
+       |  SELECT k, n_ref, n_cur,
+       |    SUM(CASE WHEN n_ref > 0 AND n_cur > 0 AND wseg IS NOT NULL
+       |      THEN CAST(round($diff * wseg * 1e9, 0) AS BIGINT)
+       |      ELSE 0 END) AS t9
+       |  FROM seg GROUP BY 1, 2, 3)
+       |SELECT k AS event_type, n_ref, n_cur,
+       |  CASE WHEN n_ref > 0 AND n_cur > 0
+       |    THEN round(${dd("t9")} / 1e9, 6) END AS w1
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  private lazy val wassersteinSql =
+    s"""WITH $psiSqlHead,
+       |cells AS (
+       |  SELECT k, v, CAST(SUM(ref) AS BIGINT) AS cr,
+       |    CAST(SUM(1-ref) AS BIGINT) AS cc
+       |  FROM sided GROUP BY 1, 2),
+       |${w1SqlTail("v",
+        "lead(v) OVER (PARTITION BY c.k ORDER BY v) - v")}""".stripMargin
+
+  /** q104b_wasserstein_fixed: [[StatTests.wasserstein1Fixed]] — the
+    * executable scale path of q104 (the q101b precedent): fixed-width
+    * bins from ONE union-support (min, max) aggregate replace the
+    * distinct-value sort; the CDF window runs over ≤ 10 rows per key
+    * and |W1_binned − W1| ≤ binwidth. Bounds span BOTH halves (W1
+    * integrates over the union support — ref-only clamping would
+    * discard current-mass displacement). */
+  private def wassersteinFixedQ(s: SparkSession, d: String): DataFrame =
+    StatTests.wasserstein1Fixed(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("value")),
+        "event_type", "__us", "value")
+      .orderBy(col("event_type"))
+
+  private lazy val wassersteinFixedSql =
+    s"""WITH $psiSqlHead,
+       |bounds AS (
+       |  SELECT k, min(v) AS lo, max(v) AS hi
+       |  FROM sided GROUP BY 1),
+       |cells AS (
+       |  SELECT s.k, CASE WHEN b.hi = b.lo THEN 0
+       |      ELSE CAST(floor(least(9.0, greatest(0.0,
+       |        (s.v - b.lo) / ((b.hi - b.lo) / 10.0)))) AS INT)
+       |    END AS bin,
+       |    b.lo AS lo, b.hi AS hi,
+       |    CAST(SUM(ref) AS BIGINT) AS cr,
+       |    CAST(SUM(1-ref) AS BIGINT) AS cc
+       |  FROM sided s JOIN bounds b USING (k) GROUP BY 1, 2, 3, 4),
+       |${w1SqlTail("bin",
+        "(CAST(lead(bin) OVER (PARTITION BY c.k ORDER BY bin) - bin AS DOUBLE)" +
+          " * ((hi - lo) / 10.0))")}""".stripMargin
+
   val caps: Seq[Capability] = Seq(
     Capability("q101_psi",
       "Population Stability Index per series: ref-decile bins, banded drift label",
@@ -2176,6 +2266,12 @@ object StatsQueries {
     Capability("q101b_psi_fixed",
       "PSI with equi-width reference bins: no per-key sort, the scale path",
       psiFixedQ, Some(psiFixedSql)),
+    Capability("q104_wasserstein",
+      "1-D Wasserstein-1 drift per series: exact CDF-difference integral, metric units",
+      wassersteinQ, Some(wassersteinSql)),
+    Capability("q104b_wasserstein_fixed",
+      "Wasserstein-1 over fixed-width union-support bins: no per-key sort, the scale path",
+      wassersteinFixedQ, Some(wassersteinFixedSql)),
     Capability("q102_energy",
       "energy distance between two cohorts (whole-distribution two-sample readout)",
       energyQ, Some(energySql)),

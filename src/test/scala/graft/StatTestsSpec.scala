@@ -1147,4 +1147,52 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r("up").getLong(2) == 45L && r("down").getLong(2) == -45L)
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
+
+  test("wasserstein1: shift distance, closed forms, NULL on an empty side") {
+    import spark.implicits._
+    // "same": identical halves -> exactly 0. "shift": cur = ref + 10 ->
+    // W1 = the mean displacement = 10 exactly (monotone matching).
+    // "two": ref {0,10}, cur {5,5} -> segments [0,5): .5*5 + [5,10): .5*5 = 5.
+    // "empty": all rows in the first half of the GLOBAL range -> n_cur = 0
+    // -> w1 NULL (never 0, never Inf).
+    val same = (1 to 100).map(i => ("same", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("same", 100L + i, i.toDouble))
+    val shift = (1 to 100).map(i => ("shift", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("shift", 100L + i, 10.0 + i))
+    val two = Seq(("two", 1L, 0.0), ("two", 2L, 10.0),
+      ("two", 150L, 5.0), ("two", 151L, 5.0))
+    val empty = (1 to 10).map(i => ("empty", i.toLong, i.toDouble))
+    val out = StatTests.wasserstein1(
+        (same ++ shift ++ two ++ empty).toDF("k", "us", "v"), "k", "us", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("same").getDouble(3) == 0.0)
+    assert(out("shift").getDouble(3) == 10.0)
+    assert(out("two").getDouble(3) == 5.0)
+    assert(out("empty").getLong(2) == 0L && out("empty").isNullAt(3))
+  }
+
+  test("wasserstein1Fixed: union-support bins, <= binwidth error, zero-width 0") {
+    import spark.implicits._
+    // "move": ref 1..100, cur 1001..1100. Union support [1, 1100],
+    // w = 109.9: all ref mass lands in bin 0, all cur mass clamps to
+    // bin 9 -> one segment term |1-0| * (9*w). True W1 = 1000; the
+    // binned read must sit within one binwidth of it.
+    val move = (1 to 100).map(i => ("move", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("move", 100L + i, 1000.0 + i))
+    val same = (1 to 100).map(i => ("same", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("same", 100L + i, i.toDouble))
+    val const = (1 to 20).map(i => ("const", i.toLong, 7.0)) ++
+      (1 to 20).map(i => ("const", 180L + i, 7.0))
+    val out = StatTests.wasserstein1Fixed(
+        (move ++ same ++ const).toDF("k", "us", "v"), "k", "us", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // mirror the operator's arithmetic exactly
+    val w = (1100.0 - 1.0) / 10.0
+    val expected = BigDecimal(math.round(1.0 * (9.0 * w) * 1e9).toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("move").getDouble(3) == expected)
+    assert(math.abs(out("move").getDouble(3) - 1000.0) <= w)
+    assert(out("same").getDouble(3) == 0.0)
+    assert(out("const").getDouble(3) == 0.0, "zero-width support reads 0")
+  }
 }
