@@ -318,6 +318,54 @@ object ShardingQueries {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** pipeline_raking: [[Raking.ipfUniform]] over the documents
+    * lang × source contingency — per-cell sampling weights that hit
+    * EQUAL language shares AND equal source shares simultaneously (the
+    * two-marginal constraint [[Sharding.weightedSample]]'s per-key
+    * rates cannot express). 3 unrolled IPF iterations, 1e-12-scaled
+    * longs between steps, oracle mirrors every step as a CTE. */
+  private def rakingQ(s: SparkSession, d: String): DataFrame =
+    Raking.ipfUniform(Tables.documents(s, d), "lang", "source")
+
+  private lazy val rakingSql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    def step(src: String, dst: String, part: String, k: String) = {
+      val slice = s"SUM(m) OVER (PARTITION BY $part)"
+      s"""$dst AS (
+         |  SELECT r, c, n, kr, kc, nt,
+         |    CASE WHEN $slice > 0 THEN
+         |      CAST(round(${dd("m")} * (1.0 / ${dd(k)}) * 1e12 /
+         |        ${dd(slice)}, 0) AS BIGINT)
+         |    ELSE 0 END AS m
+         |  FROM $src)""".stripMargin
+    }
+    val steps = (1 to 3).flatMap { i =>
+      val prev = if (i == 1) "m0" else s"s${2 * i - 2}"
+      Seq(step(prev, s"s${2 * i - 1}", "r", "kr"),
+        step(s"s${2 * i - 1}", s"s${2 * i}", "c", "kc"))
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |dims AS (
+       |  SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS kr,
+       |         CAST(COUNT(DISTINCT c) AS BIGINT) AS kc,
+       |         CAST(SUM(n) AS BIGINT) AS nt
+       |  FROM cells),
+       |m0 AS (
+       |  SELECT r, c, n, kr, kc, nt,
+       |    CAST(round(${dd("n")} / ${dd("nt")} * 1e12, 0) AS BIGINT) AS m
+       |  FROM cells, dims),
+       |$steps
+       |SELECT r AS lang, c AS source, n AS n_docs,
+       |  round(${dd("m")} / 1e12, 9) AS m_fit,
+       |  round(${dd("m")} * ${dd("nt")} / (1e12 * ${dd("n")}), 6) AS weight,
+       |  round(${dd("SUM(m) OVER (PARTITION BY r)")} / 1e12, 6) AS row_share,
+       |  round(${dd("SUM(m) OVER (PARTITION BY c)")} / 1e12, 6) AS col_share
+       |FROM s6 ORDER BY lang, source""".stripMargin
+  }
+
   /** End-to-end curation composition — the pipeline a real corpus runs
     * as ONE lazy plan: quality filter (token count + uniqueness ratio) →
     * exact dedup (md5-keyed keep-first, so the shuffle carries a 16-byte
@@ -581,6 +629,9 @@ object ShardingQueries {
       e2e, Some(e2eSql)),
     Capability("pipeline_mix", "data mixing: deterministic weighted per-language sampling", mix,
       Some(mixSql)),
+    Capability("pipeline_raking",
+      "IPF raking: per-cell weights hitting equal lang AND source marginals",
+      rakingQ, Some(rakingSql)),
     Capability("pipeline_compact", "small-file compaction preserves content, swap-safe", compactQ,
       Some(compactSql)),
     Capability("pipeline_pack", "token-budget sequence packing in md5 shards", pack,
