@@ -184,7 +184,8 @@ object Plans {
       "q103_drift_console",      // three 5-row monitoring frames, key joins
       "q104_wasserstein",        // distinct-value cell frame, per-key CDF window
       "q104b_wasserstein_fixed", // union-bounds agg, <=10-row key windows
-      "pipeline_raking")         // one corpus count; IPF on the cell frame
+      "pipeline_raking",         // one corpus count; IPF on the cell frame
+      "q105_adf")                // one lag window + grouped moment solve
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

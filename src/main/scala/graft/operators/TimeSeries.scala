@@ -416,6 +416,99 @@ object TimeSeries {
         col("__first").isNotNull.as("alarmed"))
   }
 
+  /** Augmented Dickey–Fuller unit-root test per series (constant, no
+    * trend, lag order 1 — Dickey–Fuller 1979, the "is this series
+    * mean-reverting or a random walk" question the correlogram
+    * diagnostics ([[acf]], PACF) cannot answer: a unit root makes every
+    * level-based statistic spurious). Regression Δy_t = α + γ·y_{t−1}
+    * + δ·Δy_{t−1} + ε over each key's time order; the reported
+    * statistic is t(γ̂) = γ̂ / SE(γ̂), compared against the asymptotic
+    * constant-case Dickey–Fuller critical values −3.43 / −2.86 / −2.57
+    * (1% / 5% / 10%) ON THE ROUND@6 VALUE (the q66 band convention —
+    * an ulp cannot flip the label). γ significantly below 0 ⇒
+    * stationary; γ ≈ 0 ⇒ unit root.
+    *
+    * Solve: the [[StatTests.ols2]] contract — exact decimal moments
+    * ([[graft.Det]]) of (x2 = y_{t−1}, x3 = Δy_{t−1}, y = Δy_t) per
+    * key, Cramer's rule on the 3×3 normal equations with the SAME
+    * operand order as ols2 (gate-proven in q59/q63/q68), SE(γ̂) from
+    * the 2,2 cofactor: Var(γ̂) = s²·(n·s33 − s3²)/det with
+    * s² = SSE/(n−3). No iterative solver, no residual pass.
+    *
+    * Degenerates → NULL stat with n still reported: fewer than 4
+    * usable points (n−3 ≤ 0), a singular system (det = 0 — constant
+    * series), or a non-positive variance estimate (exact fit).
+    *
+    * Scale shape: one key-partitioned lag window (the q20 cumulative
+    * shape — O(1) state per row), one grouped moment aggregate with
+    * map-side combine, a #keys-row solve. Nothing buffers a series.
+    * Output: (key, n, gamma round@9, adf_t round@6, verdict). */
+  def adf(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__i"))
+    val src = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(idCol).as("__i"), col(valCol).cast("double").as("__v"))
+    val lagged = src
+      .withColumn("__vl", lag(col("__v"), 1).over(w))
+      .withColumn("__dy", col("__v") - col("__vl"))
+    val pts = lagged
+      .withColumn("__dyl", lag(col("__dy"), 1).over(w))
+      .filter(col("__vl").isNotNull && col("__dyl").isNotNull)
+      .select(col("__k"), col("__vl").as("x2"), col("__dyl").as("x3"),
+        col("__dy").as("y"))
+    val m = pts.groupBy(col("__k")).agg(
+      count(lit(1)).cast("double").as("n"),
+      graft.Det.dsum(col("x2")).as("s2"),
+      graft.Det.dsum(col("x3")).as("s3"),
+      graft.Det.dsum(col("x2") * col("x2")).as("s22"),
+      graft.Det.dsum(col("x2") * col("x3")).as("s23"),
+      graft.Det.dsum(col("x3") * col("x3")).as("s33"),
+      graft.Det.dsum(col("y")).as("sy"),
+      graft.Det.dsum(col("x2") * col("y")).as("s2y"),
+      graft.Det.dsum(col("x3") * col("y")).as("s3y"),
+      graft.Det.dsum(col("y") * col("y")).as("syy"))
+    def c(s: String): Column = col(s)
+    // Cramer determinants in ols2's exact operand order (q59-gated)
+    val det = c("n") * (c("s22") * c("s33") - c("s23") * c("s23")) -
+      c("s2") * (c("s2") * c("s33") - c("s23") * c("s3")) +
+      c("s3") * (c("s2") * c("s23") - c("s22") * c("s3"))
+    val det1 = c("sy") * (c("s22") * c("s33") - c("s23") * c("s23")) -
+      c("s2") * (c("s2y") * c("s33") - c("s23") * c("s3y")) +
+      c("s3") * (c("s2y") * c("s23") - c("s22") * c("s3y"))
+    val det2 = c("n") * (c("s2y") * c("s33") - c("s23") * c("s3y")) -
+      c("sy") * (c("s2") * c("s33") - c("s23") * c("s3")) +
+      c("s3") * (c("s2") * c("s3y") - c("s2y") * c("s3"))
+    val det3 = c("n") * (c("s22") * c("s3y") - c("s2y") * c("s23")) -
+      c("s2") * (c("s2") * c("s3y") - c("s2y") * c("s3")) +
+      c("sy") * (c("s2") * c("s23") - c("s22") * c("s3"))
+    // ANSI throws on double division by zero where DuckDB yields NULL —
+    // a NULL-when-zero divisor reproduces the oracle's semantics exactly
+    // (singular system / too-few points flow to NULL, then 'undefined')
+    val detSafe = when(abs(det) > 0.0, det)
+    val b0 = det1 / detSafe
+    val b1 = det2 / detSafe
+    val b2 = det3 / detSafe
+    val sse = c("syy") -
+      lit(2.0) * (b0 * c("sy") + b1 * c("s2y") + b2 * c("s3y")) +
+      (b0 * b0 * c("n") + b1 * b1 * c("s22") + b2 * b2 * c("s33") +
+        lit(2.0) * b0 * b1 * c("s2") + lit(2.0) * b0 * b2 * c("s3") +
+        lit(2.0) * b1 * b2 * c("s23"))
+    val cof22 = c("n") * c("s33") - c("s3") * c("s3")
+    val varG = sse / when(c("n") > 3.0, c("n") - lit(3.0)) * cof22 / detSafe
+    val ok = c("n") > 3.0 && abs(det) > 0.0 && varG > 0.0
+    val out = m
+      .withColumn("gamma", when(ok, round(b1, 9)))
+      .withColumn("adf_t", when(ok, round(b1 / sqrt(varG), 6)))
+    out.select(col("__k").as(keyCol), c("n").cast("long").as("n"),
+      col("gamma"), col("adf_t"),
+      when(col("adf_t").isNull, "undefined")
+        .when(col("adf_t") < -3.43, "stationary_1pct")
+        .when(col("adf_t") < -2.86, "stationary_5pct")
+        .when(col("adf_t") < -2.57, "stationary_10pct")
+        .otherwise("unit_root").as("verdict"))
+  }
+
   def cusum(
       df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valCol: String): DataFrame = {

@@ -190,6 +190,90 @@ object TimeSeriesQueries {
       |  round(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS cusum_stat
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q105_adf: Augmented Dickey–Fuller unit-root test per event type
+    * ([[TimeSeries.adf]]; constant, no trend, lag 1) — the
+    * stationarity verdict the correlogram family (q50/q74/q83) and
+    * trend tests (q72) presuppose: a unit root makes level statistics
+    * spurious. The synthetic value series is stationary noise, so
+    * every type rejects hard (adf_t ≪ −3.43) — the estimator visibly
+    * working; the planted random-walk branch is spec-pinned
+    * (TimeSeriesSpec). ols2's Cramer solve on per-key exact decimal
+    * moments, SE from the 2,2 cofactor, bands on the round@6 t. */
+  private def adfQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.adf(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("unix_micros(ts)").as("__us"),
+            col("event_id"), col("value")),
+        "event_type", "__us", "event_id", "value")
+      .orderBy(col("event_type"))
+
+  private lazy val adfSql = {
+    val det =
+      """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
+        | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    val det2 =
+      """(n * (s2y * s33 - s23 * s3y) - sy * (s2 * s33 - s23 * s3)
+        | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
+    val det1 =
+      """(sy * (s22 * s33 - s23 * s23) - s2 * (s2y * s33 - s23 * s3y)
+        | + s3 * (s2y * s23 - s22 * s3y))""".stripMargin.replace("\n", "")
+    val det3 =
+      """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
+        | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    def ds(e: String) = graft.Det.sqlSum(e)
+    s"""WITH src AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS t, event_id AS i,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |l1 AS (
+       |  SELECT k, t, i, v,
+       |    lag(v) OVER (PARTITION BY k ORDER BY t, i) AS vl
+       |  FROM src),
+       |l2 AS (
+       |  SELECT k, vl, v - vl AS dy,
+       |    lag(v - vl) OVER (PARTITION BY k ORDER BY t, i) AS dyl
+       |  FROM l1),
+       |pts AS (
+       |  SELECT k, vl AS x2, dyl AS x3, dy AS y FROM l2
+       |  WHERE vl IS NOT NULL AND dyl IS NOT NULL),
+       |m AS (
+       |  SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${ds("x2")} AS s2, ${ds("x3")} AS s3,
+       |    ${ds("x2 * x2")} AS s22, ${ds("x2 * x3")} AS s23,
+       |    ${ds("x3 * x3")} AS s33, ${ds("y")} AS sy,
+       |    ${ds("x2 * y")} AS s2y, ${ds("x3 * y")} AS s3y,
+       |    ${ds("y * y")} AS syy
+       |  FROM pts GROUP BY 1),
+       |b AS (
+       |  SELECT *, $det AS dt,
+       |    $det1 / $det AS b0, $det2 / $det AS b1, $det3 / $det AS b2
+       |  FROM m),
+       |e AS (
+       |  SELECT *,
+       |    syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
+       |      (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+       |       2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 +
+       |       2.0 * b1 * b2 * s23) AS sse
+       |  FROM b),
+       |f AS (
+       |  SELECT *, sse / (n - 3.0) * (n * s33 - s3 * s3) / dt AS varg
+       |  FROM e),
+       |g AS (
+       |  SELECT k, n,
+       |    CASE WHEN n > 3.0 AND abs(dt) > 0.0 AND varg > 0.0
+       |      THEN round(b1, 9) END AS gamma,
+       |    CASE WHEN n > 3.0 AND abs(dt) > 0.0 AND varg > 0.0
+       |      THEN round(b1 / sqrt(varg), 6) END AS adf_t
+       |  FROM f)
+       |SELECT k AS event_type, CAST(n AS BIGINT) AS n, gamma, adf_t,
+       |  CASE WHEN adf_t IS NULL THEN 'undefined'
+       |       WHEN adf_t < -3.43 THEN 'stationary_1pct'
+       |       WHEN adf_t < -2.86 THEN 'stationary_5pct'
+       |       WHEN adf_t < -2.57 THEN 'stationary_10pct'
+       |       ELSE 'unit_root' END AS verdict
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   private val PhDelta = 0.05
   private val PhLambda = 2000.0
 
@@ -518,6 +602,9 @@ object TimeSeriesQueries {
     Capability("q52_cusum",
       "CUSUM change-point location per series (scaled-long exact argmax)",
       cusumQ, Some(cusumSql)),
+    Capability("q105_adf",
+      "augmented Dickey-Fuller unit-root test per series (lag 1, DF bands)",
+      adfQ, Some(adfSql)),
     Capability("q100_page_hinkley",
       "Page-Hinkley mean-drift monitor per series: first-alarm index, scaled-long exact",
       pageHinkleyQ, Some(pageHinkleySql)),

@@ -265,4 +265,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     val f = out("flat")
     assert(f.isNullAt(1) && f.isNullAt(4) && f.isNullAt(5) && f.isNullAt(6))
   }
+
+  test("adf: random walk keeps the unit root, mean reversion rejects it, " +
+      "degenerates read undefined") {
+    import spark.implicits._
+    // deterministic centered LCG draws in [-0.5, 0.5)
+    val draws = Iterator.iterate(123456789L)(s => (s * 6364136223846793005L +
+      1442695040888963407L) & 0x7fffffffffffffffL)
+      .drop(1).take(400).map(s => (s % 100000L) / 100000.0 - 0.5).toVector
+    // unit root: y_t = y_{t-1} + e_t (gamma = 0 in truth)
+    val walk = draws.scanLeft(0.0)(_ + _).zipWithIndex.map {
+      case (v, k) => ("walk", k.toLong, k.toLong, v)
+    }
+    // strong mean reversion: y_t = 0.1 y_{t-1} + e_t (gamma = -0.9)
+    val revert = draws.scanLeft(0.0)((y, e) => 0.1 * y + e).zipWithIndex.map {
+      case (v, k) => ("revert", k.toLong, k.toLong, v)
+    }
+    val const = (0 until 50).map(k => ("const", k.toLong, k.toLong, 3.0))
+    val short = (0 until 4).map(k => ("short", k.toLong, k.toLong, k * 1.5))
+    val out = TimeSeries.adf(
+        (walk ++ revert ++ const ++ short).toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(out("walk").getString(4) == "unit_root",
+      s"walk: ${out("walk")}")
+    assert(out("revert").getString(4) == "stationary_1pct" &&
+      math.abs(out("revert").getDouble(2) - (-0.9)) < 0.1,
+      s"revert: ${out("revert")}")
+    // constant series: x2 collinear with the intercept -> det = 0
+    assert(out("const").getString(4) == "undefined" &&
+      out("const").isNullAt(3))
+    // 4 raw points leave n = 2 usable rows <= 3 -> undefined
+    assert(out("short").getString(4) == "undefined")
+  }
 }
