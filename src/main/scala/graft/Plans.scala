@@ -185,7 +185,8 @@ object Plans {
       "q104_wasserstein",        // distinct-value cell frame, per-key CDF window
       "q104b_wasserstein_fixed", // union-bounds agg, <=10-row key windows
       "pipeline_raking",         // one corpus count; IPF on the cell frame
-      "q105_adf")                // one lag window + grouped moment solve
+      "q105_adf",                // one lag window + grouped moment solve
+      "q106_granger")            // hour-bounded frames, one 14-sum moment pass
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -157,6 +157,100 @@ object TimeSeries {
           sqrt(varx * vary), 9)).as("ccf"))
   }
 
+  /** Pairwise Granger causality (lag 1) between two keys' hourly
+    * series — [[ccf]]'s inferential sibling: CCF says the series
+    * co-move at a lag, Granger asks whether x's PAST improves the
+    * prediction of y BEYOND y's own past (Granger 1969). Both
+    * directions in one pass — the asymmetry ("x→y significant, y→x
+    * not") is the readout. Unrestricted model y_t = a + b·y_{t−1} +
+    * c·x_{t−1} vs restricted y_t = a + b·y_{t−1};
+    * F = (SSE_r − SSE_u) / (SSE_u / (n−3)), df1 = 1, banded against
+    * the asymptotic χ²₁ critical values 3.841459 / 6.634897 on the
+    * round@6 F (the q66/q105 band convention).
+    *
+    * Alignment: hourly bucket means (the [[ccf]] frame), pairs formed
+    * only across CONSECUTIVE observed hours (a self-join on b − 1h —
+    * a gap breaks the lag rather than silently spanning it). Both
+    * directions solve from ONE 14-sum exact-decimal moment aggregate
+    * via the ols2 Cramer order (q59-gated); the restricted model is
+    * the closed-form simple regression off the same moments. Every
+    * division carries the NULL-when-zero divisor guard (the q105
+    * ANSI/DuckDB parity idiom); degenerate inputs read 'undefined'.
+    *
+    * Scale shape: raw series collapse to (hour, mean) frames first —
+    * everything downstream is bounded by the time span, not the row
+    * count. Output: 2 rows (direction, n, f_stat round@6, verdict). */
+  def granger(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, keyA: String, keyB: String): DataFrame = {
+    val hourUs = 3600000000L
+    def series(k: String, out: String): DataFrame =
+      df.filter(col(keyCol) === k && col(valCol).isNotNull)
+        .groupBy(expr(s"unix_micros(date_trunc('hour', $tsCol))").as("b"))
+        .agg((sum(graft.Det.dec(col(valCol))).cast("double") /
+          count(lit(1)).cast("double")).as(out))
+    val cur = series(keyA, "x").join(series(keyB, "y"), "b")
+    val prev = cur.select((col("b") + lit(hourUs)).as("b"),
+      col("x").as("xl"), col("y").as("yl"))
+    val pts = cur.join(prev, "b")
+    val m = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      graft.Det.dsum(col("x")).as("sx"), graft.Det.dsum(col("y")).as("sy"),
+      graft.Det.dsum(col("xl")).as("sxl"),
+      graft.Det.dsum(col("yl")).as("syl"),
+      graft.Det.dsum(col("xl") * col("xl")).as("sxl2"),
+      graft.Det.dsum(col("yl") * col("yl")).as("syl2"),
+      graft.Det.dsum(col("yl") * col("xl")).as("sylxl"),
+      graft.Det.dsum(col("yl") * col("y")).as("syly"),
+      graft.Det.dsum(col("xl") * col("y")).as("sxly"),
+      graft.Det.dsum(col("xl") * col("x")).as("sxlx"),
+      graft.Det.dsum(col("yl") * col("x")).as("sylx"),
+      graft.Det.dsum(col("x") * col("x")).as("sxx"),
+      graft.Det.dsum(col("y") * col("y")).as("syy"))
+    val n = col("n")
+    // target on (1, own-lag s2, other-lag s3): the ols2 Cramer order
+    def fStat(s2: Column, s3: Column, sy: Column, s22: Column,
+        s23: Column, s33: Column, s2y: Column, s3y: Column,
+        syy: Column): Column = {
+      val det = n * (s22 * s33 - s23 * s23) -
+        s2 * (s2 * s33 - s23 * s3) + s3 * (s2 * s23 - s22 * s3)
+      val det1 = sy * (s22 * s33 - s23 * s23) -
+        s2 * (s2y * s33 - s23 * s3y) + s3 * (s2y * s23 - s22 * s3y)
+      val det2 = n * (s2y * s33 - s23 * s3y) -
+        sy * (s2 * s33 - s23 * s3) + s3 * (s2 * s3y - s2y * s3)
+      val det3 = n * (s22 * s3y - s2y * s23) -
+        s2 * (s2 * s3y - s2y * s3) + sy * (s2 * s23 - s22 * s3)
+      val detSafe = when(abs(det) > 0.0, det)
+      val b0 = det1 / detSafe
+      val b1 = det2 / detSafe
+      val b2 = det3 / detSafe
+      val sseU = syy - lit(2.0) * (b0 * sy + b1 * s2y + b2 * s3y) +
+        (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+          lit(2.0) * b0 * b1 * s2 + lit(2.0) * b0 * b2 * s3 +
+          lit(2.0) * b1 * b2 * s23)
+      val drs = n * s22 - s2 * s2
+      val br = (n * s2y - s2 * sy) / when(abs(drs) > 0.0, drs)
+      val ar = (sy - br * s2) / when(n > 0.0, n)
+      val sseR = syy - ar * sy - br * s2y
+      val ok = n > 3.0 && abs(det) > 0.0 && abs(drs) > 0.0 && sseU > 0.0
+      when(ok, round((sseR - sseU) / (sseU / (n - lit(3.0))), 6))
+    }
+    val fAB = fStat(col("syl"), col("sxl"), col("sy"), col("syl2"),
+      col("sylxl"), col("sxl2"), col("syly"), col("sxly"), col("syy"))
+    val fBA = fStat(col("sxl"), col("syl"), col("sx"), col("sxl2"),
+      col("sylxl"), col("syl2"), col("sxlx"), col("sylx"), col("sxx"))
+    def verdict(f: Column): Column =
+      when(f.isNull, "undefined")
+        .when(f > 6.634897, "causal_1pct")
+        .when(f > 3.841459, "causal_5pct")
+        .otherwise("none")
+    val one = m.select(n.cast("long").as("n"),
+      fAB.as("f_ab"), fBA.as("f_ba"))
+    one.select(lit(s"$keyA->$keyB").as("direction"), col("n"),
+        col("f_ab").as("f_stat"), verdict(col("f_ab")).as("verdict"))
+      .union(one.select(lit(s"$keyB->$keyA").as("direction"), col("n"),
+        col("f_ba").as("f_stat"), verdict(col("f_ba")).as("verdict")))
+  }
+
   /** Index of dispersion (variance-to-mean ratio of the hourly event
     * counts) + the Goh–Barabási burstiness coefficient (σ−μ)/(σ+μ) per
     * key — the "is this traffic Poisson or bursty" readout: D ≈ 1 is

@@ -274,6 +274,97 @@ object TimeSeriesQueries {
        |FROM g ORDER BY event_type""".stripMargin
   }
 
+  /** q106_granger: pairwise lag-1 Granger causality click ↔ purchase
+    * over hourly mean values ([[TimeSeries.granger]]) — q74's CCF says
+    * the series co-move; this asks the inferential question (does click
+    * history improve purchase prediction beyond purchase's own?), both
+    * directions from one moment pass, F banded on χ²₁ at round@6. */
+  private def grangerQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.granger(Tables.events(s, d),
+        "event_type", "ts", "value", "click", "purchase")
+      .orderBy(col("direction"))
+
+  private lazy val grangerSql = {
+    def ser(t: String, out: String) =
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS b,
+         |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS $out
+         |  FROM events WHERE event_type = '$t' AND value IS NOT NULL
+         |  GROUP BY 1""".stripMargin
+    def ds(e: String) = graft.Det.sqlSum(e)
+    val det =
+      """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
+        | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    val det1 =
+      """(sy * (s22 * s33 - s23 * s23) - s2 * (s2y * s33 - s23 * s3y)
+        | + s3 * (s2y * s23 - s22 * s3y))""".stripMargin.replace("\n", "")
+    val det2 =
+      """(n * (s2y * s33 - s23 * s3y) - sy * (s2 * s33 - s23 * s3)
+        | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
+    val det3 =
+      """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
+        | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    s"""WITH xs AS (
+       |  ${ser("click", "x")}),
+       |ys AS (
+       |  ${ser("purchase", "y")}),
+       |cur AS (SELECT b, x, y FROM xs JOIN ys USING (b)),
+       |prv AS (SELECT b + 3600000000 AS b, x AS xl, y AS yl FROM cur),
+       |pts AS (SELECT c.x, c.y, p.xl, p.yl
+       |  FROM cur c JOIN prv p USING (b)),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${ds("x")} AS sx, ${ds("y")} AS sy,
+       |    ${ds("xl")} AS sxl, ${ds("yl")} AS syl,
+       |    ${ds("xl * xl")} AS sxl2, ${ds("yl * yl")} AS syl2,
+       |    ${ds("yl * xl")} AS sylxl, ${ds("yl * y")} AS syly,
+       |    ${ds("xl * y")} AS sxly, ${ds("xl * x")} AS sxlx,
+       |    ${ds("yl * x")} AS sylx,
+       |    ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
+       |  FROM pts),
+       |dirs AS (
+       |  SELECT 'click->purchase' AS direction, n, syl AS s2, sxl AS s3,
+       |    sy AS sy, syl2 AS s22, sylxl AS s23, sxl2 AS s33,
+       |    syly AS s2y, sxly AS s3y, syy AS syy
+       |  FROM m
+       |  UNION ALL
+       |  SELECT 'purchase->click', n, sxl, syl, sx, sxl2, sylxl, syl2,
+       |    sxlx, sylx, sxx
+       |  FROM m),
+       |bb AS (
+       |  SELECT *, $det AS det, (n * s22 - s2 * s2) AS drs,
+       |    $det1 / (CASE WHEN abs($det) > 0.0 THEN $det END) AS b0,
+       |    $det2 / (CASE WHEN abs($det) > 0.0 THEN $det END) AS b1,
+       |    $det3 / (CASE WHEN abs($det) > 0.0 THEN $det END) AS b2
+       |  FROM dirs),
+       |ee AS (
+       |  SELECT *,
+       |    syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
+       |      (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+       |       2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 +
+       |       2.0 * b1 * b2 * s23) AS sseu,
+       |    (n * s2y - s2 * sy) /
+       |      (CASE WHEN abs(n * s22 - s2 * s2) > 0.0
+       |        THEN n * s22 - s2 * s2 END) AS br
+       |  FROM bb),
+       |ff AS (
+       |  SELECT *, syy - ((sy - br * s2) / n) * sy - br * s2y AS sser
+       |  FROM ee),
+       |gg AS (
+       |  SELECT direction, CAST(n AS BIGINT) AS n,
+       |    CASE WHEN n > 3.0 AND abs(det) > 0.0 AND abs(drs) > 0.0
+       |        AND sseu > 0.0
+       |      THEN round((sser - sseu) / (sseu / (n - 3.0)), 6)
+       |    END AS f_stat
+       |  FROM ff)
+       |SELECT direction, n, f_stat,
+       |  CASE WHEN f_stat IS NULL THEN 'undefined'
+       |       WHEN f_stat > 6.634897 THEN 'causal_1pct'
+       |       WHEN f_stat > 3.841459 THEN 'causal_5pct'
+       |       ELSE 'none' END AS verdict
+       |FROM gg ORDER BY direction""".stripMargin
+  }
+
   private val PhDelta = 0.05
   private val PhLambda = 2000.0
 
@@ -605,6 +696,9 @@ object TimeSeriesQueries {
     Capability("q105_adf",
       "augmented Dickey-Fuller unit-root test per series (lag 1, DF bands)",
       adfQ, Some(adfSql)),
+    Capability("q106_granger",
+      "pairwise lag-1 Granger causality over hourly series, both directions",
+      grangerQ, Some(grangerSql)),
     Capability("q100_page_hinkley",
       "Page-Hinkley mean-drift monitor per series: first-alarm index, scaled-long exact",
       pageHinkleyQ, Some(pageHinkleySql)),

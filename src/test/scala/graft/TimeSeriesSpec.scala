@@ -298,4 +298,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     // 4 raw points leave n = 2 usable rows <= 3 -> undefined
     assert(out("short").getString(4) == "undefined")
   }
+
+  test("granger: a planted lag-1 driver is causal one way, not the other") {
+    import spark.implicits._
+    // x = AR(1) with deterministic LCG shocks (Markov: its own lag
+    // carries ALL its linear structure); y_t = 0.8 * x_{t-1} + tiny own
+    // noise. x->y must reject hard; y->x must not — given x_{t-1},
+    // y_{t-1} (~ x_{t-2}) adds nothing to an AR(1)
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val draws = Iterator.iterate(987654321L)(s => (s * 6364136223846793005L +
+      1442695040888963407L) & 0x7fffffffffffffffL)
+      .drop(1).take(400).map(s => (s % 100000L) / 100000.0 - 0.5).toVector
+    val xv = draws.take(200).scanLeft(0.0)((x, e) => 0.5 * x + e).drop(1)
+    val xs = xv.zipWithIndex.map { case (v, h) => ("a", ts(h), v) }
+    val ys = (0 until 200).map { h =>
+      val xPrev = if (h == 0) 0.0 else xv(h - 1)
+      ("b", ts(h), 0.8 * xPrev + draws(200 + h) * 0.02)
+    }
+    val out = TimeSeries.granger((xs ++ ys).toDF("k", "ts", "v"),
+        "k", "ts", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a->b").getString(3) == "causal_1pct", s"${out("a->b")}")
+    assert(out("b->a").getString(3) == "none", s"${out("b->a")}")
+    // degenerate: constant series -> singular system -> undefined
+    val const = (0 until 50).map(h => ("c", ts(h), 2.0)) ++
+      (0 until 50).map(h => ("d", ts(h), h.toDouble))
+    val u = TimeSeries.granger(const.toDF("k", "ts", "v"),
+        "k", "ts", "v", "c", "d")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(u("c->d").getString(3) == "undefined" &&
+      u("d->c").getString(3) == "undefined")
+  }
 }
