@@ -186,7 +186,8 @@ object Plans {
       "q104b_wasserstein_fixed", // union-bounds agg, <=10-row key windows
       "pipeline_raking",         // one corpus count; IPF on the cell frame
       "q105_adf",                // one lag window + grouped moment solve
-      "q106_granger")            // hour-bounded frames, one 14-sum moment pass
+      "q106_granger",            // hour-bounded frames, one 14-sum moment pass
+      "q104c_wasserstein_windowed") // broadcast ref CDF, 10-counter groups
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

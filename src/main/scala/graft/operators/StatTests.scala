@@ -1995,7 +1995,7 @@ object StatTests {
     * bounds at the distinct-value count (continuous metrics ≈ row
     * count: the q101 per-key-sort family). The executable scale lever
     * is [[wasserstein1Fixed]].
-    * Output: (key, n_ref, n_cur, w1 round@6). */
+    * Output: (key, n_ref, n_cur, w1 round@9). */
   def wasserstein1(df: DataFrame, keyCol: String, usCol: String,
       valCol: String): DataFrame = {
     val sided = psiSided(df, keyCol, usCol, valCol)
@@ -2020,7 +2020,7 @@ object StatTests {
         when(col("n_ref") > 0L && col("n_cur") > 0L &&
           col("__w").isNotNull, term9).otherwise(lit(0L)))
       .groupBy(col("__k"), col("n_ref"), col("n_cur"))
-      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("__w1"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 9).as("__w1"))
       .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
         when(col("n_ref") > 0L && col("n_cur") > 0L, col("__w1"))
           .as("w1"))
@@ -2075,7 +2075,7 @@ object StatTests {
         when(col("n_ref") > 0L && col("n_cur") > 0L &&
           col("__gap").isNotNull, term9).otherwise(lit(0L)))
       .groupBy(col("__k"), col("n_ref"), col("n_cur"))
-      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("__w1"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 9).as("__w1"))
       .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
         when(col("n_ref") > 0L && col("n_cur") > 0L, col("__w1"))
           .as("w1"))

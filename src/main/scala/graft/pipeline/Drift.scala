@@ -80,4 +80,79 @@ object Drift {
       .withColumn("jsd", jsd)
       .drop((0 until Buckets).map(i => s"__c$i"): _*)
   }
+
+  /** Fixed-bin count for windowed Wasserstein drift — 10 keeps the
+    * per-group state at 10 counters and the |W1_binned − W1| error at
+    * one binwidth (the q104b contract). */
+  val W1Bins = 10
+
+  private def w1BinOf(v: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, 0)
+      .otherwise(floor(least(lit((W1Bins - 1).toDouble),
+        greatest(lit(0.0), (v - lo) / ((hi - lo) / W1Bins.toDouble))))
+        .cast("int"))
+
+  /** Reference frame for windowed Wasserstein drift: per key, the
+    * fixed-width bin bounds and the 9 interior CDF values of the
+    * reference window's value distribution — ONE aggregate pass, a
+    * #keys-row broadcastable frame. CDF fractions are one IEEE
+    * division of exact counts (identical in any engine). Keys drop if
+    * they have no reference rows (callers own window placement — the
+    * [[graft.operators.StatTests.psi]] convention).
+    * Output: (__k, __lo, __hi, f0..f8). */
+  def w1Ref(ref: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val src = ref.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+    val bounds = src.groupBy(col("__k"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = src.join(bounds, Seq("__k"))
+      .withColumn("__bin", w1BinOf(col("__v"), col("__lo"), col("__hi")))
+    val aggs = count(lit(1)).as("__n") +:
+      (0 until W1Bins - 1).map(i =>
+        count(when(col("__bin") <= i, 1)).as(s"__cc$i"))
+    binned.groupBy(col("__k"), col("__lo"), col("__hi"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__k") +: col("__lo") +: col("__hi") +:
+        (0 until W1Bins - 1).map(i =>
+          (col(s"__cc$i").cast("double") / col("__n").cast("double"))
+            .as(s"f$i")): _*)
+  }
+
+  /** Per-group Wasserstein-1 drift of `valCol` against the static
+    * reference CDF from [[w1Ref]] — the numeric-column sibling of
+    * [[bucketJsd]] and the streaming form of the q104b fixed-bin W1:
+    * state is W1Bins cumulative counters per group FOREVER
+    * (watermark-evictable), the readout is in the metric's own units.
+    * ONE aggregate over `groupCols` (e.g. a slice key, or a
+    * pre-projected `window(ts, ...)` struct on a watermarked stream —
+    * the identical code runs on a stream; DriftSpec asserts batch
+    * parity) after a broadcast ref join; W1 = Σ over interior bin
+    * edges |F_cur − F_ref| · binwidth, each term a rounded 1e-9 long,
+    * exact sum, round@9 (the q104 determinism contract). Rows whose
+    * key has no reference row drop with the inner join.
+    * Output: (keyCol, groupCols..., n_cur, w1). */
+  def binW1(df: DataFrame, refFrame: DataFrame, keyCol: String,
+      groupCols: Seq[String], valCol: String): DataFrame = {
+    val cur = df.filter(col(valCol).isNotNull)
+      .withColumn("__k", col(keyCol))
+      .join(broadcast(refFrame), Seq("__k"))
+      .withColumn("__bin",
+        w1BinOf(col(valCol).cast("double"), col("__lo"), col("__hi")))
+    val keys = Seq(col("__k"), col("__lo"), col("__hi")) ++
+      (0 until W1Bins - 1).map(i => col(s"f$i")) ++ groupCols.map(col)
+    val aggs = count(lit(1)).as("n_cur") +:
+      (0 until W1Bins - 1).map(i =>
+        count(when(col("__bin") <= i, 1)).as(s"__cc$i"))
+    val g = cur.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val w = (col("__hi") - col("__lo")) / W1Bins.toDouble
+    val terms = (0 until W1Bins - 1).map { i =>
+      round(abs(col(s"__cc$i").cast("double") /
+        col("n_cur").cast("double") - col(s"f$i")) * w * 1e9, 0)
+        .cast("long")
+    }
+    g.withColumn("w1",
+        round(terms.reduce(_ + _).cast("double") / 1e9, 9))
+      .select(col("__k").as(keyCol) +: groupCols.map(col) :+
+        col("n_cur") :+ col("w1"): _*)
+  }
 }

@@ -2213,7 +2213,7 @@ object StatsQueries {
        |  FROM seg GROUP BY 1, 2, 3)
        |SELECT k AS event_type, n_ref, n_cur,
        |  CASE WHEN n_ref > 0 AND n_cur > 0
-       |    THEN round(${dd("t9")} / 1e9, 6) END AS w1
+       |    THEN round(${dd("t9")} / 1e9, 9) END AS w1
        |FROM agg ORDER BY event_type""".stripMargin
   }
 
@@ -2259,6 +2259,74 @@ object StatsQueries {
         "(CAST(lead(bin) OVER (PARTITION BY c.k ORDER BY bin) - bin AS DOUBLE)" +
           " * ((hi - lo) / 10.0))")}""".stripMargin
 
+  /** q104c_wasserstein_windowed: [[graft.pipeline.Drift.binW1]] — the
+    * STREAMING-shaped form of the W1 family: per (type, 1-hour window)
+    * drift of the second half against the first half's fixed-bin
+    * reference CDF. State is 10 cumulative counters per group (the
+    * bucketJsd discipline applied to a numeric column); the identical
+    * code runs on a watermarked stream — DriftSpec asserts batch ≡
+    * stream bit-parity; this gate anchors the batch side in DuckDB. */
+  private def wassersteinWindowedQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        expr("unix_micros(ts)").as("__us"), col("value"))
+    val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val sided = ev.crossJoin(broadcast(mid))
+    val ref = sided.filter(col("__us") <= col("__mid"))
+    val cur = sided.filter(col("__us") > col("__mid"))
+      .withColumn("win", window(col("ts"), "1 hour"))
+    graft.pipeline.Drift.binW1(cur,
+        graft.pipeline.Drift.w1Ref(ref, "event_type", "value"),
+        "event_type", Seq("win"), "value")
+      .select(col("event_type"), col("win.start").as("ws"),
+        col("n_cur"), col("w1"))
+      .orderBy(col("event_type"), col("ws"))
+  }
+
+  private lazy val wassersteinWindowedSql = {
+    val bin =
+      """CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(floor(least(9.0, greatest(0.0,
+        |        (%s - b.lo) / ((b.hi - b.lo) / 10.0)))) AS INT) END""".stripMargin
+    val fs = (0 until 9).map(i =>
+      s"CAST(SUM(CASE WHEN bin <= $i THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        s"CAST(COUNT(*) AS DOUBLE) AS f$i").mkString(",\n    ")
+    val ccs = (0 until 9).map(i =>
+      s"SUM(CASE WHEN bin <= $i THEN 1 ELSE 0 END) AS cc$i")
+      .mkString(",\n    ")
+    val terms = (0 until 9).map(i =>
+      s"CAST(round(abs(CAST(cc$i AS DOUBLE) / CAST(n_cur AS DOUBLE) - f$i)" +
+        s" * ((hi - lo) / 10.0) * 1e9, 0) AS BIGINT)").mkString(" +\n      ")
+    s"""WITH src AS (
+       |  SELECT event_type AS k, ts, epoch_us(ts) AS us,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
+       |ref AS (SELECT k, v FROM src WHERE us <= (SELECT m FROM mid)),
+       |bounds AS (SELECT k, min(v) AS lo, max(v) AS hi FROM ref GROUP BY 1),
+       |rbin AS (
+       |  SELECT r.k, ${bin.format("r.v")} AS bin
+       |  FROM ref r JOIN bounds b USING (k)),
+       |rf AS (
+       |  SELECT k, $fs FROM rbin GROUP BY 1),
+       |cur AS (
+       |  SELECT k, date_trunc('hour', ts) AS ws, v
+       |  FROM src WHERE us > (SELECT m FROM mid)),
+       |cbin AS (
+       |  SELECT c.k, c.ws, ${bin.format("c.v")} AS bin, b.lo AS lo, b.hi AS hi
+       |  FROM cur c JOIN bounds b USING (k)),
+       |g AS (
+       |  SELECT k, ws, lo, hi, COUNT(*) AS n_cur, $ccs
+       |  FROM cbin GROUP BY 1, 2, 3, 4),
+       |jj AS (
+       |  SELECT g.*, ${(0 until 9).map(i => s"rf.f$i").mkString(", ")}
+       |  FROM g JOIN rf USING (k))
+       |SELECT k AS event_type, ws, n_cur,
+       |  round(CAST(($terms) AS DOUBLE) / 1e9, 9) AS w1
+       |FROM jj ORDER BY event_type, ws""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q101_psi",
       "Population Stability Index per series: ref-decile bins, banded drift label",
@@ -2272,6 +2340,9 @@ object StatsQueries {
     Capability("q104b_wasserstein_fixed",
       "Wasserstein-1 over fixed-width union-support bins: no per-key sort, the scale path",
       wassersteinFixedQ, Some(wassersteinFixedSql)),
+    Capability("q104c_wasserstein_windowed",
+      "windowed W1 vs a static reference CDF: 10-counter state, stream-shaped",
+      wassersteinWindowedQ, Some(wassersteinWindowedSql)),
     Capability("q102_energy",
       "energy distance between two cohorts (whole-distribution two-sample readout)",
       energyQ, Some(energySql)),

@@ -62,4 +62,50 @@ class DriftSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size == 4)
   }
+
+  test("windowed Wasserstein on a stream equals the batch computation; " +
+      "self-reference reads zero") {
+    import spark.implicits._
+    // reference: a fixed value spread per key; stream: four 1-hour
+    // windows, two repeating the reference exactly (w1 = 0) and two
+    // shifted (w1 > 0)
+    def ts(h: Int, i: Int) =
+      new java.sql.Timestamp(1700000000000L + h * 3600000L + i * 1000L)
+    val refRows = (0 until 100).map(i => ("m", 1.0 + i % 10))
+    val ref = graft.pipeline.Drift.w1Ref(refRows.toDF("k", "v"), "k", "v")
+    val curRows = (0 until 4).flatMap { h =>
+      (0 until 100).map { i =>
+        val v = if (h % 2 == 0) 1.0 + i % 10 else 6.0 + i % 10
+        ("m", ts(h, i), v)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_w1stream").toFile
+    val cur = curRows.toDF("k", "ts", "v")
+    cur.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Drift.binW1(
+          df.withColumn("win", window(col("ts"), "1 hour")),
+          ref, "k", Seq("win"), "v")
+        .select(col("win.start").as("ws"), col("n_cur"), col("w1"))
+    val stream = spark.readStream.schema(cur.schema)
+      .parquet(dir.getAbsolutePath)
+    val query = windowed(stream).writeStream
+      .format("memory").queryName("graft_w1_win")
+      .outputMode("complete").start()
+    val streamed =
+      try {
+        query.processAllAvailable()
+        spark.table("graft_w1_win").collect()
+          .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      } finally query.stop()
+    val batch = windowed(cur).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+    val byHour = batch.toSeq.sortBy(_._1.getTime).map(_._2._2)
+    assert(byHour(0) == 0.0 && byHour(2) == 0.0,
+      "self-reference windows read exactly 0")
+    assert(byHour(1) > 1.0 && byHour(3) > 1.0,
+      "a +5 shift clamps into the upper bins and reads > 1 unit")
+  }
 }

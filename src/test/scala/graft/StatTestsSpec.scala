@@ -1189,7 +1189,7 @@ class StatTestsSpec extends AnyFunSuite {
     // mirror the operator's arithmetic exactly
     val w = (1100.0 - 1.0) / 10.0
     val expected = BigDecimal(math.round(1.0 * (9.0 * w) * 1e9).toDouble / 1e9)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out("move").getDouble(3) == expected)
     assert(math.abs(out("move").getDouble(3) - 1000.0) <= w)
     assert(out("same").getDouble(3) == 0.0)
