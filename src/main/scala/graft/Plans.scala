@@ -187,7 +187,8 @@ object Plans {
       "pipeline_raking",         // one corpus count; IPF on the cell frame
       "q105_adf",                // one lag window + grouped moment solve
       "q106_granger",            // hour-bounded frames, one 14-sum moment pass
-      "q104c_wasserstein_windowed") // broadcast ref CDF, 10-counter groups
+      "q104c_wasserstein_windowed", // broadcast ref CDF, 10-counter groups
+      "q105b_adf_hourly")        // map-side hourly reduction, bucket-frame window
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

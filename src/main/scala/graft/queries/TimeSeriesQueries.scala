@@ -207,7 +207,42 @@ object TimeSeriesQueries {
         "event_type", "__us", "event_id", "value")
       .orderBy(col("event_type"))
 
-  private lazy val adfSql = {
+  /** q105b_adf_hourly: the q105 scale note made executable (the
+    * q81b/q100b/q99b precedent): the per-key total order the ADF
+    * window needs bounds parallelism at the key count, so at 100× the
+    * raw-series form pays the per-key-sort bill (22.5× measured);
+    * running the SAME test on hourly mean values reduces map-side
+    * FIRST — the series length is the hour count, the window input is
+    * a bucket frame, and the scan is the only thing that grows. The
+    * hourly mean is itself the standard deployment (unit-root checks
+    * run on the aggregated metric being monitored, not raw ticks). */
+  private def adfHourlyQ(s: SparkSession, d: String): DataFrame =
+    TimeSeries.adf(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(date_trunc('hour', ts))").as("__b"))
+          .agg((sum(graft.Det.dec(col("value"))).cast("double") /
+            count(lit(1)).cast("double")).as("__v")),
+        "event_type", "__b", "__b", "__v")
+      .orderBy(col("event_type"))
+
+  private lazy val adfHourlySql = adfSqlChain(
+    """src AS (
+      |  SELECT event_type AS k, epoch_us(date_trunc('hour', ts)) AS t,
+      |    epoch_us(date_trunc('hour', ts)) AS i,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3)""".stripMargin)
+
+  private lazy val adfSql = adfSqlChain(
+    """src AS (
+      |  SELECT event_type AS k, epoch_us(ts) AS t, event_id AS i,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL)""".stripMargin)
+
+  /** The ADF oracle chain over any `src` CTE shaped (k, t, i, v) — one
+    * definition for the raw-series and hourly-mean gates. */
+  private def adfSqlChain(srcCte: String) = {
     val det =
       """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
         | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
@@ -221,10 +256,7 @@ object TimeSeriesQueries {
       """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
         | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
     def ds(e: String) = graft.Det.sqlSum(e)
-    s"""WITH src AS (
-       |  SELECT event_type AS k, epoch_us(ts) AS t, event_id AS i,
-       |    CAST(value AS DOUBLE) AS v
-       |  FROM events WHERE value IS NOT NULL),
+    s"""WITH $srcCte,
        |l1 AS (
        |  SELECT k, t, i, v,
        |    lag(v) OVER (PARTITION BY k ORDER BY t, i) AS vl
@@ -696,6 +728,9 @@ object TimeSeriesQueries {
     Capability("q105_adf",
       "augmented Dickey-Fuller unit-root test per series (lag 1, DF bands)",
       adfQ, Some(adfSql)),
+    Capability("q105b_adf_hourly",
+      "ADF over hourly means: map-side-first reduction, the scale path",
+      adfHourlyQ, Some(adfHourlySql)),
     Capability("q106_granger",
       "pairwise lag-1 Granger causality over hourly series, both directions",
       grangerQ, Some(grangerSql)),
