@@ -1957,15 +1957,27 @@ object StatTests {
     val bounds = sided.filter(col("__ref") === 1)
       .groupBy(col("__k"))
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    val w = (col("__hi") - col("__lo")) / nBins.toDouble
-    val ratio = (col("__v") - col("__lo")) / w
     val binned = sided.join(bounds, Seq("__k"))
       .withColumn("__bin",
-        when(col("__hi") === col("__lo"), 0)
-          .otherwise(floor(least(lit((nBins - 1).toDouble),
-            greatest(lit(0.0), ratio))).cast("int")))
+        clampBinOf(col("__v"), col("__lo"), col("__hi"), nBins))
     psiFromBins(binned, keyCol, eps)
   }
+
+  /** THE clamp-bin contract every fixed-width-bin operator shares
+    * (psiFixed, wasserstein1Fixed, the windowed/streaming
+    * [[graft.pipeline.Drift]].binW1): bin = ⌊clamp((v − lo)/w, 0,
+    * nBins−1)⌋ with the CLAMP ON THE DOUBLE RATIO before any
+    * floor/cast (a far-out-of-range value — ratio overflowing to ±Inf
+    * included — lands in an edge bin, never overflows an integer
+    * cast), and a zero-width support pinning everything to bin 0.
+    * One definition so the batch, stream and oracle forms can never
+    * fork. */
+  private[graft] def clampBinOf(v: Column, lo: Column, hi: Column,
+      nBins: Int): Column =
+    when(hi === lo, 0)
+      .otherwise(floor(least(lit((nBins - 1).toDouble),
+        greatest(lit(0.0), (v - lo) / ((hi - lo) / nBins.toDouble))))
+        .cast("int"))
 
   /** 1-D Wasserstein-1 (earth-mover) distance per key between the
     * reference and current halves of the series — the drift readout
@@ -1984,7 +1996,9 @@ object StatTests {
     *
     * Determinism: CDF fractions are one IEEE division of exact longs,
     * each segment term rounds to a 1e-9 long before the exact sum
-    * (the q65/q71 rounded-term idiom), final round@6. A key with an
+    * (the q65/q71 rounded-term idiom), final round@9 (a 9-decimal
+    * quotient re-rounded coarser can tie at .500 — the r12 link-predict
+    * trap). A key with an
     * empty reference OR current half emits NULL w1 (a distance to an
     * empty sample is undefined — never 0, never Inf), with both
     * counts still reported.
@@ -2048,12 +2062,9 @@ object StatTests {
     val bounds = sided.groupBy(col("__k"))
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     val bw = (col("__hi") - col("__lo")) / nBins.toDouble
-    val ratio = (col("__v") - col("__lo")) / bw
     val cells = sided.join(bounds, Seq("__k"))
       .withColumn("__bin",
-        when(col("__hi") === col("__lo"), 0)
-          .otherwise(floor(least(lit((nBins - 1).toDouble),
-            greatest(lit(0.0), ratio))).cast("int")))
+        clampBinOf(col("__v"), col("__lo"), col("__hi"), nBins))
       .groupBy(col("__k"), col("__bin"), col("__lo"), col("__hi")).agg(
         sum(col("__ref")).as("cr"),
         sum(lit(1L) - col("__ref")).as("cc"))

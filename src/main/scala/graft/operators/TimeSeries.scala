@@ -207,26 +207,12 @@ object TimeSeries {
       graft.Det.dsum(col("x") * col("x")).as("sxx"),
       graft.Det.dsum(col("y") * col("y")).as("syy"))
     val n = col("n")
-    // target on (1, own-lag s2, other-lag s3): the ols2 Cramer order
+    // target on (1, own-lag s2, other-lag s3): the shared cramer3 solve
     def fStat(s2: Column, s3: Column, sy: Column, s22: Column,
         s23: Column, s33: Column, s2y: Column, s3y: Column,
         syy: Column): Column = {
-      val det = n * (s22 * s33 - s23 * s23) -
-        s2 * (s2 * s33 - s23 * s3) + s3 * (s2 * s23 - s22 * s3)
-      val det1 = sy * (s22 * s33 - s23 * s23) -
-        s2 * (s2y * s33 - s23 * s3y) + s3 * (s2y * s23 - s22 * s3y)
-      val det2 = n * (s2y * s33 - s23 * s3y) -
-        sy * (s2 * s33 - s23 * s3) + s3 * (s2 * s3y - s2y * s3)
-      val det3 = n * (s22 * s3y - s2y * s23) -
-        s2 * (s2 * s3y - s2y * s3) + sy * (s2 * s23 - s22 * s3)
-      val detSafe = when(abs(det) > 0.0, det)
-      val b0 = det1 / detSafe
-      val b1 = det2 / detSafe
-      val b2 = det3 / detSafe
-      val sseU = syy - lit(2.0) * (b0 * sy + b1 * s2y + b2 * s3y) +
-        (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
-          lit(2.0) * b0 * b1 * s2 + lit(2.0) * b0 * b2 * s3 +
-          lit(2.0) * b1 * b2 * s23)
+      val (det, _, _, _, sseU) =
+        cramer3(n, s2, s3, sy, s22, s23, s33, s2y, s3y, syy)
       val drs = n * s22 - s2 * s2
       val br = (n * s2y - s2 * sy) / when(abs(drs) > 0.0, drs)
       val ar = (sy - br * s2) / when(n > 0.0, n)
@@ -563,33 +549,11 @@ object TimeSeries {
       graft.Det.dsum(col("x3") * col("y")).as("s3y"),
       graft.Det.dsum(col("y") * col("y")).as("syy"))
     def c(s: String): Column = col(s)
-    // Cramer determinants in ols2's exact operand order (q59-gated)
-    val det = c("n") * (c("s22") * c("s33") - c("s23") * c("s23")) -
-      c("s2") * (c("s2") * c("s33") - c("s23") * c("s3")) +
-      c("s3") * (c("s2") * c("s23") - c("s22") * c("s3"))
-    val det1 = c("sy") * (c("s22") * c("s33") - c("s23") * c("s23")) -
-      c("s2") * (c("s2y") * c("s33") - c("s23") * c("s3y")) +
-      c("s3") * (c("s2y") * c("s23") - c("s22") * c("s3y"))
-    val det2 = c("n") * (c("s2y") * c("s33") - c("s23") * c("s3y")) -
-      c("sy") * (c("s2") * c("s33") - c("s23") * c("s3")) +
-      c("s3") * (c("s2") * c("s3y") - c("s2y") * c("s3"))
-    val det3 = c("n") * (c("s22") * c("s3y") - c("s2y") * c("s23")) -
-      c("s2") * (c("s2") * c("s3y") - c("s2y") * c("s3")) +
-      c("sy") * (c("s2") * c("s23") - c("s22") * c("s3"))
-    // ANSI throws on double division by zero where DuckDB yields NULL —
-    // a NULL-when-zero divisor reproduces the oracle's semantics exactly
-    // (singular system / too-few points flow to NULL, then 'undefined')
-    val detSafe = when(abs(det) > 0.0, det)
-    val b0 = det1 / detSafe
-    val b1 = det2 / detSafe
-    val b2 = det3 / detSafe
-    val sse = c("syy") -
-      lit(2.0) * (b0 * c("sy") + b1 * c("s2y") + b2 * c("s3y")) +
-      (b0 * b0 * c("n") + b1 * b1 * c("s22") + b2 * b2 * c("s33") +
-        lit(2.0) * b0 * b1 * c("s2") + lit(2.0) * b0 * b2 * c("s3") +
-        lit(2.0) * b1 * b2 * c("s23"))
+    val (det, _, b1, _, sse) = cramer3(c("n"), c("s2"), c("s3"), c("sy"),
+      c("s22"), c("s23"), c("s33"), c("s2y"), c("s3y"), c("syy"))
     val cof22 = c("n") * c("s33") - c("s3") * c("s3")
-    val varG = sse / when(c("n") > 3.0, c("n") - lit(3.0)) * cof22 / detSafe
+    val varG = sse / when(c("n") > 3.0, c("n") - lit(3.0)) * cof22 /
+      when(abs(det) > 0.0, det)
     val ok = c("n") > 3.0 && abs(det) > 0.0 && varG > 0.0
     val out = m
       .withColumn("gamma", when(ok, round(b1, 9)))
@@ -601,6 +565,36 @@ object TimeSeries {
         .when(col("adf_t") < -2.86, "stationary_5pct")
         .when(col("adf_t") < -2.57, "stationary_10pct")
         .otherwise("unit_root").as("verdict"))
+  }
+
+  /** ONE definition of the trivariate Cramer solve ([[graft.operators
+    * .StatTests.ols2]]'s exact operand order, q59/q63/q68-gated) shared
+    * by [[adf]] and [[granger]]: determinants, coefficients and the SSE
+    * expansion over moments (n, s2, s3, sy, s22, s23, s33, s2y, s3y,
+    * syy). Divisions carry the NULL-when-zero divisor (ANSI throws on
+    * double /0 where DuckDB yields NULL — NULL reproduces the oracle's
+    * semantics: singular systems flow to NULL, then 'undefined').
+    * Returns (det, b0, b1, b2, sse). */
+  private def cramer3(n: Column, s2: Column, s3: Column, sy: Column,
+      s22: Column, s23: Column, s33: Column, s2y: Column, s3y: Column,
+      syy: Column): (Column, Column, Column, Column, Column) = {
+    val det = n * (s22 * s33 - s23 * s23) -
+      s2 * (s2 * s33 - s23 * s3) + s3 * (s2 * s23 - s22 * s3)
+    val det1 = sy * (s22 * s33 - s23 * s23) -
+      s2 * (s2y * s33 - s23 * s3y) + s3 * (s2y * s23 - s22 * s3y)
+    val det2 = n * (s2y * s33 - s23 * s3y) -
+      sy * (s2 * s33 - s23 * s3) + s3 * (s2 * s3y - s2y * s3)
+    val det3 = n * (s22 * s3y - s2y * s23) -
+      s2 * (s2 * s3y - s2y * s3) + sy * (s2 * s23 - s22 * s3)
+    val detSafe = when(abs(det) > 0.0, det)
+    val b0 = det1 / detSafe
+    val b1 = det2 / detSafe
+    val b2 = det3 / detSafe
+    val sse = syy - lit(2.0) * (b0 * sy + b1 * s2y + b2 * s3y) +
+      (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+        lit(2.0) * b0 * b1 * s2 + lit(2.0) * b0 * b2 * s3 +
+        lit(2.0) * b1 * b2 * s23)
+    (det, b0, b1, b2, sse)
   }
 
   def cusum(

@@ -86,11 +86,10 @@ object Drift {
     * one binwidth (the q104b contract). */
   val W1Bins = 10
 
+  // ONE definition of the q104 clamp-bin contract, shared with the
+  // batch fixed-bin variant so batch/stream/gate can never fork
   private def w1BinOf(v: Column, lo: Column, hi: Column): Column =
-    when(hi === lo, 0)
-      .otherwise(floor(least(lit((W1Bins - 1).toDouble),
-        greatest(lit(0.0), (v - lo) / ((hi - lo) / W1Bins.toDouble))))
-        .cast("int"))
+    graft.operators.StatTests.clampBinOf(v, lo, hi, W1Bins)
 
   /** Reference frame for windowed Wasserstein drift: per key, the
     * fixed-width bin bounds and the 9 interior CDF values of the
@@ -129,7 +128,12 @@ object Drift {
     * parity) after a broadcast ref join; W1 = Σ over interior bin
     * edges |F_cur − F_ref| · binwidth, each term a rounded 1e-9 long,
     * exact sum, round@9 (the q104 determinism contract). Rows whose
-    * key has no reference row drop with the inner join.
+    * key has no reference row drop with the inner join. A key whose
+    * reference support is ZERO-WIDTH (a constant) reads NULL, never 0:
+    * a point reference cannot anchor a binned CDF, and an arbitrarily
+    * large drift away from the constant would otherwise read "no
+    * drift" — the q104b union-bounds form does not have this blind
+    * spot, so there 0 stays exact; here NULL is the honest readout.
     * Output: (keyCol, groupCols..., n_cur, w1). */
   def binW1(df: DataFrame, refFrame: DataFrame, keyCol: String,
       groupCols: Seq[String], valCol: String): DataFrame = {
@@ -151,7 +155,8 @@ object Drift {
         .cast("long")
     }
     g.withColumn("w1",
-        round(terms.reduce(_ + _).cast("double") / 1e9, 9))
+        when(col("__hi") =!= col("__lo"),
+          round(terms.reduce(_ + _).cast("double") / 1e9, 9)))
       .select(col("__k").as(keyCol) +: groupCols.map(col) :+
         col("n_cur") :+ col("w1"): _*)
   }

@@ -2175,7 +2175,7 @@ object StatsQueries {
     * next to q101's unitless divergence: "the purchase-value
     * distribution moved W1 dollars". Exact CDF-difference integral
     * over the per-(type, value) count frame; rounded 1e-9 segment
-    * terms, final round@6. */
+    * terms, final round@9. */
   private def wassersteinQ(s: SparkSession, d: String): DataFrame =
     StatTests.wasserstein1(
         Tables.events(s, d)
@@ -2323,7 +2323,8 @@ object StatsQueries {
        |  SELECT g.*, ${(0 until 9).map(i => s"rf.f$i").mkString(", ")}
        |  FROM g JOIN rf USING (k))
        |SELECT k AS event_type, ws, n_cur,
-       |  round(CAST(($terms) AS DOUBLE) / 1e9, 9) AS w1
+       |  CASE WHEN hi <> lo
+       |    THEN round(CAST(($terms) AS DOUBLE) / 1e9, 9) END AS w1
        |FROM jj ORDER BY event_type, ws""".stripMargin
   }
 

@@ -240,21 +240,37 @@ object TimeSeriesQueries {
       |    CAST(value AS DOUBLE) AS v
       |  FROM events WHERE value IS NOT NULL)""".stripMargin)
 
+  /** Shared trivariate-Cramer oracle fragments over generic moment
+    * names (n, s2, s3, sy, s22, s23, s33, s2y, s3y, syy) and the b0/b1/
+    * b2 coefficient names — ONE definition for the ADF and Granger
+    * chains, mirroring [[TimeSeries]]'s cramer3 operand for operand
+    * (the q59-gated order): a reorder applied to one chain can no
+    * longer silently diverge the other. */
+  private val c3Det =
+    """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
+      | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+  private val c3Det1 =
+    """(sy * (s22 * s33 - s23 * s23) - s2 * (s2y * s33 - s23 * s3y)
+      | + s3 * (s2y * s23 - s22 * s3y))""".stripMargin.replace("\n", "")
+  private val c3Det2 =
+    """(n * (s2y * s33 - s23 * s3y) - sy * (s2 * s33 - s23 * s3)
+      | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
+  private val c3Det3 =
+    """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
+      | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+  private val c3Sse =
+    """syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
+      |      (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
+      |       2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 +
+      |       2.0 * b1 * b2 * s23)""".stripMargin
+
   /** The ADF oracle chain over any `src` CTE shaped (k, t, i, v) — one
     * definition for the raw-series and hourly-mean gates. */
   private def adfSqlChain(srcCte: String) = {
-    val det =
-      """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
-        | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
-    val det2 =
-      """(n * (s2y * s33 - s23 * s3y) - sy * (s2 * s33 - s23 * s3)
-        | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
-    val det1 =
-      """(sy * (s22 * s33 - s23 * s23) - s2 * (s2y * s33 - s23 * s3y)
-        | + s3 * (s2y * s23 - s22 * s3y))""".stripMargin.replace("\n", "")
-    val det3 =
-      """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
-        | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    val det = c3Det
+    val det1 = c3Det1
+    val det2 = c3Det2
+    val det3 = c3Det3
     def ds(e: String) = graft.Det.sqlSum(e)
     s"""WITH $srcCte,
        |l1 AS (
@@ -282,10 +298,7 @@ object TimeSeriesQueries {
        |  FROM m),
        |e AS (
        |  SELECT *,
-       |    syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
-       |      (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
-       |       2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 +
-       |       2.0 * b1 * b2 * s23) AS sse
+       |    $c3Sse AS sse
        |  FROM b),
        |f AS (
        |  SELECT *, sse / (n - 3.0) * (n * s33 - s3 * s3) / dt AS varg
@@ -324,18 +337,10 @@ object TimeSeriesQueries {
          |  FROM events WHERE event_type = '$t' AND value IS NOT NULL
          |  GROUP BY 1""".stripMargin
     def ds(e: String) = graft.Det.sqlSum(e)
-    val det =
-      """(n * (s22 * s33 - s23 * s23) - s2 * (s2 * s33 - s23 * s3)
-        | + s3 * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
-    val det1 =
-      """(sy * (s22 * s33 - s23 * s23) - s2 * (s2y * s33 - s23 * s3y)
-        | + s3 * (s2y * s23 - s22 * s3y))""".stripMargin.replace("\n", "")
-    val det2 =
-      """(n * (s2y * s33 - s23 * s3y) - sy * (s2 * s33 - s23 * s3)
-        | + s3 * (s2 * s3y - s2y * s3))""".stripMargin.replace("\n", "")
-    val det3 =
-      """(n * (s22 * s3y - s2y * s23) - s2 * (s2 * s3y - s2y * s3)
-        | + sy * (s2 * s23 - s22 * s3))""".stripMargin.replace("\n", "")
+    val det = c3Det
+    val det1 = c3Det1
+    val det2 = c3Det2
+    val det3 = c3Det3
     s"""WITH xs AS (
        |  ${ser("click", "x")}),
        |ys AS (
@@ -371,10 +376,7 @@ object TimeSeriesQueries {
        |  FROM dirs),
        |ee AS (
        |  SELECT *,
-       |    syy - 2.0 * (b0 * sy + b1 * s2y + b2 * s3y) +
-       |      (b0 * b0 * n + b1 * b1 * s22 + b2 * b2 * s33 +
-       |       2.0 * b0 * b1 * s2 + 2.0 * b0 * b2 * s3 +
-       |       2.0 * b1 * b2 * s23) AS sseu,
+       |    $c3Sse AS sseu,
        |    (n * s2y - s2 * sy) /
        |      (CASE WHEN abs(n * s22 - s2 * s2) > 0.0
        |        THEN n * s22 - s2 * s2 END) AS br
