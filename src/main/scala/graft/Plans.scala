@@ -188,7 +188,8 @@ object Plans {
       "q105_adf",                // one lag window + grouped moment solve
       "q106_granger",            // hour-bounded frames, one 14-sum moment pass
       "q104c_wasserstein_windowed", // broadcast ref CDF, 10-counter groups
-      "q105b_adf_hourly")        // map-side hourly reduction, bucket-frame window
+      "q105b_adf_hourly",        // map-side hourly reduction, bucket-frame window
+      "q101c_psi_windowed")      // broadcast ref shares, 10-counter groups
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

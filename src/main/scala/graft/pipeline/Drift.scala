@@ -117,6 +117,76 @@ object Drift {
             .as(s"f$i")): _*)
   }
 
+  /** Reference frame for windowed PSI: per key, the fixed-width bin
+    * bounds and the 10 bin SHARES of the reference window's value
+    * distribution (where [[w1Ref]] carries the cumulative CDF, PSI
+    * needs the per-bin mass). Same ONE-aggregate shape and broadcast
+    * size. Output: (__k, __lo, __hi, p0..p9). */
+  def psiRefFixed(ref: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val src = ref.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+    val bounds = src.groupBy(col("__k"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = src.join(bounds, Seq("__k"))
+      .withColumn("__bin", w1BinOf(col("__v"), col("__lo"), col("__hi")))
+    val aggs = count(lit(1)).as("__n") +:
+      (0 until W1Bins).map(i =>
+        count(when(col("__bin") === i, 1)).as(s"__c$i"))
+    binned.groupBy(col("__k"), col("__lo"), col("__hi"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__k") +: col("__lo") +: col("__hi") +:
+        (0 until W1Bins).map(i =>
+          (col(s"__c$i").cast("double") / col("__n").cast("double"))
+            .as(s"p$i")): _*)
+  }
+
+  /** Per-group PSI of `valCol` against the static reference shares
+    * from [[psiRefFixed]] — the windowed/STREAMING form of the q101b
+    * fixed-bin PSI (the [[binW1]] counter machinery applied to the
+    * share divergence): 10 bin counters of bounded state per group,
+    * term_b = (p'_b − q'_b)·ln(p'_b/q'_b) with both shares floored at
+    * `eps` (the [[graft.operators.StatTests.psi]] convention), each
+    * term a rounded 1e-9 long, exact sum, round@6 + the
+    * stable/moderate/shifted bands on the rounded value. A zero-width
+    * reference reads PSI = 0, NOT NULL — deliberately unlike
+    * [[binW1]]: PSI is a SHARE statistic and with everything pinned
+    * to bin 0 on both sides the shares genuinely are identical,
+    * whereas W1 claims a zero DISTANCE it cannot know (q101b's
+    * documented bin-0 convention). Identical code runs on a
+    * watermarked stream; DriftSpec asserts batch parity.
+    * Output: (keyCol, groupCols..., n_cur, psi, shift). */
+  def binPsi(df: DataFrame, refFrame: DataFrame, keyCol: String,
+      groupCols: Seq[String], valCol: String,
+      eps: Double = 1e-4): DataFrame = {
+    require(eps > 0.0 && eps < 0.1, s"eps in (0, 0.1), got $eps")
+    val cur = df.filter(col(valCol).isNotNull)
+      .withColumn("__k", col(keyCol))
+      .join(broadcast(refFrame), Seq("__k"))
+      .withColumn("__bin",
+        w1BinOf(col(valCol).cast("double"), col("__lo"), col("__hi")))
+    val keys = Seq(col("__k"), col("__lo"), col("__hi")) ++
+      (0 until W1Bins).map(i => col(s"p$i")) ++ groupCols.map(col)
+    val aggs = count(lit(1)).as("n_cur") +:
+      (0 until W1Bins).map(i =>
+        count(when(col("__bin") === i, 1)).as(s"__c$i"))
+    val g = cur.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val terms = (0 until W1Bins).map { i =>
+      val p = greatest(col(s"p$i"), lit(eps))
+      val q = greatest(
+        col(s"__c$i").cast("double") / col("n_cur").cast("double"),
+        lit(eps))
+      round((p - q) * log(p / q) * 1e9, 0).cast("long")
+    }
+    g.withColumn("psi",
+        round(terms.reduce(_ + _).cast("double") / 1e9, 6))
+      .select(col("__k").as(keyCol) +: groupCols.map(col) :+
+        col("n_cur") :+ col("psi") :+
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted").as("shift"): _*)
+  }
+
   /** Per-group Wasserstein-1 drift of `valCol` against the static
     * reference CDF from [[w1Ref]] — the numeric-column sibling of
     * [[bucketJsd]] and the streaming form of the q104b fixed-bin W1:

@@ -2328,6 +2328,84 @@ object StatsQueries {
        |FROM jj ORDER BY event_type, ws""".stripMargin
   }
 
+  /** q101c_psi_windowed: [[graft.pipeline.Drift.binPsi]] — the
+    * windowed/STREAMING form of the PSI family (the q104c counter
+    * machinery applied to the share divergence): per (type, 1-hour
+    * window) PSI of the second half against the first half's fixed-bin
+    * reference shares, 10 counters of state per group, the same eps
+    * floor / rounded ln terms / bands as q101b. Identical code runs on
+    * a watermarked stream (DriftSpec batch ≡ stream); this gate
+    * anchors the batch side in DuckDB. */
+  private def psiWindowedQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        expr("unix_micros(ts)").as("__us"), col("value"))
+    val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val sided = ev.crossJoin(broadcast(mid))
+    val ref = sided.filter(col("__us") <= col("__mid"))
+    val cur = sided.filter(col("__us") > col("__mid"))
+      .withColumn("win", window(col("ts"), "1 hour"))
+    graft.pipeline.Drift.binPsi(cur,
+        graft.pipeline.Drift.psiRefFixed(ref, "event_type", "value"),
+        "event_type", Seq("win"), "value")
+      .select(col("event_type"), col("win.start").as("ws"),
+        col("n_cur"), col("psi"), col("shift"))
+      .orderBy(col("event_type"), col("ws"))
+  }
+
+  private lazy val psiWindowedSql = {
+    val bin =
+      """CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(floor(least(9.0, greatest(0.0,
+        |        (%s - b.lo) / ((b.hi - b.lo) / 10.0)))) AS INT) END""".stripMargin
+    val ps = (0 until 10).map(i =>
+      s"CAST(SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        s"CAST(COUNT(*) AS DOUBLE) AS p$i").mkString(",\n    ")
+    val cs = (0 until 10).map(i =>
+      s"SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS c$i")
+      .mkString(",\n    ")
+    def gp(i: Int) = s"greatest(p$i, 0.0001)"
+    def gq(i: Int) =
+      s"greatest(CAST(c$i AS DOUBLE) / CAST(n_cur AS DOUBLE), 0.0001)"
+    val terms = (0 until 10).map(i =>
+      s"CAST(round((${gp(i)} - ${gq(i)}) * ln(${gp(i)} / ${gq(i)})" +
+        s" * 1e9, 0) AS BIGINT)").mkString(" +\n      ")
+    s"""WITH src AS (
+       |  SELECT event_type AS k, ts, epoch_us(ts) AS us,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM src),
+       |ref AS (SELECT k, v FROM src WHERE us <= (SELECT m FROM mid)),
+       |bounds AS (SELECT k, min(v) AS lo, max(v) AS hi FROM ref GROUP BY 1),
+       |rbin AS (
+       |  SELECT r.k, ${bin.format("r.v")} AS bin
+       |  FROM ref r JOIN bounds b USING (k)),
+       |rf AS (
+       |  SELECT k, $ps FROM rbin GROUP BY 1),
+       |cur AS (
+       |  SELECT k, date_trunc('hour', ts) AS ws, v
+       |  FROM src WHERE us > (SELECT m FROM mid)),
+       |cbin AS (
+       |  SELECT c.k, c.ws, ${bin.format("c.v")} AS bin
+       |  FROM cur c JOIN bounds b USING (k)),
+       |g AS (
+       |  SELECT k, ws, COUNT(*) AS n_cur, $cs
+       |  FROM cbin GROUP BY 1, 2),
+       |jj AS (
+       |  SELECT g.*, ${(0 until 10).map(i => s"rf.p$i").mkString(", ")}
+       |  FROM g JOIN rf USING (k)),
+       |res AS (
+       |  SELECT k, ws, n_cur,
+       |    round(CAST(($terms) AS DOUBLE) / 1e9, 6) AS psi
+       |  FROM jj)
+       |SELECT k AS event_type, ws, n_cur, psi,
+       |  CASE WHEN psi < 0.1 THEN 'stable'
+       |       WHEN psi < 0.25 THEN 'moderate'
+       |       ELSE 'shifted' END AS shift
+       |FROM res ORDER BY event_type, ws""".stripMargin
+  }
+
   val caps: Seq[Capability] = Seq(
     Capability("q101_psi",
       "Population Stability Index per series: ref-decile bins, banded drift label",
@@ -2335,6 +2413,9 @@ object StatsQueries {
     Capability("q101b_psi_fixed",
       "PSI with equi-width reference bins: no per-key sort, the scale path",
       psiFixedQ, Some(psiFixedSql)),
+    Capability("q101c_psi_windowed",
+      "windowed PSI vs static reference shares: 10-counter state, stream-shaped",
+      psiWindowedQ, Some(psiWindowedSql)),
     Capability("q104_wasserstein",
       "1-D Wasserstein-1 drift per series: exact CDF-difference integral, metric units",
       wassersteinQ, Some(wassersteinSql)),

@@ -108,4 +108,49 @@ class DriftSpec extends AnyFunSuite {
     assert(byHour(1) > 1.0 && byHour(3) > 1.0,
       "a +5 shift clamps into the upper bins and reads > 1 unit")
   }
+
+  test("windowed PSI on a stream equals the batch computation; " +
+      "bands follow the share movement") {
+    import spark.implicits._
+    def ts(h: Int, i: Int) =
+      new java.sql.Timestamp(1700000000000L + h * 3600000L + i * 1000L)
+    val refRows = (0 until 100).map(i => ("m", 1.0 + i % 10))
+    val ref = graft.pipeline.Drift.psiRefFixed(refRows.toDF("k", "v"),
+      "k", "v")
+    val curRows = (0 until 4).flatMap { h =>
+      (0 until 100).map { i =>
+        val v = if (h % 2 == 0) 1.0 + i % 10 else 6.0 + i % 10
+        ("m", ts(h, i), v)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_psistream").toFile
+    val cur = curRows.toDF("k", "ts", "v")
+    cur.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Drift.binPsi(
+          df.withColumn("win", window(col("ts"), "1 hour")),
+          ref, "k", Seq("win"), "v")
+        .select(col("win.start").as("ws"), col("psi"), col("shift"))
+    val stream = spark.readStream.schema(cur.schema)
+      .parquet(dir.getAbsolutePath)
+    val query = windowed(stream).writeStream
+      .format("memory").queryName("graft_psi_win")
+      .outputMode("complete").start()
+    val streamed =
+      try {
+        query.processAllAvailable()
+        spark.table("graft_psi_win").collect()
+          .map(r => r.getTimestamp(0) -> (r.getDouble(1), r.getString(2)))
+          .toMap
+      } finally query.stop()
+    val batch = windowed(cur).collect()
+      .map(r => r.getTimestamp(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+    val byHour = batch.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(byHour(0) == (0.0, "stable") && byHour(2) == (0.0, "stable"),
+      "identical shares read exactly 0/stable")
+    assert(byHour(1)._2 == "shifted" && byHour(3)._2 == "shifted",
+      "half the mass clamping into the top bin reads shifted")
+  }
 }
