@@ -48,10 +48,12 @@ object Raking {
       .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
       .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
       .agg(count(lit(1)).as("n"))
-    val dims = cells.agg(
-      countDistinct(col("__r")).as("kr"),
-      countDistinct(col("__c")).as("kc"),
-      sum(col("n")).as("nt"))
+    // two single-distinct aggregates, not one multi-distinct (which
+    // would plan the 3x Expand shape the lint sweep hunts); both are
+    // 1-row frames riding the same broadcast
+    val dims = cells
+      .agg(countDistinct(col("__r")).as("kr"), sum(col("n")).as("nt"))
+      .crossJoin(cells.agg(countDistinct(col("__c")).as("kc")))
     val init = cells.crossJoin(broadcast(dims))
       .withColumn("m",
         round(col("n").cast("double") / col("nt").cast("double") * 1e12, 0)

@@ -279,6 +279,29 @@ class LintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("round-13 drift/causal additions carry no UNJUSTIFIED plan findings") {
+    val justified: Map[String, Set[String]] = Map(
+      // the global time midpoint is a 1-row broadcast (the psiSided
+      // shape q101/q102 already justify)
+      "q104_wasserstein" -> Set("cartesian"),
+      "q104b_wasserstein_fixed" -> Set("cartesian"),
+      "q104c_wasserstein_windowed" -> Set("cartesian"),
+      "q101c_psi_windowed" -> Set("cartesian"),
+      // the (kr, kc, nt) dims frame is a 1-row broadcast the IPF cell
+      // frame rides; the cell frame itself is marginal-bounded
+      "pipeline_raking" -> Set("cartesian"))
+    val offenders = Seq("q104_wasserstein", "q104b_wasserstein_fixed",
+      "q104c_wasserstein_windowed", "q101c_psi_windowed",
+      "pipeline_raking", "q105_adf", "q105b_adf_hourly",
+      "q106_granger").flatMap { name =>
+      val cap = Registry.byName(name)
+      val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
+      val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)
+      if (bad.isEmpty) None else Some(s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("clean declarative plans produce no findings") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val good = li.filter(col("l_quantity") > 10)
