@@ -189,7 +189,8 @@ object Plans {
       "q106_granger",            // hour-bounded frames, one 14-sum moment pass
       "q104c_wasserstein_windowed", // broadcast ref CDF, 10-counter groups
       "q105b_adf_hourly",        // map-side hourly reduction, bucket-frame window
-      "q101c_psi_windowed")      // broadcast ref shares, 10-counter groups
+      "q101c_psi_windowed",      // broadcast ref shares, 10-counter groups
+      "q72b_seasonal_mk")        // budget pairs within (g, season) keys
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

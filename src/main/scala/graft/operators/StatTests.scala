@@ -507,6 +507,61 @@ object StatTests {
     mannKendallOn(budgetPoints(df, groupCol, tsCol, idCol, valCol,
       targetPoints))
 
+  /** Seasonal Mann–Kendall (Hirsch–Slack 1984) on the scale-adaptive
+    * budget lottery — the trend test that survives SEASONALITY, the
+    * regime where plain MK ([[mannKendall]]) reads the cycle as trend
+    * or drowns a real trend in cyclic variance: S and the tie-corrected
+    * variance compute WITHIN each season (pairs never cross seasons —
+    * Monday compares to Monday), then sum across seasons; z applies
+    * the ±1 continuity correction to the summed S over the summed
+    * variance. Season = 0-based day-of-week of the µs timestamp (the
+    * q96 parity convention: Spark `dayofweek − 1` ≡ DuckDB's 0-based
+    * `dayofweek`).
+    *
+    * The composite (group, season) key simply rides the SAME
+    * [[kendallSFrame]]/tie machinery as plain MK via a struct key —
+    * one definition of the pairing. Seasons with fewer than 2 points
+    * have no pairs and drop from both S and the variance (and from
+    * the reported n — both engines mirror the inner-join semantics);
+    * the per-group lottery thresholds are the q67/q72 replay contract.
+    * Scale shape: identical to [[mannKendallBudget]] — the pair join
+    * is budget-bounded per group, everything else is map-side partial
+    * sums. Output: (g, n, n_seasons, s, z round@6, p). */
+  def seasonalMannKendallBudget(df: DataFrame, groupCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      targetPoints: Int = 400): DataFrame = {
+    val pts = budgetPoints(df, groupCol, tsCol, idCol, valCol,
+      targetPoints)
+    val comp = pts
+      .withColumn("__season",
+        (dayofweek(expr("timestamp_micros(t)")) - lit(1)).cast("int"))
+      .select(struct(col("g").as("g0"), col("__season").as("ss")).as("g"),
+        col("t"), col("i"), col("v"))
+    val s = kendallSFrame(comp)
+    val n = comp.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ties = comp.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("g"))
+      .agg(sum(col("tc") * (col("tc") - 1L) * (lit(2L) * col("tc") + 5L))
+        .as("tcorr"))
+    val per = s.join(n, Seq("g")).join(ties, Seq("g"))
+      .withColumn("__varnum",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          col("tcorr"))
+    val roll = per.groupBy(col("g.g0").as("g"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_seasons"),
+        sum(col("s")).as("s"), sum(col("__varnum")).as("__varnum"))
+    val sigma = sqrt(col("__varnum").cast("double") / 18.0)
+    roll
+      .withColumn("z", round(
+        when(col("s") > 0, (col("s").cast("double") - 1.0) / sigma)
+          .when(col("s") < 0, (col("s").cast("double") + 1.0) / sigma)
+          .otherwise(0.0), 6))
+      .withColumn("p", expr(pTwoSidedSql("z")))
+      .select(col("g"), col("n"), col("n_seasons"), col("s"), col("z"),
+        col("p"))
+  }
+
   /** The Kendall S frame both [[mannKendallOn]] and [[kendallTauOn]]
     * read: per group, Σ sign(v₂−v₁) over strict t₁ < t₂ pairs. One
     * definition, used by the test AND the correlation — the published

@@ -743,6 +743,61 @@ object StatsQueries {
       .orderBy(col("g"))
       .withColumnRenamed("g", "event_type")
 
+  /** q72b_seasonal_mk: Hirsch–Slack seasonal Mann–Kendall per event
+    * type ([[StatTests.seasonalMannKendallBudget]]) — the trend test
+    * that survives weekly seasonality: S and the tie-corrected
+    * variance compute within each day-of-week season (Monday compares
+    * to Monday) and sum across seasons, so a weekly cycle can neither
+    * read as trend nor drown one. Same budget-lottery points as
+    * q67/q72 (one replay contract); integer-exact sums; z round@6;
+    * shared-text p. */
+  private def seasonalMkQ(s: SparkSession, d: String): DataFrame =
+    StatTests.seasonalMannKendallBudget(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value",
+        targetPoints = TheilSenBudgetPts)
+      .orderBy(col("g"))
+      .withColumnRenamed("g", "event_type")
+
+  private lazy val seasonalMkSql = {
+    val p = StatTests.pTwoSidedSql("z")
+    s"""WITH $budgetPtsSql,
+       |ps AS (
+       |  SELECT g, t, i, v, dayofweek(make_timestamp(t)) AS season
+       |  FROM pts),
+       |sp AS (
+       |  SELECT a.g, a.season, CAST(SUM(CASE WHEN b.v > a.v THEN 1
+       |    WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM ps a JOIN ps b
+       |    ON b.g = a.g AND b.season = a.season AND a.t < b.t
+       |  GROUP BY 1, 2),
+       |np AS (SELECT g, season, COUNT(*) AS n FROM ps GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT g, season,
+       |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tcorr
+       |  FROM (SELECT g, season, v, COUNT(*) AS tc
+       |        FROM ps GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT sp.g, sp.season, np.n, sp.s,
+       |    np.n * (np.n - 1) * (2 * np.n + 5) - tp.tcorr AS varnum
+       |  FROM sp JOIN np USING (g, season) JOIN tp USING (g, season)),
+       |roll AS (
+       |  SELECT g, CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_seasons,
+       |    CAST(SUM(s) AS BIGINT) AS s,
+       |    CAST(SUM(varnum) AS BIGINT) AS varnum
+       |  FROM per GROUP BY 1),
+       |zf AS (
+       |  SELECT g, n, n_seasons, s,
+       |    round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) /
+       |        sqrt(CAST(varnum AS DOUBLE) / 18.0)
+       |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) /
+       |        sqrt(CAST(varnum AS DOUBLE) / 18.0)
+       |      ELSE 0.0 END, 6) AS z
+       |  FROM roll)
+       |SELECT g AS event_type, n, n_seasons, s, z, $p AS p
+       |FROM zf ORDER BY event_type""".stripMargin
+  }
+
   private lazy val mkSql = {
     val p = StatTests.pTwoSidedSql("z")
     s"""WITH $budgetPtsSql,
@@ -2470,6 +2525,9 @@ object StatsQueries {
     Capability("q71_anderson",
       "Anderson-Darling normality per group (shared-text Phi, exact term sum)",
       andersonQ, Some(andersonSql)),
+    Capability("q72b_seasonal_mk",
+      "Hirsch-Slack seasonal Mann-Kendall: within-season pairs, summed S/variance",
+      seasonalMkQ, Some(seasonalMkSql)),
     Capability("q72_mann_kendall",
       "Mann-Kendall trend test on the Theil-Sen points (exact S, tie-corrected z)",
       mkQ, Some(mkSql)),

@@ -1148,6 +1148,41 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
 
+  test("seasonal MK: a weekly cycle cannot drown the trend it hides") {
+    import spark.implicits._
+    // daily points, 8 weeks: a large weekly cycle + a small monotone
+    // trend. Within each day-of-week season the series is strictly
+    // increasing -> seasonal S saturates (7 seasons x C(8,2) = 196)
+    // and the test rejects hard; plain MK on the same points sees the
+    // cycle's cross-season sign noise and stays far from rejection.
+    val pat = Array(0.0, 50.0, 10.0, 60.0, 20.0, 70.0, 30.0)
+    val rows = (0 until 56).map { d =>
+      ("m", new java.sql.Timestamp(d * 86400000L), d.toLong,
+        pat(d % 7) + 0.1 * d)
+    }
+    val df = rows.toDF("g", "ts", "id", "v")
+    val sea = StatTests.seasonalMannKendallBudget(
+      df, "g", "ts", "id", "v", targetPoints = 1000).collect().head
+    assert(sea.getLong(1) == 56L && sea.getLong(2) == 7L)
+    assert(sea.getLong(3) == 196L, s"S ${sea.getLong(3)}")
+    assert(sea.getDouble(5) < 0.01, s"seasonal p ${sea.getDouble(5)}")
+    val plain = StatTests.mannKendallBudget(
+      df, "g", "ts", "id", "v", targetPoints = 1000).collect().head
+    assert(math.abs(sea.getDouble(4)) > math.abs(plain.getDouble(3)),
+      s"seasonal z ${sea.getDouble(4)} vs plain ${plain.getDouble(3)}")
+    assert(plain.getDouble(4) > 0.05,
+      s"plain MK must NOT reject here, p ${plain.getDouble(4)}")
+    // flat cycle (no trend): every within-season series is constant ->
+    // S = 0, variance 0, z pinned to the 0 branch
+    val flat = (0 until 56).map { d =>
+      ("f", new java.sql.Timestamp(d * 86400000L), d.toLong, pat(d % 7))
+    }
+    val f = StatTests.seasonalMannKendallBudget(
+      flat.toDF("g", "ts", "id", "v"), "g", "ts", "id", "v",
+      targetPoints = 1000).collect().head
+    assert(f.getLong(3) == 0L && f.getDouble(4) == 0.0)
+  }
+
   test("wasserstein1: shift distance, closed forms, NULL on an empty side") {
     import spark.implicits._
     // "same": identical halves -> exactly 0. "shift": cur = ref + 10 ->
