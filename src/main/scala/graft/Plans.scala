@@ -190,7 +190,8 @@ object Plans {
       "q104c_wasserstein_windowed", // broadcast ref CDF, 10-counter groups
       "q105b_adf_hourly",        // map-side hourly reduction, bucket-frame window
       "q101c_psi_windowed",      // broadcast ref shares, 10-counter groups
-      "q72b_seasonal_mk")        // budget pairs within (g, season) keys
+      "q72b_seasonal_mk",        // budget pairs within (g, season) keys
+      "q58b_cvm")                // distinct-value frame, decimal term sum
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

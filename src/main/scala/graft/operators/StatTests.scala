@@ -476,6 +476,51 @@ object StatTests {
         (dD(col("n1")) + dD(col("n2")))) * d, 6).as("ks_stat"))
   }
 
+  /** Two-sample Cramér–von Mises statistic — the L² member of the
+    * two-sample distance trio (KS takes the sup, W1 the L¹ integral,
+    * CvM the variance-weighted L²): T = n₁n₂/(n₁+n₂)² · Σ over the
+    * POOLED observations of (F1 − F2)², more sensitive than KS to
+    * distributed (non-localized) differences. Over the same
+    * distinct-value count frame as [[ksTest]]: each value's term
+    * weights its squared CDF gap by its pooled multiplicity
+    * (c1 + c2). Terms round to 1e-9 longs and sum in decimal(38,0)
+    * (HUGEINT in the oracle — Σ c·diff² ≤ n, so the scaled sum passes
+    * a long only beyond ~10⁹ rows per pair; decimal keeps it exact at
+    * any scale); T is one IEEE expression round@6. Either side empty
+    * → NULL. */
+  def cvmTest(df: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val vc = df.filter(col(valCol).isNotNull &&
+        (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(when(col("g") === ga, 1)).as("c1"),
+        count(when(col("g") === gb, 1)).as("c2"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    def dD(c: Column) = c.cast("double")
+    val diff = dD(col("__cum1")) / dD(col("n1")) -
+      dD(col("__cum2")) / dD(col("n2"))
+    val term9 = when(col("n1") > 0L && col("n2") > 0L,
+      round(diff * diff * dD(col("c1") + col("c2")) * 1e9, 0)
+        .cast("long")).otherwise(lit(0L))
+    val agg = vc
+      .withColumn("__cum1", sum(col("c1")).over(w))
+      .withColumn("__cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        term9.cast("decimal(38,0)").as("__t9"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("__t9")).as("s9"))
+    agg.select(col("n1"), col("n2"),
+      when(col("n1") > 0L && col("n2") > 0L,
+        round(dD(col("n1")) * dD(col("n2")) /
+          ((dD(col("n1")) + dD(col("n2"))) *
+            (dD(col("n1")) + dD(col("n2")))) *
+          (dD(col("s9")) / 1e9), 6)).as("cvm_t"))
+  }
+
   /** Mann–Kendall trend test per group — the nonparametric "is there a
     * monotone trend" SIGNIFICANCE companion to [[theilSen]]'s slope
     * estimate (the two are always published together: MK says whether,

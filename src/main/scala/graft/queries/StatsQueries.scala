@@ -270,6 +270,46 @@ object StatsQueries {
        |    (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS ks_stat
        |FROM top""".stripMargin
 
+  /** q58b_cvm: two-sample Cramér–von Mises between the same cohorts as
+    * q58 ([[StatTests.cvmTest]]) — the L² member of the distance trio
+    * (q58 sup / q104 L¹ / this L²), more sensitive than KS to
+    * distributed differences. Same distinct-value frame; rounded
+    * 1e-9 terms summed in decimal/HUGEINT; T round@6. */
+  private def cvmQ(s: SparkSession, d: String): DataFrame =
+    StatTests.cvmTest(Tables.events(s, d), "event_type", "value",
+      MwA, MwB)
+
+  private lazy val cvmSql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val diff = s"(${dd("cum1")} / ${dd("t.n1")} - ${dd("cum2")} / ${dd("t.n2")})"
+    s"""WITH vc AS (
+       |  SELECT CAST(value AS DOUBLE) AS v,
+       |    COUNT(*) FILTER (event_type = '$MwA') AS c1,
+       |    COUNT(*) FILTER (event_type = '$MwB') AS c2
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')
+       |  GROUP BY 1),
+       |cums AS (
+       |  SELECT c1, c2,
+       |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+       |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+       |  FROM vc),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |  CAST(SUM(c2) AS BIGINT) AS n2 FROM vc),
+       |ag AS (
+       |  SELECT t.n1, t.n2,
+       |    SUM(CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+       |      CAST(round($diff * $diff * ${dd("c1 + c2")} * 1e9, 0)
+       |        AS BIGINT) ELSE 0 END) AS s9
+       |  FROM cums, tot t GROUP BY 1, 2)
+       |SELECT n1, n2,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    round(${dd("n1")} * ${dd("n2")} /
+       |      ((${dd("n1")} + ${dd("n2")}) * (${dd("n1")} + ${dd("n2")})) *
+       |      (${dd("s9")} / 1e9), 6) END AS cvm_t
+       |FROM ag""".stripMargin
+  }
+
   /** q57_chisq: chi-squared homogeneity of the (source × md5-token-
     * bucket) contingency table — "do sources share one token
     * distribution", the test-statistic twin of text_drift's JSD. */
@@ -2492,6 +2532,9 @@ object StatsQueries {
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
+    Capability("q58b_cvm",
+      "two-sample Cramer-von Mises: L2 CDF distance over the distinct-value frame",
+      cvmQ, Some(cvmSql)),
     Capability("q58_ks",
       "two-sample Kolmogorov-Smirnov D (integer-exact numerator, one division)",
       ksQ, Some(ksSql)),

@@ -543,7 +543,7 @@ class PlanSpec extends AnyFunSuite {
   test("q56/q58: the only unpartitioned window runs over the distinct-value frame") {
     // the window input must be the (value, c1, c2) AGGREGATE, never raw
     // rows: a HashAggregate must appear BELOW the Window in the tree
-    for (name <- Seq("q56_mannwhitney", "q58_ks")) {
+    for (name <- Seq("q56_mannwhitney", "q58_ks", "q58b_cvm")) {
       val plan = executedPlan(name).split("== Initial Plan ==")(0)
       val lines = plan.linesIterator.toSeq
       val winIdx = lines.indexWhere(_.contains("Window"))

@@ -1148,6 +1148,24 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
 
+  test("cvm: hand-computed separated pair, identical samples read 0") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4}: pooled diffs (.5, 1, .5, 0), squares
+    // weighted by multiplicity 1 -> sum 1.5; T = (4/16) * 1.5 = 0.375
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = StatTests.cvmTest(sep, "g", "v", "a", "b").collect().head
+    assert(r.getDouble(2) == 0.375, s"T ${r.getDouble(2)}")
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val s = StatTests.cvmTest(same, "g", "v", "a", "b").collect().head
+    assert(s.getDouble(2) == 0.0)
+    // an empty side reads NULL, never 0
+    val one = Seq(("a", 1.0)).toDF("g", "v")
+    val e = StatTests.cvmTest(one, "g", "v", "a", "b").collect().head
+    assert(e.isNullAt(2))
+  }
+
   test("seasonal MK: a weekly cycle cannot drown the trend it hides") {
     import spark.implicits._
     // daily points, 8 weeks: a large weekly cycle + a small monotone
