@@ -191,7 +191,8 @@ object Plans {
       "q105b_adf_hourly",        // map-side hourly reduction, bucket-frame window
       "q101c_psi_windowed",      // broadcast ref shares, 10-counter groups
       "q72b_seasonal_mk",        // budget pairs within (g, season) keys
-      "q58b_cvm")                // distinct-value frame, decimal term sum
+      "q58b_cvm",                // distinct-value frame, decimal term sum
+      "pipeline_raking_apply")   // broadcast cell weights, narrow lottery filter
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -84,4 +84,46 @@ object Raking {
         col("row_share"), col("col_share"))
       .orderBy(col(rowCol), col(colCol))
   }
+
+  /** [[ipfUniform]] made EXECUTABLE: resample the corpus so both
+    * marginals actually land on their targets. Per-cell acceptance
+    * rate = weight / max(weight) (scaling by the max keeps every rate
+    * in (0, 1] while preserving the weight RATIOS — the resample's
+    * expected marginals are the fitted ones); each document's accept
+    * decision is the standard md5 16-bit lottery on its id (the
+    * [[Sharding.assignSplit]]/weightedSample family: a pure function
+    * of the id, so the SAME rows survive on any engine, any run, any
+    * partitioning). The gate reports both achieved marginals with
+    * id-sums/extrema so row-level membership differences hash-fail,
+    * not just counts.
+    *
+    * Scale shape: [[ipfUniform]]'s one corpus count, then ONE
+    * broadcast cell join + a narrow filter over the corpus — no
+    * shuffle of document rows anywhere; the rollup is two map-side-
+    * combined aggregates. The rates compare on the ROUND@6 gated
+    * weights so the lottery threshold is the same double on both
+    * engines. Output: (dim, value, n_kept, sum_ids, min_id, max_id)
+    * for dim ∈ {rowCol, colCol}. */
+  def applyUniform(docs: DataFrame, rowCol: String, colCol: String,
+      idCol: String, iters: Int = 3): DataFrame = {
+    val cells = ipfUniform(docs, rowCol, colCol, iters)
+      .select(col(rowCol), col(colCol), col("weight"))
+    val mw = cells.agg(max(col("weight")).as("__mw"))
+    val kept = docs
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .join(broadcast(cells), Seq(rowCol, colCol))
+      .crossJoin(broadcast(mw))
+      .filter(
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long").cast("double") <
+          col("weight") / col("__mw") * lit(65536.0))
+    def side(dim: String): DataFrame = kept
+      .groupBy(lit(dim).as("dim"), col(dim).as("value"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(idCol)).as("sum_ids"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+    side(rowCol).union(side(colCol))
+      .orderBy(col("dim"), col("value"))
+  }
 }

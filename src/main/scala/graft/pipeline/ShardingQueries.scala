@@ -327,7 +327,11 @@ object ShardingQueries {
   private def rakingQ(s: SparkSession, d: String): DataFrame =
     Raking.ipfUniform(Tables.documents(s, d), "lang", "source")
 
-  private lazy val rakingSql = {
+  /** The IPF CTE chain (cells → dims → m0 → s1..s6 → fit) shared by the
+    * weight gate and the resample gate — one definition, the
+    * psiSqlHead convention. `fit` carries (lang, source, n_docs,
+    * weight round@6). */
+  private lazy val rakingCtes = {
     def dd(x: String) = s"CAST($x AS DOUBLE)"
     def step(src: String, dst: String, part: String, k: String) = {
       val slice = s"SUM(m) OVER (PARTITION BY $part)"
@@ -344,7 +348,7 @@ object ShardingQueries {
       Seq(step(prev, s"s${2 * i - 1}", "r", "kr"),
         step(s"s${2 * i - 1}", s"s${2 * i}", "c", "kc"))
     }.mkString(",\n")
-    s"""WITH cells AS (
+    s"""cells AS (
        |  SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
        |  GROUP BY 1, 2),
@@ -357,14 +361,51 @@ object ShardingQueries {
        |  SELECT r, c, n, kr, kc, nt,
        |    CAST(round(${dd("n")} / ${dd("nt")} * 1e12, 0) AS BIGINT) AS m
        |  FROM cells, dims),
-       |$steps
-       |SELECT r AS lang, c AS source, n AS n_docs,
-       |  round(${dd("m")} / 1e12, 9) AS m_fit,
-       |  round(${dd("m")} * ${dd("nt")} / (1e12 * ${dd("n")}), 6) AS weight,
-       |  round(${dd("SUM(m) OVER (PARTITION BY r)")} / 1e12, 6) AS row_share,
-       |  round(${dd("SUM(m) OVER (PARTITION BY c)")} / 1e12, 6) AS col_share
-       |FROM s6 ORDER BY lang, source""".stripMargin
+       |$steps,
+       |fit AS (
+       |  SELECT r AS lang, c AS source, n AS n_docs, m, nt,
+       |    round(${dd("m")} / 1e12, 9) AS m_fit,
+       |    round(${dd("m")} * ${dd("nt")} / (1e12 * ${dd("n")}), 6) AS weight
+       |  FROM s6)""".stripMargin
   }
+
+  private lazy val rakingSql = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    s"""WITH $rakingCtes
+       |SELECT lang, source, n_docs, m_fit, weight,
+       |  round(${dd("SUM(m) OVER (PARTITION BY lang)")} / 1e12, 6) AS row_share,
+       |  round(${dd("SUM(m) OVER (PARTITION BY source)")} / 1e12, 6) AS col_share
+       |FROM fit ORDER BY lang, source""".stripMargin
+  }
+
+  /** pipeline_raking_apply: [[Raking.applyUniform]] — the raking
+    * weights made executable as a deterministic md5-lottery resample
+    * (rate = weight / max weight); the gate reports BOTH achieved
+    * marginals with id-sums/extrema, exposing the rebalance working,
+    * not just its determinism. */
+  private def rakingApplyQ(s: SparkSession, d: String): DataFrame =
+    Raking.applyUniform(Tables.documents(s, d), "lang", "source",
+      "doc_id")
+
+  private lazy val rakingApplySql =
+    s"""WITH $rakingCtes,
+       |mw AS (SELECT MAX(weight) AS mw FROM fit),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.source
+       |  FROM documents d
+       |  JOIN fit f ON f.lang = d.lang AND f.source = d.source, mw
+       |  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+       |    AND CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT
+       |      AS DOUBLE) < f.weight / mw.mw * 65536.0)
+       |SELECT 'lang' AS dim, lang AS value, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM kept GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'source', source, COUNT(*),
+       |  CAST(SUM(doc_id) AS BIGINT), MIN(doc_id), MAX(doc_id)
+       |FROM kept GROUP BY 1, 2
+       |ORDER BY dim, value""".stripMargin
 
   /** End-to-end curation composition — the pipeline a real corpus runs
     * as ONE lazy plan: quality filter (token count + uniqueness ratio) →
@@ -632,6 +673,9 @@ object ShardingQueries {
     Capability("pipeline_raking",
       "IPF raking: per-cell weights hitting equal lang AND source marginals",
       rakingQ, Some(rakingSql)),
+    Capability("pipeline_raking_apply",
+      "raking weights applied as a deterministic resample: both marginals gated",
+      rakingApplyQ, Some(rakingApplySql)),
     Capability("pipeline_compact", "small-file compaction preserves content, swap-safe", compactQ,
       Some(compactSql)),
     Capability("pipeline_pack", "token-budget sequence packing in md5 shards", pack,

@@ -289,11 +289,21 @@ class LintSpec extends AnyFunSuite {
       "q101c_psi_windowed" -> Set("cartesian"),
       // the (kr, kc, nt) dims frame is a 1-row broadcast the IPF cell
       // frame rides; the cell frame itself is marginal-bounded
-      "pipeline_raking" -> Set("cartesian"))
+      "pipeline_raking" -> Set("cartesian"),
+      // shares q67/q72's md5-lottery thinning — parquet-inexpressible
+      "q72b_seasonal_mk" -> Set("unpushed-filter"),
+      // the CDF cumsum runs over the distinct-VALUE frame (the q56/q58
+      // MW convention); the n1/n2 total is a 1-row broadcast
+      "q58b_cvm" -> Set("global-window", "single-partition-shuffle",
+        "cartesian"),
+      // the dims + max-weight 1-row frames ride broadcasts over the
+      // corpus filter (the weightedSample narrow-lottery shape)
+      "pipeline_raking_apply" -> Set("cartesian"))
     val offenders = Seq("q104_wasserstein", "q104b_wasserstein_fixed",
       "q104c_wasserstein_windowed", "q101c_psi_windowed",
       "pipeline_raking", "q105_adf", "q105b_adf_hourly",
-      "q106_granger").flatMap { name =>
+      "q106_granger", "q72b_seasonal_mk", "q58b_cvm",
+      "pipeline_raking_apply").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -67,6 +67,34 @@ class RakingSpec extends AnyFunSuite {
     assert(math.abs(out(("b", "y")).getDouble(4) - 1.902439) < 1e-5)
   }
 
+  test("applyUniform: the resample actually lands both marginals") {
+    import spark.implicits._
+    // heavily skewed 2x2 (rows 2/3 vs 1/3, cols 2/3 vs 1/3): after the
+    // weight-ratio lottery both marginals must sit near 0.5, which the
+    // RAW corpus is nowhere close to
+    val docs = (
+      Seq.tabulate(3000)(i => ("a", "x", i.toLong)) ++
+        Seq.tabulate(1000)(i => ("a", "y", 10000L + i)) ++
+        Seq.tabulate(1000)(i => ("b", "x", 20000L + i)) ++
+        Seq.tabulate(1000)(i => ("b", "y", 30000L + i))
+      ).toDF("r", "c", "id")
+    val out = Raking.applyUniform(docs, "r", "c", "id").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val rowTot = out(("r", "a")) + out(("r", "b"))
+    val colTot = out(("c", "x")) + out(("c", "y"))
+    assert(rowTot == colTot, "both rollups cover the same kept set")
+    assert(math.abs(out(("r", "a")).toDouble / rowTot - 0.5) < 0.05,
+      s"row marginal ${out(("r", "a")).toDouble / rowTot}")
+    assert(math.abs(out(("c", "x")).toDouble / colTot - 0.5) < 0.05,
+      s"col marginal ${out(("c", "x")).toDouble / colTot}")
+    // the raw corpus marginal is 2/3 — the resample moved it
+    assert(out(("r", "a")).toDouble / rowTot < 0.6)
+    // determinism: the lottery is a pure function of the id
+    val again = Raking.applyUniform(docs, "r", "c", "id").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(again == out)
+  }
+
   test("single-column dimension degenerates gracefully") {
     import spark.implicits._
     // one source: the column step is a no-op rescale to 1; row step
