@@ -1254,6 +1254,43 @@ object StatTests {
       when(col("b") + col("c") > 0L, round(cc * cc / tot, 9)).as("chi2_cc"))
   }
 
+  /** Cochran's Q for k MATCHED binary conditions on the SAME blocks —
+    * the k-condition generalization of [[mcNemar]] (k = 2 reduces to
+    * McNemar's uncorrected χ²) and the binary-outcome sibling of the
+    * Friedman rank test: "does the success proportion differ across k
+    * treatments applied to the same subjects", where a k-proportion
+    * chi-squared would ignore the within-subject pairing entirely.
+    * Computational form Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²) over
+    * column totals C_j, row totals R_i and grand total N — all EXACT
+    * integers; products run in decimal(38,0) (HUGEINT in the oracle,
+    * the q89 guard convention) so nothing wraps at any block count;
+    * one division round@6. Blocks absent under a condition count as 0
+    * (the complete-by-construction convention — both engines derive
+    * row/column totals from the observed 1s identically). Degenerate
+    * corpora where every block is constant (all-0 or all-k rows:
+    * k·N = ΣR_i²) emit NULL. Q ~ χ²_{k−1} under H₀.
+    * Output: 1 row (n_blocks, k, n_success, q_stat). */
+  def cochranQ(df: DataFrame, blockCol: String, condCol: String,
+      xCol: String): DataFrame = {
+    val x = df.groupBy(col(blockCol).as("b"), col(condCol).as("cnd"))
+      .agg(max(col(xCol).cast("long")).as("x"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val kk = x.agg(countDistinct(col("cnd")).as("k"))
+    val cj = x.groupBy(col("cnd")).agg(sum(col("x")).as("cjj"))
+      .agg(sum(col("cjj")).as("nn"),
+        sum(dec(col("cjj")) * dec(col("cjj"))).as("sc2"))
+    val ri = x.groupBy(col("b")).agg(sum(col("x")).as("rii"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("rii")) * dec(col("rii"))).as("sr2"))
+    val j = cj.crossJoin(broadcast(ri)).crossJoin(broadcast(kk))
+    val num = (dec(col("k")) - dec(lit(1))) *
+      (dec(col("k")) * col("sc2") - dec(col("nn")) * dec(col("nn")))
+    val den = dec(col("k")) * dec(col("nn")) - col("sr2")
+    j.select(col("n_blocks"), col("k"), col("nn").as("n_success"),
+      when(den > dec(lit(0)),
+        round(num.cast("double") / den.cast("double"), 6)).as("q_stat"))
+  }
+
   /** Two-sample Poisson RATE test, conditional (binomial) form — the
     * A/B primitive when the outcome is a COUNT over an EXPOSURE
     * (events per user-hour, errors per machine-day), where

@@ -310,6 +310,59 @@ object StatsQueries {
        |FROM ag""".stripMargin
   }
 
+  /** q107_cochran_q: Cochran's Q across the five event types on the
+    * same users ([[StatTests.cochranQ]]) — "does the lean-toward-this-
+    * type proportion differ across types for the SAME user base", the
+    * k-condition McNemar / binary Friedman that q57's unpaired
+    * chi-squared cannot answer. The binary outcome is SCALE-INVARIANT
+    * (an absolute count bar saturates to all-1s as rows/user grow —
+    * the degenerate NULL the first cut hit): x = 1 when the user's
+    * count for the type exceeds their own per-type average (5·c >
+    * user total; the corpus has exactly 5 types). Exact integer
+    * totals, decimal/HUGEINT products, one division round@6. */
+  private def cochranQQ(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("user_id"))
+      .agg(sum(col("__c")).as("__tot"))
+    val x = counts.join(totals, Seq("user_id"))
+      .select(col("user_id"), col("event_type"),
+        (lit(5L) * col("__c") > col("__tot")).cast("long").as("x"))
+    StatTests.cochranQ(x, "user_id", "event_type", "x")
+  }
+
+  private lazy val cochranQSql =
+    """WITH counts AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot
+      |  FROM counts GROUP BY 1),
+      |x AS (
+      |  SELECT counts.user_id AS b, event_type AS cnd,
+      |    CASE WHEN 5 * c > tot THEN 1 ELSE 0 END AS x
+      |  FROM counts JOIN totals USING (user_id)),
+      |kk AS (SELECT CAST(COUNT(DISTINCT cnd) AS BIGINT) AS k FROM x),
+      |cj AS (
+      |  SELECT CAST(SUM(cjj) AS BIGINT) AS nn,
+      |    SUM(CAST(cjj AS HUGEINT) * CAST(cjj AS HUGEINT)) AS sc2
+      |  FROM (SELECT cnd, CAST(SUM(x) AS BIGINT) AS cjj
+      |        FROM x GROUP BY 1)),
+      |ri AS (
+      |  SELECT COUNT(*) AS n_blocks,
+      |    SUM(CAST(rii AS HUGEINT) * CAST(rii AS HUGEINT)) AS sr2
+      |  FROM (SELECT b, CAST(SUM(x) AS BIGINT) AS rii
+      |        FROM x GROUP BY 1))
+      |SELECT n_blocks, k, nn AS n_success,
+      |  CASE WHEN CAST(k AS HUGEINT) * CAST(nn AS HUGEINT) - sr2 > 0 THEN
+      |    round(CAST((CAST(k AS HUGEINT) - 1) *
+      |        (CAST(k AS HUGEINT) * sc2 -
+      |         CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT)) AS DOUBLE) /
+      |      CAST(CAST(k AS HUGEINT) * CAST(nn AS HUGEINT) - sr2
+      |        AS DOUBLE), 6) END AS q_stat
+      |FROM cj, ri, kk""".stripMargin
+
   /** q57_chisq: chi-squared homogeneity of the (source × md5-token-
     * bucket) contingency table — "do sources share one token
     * distribution", the test-statistic twin of text_drift's JSD. */
@@ -2532,6 +2585,9 @@ object StatsQueries {
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
+    Capability("q107_cochran_q",
+      "Cochran's Q: k matched binary conditions on the same blocks",
+      cochranQQ, Some(cochranQSql)),
     Capability("q58b_cvm",
       "two-sample Cramer-von Mises: L2 CDF distance over the distinct-value frame",
       cvmQ, Some(cvmSql)),

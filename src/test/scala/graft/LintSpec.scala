@@ -298,12 +298,14 @@ class LintSpec extends AnyFunSuite {
         "cartesian"),
       // the dims + max-weight 1-row frames ride broadcasts over the
       // corpus filter (the weightedSample narrow-lottery shape)
-      "pipeline_raking_apply" -> Set("cartesian"))
+      "pipeline_raking_apply" -> Set("cartesian"),
+      // the three 1-row total frames cross as broadcasts (q55 shape)
+      "q107_cochran_q" -> Set("cartesian"))
     val offenders = Seq("q104_wasserstein", "q104b_wasserstein_fixed",
       "q104c_wasserstein_windowed", "q101c_psi_windowed",
       "pipeline_raking", "q105_adf", "q105b_adf_hourly",
       "q106_granger", "q72b_seasonal_mk", "q58b_cvm",
-      "pipeline_raking_apply").flatMap { name =>
+      "pipeline_raking_apply", "q107_cochran_q").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -1148,6 +1148,38 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
 
+  test("cochran Q: textbook closed form, k=2 reduces to McNemar, " +
+      "constant blocks degenerate to NULL") {
+    import spark.implicits._
+    // 4 blocks x 3 conditions: C = (4,2,1), N = 7, R = (2,1,3,1)
+    // Q = 2 * (3*21 - 49) / (3*7 - 15) = 28/6 = 4.666667
+    val m = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 1L), ("b1", "t3", 0L),
+      ("b2", "t1", 1L), ("b2", "t2", 0L), ("b2", "t3", 0L),
+      ("b3", "t1", 1L), ("b3", "t2", 1L), ("b3", "t3", 1L),
+      ("b4", "t1", 1L), ("b4", "t2", 0L), ("b4", "t3", 0L))
+      .toDF("b", "t", "x")
+    val r = StatTests.cochranQ(m, "b", "t", "x").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L - 2L)
+    assert(r.getDouble(3) == 4.666667, s"Q ${r.getDouble(3)}")
+    // k = 2: Q equals McNemar's UNCORRECTED chi2 on the same pairs
+    val two = Seq(
+      ("u1", 1L, 0L), ("u2", 1L, 0L), ("u3", 0L, 1L),
+      ("u4", 1L, 1L), ("u5", 0L, 0L))
+    val qdf = two.flatMap { case (u, a, b) =>
+      Seq((u, "c1", a), (u, "c2", b)) }.toDF("b", "t", "x")
+    val q2 = StatTests.cochranQ(qdf, "b", "t", "x").collect().head
+    val mc = StatTests.mcNemar(two.toDF("s", "a1", "a2"), "s", "a1", "a2")
+      .collect().head
+    assert(math.abs(q2.getDouble(3) - mc.getDouble(3)) < 1e-5,
+      s"Q ${q2.getDouble(3)} vs McNemar ${mc.getDouble(3)}")
+    // every block constant (all-1): k*N = sum R_i^2 -> NULL
+    val const = Seq("b1", "b2").flatMap(b =>
+      Seq((b, "t1", 1L), (b, "t2", 1L))).toDF("b", "t", "x")
+    assert(StatTests.cochranQ(const, "b", "t", "x").collect().head
+      .isNullAt(3))
+  }
+
   test("cvm: hand-computed separated pair, identical samples read 0") {
     import spark.implicits._
     // A = {1,2}, B = {3,4}: pooled diffs (.5, 1, .5, 0), squares
