@@ -193,7 +193,8 @@ object Plans {
       "q72b_seasonal_mk",        // budget pairs within (g, season) keys
       "q58b_cvm",                // distinct-value frame, decimal term sum
       "pipeline_raking_apply",   // broadcast cell weights, narrow lottery filter
-      "q107_cochran_q")          // two rollups to 1-row totals, exact integers
+      "q107_cochran_q",          // two rollups to 1-row totals, exact integers
+      "q108_jonckheere")         // distinct-value frame 2J, broadcast totals
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

@@ -947,6 +947,83 @@ object StatTests {
     * C = 1 − Σ(t³−t)/(N³−N) divides once at the end.
     * Output: one row per group (g, n_g, r2sum, mean_rank round@9) with
     * the global h / h_corr round@6 on every row. */
+  /** Jonckheere–Terpstra ordered-alternative k-sample test — the
+    * ordered-dose version of [[kruskalWallis]] (KW asks "any
+    * difference"; JT asks "does the value DISTRIBUTION trend with the
+    * ordered dose" — the value-level sibling of the Cochran–Armitage
+    * proportion trend): J = Σ_{i<j} U_ij over ordered dose pairs,
+    * each U the Mann–Whitney count with the ½-tie convention. The
+    * engine carries 2J so ties stay integer: per pooled distinct
+    * value, 2J += Σ_{i<j} (2·cumlt_i·c_j + c_i·c_j) over the per-dose
+    * count columns — the q56/q58 distinct-value-frame shape, no row
+    * ever sorts globally. Normal approximation with the FULL
+    * tie-corrected variance (Kendall's three-term form):
+    * Var = A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1)) with
+    * A = N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5),
+    * B = Σn(n−1)(n−2)·Σt(t−1)(t−2), C = Σn(n−1)·Σt(t−1) — every
+    * component an exact decimal(38,0)/HUGEINT integer, z ONE
+    * fixed-order IEEE expression round@6, shared-text p. `doses` is
+    * the ordered, small, known dose domain (the q107 bounded-k
+    * contract); rows outside it drop. N ≤ 2 or zero variance → NULL.
+    * Output: 1 row (n, j2, z, p). */
+  def jonckheereTerpstra(df: DataFrame, doseCol: String, valCol: String,
+      doses: Seq[Int]): DataFrame = {
+    require(doses.nonEmpty && doses == doses.sorted && doses.distinct == doses,
+      s"doses must be a sorted distinct domain, got $doses")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val src = df.filter(col(valCol).isNotNull &&
+        col(doseCol).isin(doses.map(Integer.valueOf): _*))
+      .select(col(doseCol).cast("int").as("g"),
+        col(valCol).cast("double").as("v"))
+    val vc = src.groupBy(col("v")).agg(
+      count(when(col("g") === doses.head, 1)).as(s"c${doses.head}"),
+      doses.tail.map(d =>
+        count(when(col("g") === d, 1)).as(s"c$d")): _*)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = doses.foldLeft(vc) { (f, d) =>
+      f.withColumn(s"cum$d",
+        coalesce(sum(col(s"c$d")).over(w), lit(0L)))
+    }
+    val pairTerms = for {
+      (i, ix) <- doses.zipWithIndex; j <- doses.drop(ix + 1)
+    } yield dec(lit(2L)) * dec(col(s"cum$i")) * dec(col(s"c$j")) +
+      dec(col(s"c$i")) * dec(col(s"c$j"))
+    val tieC = doses.map(d => col(s"c$d")).reduce(_ + _)
+    val rowAgg = cums.select(
+      pairTerms.reduce(_ + _).as("__j2v"),
+      dec(tieC * (tieC - 1L) * (lit(2L) * tieC + 5L)).as("__t1"),
+      dec(tieC * (tieC - 1L) * (tieC - 2L)).as("__t2"),
+      dec(tieC * (tieC - 1L)).as("__t3"))
+      .agg(sum(col("__j2v")).as("j2"), sum(col("__t1")).as("st1"),
+        sum(col("__t2")).as("st2"), sum(col("__t3")).as("st3"))
+    val perDose = src.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("nn"),
+        sum(dec(col("n")) * dec(col("n"))).as("sq"),
+        sum(dec(col("n")) * dec(col("n") - 1L) *
+          dec(lit(2L) * col("n") + 5L)).as("sn1"),
+        sum(dec(col("n")) * dec(col("n") - 1L) * dec(col("n") - 2L))
+          .as("sn2"),
+        sum(dec(col("n")) * dec(col("n") - 1L)).as("sn3"))
+    val m = rowAgg.crossJoin(broadcast(perDose))
+    def dd(c: Column) = c.cast("double")
+    val nD = dec(col("nn"))
+    val aTerm = nD * (nD - dec(lit(1))) * (dec(lit(2)) * nD + dec(lit(5))) -
+      col("sn1") - col("st1")
+    val varJ = dd(aTerm) / 72.0 +
+      dd(col("sn2") * col("st2")) /
+        (lit(36.0) * dd(nD * (nD - dec(lit(1))) * (nD - dec(lit(2))))) +
+      dd(col("sn3") * col("st3")) /
+        (lit(8.0) * dd(nD * (nD - dec(lit(1)))))
+    val mean2 = dd(nD * nD - col("sq")) / 2.0
+    val ok = col("nn") > 2L && varJ > 0.0
+    m.select(col("nn").as("n"), col("j2").cast("long").as("j2"),
+        when(ok, round((dd(col("j2")) - mean2) / (lit(2.0) * sqrt(varJ)), 6))
+          .as("z"))
+      .withColumn("p", when(col("z").isNotNull,
+        expr(pTwoSidedSql("z"))))
+  }
+
   def kruskalWallis(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val gv = df.filter(col(valCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(valCol).cast("double").as("v"))

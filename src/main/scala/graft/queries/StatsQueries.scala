@@ -363,6 +363,80 @@ object StatsQueries {
       |        AS DOUBLE), 6) END AS q_stat
       |FROM cj, ri, kk""".stripMargin
 
+  /** q108_jonckheere: Jonckheere–Terpstra ordered trend of purchase
+    * VALUES across the 0-based weekday dose
+    * ([[StatTests.jonckheereTerpstra]]) — the value-distribution
+    * sibling of q96's proportion trend and the ordered version of
+    * q78's KW. Exact 2J over the distinct-value frame, full
+    * tie-corrected variance, z round@6, shared-text p. */
+  private def jtQ(s: SparkSession, d: String): DataFrame =
+    StatTests.jonckheereTerpstra(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((dayofweek(col("ts")) - 1).as("dose"), col("value")),
+      "dose", "value", doses = (0 to 6))
+
+  private lazy val jtSql = {
+    val doses = 0 to 6
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    val cs = doses.map(d =>
+      s"SUM(CASE WHEN g = $d THEN 1 ELSE 0 END) AS c$d").mkString(",\n    ")
+    val cums = doses.map(d =>
+      s"COALESCE(SUM(c$d) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        s"PRECEDING AND 1 PRECEDING), 0) AS cum$d").mkString(",\n    ")
+    val pairs = (for {
+      (i, ix) <- doses.zipWithIndex; j <- doses.drop(ix + 1)
+    } yield s"${h("2")} * ${h(s"cum$i")} * ${h(s"c$j")} + " +
+        s"${h(s"c$i")} * ${h(s"c$j")}").mkString(" +\n      ")
+    val tc = doses.map(d => s"c$d").mkString(" + ")
+    val p = StatTests.pTwoSidedSql("z")
+    s"""WITH src AS (
+       |  SELECT dayofweek(ts) AS g, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |vc AS (
+       |  SELECT v, $cs
+       |  FROM src GROUP BY 1),
+       |cums AS (
+       |  SELECT *, $cums
+       |  FROM vc),
+       |ra AS (
+       |  SELECT SUM($pairs) AS j2,
+       |    SUM(${h(s"($tc) * (($tc) - 1) * (2 * ($tc) + 5)")}) AS st1,
+       |    SUM(${h(s"($tc) * (($tc) - 1) * (($tc) - 2)")}) AS st2,
+       |    SUM(${h(s"($tc) * (($tc) - 1)")}) AS st3
+       |  FROM cums),
+       |pd AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    SUM(${h("n")} * ${h("n")}) AS sq,
+       |    SUM(${h("n")} * ${h("n - 1")} * ${h("2 * n + 5")}) AS sn1,
+       |    SUM(${h("n")} * ${h("n - 1")} * ${h("n - 2")}) AS sn2,
+       |    SUM(${h("n")} * ${h("n - 1")}) AS sn3
+       |  FROM (SELECT g, COUNT(*) AS n FROM src GROUP BY 1)),
+       |zf AS (
+       |  SELECT nn, CAST(j2 AS BIGINT) AS j2,
+       |    CASE WHEN nn > 2 AND (
+       |      CAST(${h("nn")} * (${h("nn")} - 1) * (2 * ${h("nn")} + 5)
+       |        - sn1 - st1 AS DOUBLE) / 72.0 +
+       |      CAST(sn2 * st2 AS DOUBLE) /
+       |        (36.0 * CAST(${h("nn")} * (${h("nn")} - 1) *
+       |          (${h("nn")} - 2) AS DOUBLE)) +
+       |      CAST(sn3 * st3 AS DOUBLE) /
+       |        (8.0 * CAST(${h("nn")} * (${h("nn")} - 1) AS DOUBLE))) > 0.0
+       |    THEN round((CAST(j2 AS DOUBLE) -
+       |      CAST(${h("nn")} * ${h("nn")} - sq AS DOUBLE) / 2.0) /
+       |      (2.0 * sqrt(
+       |      CAST(${h("nn")} * (${h("nn")} - 1) * (2 * ${h("nn")} + 5)
+       |        - sn1 - st1 AS DOUBLE) / 72.0 +
+       |      CAST(sn2 * st2 AS DOUBLE) /
+       |        (36.0 * CAST(${h("nn")} * (${h("nn")} - 1) *
+       |          (${h("nn")} - 2) AS DOUBLE)) +
+       |      CAST(sn3 * st3 AS DOUBLE) /
+       |        (8.0 * CAST(${h("nn")} * (${h("nn")} - 1) AS DOUBLE)))), 6)
+       |    END AS z
+       |  FROM ra, pd)
+       |SELECT nn AS n, j2, z, $p AS p
+       |FROM zf""".stripMargin
+  }
+
   /** q57_chisq: chi-squared homogeneity of the (source × md5-token-
     * bucket) contingency table — "do sources share one token
     * distribution", the test-statistic twin of text_drift's JSD. */
@@ -2585,6 +2659,9 @@ object StatsQueries {
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
+    Capability("q108_jonckheere",
+      "Jonckheere-Terpstra ordered k-sample trend: exact 2J, tie-corrected z",
+      jtQ, Some(jtSql)),
     Capability("q107_cochran_q",
       "Cochran's Q: k matched binary conditions on the same blocks",
       cochranQQ, Some(cochranQSql)),

@@ -300,12 +300,17 @@ class LintSpec extends AnyFunSuite {
       // corpus filter (the weightedSample narrow-lottery shape)
       "pipeline_raking_apply" -> Set("cartesian"),
       // the three 1-row total frames cross as broadcasts (q55 shape)
-      "q107_cochran_q" -> Set("cartesian"))
+      "q107_cochran_q" -> Set("cartesian"),
+      // 2J cumulates over the distinct-VALUE frame (the q56/q58 MW
+      // convention); the dose/tie totals ride 1-row broadcasts
+      "q108_jonckheere" -> Set("global-window",
+        "single-partition-shuffle", "cartesian"))
     val offenders = Seq("q104_wasserstein", "q104b_wasserstein_fixed",
       "q104c_wasserstein_windowed", "q101c_psi_windowed",
       "pipeline_raking", "q105_adf", "q105b_adf_hourly",
       "q106_granger", "q72b_seasonal_mk", "q58b_cvm",
-      "pipeline_raking_apply", "q107_cochran_q").flatMap { name =>
+      "pipeline_raking_apply", "q107_cochran_q",
+      "q108_jonckheere").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

@@ -1148,6 +1148,33 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
 
+  test("jonckheere: hand statistic on ordered groups, sign flip, " +
+      "all-tied NULL") {
+    import spark.implicits._
+    // doses 0 < 1 < 2 with perfectly ordered values {1,2},{3,4},{5,6}:
+    // every cross-pair agrees -> J = 3*4 = 12, 2J = 24;
+    // E[2J] = (36 - 12)/2 = 12; no ties -> Var = 456/72
+    val up = Seq((0, 1.0), (0, 2.0), (1, 3.0), (1, 4.0),
+      (2, 5.0), (2, 6.0)).toDF("dose", "v")
+    val r = StatTests.jonckheereTerpstra(up, "dose", "v", Seq(0, 1, 2))
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 24L)
+    val zExp = BigDecimal(12.0 / (2.0 * math.sqrt(456.0 / 72.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == zExp, s"z ${r.getDouble(2)} != $zExp")
+    // reversed dose order flips the sign exactly
+    val down = up.selectExpr("2 - dose AS dose", "v")
+    val rd = StatTests.jonckheereTerpstra(down, "dose", "v", Seq(0, 1, 2))
+      .collect().head
+    assert(rd.getDouble(2) == -zExp)
+    // all observations tied: no ordering information -> NULL z
+    val tied = Seq((0, 5.0), (0, 5.0), (1, 5.0), (2, 5.0), (2, 5.0))
+      .toDF("dose", "v")
+    val rt = StatTests.jonckheereTerpstra(tied, "dose", "v", Seq(0, 1, 2))
+      .collect().head
+    assert(rt.isNullAt(2), s"all-tied must be NULL, got $rt")
+  }
+
   test("cochran Q: textbook closed form, k=2 reduces to McNemar, " +
       "constant blocks degenerate to NULL") {
     import spark.implicits._
