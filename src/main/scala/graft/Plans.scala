@@ -194,7 +194,8 @@ object Plans {
       "q58b_cvm",                // distinct-value frame, decimal term sum
       "pipeline_raking_apply",   // broadcast cell weights, narrow lottery filter
       "q107_cochran_q",          // two rollups to 1-row totals, exact integers
-      "q108_jonckheere")         // distinct-value frame 2J, broadcast totals
+      "q108_jonckheere",         // distinct-value frame 2J, broadcast totals
+      "q109_partial_corr")       // one ten-moment scalar exchange, 1-row readout
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

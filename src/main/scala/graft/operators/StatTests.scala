@@ -947,6 +947,61 @@ object StatTests {
     * C = 1 − Σ(t³−t)/(N³−N) divides once at the end.
     * Output: one row per group (g, n_g, r2sum, mean_rank round@9) with
     * the global h / h_corr round@6 on every row. */
+  /** First-order partial correlation r_xy·z — the association between
+    * x and y with a CONFOUNDER z held fixed (the question a raw
+    * Pearson cannot answer: a strong r_xy may be entirely z's doing):
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)), with
+    * t = r·√((n−3)/(1−r²)) on n−3 df. ONE scalar-aggregate exchange
+    * (ten exact decimal moments, the [[ols2]] shape); each pairwise
+    * Pearson is one fixed-order IEEE expression ROUND@9 before
+    * composing (the q59 artifact convention — the partial and t read
+    * from the rounded artifacts on both engines), partial round@6,
+    * t round@6, shared-text p. Degenerates (any zero variance,
+    * |r_xz| or |r_yz| = 1, n ≤ 3, |partial| = 1) → NULL.
+    * Output: 1 row (n, r_xy, r_xz, r_yz, partial_r, t, p). */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val src = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"), col(zCol).cast("double").as("z"))
+    val m = src.agg(
+      count(lit(1)).cast("double").as("n"),
+      Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+      Det.dsum(col("z")).as("sz"),
+      Det.dsum(col("x") * col("x")).as("sxx"),
+      Det.dsum(col("y") * col("y")).as("syy"),
+      Det.dsum(col("z") * col("z")).as("szz"),
+      Det.dsum(col("x") * col("y")).as("sxy"),
+      Det.dsum(col("x") * col("z")).as("sxz"),
+      Det.dsum(col("y") * col("z")).as("syz"))
+    val n = col("n")
+    def vr(ss: String, s: String) = n * col(ss) - col(s) * col(s)
+    def r(sab: String, sa: String, sb: String, va: Column,
+        vb: Column): Column =
+      when(va > 0.0 && vb > 0.0,
+        round((n * col(sab) - col(sa) * col(sb)) / sqrt(va * vb), 9))
+    val vx = vr("sxx", "sx"); val vy = vr("syy", "sy")
+    val vz = vr("szz", "sz")
+    val withR = m
+      .withColumn("r_xy", r("sxy", "sx", "sy", vx, vy))
+      .withColumn("r_xz", r("sxz", "sx", "sz", vx, vz))
+      .withColumn("r_yz", r("syz", "sy", "sz", vy, vz))
+    val pDen = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    val withP = withR.withColumn("partial_r",
+      when(pDen > 0.0,
+        round((col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(pDen), 6)))
+    val tDen = lit(1.0) - col("partial_r") * col("partial_r")
+    withP
+      .withColumn("t_stat",
+        when(n > 3.0 && tDen > 0.0,
+          round(col("partial_r") * sqrt((n - 3.0) / tDen), 6)))
+      .withColumn("p", expr(pTwoSidedSql("t_stat")))
+      .select(n.cast("long").as("n"), col("r_xy"), col("r_xz"),
+        col("r_yz"), col("partial_r"), col("t_stat"), col("p"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative k-sample test — the
     * ordered-dose version of [[kruskalWallis]] (KW asks "any
     * difference"; JT asks "does the value DISTRIBUTION trend with the

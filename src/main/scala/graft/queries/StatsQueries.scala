@@ -437,6 +437,75 @@ object StatsQueries {
        |FROM zf""".stripMargin
   }
 
+  /** q109_partial_corr: partial correlation of the discounted revenue
+    * and the taxed charge CONTROLLING the base price
+    * ([[StatTests.partialCorr]]) — the confounder-adjusted
+    * association q02b's raw Pearson cannot give, on a triple where
+    * the confounding is REAL: both derived amounts share
+    * l_extendedprice as a common factor, so their raw r reads ≈ 1
+    * while the partial — the base price held fixed — collapses toward
+    * the (independent) discount/tax association ≈ 0. The gate shows
+    * the estimator doing its one job. Ten exact decimal moments in
+    * one exchange, pairwise r round@9 artifacts, partial round@6,
+    * normal-approximation p on the t. */
+  private def partialCorrQ(s: SparkSession, d: String): DataFrame =
+    StatTests.partialCorr(
+      Tables.lineitem(s, d).select(
+        (col("l_extendedprice").cast("double") *
+          (lit(1.0) - col("l_discount").cast("double"))).as("rev"),
+        (col("l_extendedprice").cast("double") *
+          (lit(1.0) + col("l_tax").cast("double"))).as("charge"),
+        col("l_extendedprice").cast("double").as("base")),
+      "rev", "charge", "base")
+
+  private lazy val partialCorrSql = {
+    def ds(e: String) = graft.Det.sqlSum(e)
+    val p = StatTests.pTwoSidedSql("t_stat")
+    def vr(ss: String, sv: String) = s"(n * $ss - $sv * $sv)"
+    def r(sab: String, sa: String, sb: String, va: String, vb: String) =
+      s"""CASE WHEN $va > 0.0 AND $vb > 0.0 THEN
+         |      round((n * $sab - $sa * $sb) / sqrt($va * $vb), 9) END"""
+        .stripMargin
+    s"""WITH src AS (
+       |  SELECT
+       |    CAST(l_extendedprice AS DOUBLE) *
+       |      (1.0 - CAST(l_discount AS DOUBLE)) AS x,
+       |    CAST(l_extendedprice AS DOUBLE) *
+       |      (1.0 + CAST(l_tax AS DOUBLE)) AS y,
+       |    CAST(l_extendedprice AS DOUBLE) AS z
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("z")} AS sz,
+       |    ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy,
+       |    ${ds("z * z")} AS szz, ${ds("x * y")} AS sxy,
+       |    ${ds("x * z")} AS sxz, ${ds("y * z")} AS syz
+       |  FROM src),
+       |rr AS (
+       |  SELECT n,
+       |    ${r("sxy", "sx", "sy", vr("sxx", "sx"), vr("syy", "sy"))} AS r_xy,
+       |    ${r("sxz", "sx", "sz", vr("sxx", "sx"), vr("szz", "sz"))} AS r_xz,
+       |    ${r("syz", "sy", "sz", vr("syy", "sy"), vr("szz", "sz"))} AS r_yz
+       |  FROM m),
+       |pp AS (
+       |  SELECT *, CASE WHEN
+       |      (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0 THEN
+       |    round((r_xy - r_xz * r_yz) /
+       |      sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) END
+       |    AS partial_r
+       |  FROM rr),
+       |tt AS (
+       |  SELECT *, CASE WHEN n > 3.0
+       |      AND 1.0 - partial_r * partial_r > 0.0 THEN
+       |    round(partial_r *
+       |      sqrt((n - 3.0) / (1.0 - partial_r * partial_r)), 6) END
+       |    AS t_stat
+       |  FROM pp)
+       |SELECT CAST(n AS BIGINT) AS n, r_xy, r_xz, r_yz, partial_r,
+       |  t_stat, $p AS p
+       |FROM tt""".stripMargin
+  }
+
   /** q57_chisq: chi-squared homogeneity of the (source × md5-token-
     * bucket) contingency table — "do sources share one token
     * distribution", the test-statistic twin of text_drift's JSD. */
@@ -2659,6 +2728,9 @@ object StatsQueries {
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
+    Capability("q109_partial_corr",
+      "first-order partial correlation: confounder-adjusted Pearson, one exchange",
+      partialCorrQ, Some(partialCorrSql)),
     Capability("q108_jonckheere",
       "Jonckheere-Terpstra ordered k-sample trend: exact 2J, tie-corrected z",
       jtQ, Some(jtSql)),

@@ -1148,6 +1148,38 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
 
+  test("partial corr: a pure confounder collapses, a direct link survives") {
+    import spark.implicits._
+    val draws = Iterator.iterate(55555L)(s => (s * 6364136223846793005L +
+      1442695040888963407L) & 0x7fffffffffffffffL)
+      .drop(1).take(900).map(s => (s % 100000L) / 100000.0 - 0.5).toVector
+    // x and y are BOTH z plus small independent noise: raw r_xy is
+    // high purely through z; controlling z must collapse it
+    val conf = (0 until 300).map { i =>
+      val z = draws(i) * 10.0
+      (z + draws(300 + i) * 0.5, z + draws(600 + i) * 0.5, z)
+    }
+    val c = StatTests.partialCorr(conf.toDF("x", "y", "z"), "x", "y", "z")
+      .collect().head
+    assert(c.getDouble(1) > 0.95, s"raw r_xy ${c.getDouble(1)}")
+    assert(math.abs(c.getDouble(4)) < 0.15,
+      s"confounded partial must collapse: ${c.getDouble(4)}")
+    // y depends on x DIRECTLY, z independent: partial stays near raw
+    val direct = (0 until 300).map { i =>
+      val x = draws(i) * 10.0
+      (x, x + draws(300 + i) * 0.5, draws(600 + i) * 10.0)
+    }
+    val dctl = StatTests.partialCorr(direct.toDF("x", "y", "z"),
+      "x", "y", "z").collect().head
+    assert(dctl.getDouble(4) > 0.9,
+      s"direct link must survive: ${dctl.getDouble(4)}")
+    // constant z: zero variance -> r_xz NULL -> partial NULL
+    val const = (0 until 50).map(i => (draws(i), draws(100 + i), 7.0))
+    val k = StatTests.partialCorr(const.toDF("x", "y", "z"),
+      "x", "y", "z").collect().head
+    assert(k.isNullAt(2) && k.isNullAt(4))
+  }
+
   test("jonckheere: hand statistic on ordered groups, sign flip, " +
       "all-tied NULL") {
     import spark.implicits._
