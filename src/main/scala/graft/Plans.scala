@@ -195,7 +195,8 @@ object Plans {
       "pipeline_raking_apply",   // broadcast cell weights, narrow lottery filter
       "q107_cochran_q",          // two rollups to 1-row totals, exact integers
       "q108_jonckheere",         // distinct-value frame 2J, broadcast totals
-      "q109_partial_corr")       // one ten-moment scalar exchange, 1-row readout
+      "q109_partial_corr",       // one ten-moment scalar exchange, 1-row readout
+      "q110_page_trend")         // Friedman rank frame + k-row index window
     val names =
       (Registry.all.filter(_.bench).map(_.name) ++ extra).distinct
         .filter(Registry.byName.contains)

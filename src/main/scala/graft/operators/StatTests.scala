@@ -1136,8 +1136,13 @@ object StatTests {
     * windows over ≤k-row partitions, a #conditions rollup.
     * Output: one row per condition (cond, r2sum, mean_rank round@9)
     * with n_blocks / k / chi2 / chi2_corr round@6 on every row. */
-  def friedman(df: DataFrame, blockCol: String, condCol: String,
-      valCol: String): DataFrame = {
+  /** The complete-block ×2-midrank frame [[friedman]] and [[pageL]]
+    * share: per-cell Det.davg values, blocks restricted to the global
+    * condition count, within-block ×2 midranks (r2 = 2·rank + ties −
+    * 1). ONE definition — the kendallSFrame discipline. Returns
+    * (ranked, kTot). */
+  private def friedmanRanked(df: DataFrame, blockCol: String,
+      condCol: String, valCol: String): (DataFrame, DataFrame) = {
     val cell = df.filter(col(valCol).isNotNull)
       .groupBy(col(blockCol).as("b"), col(condCol).as("cond"))
       .agg(Det.davg(col(valCol).cast("double")).as("v"))
@@ -1155,6 +1160,12 @@ object StatTests {
       .withColumn("__tc", count(lit(1)).over(wbv))
       .withColumn("r2",
         lit(2L) * col("__mr") + col("__tc") - lit(1L))
+    (ranked, kTot)
+  }
+
+  def friedman(df: DataFrame, blockCol: String, condCol: String,
+      valCol: String): DataFrame = {
+    val (ranked, kTot) = friedmanRanked(df, blockCol, condCol, valCol)
     val byCond = ranked.groupBy(col("cond"))
       .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("n_blocks"))
     val ties = ranked.groupBy(col("b"), col("v"))
@@ -1181,6 +1192,49 @@ object StatTests {
         round(col("r2sum").cast("double") / (nD * 2.0), 9).as("mean_rank"),
         round(chi, 6).as("chi2"),
         when(corrOk, round(chi / corr, 6)).as("chi2_corr"))
+  }
+
+  /** Page's L trend test for ORDERED repeated measures (Page 1963) —
+    * [[friedman]]'s directional sibling, exactly as
+    * [[jonckheereTerpstra]] is [[kruskalWallis]]'s: when the k
+    * conditions carry a natural order, "does each block's value rank
+    * TREND with it" beats "do they differ at all". L = Σ_j j·R_j over
+    * condition order indices j = 1..k and within-block midrank sums
+    * R_j — the SAME complete-block ×2-midrank frame as Friedman
+    * ([[friedmanRanked]], one definition). The engine carries
+    * 2L = Σ j·r2sum exactly; z = (2·L2 − b·k(k+1)²) / (4σ) with the
+    * classical σ = √(b·k²(k+1)²(k−1)/144) — every component an exact
+    * decimal integer, z one fixed-order IEEE expression round@6,
+    * shared-text p (the classical no-tie variance; midrank ties make
+    * the z mildly conservative — documented standard practice).
+    * `condCol` must be numeric; its ascending order IS the dose
+    * order. k < 3 → NULL (Page needs at least 3 ordered conditions).
+    * Output: 1 row (n_blocks, k, l2, z, p). */
+  def pageL(df: DataFrame, blockCol: String, condCol: String,
+      valCol: String): DataFrame = {
+    val (ranked, kTot) = friedmanRanked(df, blockCol, condCol, valCol)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byCond = ranked.groupBy(col("cond"))
+      .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("n_blocks"))
+    val idx = row_number().over(Window.orderBy(col("cond")))
+    val agg = byCond
+      .withColumn("__j", idx.cast("long"))
+      .agg(sum(dec(col("__j")) * dec(col("r2sum"))).as("l2"),
+        max(col("n_blocks")).as("b"))
+    val m = agg.crossJoin(broadcast(kTot))
+    def dd(c: Column) = c.cast("double")
+    val kD = dec(col("k"))
+    val bD = dec(col("b"))
+    val num = dec(lit(2)) * col("l2") -
+      bD * kD * ((kD + dec(lit(1))) * (kD + dec(lit(1))))
+    val varL = bD * (kD * kD) * ((kD + dec(lit(1))) * (kD + dec(lit(1)))) *
+      (kD - dec(lit(1)))
+    val ok = col("k") >= 3L && col("b") >= 1L
+    m.select(col("b").as("n_blocks"), col("k"),
+      col("l2").cast("long").as("l2"),
+      when(ok, round(dd(num) / (lit(4.0) * sqrt(dd(varL) / 144.0)), 6))
+        .as("z"))
+      .withColumn("p", expr(pTwoSidedSql("z")))
   }
 
   /** Brown–Forsythe test for equality of group variances — Levene's

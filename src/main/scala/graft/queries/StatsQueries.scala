@@ -2177,6 +2177,63 @@ object StatsQueries {
        |FROM bycond, kt, s, ties ORDER BY event_type""".stripMargin
   }
 
+  /** q110_page_trend: Page's L across the ordered weekday conditions
+    * on the same users ([[StatTests.pageL]]) — q89's Friedman asks
+    * "any difference across the week"; Page asks the DIRECTIONAL
+    * question "does each user's value level trend from Sunday to
+    * Saturday", exactly as q108's JT sharpens q78's KW. Same
+    * complete-block ×2-midrank frame as Friedman (one shared
+    * definition); exact decimal 2L; classical-variance z round@6. */
+  private def pageQ(s: SparkSession, d: String): DataFrame =
+    StatTests.pageL(
+      Tables.events(s, d)
+        .select(col("user_id"), (dayofweek(col("ts")) - 1).as("cond"),
+          col("value")),
+      "user_id", "cond", "value")
+
+  private lazy val pageSql = {
+    val p = StatTests.pTwoSidedSql("z")
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    val num = s"${h("2")} * l2 - ${h("b")} * ${h("k")} * " +
+      s"((${h("k")} + 1) * (${h("k")} + 1))"
+    val varl = s"${h("b")} * (${h("k")} * ${h("k")}) * " +
+      s"((${h("k")} + 1) * (${h("k")} + 1)) * (${h("k")} - 1)"
+    s"""WITH cell AS (
+       |  SELECT user_id AS b, dayofweek(ts) AS cond,
+       |    ${Det.sqlAvg("CAST(value AS DOUBLE)")} AS v
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |kt AS (SELECT COUNT(DISTINCT cond) AS k FROM cell),
+       |bc AS (SELECT b, COUNT(*) AS c FROM cell GROUP BY b),
+       |complete AS (
+       |  SELECT cell.b, cond, v FROM cell JOIN bc USING (b), kt
+       |  WHERE bc.c = kt.k),
+       |ranked AS (
+       |  SELECT b, cond, v,
+       |    rank() OVER (PARTITION BY b ORDER BY v) AS mr,
+       |    COUNT(*) OVER (PARTITION BY b, v) AS tc
+       |  FROM complete),
+       |bycond AS (
+       |  SELECT cond, CAST(SUM(2 * mr + tc - 1) AS BIGINT) AS r2sum,
+       |    COUNT(*) AS n_blocks
+       |  FROM ranked GROUP BY cond),
+       |idx AS (
+       |  SELECT r2sum, n_blocks,
+       |    row_number() OVER (ORDER BY cond) AS j
+       |  FROM bycond),
+       |agg AS (
+       |  SELECT SUM(${h("j")} * ${h("r2sum")}) AS l2,
+       |    MAX(n_blocks) AS b
+       |  FROM idx),
+       |zf AS (
+       |  SELECT b AS n_blocks, k, CAST(l2 AS BIGINT) AS l2,
+       |    CASE WHEN k >= 3 AND b >= 1 THEN
+       |      round(CAST($num AS DOUBLE) /
+       |        (4.0 * sqrt(CAST($varl AS DOUBLE) / 144.0)), 6) END AS z
+       |  FROM agg, kt)
+       |SELECT n_blocks, k, l2, z, $p AS p
+       |FROM zf""".stripMargin
+  }
+
   /** q90_qn_scale: Rousseeuw–Croux Qn per event type ([[StatTests
     * .qnScaleBudget]]) — 50%-breakdown spread with no location estimate
     * needed (MAD requires the median first; Qn doesn't), the robust-
@@ -2728,6 +2785,9 @@ object StatsQueries {
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
+    Capability("q110_page_trend",
+      "Page's L ordered repeated-measures trend on the Friedman rank frame",
+      pageQ, Some(pageSql)),
     Capability("q109_partial_corr",
       "first-order partial correlation: confounder-adjusted Pearson, one exchange",
       partialCorrQ, Some(partialCorrSql)),

@@ -304,14 +304,18 @@ class LintSpec extends AnyFunSuite {
       // 2J cumulates over the distinct-VALUE frame (the q56/q58 MW
       // convention); the dose/tie totals ride 1-row broadcasts
       "q108_jonckheere" -> Set("global-window",
+        "single-partition-shuffle", "cartesian"),
+      "q110_page_trend" -> Set("global-window",
         "single-partition-shuffle", "cartesian"))
       // (q109_partial_corr is one scalar aggregate — clean)
+      // q110: the k-row condition-index window + the Friedman frame's
+      // complete-block broadcast (the q89 shapes)
     val offenders = Seq("q104_wasserstein", "q104b_wasserstein_fixed",
       "q104c_wasserstein_windowed", "q101c_psi_windowed",
       "pipeline_raking", "q105_adf", "q105b_adf_hourly",
       "q106_granger", "q72b_seasonal_mk", "q58b_cvm",
       "pipeline_raking_apply", "q107_cochran_q",
-      "q108_jonckheere", "q109_partial_corr").flatMap { name =>
+      "q108_jonckheere", "q109_partial_corr", "q110_page_trend").flatMap { name =>
       val cap = Registry.byName(name)
       val findings = graft.plans.Lint.lint(cap.run(spark, TestSpark.sf))
       val bad = findings.map(_.rule).toSet -- justified.getOrElse(name, Set.empty)

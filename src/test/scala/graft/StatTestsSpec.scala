@@ -1148,6 +1148,30 @@ class StatTestsSpec extends AnyFunSuite {
     assert(math.abs(r("tv").getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-6)
   }
 
+  test("page L: perfect monotone blocks give the exact closed-form z") {
+    import spark.implicits._
+    // 8 blocks x 3 ordered conditions, every block strictly increasing
+    // with the condition: L = 14b, E = 12b, sigma = sqrt(2b)
+    // -> z = sqrt(2b) = 4.0 exactly at b = 8
+    val up = (0 until 8).flatMap(b =>
+      Seq((s"b$b", 0, 1.0 + b), (s"b$b", 1, 10.0 + b), (s"b$b", 2, 20.0 + b)))
+    val r = StatTests.pageL(up.toDF("blk", "cond", "v"), "blk", "cond", "v")
+      .collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 224L, s"2L ${r.getLong(2)}")
+    assert(r.getDouble(3) == 4.0, s"z ${r.getDouble(3)}")
+    // reversed condition order flips the sign exactly
+    val down = up.map { case (b, c, v) => (b, 2 - c, v) }
+    val rd = StatTests.pageL(down.toDF("blk", "cond", "v"),
+      "blk", "cond", "v").collect().head
+    assert(rd.getDouble(3) == -4.0)
+    // k = 2: Page needs at least 3 ordered conditions -> NULL
+    val two = (0 until 5).flatMap(b =>
+      Seq((s"b$b", 0, 1.0), (s"b$b", 1, 2.0)))
+    assert(StatTests.pageL(two.toDF("blk", "cond", "v"),
+      "blk", "cond", "v").collect().head.isNullAt(3))
+  }
+
   test("partial corr: a pure confounder collapses, a direct link survives") {
     import spark.implicits._
     val draws = Iterator.iterate(55555L)(s => (s * 6364136223846793005L +
