@@ -18,7 +18,13 @@ import org.apache.spark.sql.SparkSession
   * different queries in different passes instead of poisoning one query's
   * every sample. The canonical per-query number (and the headline/total)
   * is the per-query MEDIAN across passes; per-query minima are also
-  * emitted (`queries_min`) as the contention-free floor.
+  * emitted (`queries_min`) as the contention-free floor. A query whose
+  * median/min spread still exceeds 2× after the passes (median ≥ 0.3 s)
+  * gets two EXTRA interleaved reps and its number becomes the median of
+  * 5 — median-of-3 cannot survive a 2-rep burst, median-of-5 can. The
+  * artifact names the re-measured queries (`spread_flagged`) and those
+  * still dirty after 5 reps (`spread_dirty`) so a poisoned environment
+  * self-identifies.
   *
   * Output is TWO lines: the full record (per-query medians + minima)
   * first, then a SHORT summary line with the total/headline. Harnesses
@@ -118,10 +124,48 @@ object Bench {
       else if (ok.length % 2 == 1) ok(ok.length / 2)
       else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
     }
-    val med = names.map(n => n -> median(samples(n)))
-    val mins = names.map { n =>
-      val ok = samples(n).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    def minOf(xs: Array[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    // Contention re-measurement (round-13 verdict #1): median-of-3
+    // cannot survive a burst that poisons 2 of 3 interleaved reps — the
+    // r11–r13 close artifacts repeatedly read 5–10× medians on a
+    // contiguous registry segment while the same run's MINIMA matched
+    // quiet-host numbers. So: any query whose median/min spread exceeds
+    // 2× (with median ≥ 0.3 s — below that, scheduler jitter alone
+    // doubles a sample) is re-run for two extra interleaved passes and
+    // its canonical number becomes the median of all 5 samples. The
+    // flagged names are emitted as "spread_flagged" so a poisoned
+    // environment self-identifies in the artifact; a query STILL flagged
+    // after 5 reps could not be measured cleanly on this host.
+    val spreadFlagged: Seq[String] =
+      if (reps < 2) Seq.empty
+      else names.filter { n =>
+        val m = median(samples(n)); val mn = minOf(samples(n))
+        m >= 0.3 && mn > 0 && m / mn > 2.0
+      }
+    val extra: Map[String, Array[Double]] =
+      spreadFlagged.map(_ -> Array.fill(2)(-1.0)).toMap
+    if (spreadFlagged.nonEmpty) {
+      System.err.println(s"[bench] spread>2x on ${spreadFlagged.size} " +
+        s"queries — re-running 2 extra passes: ${spreadFlagged.mkString(",")}")
+      var ep = 0
+      while (ep < 2) {
+        guardLoad()
+        spreadFlagged.foreach { n => extra(n)(ep) = runOnce(n) }
+        ep += 1
+      }
+    }
+    def allSamples(n: String): Array[Double] =
+      samples(n) ++ extra.getOrElse(n, Array.empty[Double])
+    val med = names.map(n => n -> median(allSamples(n)))
+    val mins = names.map(n => n -> minOf(allSamples(n)))
+    // still-dirty after 5 reps: named so the reader knows these medians
+    // could not be cleanly measured on this host
+    val stillFlagged = spreadFlagged.filter { n =>
+      val m = median(allSamples(n)); val mn = minOf(allSamples(n))
+      mn > 0 && m / mn > 2.0
     }
     val ok = med.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
@@ -137,8 +181,12 @@ object Bench {
     val totalS = num(total)
     val headS = num(headlineTotal)
     val loads = passLoads.map(num).mkString("[", ",", "]")
+    def strArr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flaggedS = strArr(spreadFlagged)
+    val dirtyS = strArr(stillFlagged)
     val fullRecord =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
     // The full record (241 queries ≈ 12 KB) cannot fit a ~2 KB stdout
     // tail-capture, so it is ALSO written to a file in the working
     // directory — the self-sufficient artifact the round notes commit
@@ -158,7 +206,7 @@ object Bench {
     // file (and in the first output line).
     println(fullRecord)
     val headMed = med.filter { case (n, _) => headline(n) }
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(headMed)},"queries_n":${names.length},"ok_n":${ok.length},"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries":${obj(headMed)},"queries_n":${names.length},"ok_n":${ok.length},"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     // LAST act (r12 verdict #3): when this was a FULL-registry pass at
     // the driver's bench scale, also write the complete record as the
     // ROUND artifact BENCH_r{N}.json, so `json.load(open('BENCH_r13
@@ -227,7 +275,7 @@ object Bench {
           }
         val roundPath = java.nio.file.Paths.get(s"BENCH_r$n.json")
         val roundRecord =
-          s"""{"n":$n,"graft_full_record":true,"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(med)},"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""
+          s"""{"n":$n,"graft_full_record":true,"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries":${obj(med)},"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""
         java.nio.file.Files.write(roundPath,
           (roundRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         System.err.println(s"[bench] round artifact: ${roundPath.toAbsolutePath}")

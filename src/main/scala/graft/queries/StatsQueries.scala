@@ -473,7 +473,9 @@ object StatsQueries {
        |    CAST(l_extendedprice AS DOUBLE) *
        |      (1.0 + CAST(l_tax AS DOUBLE)) AS y,
        |    CAST(l_extendedprice AS DOUBLE) AS z
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+       |    AND l_tax IS NOT NULL),
        |m AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |    ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("z")} AS sz,

@@ -294,7 +294,9 @@ object TimeSeriesQueries {
        |  FROM pts GROUP BY 1),
        |b AS (
        |  SELECT *, $det AS dt,
-       |    $det1 / $det AS b0, $det2 / $det AS b1, $det3 / $det AS b2
+       |    $det1 / (CASE WHEN abs($det) > 0.0 THEN $det END) AS b0,
+       |    $det2 / (CASE WHEN abs($det) > 0.0 THEN $det END) AS b1,
+       |    $det3 / (CASE WHEN abs($det) > 0.0 THEN $det END) AS b2
        |  FROM m),
        |e AS (
        |  SELECT *,
