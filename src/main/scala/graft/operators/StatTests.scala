@@ -155,8 +155,12 @@ object StatTests {
       ((nn + 1.0) - d(col("tsum")) / (nn * (nn - 1.0))))
     parts.select(col("n1"), col("n2"), col("u1x2"),
       (col("n1") * col("n2") * 2 - col("u1x2")).as("u2x2"),
-      round((d(col("u1x2")) - d(col("n1")) * d(col("n2"))) / (sigma * 2.0), 6)
-        .as("z"),
+      // all-tied input (e.g. a constant column) has sigma = 0: ANSI
+      // would throw on the division where DuckDB reads NULL — guard to
+      // the oracle's NULL (no effect when any two values differ)
+      when(sigma > 0.0,
+        round((d(col("u1x2")) - d(col("n1")) * d(col("n2"))) /
+          (sigma * 2.0), 6)).as("z"),
       // directional rank-biserial correlation ≡ Cliff's delta:
       // r = 2U₁/(n₁n₂) − 1 = (#(a>b) − #(a<b))/(n₁n₂) — the EFFECT SIZE
       // a significance-only U hides (at corpus scale everything is
@@ -519,6 +523,85 @@ object StatTests {
           ((dD(col("n1")) + dD(col("n2"))) *
             (dD(col("n1")) + dD(col("n2")))) *
           (dD(col("s9")) / 1e9), 6)).as("cvm_t"))
+  }
+
+  /** Fixed-grid quantization shared by the binned rank-test twins
+    * ([[mannWhitneyBinned]], [[ksTestBinned]], [[cvmTestBinned]],
+    * [[jonckheereTerpstraBinned]]) — the q101b/q104b fixed-bin lever
+    * applied to the inferential family: the exact forms rank over the
+    * POOLED distinct-value frame through one global window, which is
+    * bounded-cardinality-cheap on discrete domains but degrades to a
+    * single-partition sort of ~N rows on a continuous metric column.
+    * Quantizing first caps that frame at `nBins` rows FOREVER: bounds
+    * are ONE map-side-combined (min, max) aggregate, the bin map is
+    * narrow arithmetic on a broadcast 1-row frame, and every downstream
+    * window runs over ≤ nBins rows at any corpus size — the scan-floor
+    * shape.
+    *
+    * Error contract: the binned statistic IS the exact statistic of the
+    * grid-quantized sample — each value moves < one binwidth
+    * ((hi−lo)/nBins) to its bin, values within a bin collapse to ties.
+    * Since MW/KS/CvM/JT depend only on the value ORDERING, the result
+    * equals running the exact test after that ≤-one-binwidth
+    * perturbation (for KS: |D_binned − D_exact| ≤ the largest pooled
+    * CDF mass inside any bin). Bin = [[clampBinOf]] — the same clamped
+    * double-ratio contract as psiFixed/wasserstein1Fixed, so batch,
+    * stream and oracle forms can never fork; a zero-width support
+    * (constant column) collapses to one tie, which the exact tests
+    * already define (NULL z / 0 distance). */
+  private def quantizedSrc(src: DataFrame, valCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val bounds = src.agg(min(col(valCol)).as("__lo"),
+      max(col(valCol)).as("__hi"))
+    src.crossJoin(broadcast(bounds))
+      .withColumn(valCol,
+        clampBinOf(col(valCol), col("__lo"), col("__hi"), nBins)
+          .cast("double"))
+      .drop("__lo", "__hi")
+  }
+
+  /** [[mannWhitney]] on the [[quantizedSrc]] fixed grid — the
+    * continuous-domain scale path (see quantizedSrc for the shape and
+    * the ≤-one-binwidth error contract). */
+  def mannWhitneyBinned(df: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String, nBins: Int = 64): DataFrame = {
+    val src = df.filter(col(valCol).isNotNull &&
+        (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol), col(valCol).cast("double").as(valCol))
+    mannWhitney(quantizedSrc(src, valCol, nBins), groupCol, valCol, ga, gb)
+  }
+
+  /** [[ksTest]] on the [[quantizedSrc]] fixed grid — D evaluated on the
+    * bin-edge CDF; |D_binned − D_exact| ≤ the largest pooled CDF mass
+    * inside any bin. */
+  def ksTestBinned(df: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String, nBins: Int = 64): DataFrame = {
+    val src = df.filter(col(valCol).isNotNull &&
+        (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol), col(valCol).cast("double").as(valCol))
+    ksTest(quantizedSrc(src, valCol, nBins), groupCol, valCol, ga, gb)
+  }
+
+  /** [[cvmTest]] on the [[quantizedSrc]] fixed grid. */
+  def cvmTestBinned(df: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String, nBins: Int = 64): DataFrame = {
+    val src = df.filter(col(valCol).isNotNull &&
+        (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol), col(valCol).cast("double").as(valCol))
+    cvmTest(quantizedSrc(src, valCol, nBins), groupCol, valCol, ga, gb)
+  }
+
+  /** [[jonckheereTerpstra]] on the [[quantizedSrc]] fixed grid —
+    * per-dose sample sizes are binning-invariant, so only the tie
+    * structure (and through it J and the variance) sees the grid. */
+  def jonckheereTerpstraBinned(df: DataFrame, doseCol: String,
+      valCol: String, doses: Seq[Int], nBins: Int = 64): DataFrame = {
+    val src = df.filter(col(valCol).isNotNull &&
+        col(doseCol).isin(doses.map(Integer.valueOf): _*))
+      .select(col(doseCol), col(valCol).cast("double").as(valCol))
+    jonckheereTerpstra(quantizedSrc(src, valCol, nBins), doseCol, valCol,
+      doses)
   }
 
   /** Mann–Kendall trend test per group — the nonparametric "is there a

@@ -48,15 +48,45 @@ object StatsQueries {
   private def mwQ(s: SparkSession, d: String): DataFrame =
     StatTests.mannWhitney(Tables.events(s, d), "event_type", "value", MwA, MwB)
 
-  private val mwSql =
-    s"""WITH vc AS (
+  /** The exact cohort per-value count CTE (q56/q58/q58b) — pooled
+    * distinct values of the two event-type cohorts. */
+  private val mwVcExact =
+    s"""vc AS (
        |  SELECT CAST(value AS DOUBLE) AS v,
        |    COUNT(*) FILTER (event_type = '$MwA') AS c1,
        |    COUNT(*) FILTER (event_type = '$MwB') AS c2
        |  FROM events
        |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')
-       |  GROUP BY 1),
-       |p AS (
+       |  GROUP BY 1)""".stripMargin
+
+  /** The fixed-grid twin of [[mwVcExact]] (q56b/q58c/q58d): same
+    * cohorts, values quantized to the [[StatTests.clampBinOf]] grid
+    * (bin = floor(clamp((v−lo)/w)) over the pooled (min, max) support)
+    * BEFORE counting — mirrors
+    * [[StatTests.quantizedSrc]] text-for-text so both engines bin
+    * identically; the statistic tails below are then literally shared
+    * with the exact forms. */
+  private def mwVcBinned(nBins: Int) =
+    s"""src0 AS (
+       |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')),
+       |bnd AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src0),
+       |srcb AS (
+       |  SELECT g, CASE WHEN hi = lo THEN 0.0 ELSE
+       |    CAST(floor(least(${nBins - 1}.0, greatest(0.0,
+       |      (v - lo) / ((hi - lo) / ${nBins}.0)))) AS DOUBLE) END AS v
+       |  FROM src0, bnd),
+       |vc AS (
+       |  SELECT v,
+       |    COUNT(*) FILTER (g = '$MwA') AS c1,
+       |    COUNT(*) FILTER (g = '$MwB') AS c2
+       |  FROM srcb GROUP BY 1)""".stripMargin
+
+  /** Shared MW statistic tail: everything after the per-value count
+    * frame `vc` — one text for the exact and binned gates. */
+  private val mwSqlTail =
+    s"""p AS (
        |  SELECT c1 * coalesce(SUM(c2) OVER (ORDER BY v
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
        |    + c1 * c2 AS p2, c1, c2
@@ -77,6 +107,20 @@ object StatsQueries {
        |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) - 1.0, 9)
        |    AS rank_biserial
        |FROM s""".stripMargin
+
+  private val mwSql = s"WITH $mwVcExact,\n$mwSqlTail"
+
+  /** q56b_mannwhitney_binned: [[StatTests.mannWhitneyBinned]] on the
+    * same cohorts — the continuous-domain scale path: events.value is
+    * near-continuous (distinct ≈ N), so the exact form's global
+    * distinct-value window grows with the corpus while this one is
+    * capped at 64 rows forever; the statistic is the exact U of the
+    * grid-quantized sample (≤ one binwidth value perturbation). */
+  private def mwBinnedQ(s: SparkSession, d: String): DataFrame =
+    StatTests.mannWhitneyBinned(Tables.events(s, d), "event_type",
+      "value", MwA, MwB, nBins = 64)
+
+  private val mwBinnedSql = s"WITH ${mwVcBinned(64)},\n$mwSqlTail"
 
   private val FdrAlpha = 0.05
 
@@ -245,15 +289,10 @@ object StatsQueries {
   private def ksQ(s: SparkSession, d: String): DataFrame =
     StatTests.ksTest(Tables.events(s, d), "event_type", "value", MwA, MwB)
 
-  private val ksSql =
-    s"""WITH vc AS (
-       |  SELECT CAST(value AS DOUBLE) AS v,
-       |    COUNT(*) FILTER (event_type = '$MwA') AS c1,
-       |    COUNT(*) FILTER (event_type = '$MwB') AS c2
-       |  FROM events
-       |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')
-       |  GROUP BY 1),
-       |cums AS (
+  /** Shared KS statistic tail over the `vc` count frame (exact q58 and
+    * binned q58c gates). */
+  private val ksSqlTail =
+    s"""cums AS (
        |  SELECT
        |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
        |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
@@ -270,6 +309,18 @@ object StatsQueries {
        |    (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS ks_stat
        |FROM top""".stripMargin
 
+  private val ksSql = s"WITH $mwVcExact,\n$ksSqlTail"
+
+  /** q58c_ks_binned: [[StatTests.ksTestBinned]] — D on the 64-bin
+    * grid CDF (|D_binned − D_exact| ≤ the largest pooled CDF mass in
+    * any bin); the distinct-value window is capped at 64 rows at any
+    * corpus size. */
+  private def ksBinnedQ(s: SparkSession, d: String): DataFrame =
+    StatTests.ksTestBinned(Tables.events(s, d), "event_type", "value",
+      MwA, MwB, nBins = 64)
+
+  private val ksBinnedSql = s"WITH ${mwVcBinned(64)},\n$ksSqlTail"
+
   /** q58b_cvm: two-sample Cramér–von Mises between the same cohorts as
     * q58 ([[StatTests.cvmTest]]) — the L² member of the distance trio
     * (q58 sup / q104 L¹ / this L²), more sensitive than KS to
@@ -279,17 +330,12 @@ object StatsQueries {
     StatTests.cvmTest(Tables.events(s, d), "event_type", "value",
       MwA, MwB)
 
-  private lazy val cvmSql = {
+  /** Shared CvM statistic tail over the `vc` count frame (exact q58b
+    * and binned q58d gates). */
+  private lazy val cvmSqlTail = {
     def dd(x: String) = s"CAST($x AS DOUBLE)"
     val diff = s"(${dd("cum1")} / ${dd("t.n1")} - ${dd("cum2")} / ${dd("t.n2")})"
-    s"""WITH vc AS (
-       |  SELECT CAST(value AS DOUBLE) AS v,
-       |    COUNT(*) FILTER (event_type = '$MwA') AS c1,
-       |    COUNT(*) FILTER (event_type = '$MwB') AS c2
-       |  FROM events
-       |  WHERE value IS NOT NULL AND event_type IN ('$MwA', '$MwB')
-       |  GROUP BY 1),
-       |cums AS (
+    s"""cums AS (
        |  SELECT c1, c2,
        |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
        |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
@@ -309,6 +355,17 @@ object StatsQueries {
        |      (${dd("s9")} / 1e9), 6) END AS cvm_t
        |FROM ag""".stripMargin
   }
+
+  private lazy val cvmSql = s"WITH $mwVcExact,\n$cvmSqlTail"
+
+  /** q58d_cvm_binned: [[StatTests.cvmTestBinned]] — the L² CDF
+    * distance on the 64-bin grid; same scan-floor scale shape as
+    * q56b/q58c. */
+  private def cvmBinnedQ(s: SparkSession, d: String): DataFrame =
+    StatTests.cvmTestBinned(Tables.events(s, d), "event_type", "value",
+      MwA, MwB, nBins = 64)
+
+  private lazy val cvmBinnedSql = s"WITH ${mwVcBinned(64)},\n$cvmSqlTail"
 
   /** q107_cochran_q: Cochran's Q across the five event types on the
     * same users ([[StatTests.cochranQ]]) — "does the lean-toward-this-
@@ -375,7 +432,10 @@ object StatsQueries {
         .select((dayofweek(col("ts")) - 1).as("dose"), col("value")),
       "dose", "value", doses = (0 to 6))
 
-  private lazy val jtSql = {
+  /** JT statistic SQL parameterized on the source CTE chain (must end
+    * with a relation `src(g, v)`) — one text for the exact q108 and
+    * the binned q108b gates. */
+  private def jtSqlFrom(srcCtes: String) = {
     val doses = 0 to 6
     def h(x: String) = s"CAST($x AS HUGEINT)"
     val cs = doses.map(d =>
@@ -389,9 +449,7 @@ object StatsQueries {
         s"${h(s"c$i")} * ${h(s"c$j")}").mkString(" +\n      ")
     val tc = doses.map(d => s"c$d").mkString(" + ")
     val p = StatTests.pTwoSidedSql("z")
-    s"""WITH src AS (
-       |  SELECT dayofweek(ts) AS g, CAST(value AS DOUBLE) AS v
-       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    s"""WITH $srcCtes,
        |vc AS (
        |  SELECT v, $cs
        |  FROM src GROUP BY 1),
@@ -436,6 +494,37 @@ object StatsQueries {
        |SELECT nn AS n, j2, z, $p AS p
        |FROM zf""".stripMargin
   }
+
+  private val jtSrcExact =
+    """src AS (
+      |  SELECT dayofweek(ts) AS g, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL)"""
+      .stripMargin
+
+  private lazy val jtSql = jtSqlFrom(jtSrcExact)
+
+  /** q108b_jonckheere_binned: [[StatTests.jonckheereTerpstraBinned]] —
+    * the JT trend on the 64-bin grid: per-dose sample sizes are
+    * binning-invariant, so only the tie structure sees the grid, and
+    * the distinct-value frame is capped at 64 rows at any scale. */
+  private def jtBinnedQ(s: SparkSession, d: String): DataFrame =
+    StatTests.jonckheereTerpstraBinned(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((dayofweek(col("ts")) - 1).as("dose"), col("value")),
+      "dose", "value", doses = (0 to 6), nBins = 64)
+
+  private def jtSrcBinned(nBins: Int) =
+    s"""src0 AS (
+       |  SELECT dayofweek(ts) AS g, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |bnd AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src0),
+       |src AS (
+       |  SELECT g, CASE WHEN hi = lo THEN 0.0 ELSE
+       |    CAST(floor(least(${nBins - 1}.0, greatest(0.0,
+       |      (v - lo) / ((hi - lo) / ${nBins}.0)))) AS DOUBLE) END AS v
+       |  FROM src0, bnd)""".stripMargin
+
+  private lazy val jtBinnedSql = jtSqlFrom(jtSrcBinned(64))
 
   /** q109_partial_corr: partial correlation of the discounted revenue
     * and the taxed charge CONTROLLING the base price
@@ -2784,6 +2873,9 @@ object StatsQueries {
     Capability("q56_mannwhitney",
       "Mann-Whitney U from per-value counts (exact 2x-scaled U, tie-corrected z)",
       mwQ, Some(mwSql)),
+    Capability("q56b_mannwhitney_binned",
+      "Mann-Whitney on the 64-bin fixed grid: distinct-value frame capped, continuous-domain scale path",
+      mwBinnedQ, Some(mwBinnedSql)),
     Capability("q57_chisq",
       "chi-squared homogeneity over the source x token-bucket contingency table",
       chisqQ, Some(chisqSql)),
@@ -2796,15 +2888,24 @@ object StatsQueries {
     Capability("q108_jonckheere",
       "Jonckheere-Terpstra ordered k-sample trend: exact 2J, tie-corrected z",
       jtQ, Some(jtSql)),
+    Capability("q108b_jonckheere_binned",
+      "Jonckheere-Terpstra on the 64-bin fixed grid (binning-invariant dose sizes)",
+      jtBinnedQ, Some(jtBinnedSql)),
     Capability("q107_cochran_q",
       "Cochran's Q: k matched binary conditions on the same blocks",
       cochranQQ, Some(cochranQSql)),
     Capability("q58b_cvm",
       "two-sample Cramer-von Mises: L2 CDF distance over the distinct-value frame",
       cvmQ, Some(cvmSql)),
+    Capability("q58d_cvm_binned",
+      "Cramer-von Mises on the 64-bin fixed grid: scan-floor scale shape",
+      cvmBinnedQ, Some(cvmBinnedSql)),
     Capability("q58_ks",
       "two-sample Kolmogorov-Smirnov D (integer-exact numerator, one division)",
       ksQ, Some(ksSql)),
+    Capability("q58c_ks_binned",
+      "Kolmogorov-Smirnov D on the 64-bin grid CDF (error <= largest per-bin mass)",
+      ksBinnedQ, Some(ksBinnedSql)),
     Capability("q59_ols_multi",
       "multivariate OLS: Cramer closed form on exact-moment normal equations + R2",
       olsQ, Some(olsSql)),

@@ -114,6 +114,57 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rt.getDouble(5) == -0.5, rt.toString)
   }
 
+  test("binned rank-test twins: quantization collapses within-bin values " +
+      "to ties, on-grid input reproduces the exact statistic, constant " +
+      "column degenerates like the exact form") {
+    import spark.implicits._
+    // Values already ON a 2-bin grid (lo=0, hi=10, nBins=2: bin edge at
+    // 5): binned == exact because no two values share a bin boundary
+    // crossing. x = {0, 1}, y = {9, 10} -> fully separated in both forms.
+    val sep = (Seq(0.0, 1.0).map(("x", _)) ++ Seq(9.0, 10.0).map(("y", _)))
+      .toDF("g", "v")
+    val mb = StatTests.mannWhitneyBinned(sep, "g", "v", "x", "y", nBins = 2)
+      .collect().head
+    assert(mb.getLong(2) == 0L, "all x in bin 0, all y in bin 1 -> U1 = 0")
+    assert(mb.getDouble(5) == -1.0, "rank-biserial -1 on separation")
+    // Within-bin collapse: {1.0, 1.4} vs {1.6, 2.0} with 2 bins over
+    // [1, 2] -> bins {0, 0} vs {1, 1}: binned MW sees full separation
+    // even though exact values interleave near the midpoint.
+    val near = (Seq(1.0, 1.4).map(("x", _)) ++ Seq(1.6, 2.0).map(("y", _)))
+      .toDF("g", "v")
+    val nb = StatTests.mannWhitneyBinned(near, "g", "v", "x", "y", nBins = 2)
+      .collect().head
+    assert(nb.getLong(2) == 0L, s"bin split at 1.5 separates, got $nb")
+    // KS on the grid: D over bin CDF. x={0,1} y={9,10}, 2 bins -> D=1.
+    val kb = StatTests.ksTestBinned(sep, "g", "v", "x", "y", nBins = 2)
+      .collect().head
+    assert(kb.getDouble(3) == 1.0, s"binned D must be 1, got $kb")
+    // CvM identical-sample zero survives binning.
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val cb = StatTests.cvmTestBinned(same, "g", "v", "a", "b", nBins = 4)
+      .collect().head
+    assert(cb.getDouble(2) == 0.0)
+    // Constant column: zero-width support -> one tie -> NULL z exactly
+    // like the exact form on constant input.
+    val flat = (Seq(5.0, 5.0).map(("x", _)) ++ Seq(5.0, 5.0).map(("y", _)))
+      .toDF("g", "v")
+    val fb = StatTests.mannWhitneyBinned(flat, "g", "v", "x", "y", nBins = 8)
+      .collect().head
+    assert(fb.isNullAt(4), "constant column -> NULL z")
+    // JT: dose sizes are binning-invariant; upward trend on-grid
+    // reproduces the exact J.
+    val up = Seq((0, 1.0), (0, 2.0), (1, 11.0), (1, 12.0),
+      (2, 21.0), (2, 22.0)).toDF("dose", "v")
+    val je = StatTests.jonckheereTerpstra(up, "dose", "v", Seq(0, 1, 2))
+      .collect().head
+    val jb = StatTests.jonckheereTerpstraBinned(up, "dose", "v",
+      Seq(0, 1, 2), nBins = 3).collect().head
+    assert(jb.getLong(1) == je.getLong(1),
+      s"on-grid JT 2J must match exact: ${jb.getLong(1)} vs ${je.getLong(1)}")
+    assert(jb.getLong(0) == je.getLong(0), "n is binning-invariant")
+  }
+
   test("tukey hsd: q = -3*sqrt(3) on the textbook thirds; Kramer handles a " +
       "singleton via pooled MSW; zero within-variance is NULL") {
     import spark.implicits._
