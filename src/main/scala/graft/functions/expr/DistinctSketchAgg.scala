@@ -2,8 +2,6 @@ package graft.functions.expr
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
@@ -84,10 +82,29 @@ object DistinctSketchAgg {
   /** 16 Ki registers = 16 KB bounded state, ~0.8 % RSE after degrade. */
   val DefaultLgK: Int = 14
 
+  /** Exact-tier storage is a primitive open-addressing hash set of the
+    * 64-bit hashes (boxing a `mutable.HashSet[Long]` dominated HyperBall's
+    * merge CPU — hundreds of millions of boxed inserts per round). A buf
+    * DESERIALIZED from a partial/ball state starts FROZEN: the longs are
+    * bulk-copied, not re-hashed (serialized states are set iterations, so
+    * they are already distinct and their count is the exact estimate);
+    * the hash table is built lazily on first mutation. Semantics — set
+    * union, degrade threshold, estimates — are IDENTICAL to the hash-set
+    * form in every tier; only element ORDER inside `serialize()` may
+    * differ, which the contract explicitly leaves free (equality is
+    * asserted on estimates, never bytes). */
   final class Buf(val exactCap: Int, val lgK: Int) {
-    // exact tier while `set` is non-null; register tier once degraded
-    var set: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+    // exact tier while `regs` is null: either `table` (live open-addressed
+    // set; 0L tracked by `hasZero` since empty slots read 0) or `frozen`
+    // (deserialized distinct longs, not yet hashed)
+    private var table: Array[Long] = _
+    private var mask = 0
+    private var n = 0 // non-zero elements in `table`
+    private var hasZero = false
+    private var frozen: Array[Long] = _
     var regs: Array[Byte] = _
+
+    private def exactSize: Int = n + (if (hasZero) 1 else 0)
 
     private def regUpdate(h: Long): Unit = {
       val idx = (h >>> (64 - lgK)).toInt
@@ -99,23 +116,103 @@ object DistinctSketchAgg {
       if (rank > regs(idx)) regs(idx) = rank.toByte
     }
 
+    /** Insert into the live table (no degrade check, h != 0). */
+    private def insertNonZero(h: Long): Unit = {
+      // xxhash64 values are already mixed; fold the high bits so the
+      // probe index uses them all
+      var i = (h ^ (h >>> 32)).toInt & mask
+      var v = table(i)
+      while (v != 0L) {
+        if (v == h) return
+        i = (i + 1) & mask
+        v = table(i)
+      }
+      table(i) = h
+      n += 1
+      if (n + (n >> 1) > mask) grow() // load > ~2/3
+    }
+
+    private def grow(): Unit = {
+      val old = table
+      table = new Array[Long]((old.length << 1))
+      mask = table.length - 1
+      n = 0
+      var i = 0
+      while (i < old.length) {
+        val v = old(i)
+        if (v != 0L) insertNonZero(v)
+        i += 1
+      }
+    }
+
+    /** Build the live table from the frozen longs (first mutation). */
+    private def thaw(): Unit = {
+      val f = frozen
+      frozen = null
+      ensureTable(if (f == null) 0 else f.length)
+      if (f != null) {
+        var i = 0
+        while (i < f.length) {
+          val h = f(i)
+          if (h == 0L) hasZero = true else insertNonZero(h)
+          i += 1
+        }
+      }
+    }
+
+    private def ensureTable(minElems: Int): Unit = {
+      if (table == null) {
+        var cap = 64
+        while (cap < minElems * 2) cap <<= 1
+        table = new Array[Long](cap)
+        mask = cap - 1
+      }
+    }
+
     private def degrade(): Unit = {
       regs = new Array[Byte](1 << lgK)
-      set.foreach(regUpdate)
-      set = null
+      if (frozen != null) {
+        val f = frozen; frozen = null
+        var i = 0
+        while (i < f.length) { regUpdate(f(i)); i += 1 }
+      } else if (table != null) {
+        if (hasZero) regUpdate(0L)
+        var i = 0
+        while (i < table.length) {
+          val v = table(i)
+          if (v != 0L) regUpdate(v)
+          i += 1
+        }
+        table = null
+      }
+      table = null; n = 0; hasZero = false
     }
 
     def add(h: Long): Unit = {
-      if (set != null) {
-        set += h
-        if (set.size > exactCap) degrade()
+      if (regs == null) {
+        if (frozen != null) thaw() else ensureTable(0)
+        if (h == 0L) hasZero = true else insertNonZero(h)
+        if (exactSize > exactCap) degrade()
       } else regUpdate(h)
     }
 
     def mergeIn(o: Buf): Unit = {
-      if (o.set != null) o.set.foreach(add)
-      else {
-        if (set != null) degrade()
+      if (o.regs == null) {
+        if (o.frozen != null) {
+          val f = o.frozen
+          var i = 0
+          while (i < f.length) { add(f(i)); i += 1 }
+        } else if (o.table != null) {
+          if (o.hasZero) add(0L)
+          var i = 0
+          while (i < o.table.length) {
+            val v = o.table(i)
+            if (v != 0L) add(v)
+            i += 1
+          }
+        }
+      } else {
+        if (regs == null) degrade()
         var i = 0
         while (i < regs.length) {
           if (o.regs(i) > regs(i)) regs(i) = o.regs(i)
@@ -125,7 +222,9 @@ object DistinctSketchAgg {
     }
 
     def estimate: Long = {
-      if (set != null) return set.size.toLong
+      if (regs == null) {
+        return if (frozen != null) frozen.length.toLong else exactSize.toLong
+      }
       val m = 1 << lgK
       // Flajolet et al. give exact alpha for the three smallest register
       // counts; the 0.7213/(1+1.079/m) form is the m >= 128 asymptote and
@@ -152,17 +251,36 @@ object DistinctSketchAgg {
     }
 
     def serialize(): Array[Byte] = {
-      if (set != null) {
-        val bb = ByteBuffer.allocate(1 + 4 + 8 * set.size)
-        bb.put(0.toByte).putInt(set.size)
-        set.foreach(bb.putLong)
-        bb.array()
+      if (regs == null) {
+        if (frozen != null) {
+          val bb = ByteBuffer.allocate(1 + 4 + 8 * frozen.length)
+          bb.put(0.toByte).putInt(frozen.length)
+          var i = 0
+          while (i < frozen.length) { bb.putLong(frozen(i)); i += 1 }
+          bb.array()
+        } else {
+          val sz = exactSize
+          val bb = ByteBuffer.allocate(1 + 4 + 8 * sz)
+          bb.put(0.toByte).putInt(sz)
+          if (hasZero) bb.putLong(0L)
+          if (table != null) {
+            var i = 0
+            while (i < table.length) {
+              val v = table(i)
+              if (v != 0L) bb.putLong(v)
+              i += 1
+            }
+          }
+          bb.array()
+        }
       } else {
         val bb = ByteBuffer.allocate(1 + regs.length)
         bb.put(1.toByte).put(regs)
         bb.array()
       }
     }
+
+    private[DistinctSketchAgg] def setFrozen(f: Array[Long]): Unit = { frozen = f }
   }
 
   object Buf {
@@ -170,11 +288,13 @@ object DistinctSketchAgg {
       val bb = ByteBuffer.wrap(bytes)
       val buf = new Buf(exactCap, lgK)
       if (bb.get() == 0.toByte) {
+        // FROZEN form: bulk-copy the (already-distinct) hashes; the hash
+        // table is only built if this buf is later mutated
         val n = bb.getInt
-        var i = 0
-        while (i < n) { buf.set += bb.getLong; i += 1 }
+        val f = new Array[Long](n)
+        bb.asLongBuffer().get(f)
+        buf.setFrozen(f)
       } else {
-        buf.set = null
         buf.regs = new Array[Byte](1 << lgK)
         bb.get(buf.regs)
       }

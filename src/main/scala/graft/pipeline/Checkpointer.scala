@@ -58,4 +58,25 @@ object Checkpointer {
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** Release the executor blocks behind a frame [[truncate]] produced in
+    * LOCAL-checkpoint mode, for loops that supersede round i's frame once
+    * round i+1 has materialized — without this, every round's blocks
+    * linger until the driver GCs the Dataset reference (ContextCleaner),
+    * and a bench/pipeline that runs many iterative queries back-to-back
+    * accumulates gigabytes of dead round-state in the block manager,
+    * evicting live caches. ONLY call on a frame no action will ever read
+    * again: a localCheckpoint's lineage is truncated, so its data is
+    * unrecoverable after this. Durable checkpoints (reliable mode) and
+    * non-checkpoint frames are left untouched (no-op) — their cleanup
+    * stays with the ContextCleaner. */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    // a localCheckpoint's RDD is persisted (MEMORY_AND_DISK blocks); a
+    // reliable checkpoint's RDD reads from files and carries StorageLevel
+    // NONE, so the guard skips it (and every non-checkpoint frame)
+    case l: org.apache.spark.sql.execution.LogicalRDD
+        if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+      l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

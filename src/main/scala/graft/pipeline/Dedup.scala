@@ -572,6 +572,9 @@ object Dedup {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      // superseded round's label blocks are freed NOW rather than at the
+      // next driver GC (Checkpointer.free contract)
+      Checkpointer.free(labels)
       labels = next
       iter += 1
     }
@@ -664,6 +667,9 @@ object Dedup {
       val cur = fingerprint(next)
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
+      // free superseded star-edge rounds eagerly — NOT the round-0 frame,
+      // which is the still-persisted rawEdges behind a different plan
+      if (iter > 0) Checkpointer.free(edges)
       edges = next
       iter += 1
     }
@@ -673,6 +679,7 @@ object Dedup {
       .join(nonRoot, Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
       .transform(Checkpointer.truncate)
+    if (iter > 0) Checkpointer.free(edges) // final star frame now folded into labels
     // one verification propagation round over the ORIGINAL edges
     val dirAll = rawEdges.select(col("lo").as("src"), col("hi").as("dst"))
       .union(rawEdges.select(col("hi").as("src"), col("lo").as("dst")))

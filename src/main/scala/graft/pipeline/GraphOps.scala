@@ -56,8 +56,13 @@ object GraphOps {
       // unboundedly — the same localCheckpoint policy as the CC loop. The
       // FINAL round checkpoints too (ranks is just (node, deg, rank)) so
       // the returned frame no longer references the cached inputs.
+      // Round i's blocks are FREED once round i+1 is materialized
+      // (Checkpointer.free) — superseded round state must not sit in the
+      // block manager until the driver GCs the reference.
+      val prev = ranks
       ranks = Checkpointer.truncate(
         iterate(g, ranks, damping, roundContrib))
+      Checkpointer.free(prev)
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist()
@@ -83,8 +88,10 @@ object GraphOps {
     var ranks = g.nd.withColumn("rank", lit(1.0 / g.n))
     var it = 0
     while (it < iterations) {
+      val prev = ranks
       ranks = Checkpointer.truncate(
         iterate(g, ranks, damping, roundContrib))
+      Checkpointer.free(prev) // superseded round state (pageRank comment)
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist()
@@ -143,7 +150,11 @@ object GraphOps {
             lit(damping) *
               (col("csum") +
                 col("__t") * round(col("dm") / nt, roundContrib))).as("rank"))
-        .transform(Checkpointer.truncate)
+        .transform { next =>
+          val t = Checkpointer.truncate(next)
+          Checkpointer.free(ranks) // superseded round state (pageRank comment)
+          t
+        }
       it += 1
     }
     g.e.unpersist(); g.nd.unpersist(); seedSet.unpersist()
@@ -215,7 +226,11 @@ object GraphOps {
         .select(col("node"), col("ball"), col("est"),
           (col("h") +
             (col("est") - col("prev")).cast("double") / lit(t.toDouble)).as("h"))
-        .transform(Checkpointer.truncate)
+        .transform { next =>
+          val tr = Checkpointer.truncate(next)
+          Checkpointer.free(cur) // superseded ball state (pageRank comment)
+          tr
+        }
       t += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -282,6 +297,7 @@ object GraphOps {
         val ns = labelSum(next)
         converged = ns.compareTo(prev) == 0
         prev = ns
+        Checkpointer.free(lab) // superseded round state (pageRank comment)
         lab = next
         it += 1
       }
@@ -300,17 +316,21 @@ object GraphOps {
     while (!nodes.isEmpty) {
       require(outer < maxIter,
         s"stronglyConnected: peeling did not finish in $maxIter rounds")
-      val f = fixpoint(nodes, e, "src", "dst")
-        .withColumnRenamed("lab", "flab")
-      val b = fixpoint(nodes, e, "dst", "src")
-        .withColumnRenamed("lab", "blab")
+      val f0 = fixpoint(nodes, e, "src", "dst")
+      val b0 = fixpoint(nodes, e, "dst", "src")
+      val f = f0.withColumnRenamed("lab", "flab")
+      val b = b0.withColumnRenamed("lab", "blab")
       val done = f.join(b, "node")
         .filter(col("flab") === col("blab"))
         .select(col("node"), col("flab").as("scc_id"))
         .transform(Checkpointer.truncate)
+      // the fixpoint label frames are dead once `done` is materialized
+      Checkpointer.free(f0); Checkpointer.free(b0)
       result = if (result == null) done else result.unionByName(done)
+      val prevNodes = nodes
       nodes = nodes.join(done.select("node"), Seq("node"), "left_anti")
         .transform(Checkpointer.truncate)
+      Checkpointer.free(prevNodes) // superseded peel frontier
       val e2 = e
         .join(done.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(done.select(col("node").as("dst")), Seq("dst"), "left_anti")
@@ -433,7 +453,11 @@ object GraphOps {
           roundContrib))
       val hub = hitsHalfStep(e, nodes, auth, "auth", "dst", "src", "hub",
         roundContrib)
+      val prev = cur
       cur = Checkpointer.truncate(hub.join(auth, Seq("node")))
+      // both half-step inputs are dead once the joined round frame is
+      // materialized (pageRank free comment)
+      Checkpointer.free(prev); Checkpointer.free(auth)
       it += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -500,7 +524,9 @@ object GraphOps {
       .select(col("node"), col("node").as("label"))
     var r = 0
     while (r < rounds) {
+      val prev = lab
       lab = Checkpointer.truncate(lpaRound(sym, lab))
+      Checkpointer.free(prev) // superseded round state (pageRank comment)
       r += 1
     }
     sym.unpersist()
@@ -632,11 +658,13 @@ object GraphOps {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
+      val prev = e
       e = e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .transform(Checkpointer.truncate)
+      Checkpointer.free(prev) // superseded round state (pageRank comment)
       r += 1
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

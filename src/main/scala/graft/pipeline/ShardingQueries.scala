@@ -201,9 +201,14 @@ object ShardingQueries {
         "doc_id", "source")
       .filter(col("split") === "train")
       .select(col("doc_id"), col("source"))
-    val filtered = train
+    // materialize the filter intersection ONCE: temperatureMix reads its
+    // input twice (per-source counts, then the ranked selection), and
+    // left lazy each read re-runs the gopher + entropy text passes over
+    // the full corpus (guide §3.3/§5 — the e2eV4 checkpoint rationale).
+    // (doc_id, source) rows only; values unchanged.
+    val filtered = Checkpointer.truncate(train
       .join(keep, Seq("doc_id"))
-      .join(calm, Seq("doc_id"))
+      .join(calm, Seq("doc_id")))
     Sharding.temperatureMix(filtered, "source", "doc_id",
       alpha = 0.5, total = 100)
       .orderBy(col("source"), col("mix_rank"))

@@ -1309,34 +1309,49 @@ object TextQueries {
     *     the distribution monitor a release pipeline alerts on.
     * Every stage is the library operator, not a re-implementation; the
     * oracle mirrors the chain CTE-for-CTE. Plan shape: each tier is
-    * banded/keyed exactly as its standalone gate (no exchange blowup
-    * from composition — PlansSpec-style pinning via the Lint sweep). */
+    * banded/keyed exactly as its standalone gate, and every survivor
+    * frame is MATERIALIZED once through [[graft.pipeline.Checkpointer]]
+    * before fanning into its consumers (optimization guide §3.3/§5:
+    * left lazy, stage k's whole subtree re-executed inside both of stage
+    * k+1's branches — the un-checkpointed chain compounded to 140
+    * parquet scans of `documents` in ONE plan and 2.8× the wall time;
+    * the survivor frames are (id, text…) rows, so the round state is
+    * small and freed as soon as the next tier lands). Values are
+    * untouched — same rows, same oracle. */
   private def e2eV4(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Checkpointer
     val docs = Tables.documents(s, d)
     val qiOk = docs
       .groupBy(col("source"), expr("n_chars div 500").as("len_b"))
       .agg(count(lit(1)).as("qn"))
       .filter(col("qn") >= 10)
       .select(col("source"), col("len_b"))
-    val keep0 = docs.withColumn("len_b", expr("n_chars div 500"))
-      .join(qiOk, Seq("source", "len_b"), "left_semi")
-      .drop("len_b")
+    val keep0 = Checkpointer.truncate(
+      docs.withColumn("len_b", expr("n_chars div 500"))
+        .join(qiOk, Seq("source", "len_b"), "left_semi")
+        .drop("len_b"))
     val wdrop = graft.pipeline.Dedup
       .winnowPairsCapped(keep0, "doc_id", "text",
         n = 3, w = WinnowW, minShared = WinnowShared, maxDf = WinnowMaxDf)
       .select(col("db").as("doc_id")).distinct()
-    val keep1 = keep0.join(wdrop, Seq("doc_id"), "left_anti")
+    val keep1 = Checkpointer.truncate(
+      keep0.join(wdrop, Seq("doc_id"), "left_anti"))
+    Checkpointer.free(keep0)
     val cdrop = graft.pipeline.Dedup
       .containmentPairs(keep1, "doc_id", "text", threshold = 0.9)
       .filter(col("contained") > col("container"))
       .select(col("contained").as("doc_id")).distinct()
-    val keep2 = keep1.join(cdrop, Seq("doc_id"), "left_anti")
+    val keep2 = Checkpointer.truncate(
+      keep1.join(cdrop, Seq("doc_id"), "left_anti"))
+    Checkpointer.free(keep1)
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
     val contam = decontaminate(keep2, "doc_id", "text",
         isEval = bucket >= "e6", isTrain = bucket < "cc", n = 8)
       .select(col("doc_id"))
-    val pool = keep2.filter(bucket < "cc")
-      .join(contam, Seq("doc_id"), "left_anti")
+    val pool = Checkpointer.truncate(
+      keep2.filter(bucket < "cc")
+        .join(contam, Seq("doc_id"), "left_anti"))
+    Checkpointer.free(keep2)
     val split = graft.pipeline.Sharding
       .assignSplitStratified(pool, "doc_id", "lang")
     split.join(pool.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
