@@ -31,8 +31,8 @@ object Bootstrap {
   /** The deterministic 48-bit uniform of (id, replicate) — DuckDB:
     * `('0x' || substring(md5(id || '_' || r), 1, 12))::BIGINT`. */
   def u48(id: Column, r: Column): Column =
-    conv(substring(md5(concat(id.cast("string"), lit("_"),
-      r.cast("string"))), 1, 12), 16, 10).cast("long")
+    graft.functions.expr.Md5Prefix(
+      concat(id.cast("string"), lit("_"), r.cast("string")), 12)
 
   /** Poisson(1) weight from an ALREADY-MATERIALIZED uniform column —
     * keep the md5 in its own projection so the hash computes ONCE per

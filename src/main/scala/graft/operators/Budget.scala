@@ -48,8 +48,8 @@ object Budget {
       .select(col(groupCol).as("g"),
         expr(s"unix_micros($tsCol)").as("t"),
         col(idCol).as("i"), col(valCol).cast("double").as("v"),
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long").as("__lot"))
+        graft.functions.expr.Md5Prefix(col(idCol).cast("string"), 8)
+          .as("__lot"))
     val cnt = base.groupBy(col("g")).agg(count(lit(1)).as("__n_all"))
     base.join(broadcast(cnt), Seq("g"))
       .filter(col("__lot") < least(lit(4294967296L), greatest(lit(1L),

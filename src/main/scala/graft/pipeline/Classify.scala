@@ -29,7 +29,7 @@ object Classify {
   /** Hashed feature id of a token: first 16 md5 bits mod `numFeatures` —
     * `('0x' || substring(md5(w),1,4))::INT % numFeatures` in DuckDB. */
   def featureOf(w: Column, numFeatures: Int): Column =
-    conv(substring(md5(w), 1, 4), 16, 10).cast("int") % numFeatures
+    graft.functions.expr.Md5Prefix(w, 4).cast("int") % numFeatures
 
   /** ln(x) rounded at 9 dp and scaled to a long (×1e9) — the exact
     * cross-row summable form of one log-likelihood term. */

@@ -170,7 +170,7 @@ object Dedup {
       n: Int, w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1, got $w")
     val hs = transform(graft.functions.TextOps.ngrams(col(textCol), n),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+      s => graft.functions.expr.Md5Prefix(s, 15))
     tracked(df.select(col(idCol).as("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) >= 1)
       .select(col("doc_id"),

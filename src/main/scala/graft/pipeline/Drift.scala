@@ -31,7 +31,7 @@ object Drift {
   /** md5 bucket of a token: low 6 bits of the first 16 hash bits —
     * `('0x' || substring(md5(w),1,4))::INT % 64` in DuckDB. */
   def bucketOf(w: Column): Column =
-    (conv(substring(md5(w), 1, 4), 16, 10).cast("int") % Buckets)
+    (graft.functions.expr.Md5Prefix(w, 4).cast("int") % Buckets)
 
   /** Reference bucket distribution of a corpus: 64 probabilities
     * (counts / total, plain IEEE division of exact integers — identical

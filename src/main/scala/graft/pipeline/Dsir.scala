@@ -119,7 +119,7 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_bigrams"),
         (sum(col("e")).cast("double") / lit(1e9)).as("logw"))
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+    val u = (graft.functions.expr.Md5Prefix(col(idCol).cast("string"), 12)
       .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
     val gum = round(-log(-log(u)), 9)
     lw.withColumn("skey", round(col("logw") + gum, 9))

@@ -114,8 +114,8 @@ object Raking {
       .join(broadcast(cells), Seq(rowCol, colCol))
       .crossJoin(broadcast(mw))
       .filter(
-        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-          .cast("long").cast("double") <
+        graft.functions.expr.Md5Prefix(col(idCol).cast("string"), 4)
+          .cast("double") <
           col("weight") / col("__mw") * lit(65536.0))
     def side(dim: String): DataFrame = kept
       .groupBy(lit(dim).as("dim"), col(dim).as("value"))

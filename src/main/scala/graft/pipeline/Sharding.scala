@@ -236,8 +236,8 @@ object Sharding {
   def capPerGroupTopK(
       df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     requireFresh(df, "cap_rank")
-    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
-      .cast("long")
+    val draw =
+      graft.functions.expr.Md5Prefix(col(idCol).cast("string"), 12)
     df.select(col(groupCol), col(idCol))
       .withColumn("__draw", -draw.cast("double"))
       .groupBy(col(groupCol))
@@ -277,7 +277,7 @@ object Sharding {
     require(n >= 1, s"weightedTopN needs n >= 1, got $n")
     requireFresh(df, "ws_rank")
     // 48-bit prefix + 0.5, over 2^48: u in (0, 1), exact in a double
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+    val u = (graft.functions.expr.Md5Prefix(col(idCol).cast("string"), 12)
       .cast("double") + 0.5) / lit(281474976710656.0)
     val key = -log(u) / col(weightCol).cast("double")
     df.select(col(groupCol), col(idCol), col(weightCol))

@@ -1272,8 +1272,8 @@ object AnalyticsQueries {
     val e0 = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
       .select(col("pa").as("u"), col("pb").as("v")).distinct()
     val e = e0.filter(
-      conv(substring(md5(concat(col("u").cast("string"), lit("_"),
-        col("v").cast("string"))), 1, 4), 16, 10).cast("int") % KcMod === 0)
+      graft.functions.expr.Md5Prefix(concat(col("u").cast("string"), lit("_"),
+        col("v").cast("string")), 4).cast("int") % KcMod === 0)
     graft.pipeline.GraphOps.kCore(e, "u", "v", k = KcK, rounds = KcRounds)
       .orderBy(col("node"))
   }
@@ -1556,8 +1556,8 @@ object AnalyticsQueries {
     val e0 = a.join(b, Seq("sk")).filter(col("pa") < col("pb"))
       .select(col("pa").as("u"), col("pb").as("v")).distinct()
     val e = e0.filter(
-      conv(substring(md5(concat(col("u").cast("string"), lit("_"),
-        col("v").cast("string"))), 1, 4), 16, 10).cast("int") % KcMod === 0)
+      graft.functions.expr.Md5Prefix(concat(col("u").cast("string"), lit("_"),
+        col("v").cast("string")), 4).cast("int") % KcMod === 0)
     graft.pipeline.GraphOps.assortativity(e, "u", "v")
   }
 

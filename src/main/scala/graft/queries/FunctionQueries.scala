@@ -410,9 +410,21 @@ object FunctionQueries {
       |  last_day(CAST(ts AS DATE)) AS eom
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`. */
+  /** Q16: arithmetic / rounding / log / bit-wise kernels over `lineitem`.
+    *
+    * Sorted BEFORE the projection (optimization guide §2.3 "project
+    * before the exchange", inverted for derived columns): the total
+    * order is on the scan's own unique key, so sorting the 5 source
+    * columns and projecting the 21 derived kernels AFTER the range
+    * exchange (a) keeps the wide payload out of the exchange and (b)
+    * keeps the range-partitioner's sampling pass from computing every
+    * kernel a second time. (l_orderkey, l_linenumber) is unique, so the
+    * output rows and order are bit-identical. Same rewrite on the other
+    * wide kernel batteries below. */
   private def q16(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
+    Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(
       col("l_orderkey"),
       col("l_linenumber"),
       abs(col("l_discount") - lit(0.05)).as("a_abs"),
@@ -443,7 +455,6 @@ object FunctionQueries {
       // rounding tie and both engines' tie rules agree vacuously
       (rint(col("l_extendedprice") / lit(0.25)) * lit(0.25)).as("rmult"),
       (rint(col("l_extendedprice") * lit(8.0)) / lit(8.0)).as("rbin"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   private val q16Sql =
     """SELECT l_orderkey, l_linenumber,
@@ -483,6 +494,7 @@ object FunctionQueries {
     // full table is pure sink time
     Tables.lineitem(s, d)
       .filter(year(col("l_shipdate")) === 1995)
+      .orderBy(col("l_orderkey"), col("l_linenumber")) // sort-below-projection (q16 comment)
       .select(
       col("l_orderkey"), col("l_linenumber"),
       round(sin(x), 6).as("s"),
@@ -505,7 +517,6 @@ object FunctionQueries {
       factorial(col("l_linenumber")).as("fact"),
       round(degrees(x), 6).as("deg"),
       round(radians(col("l_quantity")), 6).as("rad"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val q16bSql =
@@ -688,7 +699,9 @@ object FunctionQueries {
   /** Q18: cast matrix — double↔int↔string↔decimal↔date round-trips.
     * Spark truncates double→int; oracle mirrors with TRUNC. */
   private def q18(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
+    Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber")) // sort-below-projection (q16 comment)
+      .select(
       col("l_orderkey"),
       col("l_linenumber"),
       col("l_quantity").cast("int").as("qty_int"),
@@ -701,7 +714,6 @@ object FunctionQueries {
       to_date(col("l_shipdate")).cast("string").as("ship_str"),
       to_date(col("l_shipdate")).cast("string").cast("date").as("ship_rt"),
       (col("l_quantity") > 25.0).cast("string").as("big_str"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   private val q18Sql =
     """SELECT l_orderkey, l_linenumber,
@@ -726,7 +738,9 @@ object FunctionQueries {
   private def q18b(s: SparkSession, d: String): DataFrame = {
     val garbled = when(col("o_orderkey") % 4 === 0, lit("abc"))
       .otherwise(col("o_orderkey").cast("string"))
-    Tables.orders(s, d).select(
+    Tables.orders(s, d)
+      .orderBy(col("o_orderkey")) // sort-below-projection (q16 comment)
+      .select(
       col("o_orderkey"),
       try_divide(col("o_totalprice"), (col("o_orderkey") % 3).cast("double"))
         .as("div_or_null"),
@@ -742,7 +756,6 @@ object FunctionQueries {
       try_to_timestamp(
         concat(lit("2024-01-"), lpad((col("o_orderkey") % 40).cast("string"), 2, "0")),
         lit("yyyy-MM-dd")).cast("date").as("date_or_null"))
-      .orderBy(col("o_orderkey"))
   }
 
   private val q18bSql =
