@@ -24,6 +24,15 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // parallelism-first coalescing cannot split below minPartitionSize
+    // (default 1 MB) — on compact columnar rows (hashed shingles, id
+    // pairs) 1 MB is ~100 K rows, so a CPU-heavy stage fed by a small-
+    // byte exchange (rank windows over inverted indexes, pair verifies)
+    // collapses onto ONE core. 64 KB keeps those stages at the session's
+    // parallelism; at cluster scale big shuffles are unaffected (their
+    // partitions sit near advisoryPartitionSizeInBytes) and the floor
+    // only admits more small tasks where the alternative was idle cores.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",

@@ -84,6 +84,28 @@ object Tables {
     }
   }
 
+  /** Fan a scan out to the session's full parallelism before CPU-heavy
+    * narrow work (optimization guide §2.5: "one huge unsplittable file —
+    * repartition immediately after the read"). The test fixtures are
+    * single-row-group parquet files, so a scan yields ONE non-empty task
+    * and everything narrow after it — shingling, hashing, per-row
+    * moments — runs on one core of 32 until the first exchange; this
+    * hash exchange of the (projected) input costs ~0.1-0.3 s and unlocks
+    * the other 31. Keyed on the caller's unique id (deterministic under
+    * task retry — round-robin `repartition(n)` would pay a local sort
+    * per map task for the same retry guarantee, SPARK-23207), sized from
+    * `defaultParallelism` so the driver's lower-core bench runs scale
+    * the same way. At cluster scale the input arrives in thousands of
+    * splits and this becomes a rebalance — keep it on operators whose
+    * per-row work dominates the extra narrow pass, which is exactly
+    * where it is applied. Results are unaffected: every cross-row sum in
+    * the registry is order-independent by the [[graft.Det]] contract,
+    * and the callers' windows/aggregates key on their own columns. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "spread needs a deterministic partitioning key")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  }
+
   /** Stable scratch-directory key for a scale-factor dir: the path plus
     * the lineitem file's (mtime, size), so regenerating the dataset at
     * the same path invalidates any cached fixture layout derived from it.

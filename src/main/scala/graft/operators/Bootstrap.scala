@@ -50,8 +50,15 @@ object Bootstrap {
       replicates: Int): DataFrame = {
     require(replicates >= 1 && replicates <= 1024,
       s"replicates must be in [1, 1024], got $replicates")
-    val fan = df.filter(col(valCol).isNotNull)
-      .select(col(idCol).as("__id"), col(valCol).cast("double").as("__x"))
+    // spread before the R-way fan-out: the md5 draw per (row, replicate)
+    // is the dominant cost and would otherwise run on the scan's single
+    // fixture task (guide §2.5; graft.Tables.spread scaladoc). The id is
+    // stringified ONCE here rather than once per replicate inside u48.
+    val fan = graft.Tables.spread(
+        df.filter(col(valCol).isNotNull)
+          .select(col(idCol).cast("string").as("__id"),
+            col(valCol).cast("double").as("__x")),
+        col("__id"))
       .select(col("__id"), col("__x"),
         explode(array((0 until replicates).map(lit(_)): _*)).as("r"))
     fan.select(col("r"), col("__x"), u48(col("__id"), col("r")).as("__u"))

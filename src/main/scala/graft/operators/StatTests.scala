@@ -731,10 +731,14 @@ object StatTests {
     * 1-row model regardless of input size.
     * Output: (n, b0, b1, b2, r2), coefficients round@9. */
   def ols2(df: DataFrame, x2Col: String, x3Col: String, yCol: String): DataFrame = {
-    val src = df.select(
-      col(x2Col).cast("double").as("x2"),
-      col(x3Col).cast("double").as("x3"),
-      col(yCol).cast("double").as("y"))
+    // spread: ten decimal accumulators per row, single fixture scan task
+    // otherwise (guide §2.5; graft.Tables.spread scaladoc)
+    val src = graft.Tables.spread(
+      df.select(
+        col(x2Col).cast("double").as("x2"),
+        col(x3Col).cast("double").as("x3"),
+        col(yCol).cast("double").as("y")),
+      col("x2"), col("x3"), col("y"))
     val m = src.agg(
       count(lit(1)).cast("double").as("n"),
       Det.dsum(col("x2")).as("s2"), Det.dsum(col("x3")).as("s3"),
@@ -1044,10 +1048,16 @@ object StatTests {
     * Output: 1 row (n, r_xy, r_xz, r_yz, partial_r, t, p). */
   def partialCorr(df: DataFrame, xCol: String, yCol: String,
       zCol: String): DataFrame = {
-    val src = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
-        col(zCol).isNotNull)
-      .select(col(xCol).cast("double").as("x"),
-        col(yCol).cast("double").as("y"), col(zCol).cast("double").as("z"))
+    // spread: ten exact-decimal accumulators per row on the fixture's
+    // single scan task otherwise (guide §2.5; graft.Tables.spread
+    // scaladoc); decimal sums are order-independent, so the partitioning
+    // cannot move the result
+    val src = graft.Tables.spread(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+          col(zCol).isNotNull)
+        .select(col(xCol).cast("double").as("x"),
+          col(yCol).cast("double").as("y"), col(zCol).cast("double").as("z")),
+      col("x"), col("y"), col("z"))
     val m = src.agg(
       count(lit(1)).cast("double").as("n"),
       Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),

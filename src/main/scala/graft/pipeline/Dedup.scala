@@ -76,9 +76,14 @@ object Dedup {
     // minhash/simhash reuse). Re-persisting an already-cached plan is a
     // no-op, so same-input invocations do not accumulate storage; distinct
     // inputs do, which is what [[unpersistAll]] bounds.
-    tracked(df.select(
-      col(idCol).as("doc_id"),
-      transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
+    // spread BEFORE shingling: the corpus scan is one task on the
+    // single-row-group fixture and shingling+hashing is the dominant
+    // per-row cost (guide §2.5; graft.Tables.spread scaladoc)
+    tracked(graft.Tables.spread(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t")), col("doc_id"))
+      .select(
+        col("doc_id"),
+        transform(TextOps.shingles(col("__t"), n), s => xxhash64(s)).as("sh")))
 
   /** (doc_id, shingle-hash) inverted index + per-doc sizes from the cached
     * shingle frame. */
@@ -169,9 +174,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1, got $w")
-    val hs = transform(graft.functions.TextOps.ngrams(col(textCol), n),
+    val hs = transform(graft.functions.TextOps.ngrams(col("__t"), n),
       s => graft.functions.expr.Md5Prefix(s, 15))
-    tracked(df.select(col(idCol).as("doc_id"), hs.as("hs"))
+    // spread BEFORE the per-ngram md5 selection — the dominant cost, one
+    // scan task otherwise (guide §2.5; graft.Tables.spread scaladoc)
+    tracked(graft.Tables.spread(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t")), col("doc_id"))
+      .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) >= 1)
       .select(col("doc_id"),
         explode(array_distinct(transform(

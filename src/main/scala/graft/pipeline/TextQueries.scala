@@ -136,7 +136,10 @@ object TextQueries {
     * top-k via TakeOrderedAndProject — at 100 TB nothing but the
     * vocabulary itself ever crosses the network. */
   private def vocab(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // spread before the split+explode: single fixture scan task
+    // otherwise (guide §2.5; graft.Tables.spread scaladoc)
+    Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
@@ -166,7 +169,8 @@ object TextQueries {
     * vocabulary, not corpus. All inputs integer-exact; the estimate is
     * ONE fixed-order IEEE expression, round@6 in both engines. */
   private def chao1(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d) // spread: vocab comment
+        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word"))
@@ -261,7 +265,8 @@ object TextQueries {
     * moments sum as exact decimals, slope/intercept are one fixed-order
     * expression each, round@9. */
   private def zipf(s: SparkSession, d: String): DataFrame = {
-    val wc = Tables.documents(s, d)
+    val wc = Tables.spread(Tables.documents(s, d) // spread: vocab comment
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
@@ -322,7 +327,8 @@ object TextQueries {
     * vocabulary × sources, never by corpus rows; counts are exact
     * longs into one rounded division each. */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val vw = Tables.documents(s, d)
+    val vw = Tables.spread(Tables.documents(s, d) // spread: vocab comment
+        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .distinct()
@@ -418,7 +424,8 @@ object TextQueries {
     * richness estimate with an EVENNESS readout. One (source, word)
     * count pass + one source rollup. */
   private def simpson(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d) // spread: vocab comment
+        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
@@ -627,7 +634,8 @@ object TextQueries {
     * so the shuffle carries per-doc partial counts, never text; the final
     * join is doc-keyed. No global state — holds at any corpus size. */
   private def repetition(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.spread(Tables.documents(s, d) // spread: vocab comment
+      .select(col("doc_id"), col("text")), col("doc_id"))
     val uni = docs
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
@@ -752,8 +760,9 @@ object TextQueries {
     * [[SparseSim.topKBm25]], so grouped float addition order cannot
     * perturb the gate. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextOps.words(col(textCol))).as("w"))
+    val toks = Tables.spread(docs.select(col(idCol), col(textCol)),
+        col(idCol)) // spread: vocab comment
+      .select(col(idCol), explode(TextOps.words(col(textCol))).as("w"))
     val dc = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
     val v = dc.groupBy(col("w")).agg(sum(col("k")).as("c"))
     val totals = v.agg(sum(col("c")).as("tot"), count(lit(1)).as("vs"))
@@ -785,8 +794,10 @@ object TextQueries {
     * ([[unigramLogProb]]). Empty/null texts have no characters and drop
     * from the output (both engines agree by construction). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = docs.select(col(idCol),
-      explode(filter(split(col(textCol), ""), c => c =!= "")).as("ch"))
+    val chars = Tables.spread(docs.select(col(idCol), col(textCol)),
+        col(idCol)) // spread: vocab comment
+      .select(col(idCol),
+        explode(filter(split(col(textCol), ""), c => c =!= "")).as("ch"))
     val c = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("k"))
     val n = c.groupBy(col(idCol)).agg(sum(col("k")).as("n"))
     val p = col("k").cast("double") / col("n")
@@ -837,8 +848,9 @@ object TextQueries {
     * partials. */
   def sliceDrift(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    val toks = docs.select(col(sliceCol),
-      explode(TextOps.words(col(textCol))).as("w"))
+    val toks = Tables.spread(docs.select(col(sliceCol), col(textCol)),
+        col(sliceCol), col(textCol)) // spread: vocab comment (no id here)
+      .select(col(sliceCol), explode(TextOps.words(col(textCol))).as("w"))
     val sc = toks.groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("k"))
     val st = sc.groupBy(col(sliceCol)).agg(sum(col("k")).as("stot"))
     val gc = sc.groupBy(col("w")).agg(sum(col("k")).as("c"))
@@ -1008,8 +1020,9 @@ object TextQueries {
     * engines; ties break on the term string. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextOps.words(col(textCol))).as("w"))
+    val toks = Tables.spread(docs.select(col(idCol), col(textCol)),
+        col(idCol)) // spread: vocab comment
+      .select(col(idCol), explode(TextOps.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
     val dc = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
     val dfq = dc.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -1136,7 +1149,9 @@ object TextQueries {
     * agree by construction). */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = graft.functions.TextOps.words(col(textCol))
-    val bg = docs.select(col(idCol),
+    val spreadDocs = Tables.spread(docs.select(col(idCol), col(textCol)),
+      col(idCol)) // spread: vocab comment
+    val bg = spreadDocs.select(col(idCol),
         explode(arrays_zip(
           slice(ws, lit(1), size(ws) - 1),
           slice(ws, lit(2), size(ws) - 1))).as("p"))
@@ -1180,7 +1195,9 @@ object TextQueries {
       docs: DataFrame, idCol: String, textCol: String,
       lambda: Double): DataFrame = {
     val ws = graft.functions.TextOps.words(col(textCol))
-    val bg = docs.select(col(idCol),
+    val spreadDocs = Tables.spread(docs.select(col(idCol), col(textCol)),
+      col(idCol)) // spread: vocab comment
+    val bg = spreadDocs.select(col(idCol),
         explode(arrays_zip(
           slice(ws, lit(1), size(ws) - 1),
           slice(ws, lit(2), size(ws) - 1))).as("p"))
@@ -1190,7 +1207,7 @@ object TextQueries {
       .agg(count(lit(1)).as("k"))
     val trans = dc.groupBy(col("wl"), col("wr")).agg(sum(col("k")).as("cb"))
     val ctx = trans.groupBy(col("wl")).agg(sum(col("cb")).as("cu"))
-    val uni = docs.select(explode(ws).as("w"))
+    val uni = spreadDocs.select(explode(ws).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val n = uni.agg(sum(col("cw")).as("n"))
     val elem = round(
