@@ -44,6 +44,11 @@ object Budget {
   def points(df: DataFrame, groupCol: String, tsCol: String,
       idCol: String, valCol: String, targetPoints: Int): DataFrame = {
     require(targetPoints >= 2, s"targetPoints must be >= 2, got $targetPoints")
+    // NOT spread (Tables.spread): the lottery filter drops ~all rows, so
+    // exchanging the corpus to parallelize the hash would cost more than
+    // the single-task hash pass it saves — the zero-shuffle-selection
+    // property IS this operator's scale contract (measured: q67 3.0 →
+    // 4.4 s with a spread here; reverted)
     val base = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("g"),
         expr(s"unix_micros($tsCol)").as("t"),

@@ -792,10 +792,14 @@ object StatTests {
     * λ·n themselves. */
   def ridge2(df: DataFrame, x2Col: String, x3Col: String, yCol: String,
       lambda: Double): DataFrame = {
-    val src = df.select(
-      col(x2Col).cast("double").as("x2"),
-      col(x3Col).cast("double").as("x3"),
-      col(yCol).cast("double").as("y"))
+    // spread: ten decimal accumulators per row, single fixture scan task
+    // otherwise (guide §2.5; graft.Tables.spread scaladoc)
+    val src = graft.Tables.spread(
+      df.select(
+        col(x2Col).cast("double").as("x2"),
+        col(x3Col).cast("double").as("x3"),
+        col(yCol).cast("double").as("y")),
+      col("x2"), col("x3"), col("y"))
     val m = src.agg(
       count(lit(1)).cast("double").as("n"),
       Det.dsum(col("x2")).as("s2"), Det.dsum(col("x3")).as("s3"),

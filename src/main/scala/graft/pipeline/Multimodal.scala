@@ -655,7 +655,9 @@ object MultimodalQueries {
     // both codecs appear): decode cost is per-payload codec work (no plan
     // to optimize away), so the gate needs breadth across both codecs,
     // not the full corpus volume
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val docs = graft.Tables.spread( // codec work per row: guide §2.5 spread
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")), col("doc_id"))
     val media = Multimodal.synthesize(s, docs, "doc_id", "text")
     Multimodal.decode(s, media)
       .select(col("doc_id"), col("n_bytes"), col("kind"),
@@ -690,7 +692,9 @@ object MultimodalQueries {
     * SQL oracle; MultimodalSpec asserts frame counts/indices against the
     * generator parameters, the resized dimensions, and determinism. */
   private def frames(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 7 === 1)
+    val docs = graft.Tables.spread( // codec work per row: guide §2.5 spread
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), col("text")), col("doc_id"))
     Multimodal.frameSample(s, synthesizeVideos(s, docs), step = 2, w = 8, h = 6)
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         round(col("mean_lum"), 6).as("mean_lum"))
@@ -706,7 +710,9 @@ object MultimodalQueries {
     * documents table. Pixel/sample STATISTICS stay codec-derived and
     * rows-only (mm_decode + MultimodalSpec). */
   private def decodeMeta(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val docs = graft.Tables.spread( // codec work per row: guide §2.5 spread
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")), col("doc_id"))
     val media = Multimodal.synthesize(s, docs, "doc_id", "text")
     Multimodal.decode(s, media)
       .select(col("doc_id"), col("kind"),
@@ -733,7 +739,9 @@ object MultimodalQueries {
     * resize plumbing is driver-gated; per-frame luminance stays rows-only
     * (mm_frames + MultimodalSpec). */
   private def framesMeta(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 7 === 1)
+    val docs = graft.Tables.spread( // codec work per row: guide §2.5 spread
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), col("text")), col("doc_id"))
     Multimodal.frameSample(s, synthesizeVideos(s, docs), step = 2, w = 8, h = 6)
       .select(col("doc_id"),
         col("frame_idx").cast("long").as("frame_idx"),
@@ -759,8 +767,10 @@ object MultimodalQueries {
     * image twin of the text dedup gates. */
   private def phashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(col("doc_id") % 2 === 0).select(col("doc_id")).as[Long]
+    val media = graft.Tables.spread( // codec work per row: guide §2.5 spread
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 2 === 0).select(col("doc_id")),
+        col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val png = Multimodal.syntheticPng(id / 4, 24, 18)
         Multimodal.MediaRow(id,
@@ -786,8 +796,10 @@ object MultimodalQueries {
     * oracle predicts them without seeing a fingerprint. */
   private def audioPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(col("doc_id") % 2 === 1).select(col("doc_id")).as[Long]
+    val media = graft.Tables.spread( // codec work per row: guide §2.5 spread
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 2 === 1).select(col("doc_id")),
+        col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val g = id / 4
         val wav = Multimodal.syntheticWav(g, 2000 + (g % 499).toInt * 4)
@@ -813,8 +825,10 @@ object MultimodalQueries {
     * 3 sampled frames; the closed-form oracle predicts the exact pairs. */
   private def videoPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(col("doc_id") % 2 === 0).select(col("doc_id")).as[Long]
+    val media = graft.Tables.spread( // codec work per row: guide §2.5 spread
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 2 === 0).select(col("doc_id")),
+        col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val g = id / 4
         // frame seeds spaced far beyond the frame count so no two GROUPS

@@ -194,7 +194,12 @@ object AnalyticsQueries {
     * 100 TB swap the exact distincts for the mergeable HLL sketches of
     * q39_incremental_hll; the null/min/max half stays exact and free. */
   private def profile(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).agg(
+    // spread before the 14-accumulator multi-distinct Expand: single
+    // fixture scan task otherwise (guide §2.5; Tables.spread scaladoc)
+    Tables.spread(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")),
+      col("o_orderkey")).agg(
       count(lit(1)).as("n_rows"),
       count(when(col("o_orderstatus").isNull, 1)).as("null_status"),
       countDistinct(col("o_orderstatus")).as("nd_status"),

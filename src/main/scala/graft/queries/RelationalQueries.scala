@@ -39,7 +39,13 @@ object RelationalQueries {
   /** Q02: whole-table scalar aggregate (reference scalar_aggregate_node;
     * Spark plans partial+final automatically). */
   private def q02(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
+    // spread before the 10-accumulator pass: single fixture scan task
+    // otherwise (guide §2.5; graft.Tables.spread scaladoc)
+    Tables.spread(Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber")),
+      col("l_orderkey"), col("l_linenumber")).agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("l_partkey")).as("n_parts"),
       Det.dsum(col("l_quantity")).as("sum_qty"),
