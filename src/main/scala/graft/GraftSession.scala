@@ -32,7 +32,7 @@ object GraftSession {
     // parallelism; at cluster scale big shuffles are unaffected (their
     // partitions sit near advisoryPartitionSizeInBytes) and the floor
     // only admits more small tasks where the alternative was idle cores.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "256k",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",

@@ -136,10 +136,11 @@ object TextQueries {
     * top-k via TakeOrderedAndProject — at 100 TB nothing but the
     * vocabulary itself ever crosses the network. */
   private def vocab(s: SparkSession, d: String): DataFrame =
-    // spread before the split+explode: single fixture scan task
-    // otherwise (guide §2.5; graft.Tables.spread scaladoc)
-    Tables.spread(Tables.documents(s, d)
-        .select(col("doc_id"), col("text")), col("doc_id"))
+    // NOT spread: the split feeds a map-side-combined count whose
+    // per-row work is too cheap to pay an exchange of the text for
+    // (full-bench A/B regressed the whole word-count family; only the
+    // per-doc extrema/entropy/shingle passes keep Tables.spread)
+    Tables.documents(s, d)
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
@@ -169,8 +170,7 @@ object TextQueries {
     * vocabulary, not corpus. All inputs integer-exact; the estimate is
     * ONE fixed-order IEEE expression, round@6 in both engines. */
   private def chao1(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d) // spread: vocab comment
-        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+    Tables.documents(s, d) // NOT spread: vocab comment
       .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word"))
@@ -265,8 +265,7 @@ object TextQueries {
     * moments sum as exact decimals, slope/intercept are one fixed-order
     * expression each, round@9. */
   private def zipf(s: SparkSession, d: String): DataFrame = {
-    val wc = Tables.spread(Tables.documents(s, d) // spread: vocab comment
-        .select(col("doc_id"), col("text")), col("doc_id"))
+    val wc = Tables.documents(s, d) // NOT spread: vocab comment
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
@@ -327,8 +326,7 @@ object TextQueries {
     * vocabulary × sources, never by corpus rows; counts are exact
     * longs into one rounded division each. */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val vw = Tables.spread(Tables.documents(s, d) // spread: vocab comment
-        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+    val vw = Tables.documents(s, d) // NOT spread: vocab comment
       .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .distinct()
@@ -424,8 +422,7 @@ object TextQueries {
     * richness estimate with an EVENNESS readout. One (source, word)
     * count pass + one source rollup. */
   private def simpson(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d) // spread: vocab comment
-        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+    Tables.documents(s, d) // NOT spread: vocab comment
       .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
@@ -760,9 +757,8 @@ object TextQueries {
     * [[SparseSim.topKBm25]], so grouped float addition order cannot
     * perturb the gate. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Tables.spread(docs.select(col(idCol), col(textCol)),
-        col(idCol)) // spread: vocab comment
-      .select(col(idCol), explode(TextOps.words(col(textCol))).as("w"))
+    val toks = docs.select(col(idCol), // NOT spread: vocab comment
+      explode(TextOps.words(col(textCol))).as("w"))
     val dc = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
     val v = dc.groupBy(col("w")).agg(sum(col("k")).as("c"))
     val totals = v.agg(sum(col("c")).as("tot"), count(lit(1)).as("vs"))
@@ -848,9 +844,8 @@ object TextQueries {
     * partials. */
   def sliceDrift(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    val toks = Tables.spread(docs.select(col(sliceCol), col(textCol)),
-        col(sliceCol), col(textCol)) // spread: vocab comment (no id here)
-      .select(col(sliceCol), explode(TextOps.words(col(textCol))).as("w"))
+    val toks = docs.select(col(sliceCol), // NOT spread: vocab comment
+      explode(TextOps.words(col(textCol))).as("w"))
     val sc = toks.groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("k"))
     val st = sc.groupBy(col(sliceCol)).agg(sum(col("k")).as("stot"))
     val gc = sc.groupBy(col("w")).agg(sum(col("k")).as("c"))
@@ -1020,9 +1015,8 @@ object TextQueries {
     * engines; ties break on the term string. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = Tables.spread(docs.select(col(idCol), col(textCol)),
-        col(idCol)) // spread: vocab comment
-      .select(col(idCol), explode(TextOps.words(col(textCol))).as("w"))
+    val toks = docs.select(col(idCol), // NOT spread: vocab comment
+      explode(TextOps.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
     val dc = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
     val dfq = dc.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -1149,9 +1143,7 @@ object TextQueries {
     * agree by construction). */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = graft.functions.TextOps.words(col(textCol))
-    val spreadDocs = Tables.spread(docs.select(col(idCol), col(textCol)),
-      col(idCol)) // spread: vocab comment
-    val bg = spreadDocs.select(col(idCol),
+    val bg = docs.select(col(idCol), // NOT spread: vocab comment
         explode(arrays_zip(
           slice(ws, lit(1), size(ws) - 1),
           slice(ws, lit(2), size(ws) - 1))).as("p"))
@@ -1195,9 +1187,7 @@ object TextQueries {
       docs: DataFrame, idCol: String, textCol: String,
       lambda: Double): DataFrame = {
     val ws = graft.functions.TextOps.words(col(textCol))
-    val spreadDocs = Tables.spread(docs.select(col(idCol), col(textCol)),
-      col(idCol)) // spread: vocab comment
-    val bg = spreadDocs.select(col(idCol),
+    val bg = docs.select(col(idCol), // NOT spread: vocab comment
         explode(arrays_zip(
           slice(ws, lit(1), size(ws) - 1),
           slice(ws, lit(2), size(ws) - 1))).as("p"))
@@ -1207,7 +1197,7 @@ object TextQueries {
       .agg(count(lit(1)).as("k"))
     val trans = dc.groupBy(col("wl"), col("wr")).agg(sum(col("k")).as("cb"))
     val ctx = trans.groupBy(col("wl")).agg(sum(col("cb")).as("cu"))
-    val uni = spreadDocs.select(explode(ws).as("w"))
+    val uni = docs.select(explode(ws).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val n = uni.agg(sum(col("cw")).as("n"))
     val elem = round(
