@@ -26,19 +26,25 @@ import org.apache.spark.sql.SparkSession
   * still dirty after 5 reps (`spread_dirty`) so a poisoned environment
   * self-identifies.
   *
-  * Output is TWO lines: the full record (per-query medians + minima)
-  * first, then a SHORT summary line with the total/headline. Harnesses
-  * that keep only the tail of the output therefore still capture a
-  * complete, parseable JSON object with the headline numbers — the
-  * round-6 artifact stored the last 2000 characters of a single long
-  * line, which truncated away the leading summary fields.
+  * Output contract (restored in round 15 after the driver's comparator
+  * failed to parse rounds 13 and 14): stdout carries EXACTLY ONE JSON
+  * line — the full record, keys in the declared order {"metric",
+  * "value", "unit", "queries", ...extras..., "sf"}. The short human
+  * summary that used to be a second stdout line (added for 2 KB
+  * tail-captures in round 6) goes to stderr instead, so a parser that
+  * json.loads every stdout line, or the last one, sees one unambiguous
+  * record. The numbers and methodology are unchanged — this is an
+  * output-format fix only (declared in OPTIMIZATION_r15.md).
   *
   * Round artifact: a full-registry pass additionally writes the
   * complete record (all per-query medians + minima) to `BENCH_r{N}.json`
   * in the working directory as its LAST act — the standalone,
   * json.load-able artifact the judge reads, independent of any stdout
   * tail-capture (see the block comment at the write site for how N
-  * resolves).
+  * resolves). Runs at a non-default core count (SPARK_GRAFT_CPUS != 32)
+  * write `BENCH_r{N}_c{cpus}.json` instead: the round-14 driver's 8-core
+  * scaling rerun overwrote the 32-core round record, destroying the only
+  * clean driver measurement — the suffixed name makes that impossible.
   *
   * Host-load guard: before each pass the 1-minute load average is read
   * from /proc/loadavg; if it exceeds `SPARK_GRAFT_BENCH_MAX_LOAD`
@@ -185,8 +191,10 @@ object Bench {
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedS = strArr(spreadFlagged)
     val dirtyS = strArr(stillFlagged)
+    // key order follows the declared contract: metric, value, unit,
+    // queries first; extras (headline/minima/load diagnostics) after
     val fullRecord =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":${obj(med)},"headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""
     // The full record (241 queries ≈ 12 KB) cannot fit a ~2 KB stdout
     // tail-capture, so it is ALSO written to a file in the working
     // directory — the self-sufficient artifact the round notes commit
@@ -197,16 +205,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    // Per-query detail first, short summary LAST: a tail-capture of the
-    // output always holds the complete summary object. The summary line
-    // carries the HEADLINE queries' medians inline (~16 entries ≈ 0.5 KB
-    // — the set BASELINE.md compares against), so a 2 KB tail-capture of
-    // this output is a standalone, parseable BENCH artifact with real
-    // per-query numbers; the full 270-query record lives in the named
-    // file (and in the first output line).
+    // stdout: EXACTLY ONE JSON line (the declared contract). The human
+    // summary (headline medians) goes to stderr — a tail-capture of
+    // stderr still shows the headline, and a stdout parser sees one
+    // unambiguous record.
     println(fullRecord)
     val headMed = med.filter { case (n, _) => headline(n) }
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries":${obj(headMed)},"queries_n":${names.length},"ok_n":${ok.length},"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    System.err.println(s"""[bench] summary {"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"queries":${obj(headMed)},"queries_n":${names.length},"ok_n":${ok.length},"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     // LAST act (r12 verdict #3): when this was a FULL-registry pass at
     // the driver's bench scale, also write the complete record as the
     // ROUND artifact BENCH_r{N}.json, so `json.load(open('BENCH_r13
@@ -273,9 +278,14 @@ object Bench {
             val fromBench = if (bOurs) bmax else bmax + 1
             math.max(1, math.max(fromBench, cmax + 1))
           }
-        val roundPath = java.nio.file.Paths.get(s"BENCH_r$n.json")
+        // Scaling reruns must never clobber the canonical 32-core round
+        // record (the round-14 incident): any non-default core count gets
+        // its own suffixed artifact, BENCH_r{N}_c{cpus}.json.
+        val roundPath =
+          if (cpus == "32") java.nio.file.Paths.get(s"BENCH_r$n.json")
+          else java.nio.file.Paths.get(s"BENCH_r${n}_c$cpus.json")
         val roundRecord =
-          s"""{"n":$n,"graft_full_record":true,"metric":"total","value":$totalS,"unit":"sec","headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries":${obj(med)},"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""
+          s"""{"n":$n,"cpus":"$cpus","graft_full_record":true,"metric":"total","value":$totalS,"unit":"sec","queries":${obj(med)},"headline_sec":$headS,"reps":$reps,"load":$loads,"spread_flagged":$flaggedS,"spread_dirty":$dirtyS,"queries_min":${obj(mins)},"queries_n":${names.length},"ok_n":${ok.length},"sf":"$sfDir"}"""
         java.nio.file.Files.write(roundPath,
           (roundRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         System.err.println(s"[bench] round artifact: ${roundPath.toAbsolutePath}")
